@@ -1,13 +1,490 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.{F, Text, Vec}
+import graft.operators._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Driver contract (see SURVEY.md §2/§7): one named query per implemented
+ * operator, each with equivalent DuckDB SQL for the hash-compare oracle.
+ *
+ * Determinism conventions (required for cross-engine hash equality):
+ *  - every aggregated DOUBLE is `round()`ed (sums→2dp, means→4dp, ratios→6dp);
+ *  - every integer-valued output is LONG on the Spark side (DuckDB emits
+ *    int64 for counts/yearparts); dates/timestamps are emitted as strings
+ *    or epoch seconds;
+ *  - vector math casts float→double *before* arithmetic and accumulates
+ *    sequentially on both engines (bit-identical — see [[graft.functions.Vec]]);
+ *  - ties in every window ordering are broken by a unique id column.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  import Tables._
+
+  /** Flagship: rolling z-score "early signals" over quarterly order counts
+    * per priority class (the reference's v_ae_early_signals semantics). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    earlySignals(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- queries
+
+  private def pricingSummary(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  private def revenueFilter(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") <  lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.03, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+
+  private def segmentRevenue(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"),
+        round(avg(col("c_acctbal")), 4).as("avg_acctbal"))
+
+  /** TPC-H Q5 shape: revenue by nation where customer and supplier share the
+    * nation, one region, one year. Dim chain broadcast end-to-end. */
+  private def regionNationRevenue(s: SparkSession, d: String): DataFrame = {
+    val dims = nation(s, d)
+      .join(region(s, d).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+    lineitem(s, d)
+      .join(orders(s, d)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                  col("o_orderdate") <  lit("1997-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier(s, d)),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(dims), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+  }
+
+  /** Multi-branch CASE normalization (reference P6 event_type semantics). */
+  private def priorityClass(s: SparkSession, d: String): DataFrame = {
+    val p = upper(trim(col("o_orderpriority")))
+    orders(s, d)
+      .withColumn("priority_class",
+        when(p.isin("1-URGENT", "2-HIGH"), lit("Critical"))
+          .when(col("o_orderpriority").isNull || p === "" || p === "4-NOT SPECIFIED",
+            lit("No Answer Provided"))
+          .otherwise(lit("Other")))
+      .groupBy(col("priority_class"))
+      .agg(count(lit(1)).as("n"))
+
+  }
+
+  /** ILIKE-ladder topic heuristic (reference P7 failure-mode semantics). */
+  private def docTopics(s: SparkSession, d: String): DataFrame = {
+    val t = col("text")
+    val topic =
+      when(t.ilike("%window%"), lit("WINDOW"))
+        .when(t.ilike("%stream%"), lit("STREAM"))
+        .when(t.ilike("%merge%"), lit("MERGE"))
+        .when(t.ilike("%join%"), lit("JOIN"))
+        .when(t.ilike("%sort%"), lit("SORT"))
+        .when(t.ilike("%hash%"), lit("HASH"))
+        .when(t.ilike("%scan%"), lit("SCAN"))
+    documents(s, d)
+      .select(coalesce(topic, lit("(unknown)")).as("topic"))
+      .groupBy(col("topic"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  private def topEventsPerUser(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("value").desc, col("event_id").asc)
+    events(s, d)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("user_id"), col("event_id"), col("value"), col("rank"))
+  }
+
+  private def earlySignals(s: SparkSession, d: String): DataFrame =
+    EarlySignals(orders(s, d), Seq(col("o_orderpriority")),
+        Seq("o_orderpriority"), col("o_orderdate"))
+      .select(
+        col("o_orderpriority"), col("quarter_index"), col("year_quarter"),
+        col("n_events"), col("rn"),
+        round(col("mean_4"), 4).as("mean_4"),
+        round(col("std_4"), 4).as("std_4"),
+        round(col("z_score"), 4).as("z_score"))
+
+  private def orderLinesListagg(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(
+        F.orderedListagg(col("l_linenumber").cast("string"), col("l_linenumber"), ",")
+          .as("line_numbers"),
+        count(lit(1)).as("n_lines"))
+
+  private def tokenCounts(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
+
+  private def orderSurrogateKeys(s: SparkSession, d: String): DataFrame =
+    orders(s, d).select(
+      col("o_orderkey"),
+      F.surrogateKey(col("o_orderkey"), col("o_orderstatus"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd")).as("order_sk"))
+
+  private def jsonExtract(s: SparkSession, d: String): DataFrame =
+    events(s, d).select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").cast("long").as("k_value"))
+
+  /** try-parse of YYYYMMDD strings with injected malformed values (F17). */
+  private def parseDates(s: SparkSession, d: String): DataFrame = {
+    val raw = when(col("o_orderkey") % 97 === 0, lit("1999x101"))
+      .otherwise(date_format(col("o_orderdate"), "yyyyMMdd"))
+    orders(s, d).select(
+      col("o_orderkey"),
+      date_format(F.parseYyyymmdd(raw), "yyyy-MM-dd").as("parsed_date"),
+      F.yearQuarterLabel(F.parseYyyymmdd(raw)).as("year_quarter"))
+  }
+
+  private def dedupExact(s: SparkSession, d: String): DataFrame =
+    Dedup.exact(documents(s, d), "doc_id", "text")
+
+  private def ngramJaccard(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccardPairs(
+      documents(s, d).filter(col("doc_id") < 1000), "doc_id", "text",
+      n = 2, threshold = 0.2)
+
+  private def knnBrute(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    Knn.bruteTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+  }
+
+  private def textQuality(s: SparkSession, d: String): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    documents(s, d).select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_distinct"),
+      round(Text.totalTokenLen(toks) / size(toks), 4).as("avg_token_len"),
+      round(Text.stopwordRatio(toks), 6).as("stop_ratio"),
+      Text.bpeTokenCount(col("text")).as("n_bpe_tokens"))
+  }
+
+  private def langId(s: SparkSession, d: String): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    val (en, de, fr) = Text.langScores(toks)
+    documents(s, d).select(
+      col("doc_id"), Text.langGuess(toks).as("lang_guess"),
+      en.as("en_score"), de.as("de_score"), fr.as("fr_score"))
+  }
+
+  private def fingerprints(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(
+      col("doc_id"), Text.fingerprint(Text.tokens(col("text"))).as("fingerprint"))
+
+  private def minhashLsh(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashLshPairs(documents(s, d), "doc_id", "text",
+      shingleN = 3, bands = 4, rowsPerBand = 4)
+
+  private def simhashPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashPairs(documents(s, d), "doc_id", "text",
+      maxHamming = 8, prefixBits = 8)
+
+  private def embeddingNearDup(s: SparkSession, d: String): DataFrame =
+    Dedup.embeddingNearDups(embeddings(s, d), "vec_id", "embedding", threshold = 0.3)
+
+  private def bm25(s: SparkSession, d: String): DataFrame =
+    Bm25.score(documents(s, d), "doc_id", "text", Seq("spark", "join", "fast"))
+
+  private def sessionize(s: SparkSession, d: String): DataFrame =
+    Sessionize(events(s, d), col("user_id"), col("ts"), col("event_id"),
+      gapSeconds = 1800)
+
+  private def lshKnn(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    Knn.lshTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+      k = 5, bits = 6, tables = 4)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary"    -> (pricingSummary _),
+    "q02_revenue_filter"     -> (revenueFilter _),
+    "q03_segment_revenue"    -> (segmentRevenue _),
+    "q04_region_nation_revenue" -> (regionNationRevenue _),
+    "q05_priority_class"     -> (priorityClass _),
+    "q06_doc_topics_ilike"   -> (docTopics _),
+    "q07_top_events_per_user" -> (topEventsPerUser _),
+    "q08_early_signals"      -> (earlySignals _),
+    "q09_order_lines_listagg" -> (orderLinesListagg _),
+    "q10_token_counts"       -> (tokenCounts _),
+    "q11_order_surrogate_keys" -> (orderSurrogateKeys _),
+    "q12_json_extract"       -> (jsonExtract _),
+    "q13_parse_dates"        -> (parseDates _),
+    "q14_dedup_exact"        -> (dedupExact _),
+    "q15_ngram_jaccard"      -> (ngramJaccard _),
+    "q16_knn_brute"          -> (knnBrute _),
+    "q17_text_quality"       -> (textQuality _),
+    "q18_langid"             -> (langId _),
+    "q19_fingerprint"        -> (fingerprints _),
+    "q20_minhash_lsh"        -> (minhashLsh _),
+    "q21_simhash_pairs"      -> (simhashPairs _),
+    "q22_embedding_neardup"  -> (embeddingNearDup _),
+    "q23_bm25"               -> (bm25 _),
+    "q24_sessionize"         -> (sessionize _),
+    "q25_lsh_knn"            -> (lshKnn _),
+  )
+
+  // ------------------------------------------------------------ oracle SQL
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity),2) AS sum_qty,
+        |  round(sum(l_extendedprice),2) AS sum_base_price,
+        |  round(sum(l_extendedprice*(1.0-l_discount)),2) AS sum_disc_price,
+        |  round(sum(l_extendedprice*(1.0-l_discount)*(1.0+l_tax)),2) AS sum_charge,
+        |  round(avg(l_quantity),4) AS avg_qty,
+        |  round(avg(l_discount),4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_revenue_filter" ->
+      """SELECT round(sum(l_extendedprice*l_discount),2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q03_segment_revenue" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  round(sum(o_totalprice),2) AS revenue,
+        |  round(avg(c_acctbal),4) AS avg_acctbal
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q04_region_nation_revenue" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name""".stripMargin,
+
+    "q05_priority_class" ->
+      """SELECT CASE
+        |  WHEN upper(trim(o_orderpriority)) IN ('1-URGENT','2-HIGH') THEN 'Critical'
+        |  WHEN o_orderpriority IS NULL OR upper(trim(o_orderpriority)) = ''
+        |       OR upper(trim(o_orderpriority)) = '4-NOT SPECIFIED' THEN 'No Answer Provided'
+        |  ELSE 'Other' END AS priority_class,
+        |  count(*) AS n
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q06_doc_topics_ilike" ->
+      """SELECT coalesce(CASE
+        |  WHEN text ILIKE '%window%' THEN 'WINDOW'
+        |  WHEN text ILIKE '%stream%' THEN 'STREAM'
+        |  WHEN text ILIKE '%merge%' THEN 'MERGE'
+        |  WHEN text ILIKE '%join%' THEN 'JOIN'
+        |  WHEN text ILIKE '%sort%' THEN 'SORT'
+        |  WHEN text ILIKE '%hash%' THEN 'HASH'
+        |  WHEN text ILIKE '%scan%' THEN 'SCAN' END, '(unknown)') AS topic,
+        |  count(*) AS n
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q07_top_events_per_user" ->
+      """SELECT user_id, event_id, value, rank FROM (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rank
+        |  FROM events) WHERE rank <= 3""".stripMargin,
+
+    "q08_early_signals" ->
+      """WITH c AS (
+        |  SELECT o_orderpriority,
+        |    year(o_orderdate)*4 + quarter(o_orderdate) AS quarter_index,
+        |    year(o_orderdate)::VARCHAR || '-Q' || quarter(o_orderdate)::VARCHAR AS year_quarter,
+        |    count(*) AS n_events
+        |  FROM orders WHERE o_orderdate IS NOT NULL
+        |  GROUP BY 1, 2, 3)
+        |SELECT o_orderpriority, quarter_index, year_quarter, n_events,
+        |  row_number() OVER w0 AS rn,
+        |  round(avg(n_events) OVER w, 4) AS mean_4,
+        |  round(stddev_samp(n_events) OVER w, 4) AS std_4,
+        |  round(CASE WHEN (stddev_samp(n_events) OVER w) IS NULL
+        |               OR (stddev_samp(n_events) OVER w) = 0 THEN NULL
+        |        ELSE (n_events - (avg(n_events) OVER w)) / (stddev_samp(n_events) OVER w)
+        |        END, 4) AS z_score
+        |FROM c
+        |WINDOW w0 AS (PARTITION BY o_orderpriority ORDER BY quarter_index),
+        |       w  AS (PARTITION BY o_orderpriority ORDER BY quarter_index
+        |              ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING)""".stripMargin,
+
+    "q09_order_lines_listagg" ->
+      """SELECT l_orderkey,
+        |  string_agg(l_linenumber::VARCHAR, ',' ORDER BY l_linenumber) AS line_numbers,
+        |  count(*) AS n_lines
+        |FROM lineitem GROUP BY l_orderkey""".stripMargin,
+
+    "q10_token_counts" ->
+      """SELECT token, count(*) AS n, count(DISTINCT doc_id) AS n_docs FROM (
+        |  SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token""".stripMargin,
+
+    "q11_order_surrogate_keys" ->
+      """SELECT o_orderkey,
+        |  sha256(concat_ws('|', coalesce(o_orderkey::VARCHAR,''),
+        |    coalesce(o_orderstatus,''), coalesce(strftime(o_orderdate,'%Y-%m-%d'),''))) AS order_sk
+        |FROM orders""".stripMargin,
+
+    "q12_json_extract" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+        |FROM events""".stripMargin,
+
+    "q13_parse_dates" ->
+      """WITH r AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 97 = 0 THEN '1999x101'
+        |         ELSE strftime(o_orderdate, '%Y%m%d') END AS raw
+        |  FROM orders)
+        |SELECT o_orderkey,
+        |  strftime(try_strptime(raw, '%Y%m%d'), '%Y-%m-%d') AS parsed_date,
+        |  CASE WHEN try_strptime(raw, '%Y%m%d') IS NULL THEN NULL
+        |    ELSE year(try_strptime(raw, '%Y%m%d'))::VARCHAR || '-Q' ||
+        |         quarter(try_strptime(raw, '%Y%m%d'))::VARCHAR END AS year_quarter
+        |FROM r""".stripMargin,
+
+    "q14_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies, sha256(text) AS text_hash
+        |FROM documents GROUP BY text""".stripMargin,
+
+    "q15_ngram_jaccard" ->
+      """WITH t AS (
+        |  SELECT doc_id, str_split(text, ' ') AS toks
+        |  FROM documents WHERE doc_id < 1000),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))])) AS sh
+        |  FROM t WHERE len(toks) >= 2),
+        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  round(n_inter / (ca.n_sh + cb.n_sh - n_inter), 6) AS jaccard
+        |FROM pairs
+        |JOIN cnt ca ON doc_a = ca.doc_id
+        |JOIN cnt cb ON doc_b = cb.doc_id
+        |WHERE n_inter / (ca.n_sh + cb.n_sh - n_inter) >= 0.2""".stripMargin,
+
+    "q16_knn_brute" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_dot_product(q.v, c.v) /
+        |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+        |  FROM e q JOIN e c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 10)
+        |SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
+        |WHERE rank <= 5""".stripMargin,
+
+    "q17_text_quality" ->
+      """WITH t AS (SELECT doc_id, text, str_split(text, ' ') AS toks FROM documents)
+        |SELECT doc_id,
+        |  len(toks) AS n_tokens,
+        |  len(list_distinct(toks)) AS n_distinct,
+        |  round(list_aggregate(list_transform(toks, x -> length(x)), 'sum') / len(toks), 4) AS avg_token_len,
+        |  round(len(list_filter(toks, x -> x IN ('the','a','of','to','in','and','is','it','on','for'))) / len(toks), 6) AS stop_ratio,
+        |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS n_bpe_tokens
+        |FROM t""".stripMargin,
+
+    "q18_langid" ->
+      """WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id,
+        |  len(list_filter(toks, x -> x IN ('the','a','of','to','in','and','is','it','on','for'))) AS en_score,
+        |  len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ich','zu','mit','ein'))) AS de_score,
+        |  len(list_filter(toks, x -> x IN ('le','la','de','et','un','une','est','pas','je','que'))) AS fr_score
+        |FROM t)
+        |SELECT doc_id,
+        |  CASE WHEN en_score >= de_score AND en_score >= fr_score THEN 'en'
+        |       WHEN de_score >= fr_score THEN 'de' ELSE 'fr' END AS lang_guess,
+        |  en_score, de_score, fr_score
+        |FROM s""".stripMargin,
+
+    "q19_fingerprint" ->
+      """SELECT doc_id,
+        |  sha256(array_to_string(list_sort(list_distinct(str_split(text, ' '))), ' ')) AS fingerprint
+        |FROM documents""".stripMargin,
+
+    "q22_embedding_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT id_a, id_b, cosine FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    round(list_dot_product(a.v, b.v) /
+        |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |WHERE cosine >= 0.3""".stripMargin,
+
+    "q23_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS doc, unnest(str_split(text, ' ')) AS term FROM documents),
+        |tf AS (
+        |  SELECT doc, term, count(*) AS tf FROM toks
+        |  WHERE term IN ('spark','join','fast') GROUP BY 1, 2),
+        |dl AS (SELECT doc_id AS doc, len(str_split(text, ' '))::DOUBLE AS dl FROM documents),
+        |corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+        |SELECT tf.doc, round(sum(
+        |  ln((n_docs::DOUBLE - df + 0.5) / (df + 0.5) + 1.0) *
+        |  (tf::DOUBLE * 2.2) / (tf::DOUBLE + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |), 4) AS bm25
+        |FROM tf JOIN dfreq USING (term) JOIN dl USING (doc) CROSS JOIN corpus
+        |GROUP BY tf.doc""".stripMargin,
+
+    "q24_sessionize" ->
+      """WITH base AS (
+        |  SELECT user_id,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_sec, event_id
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, ts_sec, event_id,
+        |    CASE WHEN lag(ts_sec) OVER w IS NULL
+        |           OR ts_sec - lag(ts_sec) OVER w > 1800 THEN 1 ELSE 0 END AS is_new
+        |  FROM base
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts_sec,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  max(ts_sec) - min(ts_sec) AS duration_sec
+        |FROM sess GROUP BY user_id, session_id""".stripMargin,
+  )
 }

@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis primitives for large-scale corpus processing: tokenization,
+ * shingling, quality metrics, a stopword-profile language heuristic, and
+ * canonical document fingerprints. Pure `Column` expressions — no UDFs —
+ * so they vectorize and stay in whole-stage codegen.
+ */
+object Text {
+
+  /** Whitespace tokenization (single-space corpus convention). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish sub-token count: runs of letters, runs of digits, or single
+    * other non-space chars (same regex semantics in Java and RE2). */
+  val BpePattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+  def bpeTokenCount(text: Column): Column =
+    size(call_function("regexp_extract_all", text, lit(BpePattern), lit(0))).cast("long")
+
+  /** Distinct word n-gram shingles (each shingle = n tokens joined by a
+    * space); empty array when the document has fewer than n tokens. */
+  def shingles(toks: Column, n: Int): Column = {
+    val grams = transform(
+      sequence(lit(0), size(toks) - lit(n)),
+      i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j + 1))): _*))
+    when(size(toks) >= n, array_distinct(grams))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Small per-language stopword profiles for [[langScores]]. */
+  val EnStop: Seq[String] = Seq("the", "a", "of", "to", "in", "and", "is", "it", "on", "for")
+  val DeStop: Seq[String] = Seq("der", "die", "das", "und", "ist", "nicht", "ich", "zu", "mit", "ein")
+  val FrStop: Seq[String] = Seq("le", "la", "de", "et", "un", "une", "est", "pas", "je", "que")
+
+  private def stopHits(toks: Column, stops: Seq[String]): Column =
+    size(filter(toks, t => t.isin(stops: _*))).cast("long")
+
+  /** (en, de, fr) stopword-hit counts. */
+  def langScores(toks: Column): (Column, Column, Column) =
+    (stopHits(toks, EnStop), stopHits(toks, DeStop), stopHits(toks, FrStop))
+
+  /** Greedy language guess from stopword profiles; ties break en > de > fr. */
+  def langGuess(toks: Column): Column = {
+    val (en, de, fr) = langScores(toks)
+    when(en >= de && en >= fr, lit("en"))
+      .when(de >= fr, lit("de"))
+      .otherwise(lit("fr"))
+  }
+
+  /** Sum of token lengths (for mean-token-length quality metrics). */
+  def totalTokenLen(toks: Column): Column =
+    aggregate(transform(toks, t => length(t).cast("long")), lit(0L), (a, x) => a + x)
+
+  /** Share of tokens that are EN stopwords; NULL for empty docs. */
+  def stopwordRatio(toks: Column): Column =
+    F.safeDiv(stopHits(toks, EnStop), size(toks))
+
+  /** Canonical content fingerprint: SHA2-256 over the sorted distinct token
+    * set — invariant to token order and duplication (bag-of-words dedup key). */
+  def fingerprint(toks: Column): Column =
+    sha2(concat_ws(" ", array_sort(array_distinct(toks))), 256)
+}

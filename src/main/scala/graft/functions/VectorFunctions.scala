@@ -1,0 +1,39 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Dense-vector math over `ArrayType(FloatType|DoubleType)` embedding
+ * columns, expressed with Spark higher-order functions (`zip_with` +
+ * `aggregate`) so it runs inside Catalyst without UDF/serialization cost.
+ *
+ * All inputs are cast element-wise to DOUBLE *before* any arithmetic and
+ * accumulated sequentially, which makes results bit-identical to an oracle
+ * computing `list_dot_product(a::DOUBLE[], b::DOUBLE[])` the same way.
+ */
+object Vec {
+
+  private def asDouble(v: Column): Column = v.cast("array<double>")
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  def normSq(a: Column): Column = dot(a, a)
+
+  def norm(a: Column): Column = sqrt(normSq(a))
+
+  /** Cosine similarity `dot/(|a|*|b|)`; NULL when either norm is 0. */
+  def cosine(a: Column, b: Column): Column =
+    F.safeDiv(dot(a, b), norm(a) * norm(b))
+
+  /** Squared L2 distance (useful for IVF assignment without the sqrt). */
+  def l2Sq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(asDouble(a), asDouble(b), (x, y) => (x - y) * (x - y)),
+      lit(0.0),
+      (acc, x) => acc + x)
+}

@@ -1,0 +1,159 @@
+package graft.operators
+
+import graft.functions.{F, Text, Vec}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus deduplication operators for training-data pipelines, in increasing
+ * order of fuzziness:
+ *
+ *  - [[exact]]            — hash-groupBy exact dedup (one shuffle on text hash)
+ *  - [[ngramJaccardPairs]] — exact n-gram Jaccard over an inverted shingle
+ *                            index (self-join on shingle, never a cross join)
+ *  - [[minhashSignatures]] / [[minhashLshPairs]] — MinHash + banded LSH: the
+ *                            100 TB-scale near-dup path; candidate pairs only
+ *                            form inside identical (band, bandHash) buckets
+ *  - [[simhash]] / [[simhashPairs]] — 64-bit SimHash fingerprints; near-dups
+ *                            bucket by fingerprint prefix and verify Hamming
+ *  - [[embeddingNearDups]] — cosine near-dup over an embedding column
+ *
+ * Everything is pure DataFrame/Column code: hashes are `xxhash64` (seeded by
+ * prepending a literal, avoiding ANSI-overflow-prone affine permutations),
+ * and the per-bit SimHash sums are 64 parallel aggregate expressions rather
+ * than a 64× row explosion.
+ */
+object Dedup {
+
+  /** Exact dedup: one representative (min id) per identical text, with the
+    * duplicate count. Single hash-shuffle on the (hashed) text. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(col(textCol))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+      .select(col(idCol), col("n_copies"), sha2(col(textCol), 256).as("text_hash"))
+
+  /** doc → exploded distinct word-n-gram shingles (the inverted index). */
+  private def shingleIndex(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(
+        col(idCol).as("doc"),
+        explode(Text.shingles(Text.tokens(col(textCol)), n)).as("sh"))
+
+  /**
+   * Exact Jaccard similarity over distinct word n-gram shingles for every
+   * pair of documents sharing ≥1 shingle, filtered to `>= threshold`.
+   *
+   * Plan shape: explode → self-equi-join on shingle → count per pair →
+   * join per-doc shingle counts (broadcast — it is |docs| rows). The
+   * self-join blows up on very common shingles, so at scale this is the
+   * *verifier* for LSH candidates ([[minhashLshPairs]]), not the scanner.
+   */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int, threshold: Double): DataFrame = {
+    val sh = shingleIndex(df, idCol, textCol, n)
+    val counts = sh.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val jac = col("n_inter") /
+      (col("ca.n_sh") + col("cb.n_sh") - col("n_inter"))
+    inter
+      .join(broadcast(counts.as("ca")), col("doc_a") === col("ca.doc"))
+      .join(broadcast(counts.as("cb")), col("doc_b") === col("cb.doc"))
+      .filter(jac >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(jac, 6).as("jaccard"))
+  }
+
+  /** MinHash signature per doc: `numHashes` columns, component i =
+    * min over shingles of xxhash64(i, shingle). */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int, numHashes: Int): DataFrame = {
+    val sh = shingleIndex(df, idCol, textCol, shingleN)
+    val mins = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("sh"))).as(s"mh_$i"))
+    sh.groupBy(col("doc")).agg(mins.head, mins.tail: _*)
+  }
+
+  /**
+   * Banded-LSH candidate pairs with their estimated Jaccard (fraction of
+   * equal signature components). `numHashes` must equal `bands *
+   * rowsPerBand`. Docs collide iff some band's components all match —
+   * shuffle cost is O(|docs| × bands), independent of pair count.
+   */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      shingleN: Int = 3, bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sig = minhashSignatures(df, idCol, textCol, shingleN, numHashes).cache()
+    val bandStructs = (0 until bands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
+    }
+    val buckets = sig.select(col("doc"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val cand = buckets.as("x")
+      .join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc") < col("y.doc"))
+      .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"))
+      .distinct()
+    val sigA = sig.toDF(sig.columns.map(c => s"a_$c"): _*)
+    val sigB = sig.toDF(sig.columns.map(c => s"b_$c"): _*)
+    val matches = (0 until numHashes)
+      .map(i => when(col(s"a_mh_$i") === col(s"b_mh_$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(sigA, col("doc_a") === col("a_doc"))
+      .join(sigB, col("doc_b") === col("b_doc"))
+      .select(col("doc_a"), col("doc_b"),
+        round(matches.cast("double") / lit(numHashes.toDouble), 6).as("est_jaccard"))
+  }
+
+  /**
+   * 64-bit SimHash fingerprint per doc: bit j of the fingerprint is set iff
+   * Σ_tokens (±1 by bit j of xxhash64(token)) > 0. Computed as one groupBy
+   * over exploded tokens with 64 parallel SUM aggregates (map-side
+   * combinable), then a literal-shift bitwise-OR fold — no per-bit explode.
+   */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("doc"),
+      explode(Text.tokens(col(textCol))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftrightunsigned(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"w_$j")
+    }
+    val agg = toks.groupBy(col("doc")).agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until 64)
+      .map(j => when(col(s"w_$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+    agg.select(col("doc"), fp.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: bucket by the top `prefixBits` bits (cheap LSH
+    * for skew-free partitioning), verify Hamming distance ≤ maxHamming. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3, prefixBits: Int = 12): DataFrame = {
+    val fp = simhash(df, idCol, textCol)
+      .withColumn("bucket", shiftrightunsigned(col("simhash"), 64 - prefixBits))
+    val hamming = bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+    fp.as("a")
+      .join(fp.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.doc") < col("b.doc"))
+      .filter(hamming <= maxHamming)
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        hamming.cast("long").as("hamming"))
+  }
+
+  /** Embedding-cosine near-duplicates: all pairs with cosine ≥ threshold.
+    * Brute self-join — correct baseline; the ANN path is [[Knn.lshTopK]]. */
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val cos = Vec.cosine(col("a.vec"), col("b.vec"))
+    v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(cos, 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

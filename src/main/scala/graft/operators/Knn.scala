@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.functions.Vec
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * k-nearest-neighbor similarity search over an embedding column
+ * (reference README.md:72,116 — "top-K podobieństwa", Recall@20 SLO).
+ *
+ * Two paths:
+ *  - [[bruteTopK]]: exact cosine top-k. The query set is broadcast, so the
+ *    corpus is scanned once with no shuffle of the corpus side; ranking
+ *    shuffles only |queries|×|corpus| scored rows partitioned by query.
+ *    Right answer for ≤ millions of rows or as the verifier/baseline.
+ *  - [[lshTopK]]: random-hyperplane (sign) LSH — corpus is bucketed by an
+ *    h-bit signature per hash table; each query only scores rows sharing a
+ *    bucket in at least one table. The 100 TB path: bucket count 2^bits
+ *    bounds per-task candidate work; recall is tunable via `tables`.
+ *
+ * Hyperplanes are pseudo-random but fully deterministic: component d of
+ * plane p in table t is a hash-derived uniform in [-1,1) from (t,p,d) —
+ * no RNG state, reproducible across runs and executors.
+ */
+object Knn {
+
+  /** Exact brute-force top-k by cosine. `queries` must be small enough to
+    * broadcast (it is hinted); ties break by ascending neighbor id. */
+  def bruteTopK(corpus: DataFrame, queries: DataFrame,
+                idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Vec.cosine(col("qvec"), col("cvec")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cos"), 6).as("cosine"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (table, plane,
+    * dim): uniform in [-1, 1) derived from a 64-bit avalanche hash. */
+  private def planeComponent(table: Int, plane: Int, d: Column): Column =
+    xxhash64(lit(table), lit(plane), d).cast("double") / lit(Long.MaxValue.toDouble)
+
+  /** `bits`-bit sign-LSH signature of a vector under hash table `table`:
+    * bit p = [dot(v, plane_{table,p}) >= 0]. */
+  def lshSignature(vec: Column, bits: Int, table: Int): Column = {
+    val v = vec.cast("array<double>")
+    val bitCols = (0 until bits).map { p =>
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1), (x, i) => x * planeComponent(table, p, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ bitwiseOR _)
+  }
+
+  /**
+   * Approximate top-k: corpus and queries are signed into 2^bits buckets in
+   * each of `tables` independent hash tables; candidates = rows sharing the
+   * query's bucket in ANY table, then exact cosine re-rank of candidates.
+   */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+              k: Int, bits: Int = 8, tables: Int = 2): DataFrame = {
+    def bucketed(df: DataFrame, id: String, vecAs: String): DataFrame = {
+      val sigs = (0 until tables).map(t =>
+        struct(lit(t).as("t"), lshSignature(col(vecCol), bits, t).as("sig")))
+      df.select(col(idCol).as(id), col(vecCol).as(vecAs),
+          explode(array(sigs: _*)).as("bk"))
+        .select(col(id), col(vecAs), col("bk.t").as("t"), col("bk.sig").as("sig"))
+    }
+    val c = bucketed(corpus, "neighbor_id", "cvec").as("c")
+    val q = bucketed(queries, "query_id", "qvec").as("q")
+    val cand = c.join(broadcast(q),
+        col("c.t") === col("q.t") && col("c.sig") === col("q.sig") &&
+          col("q.query_id") =!= col("c.neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qvec"), col("cvec"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    cand
+      .select(col("query_id"), col("neighbor_id"),
+        Vec.cosine(col("qvec"), col("cvec")).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cos"), 6).as("cosine"))
+  }
+}
