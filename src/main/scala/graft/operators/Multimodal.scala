@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Multimodal column handling for training-data pipelines: image/audio/video
+ * payloads ride as opaque `binary` columns with typed metadata, and the
+ * compute-heavy steps (decode / feature-extract / frame-sample) run as
+ * partition-batched transforms so a real decoder drops in without changing
+ * the plan shape.
+ *
+ * The decode step itself is STUBBED (no image/audio libs in this
+ * environment): [[StubCodec]] produces deterministic hash-derived features
+ * with the same schema, batch shape and partitioning a real codec would
+ * have. Everything Spark-side — schemas, mapPartitions plumbing, per-batch
+ * amortization, frame sampling — is real and tested.
+ */
+object Multimodal {
+
+  /** Typed metadata carried next to the payload. */
+  val assetSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("modality", StringType),          // image | audio | video
+    StructField("media_type", StringType),        // e.g. image/png
+    StructField("payload", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("duration_ms", LongType))))))
+
+  final case class AssetFeature(asset_id: Long, modality: String,
+                                feature: Array[Float], n_bytes: Long)
+
+  /** The codec boundary: bytes → fixed-dim feature vector. */
+  trait Codec extends Serializable {
+    def dim: Int
+    def decodeAndEmbed(payload: Array[Byte]): Array[Float]
+  }
+
+  /** Deterministic stand-in codec: features derived from a rolling hash of
+    * the payload — stable across runs/executors, zero dependencies.
+    * Replace with a real decoder (JNI/ONNX/…) behind the same trait. */
+  final class StubCodec(override val dim: Int = 16) extends Codec {
+    override def decodeAndEmbed(payload: Array[Byte]): Array[Float] = {
+      val out = new Array[Float](dim)
+      var h = 1125899906842597L
+      var i = 0
+      while (i < payload.length) { h = 31 * h + payload(i); i += 1 }
+      var d = 0
+      while (d < dim) {
+        h ^= h << 13; h ^= h >>> 7; h ^= h << 17
+        out(d) = (h.toDouble / Long.MaxValue.toDouble).toFloat
+        d += 1
+      }
+      out
+    }
+  }
+
+  /**
+   * Partition-batched featurization: one codec instance per partition (the
+   * real-codec analog of per-batch model loading), rows streamed through
+   * it. Input must have `asset_id`, `modality`, `payload` columns.
+   */
+  def featurize(assets: DataFrame, codec: Codec): Dataset[AssetFeature] = {
+    implicit val enc = Encoders.product[AssetFeature]
+    assets.select(col("asset_id"), col("modality"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          AssetFeature(
+            r.getAs[Long]("asset_id"),
+            r.getAs[String]("modality"),
+            codec.decodeAndEmbed(payload),
+            payload.length.toLong)
+        }
+      }
+  }
+
+  /** Evenly sample `n` frame offsets from a video payload's duration —
+    * pure column math, runs before any decode so only sampled frames are
+    * ever decoded downstream. */
+  def frameSampleOffsets(assets: DataFrame, n: Int): DataFrame =
+    assets
+      .filter(col("modality") === "video" && col("meta.duration_ms").isNotNull)
+      .select(col("asset_id"),
+        explode(transform(sequence(lit(0), lit(n - 1)),
+          i => (col("meta.duration_ms") * i / n).cast("long"))).as("frame_offset_ms"))
+}

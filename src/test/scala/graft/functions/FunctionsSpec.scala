@@ -1,0 +1,72 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("parseYyyymmdd: valid, malformed, calendar-invalid, NULL") {
+    val df = Seq("20200115", "2020xx01", "20200230", "0", null)
+      .toDF("s").select(F.parseYyyymmdd(col("s")).cast("string").as("d"))
+    assert(df.collect().map(_.getString(0)).toSeq ===
+      Seq("2020-01-15", null, null, null, null))
+  }
+
+  test("yearQuarterLabel and quarterIndex") {
+    val df = Seq("1997-08-12", "2020-01-01", "2020-12-31").toDF("s")
+      .select(F.yearQuarterLabel(col("s").cast("date")).as("yq"),
+        F.quarterIndex(col("s").cast("date")).as("qi"))
+    assert(df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("1997-Q3", 1997L * 4 + 3), ("2020-Q1", 8081L), ("2020-Q4", 8084L)))
+  }
+
+  test("surrogateKey matches SHA-256 with NULL->'' joining") {
+    val expected = java.security.MessageDigest.getInstance("SHA-256")
+      .digest("a|b|".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val got = Seq(("a", "b")).toDF("x", "y")
+      .select(F.surrogateKey(col("x"), col("y"), lit(null).cast("string")))
+      .collect().head.getString(0)
+    assert(got === expected)
+  }
+
+  test("trimToNull blanks and trims") {
+    val df = Seq("  x ", "   ", "", null).toDF("s")
+      .select(F.trimToNull(col("s")).as("t"))
+    assert(df.collect().map(_.getString(0)).toSeq === Seq("x", null, null, null))
+  }
+
+  test("orderedListagg is invariant to input row order and skips NULLs") {
+    def run(rows: Seq[(Int, String)]): String =
+      rows.toDF("idx", "txt").repartition(4)
+        .agg(F.orderedListagg(col("txt"), col("idx"), "\n"))
+        .collect().head.getString(0)
+    val inOrder  = Seq(0 -> "a", 1 -> "b", 2 -> null, 3 -> "d")
+    val shuffled = Seq(3 -> "d", 1 -> "b", 0 -> "a", 2 -> null)
+    assert(run(inOrder) === "a\nb\nd")
+    assert(run(shuffled) === "a\nb\nd")
+  }
+
+  test("orderedListagg of all-NULL values yields empty string (LISTAGG semantics)") {
+    val got = Seq((0, Option.empty[String])).toDF("idx", "txt")
+      .agg(F.orderedListagg(col("txt"), col("idx"), "\n"))
+      .collect().head.getString(0)
+    assert(got === "")
+  }
+
+  test("zScore guard: NULL std, zero std, normal") {
+    val df = Seq((10.0, Some(8.0), Option.empty[Double]),
+        (10.0, Some(8.0), Some(0.0)), (10.0, Some(8.0), Some(2.0)))
+      .toDF("x", "m", "s")
+      .select(F.zScore(col("x"), col("m"), col("s")).as("z"))
+    assert(df.collect().map(r => if (r.isNullAt(0)) null else r.getDouble(0)).toSeq ===
+      Seq(null, null, 1.0))
+  }
+
+  test("safeDiv never raises on zero denominators (ANSI mode)") {
+    val df = Seq((1.0, 0.0), (1.0, 2.0)).toDF("n", "d")
+      .select(F.safeDiv(col("n"), col("d")).as("q"))
+    assert(df.collect().map(r => if (r.isNullAt(0)) null else r.getDouble(0)).toSeq ===
+      Seq(null, 0.5))
+  }
+}

@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 10, 11: exact duplicates. 20, 21: near-duplicates (one token differs).
+  // 30, 31: unrelated.
+  private lazy val docs = Seq(
+    10L -> "the quick brown fox jumps over the lazy dog near the river bank",
+    11L -> "the quick brown fox jumps over the lazy dog near the river bank",
+    20L -> "data pipelines shuffle partitions across executors during wide transformations at scale",
+    21L -> "data pipelines shuffle partitions across workers during wide transformations at scale",
+    30L -> "completely different content about cooking pasta with tomato sauce and basil leaves",
+    31L -> "astronomy telescopes observe distant galaxies through adaptive optics instruments tonight"
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min id and counts copies") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+    assert(out.count() === 5)
+    val dup = out.filter(col("n_copies") > 1).collect()
+    assert(dup.length === 1)
+    assert(dup.head.getAs[Long]("doc_id") === 10L)
+    assert(dup.head.getAs[Long]("n_copies") === 2L)
+  }
+
+  test("n-gram jaccard finds near-dup pair and nothing else at 0.5") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((10L, 11L), (20L, 21L)))
+  }
+
+  test("minhash LSH surfaces duplicate candidates; exact dup has est 1.0") {
+    val out = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      shingleN = 2, bands = 4, rowsPerBand = 4).collect()
+    val byPair = out.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(byPair((10L, 11L)) === 1.0)          // identical docs always collide
+    assert(byPair.contains((20L, 21L)))          // near-dup caught by banding
+    assert(byPair((20L, 21L)) > 0.4)
+    assert(!byPair.contains((30L, 31L)))         // unrelated never bucket together
+  }
+
+  test("simhash: identical docs share fingerprints; near-dups within hamming radius") {
+    val fp = Dedup.simhash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(10L) === fp(11L))
+    assert(java.lang.Long.bitCount(fp(20L) ^ fp(21L)) <= 12)
+    assert(java.lang.Long.bitCount(fp(10L) ^ fp(31L)) > 12)
+  }
+
+  test("embedding near-dup by cosine threshold") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.1f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDups(vecs, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+}

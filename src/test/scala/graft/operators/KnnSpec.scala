@@ -1,0 +1,41 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class KnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 3 well-separated clusters in 8-dim: ids 0-9 near e0, 10-19 near e1,
+    * 20-29 near e2 (deterministic "noise" from the id). */
+  private lazy val corpus = (0 until 30).map { i =>
+    val base = Array.fill(8)(0.0f)
+    base(i / 10) = 1.0f
+    val noisy = base.zipWithIndex.map { case (v, d) =>
+      v + 0.05f * (((i * 31 + d * 17) % 7) - 3)
+    }
+    (i.toLong, noisy)
+  }.toDF("vec_id", "embedding")
+
+  test("brute-force top-k returns same-cluster neighbors, ranked") {
+    val out = Knn.bruteTopK(corpus, corpus.filter(col("vec_id") === 0), "vec_id", "embedding", 5)
+      .collect()
+    assert(out.length === 5)
+    assert(out.map(_.getAs[Long]("rank")).toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+    out.foreach(r => assert(r.getAs[Long]("neighbor_id") < 10,
+      s"neighbor ${r.getAs[Long]("neighbor_id")} not in query's cluster"))
+    assert(out.map(_.getAs[Double]("cosine")).toSeq.reverse.sorted.reverse ===
+      out.map(_.getAs[Double]("cosine")).toSeq) // descending
+  }
+
+  test("LSH top-k recalls most of the brute-force answer") {
+    val queries = corpus.filter(col("vec_id") < 3)
+    def answerSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val exact = answerSet(Knn.bruteTopK(corpus, queries, "vec_id", "embedding", 5))
+    val approx = answerSet(Knn.lshTopK(corpus, queries, "vec_id", "embedding", 5,
+      bits = 4, tables = 6))
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall $recall too low; got ${approx.size} pairs")
+  }
+}

@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** EarlySignals window-frame semantics, Sessionize, Enrich, Multimodal. */
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("early signals: empty frame, 1-row frame, zero-variance guard, spike") {
+    val counts = Seq(
+      ("m", 1L, 10L), ("m", 2L, 12L), ("m", 3L, 11L),
+      ("m", 4L, 13L), ("m", 5L, 10L), ("m", 6L, 30L))
+      .toDF("k", "quarter_index", "n_events")
+    val out = EarlySignals.signals(counts, Seq("k"))
+      .orderBy("quarter_index").collect()
+
+    def opt(r: org.apache.spark.sql.Row, c: String): Option[Double] =
+      if (r.isNullAt(r.fieldIndex(c))) None else Some(r.getDouble(r.fieldIndex(c)))
+
+    assert(opt(out(0), "mean_4") === None)           // empty frame
+    assert(opt(out(0), "z_score") === None)
+    assert(opt(out(1), "mean_4") === Some(10.0))     // 1-row frame
+    assert(opt(out(1), "std_4") === None)            // stddev_samp(n=1) = NULL
+    assert(opt(out(1), "z_score") === None)
+    assert(opt(out(4), "mean_4") === Some(11.5))     // full 4-row frame
+    val z5 = opt(out(5), "z_score").get               // spike quarter
+    assert(math.abs(z5 - (30.0 - 11.5) / 1.2909944487358056) < 1e-9)
+  }
+
+  test("early signals guard: zero variance yields NULL z, not error") {
+    val flat = Seq(("m", 1L, 10L), ("m", 2L, 10L), ("m", 3L, 10L), ("m", 4L, 10L))
+      .toDF("k", "quarter_index", "n_events")
+    val out = EarlySignals.signals(flat, Seq("k")).orderBy("quarter_index").collect()
+    assert(out(2).isNullAt(out(2).fieldIndex("z_score"))) // std = 0
+  }
+
+  test("sessionize splits on gap, aggregates per session") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(s: Long) = new java.sql.Timestamp(t0.getTime + s * 1000)
+    val events = Seq(
+      (1L, ts(0), 100L), (1L, ts(100), 101L), (1L, ts(2000), 102L),
+      (2L, ts(50), 200L))
+      .toDF("user_id", "ts", "event_id")
+    val out = Sessionize(events, col("user_id"), col("ts"), col("event_id"), 1800)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("duration_sec"))).toMap
+    assert(out === Map(
+      (1L, 1L) -> (2L, 100L),
+      (1L, 2L) -> (1L, 0L),
+      (2L, 1L) -> (1L, 0L)))
+  }
+
+  test("heuristic enrichment: topic, severity, guarded summary") {
+    val df = Seq(
+      (1L, "BATTERY depleted, patient died"),
+      (2L, "software ERROR CODE 42 shown"),
+      (3L, "x" * 300),
+      (4L, null.asInstanceOf[String]))
+      .toDF("id", "narrative")
+    val out = HeuristicEnricher(df, "narrative").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[String]("topic") === "power_system")
+    assert(out(1L).getAs[Int]("severity") === 3)
+    assert(out(2L).getAs[String]("topic") === "software")
+    assert(out(3L).getAs[String]("summary").length === 201) // 200 + ellipsis
+    assert(out(4L).getAs[Int]("severity") === 0)
+  }
+
+  test("multimodal featurize: deterministic stub features, per-partition codec") {
+    val assets = Seq(
+      (1L, "image", Array[Byte](1, 2, 3, 4)),
+      (2L, "audio", Array[Byte](9, 8, 7))).toDF("asset_id", "modality", "payload")
+    val codec = new Multimodal.StubCodec(dim = 8)
+    val a = Multimodal.featurize(assets, codec).collect().sortBy(_.asset_id)
+    val b = Multimodal.featurize(assets.repartition(3), codec).collect().sortBy(_.asset_id)
+    assert(a.length === 2)
+    assert(a.head.feature.length === 8)
+    assert(a.head.n_bytes === 4L)
+    assert(a.map(_.feature.toSeq).toSeq === b.map(_.feature.toSeq).toSeq)
+  }
+
+  test("multimodal frame sampling: even offsets from duration, pre-decode") {
+    val assets = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1L, "video", "video/mp4", Array[Byte](0),
+          org.apache.spark.sql.Row(null, null, 1000L)),
+        org.apache.spark.sql.Row(2L, "image", "image/png", Array[Byte](0),
+          org.apache.spark.sql.Row(64, 64, null)))),
+      Multimodal.assetSchema)
+    val offsets = Multimodal.frameSampleOffsets(assets, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(offsets.toSeq.sorted === Seq((1L, 0L), (1L, 250L), (1L, 500L), (1L, 750L)))
+  }
+}
