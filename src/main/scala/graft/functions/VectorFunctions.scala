@@ -26,8 +26,22 @@ object Vec {
 
   def norm(a: Column): Column = sqrt(normSq(a))
 
-  /** Cosine similarity `dot/(|a|*|b|)`; NULL when either norm is 0. */
-  def cosine(a: Column, b: Column): Column =
+  /** Cosine similarity `dot/(|a|*|b|)`; NULL when either norm is 0.
+    *
+    * Dispatches to the native codegen'd
+    * [[graft.functions.expressions.CosineSimilarity]] expression (one fused
+    * loop, stays in whole-stage codegen — the HOF formulation is
+    * interpreted and ~30× slower on pairwise workloads). Results are
+    * bit-identical; [[cosineHof]] remains as the reference formulation. */
+  def cosine(a: Column, b: Column): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.expressions.GraftExpressions.register)
+    call_function("graft_cosine_sim", a, b)
+  }
+
+  /** Higher-order-function cosine (interpreted; kept as the executable
+    * spec the native expression is cross-checked against). */
+  def cosineHof(a: Column, b: Column): Column =
     F.safeDiv(dot(a, b), norm(a) * norm(b))
 
   /** Squared L2 distance (useful for IVF assignment without the sqrt). */

@@ -1,0 +1,119 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Native codegen'd cosine similarity over two numeric arrays (float or
+ * double elements) — one fused loop computes the dot product and both
+ * norms, so the hot path stays inside whole-stage codegen with zero
+ * intermediate array allocations.
+ *
+ * Replaces the `zip_with`+`aggregate` higher-order-function formulation
+ * ([[graft.functions.Vec]]), which Spark evaluates interpreted: on the
+ * sf0.1 embedding near-dup query (2M pairs × 64 dims) the HOF version
+ * spent 85 s; this expression is the 100 TB-posture fix.
+ *
+ * Semantics are kept bit-identical to the HOF version (and to the DuckDB
+ * oracle's `list_dot_product(a::DOUBLE[], b::DOUBLE[])` formulation):
+ * elements widen float→double before any arithmetic, accumulation is
+ * sequential, result = dot/(sqrt(na)*sqrt(nb)), NULL on NULL input, NULL
+ * element, length mismatch, or zero norm.
+ */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def ok(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_cosine_sim expects array<float|double> inputs, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    val (lf, rf) = (isFloat(left), isFloat(right))
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      dot += xv * yv; na += xv * xv; nb += yv * yv
+      i += 1
+    }
+    val den = math.sqrt(na) * math.sqrt(nb)
+    if (den == 0.0) null else java.lang.Double.valueOf(dot / den)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i   = ctx.freshName("i")
+      val n   = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na  = ctx.freshName("na")
+      val nb  = ctx.freshName("nb")
+      val xv  = ctx.freshName("xv")
+      val yv  = ctx.freshName("yv")
+      val den = ctx.freshName("den")
+      def get(arr: String, idx: String, float: Boolean): String =
+        if (float) s"(double) $arr.getFloat($idx)" else s"$arr.getDouble($idx)"
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    final double $xv = ${get(a, i, isFloat(left))};
+         |    final double $yv = ${get(b, i, isFloat(right))};
+         |    $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    final double $den = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |    if ($den == 0.0) { ${ev.isNull} = true; }
+         |    else { ${ev.value} = $dot / $den; }
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Session registration for graft's native expressions (the
+  * `SparkSessionExtensions.injectFunction` shape, callable directly too). */
+object GraftExpressions {
+
+  val cosineSim: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_cosine_sim"),
+    new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine_sim"),
+    (children: Seq[Expression]) => CosineSimilarity(children.head, children(1)))
+
+  /** Idempotently register on a session's function registry. */
+  def register(spark: SparkSession): Unit = {
+    val (id, info, builder) = cosineSim
+    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+  }
+}

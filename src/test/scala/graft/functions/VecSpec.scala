@@ -1,0 +1,43 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class VecSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val pairs = {
+    // deterministic pseudo-random float vectors, incl. edge cases
+    val vecs = (0 until 50).map { i =>
+      (i.toLong, Array.tabulate(16)(d => (((i * 37 + d * 11) % 19) - 9) / 7.0f))
+    } :+ (50L, Array.fill(16)(0.0f)) // zero vector
+    vecs.toDF("id", "v")
+  }
+
+  test("native cosine expression is bit-identical to the HOF formulation") {
+    val joined = pairs.as("a").join(pairs.as("b"), col("a.id") < col("b.id"))
+    val diff = joined.select(
+        Vec.cosine(col("a.v"), col("b.v")).as("fast"),
+        Vec.cosineHof(col("a.v"), col("b.v")).as("ref"))
+      .filter(!(col("fast") <=> col("ref")))
+    assert(diff.count() === 0)
+  }
+
+  test("native cosine: NULL on zero norm, NULL input, length mismatch") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(0.0f, 0.0f)),           // zero norm
+      (Array(1.0f, 0.0f), null.asInstanceOf[Array[Float]])) // null input
+      .toDF("a", "b")
+      .select(Vec.cosine(col("a"), col("b")).as("c"))
+    assert(df.collect().forall(_.isNullAt(0)))
+    val mismatch = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+      .select(Vec.cosine(col("a"), col("b")).as("c"))
+    assert(mismatch.collect().head.isNullAt(0))
+  }
+
+  test("native cosine value sanity") {
+    val got = Seq((Array(1.0f, 0.0f), Array(1.0f, 1.0f))).toDF("a", "b")
+      .select(Vec.cosine(col("a"), col("b"))).collect().head.getDouble(0)
+    assert(math.abs(got - 1.0 / math.sqrt(2.0)) < 1e-15)
+  }
+}
