@@ -225,6 +225,54 @@ object SparkEntry {
       k = 5, bits = 6, tables = 4)
   }
 
+  /** Deterministic 64-dim query vector shared with the q26 oracle SQL. */
+  private val hybridQueryVec: Seq[Double] =
+    (0 until 64).map(i => ((i * 37 % 19) - 9) / 7.0)
+
+  private def hybridSearch(s: SparkSession, d: String): DataFrame = {
+    val corpus = documents(s, d)
+      .join(embeddings(s, d), col("doc_id") === col("vec_id"))
+    HybridSearch.similarCases(corpus, "doc_id", "text", "embedding",
+        queryText = "spark join fast", queryVec = hybridQueryVec, k = 20)
+      .select(col("doc"), col("bm25"), col("r_lex"),
+        round(col("cos"), 6).as("cos"), col("r_vec"),
+        round(col("rrf"), 6).as("rrf"))
+  }
+
+  private def ivfKnn(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    Knn.ivfTopK(emb, emb.filter(col("vec_id") < 10),
+      emb.filter(col("vec_id") < 16), "vec_id", "embedding", k = 5, nProbe = 4)
+  }
+
+  /** Multimodal asset table derived from `documents`: text bytes stand in
+    * for the opaque media payload (no media libs in this container); the
+    * modality/meta plumbing is the real schema from [[Multimodal]]. */
+  private def mmAssets(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(
+      col("doc_id").as("asset_id"),
+      when(col("doc_id") % 3 === 0, lit("image"))
+        .when(col("doc_id") % 3 === 1, lit("audio"))
+        .otherwise(lit("video")).as("modality"),
+      col("text").cast("binary").as("payload"),
+      struct(
+        lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+        (col("n_chars") * 100).cast("long").as("duration_ms")).as("meta"))
+
+  private def multimodalFeatures(s: SparkSession, d: String): DataFrame =
+    Multimodal.featurize(mmAssets(s, d), new Multimodal.StubCodec(16))
+      .toDF()
+      .select(col("asset_id"), col("modality"), col("n_bytes"),
+        round(Vec.norm(col("feature")), 4).as("feat_norm"))
+
+  private def enrichDocs(s: SparkSession, d: String): DataFrame =
+    HeuristicEnricher(documents(s, d).select(col("doc_id"), col("text")), "text")
+      .select(col("doc_id"), col("topic"),
+        col("severity").cast("long").as("severity"), col("summary"))
+
+  private def frameOffsets(s: SparkSession, d: String): DataFrame =
+    Multimodal.frameSampleOffsets(mmAssets(s, d), n = 4)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"    -> (pricingSummary _),
     "q02_revenue_filter"     -> (revenueFilter _),
@@ -251,6 +299,11 @@ object SparkEntry {
     "q23_bm25"               -> (bm25 _),
     "q24_sessionize"         -> (sessionize _),
     "q25_lsh_knn"            -> (lshKnn _),
+    "q26_hybrid_search"      -> (hybridSearch _),
+    "q27_ivf_knn"            -> (ivfKnn _),
+    "q28_multimodal_features" -> (multimodalFeatures _),
+    "q29_enrich"             -> (enrichDocs _),
+    "q30_frame_offsets"      -> (frameOffsets _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -486,5 +539,95 @@ object SparkEntry {
         |SELECT user_id, session_id, count(*) AS n_events,
         |  max(ts_sec) - min(ts_sec) AS duration_sec
         |FROM sess GROUP BY user_id, session_id""".stripMargin,
+
+    "q26_hybrid_search" ->
+      """WITH corpus AS (
+        |  SELECT d.doc_id AS doc, d.text, e.embedding::DOUBLE[] AS v
+        |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+        |qv AS (SELECT [((i*37)%19 - 9)/7.0 for i in range(0, 64)] AS q),
+        |toks AS (SELECT doc, unnest(str_split(text, ' ')) AS term FROM corpus),
+        |tf AS (SELECT doc, term, count(*) AS tf FROM toks
+        |       WHERE term IN ('spark','join','fast') GROUP BY 1, 2),
+        |dl AS (SELECT doc, len(str_split(text, ' '))::DOUBLE AS dl FROM corpus),
+        |cs AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |bm AS (
+        |  SELECT tf.doc, round(sum(
+        |    ln((n_docs::DOUBLE - df + 0.5) / (df + 0.5) + 1.0) *
+        |    (tf::DOUBLE * 2.2) / (tf::DOUBLE + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |  ), 4) AS bm25
+        |  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc) CROSS JOIN cs
+        |  GROUP BY tf.doc),
+        |lex AS (SELECT doc, bm25,
+        |  row_number() OVER (ORDER BY bm25 DESC, doc) AS r_lex FROM bm),
+        |vec AS (SELECT doc, cos,
+        |  row_number() OVER (ORDER BY cos DESC, doc) AS r_vec FROM (
+        |    SELECT doc, list_dot_product(v, q) /
+        |      (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(q, q))) AS cos
+        |    FROM corpus CROSS JOIN qv)),
+        |fused AS (
+        |  SELECT coalesce(l.doc, vv.doc) AS doc, l.bm25, l.r_lex, vv.cos, vv.r_vec,
+        |    coalesce(1.0/(60.0 + l.r_lex), 0.0) +
+        |    coalesce(1.0/(60.0 + vv.r_vec), 0.0) AS rrf
+        |  FROM lex l FULL OUTER JOIN vec vv ON l.doc = vv.doc)
+        |SELECT doc, bm25, r_lex, round(cos, 6) AS cos, r_vec, round(rrf, 6) AS rrf
+        |FROM fused ORDER BY rrf DESC, doc LIMIT 20""".stripMargin,
+
+    "q27_ivf_knn" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+        |assign AS (
+        |  SELECT vec_id, v, cid FROM (
+        |    SELECT e.vec_id, e.v, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_dot_product(e.v, c.cv) /
+        |          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+        |        DESC, c.cid) AS rk
+        |    FROM e CROSS JOIN cent c)
+        |  WHERE rk = 1),
+        |probe AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT q.vec_id AS qid, c.cid,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_dot_product(q.v, c.cv) /
+        |          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+        |        DESC, c.cid) AS rk
+        |    FROM e q CROSS JOIN cent c WHERE q.vec_id < 10)
+        |  WHERE rk <= 4),
+        |cand AS (
+        |  SELECT p.qid AS query_id, a.vec_id AS neighbor_id,
+        |    list_dot_product(qe.v, a.v) /
+        |      (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(a.v, a.v))) AS cos
+        |  FROM probe p
+        |  JOIN assign a ON p.cid = a.cid
+        |  JOIN e qe ON qe.vec_id = p.qid
+        |  WHERE p.qid <> a.vec_id)
+        |SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine FROM (
+        |  SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM cand)
+        |WHERE rank <= 5""".stripMargin,
+
+    "q29_enrich" ->
+      """SELECT doc_id,
+        |  CASE WHEN text ILIKE '%BATTERY%' OR text ILIKE '%POWER%' THEN 'power_system'
+        |       WHEN text ILIKE '%SOFTWARE%' OR text ILIKE '%ERROR CODE%' THEN 'software'
+        |       WHEN text ILIKE '%LEAD%' OR text ILIKE '%WIRE%' THEN 'leads_wiring'
+        |       WHEN text ILIKE '%PUMP%' OR text ILIKE '%OCCLU%' THEN 'infusion'
+        |       ELSE 'general' END AS topic,
+        |  CAST(CASE WHEN text ILIKE '%DEATH%' OR text ILIKE '%DIED%' THEN 3
+        |       WHEN text ILIKE '%INJUR%' OR text ILIKE '%HOSPITAL%' THEN 2
+        |       WHEN text IS NOT NULL AND length(text) > 0 THEN 1
+        |       ELSE 0 END AS BIGINT) AS severity,
+        |  CASE WHEN text IS NULL OR length(text) <= 200 THEN text
+        |       ELSE substring(text, 1, 200) || '…' END AS summary
+        |FROM documents""".stripMargin,
+
+    "q30_frame_offsets" ->
+      """SELECT doc_id AS asset_id,
+        |  unnest([CAST(floor((n_chars*100*i)/4.0) AS BIGINT) for i in range(0, 4)])
+        |    AS frame_offset_ms
+        |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
   )
 }

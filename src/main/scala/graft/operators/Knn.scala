@@ -62,6 +62,49 @@ object Knn {
   }
 
   /**
+   * IVF (inverted-file) approximate top-k: every corpus vector is assigned
+   * to its nearest centroid once (the "inverted list"), and a query scores
+   * only the lists of its `nProbe` nearest centroids.
+   *
+   * Scale shape: assignment is a broadcast of the centroid set against one
+   * corpus scan (no corpus shuffle), so candidate work per query is
+   * ~ nProbe/|centroids| of the corpus — the partition-pruning analog for
+   * vector search. At 100 TB the centroid set comes from sampled k-means
+   * over a corpus fraction and the assigned table is written out
+   * partitioned by `cid` so probes prune whole files; here centroids are
+   * any caller-chosen deterministic subset, which keeps the operator (and
+   * its DuckDB oracle) reproducible.
+   *
+   * `centroids` must carry the same `idCol`/`vecCol` columns as the corpus.
+   */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+              idCol: String, vecCol: String, k: Int, nProbe: Int = 2): DataFrame = {
+    val cent = centroids.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    def nearest(df: DataFrame, id: String, vecAs: String, take: Int): DataFrame = {
+      val w = Window.partitionBy(col(id))
+        .orderBy(col("ccos").desc, col("cid").asc)
+      df.select(col(idCol).as(id), col(vecCol).as(vecAs))
+        .crossJoin(broadcast(cent))
+        .withColumn("ccos", Vec.cosine(col(vecAs), col("cv")))
+        .withColumn("crk", row_number().over(w))
+        .filter(col("crk") <= take)
+        .select(col(id), col(vecAs), col("cid"))
+    }
+    val assigned = nearest(corpus, "neighbor_id", "cvec", 1)
+    val probed = nearest(queries, "query_id", "qvec", nProbe)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    probed.join(assigned, Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Vec.cosine(col("qvec"), col("cvec")).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cos"), 6).as("cosine"))
+  }
+
+  /**
    * Approximate top-k: corpus and queries are signed into 2^bits buckets in
    * each of `tables` independent hash tables; candidates = rows sharing the
    * query's bucket in ANY table, then exact cosine re-rank of candidates.

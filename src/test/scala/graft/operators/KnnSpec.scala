@@ -28,6 +28,24 @@ class KnnSpec extends SparkSpec {
       out.map(_.getAs[Double]("cosine")).toSeq) // descending
   }
 
+  test("IVF top-k: full probe = exact brute answer; 1-probe stays in-list") {
+    val queries = corpus.filter(col("vec_id") < 3)
+    // one centroid per cluster (ids 0, 10, 20 are near-axis vectors)
+    val centroids = corpus.filter(col("vec_id").isin(0L, 10L, 20L))
+    def answerSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val exact = answerSet(Knn.bruteTopK(corpus, queries, "vec_id", "embedding", 5))
+    // probing every centroid makes IVF exhaustive → must equal brute force
+    val full = answerSet(Knn.ivfTopK(corpus, queries, centroids,
+      "vec_id", "embedding", k = 5, nProbe = 3))
+    assert(full === exact)
+    // a single probe only searches the query's own cluster list — with
+    // well-separated clusters that still recovers the exact answer
+    val one = answerSet(Knn.ivfTopK(corpus, queries, centroids,
+      "vec_id", "embedding", k = 5, nProbe = 1))
+    assert(one === exact)
+  }
+
   test("LSH top-k recalls most of the brute-force answer") {
     val queries = corpus.filter(col("vec_id") < 3)
     def answerSet(df: org.apache.spark.sql.DataFrame) = df.collect()
