@@ -21,8 +21,19 @@ object Text {
     size(call_function("regexp_extract_all", text, lit(BpePattern), lit(0))).cast("long")
 
   /** Distinct word n-gram shingles (each shingle = n tokens joined by a
-    * space); empty array when the document has fewer than n tokens. */
+    * space); empty array when the document has fewer than n tokens.
+    *
+    * Dispatches to the native codegen'd
+    * [[graft.functions.expressions.WordShingles]] kernel; [[shinglesHof]]
+    * remains as the executable spec it is cross-checked against. */
   def shingles(toks: Column, n: Int): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.expressions.GraftExpressions.register)
+    call_function("graft_shingles", toks, lit(n))
+  }
+
+  /** Higher-order-function shingles (interpreted reference formulation). */
+  def shinglesHof(toks: Column, n: Int): Column = {
     val grams = transform(
       sequence(lit(0), size(toks) - lit(n)),
       i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j + 1))): _*))

@@ -111,9 +111,21 @@ object GraftExpressions {
     new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine_sim"),
     (children: Seq[Expression]) => CosineSimilarity(children.head, children(1)))
 
+  val shingles: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_shingles"),
+    new ExpressionInfo(classOf[WordShingles].getName, "graft_shingles"),
+    (children: Seq[Expression]) => {
+      val n = children(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"graft_shingles(tokens, n): n must be an integer literal, got $other")
+      }
+      WordShingles(children.head, n)
+    })
+
   /** Idempotently register on a session's function registry. */
-  def register(spark: SparkSession): Unit = {
-    val (id, info, builder) = cosineSim
-    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
-  }
+  def register(spark: SparkSession): Unit =
+    Seq(cosineSim, shingles).foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

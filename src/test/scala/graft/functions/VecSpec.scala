@@ -1,6 +1,7 @@
 package graft.functions
 
 import graft.SparkSpec
+import graft.functions.Text
 import org.apache.spark.sql.functions._
 
 class VecSpec extends SparkSpec {
@@ -33,6 +34,30 @@ class VecSpec extends SparkSpec {
     val mismatch = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f))).toDF("a", "b")
       .select(Vec.cosine(col("a"), col("b")).as("c"))
     assert(mismatch.collect().head.isNullAt(0))
+  }
+
+  test("native shingles match the HOF formulation on edge cases") {
+    val docs = Seq(
+      "a b c d e",            // normal
+      "a a a a",              // duplicate shingles collapse
+      "x y",                  // shorter than n=3 → empty
+      "",                     // one empty token
+      "solo",
+      "p q r p q r p q"       // repeated pattern
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    for (n <- Seq(1, 2, 3)) {
+      val both = docs.select(
+        Text.shingles(Text.tokens(col("text")), n).as("fast"),
+        Text.shinglesHof(Text.tokens(col("text")), n).as("ref"))
+      val bad = both.filter(!(col("fast") <=> col("ref"))).count()
+      assert(bad === 0, s"n=$n mismatch")
+    }
+  }
+
+  test("native shingles: NULL token array yields empty array") {
+    val df = Seq((1L, null.asInstanceOf[String])).toDF("id", "text")
+      .select(Text.shingles(Text.tokens(col("text")), 2).as("sh"))
+    assert(df.collect().head.getSeq[String](0) === Seq.empty)
   }
 
   test("native cosine value sanity") {
