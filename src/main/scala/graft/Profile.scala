@@ -28,6 +28,7 @@ object Profile {
     time("q05_priority")(SparkEntry.queries("q05_priority_class")(spark, d).count())
     time("q05_again")(SparkEntry.queries("q05_priority_class")(spark, d).count())
     time("q01_again")(SparkEntry.queries("q01_pricing_summary")(spark, d).count())
+    time("q16_brute")(SparkEntry.queries("q16_knn_brute")(spark, d).count())
     time("q22_neardup")(SparkEntry.queries("q22_embedding_neardup")(spark, d).count())
     spark.stop()
   }

@@ -151,7 +151,12 @@ object Dedup {
                         threshold: Double): DataFrame = {
     val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val cos = Vec.cosine(col("a.vec"), col("b.vec"))
-    v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
+    // Explicit sides: broadcast one copy, and repartition the streamed side
+    // so the O(n²) cosine work parallelizes even when the input is a single
+    // parquet file (a 1-partition scan would otherwise run the whole
+    // nested-loop join in one task).
+    val p = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    v.repartition(p).as("a").join(broadcast(v.as("b")), col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         round(cos, 6).as("cosine"))
       .filter(col("cosine") >= threshold)

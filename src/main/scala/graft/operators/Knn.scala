@@ -29,7 +29,11 @@ object Knn {
     * broadcast (it is hinted); ties break by ascending neighbor id. */
   def bruteTopK(corpus: DataFrame, queries: DataFrame,
                 idCol: String, vecCol: String, k: Int): DataFrame = {
+    // Repartition the corpus so the scoring scan parallelizes even off a
+    // single-file (1-partition) source; queries stay broadcast.
+    val p = corpus.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+      .repartition(p)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
