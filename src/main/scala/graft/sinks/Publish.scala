@@ -1,0 +1,45 @@
+package graft.sinks
+
+import org.apache.spark.sql.DataFrame
+
+/**
+ * Mart publication sinks (reference README.md:74-75, 121-124: materialize
+ * enriched marts as Iceberg tables registered in a REST Open Catalog so
+ * Trino/DuckDB read the same table — SURVEY.md §2.1 S6).
+ *
+ * This environment ships no Iceberg/Delta runtime jars, so the default
+ * format is parquet — which already satisfies the reference's
+ * cross-engine goal for file-level access (DuckDB/Trino read the same
+ * parquet directories directly). When an Iceberg runtime is on the
+ * classpath, pass `format = "iceberg"` and configure the catalog:
+ *
+ * {{{
+ * spark.sql.catalog.lake = org.apache.iceberg.spark.SparkCatalog
+ * spark.sql.catalog.lake.catalog-impl = org.apache.iceberg.rest.RESTCatalog
+ * spark.sql.catalog.lake.uri = https://<rest-catalog-endpoint>
+ * }}}
+ *
+ * Partitioning: marts are published partitioned by a low-cardinality time
+ * column (receive-year in the vigilance pipeline) so time-scoped readers
+ * prune whole partitions — the write-side decision SURVEY.md §4 calls out
+ * as ours to make.
+ */
+object Publish {
+
+  /** Publish a DataFrame as a (partitioned) table in the session catalog. */
+  def table(df: DataFrame, name: String, format: String = "parquet",
+            partitionCols: Seq[String] = Nil, mode: String = "overwrite"): Unit = {
+    val w = df.write.format(format).mode(mode)
+    val pw = if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w
+    pw.saveAsTable(name)
+  }
+
+  /** Publish as raw files under `path` (the direct cross-engine surface:
+    * DuckDB/Trino scan the same directory). */
+  def files(df: DataFrame, path: String, format: String = "parquet",
+            partitionCols: Seq[String] = Nil, mode: String = "overwrite"): Unit = {
+    val w = df.write.format(format).mode(mode)
+    val pw = if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w
+    pw.save(path)
+  }
+}

@@ -1,0 +1,35 @@
+package graft.sinks
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PublishSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val mart = Seq(
+    ("e1", "2023-02-01", 2023), ("e2", "2023-07-15", 2023),
+    ("e3", "2024-01-05", 2024))
+    .toDF("event_id", "date_received", "yyyy")
+
+  test("files sink: partitioned layout readable back with partition pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("publish").toString + "/fact"
+    Publish.files(mart, dir, partitionCols = Seq("yyyy"))
+    assert(new java.io.File(s"$dir/yyyy=2023").exists())
+    assert(new java.io.File(s"$dir/yyyy=2024").exists())
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 3)
+    val pruned = back.filter(col("yyyy") === 2024)
+    assert(pruned.count() === 1)
+    // pruning happens at the scan: only the matching partition is read
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("yyyy"))
+  }
+
+  test("table sink: registered in the session catalog and queryable") {
+    Publish.table(mart, "fact_pub_test", partitionCols = Seq("yyyy"))
+    assert(spark.table("fact_pub_test").count() === 3)
+    assert(spark.sql("SELECT count(*) FROM fact_pub_test WHERE yyyy = 2023")
+      .head().getLong(0) === 2)
+    spark.sql("DROP TABLE fact_pub_test")
+  }
+}
