@@ -36,6 +36,68 @@ class StreamsSpec extends SparkSpec {
       .collect().head.getAs[String]("failure_mode") === "LEAK")
   }
 
+  test("stateful sessionize: in-batch close, timeout close, exact durations") {
+    import StatefulSessionize.{Event, Session}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    def ev(user: Long, offSec: Long, id: Long) =
+      Event(user, new java.sql.Timestamp(t0 + offSec * 1000), id)
+
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    val q = StatefulSessionize(input.toDS(), gapSeconds = 60, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      // batch 1: one user, a 3-event session then a gap-breaking event →
+      // the first session closes in-batch
+      input.addData(ev(1, 0, 1), ev(1, 30, 2), ev(1, 45, 3), ev(1, 200, 4))
+      q.processAllAvailable()
+      val afterB1 = spark.table("sessions").as[Session].collect()
+      assert(afterB1.map(s => (s.user_id, s.n_events, s.duration_sec)).toSet ===
+        Set((1L, 3, 45L)))
+
+      // batch 2: far-future event advances the watermark past the open
+      // session's gap horizon; batch 3 (empty-ish nudge) fires the timeout
+      input.addData(ev(2, 10000, 5))
+      q.processAllAvailable()
+      input.addData(ev(2, 10001, 6))
+      q.processAllAvailable()
+      val all = spark.table("sessions").as[Session].collect()
+      assert(all.map(s => (s.user_id, s.n_events, s.duration_sec)).toSet ===
+        Set((1L, 3, 45L), (1L, 1, 0L)))
+    } finally q.stop()
+  }
+
+  test("stateful sessionize agrees with the batch Sessionize oracle") {
+    import StatefulSessionize.Event
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    val events = for (u <- 1L to 5L; i <- 0L until 20L) yield
+      Event(u, new java.sql.Timestamp(t0 + (i * 700 + u * 13) * 1000), u * 100 + i)
+
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    val q = StatefulSessionize(input.toDS(), gapSeconds = 1800, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sessions2").outputMode("append").start()
+    try {
+      input.addData(events: _*)
+      q.processAllAvailable()
+      // push the watermark far past every gap horizon, then fire timeouts
+      input.addData(Event(99L, new java.sql.Timestamp(t0 + 20_000_000L * 1000), 0L))
+      q.processAllAvailable()
+      input.addData(Event(99L, new java.sql.Timestamp(t0 + 20_000_001L * 1000), 1L))
+      q.processAllAvailable()
+      val streamed = spark.table("sessions2")
+        .filter(col("user_id") <= 5)
+        .select(col("user_id"), col("n_events").cast("long"), col("duration_sec"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+      val batch = graft.operators.Sessionize(
+          events.toDF(), col("user_id"), col("ts"), col("event_id"), gapSeconds = 1800)
+        .select(col("user_id"), col("n_events"), col("duration_sec"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("session_window semantics (batch-mode evaluation of the streaming op)") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def ts(s: Long) = new java.sql.Timestamp(t0.getTime + s * 1000)
