@@ -1,6 +1,6 @@
 package graft
 
-// Scratch profiling main (not part of the library surface; delete freely).
+// Scratch profiling/plan-audit main (not part of the library surface).
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -11,25 +11,21 @@ object Profile {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.1"
-    def time(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime(); val n = f
-      println(f"PROF $name rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2f")
+    val audit = Seq("q01_pricing_summary", "q03_segment_revenue",
+      "q04_region_nation_revenue", "q07_top_events_per_user", "q12_json_extract",
+      "q14_dedup_exact", "q16_knn_brute", "q22_embedding_neardup")
+    audit.foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
+      val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(plan).mkString("; ")
+      val schemas = "ReadSchema: [^\n]*".r.findAllIn(plan).mkString("; ")
+      val joins = plan.linesIterator.filter(l =>
+        l.contains("Join") || l.contains("Exchange")).map(_.trim.take(90)).mkString("\n  ")
+      val codegen = "WholeStageCodegen".r.findAllIn(plan).length
+      println(s"=== $name  (codegen spans: $codegen)")
+      println(s"  pushed: $pushed")
+      println(s"  read:   $schemas")
+      println(s"  $joins")
     }
-    spark.range(1 << 20).selectExpr("sum(id)").collect()
-    val docs = Tables.documents(spark, d)
-    time("docs_count")(docs.count())
-    val sh = docs.select(col("doc_id").as("doc"),
-      explode(graft.functions.Text.shingles(graft.functions.Text.tokens(col("text")), 3)).as("sh"))
-    time("shingle_explode")(sh.count())
-    val sig = graft.operators.Dedup.minhashSignatures(docs, "doc_id", "text", 3, 16)
-    time("signatures")(sig.count())
-    time("full_q20")(graft.operators.Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 4, 4).count())
-    time("full_q20_again")(graft.operators.Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 4, 4).count())
-    time("q05_priority")(SparkEntry.queries("q05_priority_class")(spark, d).count())
-    time("q05_again")(SparkEntry.queries("q05_priority_class")(spark, d).count())
-    time("q01_again")(SparkEntry.queries("q01_pricing_summary")(spark, d).count())
-    time("q16_brute")(SparkEntry.queries("q16_knn_brute")(spark, d).count())
-    time("q22_neardup")(SparkEntry.queries("q22_embedding_neardup")(spark, d).count())
     spark.stop()
   }
 }

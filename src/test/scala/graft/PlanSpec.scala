@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Physical-plan regression tests: the scale properties SURVEY.md §4 calls
+ * out (pushdown, pruning, broadcast strategy, bounded shuffle count) must
+ * hold, not just correct results. Runs against the sf0.001 testdata.
+ */
+class PlanSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
+
+  private def countOf(hay: String, needle: String): Int =
+    needle.r.findAllIn(hay).length
+
+  test("q01: ship-date filter and column pruning reach the parquet scan") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("LessThanOrEqual(l_shipdate"), "filter not pushed to scan")
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("l_comment") && !p.contains("l_shipmode"),
+      "unused columns not pruned from scan")
+  }
+
+  test("q03/q04: dimension joins broadcast; no sort-merge join anywhere") {
+    Seq("q03_segment_revenue", "q04_region_nation_revenue").foreach { q =>
+      val p = plan(q)
+      assert(countOf(p, "BroadcastHashJoin") >= 1, s"$q: no broadcast join")
+      assert(!p.contains("SortMergeJoin"), s"$q: unexpected sort-merge join")
+    }
+  }
+
+  test("q04: exactly one data shuffle (the final aggregation)") {
+    val p = plan("q04_region_nation_revenue")
+    // hashpartitioning exchanges only for the groupBy; every join is broadcast
+    assert(countOf(p, "Exchange hashpartitioning") === 1, p.linesIterator
+      .filter(_.contains("Exchange")).mkString("\n"))
+  }
+
+  test("q07: single shuffle feeding the ranking window") {
+    val p = plan("q07_top_events_per_user")
+    assert(countOf(p, "Exchange hashpartitioning") === 1)
+  }
+
+  test("q12: scan reads only the projected columns") {
+    val p = plan("q12_json_extract")
+    assert(p.contains("struct<event_id:bigint,props:string>"),
+      "scan should read exactly (event_id, props)")
+  }
+
+  test("q16/q22: brute vector scans repartition the streamed side and broadcast the other") {
+    Seq("q16_knn_brute", "q22_embedding_neardup").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastNestedLoopJoin"), s"$q: expected BNLJ")
+      assert(p.contains("RoundRobinPartitioning"), s"$q: streamed side not repartitioned")
+    }
+  }
+
+  test("vigilance fact: manufacturer dim join is broadcast") {
+    val base = java.nio.file.Files.createTempDirectory("maude_plan")
+    val (landing, seed) = graft.models.MaudeFixture.write(base)
+    val m = graft.models.Pipeline.run(spark, landing, seed)
+    val p = m.factAdverseEvents.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), "manufacturer join should broadcast")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q08 early signals: quarterly agg and window share one partitioning") {
+    val p = plan("q08_early_signals")
+    // one shuffle for the groupBy, one for the differently-keyed window
+    assert(countOf(p, "Exchange hashpartitioning") <= 2, p.linesIterator
+      .filter(_.contains("Exchange")).mkString("\n"))
+  }
+}
