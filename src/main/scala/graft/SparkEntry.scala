@@ -273,6 +273,24 @@ object SparkEntry {
   private def frameOffsets(s: SparkSession, d: String): DataFrame =
     Multimodal.frameSampleOffsets(mmAssets(s, d), n = 4)
 
+  /** Skew-salted two-phase aggregation — must equal the plain GROUP BY. */
+  private def saltedAgg(s: SparkSession, d: String): DataFrame =
+    Salt.aggregate(lineitem(s, d), Seq(col("l_returnflag")), col("l_orderkey"),
+        buckets = 8,
+        partials = Seq(count(lit(1)).as("pn"), sum(col("l_quantity")).as("pq"),
+          max(col("l_extendedprice")).as("pm")),
+        combines = Seq(sum(col("pn")).as("n"), round(sum(col("pq")), 2).as("sum_qty"),
+          max(col("pm")).as("max_price")))
+
+  /** Skew-salted equi-join — must equal the plain broadcast join result. */
+  private def saltedJoin(s: SparkSession, d: String): DataFrame =
+    Salt.join(
+        orders(s, d).withColumnRenamed("o_custkey", "custkey"),
+        customer(s, d).withColumnRenamed("c_custkey", "custkey"),
+        Seq("custkey"), saltBy = col("o_orderkey"), buckets = 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("revenue"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"    -> (pricingSummary _),
     "q02_revenue_filter"     -> (revenueFilter _),
@@ -304,6 +322,8 @@ object SparkEntry {
     "q28_multimodal_features" -> (multimodalFeatures _),
     "q29_enrich"             -> (enrichDocs _),
     "q30_frame_offsets"      -> (frameOffsets _),
+    "q31_salted_agg"         -> (saltedAgg _),
+    "q32_salted_join"        -> (saltedJoin _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -629,5 +649,17 @@ object SparkEntry {
         |  unnest([CAST(floor((n_chars*100*i)/4.0) AS BIGINT) for i in range(0, 4)])
         |    AS frame_offset_ms
         |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
+
+    "q31_salted_agg" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  max(l_extendedprice) AS max_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q32_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
   )
 }
