@@ -1,0 +1,89 @@
+package graft
+
+import graft.functions.{F, Text}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/**
+ * Property-based tests (SURVEY.md §5 item 4): determinism and invariance
+ * properties that example-based specs can't pin down. ScalaCheck generates
+ * the data (deterministic seeds); each property evaluates as a handful of
+ * Spark jobs over the whole generated sample rather than a job per case.
+ */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).map(i => g.pureApply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val word: Gen[String] = Gen.choose(1, 8)
+    .flatMap(n => Gen.stringOfN(n, Gen.alphaLowerChar))
+
+  test("orderedListagg is invariant to input row order") {
+    val frags = sample(Gen.zip(Gen.choose(1L, 20L), Gen.choose(0, 30), word), 300)
+      .map { case (g, idx, w) => (g, idx, w) }
+    def agg(rows: Seq[(Long, Int, String)]) =
+      rows.toDF("g", "idx", "txt")
+        .groupBy($"g")
+        .agg(F.orderedListagg($"txt", $"idx", "\n").as("joined"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val forward = agg(frags)
+    val shuffled = agg(new scala.util.Random(7).shuffle(frags))
+    val reversed = agg(frags.reverse)
+    assert(forward === shuffled && forward === reversed)
+  }
+
+  test("surrogateKey: deterministic per input, distinct for distinct inputs") {
+    val rows = sample(Gen.zip(Gen.choose(0L, 1000000L), word), 400).distinct
+    val df = rows.toDF("id", "s")
+    val keyed = df.select($"id", $"s",
+      F.surrogateKey($"id".cast("string"), $"s").as("sk"))
+    val twice = keyed.unionAll(keyed)
+    // same row always hashes identically
+    assert(twice.select("id", "s", "sk").distinct().count() === rows.size)
+    // distinct inputs never collide (sha2-256 over the generated domain)
+    assert(keyed.select("sk").distinct().count() === rows.size)
+  }
+
+  test("explode_outer preserves every parent row (flatten 'no lost records')") {
+    val arrGen = Gen.oneOf(
+      Gen.const(null.asInstanceOf[Seq[String]]),
+      Gen.const(Seq.empty[String]),
+      Gen.listOfN(3, word).map(_.toSeq))
+    val rows = sample(Gen.zip(Gen.choose(0L, 100000L), arrGen), 200)
+      .zipWithIndex.map { case ((_, a), i) => (i.toLong, a) }
+    val df = rows.toDF("parent", "arr")
+    val exploded = df.select($"parent", explode_outer($"arr").as("item"))
+    assert(exploded.select("parent").distinct().count() === rows.size)
+  }
+
+  test("native shingles ≡ HOF shingles on random token arrays") {
+    val toksGen = Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, word))
+    val rows = sample(toksGen, 150).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = rows.toDF("id", "toks")
+    for (n <- Seq(1, 2, 3, 5)) {
+      val bad = df.select(
+          Text.shingles($"toks", n).as("fast"),
+          Text.shinglesHof($"toks", n).as("ref"))
+        .filter(!($"fast" <=> $"ref")).count()
+      assert(bad === 0, s"n=$n")
+    }
+  }
+
+  test("sessionize conserves events; durations bounded by span") {
+    val evGen = Gen.zip(Gen.choose(1L, 10L), Gen.choose(0L, 100000L))
+    val rows = sample(evGen, 500).zipWithIndex
+      .map { case ((u, off), i) => (u, new java.sql.Timestamp(1700000000000L + off * 1000), i.toLong) }
+    val df = rows.toDF("user_id", "ts", "event_id")
+    val sessions = graft.operators.Sessionize(df, $"user_id", $"ts", $"event_id", 1800)
+    val out = sessions.select(sum($"n_events"), min($"duration_sec")).collect().head
+    assert(out.getLong(0) === rows.size)
+    assert(out.getLong(1) >= 0L)
+    // each user's session count never exceeds their event count
+    val perUser = sessions.groupBy($"user_id").count()
+      .join(df.groupBy($"user_id").agg(count(lit(1)).as("evts")), "user_id")
+      .filter($"count" > $"evts").count()
+    assert(perUser === 0)
+  }
+}
