@@ -34,6 +34,24 @@ object Publish {
     pw.saveAsTable(name)
   }
 
+  /**
+   * Publish as a bucketed (and optionally sorted) table: rows are hash-
+   * distributed into `numBuckets` files per partition by `bucketCols`.
+   * Two tables bucketed the same way equi-join on the bucket columns with
+   * NO shuffle on either side — the write-time co-location that replaces
+   * per-query exchanges for repeated large-×-large joins (the 100 TB
+   * answer when neither side broadcasts).
+   */
+  def bucketedTable(df: DataFrame, name: String, bucketCols: Seq[String],
+                    numBuckets: Int, sortCols: Seq[String] = Nil,
+                    format: String = "parquet", mode: String = "overwrite"): Unit = {
+    require(bucketCols.nonEmpty)
+    val w = df.write.format(format).mode(mode)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    val sw = if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
+    sw.saveAsTable(name)
+  }
+
   /** Publish as raw files under `path` (the direct cross-engine surface:
     * DuckDB/Trino scan the same directory). */
   def files(df: DataFrame, path: String, format: String = "parquet",

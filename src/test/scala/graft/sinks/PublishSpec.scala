@@ -25,6 +25,29 @@ class PublishSpec extends SparkSpec {
     assert(scan.contains("PartitionFilters") && scan.contains("yyyy"))
   }
 
+  test("bucketed tables equi-join with zero shuffles") {
+    import spark.implicits._
+    val facts = (0L until 1000L).map(i => (i % 50, i, i * 1.5))
+      .toDF("custkey", "orderkey", "amount")
+    val dim = (0L until 50L).map(i => (i, s"cust_$i")).toDF("custkey", "name")
+    Publish.bucketedTable(facts, "orders_bkt", Seq("custkey"), numBuckets = 4)
+    Publish.bucketedTable(dim, "customer_bkt", Seq("custkey"), numBuckets = 4)
+    try {
+      // disable broadcast so the join would otherwise shuffle both sides
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("orders_bkt")
+        .join(spark.table("customer_bkt"), "custkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join should be shuffle-free:\n$plan")
+      assert(joined.count() === 1000)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE orders_bkt")
+      spark.sql("DROP TABLE customer_bkt")
+    }
+  }
+
   test("table sink: registered in the session catalog and queryable") {
     Publish.table(mart, "fact_pub_test", partitionCols = Seq("yyyy"))
     assert(spark.table("fact_pub_test").count() === 3)
