@@ -27,6 +27,58 @@ trait Enricher {
   }
 }
 
+/**
+ * Batched model-boundary enrichment (reference README.md:83,115: AISQL
+ * enrichment runs in 10-20k record batches). The model is a plain
+ * batch function `Seq[narrative] => Seq[(topic, severity, summary)]` —
+ * an ONNX/JNI/remote scorer drops in without touching the plan. Rows
+ * stream through `mapPartitions` in `batchSize` groups, so model-call
+ * amortization is controlled per task and memory stays bounded by one
+ * batch, not one partition.
+ */
+object BatchedEnrich {
+
+  type Model = Seq[String] => Seq[(String, Int, String)]
+
+  final case class Enriched(id: Long, topic: String, severity: Int, summary: String)
+
+  /** Deterministic stand-in model with the same batching contract a real
+    * scorer has (mirrors [[HeuristicEnricher]]'s keyword taxonomy). */
+  val stubModel: Model = batch => batch.map { n =>
+    val u = if (n == null) "" else n.toUpperCase
+    val topic =
+      if (u.contains("BATTERY") || u.contains("POWER")) "power_system"
+      else if (u.contains("SOFTWARE") || u.contains("ERROR CODE")) "software"
+      else if (u.contains("LEAD") || u.contains("WIRE")) "leads_wiring"
+      else if (u.contains("PUMP") || u.contains("OCCLU")) "infusion"
+      else "general"
+    val severity =
+      if (u.contains("DEATH") || u.contains("DIED")) 3
+      else if (u.contains("INJUR") || u.contains("HOSPITAL")) 2
+      else if (u.nonEmpty) 1 else 0
+    val summary = if (n == null || n.length <= 200) n else n.substring(0, 200) + "…"
+    (topic, severity, summary)
+  }
+
+  /** Enrich `(id, narrative)` rows through `model` in `batchSize` groups. */
+  def apply(df: DataFrame, idCol: String, narrativeCol: String,
+            model: Model, batchSize: Int = 10000): org.apache.spark.sql.Dataset[Enriched] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(org.apache.spark.sql.functions.col(idCol).cast("long"),
+        org.apache.spark.sql.functions.col(narrativeCol))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          val out = model(batch.map(_._2))
+          require(out.length == batch.length,
+            s"model returned ${out.length} results for ${batch.length} inputs")
+          batch.lazyZip(out).map { case ((id, _), (t, s, m)) => Enriched(id, t, s, m) }
+        }
+      }
+  }
+}
+
 /** Deterministic keyword-based enrichment (the pre-AISQL heuristic tier —
   * same spirit as the reference's interim failure-mode CASE,
   * fact_adverse_events.sql:76-86). */

@@ -68,6 +68,29 @@ class OperatorsSpec extends SparkSpec {
     assert(out(4L).getAs[Int]("severity") === 0)
   }
 
+  test("batched enrichment: agrees with column heuristic, respects batch size") {
+    val docs = (0L until 97L).map { i =>
+      (i, Seq("BATTERY failure", "software ERROR CODE", "routine wire LEAD check",
+        "PUMP occlusion alarm", "nothing notable")(i.toInt % 5))
+    }.toDF("id", "narrative")
+
+    val sizes = spark.sparkContext.collectionAccumulator[Int]("batches")
+    val counting: BatchedEnrich.Model = batch => {
+      sizes.add(batch.length); BatchedEnrich.stubModel(batch)
+    }
+    val batched = BatchedEnrich(docs, "id", "narrative", counting, batchSize = 10)
+      .collect().map(e => e.id -> ((e.topic, e.severity, e.summary))).toMap
+
+    val columnar = HeuristicEnricher(docs, "narrative").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[String]("topic"), r.getAs[Int]("severity"), r.getAs[String]("summary")))).toMap
+    assert(batched === columnar)
+    import scala.jdk.CollectionConverters._
+    val observed = sizes.value.asScala
+    assert(observed.nonEmpty && observed.forall(_ <= 10),
+      s"model must see <= batchSize rows per call, saw $observed")
+  }
+
   test("multimodal featurize: deterministic stub features, per-partition codec") {
     val assets = Seq(
       (1L, "image", Array[Byte](1, 2, 3, 4)),
