@@ -11,20 +11,14 @@ object Profile {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.1"
-    val audit = Seq("q01_pricing_summary", "q03_segment_revenue",
-      "q04_region_nation_revenue", "q07_top_events_per_user", "q12_json_extract",
-      "q14_dedup_exact", "q16_knn_brute", "q22_embedding_neardup")
-    audit.foreach { name =>
-      val plan = SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
-      val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(plan).mkString("; ")
-      val schemas = "ReadSchema: [^\n]*".r.findAllIn(plan).mkString("; ")
-      val joins = plan.linesIterator.filter(l =>
-        l.contains("Join") || l.contains("Exchange")).map(_.trim.take(90)).mkString("\n  ")
-      val codegen = "WholeStageCodegen".r.findAllIn(plan).length
-      println(s"=== $name  (codegen spans: $codegen)")
-      println(s"  pushed: $pushed")
-      println(s"  read:   $schemas")
-      println(s"  $joins")
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"PROF $name rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2f")
+    }
+    spark.range(1 << 20).selectExpr("sum(id)").collect()
+    for (q <- Seq("q26_hybrid_search", "q20_minhash_lsh", "q21_simhash_pairs", "q15_ngram_jaccard")) {
+      time(q + "_cold")(SparkEntry.queries(q)(spark, d).count())
+      time(q + "_warm")(SparkEntry.queries(q)(spark, d).count())
     }
     spark.stop()
   }

@@ -26,11 +26,15 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Exact dedup: one representative (min id) per identical text, with the
-    * duplicate count. Single hash-shuffle on the (hashed) text. */
+    * duplicate count. Groups by the SHA-256 of the text, not the text —
+    * the shuffle moves 64-byte digests instead of document payloads, which
+    * at corpus scale is the difference between shuffling hashes and
+    * shuffling the entire corpus. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.groupBy(col(textCol))
+    df.select(col(idCol), sha2(col(textCol), 256).as("text_hash"))
+      .groupBy(col("text_hash"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
-      .select(col(idCol), col("n_copies"), sha2(col(textCol), 256).as("text_hash"))
+      .select(col(idCol), col("n_copies"), col("text_hash"))
 
   /** doc → exploded distinct word-n-gram shingles (the inverted index). */
   private def shingleIndex(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
