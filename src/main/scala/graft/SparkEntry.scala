@@ -273,6 +273,19 @@ object SparkEntry {
   private def frameOffsets(s: SparkSession, d: String): DataFrame =
     Multimodal.frameSampleOffsets(mmAssets(s, d), n = 4)
 
+  /** TPC-H Q14 shape: promo revenue share over a month (conditional
+    * aggregation over a broadcast part join). */
+  private def promoRevenue(s: SparkSession, d: String): DataFrame = {
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1996-03-01").cast("timestamp"))
+      .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+      .agg(round(
+        lit(100.0) * sum(when(col("p_type").like("PROMO%"), rev).otherwise(0.0)) /
+          sum(rev), 4).as("promo_pct"))
+  }
+
   /** Skew-salted two-phase aggregation — must equal the plain GROUP BY. */
   private def saltedAgg(s: SparkSession, d: String): DataFrame =
     Salt.aggregate(lineitem(s, d), Seq(col("l_returnflag")), col("l_orderkey"),
@@ -324,6 +337,7 @@ object SparkEntry {
     "q30_frame_offsets"      -> (frameOffsets _),
     "q31_salted_agg"         -> (saltedAgg _),
     "q32_salted_join"        -> (saltedJoin _),
+    "q33_promo_revenue"      -> (promoRevenue _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -661,5 +675,13 @@ object SparkEntry {
         |  round(sum(o_totalprice), 2) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
+
+    "q33_promo_revenue" ->
+      """SELECT round(100.0 *
+        |  sum(CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice*(1.0-l_discount) ELSE 0.0 END) /
+        |  sum(l_extendedprice*(1.0-l_discount)), 4) AS promo_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1996-03-01'""".stripMargin,
   )
 }
