@@ -1,0 +1,50 @@
+package graft
+
+import graft.functions.expressions.GraftExpressions
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Library entry point: one call gives a session wired the way the engine
+ * expects — UTC semantics, nanos-tolerant parquet reads, sized shuffles,
+ * and the native graft expressions registered for both the DataFrame API
+ * and plain `spark.sql` (`graft_cosine_sim`, `graft_shingles`).
+ *
+ * A reference user's switch path:
+ * {{{
+ * val spark = Graft.session()                       // or Graft.configure(existing)
+ * Graft.registerTables(spark, "/data/sf0.1")        // tables as temp views
+ * spark.sql("SELECT graft_cosine_sim(a.embedding, b.embedding) ...")
+ * graft.models.Pipeline.run(spark, landing, seed)   // the vigilance DAG
+ * }}}
+ */
+object Graft {
+
+  /** Apply engine configs + function registration to an existing session. */
+  def configure(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    GraftExpressions.register(spark)
+    spark
+  }
+
+  /** Build a local session with the engine defaults. `cores` also sizes
+    * `spark.sql.shuffle.partitions` — one reducer per core locally; on a
+    * cluster, set partitions to 2-3× total executor cores instead. */
+  def session(cores: Int = Runtime.getRuntime.availableProcessors(),
+              appName: String = "graft"): SparkSession =
+    configure(SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.ui.enabled", "false")
+      .appName(appName)
+      .getOrCreate())
+
+  /** Register every driver-testdata table under its name as a temp view so
+    * the whole query surface is reachable from `spark.sql`. */
+  def registerTables(spark: SparkSession, dir: String): Unit = {
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings")
+      .foreach(t => Tables.table(spark, dir, t).createOrReplaceTempView(t))
+    Tables.events(spark, dir).createOrReplaceTempView("events")
+  }
+}

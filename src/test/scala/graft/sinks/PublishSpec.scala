@@ -25,6 +25,14 @@ class PublishSpec extends SparkSpec {
     assert(scan.contains("PartitionFilters") && scan.contains("yyyy"))
   }
 
+  test("orc format round-trips through the same sink surface") {
+    val dir = java.nio.file.Files.createTempDirectory("publish_orc").toString + "/mart"
+    Publish.files(mart, dir, format = "orc", partitionCols = Seq("yyyy"))
+    val back = spark.read.orc(dir)
+    assert(back.count() === 3)
+    assert(back.filter(col("yyyy") === 2023).count() === 2)
+  }
+
   test("bucketed tables equi-join with zero shuffles") {
     import spark.implicits._
     val facts = (0L until 1000L).map(i => (i % 50, i, i * 1.5))
