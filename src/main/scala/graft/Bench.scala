@@ -7,6 +7,12 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Keep AQE's runtime re-planning (skew split, broadcast conversion)
+      // but not byte-based partition coalescing: CPU-dense stages with
+      // small byte sizes (vector math over candidate pairs) otherwise get
+      // coalesced onto 1-2 cores at local scale. At cluster scale the
+      // same stages carry real bytes and coalescing re-enables usefully.
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

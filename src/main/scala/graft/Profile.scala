@@ -2,24 +2,26 @@ package graft
 
 // Scratch profiling/plan-audit main (not part of the library surface).
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 object Profile {
   def main(args: Array[String]): Unit = {
+    val aqe = sys.env.getOrElse("PROF_AQE", "true")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.adaptive.enabled", aqe)
+      .config("spark.sql.adaptive.coalescePartitions.enabled", sys.env.getOrElse("PROF_COALESCE", "true"))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.1"
-    def time(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime(); val n = f
-      println(f"PROF $name rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2f")
-    }
     spark.range(1 << 20).selectExpr("sum(id)").collect()
-    for (q <- Seq("q26_hybrid_search", "q20_minhash_lsh", "q21_simhash_pairs", "q15_ngram_jaccard")) {
-      time(q + "_cold")(SparkEntry.queries(q)(spark, d).count())
-      time(q + "_warm")(SparkEntry.queries(q)(spark, d).count())
+    val t0 = System.nanoTime()
+    val per = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val q0 = System.nanoTime()
+      fn(spark, d).count()
+      name -> (System.nanoTime() - q0) / 1e9
     }
+    println(f"PROF aqe=$aqe total=${(System.nanoTime() - t0) / 1e9}%.1f")
+    per.sortBy(-_._2).take(5).foreach { case (n, t) => println(f"PROF   $n $t%.2f") }
     spark.stop()
   }
 }
