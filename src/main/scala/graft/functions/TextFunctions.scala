@@ -4,7 +4,9 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /**
- * Text-analysis primitives for large-scale corpus processing: tokenization,
+ * Text-analysis primitives for large-scale corpus processing (the
+ * lexical layer under BM25/hybrid search, reference README.md:61,117,
+ * plus the training-data text-quality surface from the build brief): tokenization,
  * shingling, quality metrics, a stopword-profile language heuristic, and
  * canonical document fingerprints. Pure `Column` expressions — no UDFs —
  * so they vectorize and stay in whole-stage codegen.

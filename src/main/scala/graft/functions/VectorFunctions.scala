@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 /**
  * Dense-vector math over `ArrayType(FloatType|DoubleType)` embedding
- * columns, expressed with Spark higher-order functions (`zip_with` +
+ * columns (reference README.md:72,116 — embeddings + top-K similarity), expressed with Spark higher-order functions (`zip_with` +
  * `aggregate`) so it runs inside Catalyst without UDF/serialization cost.
  *
  * All inputs are cast element-wise to DOUBLE *before* any arithmetic and

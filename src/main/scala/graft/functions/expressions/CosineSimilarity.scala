@@ -10,7 +10,8 @@ import org.apache.spark.sql.SparkSession
 
 /**
  * Native codegen'd cosine similarity over two numeric arrays (float or
- * double elements) — one fused loop computes the dot product and both
+ * double elements; the vector-similarity kernel behind the reference's
+ * k-NN surface, README.md:72,116) — one fused loop computes the dot product and both
  * norms, so the hot path stays inside whole-stage codegen with zero
  * intermediate array allocations.
  *

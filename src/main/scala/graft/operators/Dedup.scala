@@ -5,7 +5,9 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /**
- * Corpus deduplication operators for training-data pipelines, in increasing
+ * Corpus deduplication operators for training-data pipelines (beyond
+ * the reference surface — the BASELINE.json 100 TB north-star extension;
+ * corpus scale posture per reference README.md:45-47), in increasing
  * order of fuzziness:
  *
  *  - [[exact]]            — hash-groupBy exact dedup (one shuffle on text hash)

@@ -6,7 +6,8 @@ import org.apache.spark.sql.Dataset
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /**
- * Streaming sessionization with explicit keyed state
+ * Streaming sessionization with explicit keyed state (the custom-state
+ * tier of the reference's freshness concern, README.md:83,117)
  * (`flatMapGroupsWithState`) — the custom-state streaming surface
  * complementing [[Streams.sessionWindows]]' built-in `session_window`.
  *
