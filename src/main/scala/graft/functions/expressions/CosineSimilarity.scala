@@ -124,9 +124,14 @@ object GraftExpressions {
       WordShingles(children.head, n)
     })
 
+  val simhash64: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_simhash64"),
+    new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
+    (children: Seq[Expression]) => SimHash64(children.head))
+
   /** Idempotently register on a session's function registry. */
   def register(spark: SparkSession): Unit =
-    Seq(cosineSim, shingles).foreach { case (id, info, builder) =>
+    Seq(cosineSim, shingles, simhash64).foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
 }

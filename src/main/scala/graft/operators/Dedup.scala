@@ -117,11 +117,23 @@ object Dedup {
 
   /**
    * 64-bit SimHash fingerprint per doc: bit j of the fingerprint is set iff
-   * Σ_tokens (±1 by bit j of xxhash64(token)) > 0. Computed as one groupBy
-   * over exploded tokens with 64 parallel SUM aggregates (map-side
-   * combinable), then a literal-shift bitwise-OR fold — no per-bit explode.
+   * Σ_tokens (±1 by bit j of xxhash64(token)) > 0.
+   *
+   * Computed per-row by the native
+   * [[graft.functions.expressions.SimHash64]] expression — a scan-side
+   * projection with ZERO shuffle; only 8-byte fingerprints ever move.
+   * [[simhashAgg]] keeps the aggregation formulation (explode + 64
+   * map-side-combinable SUMs, one shuffle) as the cross-checked spec.
    */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.expressions.GraftExpressions.register)
+    df.select(col(idCol).as("doc"),
+      call_function("graft_simhash64", Text.tokens(col(textCol))).as("simhash"))
+  }
+
+  /** Aggregation-form SimHash (the executable spec for [[simhash]]). */
+  def simhashAgg(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol).as("doc"),
       explode(Text.tokens(col(textCol))).as("tok"))
       .withColumn("h", xxhash64(col("tok")))

@@ -50,6 +50,14 @@ class DedupSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(fp(10L) ^ fp(31L)) > 12)
   }
 
+  test("native simhash is bit-identical to the aggregation formulation") {
+    val native = Dedup.simhash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val agg = Dedup.simhashAgg(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native === agg)
+  }
+
   test("embedding near-dup by cosine threshold") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),
