@@ -129,9 +129,21 @@ object GraftExpressions {
     new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
     (children: Seq[Expression]) => SimHash64(children.head))
 
+  val minhash: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_minhash"),
+    new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
+    (children: Seq[Expression]) => {
+      def intLit(e: Expression, what: String): Int = e match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"graft_minhash(tokens, n, numHashes): $what must be an integer literal, got $other")
+      }
+      MinHashSig(children.head, intLit(children(1), "n"), intLit(children(2), "numHashes"))
+    })
+
   /** Idempotently register on a session's function registry. */
   def register(spark: SparkSession): Unit =
-    Seq(cosineSim, shingles, simhash64).foreach { case (id, info, builder) =>
+    Seq(cosineSim, shingles, simhash64, minhash).foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
 }

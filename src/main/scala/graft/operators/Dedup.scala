@@ -71,10 +71,33 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(jac, 6).as("jaccard"))
   }
 
-  /** MinHash signature per doc: `numHashes` columns, component i =
-    * min over shingles of xxhash64(i, shingle). */
+  /**
+   * MinHash signature per doc: `numHashes` columns, component i =
+   * min over shingles of xxhash64(i, shingle).
+   *
+   * Computed per-row by the native
+   * [[graft.functions.expressions.MinHashSig]] expression — a scan-side
+   * projection with ZERO shuffle (the aggregation form shuffles every
+   * shingle). Docs with fewer than `shingleN` tokens have no shingles and
+   * are dropped, matching the aggregation form. [[minhashSignaturesAgg]]
+   * keeps the aggregation formulation as the cross-checked spec.
+   */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int, numHashes: Int): DataFrame = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.expressions.GraftExpressions.register)
+    val sig = df.select(col(idCol).as("doc"),
+        call_function("graft_minhash", Text.tokens(col(textCol)),
+          lit(shingleN), lit(numHashes)).as("sig"))
+      .filter(col("sig").isNotNull)
+    sig.select(col("doc") +:
+      (0 until numHashes).map(i => col("sig").getItem(i).as(s"mh_$i")): _*)
+  }
+
+  /** Aggregation-form MinHash signatures (the executable spec for
+    * [[minhashSignatures]]). */
+  def minhashSignaturesAgg(df: DataFrame, idCol: String, textCol: String,
+                           shingleN: Int, numHashes: Int): DataFrame = {
     val sh = shingleIndex(df, idCol, textCol, shingleN)
     val mins = (0 until numHashes).map(i =>
       min(xxhash64(lit(i), col("sh"))).as(s"mh_$i"))

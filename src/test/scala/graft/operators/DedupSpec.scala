@@ -50,6 +50,14 @@ class DedupSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(fp(10L) ^ fp(31L)) > 12)
   }
 
+  test("native minhash signatures are bit-identical to the aggregation formulation") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val native = rows(Dedup.minhashSignatures(docs, "doc_id", "text", 3, 16))
+    val agg = rows(Dedup.minhashSignaturesAgg(docs, "doc_id", "text", 3, 16))
+    assert(native === agg)
+  }
+
   test("native simhash is bit-identical to the aggregation formulation") {
     val native = Dedup.simhash(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
