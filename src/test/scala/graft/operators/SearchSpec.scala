@@ -20,6 +20,17 @@ class SearchSpec extends SparkSpec {
     assert(scores(1L) > scores(2L))
   }
 
+  test("indexed bm25 equals one-shot scoring; index reuse across queries") {
+    val idx = Bm25.buildIndex(docs, "doc_id", "text")
+    for (terms <- Seq(Seq("leak"), Seq("pump", "battery"), Seq("software"))) {
+      val oneShot = Bm25.score(docs, "doc_id", "text", terms)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val indexed = Bm25.scoreIndexed(idx, terms)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(indexed === oneShot, s"terms=$terms")
+    }
+  }
+
   test("hybrid RRF fuses lexical and vector evidence with filters pushed first") {
     val top = HybridSearch.similarCases(
       docs, "doc_id", "text", "embedding",
