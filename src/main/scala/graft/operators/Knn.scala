@@ -47,6 +47,54 @@ object Knn {
         round(col("cos"), 6).as("cosine"))
   }
 
+  /**
+   * Deterministic Lloyd k-means for IVF centroid training
+   * ([[ivfTopK]]'s scale path: "centroids from k-means over a corpus
+   * sample"). Init = stride-sampled vectors in id order (spread, not
+   * clumped); each iteration assigns by cosine and recomputes per-cluster
+   * means; empty clusters keep their previous centroid. Centroids live on
+   * the driver between iterations (k × dim doubles — tiny at any corpus
+   * scale), so each iteration is one broadcast-assign scan plus one
+   * per-dimension mean aggregation; the corpus is never shuffled.
+   *
+   * Returns (cid: Long, cvec: array<double>), ready for [[ivfTopK]].
+   */
+  def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int = 5): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val v = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
+    val n = v.count()
+    require(n >= k, s"need at least $k vectors, have $n")
+    val stride = math.max(1L, n / k)
+    val byId = Window.orderBy(col("id"))
+    var centroids: Seq[(Long, Seq[Double])] = v
+      .withColumn("rn", row_number().over(byId))
+      .filter((col("rn") - 1) % stride === 0 && col("rn") <= (k - 1) * stride + 1)
+      .select(((col("rn") - 1) / stride).cast("long").as("cid"), col("vec"))
+      .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
+
+    for (_ <- 0 until iters) {
+      val centDf = broadcast(centroids.toDF("cid", "cvec"))
+      val w = Window.partitionBy(col("id"))
+        .orderBy(col("ccos").desc, col("cid").asc)
+      val means = v.crossJoin(centDf)
+        .withColumn("ccos", Vec.cosine(col("vec"), col("cvec")))
+        .withColumn("crk", row_number().over(w))
+        .filter(col("crk") === 1)
+        .select(col("cid"), posexplode(col("vec")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("cvec"))
+        .as[(Long, Seq[Double])].collect().toMap
+      centroids = centroids.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
+    }
+    // column names follow the corpus so the result plugs into ivfTopK
+    centroids.toDF("cid", "cvec")
+      .select(col("cid").as(idCol), col("cvec").as(vecCol))
+  }
+
   /** Deterministic pseudo-random hyperplane component for (table, plane,
     * dim): uniform in [-1, 1) derived from a 64-bit avalanche hash. */
   private def planeComponent(table: Int, plane: Int, d: Column): Column =

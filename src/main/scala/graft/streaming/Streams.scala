@@ -35,6 +35,20 @@ object Streams {
       .agg(count(lit(1)).as("n_events"))
 
   /**
+   * Streaming exact dedup: drop re-deliveries of the same key while their
+   * event times fall within the watermark horizon (state for a key is
+   * evictable once the watermark passes, so state size stays bounded —
+   * the streaming counterpart of [[graft.operators.Dedup.exact]], needed
+   * because landing feeds re-send MAUDE records across files).
+   */
+  def dedupWithinWatermark(events: DataFrame, tsCol: String,
+                           keyCols: Seq[String],
+                           watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /**
    * Incremental vigilance refresh: tail the NDJSON landing path and rebuild
    * the staging/fact transforms per micro-batch via foreachBatch (the
    * aggregating models need a batch context). `Trigger.AvailableNow`

@@ -46,6 +46,26 @@ class KnnSpec extends SparkSpec {
     assert(one === exact)
   }
 
+  test("k-means centroids separate the clusters; trained IVF matches brute") {
+    val centroids = Knn.kmeansCentroids(corpus, "vec_id", "embedding", k = 3, iters = 3)
+    val cents = centroids.collect()
+    assert(cents.length === 3)
+    // each trained centroid points at a distinct true cluster axis
+    val axes = cents.map { r =>
+      val v = r.getSeq[Double](1)
+      v.indexOf(v.max) / 1  // dominant dimension
+    }.toSet
+    assert(axes.size === 3)
+
+    val queries = corpus.filter(col("vec_id") < 3)
+    def answerSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val exact = answerSet(Knn.bruteTopK(corpus, queries, "vec_id", "embedding", 5))
+    val trained = answerSet(Knn.ivfTopK(corpus, queries, centroids,
+      "vec_id", "embedding", k = 5, nProbe = 1))
+    assert(trained === exact)
+  }
+
   test("LSH top-k recalls most of the brute-force answer") {
     val queries = corpus.filter(col("vec_id") < 3)
     def answerSet(df: org.apache.spark.sql.DataFrame) = df.collect()

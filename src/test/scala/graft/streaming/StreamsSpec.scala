@@ -98,6 +98,29 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops re-deliveries within the watermark horizon") {
+    import StatefulSessionize.Event
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    def ev(key: Long, offSec: Long) =
+      Event(key, new java.sql.Timestamp(t0 + offSec * 1000), key)
+
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    val deduped = Streams.dedupWithinWatermark(
+      input.toDS().toDF(), "ts", Seq("user_id"), watermark = "1 hour")
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      // key 1 delivered three times, key 2 once — within one horizon
+      input.addData(ev(1, 0), ev(1, 10), ev(2, 20))
+      q.processAllAvailable()
+      input.addData(ev(1, 30))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").collect().map(_.getLong(0)).toSeq
+      assert(ids.sorted === Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("session_window semantics (batch-mode evaluation of the streaming op)") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def ts(s: Long) = new java.sql.Timestamp(t0.getTime + s * 1000)
