@@ -286,6 +286,15 @@ object SparkEntry {
           sum(rev), 4).as("promo_pct"))
   }
 
+  /** Near-dup canonicalization: connected components over the n-gram
+    * Jaccard pair graph (min-reachable-id labels). */
+  private def dedupComponents(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairs(
+      documents(s, d).filter(col("doc_id") < 1000), "doc_id", "text",
+      n = 2, threshold = 0.2)
+    Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+  }
+
   /** Skew-salted two-phase aggregation — must equal the plain GROUP BY. */
   private def saltedAgg(s: SparkSession, d: String): DataFrame =
     Salt.aggregate(lineitem(s, d), Seq(col("l_returnflag")), col("l_orderkey"),
@@ -338,6 +347,7 @@ object SparkEntry {
     "q31_salted_agg"         -> (saltedAgg _),
     "q32_salted_join"        -> (saltedJoin _),
     "q33_promo_revenue"      -> (promoRevenue _),
+    "q34_dedup_components"   -> (dedupComponents _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -683,5 +693,33 @@ object SparkEntry {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |  AND l_shipdate <  TIMESTAMP '1996-03-01'""".stripMargin,
+
+    "q34_dedup_components" ->
+      """WITH RECURSIVE
+        |t AS (
+        |  SELECT doc_id, str_split(text, ' ') AS toks
+        |  FROM documents WHERE doc_id < 1000),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))])) AS sh
+        |  FROM t WHERE len(toks) >= 2),
+        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |p AS (
+        |  SELECT doc_a, doc_b FROM (
+        |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        |    FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |    GROUP BY 1, 2) i
+        |  JOIN cnt ca ON doc_a = ca.doc_id
+        |  JOIN cnt cb ON doc_b = cb.doc_id
+        |  WHERE n_inter / (ca.n_sh + cb.n_sh - n_inter) >= 0.2),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM p
+        |  UNION ALL SELECT doc_b, doc_a FROM p),
+        |verts AS (SELECT DISTINCT src AS doc FROM edges),
+        |reach(src, dst) AS (
+        |  SELECT doc, doc FROM verts
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+        |SELECT src AS doc, min(dst) AS component FROM reach GROUP BY src""".stripMargin,
   )
 }

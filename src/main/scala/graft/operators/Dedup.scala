@@ -186,6 +186,56 @@ object Dedup {
         hamming.cast("long").as("hamming"))
   }
 
+  /**
+   * Connected components over near-dup pairs: label every document with
+   * the min doc id reachable through the (symmetric closure of the) pair
+   * graph — the canonicalization step that turns pairwise near-dup
+   * evidence into keep/drop decisions for a training corpus.
+   *
+   * Iterative min-label propagation: each round, a doc's label becomes
+   * the min of its own and its neighbors' labels; converges in
+   * O(component diameter) rounds (near-dup clusters are shallow, so
+   * usually 2-3). Each round is one shuffle of (edge, label) — the
+   * corpus-scale pattern; no driver-side graph.
+   */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIters: Int = 20): DataFrame = {
+    val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))).cache()
+    var labels = edges.select(col("src").as("doc")).distinct()
+      .select(col("doc"), col("doc").as("component")).cache()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val neighborMin = edges
+        .join(labels, edges("dst") === labels("doc"))
+        .groupBy(col("src")).agg(min(col("component")).as("nmin"))
+      val next = labels
+        .join(neighborMin, labels("doc") === neighborMin("src"), "left")
+        .select(col("doc"),
+          least(col("component"), coalesce(col("nmin"), col("component")))
+            .as("component"))
+        .cache()
+      converged = next.join(labels.withColumnRenamed("component", "old"), "doc")
+        .filter(col("component") < col("old")).isEmpty
+      labels.unpersist()
+      labels = next
+      it += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Keep-set after near-dup clustering: one representative (the min id)
+    * per component; documents absent from `pairs` keep themselves. */
+  def canonicalize(docs: DataFrame, idCol: String,
+                   pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val comp = connectedComponents(pairs, aCol, bCol)
+    docs.join(comp, docs(idCol) === comp("doc"), "left")
+      .filter(col("doc").isNull || col("component") === docs(idCol))
+      .drop("doc", "component")
+  }
+
   /** Embedding-cosine near-duplicates: all pairs with cosine ≥ threshold.
     * Brute self-join — correct baseline; the ANN path is [[Knn.lshTopK]]. */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,

@@ -66,6 +66,27 @@ class DedupSpec extends SparkSpec {
     assert(native === agg)
   }
 
+  test("connected components label chains and keep isolated docs out") {
+    import spark.implicits._
+    // chain 1-2-3, triangle 10-11-12 (+ redundant edge), pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (10L, 12L), (21L, 20L))
+      .toDF("doc_a", "doc_b")
+    val comp = Dedup.connectedComponents(pairs, "doc_a", "doc_b").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+
+    val corpus = (1L to 25L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val kept = Dedup.canonicalize(corpus, "doc_id", pairs, "doc_a", "doc_b")
+      .collect().map(_.getLong(0)).toSet
+    // representatives survive, other members dropped, isolated docs kept
+    assert(kept.contains(1L) && !kept.contains(2L) && !kept.contains(3L))
+    assert(kept.contains(10L) && !kept.contains(11L) && !kept.contains(12L))
+    assert(kept.contains(20L) && !kept.contains(21L))
+    assert(kept.contains(5L) && kept.contains(25L))
+    assert(kept.size === 25 - 5)
+  }
+
   test("embedding near-dup by cosine threshold") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),
