@@ -5,23 +5,19 @@ import org.apache.spark.sql.SparkSession
 
 object Profile {
   def main(args: Array[String]): Unit = {
-    val aqe = sys.env.getOrElse("PROF_AQE", "true")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.sql.adaptive.enabled", aqe)
-      .config("spark.sql.adaptive.coalescePartitions.enabled", sys.env.getOrElse("PROF_COALESCE", "true"))
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.1"
-    spark.range(1 << 20).selectExpr("sum(id)").collect()
-    val t0 = System.nanoTime()
-    val per = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val q0 = System.nanoTime()
-      fn(spark, d).count()
-      name -> (System.nanoTime() - q0) / 1e9
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"PROF $name rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2f")
     }
-    println(f"PROF aqe=$aqe total=${(System.nanoTime() - t0) / 1e9}%.1f")
-    per.sortBy(-_._2).take(5).foreach { case (n, t) => println(f"PROF   $n $t%.2f") }
+    spark.range(1 << 20).selectExpr("sum(id)").collect()
+    for (i <- 1 to 4)
+      time(s"q25_run$i")(SparkEntry.queries("q25_lsh_knn")(spark, d).count())
     spark.stop()
   }
 }

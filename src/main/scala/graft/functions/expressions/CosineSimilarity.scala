@@ -141,9 +141,22 @@ object GraftExpressions {
       MinHashSig(children.head, intLit(children(1), "n"), intLit(children(2), "numHashes"))
     })
 
+  val lshSig: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_lsh_sig"),
+    new ExpressionInfo(classOf[LshSig].getName, "graft_lsh_sig"),
+    (children: Seq[Expression]) => {
+      def intLit(e: Expression, what: String): Int = e match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"graft_lsh_sig(vec, bits, table): $what must be an integer literal, got $other")
+      }
+      LshSig(children.head, intLit(children(1), "bits"), intLit(children(2), "table"))
+    })
+
   /** Idempotently register on a session's function registry. */
   def register(spark: SparkSession): Unit =
-    Seq(cosineSim, shingles, simhash64, minhash).foreach { case (id, info, builder) =>
-      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    Seq(cosineSim, shingles, simhash64, minhash, lshSig).foreach {
+      case (id, info, builder) =>
+        spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
 }

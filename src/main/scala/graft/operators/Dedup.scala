@@ -199,8 +199,39 @@ object Dedup {
    * corpus-scale pattern; no driver-side graph.
    */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIters: Int = 20): DataFrame = {
-    val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+                          maxIters: Int = 20,
+                          driverEdgeLimit: Long = 1L << 20): DataFrame = {
+    val fwd = pairs.select(col(aCol).cast("long").as("src"),
+      col(bCol).cast("long").as("dst")).cache()
+    val nEdges = fwd.count()
+
+    // Small graphs (the common case after LSH banding): collect the edge
+    // list and union-find on the driver — the component step then costs
+    // one job instead of O(diameter) iterative joins. Same adaptive logic
+    // as a broadcast-join threshold; the distributed path below stays the
+    // answer when the pair graph itself is large.
+    if (nEdges <= driverEdgeLimit) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val edgeArr = fwd.as[(Long, Long)].collect()
+      fwd.unpersist()
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edgeArr.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val labels = parent.keys.toSeq.map(v => (v, find(v))).sorted
+      return labels.toDF("doc", "component")
+    }
+
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))).cache()
     var labels = edges.select(col("src").as("doc")).distinct()
       .select(col("doc"), col("doc").as("component")).cache()
@@ -212,16 +243,16 @@ object Dedup {
         .groupBy(col("src")).agg(min(col("component")).as("nmin"))
       val next = labels
         .join(neighborMin, labels("doc") === neighborMin("src"), "left")
-        .select(col("doc"),
+        .select(col("doc"), col("component").as("old"),
           least(col("component"), coalesce(col("nmin"), col("component")))
             .as("component"))
         .cache()
-      converged = next.join(labels.withColumnRenamed("component", "old"), "doc")
-        .filter(col("component") < col("old")).isEmpty
+      converged = next.filter(col("component") < col("old")).isEmpty
       labels.unpersist()
-      labels = next
+      labels = next.select(col("doc"), col("component"))
       it += 1
     }
+    fwd.unpersist()
     edges.unpersist()
     labels
   }

@@ -101,8 +101,21 @@ object Knn {
     xxhash64(lit(table), lit(plane), d).cast("double") / lit(Long.MaxValue.toDouble)
 
   /** `bits`-bit sign-LSH signature of a vector under hash table `table`:
-    * bit p = [dot(v, plane_{table,p}) >= 0]. */
+    * bit p = [dot(v, plane_{table,p}) >= 0].
+    *
+    * Dispatches to the native codegen'd
+    * [[graft.functions.expressions.LshSig]] kernel (the HOF formulation,
+    * kept as [[lshSignatureHof]], evaluates interpreted at bits × dims
+    * lambda calls per row). */
   def lshSignature(vec: Column, bits: Int, table: Int): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.expressions.GraftExpressions.register)
+    call_function("graft_lsh_sig", vec, lit(bits), lit(table))
+  }
+
+  /** Higher-order-function sign-LSH signature (interpreted reference
+    * formulation the native expression is cross-checked against). */
+  def lshSignatureHof(vec: Column, bits: Int, table: Int): Column = {
     val v = vec.cast("array<double>")
     val bitCols = (0 until bits).map { p =>
       val proj = aggregate(

@@ -71,10 +71,17 @@ class DedupSpec extends SparkSpec {
     // chain 1-2-3, triangle 10-11-12 (+ redundant edge), pair 20-21
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (10L, 12L), (21L, 20L))
       .toDF("doc_a", "doc_b")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L)
+    // driver union-find fast path
     val comp = Dedup.connectedComponents(pairs, "doc_a", "doc_b").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
-      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    assert(comp === expected)
+    // distributed min-label propagation path (forced)
+    val dist = Dedup.connectedComponents(pairs, "doc_a", "doc_b",
+        driverEdgeLimit = 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist === expected)
 
     val corpus = (1L to 25L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val kept = Dedup.canonicalize(corpus, "doc_id", pairs, "doc_a", "doc_b")

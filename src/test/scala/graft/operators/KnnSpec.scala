@@ -66,6 +66,16 @@ class KnnSpec extends SparkSpec {
     assert(trained === exact)
   }
 
+  test("native LSH signatures are bit-identical to the HOF formulation") {
+    for (table <- 0 until 3; bits <- Seq(4, 8)) {
+      val bad = corpus.select(
+          Knn.lshSignature(col("embedding"), bits, table).as("fast"),
+          Knn.lshSignatureHof(col("embedding"), bits, table).as("ref"))
+        .filter(!(col("fast") <=> col("ref"))).count()
+      assert(bad === 0, s"table=$table bits=$bits")
+    }
+  }
+
   test("LSH top-k recalls most of the brute-force answer") {
     val queries = corpus.filter(col("vec_id") < 3)
     def answerSet(df: org.apache.spark.sql.DataFrame) = df.collect()
