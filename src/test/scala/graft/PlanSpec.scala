@@ -68,6 +68,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("fingerprint kernels are scan-side projections: no shuffle before the pair join") {
+    // SimHash: fingerprints come straight out of the scan; the only
+    // exchanges serve the bucket self-join (hash by bucket on both sides)
+    val p21 = plan("q21_simhash_pairs")
+    assert(!p21.contains("partial_min") && !p21.contains("partial_sum"),
+      "fingerprints must not be computed via aggregation")
+    assert(countOf(p21, "Exchange hashpartitioning") <= 2, p21.linesIterator
+      .filter(_.contains("Exchange")).mkString("\n"))
+    // MinHash signatures likewise project from the scan
+    val p20 = plan("q20_minhash_lsh")
+    assert(!p20.contains("partial_min"),
+      "minhash signatures must not be computed via aggregation")
+  }
+
   test("q08 early signals: quarterly agg and window share one partitioning") {
     val p = plan("q08_early_signals")
     // one shuffle for the groupBy, one for the differently-keyed window
