@@ -78,6 +78,26 @@ object Multimodal {
       }
   }
 
+  /**
+   * Resize planning: compute aspect-preserving target dimensions for image
+   * assets (longest side capped at `maxSide`, never upscaled) — pure
+   * column math that runs before any decode, so the decoder receives its
+   * output geometry with the batch and intermediate full-size pixels never
+   * materialize in the pipeline.
+   */
+  def resizePlan(assets: DataFrame, maxSide: Int): DataFrame = {
+    val w = col("meta.width").cast("double")
+    val h = col("meta.height").cast("double")
+    val scale = least(lit(1.0), lit(maxSide.toDouble) / greatest(w, h))
+    assets
+      .filter(col("modality") === "image" &&
+        col("meta.width").isNotNull && col("meta.height").isNotNull)
+      .select(col("asset_id"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        round(w * scale).cast("int").as("target_width"),
+        round(h * scale).cast("int").as("target_height"))
+  }
+
   /** Evenly sample `n` frame offsets from a video payload's duration —
     * pure column math, runs before any decode so only sampled frames are
     * ever decoded downstream. */

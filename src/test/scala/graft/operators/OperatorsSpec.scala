@@ -104,6 +104,21 @@ class OperatorsSpec extends SparkSpec {
     assert(a.map(_.feature.toSeq).toSeq === b.map(_.feature.toSeq).toSeq)
   }
 
+  test("multimodal resize plan: aspect preserved, capped longest side, no upscale") {
+    val assets = Seq(
+      (1L, "image", 4000, 3000),   // downscale 4:3
+      (2L, "image", 300, 200),     // already small — untouched
+      (3L, "image", 1000, 4000),   // portrait
+      (4L, "video", 4000, 3000))   // wrong modality — excluded
+      .toDF("asset_id", "modality", "w", "h")
+      .select(col("asset_id"), col("modality"),
+        struct(col("w").as("width"), col("h").as("height"),
+          lit(null).cast("long").as("duration_ms")).as("meta"))
+    val out = Multimodal.resizePlan(assets, maxSide = 1024).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(3), r.getInt(4)))).toMap
+    assert(out === Map(1L -> ((1024, 768)), 2L -> ((300, 200)), 3L -> ((256, 1024))))
+  }
+
   test("multimodal frame sampling: even offsets from duration, pre-decode") {
     val assets = spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(
