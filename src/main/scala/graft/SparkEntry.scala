@@ -295,6 +295,12 @@ object SparkEntry {
     Dedup.connectedComponents(pairs, "doc_a", "doc_b")
   }
 
+  /** Sequence packing: assign docs (doc_id order) to 4096-token chunks. */
+  private def sequencePacking(s: SparkSession, d: String): DataFrame =
+    Pack.sequential(documents(s, d).select(col("doc_id"), col("text")),
+        col("doc_id"), size(Text.tokens(col("text"))), budget = 4096)
+      .select(col("doc_id"), col("n_tokens"), col("chunk_id"))
+
   /** Skew-salted two-phase aggregation — must equal the plain GROUP BY. */
   private def saltedAgg(s: SparkSession, d: String): DataFrame =
     Salt.aggregate(lineitem(s, d), Seq(col("l_returnflag")), col("l_orderkey"),
@@ -348,6 +354,7 @@ object SparkEntry {
     "q32_salted_join"        -> (saltedJoin _),
     "q33_promo_revenue"      -> (promoRevenue _),
     "q34_dedup_components"   -> (dedupComponents _),
+    "q35_sequence_packing"   -> (sequencePacking _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -721,5 +728,14 @@ object SparkEntry {
         |  UNION
         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
         |SELECT src AS doc, min(dst) AS component FROM reach GROUP BY src""".stripMargin,
+
+    "q35_sequence_packing" ->
+      """SELECT doc_id, n_tokens,
+        |  CAST(floor(cum_before / 4096.0) AS BIGINT) AS chunk_id
+        |FROM (
+        |  SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    coalesce(sum(len(str_split(text, ' '))) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM documents)""".stripMargin,
   )
 }

@@ -104,6 +104,22 @@ class OperatorsSpec extends SparkSpec {
     assert(a.map(_.feature.toSeq).toSeq === b.map(_.feature.toSeq).toSeq)
   }
 
+  test("sequence packing: chunk boundaries from running token budget, sharded") {
+    val docs = Seq(
+      (1L, 0L, 3000L), (2L, 0L, 2000L), (3L, 0L, 100L),  // shard 0
+      (4L, 1L, 5000L), (5L, 1L, 10L))                    // shard 1
+      .toDF("doc_id", "shard", "n")
+    // global order: cum_before 0, 3000, 5000, 5100, 10100 → chunks 0,0,1,1,2
+    val global = Pack.sequential(docs, col("doc_id"), col("n"), budget = 4096)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("chunk_id")).toMap
+    assert(global === Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 2L))
+    // sharded: each shard restarts its running sum (the parallel scale path)
+    val sharded = Pack.sequential(docs, col("doc_id"), col("n"), budget = 4096,
+        shardCol = Some(col("shard")))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("chunk_id")).toMap
+    assert(sharded === Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 0L, 5L -> 1L))
+  }
+
   test("multimodal resize plan: aspect preserved, capped longest side, no upscale") {
     val assets = Seq(
       (1L, "image", 4000, 3000),   // downscale 4:3
