@@ -295,6 +295,18 @@ object SparkEntry {
     Dedup.connectedComponents(pairs, "doc_a", "doc_b")
   }
 
+  /** Gopher-style rule-based quality filter over the documents corpus. */
+  private def qualityFilter(s: SparkSession, d: String): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    val (rLen, rTok, rStop, rDist, keep) =
+      Text.qualityRules(toks, minTokens = 30, maxTokens = 100000,
+        minAvgTokenLen = 3.0, maxAvgTokenLen = 10.0,
+        minStopRatio = 0.05, minDistinctRatio = 0.3)
+    documents(s, d).select(col("doc_id"),
+      rLen.as("rule_len"), rTok.as("rule_token_len"),
+      rStop.as("rule_stopwords"), rDist.as("rule_distinct"), keep.as("keep"))
+  }
+
   /** Sequence packing: assign docs (doc_id order) to 4096-token chunks. */
   private def sequencePacking(s: SparkSession, d: String): DataFrame =
     Pack.sequential(documents(s, d).select(col("doc_id"), col("text")),
@@ -355,6 +367,7 @@ object SparkEntry {
     "q33_promo_revenue"      -> (promoRevenue _),
     "q34_dedup_components"   -> (dedupComponents _),
     "q35_sequence_packing"   -> (sequencePacking _),
+    "q36_quality_filter"     -> (qualityFilter _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -737,5 +750,22 @@ object SparkEntry {
         |    coalesce(sum(len(str_split(text, ' '))) OVER (ORDER BY doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
         |  FROM documents)""".stripMargin,
+
+    "q36_quality_filter" ->
+      """WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+        |m AS (SELECT doc_id,
+        |  len(toks) AS n,
+        |  list_aggregate(list_transform(toks, x -> length(x)), 'sum') / len(toks) AS avg_len,
+        |  len(list_filter(toks, x -> x IN ('the','a','of','to','in','and','is','it','on','for'))) / len(toks) AS stop_ratio,
+        |  len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) AS distinct_ratio
+        |FROM t)
+        |SELECT doc_id,
+        |  n BETWEEN 30 AND 100000 AS rule_len,
+        |  avg_len BETWEEN 3.0 AND 10.0 AS rule_token_len,
+        |  stop_ratio >= 0.05 AS rule_stopwords,
+        |  distinct_ratio >= 0.3 AS rule_distinct,
+        |  (n BETWEEN 30 AND 100000) AND (avg_len BETWEEN 3.0 AND 10.0)
+        |    AND stop_ratio >= 0.05 AND distinct_ratio >= 0.3 AS keep
+        |FROM m""".stripMargin,
   )
 }

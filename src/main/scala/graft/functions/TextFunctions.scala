@@ -75,4 +75,28 @@ object Text {
     * set — invariant to token order and duplication (bag-of-words dedup key). */
   def fingerprint(toks: Column): Column =
     sha2(concat_ws(" ", array_sort(array_distinct(toks))), 256)
+
+  /**
+   * Gopher-style document quality rules over the token metrics (the
+   * rule-based corpus filter tier of a training-data pipeline): each rule
+   * is a boolean column, `keep` is their conjunction. Thresholds are
+   * caller-tunable; defaults follow the usual published ranges scaled to
+   * short documents.
+   *
+   * Returns (rule_len, rule_token_len, rule_stopwords, rule_distinct, keep).
+   */
+  def qualityRules(toks: Column,
+                   minTokens: Int = 10, maxTokens: Int = 100000,
+                   minAvgTokenLen: Double = 2.0, maxAvgTokenLen: Double = 12.0,
+                   minStopRatio: Double = 0.01,
+                   minDistinctRatio: Double = 0.2): (Column, Column, Column, Column, Column) = {
+    val n = size(toks)
+    val avgLen = totalTokenLen(toks) / n
+    val ruleLen = n.between(minTokens, maxTokens)
+    val ruleTokenLen = avgLen.between(minAvgTokenLen, maxAvgTokenLen)
+    val ruleStop = stopwordRatio(toks) >= minStopRatio
+    val ruleDistinct = (size(array_distinct(toks)) / n.cast("double")) >= minDistinctRatio
+    val keep = ruleLen && ruleTokenLen && ruleStop && ruleDistinct
+    (ruleLen, ruleTokenLen, ruleStop, ruleDistinct, keep)
+  }
 }
