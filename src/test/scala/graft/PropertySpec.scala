@@ -71,6 +71,43 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("sequence packing: chunk ids nondecreasing in order, budget respected") {
+    val rows = sample(Gen.choose(1L, 500L), 300).zipWithIndex
+      .map { case (n, i) => (i.toLong, n) }
+    val df = rows.toDF("doc_id", "n")
+    val packed = graft.operators.Pack.sequential(df, $"doc_id", $"n", budget = 1000)
+      .orderBy($"doc_id")
+      .select($"doc_id", $"n_tokens", $"chunk_id").collect()
+    val chunkIds = packed.map(_.getLong(2))
+    assert(chunkIds.zip(chunkIds.tail).forall { case (a, b) => a <= b },
+      "chunk ids must be nondecreasing in pack order")
+    // every chunk's token total (minus its possibly-straddling last doc)
+    // stays within budget
+    packed.groupBy(_.getLong(2)).foreach { case (_, docs) =>
+      val total = docs.map(_.getLong(1)).sum
+      val last = docs.map(_.getLong(1)).last
+      assert(total - last <= 1000, s"chunk overflow beyond a straddling doc")
+    }
+  }
+
+  test("connected components are idempotent and order-insensitive") {
+    val edgeGen = Gen.zip(Gen.choose(0L, 40L), Gen.choose(0L, 40L))
+      .suchThat { case (a, b) => a != b }
+    val edges = sample(edgeGen, 60)
+    def comps(rows: Seq[(Long, Long)]) =
+      graft.operators.Dedup.connectedComponents(
+        rows.toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val base = comps(edges)
+    assert(comps(edges.reverse) === base)
+    assert(comps(new scala.util.Random(3).shuffle(edges)) === base)
+    // distributed path agrees with driver union-find
+    val dist = graft.operators.Dedup.connectedComponents(
+      edges.toDF("doc_a", "doc_b"), "doc_a", "doc_b", driverEdgeLimit = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist === base)
+  }
+
   test("sessionize conserves events; durations bounded by span") {
     val evGen = Gen.zip(Gen.choose(1L, 10L), Gen.choose(0L, 100000L))
     val rows = sample(evGen, 500).zipWithIndex
