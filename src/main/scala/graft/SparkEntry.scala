@@ -315,7 +315,7 @@ object SparkEntry {
 
   /** Skew-salted two-phase aggregation — must equal the plain GROUP BY. */
   private def saltedAgg(s: SparkSession, d: String): DataFrame =
-    Salt.aggregate(lineitem(s, d), Seq(col("l_returnflag")), col("l_orderkey"),
+    Salt.aggregate(lineitem(s, d), Seq("l_returnflag"), col("l_orderkey"),
         buckets = 8,
         partials = Seq(count(lit(1)).as("pn"), sum(col("l_quantity")).as("pq"),
           max(col("l_extendedprice")).as("pm")),

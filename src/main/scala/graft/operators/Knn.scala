@@ -159,7 +159,9 @@ object Knn {
     val probed = nearest(queries, "query_id", "qvec", nProbe)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    probed.join(assigned, Seq("cid"))
+    // |probed| = |queries| × nProbe — broadcast it so the assigned corpus
+    // (the big side) is never shuffled by centroid id
+    broadcast(probed).join(assigned, Seq("cid"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         Vec.cosine(col("qvec"), col("cvec")).as("cos"))

@@ -27,15 +27,14 @@ object Salt {
    * id, or the pre-aggregation row hash). Rows of one hot key spread
    * across `buckets` reducers instead of one.
    */
-  def aggregate(df: DataFrame, keys: Seq[Column], saltBy: Column, buckets: Int,
+  def aggregate(df: DataFrame, keys: Seq[String], saltBy: Column, buckets: Int,
                 partials: Seq[Column], combines: Seq[Column]): DataFrame = {
     require(partials.nonEmpty && partials.length == combines.length)
     val salted = df.withColumn("__salt", pmod(xxhash64(saltBy), lit(buckets)))
-    val stage1 = salted
-      .groupBy((keys :+ col("__salt")): _*)
+    salted
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(partials.head, partials.tail: _*)
-    stage1
-      .groupBy(keys.map(k => stage1(k.toString)): _*)
+      .groupBy(keys.map(col): _*)
       .agg(combines.head, combines.tail: _*)
   }
 

@@ -82,6 +82,20 @@ class PlanSpec extends SparkSpec {
       "minhash signatures must not be computed via aggregation")
   }
 
+  test("q23 bm25: corpus statistics broadcast back, corpus shuffled once per agg") {
+    val p = plan("q23_bm25")
+    assert(countOf(p, "BroadcastHashJoin") >= 2,
+      "dfreq and dl joins should broadcast")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q27 ivf: centroid set broadcast for assignment and probing") {
+    val p = plan("q27_ivf_knn")
+    assert(countOf(p, "BroadcastNestedLoopJoin") >= 2,
+      "corpus assignment and query probing must broadcast the centroids")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("q08 early signals: quarterly agg and window share one partitioning") {
     val p = plan("q08_early_signals")
     // one shuffle for the groupBy, one for the differently-keyed window

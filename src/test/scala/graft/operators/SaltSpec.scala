@@ -15,7 +15,7 @@ class SaltSpec extends SparkSpec {
     val direct = skewed.groupBy(col("k"))
       .agg(count(lit(1)).as("n"), sum(col("v")).as("s"), max(col("id")).as("m"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
-    val salted = Salt.aggregate(skewed, Seq(col("k")), col("id"), buckets = 8,
+    val salted = Salt.aggregate(skewed, Seq("k"), col("id"), buckets = 8,
       partials = Seq(count(lit(1)).as("pn"), sum(col("v")).as("ps"), max(col("id")).as("pm")),
       combines = Seq(sum(col("pn")).as("n"), sum(col("ps")).as("s"), max(col("pm")).as("m")))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
