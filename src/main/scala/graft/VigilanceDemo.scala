@@ -41,6 +41,30 @@ object VigilanceDemo {
       .orderBy(org.apache.spark.sql.functions.abs(
         org.apache.spark.sql.functions.col("z_score")).desc)
       .show(10, truncate = false)
+
+    // UC1 "similar cases" (reference README.md:73,117): hybrid BM25 + vector
+    // top-K over the fact narratives. Embeddings come from the stub codec
+    // (a real encoder drops in behind the same Codec trait).
+    import org.apache.spark.sql.functions._
+    val corpus = models.factAdverseEvents
+      .where(col("narrative_text").isNotNull && col("narrative_len") > 0)
+      .select(col("event_id"), col("narrative_text"),
+        col("narrative_text").cast("binary").as("payload"),
+        lit("text").as("modality"),
+        xxhash64(col("event_id")).as("asset_id"))
+    val codec = new graft.operators.Multimodal.StubCodec(16)
+    val embedded = graft.operators.Multimodal
+      .featurize(corpus, codec).toDF()
+      .select(col("asset_id"), col("feature"))
+      .join(corpus, Seq("asset_id"))
+    val queryText = "pump leak detected"
+    val queryVec = codec.decodeAndEmbed(
+      queryText.getBytes("UTF-8")).map(_.toDouble).toSeq
+    println(s"""[vigilance] UC1 similar cases for "$queryText":""")
+    graft.operators.HybridSearch.similarCases(
+        embedded, "event_id", "narrative_text", "feature",
+        queryText, queryVec, k = 5)
+      .show(5, truncate = 60)
     spark.stop()
   }
 }

@@ -94,6 +94,30 @@ class DedupSpec extends SparkSpec {
     assert(kept.size === 25 - 5)
   }
 
+  test("composed pipeline: LSH scan -> Jaccard verify -> canonicalize keep set") {
+    import spark.implicits._
+    // near-dup family {1,2,3} + distinct docs; candidates from banded LSH,
+    // verified against exact n-gram Jaccard, clustered, then canonicalized
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (3L, "a quick brown fox jumps over the lazy dog again and again"),
+      (4L, "completely different content about streaming query engines"),
+      (5L, "yet another unrelated document mentioning vector search at scale"))
+      .toDF("doc_id", "text")
+    val candidates = Dedup.minhashLshPairs(corpus, "doc_id", "text",
+      shingleN = 3, bands = 8, rowsPerBand = 2)
+    val verified = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+        n = 3, threshold = 0.5).as("j")
+      .join(candidates.as("c"),
+        col("j.doc_a") === col("c.doc_a") && col("j.doc_b") === col("c.doc_b"),
+        "left_semi")
+    val kept = Dedup.canonicalize(corpus, "doc_id", verified, "doc_a", "doc_b")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 4L, 5L),
+      s"family {1,2,3} should collapse to 1; got $kept")
+  }
+
   test("embedding near-dup by cosine threshold") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),
