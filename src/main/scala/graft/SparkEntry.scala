@@ -295,6 +295,16 @@ object SparkEntry {
     Dedup.connectedComponents(pairs, "doc_a", "doc_b")
   }
 
+  /** Corpus profiling: exact token-count quantiles per language tag. */
+  private def corpusQuantiles(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(expr("percentile(double(size(split(text, ' '))), 0.5)"), 4).as("p50"),
+        round(expr("percentile(double(size(split(text, ' '))), 0.9)"), 4).as("p90"),
+        round(expr("percentile(double(size(split(text, ' '))), 0.99)"), 4).as("p99"))
+
   /** Gopher-style rule-based quality filter over the documents corpus. */
   private def qualityFilter(s: SparkSession, d: String): DataFrame = {
     val toks = Text.tokens(col("text"))
@@ -368,6 +378,7 @@ object SparkEntry {
     "q34_dedup_components"   -> (dedupComponents _),
     "q35_sequence_packing"   -> (sequencePacking _),
     "q36_quality_filter"     -> (qualityFilter _),
+    "q37_corpus_quantiles"   -> (corpusQuantiles _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -767,5 +778,12 @@ object SparkEntry {
         |  (n BETWEEN 30 AND 100000) AND (avg_len BETWEEN 3.0 AND 10.0)
         |    AND stop_ratio >= 0.05 AND distinct_ratio >= 0.3 AS keep
         |FROM m""".stripMargin,
+
+    "q37_corpus_quantiles" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  round(quantile_cont(CAST(len(str_split(text, ' ')) AS DOUBLE), 0.5), 4) AS p50,
+        |  round(quantile_cont(CAST(len(str_split(text, ' ')) AS DOUBLE), 0.9), 4) AS p90,
+        |  round(quantile_cont(CAST(len(str_split(text, ' ')) AS DOUBLE), 0.99), 4) AS p99
+        |FROM documents GROUP BY lang""".stripMargin,
   )
 }
