@@ -305,6 +305,18 @@ object SparkEntry {
         round(expr("percentile(double(size(split(text, ' '))), 0.9)"), 4).as("p90"),
         round(expr("percentile(double(size(split(text, ' '))), 0.99)"), 4).as("p99"))
 
+  /** As-of join: latest checkpoint event at-or-before each event, per user
+    * (merge-sorted window composition — no range-join blowup). */
+  private def asofCheckpoints(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(
+      col("user_id"), col("event_id"),
+      unix_timestamp(col("ts")).as("ts_sec"))
+    val checkpoints = ev.filter(col("event_id") % 10 === 0)
+      .groupBy(col("user_id"), col("ts_sec"))
+      .agg(max(col("event_id")).as("checkpoint_id"))
+    AsOf.join(ev, checkpoints, Seq("user_id"), "ts_sec")
+  }
+
   /** Gopher-style rule-based quality filter over the documents corpus. */
   private def qualityFilter(s: SparkSession, d: String): DataFrame = {
     val toks = Text.tokens(col("text"))
@@ -379,6 +391,7 @@ object SparkEntry {
     "q35_sequence_packing"   -> (sequencePacking _),
     "q36_quality_filter"     -> (qualityFilter _),
     "q37_corpus_quantiles"   -> (corpusQuantiles _),
+    "q38_asof_join"          -> (asofCheckpoints _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -785,5 +798,17 @@ object SparkEntry {
         |  round(quantile_cont(CAST(len(str_split(text, ' ')) AS DOUBLE), 0.9), 4) AS p90,
         |  round(quantile_cont(CAST(len(str_split(text, ' ')) AS DOUBLE), 0.99), 4) AS p99
         |FROM documents GROUP BY lang""".stripMargin,
+
+    "q38_asof_join" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_sec
+        |  FROM events),
+        |cp AS (
+        |  SELECT user_id, ts_sec, max(event_id) AS checkpoint_id
+        |  FROM ev WHERE event_id % 10 = 0 GROUP BY user_id, ts_sec)
+        |SELECT e.user_id, e.ts_sec, e.event_id, c.checkpoint_id
+        |FROM ev e ASOF LEFT JOIN cp c
+        |  ON e.user_id = c.user_id AND e.ts_sec >= c.ts_sec""".stripMargin,
   )
 }
