@@ -317,6 +317,20 @@ object SparkEntry {
     AsOf.join(ev, checkpoints, Seq("user_id"), "ts_sec")
   }
 
+  /** Bucketized range join: events paired with the 1-hour windows opened
+    * by checkpoint events of the same user. */
+  private def rangeJoinWindows(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(
+      col("user_id"), col("event_id"),
+      unix_timestamp(col("ts")).as("ts_sec"))
+    val iv = ev.filter(col("event_id") % 20 === 0)
+      .select(col("user_id"), col("event_id").as("iv_id"),
+        col("ts_sec").as("s"), (col("ts_sec") + 3600L).as("e"))
+    RangeJoin.pointInInterval(ev, iv, Seq("user_id"), "ts_sec", "s", "e",
+        binWidth = 3600L)
+      .select(col("user_id"), col("event_id"), col("iv_id"))
+  }
+
   /** Gopher-style rule-based quality filter over the documents corpus. */
   private def qualityFilter(s: SparkSession, d: String): DataFrame = {
     val toks = Text.tokens(col("text"))
@@ -392,6 +406,7 @@ object SparkEntry {
     "q36_quality_filter"     -> (qualityFilter _),
     "q37_corpus_quantiles"   -> (corpusQuantiles _),
     "q38_asof_join"          -> (asofCheckpoints _),
+    "q39_range_join"         -> (rangeJoinWindows _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -810,5 +825,17 @@ object SparkEntry {
         |SELECT e.user_id, e.ts_sec, e.event_id, c.checkpoint_id
         |FROM ev e ASOF LEFT JOIN cp c
         |  ON e.user_id = c.user_id AND e.ts_sec >= c.ts_sec""".stripMargin,
+
+    "q39_range_join" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_sec
+        |  FROM events),
+        |iv AS (
+        |  SELECT user_id, event_id AS iv_id, ts_sec AS s, ts_sec + 3600 AS e
+        |  FROM ev WHERE event_id % 20 = 0)
+        |SELECT e.user_id, e.event_id, i.iv_id
+        |FROM ev e JOIN iv i
+        |  ON e.user_id = i.user_id AND e.ts_sec BETWEEN i.s AND i.e""".stripMargin,
   )
 }

@@ -21,6 +21,36 @@ import org.apache.spark.sql.functions._
  * (the result would be pick-one-arbitrarily, which a deterministic engine
  * must not do silently).
  */
+/**
+ * Point-in-interval range join: pair every left point with the right
+ * intervals (same keys) containing it — Spark-first via bucketization,
+ * not a non-equi nested-loop join.
+ *
+ * Both sides map to fixed-width time bins: an interval covers
+ * `floor(start/w) .. floor(end/w)` (one row per covered bin via
+ * `sequence`+`explode`), a point lives in exactly one bin, and the join
+ * becomes an equi-join on (keys, bin) plus the exact BETWEEN filter.
+ * Candidate work per point is bounded by the intervals overlapping its
+ * bin — O(selectivity), not O(|points| × |intervals|); `binWidth` trades
+ * interval replication against candidate count (pick ~median interval
+ * length).
+ */
+object RangeJoin {
+
+  def pointInInterval(points: DataFrame, intervals: DataFrame, keys: Seq[String],
+                      ptCol: String, startCol: String, endCol: String,
+                      binWidth: Long): DataFrame = {
+    require(binWidth > 0)
+    val binned = intervals.withColumn("__bin",
+      explode(sequence(floor(col(startCol) / binWidth).cast("long"),
+        floor(col(endCol) / binWidth).cast("long"))))
+    val p = points.withColumn("__bin", floor(col(ptCol) / binWidth).cast("long"))
+    p.join(binned, keys :+ "__bin")
+      .filter(col(ptCol).between(col(startCol), col(endCol)))
+      .drop("__bin")
+  }
+}
+
 object AsOf {
 
   def join(left: DataFrame, right: DataFrame, keys: Seq[String],

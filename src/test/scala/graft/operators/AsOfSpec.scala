@@ -30,6 +30,25 @@ class AsOfSpec extends SparkSpec {
       103L -> Some(3.0), 104L -> None, 105L -> None))
   }
 
+  test("range join matches the naive non-equi join across bin widths") {
+    val pts = (0L until 200L).map(i => ("k" + (i % 3), i * 7 % 500, i))
+      .toDF("key", "ts", "pt_id")
+    val ivs = (0L until 30L).map(i =>
+      ("k" + (i % 3), i * 16 % 400, i * 16 % 400 + (i % 5) * 20, i))
+      .toDF("key", "s", "e", "iv_id")
+    val naive = pts.join(ivs, Seq("key"))
+      .filter(col("ts").between(col("s"), col("e")))
+      .select("pt_id", "iv_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (w <- Seq(1L, 17L, 64L, 1000L)) {
+      val bucketized = RangeJoin.pointInInterval(pts, ivs, Seq("key"),
+          "ts", "s", "e", binWidth = w)
+        .select("pt_id", "iv_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(bucketized === naive, s"binWidth=$w")
+    }
+  }
+
   test("as-of join output keeps every left row exactly once") {
     val out = AsOf.join(trades, quotes, Seq("sym"), "ts")
     assert(out.count() === trades.count())
