@@ -331,6 +331,15 @@ object SparkEntry {
       .select(col("user_id"), col("event_id"), col("iv_id"))
   }
 
+  /** KMV distinct-token sketch per language (rows-only: the hash is
+    * xxhash64, which the DuckDB oracle cannot reproduce; accuracy is
+    * spec-verified against exact counts in SketchSpec). */
+  private def kmvDistinctTokens(s: SparkSession, d: String): DataFrame =
+    Sketch.kmvDistinct(
+      documents(s, d).select(col("lang"),
+        explode(Text.tokens(col("text"))).as("token")),
+      Seq("lang"), "token", k = 256)
+
   /** Gopher-style rule-based quality filter over the documents corpus. */
   private def qualityFilter(s: SparkSession, d: String): DataFrame = {
     val toks = Text.tokens(col("text"))
@@ -407,6 +416,7 @@ object SparkEntry {
     "q37_corpus_quantiles"   -> (corpusQuantiles _),
     "q38_asof_join"          -> (asofCheckpoints _),
     "q39_range_join"         -> (rangeJoinWindows _),
+    "q40_kmv_distinct"       -> (kmvDistinctTokens _),
   )
 
   // ------------------------------------------------------------ oracle SQL
