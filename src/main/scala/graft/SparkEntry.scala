@@ -151,9 +151,11 @@ object SparkEntry {
         date_format(col("o_orderdate"), "yyyy-MM-dd")).as("order_sk"))
 
   private def jsonExtract(s: SparkSession, d: String): DataFrame =
+    // try_cast (not cast): under ANSI mode an unguarded cast of a
+    // malformed $.k would throw at runtime; both engines yield NULL.
     events(s, d).select(
       col("event_id"),
-      get_json_object(col("props"), "$.k").cast("long").as("k_value"))
+      expr("try_cast(get_json_object(props, '$.k') AS BIGINT)").as("k_value"))
 
   /** try-parse of YYYYMMDD strings with injected malformed values (F17). */
   private def parseDates(s: SparkSession, d: String): DataFrame = {
@@ -201,12 +203,17 @@ object SparkEntry {
     documents(s, d).select(
       col("doc_id"), Text.fingerprint(Text.tokens(col("text"))).as("fingerprint"))
 
+  /** Oracle-parity MinHash+LSH (SHA-256 lanes — see [[graft.functions.ShaLanes]]);
+    * the xxhash64 scan-side kernel ([[Dedup.minhashLshPairs]]) is the scale
+    * primary, cross-checked in DedupSpec. */
   private def minhashLsh(s: SparkSession, d: String): DataFrame =
-    Dedup.minhashLshPairs(documents(s, d), "doc_id", "text",
+    Dedup.minhashLshPairsSha(documents(s, d), "doc_id", "text",
       shingleN = 3, bands = 4, rowsPerBand = 4)
 
+  /** Oracle-parity SimHash (60-bit SHA-256 lanes); the xxhash64 scan-side
+    * kernel ([[Dedup.simhashPairs]]) is the scale primary. */
   private def simhashPairs(s: SparkSession, d: String): DataFrame =
-    Dedup.simhashPairs(documents(s, d), "doc_id", "text",
+    Dedup.simhashPairsSha(documents(s, d), "doc_id", "text",
       maxHamming = 8, prefixBits = 8)
 
   private def embeddingNearDup(s: SparkSession, d: String): DataFrame =
@@ -219,10 +226,12 @@ object SparkEntry {
     Sessionize(events(s, d), col("user_id"), col("ts"), col("event_id"),
       gapSeconds = 1800)
 
+  /** Oracle-parity sign-LSH kNN: SHA-256-derived hyperplanes the DuckDB
+    * oracle rebuilds from a range()-CTE (see [[graft.functions.expressions.LshSigSha]]). */
   private def lshKnn(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
     Knn.lshTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-      k = 5, bits = 6, tables = 4)
+      k = 5, bits = 8, tables = 2, sig = Knn.lshSignatureSha)
   }
 
   /** Deterministic 64-dim query vector shared with the q26 oracle SQL. */
@@ -259,8 +268,10 @@ object SparkEntry {
         lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
         (col("n_chars") * 100).cast("long").as("duration_ms")).as("meta"))
 
+  /** Oracle-parity codec (SHA-256 lane features) through the real
+    * mapPartitions featurize plumbing — the whole path hash-checks. */
   private def multimodalFeatures(s: SparkSession, d: String): DataFrame =
-    Multimodal.featurize(mmAssets(s, d), new Multimodal.StubCodec(16))
+    Multimodal.featurize(mmAssets(s, d), new Multimodal.ShaCodec(16))
       .toDF()
       .select(col("asset_id"), col("modality"), col("n_bytes"),
         round(Vec.norm(col("feature")), 4).as("feat_norm"))
@@ -331,14 +342,15 @@ object SparkEntry {
       .select(col("user_id"), col("event_id"), col("iv_id"))
   }
 
-  /** KMV distinct-token sketch per language (rows-only: the hash is
-    * xxhash64, which the DuckDB oracle cannot reproduce; accuracy is
-    * spec-verified against exact counts in SketchSpec). */
+  /** KMV distinct-token sketch per language, as a mergeable
+    * TypedImperativeAggregate over oracle-parity SHA-256 lanes (the
+    * window-rank form is the executable spec in SketchSpec and the shape
+    * the DuckDB oracle mirrors). */
   private def kmvDistinctTokens(s: SparkSession, d: String): DataFrame =
-    Sketch.kmvDistinct(
+    Sketch.kmvDistinctSketch(
       documents(s, d).select(col("lang"),
         explode(Text.tokens(col("text"))).as("token")),
-      Seq("lang"), "token", k = 256)
+      Seq("lang"), Sketch.shaLane(col("token")), k = 256)
 
   /** Gopher-style rule-based quality filter over the documents corpus. */
   private def qualityFilter(s: SparkSession, d: String): DataFrame = {
@@ -421,7 +433,135 @@ object SparkEntry {
 
   // ------------------------------------------------------------ oracle SQL
 
+  import graft.functions.ShaLanes.{duckHexLane, duckLane}
+
+  /** q20 oracle: SHA-lane MinHash + banded LSH, mirroring
+    * [[Dedup.minhashLshPairsSha]] (4 bands × 4 rows, 16 lanes from 4
+    * digests per shingle). */
+  private def minhashOracle: String = {
+    val lanes = (0 until 16).map(i =>
+      s"${duckHexLane(s"d${i / 4}", graft.functions.ShaLanes.LaneOffsets(i % 4))} AS l$i")
+      .mkString(",\n    ")
+    val mins = (0 until 16).map(i => s"min(l$i) AS m$i").mkString(", ")
+    val bandRows = (1 until 4).map(b =>
+      s"  UNION ALL SELECT doc, $b, ${(0 until 4).map(r => s"m${b * 4 + r}").mkString(", ")} FROM sig")
+      .mkString("\n")
+    val matchSum = (0 until 16)
+      .map(i => s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+       |s0 AS (
+       |  SELECT doc_id AS doc, unnest(list_distinct(
+       |    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks)-1)])) AS sh
+       |  FROM t WHERE len(toks) >= 3),
+       |dg AS (SELECT doc, sha256('0|' || sh) AS d0, sha256('1|' || sh) AS d1,
+       |              sha256('2|' || sh) AS d2, sha256('3|' || sh) AS d3 FROM s0),
+       |ln AS (SELECT doc,
+       |    $lanes
+       |  FROM dg),
+       |sig AS (SELECT doc, $mins FROM ln GROUP BY doc),
+       |bk AS (
+       |  SELECT doc, 0 AS band, m0 AS v0, m1 AS v1, m2 AS v2, m3 AS v3 FROM sig
+       |$bandRows),
+       |cand AS (
+       |  SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
+       |  FROM bk x JOIN bk y ON x.band = y.band AND x.v0 = y.v0 AND x.v1 = y.v1
+       |    AND x.v2 = y.v2 AND x.v3 = y.v3 AND x.doc < y.doc)
+       |SELECT doc_a, doc_b, round(($matchSum) / 16.0, 6) AS est_jaccard
+       |FROM cand JOIN sig a ON doc_a = a.doc JOIN sig b ON doc_b = b.doc""".stripMargin
+  }
+
+  /** q21 oracle: 60-bit SHA-lane SimHash, mirroring [[Dedup.simhashPairsSha]]
+    * (prefixBits=8 → bucket = fingerprint >> 52; Hamming ≤ 8). */
+  private def simhashOracle: String = {
+    val sums = (0 until 60).map(j =>
+      s"CAST(sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS w_$j")
+      .mkString(",\n    ")
+    val fpSum = (0 until 60)
+      .map(j => s"(CASE WHEN w_$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    s"""WITH toks AS (SELECT doc_id AS doc, unnest(str_split(text, ' ')) AS tok FROM documents),
+       |h AS (SELECT doc, ${duckLane("tok")} AS h FROM toks),
+       |w AS (SELECT doc,
+       |    $sums
+       |  FROM h GROUP BY doc),
+       |fp AS (SELECT doc, CAST($fpSum AS BIGINT) AS simhash FROM w),
+       |b AS (SELECT doc, simhash, simhash >> 52 AS bucket FROM fp)
+       |SELECT a.doc AS doc_a, b2.doc AS doc_b,
+       |  CAST(bit_count(xor(a.simhash, b2.simhash)) AS BIGINT) AS hamming
+       |FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.doc < b2.doc
+       |WHERE bit_count(xor(a.simhash, b2.simhash)) <= 8""".stripMargin
+  }
+
+  /** q25 oracle: sign-LSH kNN with SHA-derived hyperplanes (2 tables ×
+    * 8 bits over 64 dims), mirroring [[Knn.lshTopK]] with
+    * [[Knn.lshSignatureSha]]. Plane weights come from the same
+    * `sha256("t,p,d")` lanes; `list(w ORDER BY d)` + `list_dot_product`
+    * keeps the projection accumulation order (and hence every sign bit)
+    * identical. */
+  private def lshKnnOracle: String = {
+    val laneExpr = duckLane("t.range::VARCHAR || ',' || p.range::VARCHAR || ',' || d.range::VARCHAR")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |pw AS (
+       |  SELECT t.range AS t, p.range AS p, d.range AS d,
+       |    $laneExpr / 576460752303423488.0 - 1.0 AS w
+       |  FROM range(0, 2) t, range(0, 8) p, range(0, 64) d),
+       |pl AS (SELECT t, p, list(w ORDER BY d) AS pv FROM pw GROUP BY t, p),
+       |sg AS (
+       |  SELECT e.vec_id, pl.t,
+       |    CAST(sum(CASE WHEN list_dot_product(e.v, pl.pv) >= 0
+       |      THEN (1::BIGINT << pl.p) ELSE 0 END) AS BIGINT) AS sig
+       |  FROM e CROSS JOIN pl GROUP BY e.vec_id, pl.t),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM sg q JOIN sg c ON q.t = c.t AND q.sig = c.sig AND q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < 10),
+       |scored AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    list_dot_product(a.v, b.v) /
+       |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+       |  FROM cand JOIN e a ON a.vec_id = cand.query_id JOIN e b ON b.vec_id = cand.neighbor_id)
+       |SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
+       |WHERE rank <= 5""".stripMargin
+  }
+
+  /** q28 oracle: SHA-lane codec features through the same math as
+    * [[Multimodal.ShaCodec]] — lane → [-1,1) → FLOAT quantize → DOUBLE,
+    * then a sequential-accumulation norm. */
+  private def multimodalOracle: String = {
+    val fv = (0 until 16).map(dd =>
+      s"CAST(CAST(${duckLane(s"text || '|$dd'")} / 576460752303423488.0 - 1.0 AS REAL) AS DOUBLE)")
+      .mkString("[\n    ", ",\n    ", "]")
+    s"""SELECT asset_id, modality, n_bytes, round(sqrt(list_dot_product(fv, fv)), 4) AS feat_norm
+       |FROM (
+       |  SELECT doc_id AS asset_id,
+       |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+       |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+       |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       |    $fv AS fv
+       |  FROM documents)""".stripMargin
+  }
+
+  /** q40 oracle: window-rank KMV over SHA lanes — the executable spec of
+    * the [[graft.functions.expressions.KmvSketch]] aggregate (identical
+    * estimates: both keep the k smallest distinct lanes). */
+  private def kmvOracle: String =
+    s"""WITH toks AS (SELECT lang, unnest(str_split(text, ' ')) AS token FROM documents),
+       |h AS (SELECT DISTINCT lang, ${duckLane("token")} AS lane FROM toks),
+       |r AS (SELECT lang, lane,
+       |    row_number() OVER (PARTITION BY lang ORDER BY lane) AS rn FROM h),
+       |kk AS (SELECT lang, count(*) AS n_kept, max(lane) AS lane_k
+       |  FROM r WHERE rn <= 256 GROUP BY lang)
+       |SELECT lang, round(CASE WHEN n_kept < 256 THEN CAST(n_kept AS DOUBLE)
+       |  ELSE 255.0 / ((CAST(lane_k AS DOUBLE) + 1.0) / 1152921504606846977.0) END, 4) AS est_distinct
+       |FROM kk""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q20_minhash_lsh" -> minhashOracle,
+    "q21_simhash_pairs" -> simhashOracle,
+    "q25_lsh_knn" -> lshKnnOracle,
+    "q28_multimodal_features" -> multimodalOracle,
+    "q40_kmv_distinct" -> kmvOracle,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity),2) AS sum_qty,
@@ -527,7 +667,7 @@ object SparkEntry {
 
     "q12_json_extract" ->
       """SELECT event_id,
-        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+        |  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
         |FROM events""".stripMargin,
 
     "q13_parse_dates" ->

@@ -153,9 +153,33 @@ object GraftExpressions {
       LshSig(children.head, intLit(children(1), "bits"), intLit(children(2), "table"))
     })
 
+  val lshSigSha: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_lsh_sig_sha"),
+    new ExpressionInfo(classOf[LshSigSha].getName, "graft_lsh_sig_sha"),
+    (children: Seq[Expression]) => {
+      def intLit(e: Expression, what: String): Int = e match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"graft_lsh_sig_sha(vec, bits, table): $what must be an integer literal, got $other")
+      }
+      LshSigSha(children.head, intLit(children(1), "bits"), intLit(children(2), "table"))
+    })
+
+  val kmv: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_kmv"),
+    new ExpressionInfo(classOf[KmvSketch].getName, "graft_kmv"),
+    (children: Seq[Expression]) => {
+      val k = children(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"graft_kmv(lane, k): k must be an integer literal, got $other")
+      }
+      KmvSketch(children.head, k)
+    })
+
   /** Idempotently register on a session's function registry. */
   def register(spark: SparkSession): Unit =
-    Seq(cosineSim, shingles, simhash64, minhash, lshSig).foreach {
+    Seq(cosineSim, shingles, simhash64, minhash, lshSig, lshSigSha, kmv).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }

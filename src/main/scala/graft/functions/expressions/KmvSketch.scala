@@ -1,0 +1,101 @@
+package graft.functions.expressions
+
+import java.nio.ByteBuffer
+
+import graft.functions.ShaLanes
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.types._
+
+/**
+ * KMV (k-minimum-values) distinct-count sketch as a true mergeable
+ * aggregate: per-group state is the k smallest *distinct* 60-bit hash
+ * lanes ([[ShaLanes]] space, uniform in [0, 2^60)), never more — the
+ * map-side partial keeps state O(k) regardless of group cardinality, so
+ * the shuffle carries ≤ k longs per group per partition. This replaces
+ * the window-rank formulation ([[graft.operators.Sketch.kmvDistinct]]),
+ * which shuffles *every* distinct hash before pruning; the window form is
+ * retained as the executable spec (and the DuckDB oracle mirrors it —
+ * identical estimates by construction, since both keep the same k mins).
+ *
+ * Estimator: groups with fewer than k distinct lanes are exact (the state
+ * holds them all); otherwise `(k-1) / u_k` with
+ * `u_k = (lane_k + 1) / (2^60 + 1)` — the classic KMV estimate,
+ * RSE ≈ 1/√(k−2).
+ *
+ * Input must already be a hash lane (LongType in [0, 2^60)): pass
+ * [[graft.operators.Sketch.shaLane]] (oracle-parity) or
+ * [[graft.operators.Sketch.xxLane]] (scale path). NULL lanes are ignored.
+ */
+case class KmvSketch(child: Expression, k: Int,
+                     mutableAggBufferOffset: Int = 0,
+                     inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
+
+  require(k >= 3, "KMV needs k >= 3")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_kmv expects a LongType hash lane, got ${other.catalogString}")
+  }
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  private def add(buf: java.util.TreeSet[java.lang.Long], v: Long): Unit =
+    if (buf.size < k) { buf.add(v); () }
+    else if (v < buf.last) {
+      if (buf.add(v) && buf.size > k) { buf.remove(buf.last); () }
+    }
+
+  override def update(buf: java.util.TreeSet[java.lang.Long],
+                      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) add(buf, v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: java.util.TreeSet[java.lang.Long],
+                     other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = other.iterator()
+    while (it.hasNext) add(buf, it.next())
+    buf
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any =
+    if (buf.size < k) buf.size.toDouble
+    else (k - 1).toDouble / ((buf.last.toDouble + 1.0) / (ShaLanes.LaneSpace + 1.0))
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 8 * buf.size)
+    bb.putInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) { buf.add(bb.getLong); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvSketch =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvSketch =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): KmvSketch =
+    copy(child = newChildren.head)
+
+  override def prettyName: String = "graft_kmv"
+}

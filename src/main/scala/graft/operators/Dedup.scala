@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.{F, Text, Vec}
+import graft.functions.{F, ShaLanes, Text, Vec}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -139,6 +139,69 @@ object Dedup {
   }
 
   /**
+   * Oracle-parity banded LSH ([[minhashLshPairsSha]]'s signature step):
+   * MinHash lanes come from SHA-256 ([[ShaLanes]] — bit-reproducible in
+   * DuckDB) instead of xxhash64. Lane i = min over shingles of 60-bit lane
+   * i%4 of `sha256((i/4) || '|' || shingle)` — ceil(k/4) digests per
+   * shingle, four lanes per digest.
+   *
+   * Plan shape: shingle explode → per-shingle digests (codegen'd `sha2`/
+   * `conv` built-ins) → one groupBy(doc) with k map-side-combinable MINs —
+   * the shuffle carries k longs per doc per partition, never shingles.
+   * The xxhash64 scan-side kernel ([[minhashSignatures]]) stays the scale
+   * primary; this form exists so the full LSH pipeline is hash-checkable
+   * against the DuckDB oracle.
+   */
+  def minhashSignaturesSha(df: DataFrame, idCol: String, textCol: String,
+                           shingleN: Int, numHashes: Int): DataFrame = {
+    val nDigests = (numHashes + 3) / 4
+    val sh = shingleIndex(df, idCol, textCol, shingleN)
+    val digests = sh.select(col("doc") +:
+      (0 until nDigests).map(s => sha2(concat(lit(s"$s|"), col("sh")), 256).as(s"d$s")): _*)
+    val mins = (0 until numHashes).map { i =>
+      min(ShaLanes.hexLane(col(s"d${i / 4}"), ShaLanes.LaneOffsets(i % 4))).as(s"mh_$i")
+    }
+    digests.groupBy(col("doc")).agg(mins.head, mins.tail: _*)
+  }
+
+  /**
+   * Oracle-parity banded-LSH candidate pairs: same banding/verification as
+   * [[minhashLshPairs]] but over [[minhashSignaturesSha]] signatures, and
+   * band buckets keyed by the raw component tuple (equality on `rowsPerBand`
+   * longs) rather than an engine-specific band hash — every step is exactly
+   * reproducible in ANSI SQL, so the whole pipeline hash-matches the
+   * DuckDB oracle. Shuffle cost is unchanged: O(|docs| × bands).
+   */
+  def minhashLshPairsSha(df: DataFrame, idCol: String, textCol: String,
+                         shingleN: Int = 3, bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sig = minhashSignaturesSha(df, idCol, textCol, shingleN, numHashes)
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band") +:
+        (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}").as(s"v$r")): _*)
+    }
+    val buckets = sig.select(col("doc"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc") +: (col("bk.band").as("band") +:
+        (0 until rowsPerBand).map(r => col(s"bk.v$r").as(s"v$r"))): _*)
+    val joinCond = (0 until rowsPerBand)
+      .map(r => col(s"x.v$r") === col(s"y.v$r"))
+      .foldLeft(col("x.band") === col("y.band"))(_ && _) && col("x.doc") < col("y.doc")
+    val cand = buckets.as("x").join(buckets.as("y"), joinCond)
+      .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"))
+      .distinct()
+    val sigA = sig.toDF(sig.columns.toIndexedSeq.map(c => s"a_$c"): _*)
+    val sigB = sig.toDF(sig.columns.toIndexedSeq.map(c => s"b_$c"): _*)
+    val matches = (0 until numHashes)
+      .map(i => when(col(s"a_mh_$i") === col(s"b_mh_$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(sigA, col("doc_a") === col("a_doc"))
+      .join(sigB, col("doc_b") === col("b_doc"))
+      .select(col("doc_a"), col("doc_b"),
+        round(matches.cast("double") / lit(numHashes.toDouble), 6).as("est_jaccard"))
+  }
+
+  /**
    * 64-bit SimHash fingerprint per doc: bit j of the fingerprint is set iff
    * Σ_tokens (±1 by bit j of xxhash64(token)) > 0.
    *
@@ -177,6 +240,46 @@ object Dedup {
                    maxHamming: Int = 3, prefixBits: Int = 12): DataFrame = {
     val fp = simhash(df, idCol, textCol)
       .withColumn("bucket", shiftrightunsigned(col("simhash"), 64 - prefixBits))
+    val hamming = bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+    fp.as("a")
+      .join(fp.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.doc") < col("b.doc"))
+      .filter(hamming <= maxHamming)
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        hamming.cast("long").as("hamming"))
+  }
+
+  /**
+   * Oracle-parity SimHash: 60-bit fingerprints from SHA-256 token lanes
+   * ([[ShaLanes]]) so the whole pipeline — token hash, bit sums, prefix
+   * bucketing, Hamming verify — is bit-reproducible in DuckDB. Same
+   * aggregation shape as [[simhashAgg]] (explode + 60 map-side-combinable
+   * SUMs, one shuffle of 60 longs per doc per partition); the xxhash64
+   * scan-side kernel ([[simhash]]) stays the scale primary.
+   */
+  def simhashSha(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bits = 60
+    val toks = df.select(col(idCol).as("doc"),
+      explode(Text.tokens(col(textCol))).as("tok"))
+      .withColumn("h", ShaLanes.lane(col("tok")))
+    val bitSums = (0 until bits).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"w_$j")
+    }
+    val agg = toks.groupBy(col("doc")).agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until bits)
+      .map(j => when(col(s"w_$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    agg.select(col("doc"), fp.as("simhash"))
+  }
+
+  /** Oracle-parity SimHash near-dup pairs over [[simhashSha]] fingerprints:
+    * bucket by the top `prefixBits` of the 60-bit fingerprint, verify
+    * Hamming ≤ maxHamming — the DuckDB-checkable twin of [[simhashPairs]]. */
+  def simhashPairsSha(df: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 8, prefixBits: Int = 8): DataFrame = {
+    val fp = simhashSha(df, idCol, textCol)
+      .withColumn("bucket", shiftright(col("simhash"), 60 - prefixBits))
     val hamming = bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
     fp.as("a")
       .join(fp.as("b"),

@@ -66,13 +66,18 @@ object Knn {
     val v = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
     val n = v.count()
     require(n >= k, s"need at least $k vectors, have $n")
-    val stride = math.max(1L, n / k)
-    val byId = Window.orderBy(col("id"))
+    // Deterministic pseudo-random init: the k vectors with the smallest
+    // xxhash64(id) — a distributed top-k (TakeOrderedAndProject), spread
+    // uniformly over the corpus with NO global window/sort (a
+    // row_number-stride sample would funnel every vector through one
+    // partition before training even starts).
     var centroids: Seq[(Long, Seq[Double])] = v
-      .withColumn("rn", row_number().over(byId))
-      .filter((col("rn") - 1) % stride === 0 && col("rn") <= (k - 1) * stride + 1)
-      .select(((col("rn") - 1) / stride).cast("long").as("cid"), col("vec"))
-      .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
+      .orderBy(xxhash64(col("id")).asc, col("id").asc)
+      .limit(k)
+      .select(col("id"), col("vec"))
+      .as[(Long, Seq[Double])].collect().toSeq
+      .sortBy(_._1).zipWithIndex
+      .map { case ((_, vec), i) => (i.toLong, vec) }
 
     for (_ <- 0 until iters) {
       val centDf = broadcast(centroids.toDF("cid", "cvec"))
@@ -171,16 +176,29 @@ object Knn {
         round(col("cos"), 6).as("cosine"))
   }
 
+  /** Oracle-parity sign-LSH signature: SHA-256-derived hyperplanes
+    * ([[graft.functions.expressions.LshSigSha]]) that a DuckDB oracle can
+    * rebuild exactly from a `range(t)×range(p)×range(d)` plane CTE. */
+  def lshSignatureSha(vec: Column, bits: Int, table: Int): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.expressions.GraftExpressions.register)
+    call_function("graft_lsh_sig_sha", vec, lit(bits), lit(table))
+  }
+
   /**
    * Approximate top-k: corpus and queries are signed into 2^bits buckets in
    * each of `tables` independent hash tables; candidates = rows sharing the
    * query's bucket in ANY table, then exact cosine re-rank of candidates.
+   *
+   * `sig` selects the signature family: [[lshSignature]] (xxhash64 planes,
+   * scale default) or [[lshSignatureSha]] (oracle-parity planes).
    */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-              k: Int, bits: Int = 8, tables: Int = 2): DataFrame = {
+              k: Int, bits: Int = 8, tables: Int = 2,
+              sig: (Column, Int, Int) => Column = lshSignature): DataFrame = {
     def bucketed(df: DataFrame, id: String, vecAs: String): DataFrame = {
       val sigs = (0 until tables).map(t =>
-        struct(lit(t).as("t"), lshSignature(col(vecCol), bits, t).as("sig")))
+        struct(lit(t).as("t"), sig(col(vecCol), bits, t).as("sig")))
       df.select(col(idCol).as(id), col(vecCol).as(vecAs),
           explode(array(sigs: _*)).as("bk"))
         .select(col(id), col(vecAs), col("bk.t").as("t"), col("bk.sig").as("sig"))

@@ -58,6 +58,29 @@ object Multimodal {
     }
   }
 
+  /** Oracle-parity stand-in codec: feature d is the SHA-256 lane of
+    * `payload ++ "|d"` mapped to [-1, 1) and quantized to FLOAT
+    * ([[graft.functions.ShaLanes.jvmLane]]) — deterministic, dependency-free,
+    * and bit-reproducible in DuckDB SQL (`sha256(text || '|' || d)`), so the
+    * full mapPartitions featurize path is hash-checkable by the correctness
+    * oracle. Swap for a real decoder behind the same trait. */
+  final class ShaCodec(override val dim: Int = 16) extends Codec {
+    override def decodeAndEmbed(payload: Array[Byte]): Array[Float] = {
+      val out = new Array[Float](dim)
+      var d = 0
+      while (d < dim) {
+        val suffix = s"|$d".getBytes("UTF-8")
+        val bytes = new Array[Byte](payload.length + suffix.length)
+        System.arraycopy(payload, 0, bytes, 0, payload.length)
+        System.arraycopy(suffix, 0, bytes, payload.length, suffix.length)
+        out(d) = (graft.functions.ShaLanes.jvmLane(bytes) /
+          graft.functions.ShaLanes.HalfLane - 1.0).toFloat
+        d += 1
+      }
+      out
+    }
+  }
+
   /**
    * Partition-batched featurization: one codec instance per partition (the
    * real-codec analog of per-batch model loading), rows streamed through

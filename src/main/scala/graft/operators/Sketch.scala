@@ -1,41 +1,69 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import graft.functions.ShaLanes
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
- * KMV (k-minimum-values, "bottom-k") distinct-count sketch — the
- * mergeable-sketch family member the brief calls for, built from pure
- * DataFrame ops (no custom UDAF needed).
+ * KMV (k-minimum-values, "bottom-k") distinct-count sketch.
  *
- * Values hash to uniform (0,1); per group the k smallest distinct hash
- * positions are kept and the estimate is `(k-1) / u_k` (the classic KMV
- * estimator, RSE ≈ 1/√(k−2)). Groups with ≤ k distinct values are exact
- * by construction. At scale this is shuffle-light: the per-group state is
- * k values regardless of cardinality (the window's top-k prunes
- * map-side under AQE; a TypedImperativeAggregate drop-in could shrink it
- * further without changing the contract).
+ * Values hash to 60-bit lanes uniform in [0, 2^60); per group the k
+ * smallest distinct lanes are kept and the estimate is `(k-1) / u_k` with
+ * `u_k = (lane_k + 1) / (2^60 + 1)` (classic KMV, RSE ≈ 1/√(k−2)).
+ * Groups with fewer than k distinct lanes are exact by construction.
+ *
+ * Two formulations, identical estimates by construction:
+ *  - [[kmvDistinctSketch]] — the scale path: a
+ *    [[graft.functions.expressions.KmvSketch]] TypedImperativeAggregate
+ *    whose partial state is the k-long bound itself, so map-side combine
+ *    ships ≤ k longs per group per partition;
+ *  - [[kmvDistinct]] — the window-rank executable spec (shuffles every
+ *    distinct lane before pruning; kept as the cross-check and the shape
+ *    the DuckDB oracle mirrors).
+ *
+ * Lane choice: [[shaLane]] is the oracle-parity hash (SHA-256, DuckDB
+ * bit-identical — see [[ShaLanes]]); [[xxLane]] is the cheaper xxhash64
+ * lane for production pipelines that don't need a SQL oracle.
  */
 object Sketch {
 
-  def kmvDistinct(df: DataFrame, keys: Seq[String], valueCol: String,
+  /** Oracle-parity 60-bit lane of a value (SHA-256 derived). */
+  def shaLane(value: Column): Column = ShaLanes.lane(value.cast("string"))
+
+  /** xxhash64-derived lane in the same [0, 2^60) space (scale path). */
+  def xxLane(value: Column): Column = shiftrightunsigned(xxhash64(value), 4)
+
+  private def estimate(nKept: Column, maxLane: Column, k: Int): Column =
+    when(nKept < k, nKept.cast("double"))
+      .otherwise(lit((k - 1).toDouble) /
+        ((maxLane.cast("double") + lit(1.0)) / lit(ShaLanes.LaneSpace + 1.0)))
+
+  /** Window-rank KMV (executable spec / oracle twin): distinct lanes per
+    * group, rank, keep k smallest, estimate. */
+  def kmvDistinct(df: DataFrame, keys: Seq[String], laneCol: Column,
                   k: Int = 256): DataFrame = {
     require(k >= 3, "KMV needs k >= 3")
-    // hash → uniform (0,1); distinct per group first (KMV is over the set)
-    val u = (xxhash64(col(valueCol)).cast("double") / lit(2.0)
-      + lit(Long.MaxValue.toDouble / 2.0) + lit(1.0)) /
-      lit(Long.MaxValue.toDouble + 2.0)
-    val hashed = df.select((keys.map(col) :+ u.as("u")): _*).distinct()
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("u").asc)
+    val hashed = df.select((keys.map(col) :+ laneCol.as("lane")): _*).distinct()
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("lane").asc)
     hashed
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("n_kept"), max(col("u")).as("u_k"))
+      .agg(count(lit(1)).as("n_kept"), max(col("lane")).as("lane_k"))
       .select((keys.map(col) :+
-        when(col("n_kept") < k, col("n_kept").cast("double"))
-          .otherwise((lit(k - 1) / col("u_k")))
-          .as("est_distinct")): _*)
+        round(estimate(col("n_kept"), col("lane_k"), k), 4).as("est_distinct")): _*)
+  }
+
+  /** Mergeable-sketch KMV (scale path): per-group state is k longs,
+    * partial aggregation map-side — the plan shows ObjectHashAggregate
+    * with a partial merge, and the shuffle never carries more than k
+    * lanes per group per partition. */
+  def kmvDistinctSketch(df: DataFrame, keys: Seq[String], laneCol: Column,
+                        k: Int = 256): DataFrame = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.expressions.GraftExpressions.register)
+    df.groupBy(keys.map(col): _*)
+      .agg(round(call_function("graft_kmv", laneCol, lit(k)), 4).as("est_distinct"))
   }
 }

@@ -69,17 +69,30 @@ class PlanSpec extends SparkSpec {
   }
 
   test("fingerprint kernels are scan-side projections: no shuffle before the pair join") {
-    // SimHash: fingerprints come straight out of the scan; the only
-    // exchanges serve the bucket self-join (hash by bucket on both sides)
-    val p21 = plan("q21_simhash_pairs")
+    // The xxhash64 scale-primary paths: fingerprints/signatures come
+    // straight out of the scan; the only exchanges serve the bucket
+    // self-join (hash by bucket on both sides)
+    val docs = Tables.documents(spark, d)
+    val p21 = graft.operators.Dedup.simhashPairs(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
     assert(!p21.contains("partial_min") && !p21.contains("partial_sum"),
       "fingerprints must not be computed via aggregation")
     assert(countOf(p21, "Exchange hashpartitioning") <= 2, p21.linesIterator
       .filter(_.contains("Exchange")).mkString("\n"))
-    // MinHash signatures likewise project from the scan
-    val p20 = plan("q20_minhash_lsh")
+    val p20 = graft.operators.Dedup.minhashLshPairs(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
     assert(!p20.contains("partial_min"),
       "minhash signatures must not be computed via aggregation")
+  }
+
+  test("oracle-parity fingerprints (q20/q21) aggregate with map-side combine") {
+    // The SHA-lane forms are aggregation-shaped by design (built-in sha2/
+    // conv stay codegen'd); the scale property to pin is that the shuffle
+    // carries partially-combined per-doc state, never raw shingles/tokens
+    val p21 = plan("q21_simhash_pairs")
+    assert(p21.contains("partial_sum"), "bit sums must combine map-side")
+    val p20 = plan("q20_minhash_lsh")
+    assert(p20.contains("partial_min"), "lane mins must combine map-side")
   }
 
   test("q23 bm25: corpus statistics broadcast back, corpus shuffled once per agg") {
