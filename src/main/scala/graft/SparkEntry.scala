@@ -238,11 +238,18 @@ object SparkEntry {
   private val hybridQueryVec: Seq[Double] =
     (0 until 64).map(i => ((i * 37 % 19) - 9) / 7.0)
 
+  /** ANN-backed hybrid search: BM25 top-N + IVF-probed vector top-N,
+    * ranks assigned only within the fused candidate pool — no corpus-wide
+    * windows, no brute vector scan (centroids = the q27 deterministic
+    * subset, nProbe 4 of 16 lists). */
   private def hybridSearch(s: SparkSession, d: String): DataFrame = {
     val corpus = documents(s, d)
       .join(embeddings(s, d), col("doc_id") === col("vec_id"))
+    val cent = embeddings(s, d).filter(col("vec_id") < 16)
+      .select(col("vec_id").as("doc_id"), col("embedding"))
     HybridSearch.similarCases(corpus, "doc_id", "text", "embedding",
-        queryText = "spark join fast", queryVec = hybridQueryVec, k = 20)
+        queryText = "spark join fast", queryVec = hybridQueryVec, k = 20,
+        candidates = 100, centroids = Some(cent), nProbe = 4)
       .select(col("doc"), col("bm25"), col("r_lex"),
         round(col("cos"), 6).as("cos"), col("r_vec"),
         round(col("rrf"), 6).as("rrf"))
@@ -364,10 +371,12 @@ object SparkEntry {
       rStop.as("rule_stopwords"), rDist.as("rule_distinct"), keep.as("keep"))
   }
 
-  /** Sequence packing: assign docs (doc_id order) to 4096-token chunks. */
+  /** Sequence packing: assign docs (doc_id order) to 4096-token chunks —
+    * the sharded two-phase prefix sum (bit-equal to the global form, which
+    * SURVEY-wise stays as the executable spec; no global window here). */
   private def sequencePacking(s: SparkSession, d: String): DataFrame =
-    Pack.sequential(documents(s, d).select(col("doc_id"), col("text")),
-        col("doc_id"), size(Text.tokens(col("text"))), budget = 4096)
+    Pack.sharded(documents(s, d).select(col("doc_id"), col("text")),
+        col("doc_id"), size(Text.tokens(col("text"))), budget = 4096, nShards = 32)
       .select(col("doc_id"), col("n_tokens"), col("chunk_id"))
 
   /** Skew-salted two-phase aggregation — must equal the plain GROUP BY. */
@@ -811,13 +820,35 @@ object SparkEntry {
         |  ), 4) AS bm25
         |  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc) CROSS JOIN cs
         |  GROUP BY tf.doc),
+        |lexc AS (SELECT doc, bm25 FROM bm ORDER BY bm25 DESC, doc LIMIT 100),
         |lex AS (SELECT doc, bm25,
-        |  row_number() OVER (ORDER BY bm25 DESC, doc) AS r_lex FROM bm),
+        |  row_number() OVER (ORDER BY bm25 DESC, doc) AS r_lex FROM lexc),
+        |cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+        |  FROM embeddings WHERE vec_id < 16),
+        |assign AS (
+        |  SELECT doc, v, cid FROM (
+        |    SELECT c2.doc, c2.v, ct.cid,
+        |      row_number() OVER (PARTITION BY c2.doc ORDER BY
+        |        list_dot_product(c2.v, ct.cv) /
+        |          (sqrt(list_dot_product(c2.v, c2.v)) * sqrt(list_dot_product(ct.cv, ct.cv)))
+        |        DESC, ct.cid) AS rk
+        |    FROM corpus c2 CROSS JOIN cent ct)
+        |  WHERE rk = 1),
+        |probe AS (
+        |  SELECT cid FROM (
+        |    SELECT ct.cid,
+        |      list_dot_product(ct.cv, q) /
+        |        (sqrt(list_dot_product(ct.cv, ct.cv)) * sqrt(list_dot_product(q, q))) AS ccos
+        |    FROM cent ct CROSS JOIN qv)
+        |  ORDER BY ccos DESC, cid LIMIT 4),
+        |vecc AS (
+        |  SELECT doc, cos FROM (
+        |    SELECT a.doc, list_dot_product(a.v, q) /
+        |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(q, q))) AS cos
+        |    FROM assign a JOIN probe USING (cid) CROSS JOIN qv)
+        |  ORDER BY cos DESC, doc LIMIT 100),
         |vec AS (SELECT doc, cos,
-        |  row_number() OVER (ORDER BY cos DESC, doc) AS r_vec FROM (
-        |    SELECT doc, list_dot_product(v, q) /
-        |      (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(q, q))) AS cos
-        |    FROM corpus CROSS JOIN qv)),
+        |  row_number() OVER (ORDER BY cos DESC, doc) AS r_vec FROM vecc),
         |fused AS (
         |  SELECT coalesce(l.doc, vv.doc) AS doc, l.bm25, l.r_lex, vv.cos, vv.r_vec,
         |    coalesce(1.0/(60.0 + l.r_lex), 0.0) +

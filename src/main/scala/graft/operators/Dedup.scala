@@ -105,38 +105,46 @@ object Dedup {
   }
 
   /**
+   * Shared banding step: bucket rows carry the doc's FULL signature next
+   * to the band key, so the estimated Jaccard is computed directly on the
+   * joined pair — the signature frame is consumed exactly once (no cache,
+   * no signature re-join; duplicate band collisions carry identical
+   * signatures, so `dropDuplicates` after scoring is deterministic).
+   * Shuffle cost is O(|docs| × bands) rows of ~numHashes longs each.
+   */
+  private def bandedPairs(sig: DataFrame, numHashes: Int,
+                          bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band") +:
+        (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}").as(s"v$r")): _*)
+    }
+    val sigCols = (0 until numHashes).map(i => col(s"mh_$i"))
+    val buckets = sig
+      .select(col("doc") +: sigCols :+ explode(array(bandStructs: _*)).as("bk"): _*)
+      .select(col("doc") +: sigCols ++: (0 until rowsPerBand).map(r => col(s"bk.v$r").as(s"v$r")) :+
+        col("bk.band").as("band"): _*)
+    val joinCond = (0 until rowsPerBand)
+      .map(r => col(s"x.v$r") === col(s"y.v$r"))
+      .foldLeft(col("x.band") === col("y.band"))(_ && _) && col("x.doc") < col("y.doc")
+    val matches = (0 until numHashes)
+      .map(i => when(col(s"x.mh_$i") === col(s"y.mh_$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    buckets.as("x").join(buckets.as("y"), joinCond)
+      .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"),
+        round(matches.cast("double") / lit(numHashes.toDouble), 6).as("est_jaccard"))
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
+  /**
    * Banded-LSH candidate pairs with their estimated Jaccard (fraction of
    * equal signature components). `numHashes` must equal `bands *
    * rowsPerBand`. Docs collide iff some band's components all match —
    * shuffle cost is O(|docs| × bands), independent of pair count.
    */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
-                      shingleN: Int = 3, bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
-    val numHashes = bands * rowsPerBand
-    val sig = minhashSignatures(df, idCol, textCol, shingleN, numHashes).cache()
-    val bandStructs = (0 until bands).map { b =>
-      val cols = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
-    }
-    val buckets = sig.select(col("doc"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc"), col("bk.band").as("band"), col("bk.bh").as("bh"))
-    val cand = buckets.as("x")
-      .join(buckets.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-          col("x.doc") < col("y.doc"))
-      .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"))
-      .distinct()
-    val sigA = sig.toDF(sig.columns.toIndexedSeq.map(c => s"a_$c"): _*)
-    val sigB = sig.toDF(sig.columns.toIndexedSeq.map(c => s"b_$c"): _*)
-    val matches = (0 until numHashes)
-      .map(i => when(col(s"a_mh_$i") === col(s"b_mh_$i"), 1).otherwise(0))
-      .reduce(_ + _)
-    cand
-      .join(sigA, col("doc_a") === col("a_doc"))
-      .join(sigB, col("doc_b") === col("b_doc"))
-      .select(col("doc_a"), col("doc_b"),
-        round(matches.cast("double") / lit(numHashes.toDouble), 6).as("est_jaccard"))
-  }
+                      shingleN: Int = 3, bands: Int = 4, rowsPerBand: Int = 4): DataFrame =
+    bandedPairs(minhashSignatures(df, idCol, textCol, shingleN, bands * rowsPerBand),
+      bands * rowsPerBand, bands, rowsPerBand)
 
   /**
    * Oracle-parity banded LSH ([[minhashLshPairsSha]]'s signature step):
@@ -173,33 +181,9 @@ object Dedup {
    * DuckDB oracle. Shuffle cost is unchanged: O(|docs| × bands).
    */
   def minhashLshPairsSha(df: DataFrame, idCol: String, textCol: String,
-                         shingleN: Int = 3, bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
-    val numHashes = bands * rowsPerBand
-    val sig = minhashSignaturesSha(df, idCol, textCol, shingleN, numHashes)
-    val bandStructs = (0 until bands).map { b =>
-      struct(lit(b).as("band") +:
-        (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}").as(s"v$r")): _*)
-    }
-    val buckets = sig.select(col("doc"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc") +: (col("bk.band").as("band") +:
-        (0 until rowsPerBand).map(r => col(s"bk.v$r").as(s"v$r"))): _*)
-    val joinCond = (0 until rowsPerBand)
-      .map(r => col(s"x.v$r") === col(s"y.v$r"))
-      .foldLeft(col("x.band") === col("y.band"))(_ && _) && col("x.doc") < col("y.doc")
-    val cand = buckets.as("x").join(buckets.as("y"), joinCond)
-      .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"))
-      .distinct()
-    val sigA = sig.toDF(sig.columns.toIndexedSeq.map(c => s"a_$c"): _*)
-    val sigB = sig.toDF(sig.columns.toIndexedSeq.map(c => s"b_$c"): _*)
-    val matches = (0 until numHashes)
-      .map(i => when(col(s"a_mh_$i") === col(s"b_mh_$i"), 1).otherwise(0))
-      .reduce(_ + _)
-    cand
-      .join(sigA, col("doc_a") === col("a_doc"))
-      .join(sigB, col("doc_b") === col("b_doc"))
-      .select(col("doc_a"), col("doc_b"),
-        round(matches.cast("double") / lit(numHashes.toDouble), 6).as("est_jaccard"))
-  }
+                         shingleN: Int = 3, bands: Int = 4, rowsPerBand: Int = 4): DataFrame =
+    bandedPairs(minhashSignaturesSha(df, idCol, textCol, shingleN, bands * rowsPerBand),
+      bands * rowsPerBand, bands, rowsPerBand)
 
   /**
    * 64-bit SimHash fingerprint per doc: bit j of the fingerprint is set iff

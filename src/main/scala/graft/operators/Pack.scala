@@ -13,12 +13,16 @@ import org.apache.spark.sql.functions._
  * `orderCol` order — documents may straddle a boundary, exactly like the
  * usual concatenate-and-slice packing.
  *
- * Scale note: packing is inherently sequential within an ordering, so at
- * corpus scale you pack per shard — pass `shardCol` and each shard gets
- * its own running sum (one window partition per shard, parallel across
- * shards). The unsharded form (global order) exists for small corpora and
- * cross-engine verification; its single-partition window is the price of
- * a global order.
+ * [[sharded]] is the scale form: a two-phase prefix sum. The ordering key
+ * space is cut into `nShards` contiguous ranges; phase 1 computes each
+ * shard's running sum under a PARTITIONED window (parallel across shards)
+ * plus per-shard token totals (one tiny aggregate); phase 2 turns the ≤
+ * nShards totals into cross-shard offsets on the driver (same size class
+ * as a broadcast threshold or a centroid set) and broadcast-joins them
+ * back. offset + within-shard running sum ≡ the global running sum, so
+ * the result is bit-equal to [[sequential]] — which is retained as the
+ * single-window executable spec (its partition-less window is the price
+ * of a global order; only cross-engine verification pays it).
  */
 object Pack {
 
@@ -29,5 +33,38 @@ object Pack {
     val cumBefore = coalesce(sum(nTokens).over(w), lit(0L))
     df.withColumn("n_tokens", nTokens.cast("long"))
       .withColumn("chunk_id", floor(cumBefore / lit(budget.toDouble)).cast("long"))
+  }
+
+  /** Two-phase sharded packing, bit-equal to [[sequential]] (no shard arg);
+    * `orderCol` must be a non-negative integral key. Runs two tiny driver
+    * jobs at plan-construction time (max key, ≤nShards shard totals). */
+  def sharded(df: DataFrame, orderCol: Column, nTokens: Column,
+              budget: Long, nShards: Int = 32): DataFrame = {
+    val key = orderCol.cast("long")
+    val maxRow = df.agg(max(key)).head()
+    val width =
+      if (maxRow.isNullAt(0)) 1L
+      else math.max(1L, maxRow.getLong(0) / nShards + 1)
+    // integer shard id: contiguous ranges of the ordering key, so
+    // (shard, orderCol) order == global orderCol order
+    val shard = call_function("div", key, lit(width))
+    val base = df.withColumn("n_tokens", nTokens.cast("long"))
+      .withColumn("pack_shard", shard)
+    val w = Window.partitionBy(col("pack_shard")).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val within = coalesce(sum(col("n_tokens")).over(w), lit(0L))
+    val totals = base.groupBy(col("pack_shard"))
+      .agg(sum(col("n_tokens")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .sortBy(_._1)
+    val offsets = totals.map(_._1)
+      .zip(totals.map(_._2).scanLeft(0L)(_ + _))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = broadcast(offsets.toSeq.toDF("pack_shard", "pack_offset"))
+    base.join(offDf, Seq("pack_shard"))
+      .withColumn("chunk_id",
+        floor((col("pack_offset") + within) / lit(budget.toDouble)).cast("long"))
+      .drop("pack_shard", "pack_offset")
   }
 }

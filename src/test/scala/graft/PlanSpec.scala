@@ -109,6 +109,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("no partition-less window in any declared query plan") {
+    // A Window without partitionSpec funnels every row through ONE
+    // partition — the single worst scale anti-pattern. r1 shipped three
+    // (hybrid ranks, q35 packing, k-means init); this pins their absence
+    // across the whole declared surface.
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val bad = fn(spark, d).queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty, s"$name has a global (partition-less) window")
+    }
+  }
+
+  test("q26 hybrid: both legs are candidate-bounded distributed top-N") {
+    val p = plan("q26_hybrid_search")
+    // candidate caps compile to TakeOrderedAndProject (per-partition top-N,
+    // no global sort); the only windows left are the per-doc IVF
+    // assignment (partitioned — pinned globally by the partition-less
+    // window test above)
+    assert(countOf(p, "TakeOrderedAndProject") >= 3,
+      "legs + final fuse must be distributed top-N")
+  }
+
   test("q08 early signals: quarterly agg and window share one partitioning") {
     val p = plan("q08_early_signals")
     // one shuffle for the groupBy, one for the differently-keyed window

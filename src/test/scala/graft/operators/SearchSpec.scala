@@ -47,6 +47,40 @@ class SearchSpec extends SparkSpec {
     assert(filtered.head === 2L)
   }
 
+  test("indexed hybrid equals one-shot IVF hybrid; close releases caches") {
+    val corpus = docs
+    val cent = docs.filter(col("doc_id") <= 2L).select(col("doc_id"), col("embedding"))
+    val oneShot = HybridSearch.similarCases(corpus, "doc_id", "text", "embedding",
+      queryText = "pump leak", queryVec = Seq(1.0, 0.0), k = 4,
+      centroids = Some(cent), nProbe = 1)
+      .collect().map(r => (r.getAs[Long]("doc"), r.getAs[Double]("rrf"))).toSeq
+    val idx = HybridSearch.buildIndex(corpus, "doc_id", "text", "embedding", cent)
+    try {
+      val warm = HybridSearch.similarCasesIndexed(idx, "pump leak", Seq(1.0, 0.0),
+        k = 4, nProbe = 1)
+        .collect().map(r => (r.getAs[Long]("doc"), r.getAs[Double]("rrf"))).toSeq
+      assert(warm === oneShot)
+      // repeated warm calls keep working (the P95 SLO usage pattern)
+      val again = HybridSearch.similarCasesIndexed(idx, "battery replacement",
+        Seq(0.0, 1.0), k = 2, nProbe = 1).collect()
+      assert(again.nonEmpty)
+    } finally idx.close()
+    assert(idx.bm25.tf.storageLevel === org.apache.spark.storage.StorageLevel.NONE)
+    assert(idx.assigned.storageLevel === org.apache.spark.storage.StorageLevel.NONE)
+  }
+
+  test("IVF-probed hybrid restricts the vector leg but keeps lexical coverage") {
+    // centroid set = docs 1 and 3 (pump-ish vs battery/software-ish);
+    // probing 1 list means the vector leg sees only that cluster, while
+    // the lexical leg still scores everything — fusion keeps both signals
+    val cent = docs.filter(col("doc_id").isin(1L, 3L)).select(col("doc_id"), col("embedding"))
+    val top = HybridSearch.similarCases(docs, "doc_id", "text", "embedding",
+      queryText = "pump leak", queryVec = Seq(1.0, 0.0), k = 4,
+      centroids = Some(cent), nProbe = 1)
+      .collect().map(_.getAs[Long]("doc"))
+    assert(top.head === 1L, s"got ${top.toSeq}")
+  }
+
   test("hybrid achieves Recall@20 = 1.0 on a planted near-dup eval set") {
     // 30 filler docs + 3 planted relevants for the query
     val filler = (100 until 130).map(i =>
