@@ -1,9 +1,84 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * Per-round benchmark main. Emits ONE JSON line:
+ *   {"metric":"total","value":<sum of per-query medians>,"unit":"sec",
+ *    "queries":{...},"failures":[...],"repeats":N,
+ *    "p95_similar_cases_sec":X,"slo_corpus_rows":M,"sf":...}
+ *
+ * Methodology:
+ *  - every query runs `SPARK_GRAFT_BENCH_REPEATS` (default 3) times and
+ *    reports the MEDIAN — single-shot numbers swung ±50% under host load
+ *    in round 1 (60.7 s vs 101.3 s for identical code);
+ *  - a failing query reports -1 and lands in "failures" (never a
+ *    plausible-looking time), with the stack trace on stderr;
+ *  - the reference's interactive SLO (P95 similar-cases < 1.5 s @ ~200k
+ *    records, reference README.md:87,139) is measured directly: the
+ *    documents corpus is replicated to ≥200k rows, a
+ *    [[graft.operators.HybridSearch.SearchIndex]] is built once (cached
+ *    BM25 postings + IVF assignment), and 50 warm `similarCasesIndexed`
+ *    calls are timed end-to-end (plan + execute + collect).
+ */
 object Bench {
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
+  private def timed[A](f: => A): (Double, Boolean) = {
+    val t0 = System.nanoTime()
+    try { f; ((System.nanoTime() - t0) / 1e9, true) }
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] FAILED: $e")
+      e.printStackTrace()
+      ((System.nanoTime() - t0) / 1e9, false)
+    }
+  }
+
+  /** P95 over `n` warm interactive calls against a prebuilt search index. */
+  private def sloP95(spark: SparkSession, sfDir: String, nQueries: Int): (Double, Long) = {
+    import graft.operators.HybridSearch
+    val docs = Tables.documents(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
+    val nDocs = docs.count()
+    val nEmb = emb.count()
+    val factor = math.max(1L, (200000L + nDocs - 1) / nDocs)
+    // replicate to >= 200k rows with unique ids; embeddings cycle
+    val corpus = docs.select(col("doc_id"), col("text"))
+      .crossJoin(spark.range(factor).toDF("r"))
+      .select((col("doc_id") * factor + col("r")).as("doc_id"), col("text"))
+      .join(broadcast(emb), pmod(col("doc_id"), lit(nEmb)) === col("vec_id"))
+      .select(col("doc_id"), col("text"), col("embedding"))
+    val centroids = emb.filter(col("vec_id") < 64)
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val idx = HybridSearch.buildIndex(corpus, "doc_id", "text", "embedding", centroids)
+    try {
+      // materialize the cached index state (build cost is NOT interactive latency)
+      idx.bm25.tf.count(); idx.bm25.dl.count(); idx.assigned.count()
+      val pool = Seq("spark", "join", "fast", "window", "stream", "merge",
+        "sort", "hash", "scan", "query")
+      val times = (0 until nQueries).map { q =>
+        val terms = Seq(pool(q % pool.size), pool((q + 3) % pool.size), pool((q + 7) % pool.size))
+        val qv = (0 until 64).map(i => (((i + 1) * (q + 2)) % 19 - 9) / 7.0)
+        val t0 = System.nanoTime()
+        HybridSearch.similarCasesIndexed(idx, terms.mkString(" "), qv,
+          k = 20, candidates = 100, nProbe = 8).collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val corpusRows = nDocs * factor
+      (times.sorted.apply(math.ceil(times.size * 0.95).toInt - 1), corpusRows)
+    } finally idx.close()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt
+    val sloQueries = sys.env.getOrElse("SPARK_GRAFT_SLO_QUERIES", "50").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -19,15 +94,27 @@ object Bench {
     // Warm the JVM/codegen/scheduler paths once so the first timed query
     // doesn't absorb session startup.
     spark.range(1 << 20).selectExpr("sum(id)").collect()
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val first = timed(fn(spark, sfDir).count())
+      val v =
+        if (!first._2) -1.0
+        else {
+          val rest = (1 until repeats).map(_ => timed(fn(spark, sfDir).count()))
+          if (rest.exists(!_._2)) -1.0
+          else median(first._1 +: rest.map(_._1))
+        }
+      name -> v
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val (p95, corpusRows) = sloP95(spark, sfDir, sloQueries)
+
+    val qs = results.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    val failures = results.collect { case (k, v) if v < 0 => s"\"$k\"" }
+      .mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""failures":$failures,"repeats":$repeats,""" +
+      s""""p95_similar_cases_sec":$p95,"slo_corpus_rows":$corpusRows,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
