@@ -58,6 +58,11 @@ object AsOf {
     val leftPayload = left.columns.filterNot(c => keys.contains(c) || c == tsCol)
     val rightPayload = right.columns.filterNot(c => keys.contains(c) || c == tsCol)
     require(rightPayload.nonEmpty, "right side needs at least one payload column")
+    require(leftPayload.nonEmpty,
+      "left side needs at least one payload column (struct() of none is invalid)")
+    val clash = leftPayload.intersect(rightPayload)
+    require(clash.isEmpty,
+      s"payload column names must be disjoint (rename or prefix): ${clash.mkString(", ")}")
 
     val lRow = struct(leftPayload.map(col).toIndexedSeq: _*)
     val rRow = struct(rightPayload.map(col).toIndexedSeq: _*)

@@ -56,9 +56,15 @@ object HybridSearch {
   }
 
   /** IVF corpus assignment: every vector to its nearest centroid
-    * (broadcast centroids, per-doc window — the [[Knn.ivfTopK]] shape). */
-  private def assignIvf(corpus: DataFrame, idCol: String, vecCol: String,
-                        cent: DataFrame): DataFrame = {
+    * (broadcast centroids, per-doc window — the [[Knn.ivfTopK]] shape).
+    * `centroids` must carry the corpus's id/vec columns. */
+  def assignIvf(corpus: DataFrame, idCol: String, vecCol: String,
+                centroids: DataFrame): DataFrame =
+    assignOn(corpus, idCol, vecCol,
+      centroids.select(col(idCol).as("cid"), col(vecCol).as("cv")))
+
+  private def assignOn(corpus: DataFrame, idCol: String, vecCol: String,
+                       cent: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("doc")).orderBy(col("ccos").desc, col("cid").asc)
     corpus.select(col(idCol).as("doc"), col(vecCol).as("vec"))
       .crossJoin(broadcast(cent))
@@ -124,7 +130,7 @@ object HybridSearch {
     val vecPool = centroids match {
       case Some(c) =>
         val cent = c.select(col(idCol).as("cid"), col(vecCol).as("cv"))
-        assignIvf(filtered, idCol, vecCol, cent)
+        assignOn(filtered, idCol, vecCol, cent)
           .join(broadcast(probeIvf(cent, qv, nProbe)), "cid")
           .select(col("doc"), col("vec"))
       case None =>
@@ -153,7 +159,7 @@ object HybridSearch {
   def buildIndex(corpus: DataFrame, idCol: String, textCol: String, vecCol: String,
                  centroids: DataFrame): SearchIndex = {
     val cent = centroids.select(col(idCol).as("cid"), col(vecCol).as("cv")).cache()
-    val assigned = assignIvf(corpus, idCol, vecCol, cent).cache()
+    val assigned = assignOn(corpus, idCol, vecCol, cent).cache()
     SearchIndex(Bm25.buildIndex(corpus, idCol, textCol), assigned, cent)
   }
 

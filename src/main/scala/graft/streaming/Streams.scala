@@ -1,6 +1,7 @@
 package graft.streaming
 
 import graft.models.{Pipeline => BatchPipeline}
+import graft.operators.{Bm25, HybridSearch}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
@@ -54,15 +55,76 @@ object Streams {
    * aggregating models need a batch context). `Trigger.AvailableNow`
    * gives catch-up-then-stop semantics; a processing-time trigger gives a
    * continuous `target_lag`.
+   *
+   * Exactly-once output discipline (the fact table carries a uniqueness
+   * contract the batch pipeline enforces):
+   *  - cross-batch re-deliveries of the same `mdr_report_key` (landing
+   *    feeds re-send records across files) are dropped by
+   *    `dropDuplicatesWithinWatermark` over `dedupHorizon` of `load_ts` —
+   *    bounded state, evicted as the watermark passes;
+   *  - foreachBatch is at-least-once, so each batch OVERWRITES its own
+   *    `batch_id=` partition instead of appending — a retried batch
+   *    replaces itself, never duplicates.
    */
   def incrementalPipeline(maudeStream: DataFrame, manufacturer: DataFrame,
-                          outDir: String): DataStreamWriter[Row] =
-    maudeStream.writeStream
+                          outDir: String,
+                          dedupHorizon: String = "24 hours"): DataStreamWriter[Row] =
+    maudeStream
+      .withColumn("__key", col("raw.mdr_report_key"))
+      .withWatermark("load_ts", dedupHorizon)
+      .dropDuplicatesWithinWatermark("__key")
+      .drop("__key")
+      .writeStream
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val m = BatchPipeline.build(batch, manufacturer)
-        m.factAdverseEvents.write.mode("append")
-          .parquet(s"$outDir/fact_adverse_events_stream")
+        m.factAdverseEvents.write.mode("overwrite")
+          .parquet(s"$outDir/fact_adverse_events_stream/batch_id=$batchId")
         ()
       }
+
+  /**
+   * Incremental search-index refresh (the reference's Cortex Search
+   * `target_lag`, README.md:83,117 — the one capability r1 left without a
+   * Spark counterpart): tail a document stream and upsert the BM25
+   * postings (term frequencies + doc lengths) and IVF assignments for
+   * each micro-batch of NEW docs. Each refresh is O(new docs) — never a
+   * corpus rescan — and a retried batch overwrites its own `batch_id=`
+   * partition (idempotent). Readers assemble the live index with
+   * [[readSearchIndex]]; corpus-level stats (N, avgdl) are derived at
+   * query time from the doc-length table, so they track the upserts.
+   *
+   * Re-delivered doc ids are the caller's concern (compose with
+   * [[dedupWithinWatermark]] upstream), matching the landing-feed
+   * contract of [[incrementalPipeline]].
+   */
+  def incrementalSearchIndex(docStream: DataFrame, idCol: String, textCol: String,
+                             vecCol: String, centroids: DataFrame,
+                             outDir: String): DataStreamWriter[Row] =
+    docStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.cache()
+        try {
+          Bm25.termStats(b, idCol, textCol)
+            .write.mode("overwrite").parquet(s"$outDir/tf/batch_id=$batchId")
+          b.select(col(idCol).as("doc"),
+              size(graft.functions.Text.tokens(col(textCol))).cast("double").as("dl"))
+            .write.mode("overwrite").parquet(s"$outDir/dl/batch_id=$batchId")
+          HybridSearch.assignIvf(b, idCol, vecCol, centroids)
+            .write.mode("overwrite").parquet(s"$outDir/assigned/batch_id=$batchId")
+        } finally { b.unpersist(); () }
+      }
+
+  /** Assemble the queryable state written by [[incrementalSearchIndex]].
+    * Uncached — interactive callers should cache + close via the returned
+    * [[HybridSearch.SearchIndex]]'s lifecycle as usual. */
+  def readSearchIndex(spark: org.apache.spark.sql.SparkSession, outDir: String,
+                      centroids: DataFrame, idCol: String,
+                      vecCol: String): HybridSearch.SearchIndex =
+    HybridSearch.SearchIndex(
+      Bm25.Index(
+        spark.read.parquet(s"$outDir/tf").drop("batch_id"),
+        spark.read.parquet(s"$outDir/dl").drop("batch_id")),
+      spark.read.parquet(s"$outDir/assigned").drop("batch_id"),
+      centroids.select(col(idCol).as("cid"), col(vecCol).as("cv")))
 }

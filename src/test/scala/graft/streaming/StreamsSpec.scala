@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.SparkSpec
 import graft.models.MaudeFixture
+import graft.operators.{Bm25, HybridSearch}
 import graft.sources.MaudeIngest
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
@@ -34,6 +35,72 @@ class StreamsSpec extends SparkSpec {
     assert(fact.count() === 7)
     assert(fact.filter(col("mdr_report_key") === "2001")
       .collect().head.getAs[String]("failure_mode") === "LEAK")
+  }
+
+  test("incremental pipeline drops cross-file re-deliveries of the same report key") {
+    val base = Files.createTempDirectory("maude_dedup")
+    val (landing, seed) = MaudeFixture.write(base)
+    val out = base.resolve("marts").toString
+    val seedDf = MaudeIngest.manufacturerSeed(spark, seed)
+    val q = Streams.incrementalPipeline(
+        MaudeIngest.stream(spark, landing), seedDf, out)
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .start()
+    q.awaitTermination()
+    val n0 = spark.read.parquet(s"$out/fact_adverse_events_stream").count()
+
+    // the same report key re-delivered in a later landing file must NOT
+    // produce a second fact row (fact_event_id_unique contract)
+    Files.writeString(java.nio.file.Paths.get(landing, "maude_redelivery.json"),
+      """{"mdr_report_key":"1001","report_number":"RN-1","date_received":"20210101","event_type":"INJURY","mdr_text":[{"text":"resent record"}]}""")
+    val q2 = Streams.incrementalPipeline(
+        MaudeIngest.stream(spark, landing), seedDf, out)
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .start()
+    q2.awaitTermination()
+    val fact = spark.read.parquet(s"$out/fact_adverse_events_stream")
+    assert(fact.count() === n0)
+    assert(fact.groupBy(col("event_id")).count().filter(col("count") > 1).isEmpty)
+  }
+
+  test("incremental search index: new docs become searchable without a rebuild") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = Files.createTempDirectory("inc_index").toString
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Array[Double])]
+    val docStream = input.toDS().toDF("doc_id", "text", "embedding")
+    val centroids = Seq(
+      (0L, "c", Array(1.0, 0.0)), (1L, "c", Array(0.0, 1.0))
+    ).toDF("doc_id", "text", "embedding").select(col("doc_id"), col("embedding"))
+
+    val q = Streams.incrementalSearchIndex(docStream, "doc_id", "text", "embedding",
+        centroids, base)
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    try {
+      input.addData((10L, "pump leak detected", Array(1.0, 0.1)),
+        (11L, "battery depleted early", Array(0.1, 1.0)))
+      q.processAllAvailable()
+      val idx1 = Streams.readSearchIndex(spark, base, centroids, "doc_id", "embedding")
+      val hits1 = Bm25.scoreIndexed(idx1.bm25, Seq("leak"))
+        .collect().map(_.getLong(0)).toSet
+      assert(hits1 === Set(10L))
+
+      // a late-landing doc is indexed by its own micro-batch only —
+      // postings/assignments for docs 10/11 are not recomputed
+      input.addData((12L, "valve leak observed twice leak", Array(0.9, 0.2)))
+      q.processAllAvailable()
+      val idx2 = Streams.readSearchIndex(spark, base, centroids, "doc_id", "embedding")
+      val hits2 = Bm25.scoreIndexed(idx2.bm25, Seq("leak"))
+        .collect().map(_.getLong(0)).toSet
+      assert(hits2 === Set(10L, 12L))
+      val top = HybridSearch.similarCasesIndexed(idx2, "valve leak", Seq(1.0, 0.0),
+        k = 2, nProbe = 1).collect().map(_.getAs[Long]("doc"))
+      assert(top.contains(12L))
+      // assignment table covers exactly the landed docs
+      assert(idx2.assigned.select("doc").collect().map(_.getLong(0)).toSet ===
+        Set(10L, 11L, 12L))
+    } finally q.stop()
   }
 
   test("stateful sessionize: in-batch close, timeout close, exact durations") {
