@@ -58,7 +58,7 @@ object Bench {
     val idx = HybridSearch.buildIndex(corpus, "doc_id", "text", "embedding", centroids)
     try {
       // materialize the cached index state (build cost is NOT interactive latency)
-      idx.bm25.tf.count(); idx.bm25.dl.count(); idx.assigned.count()
+      idx.bm25.postings.count(); idx.bm25.docFreq.count(); idx.assigned.count()
       val pool = Seq("spark", "join", "fast", "window", "stream", "merge",
         "sort", "hash", "scan", "query")
       val times = (0 until nQueries).map { q =>

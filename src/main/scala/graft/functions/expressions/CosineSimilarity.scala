@@ -177,9 +177,27 @@ object GraftExpressions {
       KmvSketch(children.head, k)
     })
 
+  val minhashSha: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_minhash_sha"),
+    new ExpressionInfo(classOf[MinHashShaSig].getName, "graft_minhash_sha"),
+    (children: Seq[Expression]) => {
+      def intLit(e: Expression, what: String): Int = e match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"graft_minhash_sha(tokens, n, numHashes): $what must be an integer literal, got $other")
+      }
+      MinHashShaSig(children.head, intLit(children(1), "n"), intLit(children(2), "numHashes"))
+    })
+
+  val simhashSha: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_simhash_sha"),
+    new ExpressionInfo(classOf[SimHashSha].getName, "graft_simhash_sha"),
+    (children: Seq[Expression]) => SimHashSha(children.head))
+
   /** Idempotently register on a session's function registry. */
   def register(spark: SparkSession): Unit =
-    Seq(cosineSim, shingles, simhash64, minhash, lshSig, lshSigSha, kmv).foreach {
+    Seq(cosineSim, shingles, simhash64, minhash, lshSig, lshSigSha, kmv,
+        minhashSha, simhashSha).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }

@@ -12,68 +12,84 @@ import org.apache.spark.sql.functions._
  *   idf(t)  = ln( (N - df + 0.5) / (df + 0.5) + 1 )
  *   s(d,q)  = Σ_{t∈q} idf(t) · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
  *
- * Plan shape: one explode + one groupBy(doc,term) for term frequencies; df
- * and (N, avgdl) are tiny aggregates broadcast back — the corpus is never
- * shuffled twice and the query terms are a broadcast semi-join filter.
+ * Index layout is built for the interactive P95 SLO (README.md:87,139):
+ * `postings` carries (doc, term, tf, dl) — doc length baked into the
+ * posting row — `docFreq` is the per-term document frequency (vocabulary-
+ * sized), and the corpus constants (N, avgdl) are collected into plan
+ * literals at assembly. A warm query therefore runs ONE scan of the
+ * cached postings (pruned by the term filter) plus a vocabulary-row
+ * broadcast: no per-call broadcast of a corpus-sized doc-length table,
+ * no per-call corpus statistics job. At cluster scale persist `postings`
+ * bucketed by term instead of caching.
  */
 object Bm25 {
 
   val K1 = 1.2
   val B  = 0.75
 
-  /** Per-(doc, term) BM25 components for the whole corpus. */
+  /** Per-(doc, term) term frequencies for the whole corpus. */
   def termStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs.select(col(idCol).as("doc"),
       explode(Text.tokens(col(textCol))).as("term"))
     toks.groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf"))
   }
 
-  /**
-   * Precomputed corpus statistics for repeated interactive queries (the
-   * reference's P95 < 1.5 s similar-cases SLO, README.md:87,139, depends
-   * on not re-scanning the corpus per query). `tf` and `dl` are cached;
-   * each [[scoreIndexed]] call then touches only the postings of its own
-   * query terms. Build once per corpus version; at cluster scale persist
-   * `tf` bucketed by term instead of caching.
-   */
-  final case class Index(tf: DataFrame, dl: DataFrame)
+  /** Per-doc token counts (as DOUBLE, the BM25 `dl`). */
+  def docLengths(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc"),
+      size(Text.tokens(col(textCol))).cast("double").as("dl"))
 
-  def buildIndex(docs: DataFrame, idCol: String, textCol: String): Index = {
-    val tf = termStats(docs, idCol, textCol).cache()
-    val dl = docs.select(col(idCol).as("doc"),
-      size(Text.tokens(col(textCol))).cast("double").as("dl")).cache()
-    Index(tf, dl)
+  /**
+   * Prebuilt index state. `close()` releases the cached frames — the
+   * caller owns the lifecycle (repeated interactive queries reuse the
+   * caches until then).
+   */
+  final case class Index(postings: DataFrame, docFreq: DataFrame,
+                         nDocs: Long, avgdl: Double) {
+    def close(): Unit = { postings.unpersist(); docFreq.unpersist(); () }
   }
 
-  /** Score `queryTerms` against a prebuilt [[Index]]. */
+  /** Assemble an [[Index]] from term-frequency and doc-length frames
+    * (e.g. the incrementally-upserted state written by
+    * [[graft.streaming.Streams.incrementalSearchIndex]]). Runs one tiny
+    * stats job eagerly; caching is the interactive-path option. */
+  def assemble(tf: DataFrame, dl: DataFrame, cache: Boolean = true): Index = {
+    val postings0 = tf.join(dl, "doc")
+    val postings = if (cache) postings0.cache() else postings0
+    val docFreq0 = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val docFreq = if (cache) docFreq0.cache() else docFreq0
+    val stats = dl.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl")).head()
+    Index(postings, docFreq,
+      stats.getLong(0), if (stats.isNullAt(1)) 0.0 else stats.getDouble(1))
+  }
+
+  def buildIndex(docs: DataFrame, idCol: String, textCol: String): Index =
+    assemble(termStats(docs, idCol, textCol), docLengths(docs, idCol, textCol))
+
+  /** Score `queryTerms` against a prebuilt [[Index]]: one pruned scan of
+    * the postings + a vocabulary-row broadcast. */
   def scoreIndexed(index: Index, queryTerms: Seq[String],
                    k1: Double = K1, b: Double = B): DataFrame = {
-    val corpus = index.dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
-    val dfreq = index.tf.filter(col("term").isin(queryTerms: _*))
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
     val idf = log(
-      (col("n_docs").cast("double") - col("df") + lit(0.5)) /
+      (lit(index.nDocs).cast("double") - col("df") + lit(0.5)) /
         (col("df") + lit(0.5)) + lit(1.0))
     val tfNorm = (col("tf").cast("double") * lit(k1 + 1.0)) /
       (col("tf").cast("double") +
-        lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
-    index.tf.filter(col("term").isin(queryTerms: _*))
-      .join(broadcast(dfreq), "term")
-      .join(broadcast(index.dl), "doc")
-      .crossJoin(broadcast(corpus))
+        lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(index.avgdl)))
+    index.postings.filter(col("term").isin(queryTerms: _*))
+      .join(broadcast(index.docFreq.filter(col("term").isin(queryTerms: _*))), "term")
       .select(col("doc"), col("term"), (idf * tfNorm).as("contrib"))
       .groupBy(col("doc"))
       .agg(round(sum(col("contrib")), 4).as("bm25"))
   }
 
   /** Scores every document against `queryTerms`; returns (doc, score) for
-    * docs matching ≥1 term, higher = more relevant. One-shot form of
-    * [[buildIndex]] + [[scoreIndexed]] without caching. */
+    * docs matching ≥1 term, higher = more relevant. One-shot uncached
+    * form of [[buildIndex]] + [[scoreIndexed]]. */
   def score(docs: DataFrame, idCol: String, textCol: String,
-            queryTerms: Seq[String], k1: Double = K1, b: Double = B): DataFrame = {
-    val tf = termStats(docs, idCol, textCol)
-    val dl = docs.select(col(idCol).as("doc"),
-      size(Text.tokens(col(textCol))).cast("double").as("dl"))
-    scoreIndexed(Index(tf, dl), queryTerms, k1, b)
-  }
+            queryTerms: Seq[String], k1: Double = K1, b: Double = B): DataFrame =
+    scoreIndexed(
+      assemble(termStats(docs, idCol, textCol), docLengths(docs, idCol, textCol),
+        cache = false),
+      queryTerms, k1, b)
 }

@@ -147,21 +147,35 @@ object Dedup {
       bands * rowsPerBand, bands, rowsPerBand)
 
   /**
-   * Oracle-parity banded LSH ([[minhashLshPairsSha]]'s signature step):
-   * MinHash lanes come from SHA-256 ([[ShaLanes]] — bit-reproducible in
+   * Oracle-parity MinHash signatures ([[minhashLshPairsSha]]'s signature
+   * step): lanes come from SHA-256 ([[ShaLanes]] — bit-reproducible in
    * DuckDB) instead of xxhash64. Lane i = min over shingles of 60-bit lane
-   * i%4 of `sha256((i/4) || '|' || shingle)` — ceil(k/4) digests per
-   * shingle, four lanes per digest.
+   * i%4 of `sha256((i/4) || '|' || shingle)`.
    *
-   * Plan shape: shingle explode → per-shingle digests (codegen'd `sha2`/
-   * `conv` built-ins) → one groupBy(doc) with k map-side-combinable MINs —
-   * the shuffle carries k longs per doc per partition, never shingles.
-   * The xxhash64 scan-side kernel ([[minhashSignatures]]) stays the scale
-   * primary; this form exists so the full LSH pipeline is hash-checkable
-   * against the DuckDB oracle.
+   * Computed per-row by the native
+   * [[graft.functions.expressions.MinHashShaSig]] kernel — a scan-side
+   * projection with ZERO shuffle, like the xxhash64 primary
+   * ([[minhashSignatures]]). [[minhashSignaturesShaAgg]] keeps the
+   * pure-built-in aggregation formulation (codegen'd `sha2`/`conv` +
+   * groupBy MINs — the exact shape the DuckDB oracle runs) as the
+   * cross-checked executable spec.
    */
   def minhashSignaturesSha(df: DataFrame, idCol: String, textCol: String,
                            shingleN: Int, numHashes: Int): DataFrame = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.expressions.GraftExpressions.register)
+    val sig = df.select(col(idCol).as("doc"),
+        call_function("graft_minhash_sha", Text.tokens(col(textCol)),
+          lit(shingleN), lit(numHashes)).as("sig"))
+      .filter(col("sig").isNotNull)
+    sig.select(col("doc") +:
+      (0 until numHashes).map(i => col("sig").getItem(i).as(s"mh_$i")): _*)
+  }
+
+  /** Aggregation-form SHA MinHash signatures (the executable spec for
+    * [[minhashSignaturesSha]], and the shape its DuckDB oracle runs). */
+  def minhashSignaturesShaAgg(df: DataFrame, idCol: String, textCol: String,
+                              shingleN: Int, numHashes: Int): DataFrame = {
     val nDigests = (numHashes + 3) / 4
     val sh = shingleIndex(df, idCol, textCol, shingleN)
     val digests = sh.select(col("doc") +:
@@ -236,12 +250,25 @@ object Dedup {
   /**
    * Oracle-parity SimHash: 60-bit fingerprints from SHA-256 token lanes
    * ([[ShaLanes]]) so the whole pipeline — token hash, bit sums, prefix
-   * bucketing, Hamming verify — is bit-reproducible in DuckDB. Same
-   * aggregation shape as [[simhashAgg]] (explode + 60 map-side-combinable
-   * SUMs, one shuffle of 60 longs per doc per partition); the xxhash64
-   * scan-side kernel ([[simhash]]) stays the scale primary.
+   * bucketing, Hamming verify — is bit-reproducible in DuckDB.
+   *
+   * Computed per-row by the native
+   * [[graft.functions.expressions.SimHashSha]] kernel — a scan-side
+   * projection with ZERO shuffle, like the xxhash64 primary ([[simhash]]).
+   * [[simhashShaAgg]] keeps the pure-built-in aggregation formulation
+   * (explode + 60 map-side-combinable SUMs — the exact shape the DuckDB
+   * oracle runs) as the cross-checked executable spec.
    */
   def simhashSha(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.expressions.GraftExpressions.register)
+    df.select(col(idCol).as("doc"),
+      call_function("graft_simhash_sha", Text.tokens(col(textCol))).as("simhash"))
+  }
+
+  /** Aggregation-form SHA SimHash (the executable spec for [[simhashSha]],
+    * and the shape its DuckDB oracle runs). */
+  def simhashShaAgg(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val bits = 60
     val toks = df.select(col(idCol).as("doc"),
       explode(Text.tokens(col(textCol))).as("tok"))

@@ -151,7 +151,7 @@ object HybridSearch {
   final case class SearchIndex(bm25: Bm25.Index, assigned: DataFrame,
                                centroids: DataFrame) {
     def close(): Unit = {
-      bm25.tf.unpersist(); bm25.dl.unpersist()
+      bm25.close()
       assigned.unpersist(); centroids.unpersist(); ()
     }
   }

@@ -122,9 +122,10 @@ object Streams {
                       centroids: DataFrame, idCol: String,
                       vecCol: String): HybridSearch.SearchIndex =
     HybridSearch.SearchIndex(
-      Bm25.Index(
+      Bm25.assemble(
         spark.read.parquet(s"$outDir/tf").drop("batch_id"),
-        spark.read.parquet(s"$outDir/dl").drop("batch_id")),
+        spark.read.parquet(s"$outDir/dl").drop("batch_id"),
+        cache = false),
       spark.read.parquet(s"$outDir/assigned").drop("batch_id"),
       centroids.select(col(idCol).as("cid"), col(vecCol).as("cv")))
 }

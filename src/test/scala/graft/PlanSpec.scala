@@ -85,14 +85,16 @@ class PlanSpec extends SparkSpec {
       "minhash signatures must not be computed via aggregation")
   }
 
-  test("oracle-parity fingerprints (q20/q21) aggregate with map-side combine") {
-    // The SHA-lane forms are aggregation-shaped by design (built-in sha2/
-    // conv stay codegen'd); the scale property to pin is that the shuffle
-    // carries partially-combined per-doc state, never raw shingles/tokens
+  test("oracle-parity fingerprints (q20/q21) are scan-side projections too") {
+    // The SHA-lane kernels (MinHashShaSig/SimHashSha) restore the same
+    // zero-shuffle property as the xxhash64 primaries: fingerprints come
+    // straight out of the scan, never via explode + aggregation
     val p21 = plan("q21_simhash_pairs")
-    assert(p21.contains("partial_sum"), "bit sums must combine map-side")
+    assert(!p21.contains("partial_sum") && !p21.contains("partial_min"),
+      "sha fingerprints must not be computed via aggregation")
     val p20 = plan("q20_minhash_lsh")
-    assert(p20.contains("partial_min"), "lane mins must combine map-side")
+    assert(!p20.contains("partial_min"),
+      "sha minhash signatures must not be computed via aggregation")
   }
 
   test("q23 bm25: corpus statistics broadcast back, corpus shuffled once per agg") {

@@ -66,6 +66,22 @@ class DedupSpec extends SparkSpec {
     assert(native === agg)
   }
 
+  test("native sha minhash signatures are bit-identical to the aggregation formulation") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val native = rows(Dedup.minhashSignaturesSha(docs, "doc_id", "text", 3, 16))
+    val agg = rows(Dedup.minhashSignaturesShaAgg(docs, "doc_id", "text", 3, 16))
+    assert(native === agg)
+  }
+
+  test("native sha simhash is bit-identical to the aggregation formulation") {
+    val native = Dedup.simhashSha(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val agg = Dedup.simhashShaAgg(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native === agg)
+  }
+
   test("connected components label chains and keep isolated docs out") {
     import spark.implicits._
     // chain 1-2-3, triangle 10-11-12 (+ redundant edge), pair 20-21

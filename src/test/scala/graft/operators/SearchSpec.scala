@@ -65,7 +65,7 @@ class SearchSpec extends SparkSpec {
         Seq(0.0, 1.0), k = 2, nProbe = 1).collect()
       assert(again.nonEmpty)
     } finally idx.close()
-    assert(idx.bm25.tf.storageLevel === org.apache.spark.storage.StorageLevel.NONE)
+    assert(idx.bm25.postings.storageLevel === org.apache.spark.storage.StorageLevel.NONE)
     assert(idx.assigned.storageLevel === org.apache.spark.storage.StorageLevel.NONE)
   }
 
