@@ -397,6 +397,36 @@ object SparkEntry {
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("revenue"))
 
+  /** Deterministic stratified corpus sample: 50% of English docs, 20% of
+    * the rest, by SHA-lane of the doc id — reproducible, shuffle-free. */
+  private def stratifiedSample(s: SparkSession, d: String): DataFrame =
+    Curate.hashSample(documents(s, d),
+        concat(lit("sample|"), col("doc_id").cast("string")),
+        when(col("lang") === "en", 0.5).otherwise(0.2))
+      .select(col("doc_id"), col("lang"))
+
+  /** Keep-latest version resolution: each user's most recent event. */
+  private def keepLatestEvent(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("user_id"), col("event_id"),
+      unix_timestamp(col("ts")).as("ts_sec"))
+    Curate.keepLatest(ev, Seq("user_id"),
+      Seq(col("ts_sec").desc, col("event_id").desc))
+  }
+
+  /** Per-source quota: no source contributes more than 10 docs. */
+  private def sourceQuota(s: SparkSession, d: String): DataFrame =
+    Curate.perGroupQuota(documents(s, d).select(col("source"), col("doc_id")),
+      col("source"), col("doc_id"), n = 10)
+
+  /** PII scrub with injected emails/numbers (the corpus has none —
+    * same injection pattern as q13's malformed dates). */
+  private def piiScrub(s: SparkSession, d: String): DataFrame = {
+    val t = when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit(" contact 123456789 or bob.smith@example.com now")))
+      .otherwise(col("text"))
+    documents(s, d).select(col("doc_id"), Text.scrubPii(t).as("scrubbed"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"    -> (pricingSummary _),
     "q02_revenue_filter"     -> (revenueFilter _),
@@ -438,6 +468,10 @@ object SparkEntry {
     "q38_asof_join"          -> (asofCheckpoints _),
     "q39_range_join"         -> (rangeJoinWindows _),
     "q40_kmv_distinct"       -> (kmvDistinctTokens _),
+    "q41_stratified_sample"  -> (stratifiedSample _),
+    "q42_keep_latest"        -> (keepLatestEvent _),
+    "q43_source_quota"       -> (sourceQuota _),
+    "q44_pii_scrub"          -> (piiScrub _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -566,6 +600,43 @@ object SparkEntry {
        |FROM kk""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q41_stratified_sample" ->
+      s"""SELECT doc_id, lang FROM (
+         |  SELECT doc_id, lang,
+         |    ${duckLane("'sample|' || doc_id::VARCHAR")} AS lane,
+         |    CASE WHEN lang = 'en' THEN 0.5 ELSE 0.2 END AS rate
+         |  FROM documents)
+         |WHERE CAST(lane AS DOUBLE) < rate * 1152921504606846976.0""".stripMargin,
+
+    "q42_keep_latest" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_sec
+        |  FROM events)
+        |SELECT user_id, event_id, ts_sec FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts_sec DESC, event_id DESC) AS rn FROM ev)
+        |WHERE rn = 1""".stripMargin,
+
+    "q43_source_quota" ->
+      """SELECT source, doc_id, rk FROM (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 10""".stripMargin,
+
+    "q44_pii_scrub" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{4,}', '<NUM>', 'g') AS scrubbed
+        |FROM (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN text || ' contact 123456789 or bob.smith@example.com now'
+        |      ELSE text END AS t
+        |  FROM documents)""".stripMargin,
+
     "q20_minhash_lsh" -> minhashOracle,
     "q21_simhash_pairs" -> simhashOracle,
     "q25_lsh_knn" -> lshKnnOracle,

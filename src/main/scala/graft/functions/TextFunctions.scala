@@ -76,6 +76,22 @@ object Text {
   def fingerprint(toks: Column): Column =
     sha2(concat_ws(" ", array_sort(array_distinct(toks))), 256)
 
+  /** Email pattern shared by the PII scrub and its oracle — plain
+    * character classes only, so Java regex (Spark) and RE2 (DuckDB)
+    * agree on every match. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  /** Digit runs of 4+ (phone/account/id-shaped). */
+  val LongNumberPattern = "[0-9]{4,}"
+
+  /** PII scrub for corpus curation: mask emails then long digit runs
+    * (order matters — both engines apply the same sequence). Pure
+    * codegen'd `regexp_replace`, global replacement on both engines
+    * (DuckDB needs the 'g' flag in the oracle SQL). */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, "<EMAIL>"),
+      LongNumberPattern, "<NUM>")
+
   /**
    * Gopher-style document quality rules over the token metrics (the
    * rule-based corpus filter tier of a training-data pipeline): each rule

@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.functions.ShaLanes
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus-curation operators for training-data pipelines (the selection /
+ * retention tier between dedup and packing): deterministic sampling,
+ * keep-latest version resolution, and per-group quotas. All are
+ * scan-side or single-partitioned-window plans — no global ordering, no
+ * driver loops — and every one is exactly reproducible in ANSI SQL for
+ * the DuckDB oracle.
+ */
+object Curate {
+
+  /**
+   * Deterministic stratified sampling: keep a row iff the SHA-256 lane of
+   * its key ([[ShaLanes]] — uniform in [0, 2^60)) falls under
+   * `rate × 2^60`, where `rate` may vary per row (e.g. per language /
+   * source stratum). A pure scan-side filter: reproducible across runs,
+   * engines and cluster sizes, with no RNG state and no shuffle —
+   * the property that matters when re-materializing a 100 TB corpus cut.
+   * Prefix the key (`"sample|" + id`) to decorrelate from other lane uses.
+   */
+  def hashSample(df: DataFrame, keyCol: Column, rate: Column): DataFrame =
+    df.filter(ShaLanes.lane(keyCol.cast("string")).cast("double") <
+      rate * lit(ShaLanes.LaneSpace))
+
+  /**
+   * Keep-latest version resolution: one row per key set, the first under
+   * `order` (pass descending columns for "latest wins" — e.g. crawl
+   * snapshots of the same URL). One shuffle on the keys; ties must be
+   * broken by a unique column for determinism.
+   */
+  def keepLatest(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /**
+   * Per-group quota: cap each group at its first `n` rows in `orderCol`
+   * order (source/domain balancing — no single crawl domain may dominate
+   * the corpus). Emits the within-group rank as `rk`. Catalyst rewrites
+   * the rank-filter into WindowGroupLimit, so each partition retains at
+   * most n rows per group before the shuffle.
+   */
+  def perGroupQuota(df: DataFrame, groupCol: Column, orderCol: Column,
+                    n: Int): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(orderCol)
+    df.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= n)
+  }
+}

@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.Text
+import org.apache.spark.sql.functions._
+
+class CurateSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hashSample: deterministic, row-order invariant, near the target rate") {
+    val df = (0 until 4000).map(i => (i.toLong, s"k$i")).toDF("id", "k")
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      Curate.hashSample(d, col("k"), lit(0.3)).collect().map(_.getLong(0)).toSet
+    val a = ids(df)
+    val b = ids(df.orderBy(col("id").desc))
+    assert(a === b, "sample must not depend on row order")
+    val rate = a.size / 4000.0
+    assert(math.abs(rate - 0.3) < 0.03, s"observed rate $rate")
+  }
+
+  test("hashSample: per-stratum rates apply independently") {
+    val df = (0 until 2000).map(i => (i.toLong, if (i % 2 == 0) "en" else "de"))
+      .toDF("id", "lang")
+    val kept = Curate.hashSample(df, col("id").cast("string"),
+        when(col("lang") === "en", 0.8).otherwise(0.1))
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(kept("en") / 1000.0 - 0.8) < 0.1)
+    assert(math.abs(kept.getOrElse("de", 0L) / 1000.0 - 0.1) < 0.1)
+  }
+
+  test("keepLatest resolves to the newest version per key, ties by id") {
+    val df = Seq(
+      ("u1", 1L, 10L), ("u1", 2L, 30L), ("u1", 3L, 30L), // tie at ts 30 → id 3
+      ("u2", 4L, 5L)
+    ).toDF("user", "id", "ts")
+    val out = Curate.keepLatest(df, Seq("user"), Seq(col("ts").desc, col("id").desc))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("u1" -> 3L, "u2" -> 4L))
+  }
+
+  test("perGroupQuota caps each group and ranks within it") {
+    val df = (0 until 30).map(i => (s"s${i % 3}", i.toLong)).toDF("src", "id")
+    val out = Curate.perGroupQuota(df, col("src"), col("id"), n = 4)
+    assert(out.count() === 12)
+    assert(out.groupBy("src").count().collect().forall(_.getLong(1) === 4))
+    assert(out.agg(max(col("rk"))).head.getLong(0) === 4L)
+  }
+
+  test("scrubPii masks emails and long digit runs, leaves prose alone") {
+    val out = Seq(
+      "reach me at jane.doe+x@lab.example.org today",
+      "serial 123456789 shipped 99 units",
+      "no pii here at all"
+    ).toDF("t").select(Text.scrubPii(col("t")).as("s")).collect().map(_.getString(0))
+    assert(out(0) === "reach me at <EMAIL> today")
+    assert(out(1) === "serial <NUM> shipped 99 units")
+    assert(out(2) === "no pii here at all")
+  }
+}
