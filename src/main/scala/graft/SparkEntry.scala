@@ -427,6 +427,10 @@ object SparkEntry {
     documents(s, d).select(col("doc_id"), Text.scrubPii(t).as("scrubbed"))
   }
 
+  /** TF-IDF keyword extraction: top-3 terms per document. */
+  private def tfidfTopTerms(s: SparkSession, d: String): DataFrame =
+    Bm25.tfidfTopTerms(documents(s, d), "doc_id", "text", k = 3)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"    -> (pricingSummary _),
     "q02_revenue_filter"     -> (revenueFilter _),
@@ -472,6 +476,7 @@ object SparkEntry {
     "q42_keep_latest"        -> (keepLatestEvent _),
     "q43_source_quota"       -> (sourceQuota _),
     "q44_pii_scrub"          -> (piiScrub _),
+    "q45_tfidf_topterms"     -> (tfidfTopTerms _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -636,6 +641,19 @@ object SparkEntry {
         |      THEN text || ' contact 123456789 or bob.smith@example.com now'
         |      ELSE text END AS t
         |  FROM documents)""".stripMargin,
+
+    "q45_tfidf_topterms" ->
+      """WITH toks AS (SELECT doc_id AS doc, unnest(str_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |s AS (SELECT doc, term,
+        |    round(tf::DOUBLE * ln(n_docs::DOUBLE / df::DOUBLE), 6) AS tfidf
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+        |SELECT doc, term, tfidf, rk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc
+        |    ORDER BY tfidf DESC, term) AS rk FROM s)
+        |WHERE rk <= 3""".stripMargin,
 
     "q20_minhash_lsh" -> minhashOracle,
     "q21_simhash_pairs" -> simhashOracle,

@@ -83,6 +83,29 @@ object Bm25 {
       .agg(round(sum(col("contrib")), 4).as("bm25"))
   }
 
+  /**
+   * TF-IDF keyword extraction: the top `k` terms per document by
+   * `tf · ln(N/df)` (term tiebreak). The rank filter compiles to
+   * WindowGroupLimit (per-partition pre-pruning before the doc shuffle);
+   * df and N are tiny broadcast aggregates — the corpus is shuffled once
+   * for tf and once for the per-doc ranking.
+   */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = termStats(docs, idCol, textCol)
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val tfidf = col("tf").cast("double") *
+      log(col("n_docs").cast("double") / col("df").cast("double"))
+    val w = Window.partitionBy(col("doc")).orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(n))
+      .select(col("doc"), col("term"), round(tfidf, 6).as("tfidf"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
   /** Scores every document against `queryTerms`; returns (doc, score) for
     * docs matching ≥1 term, higher = more relevant. One-shot uncached
     * form of [[buildIndex]] + [[scoreIndexed]]. */
