@@ -67,17 +67,26 @@ object Bm25 {
     assemble(termStats(docs, idCol, textCol), docLengths(docs, idCol, textCol))
 
   /** Score `queryTerms` against a prebuilt [[Index]]: one pruned scan of
-    * the postings + a vocabulary-row broadcast. */
+    * the postings + a vocabulary-row broadcast.
+    *
+    * Query terms enter as broadcast DATA (a semi-join), not IN-list
+    * literals: repeated interactive calls then share byte-identical
+    * generated code, so whole-stage-codegen classes are compiled once and
+    * served from the Janino cache instead of recompiled per query — the
+    * difference between a ~1 s and a sub-second warm call. */
   def scoreIndexed(index: Index, queryTerms: Seq[String],
                    k1: Double = K1, b: Double = B): DataFrame = {
+    val spark = index.postings.sparkSession
+    import spark.implicits._
+    val termsDf = broadcast(queryTerms.distinct.toDF("term"))
     val idf = log(
       (lit(index.nDocs).cast("double") - col("df") + lit(0.5)) /
         (col("df") + lit(0.5)) + lit(1.0))
     val tfNorm = (col("tf").cast("double") * lit(k1 + 1.0)) /
       (col("tf").cast("double") +
         lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(index.avgdl)))
-    index.postings.filter(col("term").isin(queryTerms: _*))
-      .join(broadcast(index.docFreq.filter(col("term").isin(queryTerms: _*))), "term")
+    index.postings.join(termsDf, Seq("term"), "left_semi")
+      .join(broadcast(index.docFreq.join(termsDf, Seq("term"), "left_semi")), "term")
       .select(col("doc"), col("term"), (idf * tfNorm).as("contrib"))
       .groupBy(col("doc"))
       .agg(round(sum(col("contrib")), 4).as("bm25"))

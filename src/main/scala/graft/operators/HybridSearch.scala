@@ -74,29 +74,53 @@ object HybridSearch {
       .select(col("doc"), col("vec"), col("cid"))
   }
 
-  /** Query-side IVF probe: the `nProbe` centroid ids nearest `qv`. */
-  private def probeIvf(cent: DataFrame, qv: Column, nProbe: Int): DataFrame =
-    cent.select(col("cid"), Vec.cosine(col("cv"), qv).as("ccos"))
+  /** The query vector as a one-row broadcast frame (column `q`). Shipping
+    * it as DATA rather than an inline literal array keeps the generated
+    * whole-stage code byte-identical across interactive calls, so Janino
+    * serves repeated queries from its codegen cache instead of
+    * recompiling per call (the dominant warm-latency cost otherwise). */
+  private def queryVecDf(spark: org.apache.spark.sql.SparkSession,
+                         queryVec: Seq[Double]): DataFrame = {
+    import spark.implicits._
+    broadcast(Seq(queryVec.toArray).toDF("q"))
+  }
+
+  /** Query-side IVF probe: the `nProbe` centroid ids nearest the query. */
+  private def probeIvf(cent: DataFrame, qvDf: DataFrame, nProbe: Int): DataFrame =
+    cent.crossJoin(qvDf)
+      .select(col("cid"), Vec.cosine(col("cv"), col("q")).as("ccos"))
       .orderBy(col("ccos").desc, col("cid").asc).limit(nProbe)
       .select(col("cid"))
 
-  /** RRF-fuse two ranked candidate frames and keep the top k. */
+  /** RRF-fuse two ranked candidate frames and keep the top k.
+    * Fusion is union + one tiny groupBy rather than a full-outer join:
+    * each doc appears at most once per leg, so `max` recovers exactly the
+    * outer-join row — and the plan drops the join's two sort stages,
+    * which matters at interactive latency. */
   private def fuse(lexical: DataFrame, vector: DataFrame, k: Int): DataFrame = {
+    val lexSide = lexical.select(col("doc"), col("bm25"), col("r_lex"),
+      lit(null).cast("double").as("cos"), lit(null).cast("long").as("r_vec"))
+    val vecSide = vector.select(col("doc"),
+      lit(null).cast("double").as("bm25"), lit(null).cast("long").as("r_lex"),
+      col("cos"), col("r_vec"))
     val rrf =
       coalesce(lit(1.0) / (lit(RrfK) + col("r_lex")), lit(0.0)) +
       coalesce(lit(1.0) / (lit(RrfK) + col("r_vec")), lit(0.0))
-    lexical.join(vector, Seq("doc"), "full_outer")
+    lexSide.unionByName(vecSide)
+      .groupBy(col("doc"))
+      .agg(max(col("bm25")).as("bm25"), max(col("r_lex")).as("r_lex"),
+        max(col("cos")).as("cos"), max(col("r_vec")).as("r_vec"))
       .withColumn("rrf", rrf)
       .orderBy(col("rrf").desc, col("doc").asc)
       .limit(k)
   }
 
-  private def search(lexScores: DataFrame, vecPool: DataFrame, qv: Column,
+  private def search(lexScores: DataFrame, vecPool: DataFrame, qvDf: DataFrame,
                      k: Int, candidates: Int): DataFrame = {
     val lexCand = lexScores
       .orderBy(col("bm25").desc, col("doc").asc).limit(candidates)
-    val vecCand = vecPool
-      .select(col("doc"), Vec.cosine(col("vec"), qv).as("cos"))
+    val vecCand = vecPool.crossJoin(qvDf)
+      .select(col("doc"), Vec.cosine(col("vec"), col("q")).as("cos"))
       .orderBy(col("cos").desc, col("doc").asc).limit(candidates)
     fuse(rankCandidates(lexCand, "bm25", "r_lex"),
       rankCandidates(vecCand, "cos", "r_vec"), k)
@@ -125,18 +149,18 @@ object HybridSearch {
                    candidates: Int = 100,
                    centroids: Option[DataFrame] = None, nProbe: Int = 4): DataFrame = {
     val filtered = filters.foldLeft(corpus)((df, p) => df.filter(p))
-    val qv = array(queryVec.map(lit): _*)
+    val qvDf = queryVecDf(corpus.sparkSession, queryVec)
     val lexScores = Bm25.score(filtered, idCol, textCol, terms(queryText))
     val vecPool = centroids match {
       case Some(c) =>
         val cent = c.select(col(idCol).as("cid"), col(vecCol).as("cv"))
         assignOn(filtered, idCol, vecCol, cent)
-          .join(broadcast(probeIvf(cent, qv, nProbe)), "cid")
+          .join(broadcast(probeIvf(cent, qvDf, nProbe)), "cid")
           .select(col("doc"), col("vec"))
       case None =>
         filtered.select(col(idCol).as("doc"), col(vecCol).as("vec"))
     }
-    search(lexScores, vecPool, qv, k, candidates)
+    search(lexScores, vecPool, qvDf, k, candidates)
   }
 
   /**
@@ -168,10 +192,10 @@ object HybridSearch {
   def similarCasesIndexed(index: SearchIndex, queryText: String, queryVec: Seq[Double],
                           k: Int = 20, candidates: Int = 100,
                           nProbe: Int = 4): DataFrame = {
-    val qv = array(queryVec.map(lit): _*)
+    val qvDf = queryVecDf(index.assigned.sparkSession, queryVec)
     val vecPool = index.assigned
-      .join(broadcast(probeIvf(index.centroids, qv, nProbe)), "cid")
+      .join(broadcast(probeIvf(index.centroids, qvDf, nProbe)), "cid")
       .select(col("doc"), col("vec"))
-    search(Bm25.scoreIndexed(index.bm25, terms(queryText)), vecPool, qv, k, candidates)
+    search(Bm25.scoreIndexed(index.bm25, terms(queryText)), vecPool, qvDf, k, candidates)
   }
 }
