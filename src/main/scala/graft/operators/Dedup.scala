@@ -314,17 +314,19 @@ object Dedup {
    */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIters: Int = 20,
-                          driverEdgeLimit: Long = 1L << 20): DataFrame = {
+                          driverBudgetBytes: Long = 64L << 20): DataFrame = {
     val fwd = pairs.select(col(aCol).cast("long").as("src"),
       col(bCol).cast("long").as("dst")).cache()
     val nEdges = fwd.count()
 
     // Small graphs (the common case after LSH banding): collect the edge
     // list and union-find on the driver — the component step then costs
-    // one job instead of O(diameter) iterative joins. Same adaptive logic
-    // as a broadcast-join threshold; the distributed path below stays the
-    // answer when the pair graph itself is large.
-    if (nEdges <= driverEdgeLimit) {
+    // one job instead of O(diameter) iterative joins. The threshold is a
+    // BYTE budget (an edge is two longs = 16 bytes; default 64 MiB ≈ 4M
+    // edges), the same sizing logic as a broadcast-join threshold; the
+    // distributed path below stays the answer when the pair graph itself
+    // is large.
+    if (nEdges * 16L <= driverBudgetBytes) {
       val spark = pairs.sparkSession
       import spark.implicits._
       val edgeArr = fwd.as[(Long, Long)].collect()

@@ -103,7 +103,7 @@ class PropertySpec extends SparkSpec {
     assert(comps(new scala.util.Random(3).shuffle(edges)) === base)
     // distributed path agrees with driver union-find
     val dist = graft.operators.Dedup.connectedComponents(
-      edges.toDF("doc_a", "doc_b"), "doc_a", "doc_b", driverEdgeLimit = 0)
+      edges.toDF("doc_a", "doc_b"), "doc_a", "doc_b", driverBudgetBytes = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(dist === base)
   }

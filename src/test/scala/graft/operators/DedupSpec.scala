@@ -95,7 +95,7 @@ class DedupSpec extends SparkSpec {
     assert(comp === expected)
     // distributed min-label propagation path (forced)
     val dist = Dedup.connectedComponents(pairs, "doc_a", "doc_b",
-        driverEdgeLimit = 0).collect()
+        driverBudgetBytes = 0).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(dist === expected)
 
