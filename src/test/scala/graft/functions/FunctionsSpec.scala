@@ -69,4 +69,25 @@ class FunctionsSpec extends SparkSpec {
     assert(df.collect().map(r => if (r.isNullAt(0)) null else r.getDouble(0)).toSeq ===
       Seq(null, 0.5))
   }
+
+  test("ShaLanes: Column, JVM and known-answer lanes agree") {
+    // known vector: sha256("hello") = 2cf24dba5fb0a30e... -> first 15 hex
+    // chars parse to 202421034056092208 (cross-checked against DuckDB's
+    // list_reduce hex parse and Python int(hex[:15], 16))
+    assert(ShaLanes.jvmLane("hello") === 202421034056092208L)
+    val inputs = Seq("hello", "", "a", "0|the quick brown", "t,p,d", "ünïcødé")
+    val fromCol = inputs.toDF("s")
+      .select(col("s"), ShaLanes.lane(col("s")).as("lane"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    inputs.foreach { s =>
+      assert(fromCol(s) === ShaLanes.jvmLane(s), s"lane mismatch for '$s'")
+      assert(fromCol(s) >= 0L && fromCol(s) < (1L << 60))
+    }
+    // all four digest offsets agree between Column and JVM forms
+    ShaLanes.LaneOffsets.foreach { o =>
+      val c = Seq("offsets").toDF("s")
+        .select(ShaLanes.lane(col("s"), o)).head.getLong(0)
+      assert(c === ShaLanes.jvmLane("offsets".getBytes("UTF-8"), o))
+    }
+  }
 }
