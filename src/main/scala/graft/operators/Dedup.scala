@@ -349,8 +349,11 @@ object Dedup {
     }
 
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))).cache()
-    var labels = edges.select(col("src").as("doc")).distinct()
+    // `cached` tracks the exact frame holding storage each iteration —
+    // unpersist must target the cached plan itself, not a projection of it
+    var cached = edges.select(col("src").as("doc")).distinct()
       .select(col("doc"), col("doc").as("component")).cache()
+    var labels = cached
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -364,13 +367,20 @@ object Dedup {
             .as("component"))
         .cache()
       converged = next.filter(col("component") < col("old")).isEmpty
-      labels.unpersist()
+      cached.unpersist()
+      cached = next
       labels = next.select(col("doc"), col("component"))
       it += 1
     }
     fwd.unpersist()
     edges.unpersist()
-    labels
+    // hand back a lineage-truncated frame: localCheckpoint materializes the
+    // converged labels into GC-managed blocks (cleaned when the frame is
+    // dropped), so no permanently-cached DataFrame leaks to the caller and
+    // downstream reuse doesn't replay O(iterations) of join lineage
+    val out = labels.localCheckpoint()
+    cached.unpersist()
+    out
   }
 
   /** Keep-set after near-dup clustering: one representative (the min id)
