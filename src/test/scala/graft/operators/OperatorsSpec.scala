@@ -120,6 +120,25 @@ class OperatorsSpec extends SparkSpec {
     assert(sharded === Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 0L, 5L -> 1L))
   }
 
+  test("two-phase sharded packing is bit-equal to the global running sum") {
+    // sparse non-contiguous ids, skewed token counts, several shard widths
+    val rnd = new scala.util.Random(7)
+    val docs = (0 until 500).map { i =>
+      (i.toLong * 7 + (i % 3), 1L + rnd.nextInt(3000).toLong)
+    }.toDF("doc_id", "n").repartition(8)
+    val global = Pack.sequential(docs, col("doc_id"), col("n"), budget = 4096)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("chunk_id")).toMap
+    for (shards <- Seq(1, 4, 32, 1000)) {
+      val sharded = Pack.sharded(docs, col("doc_id"), col("n"), budget = 4096,
+          nShards = shards)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("chunk_id")).toMap
+      assert(sharded === global, s"nShards=$shards diverged from the global form")
+    }
+    // empty input: no rows, no exceptions
+    assert(Pack.sharded(docs.filter(lit(false)), col("doc_id"), col("n"), 4096)
+      .count() === 0)
+  }
+
   test("multimodal resize plan: aspect preserved, capped longest side, no upscale") {
     val assets = Seq(
       (1L, "image", 4000, 3000),   // downscale 4:3
