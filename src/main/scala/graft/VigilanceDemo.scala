@@ -65,6 +65,23 @@ object VigilanceDemo {
         embedded, "event_id", "narrative_text", "feature",
         queryText, queryVec, k = 5)
       .show(5, truncate = 60)
+
+    // Interactive serving path (the P95 < 1.5 s SLO shape,
+    // README.md:87,139): build the search index once — cached BM25
+    // postings + IVF assignment — then answer repeated queries warm.
+    val centroids = embedded.limit(8)
+      .select(col("event_id"), col("feature"))
+    val idx = graft.operators.HybridSearch.buildIndex(
+      embedded, "event_id", "narrative_text", "feature", centroids)
+    try {
+      Seq("battery depleted", "software error code").foreach { q =>
+        val qv = codec.decodeAndEmbed(q.getBytes("UTF-8")).map(_.toDouble).toSeq
+        println(s"""[vigilance] warm similar cases for "$q":""")
+        graft.operators.HybridSearch
+          .similarCasesIndexed(idx, q, qv, k = 3, nProbe = 2)
+          .show(3, truncate = 60)
+      }
+    } finally idx.close()
     spark.stop()
   }
 }
