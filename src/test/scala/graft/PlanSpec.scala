@@ -135,6 +135,14 @@ class PlanSpec extends SparkSpec {
       "legs + final fuse must be distributed top-N")
   }
 
+  test("q43 quota: rank filter compiles to WindowGroupLimit (partial + final)") {
+    // per-group top-n must pre-prune map-side: each partition retains at
+    // most n rows per group before the shuffle feeds the final window
+    val p = plan("q43_source_quota")
+    assert(countOf(p, "WindowGroupLimit") >= 2, p.linesIterator
+      .filter(_.contains("Window")).mkString("\n"))
+  }
+
   test("q08 early signals: quarterly agg and window share one partitioning") {
     val p = plan("q08_early_signals")
     // one shuffle for the groupBy, one for the differently-keyed window
