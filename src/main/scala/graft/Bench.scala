@@ -132,7 +132,15 @@ object Bench {
         }
       name -> v
     }
-    val (p95, p50, corpusRows) = sloP95(spark, sfDir, sloQueries)
+    // SLO measurement is failure-isolated like the per-query timings: a
+    // broken index build must not abort the run before the JSON prints.
+    val (p95, p50, corpusRows) =
+      try sloP95(spark, sfDir, sloQueries)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] SLO measurement FAILED: $e")
+        e.printStackTrace()
+        (-1.0, -1.0, -1L)
+      }
 
     val qs = results.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val failures = results.collect { case (k, v) if v < 0 => s"\"$k\"" }

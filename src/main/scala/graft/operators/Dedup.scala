@@ -213,7 +213,11 @@ object Dedup {
     org.apache.spark.sql.SparkSession.getActiveSession
       .foreach(graft.functions.expressions.GraftExpressions.register)
     df.select(col(idCol).as("doc"),
-      call_function("graft_simhash64", Text.tokens(col(textCol))).as("simhash"))
+        call_function("graft_simhash64", Text.tokens(col(textCol))).as("simhash"))
+      // NULL text → NULL fingerprint here, but NO row at all in the
+      // aggregation formulation (explode of null emits nothing); drop the
+      // row so both formulations stay row-equal, like minhashSignatures.
+      .filter(col("simhash").isNotNull)
   }
 
   /** Aggregation-form SimHash (the executable spec for [[simhash]]). */
@@ -263,7 +267,9 @@ object Dedup {
     org.apache.spark.sql.SparkSession.getActiveSession
       .foreach(graft.functions.expressions.GraftExpressions.register)
     df.select(col(idCol).as("doc"),
-      call_function("graft_simhash_sha", Text.tokens(col(textCol))).as("simhash"))
+        call_function("graft_simhash_sha", Text.tokens(col(textCol))).as("simhash"))
+      // as in [[simhash]]: align NULL-text handling with the agg spec
+      .filter(col("simhash").isNotNull)
   }
 
   /** Aggregation-form SHA SimHash (the executable spec for [[simhashSha]],

@@ -50,8 +50,9 @@ object Knn {
   /**
    * Deterministic Lloyd k-means for IVF centroid training
    * ([[ivfTopK]]'s scale path: "centroids from k-means over a corpus
-   * sample"). Init = stride-sampled vectors in id order (spread, not
-   * clumped); each iteration assigns by cosine and recomputes per-cluster
+   * sample"). Init = the k vectors with the smallest xxhash64(id) — a
+   * deterministic pseudo-random sample, id type agnostic (the id value
+   * itself is never decoded); each iteration assigns by cosine and recomputes per-cluster
    * means; empty clusters keep their previous centroid. Centroids live on
    * the driver between iterations (k × dim doubles — tiny at any corpus
    * scale), so each iteration is one broadcast-assign scan plus one
@@ -74,7 +75,9 @@ object Knn {
     var centroids: Seq[(Long, Seq[Double])] = v
       .orderBy(xxhash64(col("id")).asc, col("id").asc)
       .limit(k)
-      .select(col("id"), col("vec"))
+      // collect the HASH as the ordering key, not the id itself — ids of
+      // any type (string, decimal…) work without a cast
+      .select(xxhash64(col("id")).as("hid"), col("vec"))
       .as[(Long, Seq[Double])].collect().toSeq
       .sortBy(_._1).zipWithIndex
       .map { case ((_, vec), i) => (i.toLong, vec) }

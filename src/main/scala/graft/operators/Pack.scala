@@ -41,7 +41,14 @@ object Pack {
   def sharded(df: DataFrame, orderCol: Column, nTokens: Column,
               budget: Long, nShards: Int = 32): DataFrame = {
     val key = orderCol.cast("long")
-    val maxRow = df.agg(max(key)).head()
+    // one pass computes the shard width AND validates the key contract —
+    // a NULL/negative key would otherwise surface as an opaque NPE (null
+    // shard total) or silently drop rows at the offsets join
+    val maxRow = df.agg(max(key).as("mx"),
+      count(when(key.isNull || key < 0, 1)).as("bad")).head()
+    require(maxRow.getLong(1) == 0L,
+      s"Pack.sharded requires a non-NULL, non-negative integral order key; " +
+        s"${maxRow.getLong(1)} row(s) violate this (use Pack.sequential or clean the key)")
     val width =
       if (maxRow.isNullAt(0)) 1L
       else math.max(1L, maxRow.getLong(0) / nShards + 1)

@@ -44,7 +44,10 @@ object Sketch {
   def kmvDistinct(df: DataFrame, keys: Seq[String], laneCol: Column,
                   k: Int = 256): DataFrame = {
     require(k >= 3, "KMV needs k >= 3")
-    val hashed = df.select((keys.map(col) :+ laneCol.as("lane")): _*).distinct()
+    // NULL lanes would sort first and consume a kept slot; the KmvSketch
+    // aggregate ignores NULL inputs, so the spec must too.
+    val hashed = df.select((keys.map(col) :+ laneCol.as("lane")): _*)
+      .filter(col("lane").isNotNull).distinct()
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col("lane").asc)
     hashed
       .withColumn("rn", row_number().over(w))

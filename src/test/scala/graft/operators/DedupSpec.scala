@@ -50,36 +50,46 @@ class DedupSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(fp(10L) ^ fp(31L)) > 12)
   }
 
+  // parity fixture includes NULL text (native kernels must drop the row
+  // like the agg formulations' explode does) and empty text (one ""
+  // token both sides)
+  private lazy val docsEdge = docs.unionByName(Seq(
+    (40L, null.asInstanceOf[String]), (41L, "")).toDF("doc_id", "text"))
+
   test("native minhash signatures are bit-identical to the aggregation formulation") {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => r.getLong(0) -> r.toSeq.tail).toMap
-    val native = rows(Dedup.minhashSignatures(docs, "doc_id", "text", 3, 16))
-    val agg = rows(Dedup.minhashSignaturesAgg(docs, "doc_id", "text", 3, 16))
+    val native = rows(Dedup.minhashSignatures(docsEdge, "doc_id", "text", 3, 16))
+    val agg = rows(Dedup.minhashSignaturesAgg(docsEdge, "doc_id", "text", 3, 16))
     assert(native === agg)
+    assert(!native.contains(40L))
   }
 
   test("native simhash is bit-identical to the aggregation formulation") {
-    val native = Dedup.simhash(docs, "doc_id", "text").collect()
+    val native = Dedup.simhash(docsEdge, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val agg = Dedup.simhashAgg(docs, "doc_id", "text").collect()
+    val agg = Dedup.simhashAgg(docsEdge, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(native === agg)
+    assert(!native.contains(40L) && native.contains(41L))
   }
 
   test("native sha minhash signatures are bit-identical to the aggregation formulation") {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => r.getLong(0) -> r.toSeq.tail).toMap
-    val native = rows(Dedup.minhashSignaturesSha(docs, "doc_id", "text", 3, 16))
-    val agg = rows(Dedup.minhashSignaturesShaAgg(docs, "doc_id", "text", 3, 16))
+    val native = rows(Dedup.minhashSignaturesSha(docsEdge, "doc_id", "text", 3, 16))
+    val agg = rows(Dedup.minhashSignaturesShaAgg(docsEdge, "doc_id", "text", 3, 16))
     assert(native === agg)
+    assert(!native.contains(40L))
   }
 
   test("native sha simhash is bit-identical to the aggregation formulation") {
-    val native = Dedup.simhashSha(docs, "doc_id", "text").collect()
+    val native = Dedup.simhashSha(docsEdge, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val agg = Dedup.simhashShaAgg(docs, "doc_id", "text").collect()
+    val agg = Dedup.simhashShaAgg(docsEdge, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(native === agg)
+    assert(!native.contains(40L) && native.contains(41L))
   }
 
   test("connected components label chains and keep isolated docs out") {

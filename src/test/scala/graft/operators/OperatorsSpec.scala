@@ -139,6 +139,15 @@ class OperatorsSpec extends SparkSpec {
       .count() === 0)
   }
 
+  test("sharded packing fails fast on NULL or negative order keys") {
+    val bad = Seq((Some(1L), 10L), (None, 20L), (Some(-3L), 30L))
+      .toDF("doc_id", "n")
+    val e = intercept[IllegalArgumentException] {
+      Pack.sharded(bad, col("doc_id"), col("n"), budget = 100)
+    }
+    assert(e.getMessage.contains("non-NULL, non-negative"))
+  }
+
   test("multimodal resize plan: aspect preserved, capped longest side, no upscale") {
     val assets = Seq(
       (1L, "image", 4000, 3000),   // downscale 4:3

@@ -43,6 +43,16 @@ class SketchSpec extends SparkSpec {
     assert(win === agg)
   }
 
+  test("kmv window spec ignores NULL lanes, matching the sketch aggregate") {
+    // lane = NULL for every "nope" value; both formulations must ignore it
+    val df = ((0 until 100).map(i => ("g", s"v${i % 40}")) ++
+      (0 until 10).map(_ => ("g", "nope"))).toDF("g", "v")
+    val lane = when(col("v") =!= "nope", Sketch.shaLane(col("v")))
+    val win = Sketch.kmvDistinct(df, Seq("g"), lane, k = 16).head().getDouble(1)
+    val agg = Sketch.kmvDistinctSketch(df, Seq("g"), lane, k = 16).head().getDouble(1)
+    assert(win === agg)
+  }
+
   test("kmv sketch works with the xxhash64 scale lane too") {
     val df = (0 until 5000).map(i => ("g", s"t${i % 1234}")).toDF("g", "v")
     val win = Sketch.kmvDistinct(df, Seq("g"), Sketch.xxLane(col("v")), k = 256).head().getDouble(1)
