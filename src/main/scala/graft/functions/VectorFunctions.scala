@@ -44,6 +44,25 @@ object Vec {
   def cosineHof(a: Column, b: Column): Column =
     F.safeDiv(dot(a, b), norm(a) * norm(b))
 
+  /** Index (0-based, ascending-cid order) of the nearest centroid by
+    * cosine — a scan-side projection via the native
+    * [[graft.functions.expressions.NearestCentroid]] kernel: the IVF
+    * assignment step with ZERO join/shuffle/window on the corpus. */
+  def nearestCentroid(vec: Column, matrix: Seq[Seq[Double]]): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.expressions.GraftExpressions.register)
+    call_function("graft_nearest_centroid", vec, typedlit(matrix))
+  }
+
+  /** The `n` nearest centroid indices, ordered (cosine desc, index asc) —
+    * the probe-side twin of [[nearestCentroid]]; `explode` for the probe
+    * list with no per-query window. */
+  def nearestCentroids(vec: Column, matrix: Seq[Seq[Double]], n: Int): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.expressions.GraftExpressions.register)
+    call_function("graft_nearest_centroids", vec, typedlit(matrix), lit(n))
+  }
+
   /** Squared L2 distance (useful for IVF assignment without the sqrt). */
   def l2Sq(a: Column, b: Column): Column =
     aggregate(

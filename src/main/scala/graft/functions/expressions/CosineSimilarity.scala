@@ -194,10 +194,47 @@ object GraftExpressions {
     new ExpressionInfo(classOf[SimHashSha].getName, "graft_simhash_sha"),
     (children: Seq[Expression]) => SimHashSha(children.head))
 
+  /** Decode a foldable array<array<float|double>> child into the centroid
+    * matrix the nearest-centroid kernels carry as a constructor param. */
+  private def matrixFromExpr(e: Expression, fn: String): Seq[Seq[Double]] = {
+    require(e.foldable, s"$fn: the centroid matrix must be a literal (foldable)")
+    val et = e.dataType match {
+      case ArrayType(ArrayType(t @ (FloatType | DoubleType), _), _) => t
+      case other => throw new IllegalArgumentException(
+        s"$fn: centroid matrix must be array<array<float|double>>, got ${other.catalogString}")
+    }
+    val ad = e.eval().asInstanceOf[ArrayData]
+    (0 until ad.numElements()).map { i =>
+      val row = ad.getArray(i)
+      (0 until row.numElements()).map { j =>
+        if (et == FloatType) row.getFloat(j).toDouble else row.getDouble(j)
+      }
+    }
+  }
+
+  val nearestCentroid: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_nearest_centroid"),
+    new ExpressionInfo(classOf[NearestCentroid].getName, "graft_nearest_centroid"),
+    (children: Seq[Expression]) => NearestCentroid(children.head,
+      matrixFromExpr(children(1), "graft_nearest_centroid")))
+
+  val nearestCentroids: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_nearest_centroids"),
+    new ExpressionInfo(classOf[NearestCentroids].getName, "graft_nearest_centroids"),
+    (children: Seq[Expression]) => {
+      val n = children(2) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"graft_nearest_centroids(vec, centroids, n): n must be an integer literal, got $other")
+      }
+      NearestCentroids(children.head,
+        matrixFromExpr(children(1), "graft_nearest_centroids"), n)
+    })
+
   /** Idempotently register on a session's function registry. */
   def register(spark: SparkSession): Unit =
     Seq(cosineSim, shingles, simhash64, minhash, lshSig, lshSigSha, kmv,
-        minhashSha, simhashSha).foreach {
+        minhashSha, simhashSha, nearestCentroid, nearestCentroids).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }

@@ -55,24 +55,24 @@ object HybridSearch {
         (col("pos") + 1).cast("long").as(rankName))
   }
 
-  /** IVF corpus assignment: every vector to its nearest centroid
-    * (broadcast centroids, per-doc window — the [[Knn.ivfTopK]] shape).
-    * `centroids` must carry the corpus's id/vec columns. */
+  /** IVF corpus assignment: every vector to its nearest centroid, as a
+    * scan-side projection via the native
+    * [[graft.functions.expressions.NearestCentroid]] kernel — the corpus
+    * is never crossJoined, shuffled, or windowed to learn its list ids
+    * (the r2 form materialized corpus × |centroids| rows per build).
+    * `centroids` must carry the corpus's id/vec columns; `cid` in the
+    * result is the centroid's ascending-id INDEX (assignment, probing and
+    * the list join all speak indices — original ids never matter). */
   def assignIvf(corpus: DataFrame, idCol: String, vecCol: String,
                 centroids: DataFrame): DataFrame =
-    assignOn(corpus, idCol, vecCol,
-      centroids.select(col(idCol).as("cid"), col(vecCol).as("cv")))
+    assignOn(corpus, idCol, vecCol, Knn.centroidMatrix(
+      centroids.select(col(idCol).as("cid"), col(vecCol).as("cv"))))
 
   private def assignOn(corpus: DataFrame, idCol: String, vecCol: String,
-                       cent: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("doc")).orderBy(col("ccos").desc, col("cid").asc)
+                       matrix: Seq[Seq[Double]]): DataFrame =
     corpus.select(col(idCol).as("doc"), col(vecCol).as("vec"))
-      .crossJoin(broadcast(cent))
-      .withColumn("ccos", Vec.cosine(col("vec"), col("cv")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("doc"), col("vec"), col("cid"))
-  }
+      .filter(col("vec").isNotNull)
+      .withColumn("cid", Vec.nearestCentroid(col("vec"), matrix))
 
   /** The query vector as a one-row broadcast frame (column `q`). Shipping
     * it as DATA rather than an inline literal array keeps the generated
@@ -85,12 +85,30 @@ object HybridSearch {
     broadcast(Seq(queryVec.toArray).toDF("q"))
   }
 
-  /** Query-side IVF probe: the `nProbe` centroid ids nearest the query. */
-  private def probeIvf(cent: DataFrame, qvDf: DataFrame, nProbe: Int): DataFrame =
-    cent.crossJoin(qvDf)
-      .select(col("cid"), Vec.cosine(col("cv"), col("q")).as("ccos"))
-      .orderBy(col("ccos").desc, col("cid").asc).limit(nProbe)
-      .select(col("cid"))
+  /** Query-side IVF probe, computed ON THE DRIVER: the query is one
+    * vector and the centroid matrix is already driver-resident (≤ k × dim
+    * doubles), so the top-`nProbe` list ids are a tiny local loop through
+    * the same [[graft.functions.expressions.NearestCentroidUtil]] kernel
+    * the executors run — bit-identical to a distributed probe, minus an
+    * entire Spark job per interactive call (the r2 warm path's largest
+    * per-call overhead). */
+  private def probeDriver(matrix: Seq[Seq[Double]], queryVec: Seq[Double],
+                          nProbe: Int): Seq[Int] = {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    graft.functions.expressions.NearestCentroidUtil
+      .top(new GenericArrayData(queryVec.toArray),
+        matrix.map(_.toArray).toArray, false, nProbe)
+      .toIntArray().toSeq
+  }
+
+  /** Restrict an assigned corpus to the probed lists. The probe set
+    * enters as an ARRAY LITERAL (a codegen reference object, like the
+    * query vector's one-row frame): the generated code stays
+    * byte-identical across calls — Janino cache — and the filter sits
+    * directly on the cached assigned scan, no join, no extra job. */
+  private def probedPool(assigned: DataFrame, probed: Seq[Int]): DataFrame =
+    assigned.filter(array_contains(typedlit(probed), col("cid")))
+      .select(col("doc"), col("vec"))
 
   /** RRF-fuse two ranked candidate frames and keep the top k.
     * Fusion is union + one tiny groupBy rather than a full-outer join:
@@ -153,10 +171,10 @@ object HybridSearch {
     val lexScores = Bm25.score(filtered, idCol, textCol, terms(queryText))
     val vecPool = centroids match {
       case Some(c) =>
-        val cent = c.select(col(idCol).as("cid"), col(vecCol).as("cv"))
-        assignOn(filtered, idCol, vecCol, cent)
-          .join(broadcast(probeIvf(cent, qvDf, nProbe)), "cid")
-          .select(col("doc"), col("vec"))
+        val matrix = Knn.centroidMatrix(
+          c.select(col(idCol).as("cid"), col(vecCol).as("cv")))
+        probedPool(assignOn(filtered, idCol, vecCol, matrix),
+          probeDriver(matrix, queryVec, nProbe))
       case None =>
         filtered.select(col(idCol).as("doc"), col(vecCol).as("vec"))
     }
@@ -172,30 +190,36 @@ object HybridSearch {
    * call [[SearchIndex.close]] to release the cached state (storage is
    * NOT released implicitly; this is the documented ownership contract).
    */
+  /** `matrix` is the ascending-cid centroid matrix ([[Knn.centroidMatrix]]):
+    * driver-resident, so every warm call probes it locally instead of
+    * launching a probe job. */
   final case class SearchIndex(bm25: Bm25.Index, assigned: DataFrame,
-                               centroids: DataFrame) {
+                               matrix: Seq[Seq[Double]]) {
     def close(): Unit = {
       bm25.close()
-      assigned.unpersist(); centroids.unpersist(); ()
+      assigned.unpersist(); ()
     }
   }
 
   def buildIndex(corpus: DataFrame, idCol: String, textCol: String, vecCol: String,
                  centroids: DataFrame): SearchIndex = {
-    val cent = centroids.select(col(idCol).as("cid"), col(vecCol).as("cv")).cache()
-    val assigned = assignOn(corpus, idCol, vecCol, cent).cache()
-    SearchIndex(Bm25.buildIndex(corpus, idCol, textCol), assigned, cent)
+    val matrix = Knn.centroidMatrix(
+      centroids.select(col(idCol).as("cid"), col(vecCol).as("cv")))
+    val assigned = assignOn(corpus, idCol, vecCol, matrix).cache()
+    SearchIndex(Bm25.buildIndex(corpus, idCol, textCol), assigned, matrix)
   }
 
-  /** Warm-path search against a prebuilt [[SearchIndex]]. Same plan shape
-    * as [[similarCases]] with `centroids` set, minus the corpus scans. */
+  /** Warm-path search against a prebuilt [[SearchIndex]]. Same result as
+    * [[similarCases]] with `centroids` set, but the per-call plan touches
+    * only the cached postings + assigned scans: the IVF probe runs on the
+    * driver and enters the plan as data (array-literal filter), so a call
+    * is one collect-job whose generated code Janino serves from cache. */
   def similarCasesIndexed(index: SearchIndex, queryText: String, queryVec: Seq[Double],
                           k: Int = 20, candidates: Int = 100,
                           nProbe: Int = 4): DataFrame = {
     val qvDf = queryVecDf(index.assigned.sparkSession, queryVec)
-    val vecPool = index.assigned
-      .join(broadcast(probeIvf(index.centroids, qvDf, nProbe)), "cid")
-      .select(col("doc"), col("vec"))
+    val vecPool = probedPool(index.assigned,
+      probeDriver(index.matrix, queryVec, nProbe))
     search(Bm25.scoreIndexed(index.bm25, terms(queryText)), vecPool, qvDf, k, candidates)
   }
 }

@@ -55,7 +55,7 @@ object Knn {
    * itself is never decoded); each iteration assigns by cosine and recomputes per-cluster
    * means; empty clusters keep their previous centroid. Centroids live on
    * the driver between iterations (k × dim doubles — tiny at any corpus
-   * scale), so each iteration is one broadcast-assign scan plus one
+   * scale), so each iteration is one scan-side kernel assignment plus one
    * per-dimension mean aggregation; the corpus is never shuffled.
    *
    * Returns (cid: Long, cvec: array<double>), ready for [[ivfTopK]].
@@ -83,25 +83,37 @@ object Knn {
       .map { case ((_, vec), i) => (i.toLong, vec) }
 
     for (_ <- 0 until iters) {
-      val centDf = broadcast(centroids.toDF("cid", "cvec"))
-      val w = Window.partitionBy(col("id"))
-        .orderBy(col("ccos").desc, col("cid").asc)
-      val means = v.crossJoin(centDf)
-        .withColumn("ccos", Vec.cosine(col("vec"), col("cvec")))
-        .withColumn("crk", row_number().over(w))
-        .filter(col("crk") === 1)
-        .select(col("cid"), posexplode(col("vec")).as(Seq("pos", "x")))
+      // scan-side assignment: the centroid matrix rides into the scan as a
+      // kernel reference — the corpus is never crossJoined or shuffled to
+      // learn its cluster ids; the only exchange is the per-(cid, pos)
+      // partial-aggregated mean
+      val matrix = centroids.map(_._2)
+      val means = v
+        .select(Vec.nearestCentroid(col("vec"), matrix).as("cid"),
+          posexplode(col("vec")).as(Seq("pos", "x")))
         .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
         .groupBy(col("cid"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("cvec"))
-        .as[(Long, Seq[Double])].collect().toMap
-      centroids = centroids.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
+        .as[(Int, Seq[Double])].collect().toMap
+      centroids = centroids.map { case (cid, old) =>
+        (cid, means.getOrElse(cid.toInt, old))
+      }
     }
     // column names follow the corpus so the result plugs into ivfTopK
     centroids.toDF("cid", "cvec")
       .select(col("cid").as(idCol), col("cvec").as(vecCol))
   }
+
+  /** Collect a (cid, cv) centroid frame into an ascending-cid matrix for
+    * the scan-side nearest-centroid kernels — k × dim doubles on the
+    * driver, the same size class as a broadcast threshold. Matrix index i
+    * ≡ the i-th centroid in cid order, so the kernels' index-asc tie-break
+    * is exactly the window formulation's `cid asc`. */
+  private[graft] def centroidMatrix(cent: DataFrame): Seq[Seq[Double]] =
+    cent.orderBy(col("cid").asc)
+      .select(col("cv").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0)).toSeq
 
   /** Deterministic pseudo-random hyperplane component for (table, plane,
     * dim): uniform in [-1, 1) derived from a 64-bit avalanche hash. */
@@ -139,10 +151,12 @@ object Knn {
    * to its nearest centroid once (the "inverted list"), and a query scores
    * only the lists of its `nProbe` nearest centroids.
    *
-   * Scale shape: assignment is a broadcast of the centroid set against one
-   * corpus scan (no corpus shuffle), so candidate work per query is
-   * ~ nProbe/|centroids| of the corpus — the partition-pruning analog for
-   * vector search. At 100 TB the centroid set comes from sampled k-means
+   * Scale shape: assignment is a scan-side projection — the centroid
+   * matrix enters the native [[graft.functions.expressions.NearestCentroid]]
+   * kernel as a reference object, so the corpus is never crossJoined,
+   * shuffled, or windowed to learn its list ids — and candidate work per
+   * query is ~ nProbe/|centroids| of the corpus: the partition-pruning
+   * analog for vector search. At 100 TB the centroid set comes from sampled k-means
    * over a corpus fraction and the assigned table is written out
    * partitioned by `cid` so probes prune whole files; here centroids are
    * any caller-chosen deterministic subset, which keeps the operator (and
@@ -152,19 +166,21 @@ object Knn {
    */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
               idCol: String, vecCol: String, k: Int, nProbe: Int = 2): DataFrame = {
-    val cent = centroids.select(col(idCol).as("cid"), col(vecCol).as("cv"))
-    def nearest(df: DataFrame, id: String, vecAs: String, take: Int): DataFrame = {
-      val w = Window.partitionBy(col(id))
-        .orderBy(col("ccos").desc, col("cid").asc)
-      df.select(col(idCol).as(id), col(vecCol).as(vecAs))
-        .crossJoin(broadcast(cent))
-        .withColumn("ccos", Vec.cosine(col(vecAs), col("cv")))
-        .withColumn("crk", row_number().over(w))
-        .filter(col("crk") <= take)
-        .select(col(id), col(vecAs), col("cid"))
-    }
-    val assigned = nearest(corpus, "neighbor_id", "cvec", 1)
-    val probed = nearest(queries, "query_id", "qvec", nProbe)
+    val matrix = centroidMatrix(
+      centroids.select(col(idCol).as("cid"), col(vecCol).as("cv")))
+    // scan-side assignment and probing: both sides learn their list ids as
+    // pure projections (native nearest-centroid kernels) — no corpus ×
+    // centroids materialization, no per-id window, zero exchanges before
+    // the candidate join
+    val assigned = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+      .filter(col("cvec").isNotNull)
+      .withColumn("cid", Vec.nearestCentroid(col("cvec"), matrix))
+    val probed = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .filter(col("qvec").isNotNull)
+      .withColumn("cid",
+        explode(Vec.nearestCentroids(col("qvec"), matrix, nProbe)))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     // |probed| = |queries| × nProbe — broadcast it so the assigned corpus

@@ -127,5 +127,6 @@ object Streams {
         spark.read.parquet(s"$outDir/dl").drop("batch_id"),
         cache = false),
       spark.read.parquet(s"$outDir/assigned").drop("batch_id"),
-      centroids.select(col(idCol).as("cid"), col(vecCol).as("cv")))
+      graft.operators.Knn.centroidMatrix(
+        centroids.select(col(idCol).as("cid"), col(vecCol).as("cv"))))
 }

@@ -66,6 +66,44 @@ class KnnSpec extends SparkSpec {
     assert(trained === exact)
   }
 
+  test("nearest-centroid kernels are bit-identical to the crossJoin+window argmax") {
+    import graft.functions.Vec
+    import org.apache.spark.sql.expressions.Window
+    // centroids = ids 0..6 ascending, so window cid order == matrix index
+    // order; include a zero vector (undefined cosine → NULLS LAST tail)
+    val cent = corpus.filter(col("vec_id") < 7)
+      .select(col("vec_id").as("cid"),
+        when(col("cid") === 5, typedlit(Array.fill(8)(0.0f)))
+          .otherwise(col("embedding")).as("cv"))
+    val matrix = Knn.centroidMatrix(cent)
+    assert(matrix.size === 7)
+    for (take <- Seq(1, 3, 7, 9)) {
+      val w = Window.partitionBy(col("id")).orderBy(col("ccos").desc, col("cid").asc)
+      val win = corpus.select(col("vec_id").as("id"), col("embedding").as("v"))
+        .crossJoin(broadcast(cent))
+        .withColumn("ccos", Vec.cosine(col("v"), col("cv")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= take)
+        .collect().map(r => (r.getAs[Long]("id"), r.getAs[Int]("rk")) -> r.getAs[Long]("cid"))
+        .toMap
+      val kern = corpus
+        .select(col("vec_id").as("id"),
+          posexplode(Vec.nearestCentroids(col("embedding"), matrix, take))
+            .as(Seq("pos", "cidx")))
+        .collect().map(r => (r.getAs[Long]("id"), r.getAs[Int]("pos") + 1) -> r.getAs[Int]("cidx").toLong)
+        .toMap
+      assert(kern === win, s"take=$take diverged from the window formulation")
+    }
+    // scalar argmax variant agrees with top-1
+    val one = corpus.select(col("vec_id").as("id"),
+        Vec.nearestCentroid(col("embedding"), matrix).as("cidx"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val winOne = corpus.select(col("vec_id").as("id"),
+        element_at(Vec.nearestCentroids(col("embedding"), matrix, 1), 1).as("cidx"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    assert(one === winOne)
+  }
+
   test("native LSH signatures are bit-identical to the HOF formulation") {
     for (table <- 0 until 3; bits <- Seq(4, 8)) {
       val bad = corpus.select(
