@@ -39,9 +39,19 @@ object Bench {
     }
   }
 
-  /** (P95, P50) over `n` warm interactive calls against a prebuilt
-    * search index. */
-  private def sloP95(spark: SparkSession, sfDir: String, nQueries: Int): (Double, Double, Long) = {
+  /** Milliseconds spent in GC so far, summed across collectors — deltas
+    * over the SLO window make tail regressions diagnosable from the
+    * bench JSON instead of needing a re-measure under a profiler. */
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+  }
+
+  /** Per-call telemetry over `n` warm interactive calls against a
+    * prebuilt search index: (p95, p50, corpusRows, callTimes, gcMs). */
+  private def sloP95(spark: SparkSession, sfDir: String, nQueries: Int)
+      : (Double, Double, Long, Seq[Double], Long) = {
     import graft.operators.HybridSearch
     val docs = Tables.documents(spark, sfDir)
     val emb = Tables.embeddings(spark, sfDir)
@@ -84,15 +94,17 @@ object Bench {
       // is byte-identical across calls and the Janino cache serves every
       // later call); the SLO is defined over WARM interactive queries
       (0 until 10).foreach(call)
+      val gc0 = gcMillis()
       val times = (0 until nQueries).map { q =>
         val t0 = System.nanoTime()
         call(q)
         (System.nanoTime() - t0) / 1e9
       }
+      val gcMs = gcMillis() - gc0
       val corpusRows = nDocs * factor
       val sorted = times.sorted
       (sorted(math.ceil(times.size * 0.95).toInt - 1),
-        sorted(times.size / 2), corpusRows)
+        sorted(times.size / 2), corpusRows, times, gcMs)
     } finally {
       conf.set("spark.sql.adaptive.enabled", savedAqe)
       conf.set("spark.sql.shuffle.partitions", savedParts)
@@ -134,22 +146,24 @@ object Bench {
     }
     // SLO measurement is failure-isolated like the per-query timings: a
     // broken index build must not abort the run before the JSON prints.
-    val (p95, p50, corpusRows) =
+    val (p95, p50, corpusRows, callTimes, sloGcMs) =
       try sloP95(spark, sfDir, sloQueries)
       catch { case e: Throwable =>
         System.err.println(s"[bench] SLO measurement FAILED: $e")
         e.printStackTrace()
-        (-1.0, -1.0, -1L)
+        (-1.0, -1.0, -1L, Seq.empty[Double], -1L)
       }
 
     val qs = results.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val failures = results.collect { case (k, v) if v < 0 => s"\"$k\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val callsJson = callTimes.map(t => f"$t%.4f").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""failures":$failures,"repeats":$repeats,""" +
       s""""p95_similar_cases_sec":$p95,"p50_similar_cases_sec":$p50,""" +
-      s""""slo_corpus_rows":$corpusRows,"sf":"$sfDir"}""")
+      s""""slo_corpus_rows":$corpusRows,"slo_call_times":$callsJson,""" +
+      s""""slo_gc_ms":$sloGcMs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -111,7 +111,13 @@ object Knn {
     * ≡ the i-th centroid in cid order, so the kernels' index-asc tie-break
     * is exactly the window formulation's `cid asc`. */
   private[graft] def centroidMatrix(cent: DataFrame): Seq[Seq[Double]] =
-    cent.orderBy(col("cid").asc)
+    // coalesce(1) + sortWithinPartitions, NOT orderBy: a global sort would
+    // range-partition, and range partitioning runs a separate bounds-
+    // sampling job — 2 jobs to order ≤64k tiny rows. The narrow single-
+    // partition sort keeps Spark's own ordering semantics for cid (so the
+    // kernels' index order ≡ the window form's `cid asc` for any type) in
+    // one job with no extra scan.
+    cent.coalesce(1).sortWithinPartitions(col("cid").asc)
       .select(col("cv").cast("array<double>"))
       .collect().map(_.getSeq[Double](0)).toSeq
 
