@@ -399,8 +399,52 @@ object Dedup {
       .drop("doc", "component")
   }
 
+  /**
+   * ANN embedding near-duplicates — the declared scale path for
+   * embedding-level dedup ([[embeddingNearDups]] is its brute-force
+   * executable spec/verifier). Sign-LSH bucketing bounds candidate
+   * generation: each vector is signed into 2^bits buckets in each of
+   * `tables` independent hash tables (signatures are scan-side native
+   * projections — [[Knn.lshSignature]] / [[Knn.lshSignatureSha]] kernels,
+   * zero shuffle), candidate pairs exist only INSIDE a (table, signature)
+   * bucket, and each surviving pair is verified with an exact cosine ≥
+   * `threshold`. Precision is therefore 1.0 relative to the brute baseline
+   * — only recall is approximate, and `tables` trades shuffle volume for
+   * recall (a pair is found if it collides in ANY table).
+   *
+   * Scale shape at 100 TB: the bucket self-join is an equi-join on
+   * (table, signature) — shuffle volume is tables × corpus, never
+   * corpus², and per-bucket work is sum(bucket²) with bucket sizes
+   * controlled by `bits`. High thresholds (near-dup territory, cos ≥ 0.9)
+   * are exactly where sign-LSH collision probability is high, so few
+   * tables suffice; the brute form stays the verifier at sample scale.
+   */
+  def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                      threshold: Double, bits: Int = 8, tables: Int = 4,
+                      sig: (Column, Int, Int) => Column = Knn.lshSignature): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .filter(col("vec").isNotNull)
+    val sigs = (0 until tables).map(t =>
+      struct(lit(t).as("t"), sig(col("vec"), bits, t).as("sig")))
+    val b = v.select(col("id"), col("vec"), explode(array(sigs: _*)).as("bk"))
+      .select(col("id"), col("vec"), col("bk.t").as("t"), col("bk.sig").as("sig"))
+    // vectors ride through the bucket join so verification needs no extra
+    // corpus joins (tables × ~256B per row of extra shuffle — the price of
+    // a 2-stage plan instead of 4)
+    b.as("a").join(b.as("b"),
+        col("a.t") === col("b.t") && col("a.sig") === col("b.sig") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.vec").as("va"), col("b.vec").as("vb"))
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(Vec.cosine(col("va"), col("vb")), 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Embedding-cosine near-duplicates: all pairs with cosine ≥ threshold.
-    * Brute self-join — correct baseline; the ANN path is [[Knn.lshTopK]]. */
+    * Brute self-join — correct baseline and the executable spec verifying
+    * [[lshNearDupPairs]]; the top-k ANN path is [[Knn.lshTopK]]. */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
                         threshold: Double): DataFrame = {
     val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
