@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.{F, ShaLanes, Text, Vec}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
