@@ -219,6 +219,15 @@ object SparkEntry {
   private def embeddingNearDup(s: SparkSession, d: String): DataFrame =
     Dedup.embeddingNearDups(embeddings(s, d), "vec_id", "embedding", threshold = 0.3)
 
+  /** ANN embedding near-dup — the declared scale path whose brute
+    * baseline is q22 ([[Dedup.embeddingNearDups]]). SHA-derived
+    * hyperplanes ([[Knn.lshSignatureSha]]) so the DuckDB oracle can
+    * rebuild the exact signatures; the xxhash64 kernel is the scale
+    * primary, cross-checked in DedupSpec. */
+  private def lshNearDup(s: SparkSession, d: String): DataFrame =
+    Dedup.lshNearDupPairs(embeddings(s, d), "vec_id", "embedding",
+      threshold = 0.3, bits = 8, tables = 2, sig = Knn.lshSignatureSha)
+
   private def bm25(s: SparkSession, d: String): DataFrame =
     Bm25.score(documents(s, d), "doc_id", "text", Seq("spark", "join", "fast"))
 
@@ -477,6 +486,7 @@ object SparkEntry {
     "q43_source_quota"       -> (sourceQuota _),
     "q44_pii_scrub"          -> (piiScrub _),
     "q45_tfidf_topterms"     -> (tfidfTopTerms _),
+    "q46_lsh_neardup"        -> (lshNearDup _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -573,6 +583,35 @@ object SparkEntry {
        |WHERE rank <= 5""".stripMargin
   }
 
+  /** q46 oracle: sign-LSH bucketed near-dup pairs over the same
+    * SHA-derived hyperplanes as q25 (2 tables × 8 bits over 64 dims):
+    * candidates are pairs colliding in any (table, signature) bucket,
+    * each verified by exact cosine ≥ 0.3 — mirroring
+    * [[Dedup.lshNearDupPairs]] with [[Knn.lshSignatureSha]]. */
+  private def lshNearDupOracle: String = {
+    val laneExpr = duckLane("t.range::VARCHAR || ',' || p.range::VARCHAR || ',' || d.range::VARCHAR")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |pw AS (
+       |  SELECT t.range AS t, p.range AS p, d.range AS d,
+       |    $laneExpr / 576460752303423488.0 - 1.0 AS w
+       |  FROM range(0, 2) t, range(0, 8) p, range(0, 64) d),
+       |pl AS (SELECT t, p, list(w ORDER BY d) AS pv FROM pw GROUP BY t, p),
+       |sg AS (
+       |  SELECT e.vec_id, pl.t,
+       |    CAST(sum(CASE WHEN list_dot_product(e.v, pl.pv) >= 0
+       |      THEN (1::BIGINT << pl.p) ELSE 0 END) AS BIGINT) AS sig
+       |  FROM e CROSS JOIN pl GROUP BY e.vec_id, pl.t),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM sg a JOIN sg b ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id)
+       |SELECT id_a, id_b, cosine FROM (
+       |  SELECT cand.id_a, cand.id_b,
+       |    round(list_dot_product(x.v, y.v) /
+       |      (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6) AS cosine
+       |  FROM cand JOIN e x ON x.vec_id = cand.id_a JOIN e y ON y.vec_id = cand.id_b)
+       |WHERE cosine >= 0.3""".stripMargin
+  }
+
   /** q28 oracle: SHA-lane codec features through the same math as
     * [[Multimodal.ShaCodec]] — lane → [-1,1) → FLOAT quantize → DOUBLE,
     * then a sequential-accumulation norm. */
@@ -658,6 +697,7 @@ object SparkEntry {
     "q20_minhash_lsh" -> minhashOracle,
     "q21_simhash_pairs" -> simhashOracle,
     "q25_lsh_knn" -> lshKnnOracle,
+    "q46_lsh_neardup" -> lshNearDupOracle,
     "q28_multimodal_features" -> multimodalOracle,
     "q40_kmv_distinct" -> kmvOracle,
     "q01_pricing_summary" ->

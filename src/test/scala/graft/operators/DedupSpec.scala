@@ -144,6 +144,30 @@ class DedupSpec extends SparkSpec {
       s"family {1,2,3} should collapse to 1; got $kept")
   }
 
+  test("ANN near-dup (sign-LSH) has precision 1.0 vs the brute baseline") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 30).flatMap { i =>
+      val v = Array.fill(16)(rnd.nextGaussian().toFloat)
+      val near = v.map(x => x + (rnd.nextGaussian() * 0.01).toFloat)
+      Seq((i.toLong, v), (i + 100L, near))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    def pairs(out: org.apache.spark.sql.DataFrame) = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val brute = pairs(Dedup.embeddingNearDups(df, "vec_id", "embedding", 0.95))
+    assert(brute.size >= 30)                     // every planted (i, i+100) pair
+    for (sig <- Seq(Knn.lshSignature _, Knn.lshSignatureSha _)) {
+      val ann = pairs(Dedup.lshNearDupPairs(df, "vec_id", "embedding", 0.95,
+        bits = 6, tables = 4, sig = sig))
+      // precision exactly 1.0: every ANN pair is a brute pair, same cosine
+      ann.foreach { case (k, c) =>
+        assert(brute.get(k).contains(c), s"false positive or cosine drift at $k") }
+      // tiny-angle planted pairs should nearly all collide in >=1 of 4 tables
+      assert(ann.size >= (brute.size * 0.8).toInt,
+        s"recall too low: ${ann.size}/${brute.size}")
+    }
+  }
+
   test("embedding near-dup by cosine threshold") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),
