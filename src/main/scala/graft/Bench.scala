@@ -48,10 +48,45 @@ object Bench {
       .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
   }
 
+  /** Deterministic query generator shared by the SLO timing loop and the
+    * recall eval: a three-term lexical query + a 64-dim query vector, both pure
+    * functions of `q`. */
+  private val termPool = Seq("spark", "join", "fast", "window", "stream",
+    "merge", "sort", "hash", "scan", "query")
+  private def queryTerms(q: Int): String =
+    Seq(termPool(q % termPool.size), termPool((q + 3) % termPool.size),
+      termPool((q + 7) % termPool.size)).mkString(" ")
+  private def queryVec(q: Int): Seq[Double] =
+    (0 until 64).map(i => (((i + 1) * (q + 2)) % 19 - 9) / 7.0)
+
+  /** Reference retrieval-quality SLO (README.md:86,138: Recall@20 ≥ 0.7):
+    * mean recall of the ANN-indexed warm path against the EXACT hybrid
+    * twin (identical BM25 + RRF fusion, vector leg a full top-N corpus
+    * scan instead of the IVF probe) over `nEval` held-out queries —
+    * query ids disjoint from the latency loop's, so the measured set
+    * never benefits from cache warming choices. Ground truth is
+    * brute-force by construction; only the IVF approximation is graded. */
+  private def recallAt20(idx: graft.operators.HybridSearch.SearchIndex,
+                         corpus: org.apache.spark.sql.DataFrame,
+                         nEval: Int, nProbe: Int): Double = {
+    import graft.operators.HybridSearch
+    val recalls = (0 until nEval).map { i =>
+      val q = 1000 + i * 7
+      val got = HybridSearch.similarCasesIndexed(idx, queryTerms(q), queryVec(q),
+          k = 20, candidates = 100, nProbe = nProbe)
+        .select("doc").collect().map(_.getLong(0)).toSet
+      val truth = HybridSearch.similarCases(corpus, "doc_id", "text", "embedding",
+          queryTerms(q), queryVec(q), k = 20, candidates = 100, centroids = None)
+        .select("doc").collect().map(_.getLong(0)).toSet
+      if (truth.isEmpty) 1.0 else (got & truth).size.toDouble / truth.size
+    }
+    recalls.sum / recalls.size
+  }
+
   /** Per-call telemetry over `n` warm interactive calls against a
-    * prebuilt search index: (p95, p50, corpusRows, callTimes, gcMs). */
+    * prebuilt search index: (p95, p50, corpusRows, callTimes, gcMs, recall@20). */
   private def sloP95(spark: SparkSession, sfDir: String, nQueries: Int)
-      : (Double, Double, Long, Seq[Double], Long) = {
+      : (Double, Double, Long, Seq[Double], Long, Double) = {
     import graft.operators.HybridSearch
     val docs = Tables.documents(spark, sfDir)
     val emb = Tables.embeddings(spark, sfDir)
@@ -64,7 +99,13 @@ object Bench {
       .select((col("doc_id") * factor + col("r")).as("doc_id"), col("text"))
       .join(broadcast(emb), pmod(col("doc_id"), lit(nEmb)) === col("vec_id"))
       .select(col("doc_id"), col("text"), col("embedding"))
-    val centroids = emb.filter(col("vec_id") < 64)
+    // IVF centroids from deterministic k-means over the distinct embedding
+    // set (the documented training posture — a corpus sample, not the
+    // replicated corpus): balanced lists lift recall@20 at the same
+    // nProbe vs an arbitrary fixed-id pick. Build cost, like the index
+    // build itself, is outside the interactive SLO window.
+    val centroids = graft.operators.Knn
+      .kmeansCentroids(emb, "vec_id", "embedding", k = 64, iters = 5)
       .select(col("vec_id").as("doc_id"), col("embedding"))
     val idx = HybridSearch.buildIndex(corpus, "doc_id", "text", "embedding", centroids)
     // Interactive latency profile for the SLO window: AQE's per-exchange
@@ -80,12 +121,8 @@ object Bench {
       idx.bm25.postings.count(); idx.bm25.docFreq.count(); idx.assigned.count()
       conf.set("spark.sql.adaptive.enabled", "false")
       conf.set("spark.sql.shuffle.partitions", "8")
-      val pool = Seq("spark", "join", "fast", "window", "stream", "merge",
-        "sort", "hash", "scan", "query")
       def call(q: Int): Unit = {
-        val terms = Seq(pool(q % pool.size), pool((q + 3) % pool.size), pool((q + 7) % pool.size))
-        val qv = (0 until 64).map(i => (((i + 1) * (q + 2)) % 19 - 9) / 7.0)
-        HybridSearch.similarCasesIndexed(idx, terms.mkString(" "), qv,
+        HybridSearch.similarCasesIndexed(idx, queryTerms(q), queryVec(q),
           k = 20, candidates = 100, nProbe = 8).collect()
         ()
       }
@@ -102,9 +139,10 @@ object Bench {
       }
       val gcMs = gcMillis() - gc0
       val corpusRows = nDocs * factor
+      val recall = recallAt20(idx, corpus, nEval = 10, nProbe = 8)
       val sorted = times.sorted
       (sorted(math.ceil(times.size * 0.95).toInt - 1),
-        sorted(times.size / 2), corpusRows, times, gcMs)
+        sorted(times.size / 2), corpusRows, times, gcMs, recall)
     } finally {
       conf.set("spark.sql.adaptive.enabled", savedAqe)
       conf.set("spark.sql.shuffle.partitions", savedParts)
@@ -146,12 +184,12 @@ object Bench {
     }
     // SLO measurement is failure-isolated like the per-query timings: a
     // broken index build must not abort the run before the JSON prints.
-    val (p95, p50, corpusRows, callTimes, sloGcMs) =
+    val (p95, p50, corpusRows, callTimes, sloGcMs, recall20) =
       try sloP95(spark, sfDir, sloQueries)
       catch { case e: Throwable =>
         System.err.println(s"[bench] SLO measurement FAILED: $e")
         e.printStackTrace()
-        (-1.0, -1.0, -1L, Seq.empty[Double], -1L)
+        (-1.0, -1.0, -1L, Seq.empty[Double], -1L, -1.0)
       }
 
     val qs = results.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
@@ -163,7 +201,7 @@ object Bench {
       s""""failures":$failures,"repeats":$repeats,""" +
       s""""p95_similar_cases_sec":$p95,"p50_similar_cases_sec":$p50,""" +
       s""""slo_corpus_rows":$corpusRows,"slo_call_times":$callsJson,""" +
-      s""""slo_gc_ms":$sloGcMs,"sf":"$sfDir"}""")
+      s""""slo_gc_ms":$sloGcMs,"recall_at_20":${f"$recall20%.4f"},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

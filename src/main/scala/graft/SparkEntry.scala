@@ -322,15 +322,15 @@ object SparkEntry {
     Dedup.connectedComponents(pairs, "doc_a", "doc_b")
   }
 
-  /** Corpus profiling: exact token-count quantiles per language tag. */
+  /** Corpus profiling: exact token-count quantiles per language tag
+    * (the DuckDB-oracled form; [[Sketch.quantilesApprox]] is the
+    * bounded-buffer scale path, cross-checked in SketchSpec — approx
+    * summaries are not bit-stable across engines, so the exact twin is
+    * the one declared here). */
   private def corpusQuantiles(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
-      .groupBy(col("lang"))
-      .agg(
-        count(lit(1)).as("n_docs"),
-        round(expr("percentile(double(size(split(text, ' '))), 0.5)"), 4).as("p50"),
-        round(expr("percentile(double(size(split(text, ' '))), 0.9)"), 4).as("p90"),
-        round(expr("percentile(double(size(split(text, ' '))), 0.99)"), 4).as("p99"))
+    Sketch.quantilesExact(documents(s, d), Seq("lang"),
+      expr("double(size(split(text, ' ')))"),
+      Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99), countName = "n_docs")
 
   /** As-of join: latest checkpoint event at-or-before each event, per user
     * (merge-sorted window composition — no range-join blowup). */

@@ -69,4 +69,34 @@ object Sketch {
     df.groupBy(keys.map(col): _*)
       .agg(round(call_function("graft_kmv", laneCol, lit(k)), 4).as("est_distinct"))
   }
+
+  /** Exact per-group quantiles (q37's oracle twin / executable spec).
+    * `percentile` buffers EVERY group value in the aggregation buffer —
+    * at 100 TB that is an OOM, not a slowdown, so this form is for
+    * small-scale oracles and as the cross-check for [[quantilesApprox]].
+    * `ps` maps output column name → percentage. */
+  def quantilesExact(df: DataFrame, keys: Seq[String], value: Column,
+                     ps: Seq[(String, Double)],
+                     countName: String = "n"): DataFrame = {
+    val aggs = count(lit(1)).as(countName) +:
+      ps.map { case (nm, p) => round(percentile(value, lit(p)), 4).as(nm) }
+    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Approximate per-group quantiles — the scale path. `percentile_approx`
+    * keeps a bounded mergeable summary per group (≤ O(accuracy) entries,
+    * rank error ≤ n/accuracy), so map-side partial aggregation ships a
+    * fixed-size state regardless of group cardinality — the same
+    * buffer-bound argument as [[kmvDistinctSketch]] vs [[kmvDistinct]].
+    * Cross-checked against [[quantilesExact]] in SketchSpec (error-bound
+    * assertion); not oracled directly because approximate quantile
+    * summaries are not bit-stable across engines. */
+  def quantilesApprox(df: DataFrame, keys: Seq[String], value: Column,
+                      ps: Seq[(String, Double)], accuracy: Int = 10000,
+                      countName: String = "n"): DataFrame = {
+    val aggs = count(lit(1)).as(countName) +:
+      ps.map { case (nm, p) =>
+        round(percentile_approx(value, lit(p), lit(accuracy)), 4).as(nm) }
+    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
 }

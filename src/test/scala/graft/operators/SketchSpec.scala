@@ -69,4 +69,40 @@ class SketchSpec extends SparkSpec {
       s"expected map-side partial KMV aggregation, got:\n$plan")
     assert(!plan.contains("Window"), s"no window shuffle expected, got:\n$plan")
   }
+
+  test("quantiles: approx scale path within rank-error bound of the exact twin") {
+    // deterministic skewed fixture: uniform 0..999 plus a heavy tail group
+    val rows = (0 until 50000).map(i => ("uni", ((i * 2654435761L) % 1000).toDouble)) ++
+      (0 until 5000).map(i => ("tail", math.pow(1.002, i % 4000)))
+    val df = rows.toDF("g", "v")
+    val ps = Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)
+    def byGroup(out: org.apache.spark.sql.DataFrame) = out.collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val exact = byGroup(Sketch.quantilesExact(df, Seq("g"), col("v"), ps))
+    // accuracy=100 → rank error ≤ n/100; for the 50k uniform group that is
+    // ≤500 ranks ≈ ≤10 in value over a 0..999 range (assert 5× slack)
+    val approx = byGroup(Sketch.quantilesApprox(df, Seq("g"), col("v"), ps, accuracy = 100))
+    for (g <- Seq("uni", "tail"); i <- 0 until 3) {
+      val e = Seq(exact(g)._1, exact(g)._2, exact(g)._3)(i)
+      val a = Seq(approx(g)._1, approx(g)._2, approx(g)._3)(i)
+      // rank error ≤ n/accuracy = 1% of ranks; on the 1.002^i exponential
+      // tail a 1%-rank shift is a 1.002^50 ≈ 10.5% value shift — bound at 12%
+      val tol = math.max(50.0, e * 0.12)
+      assert(math.abs(a - e) <= tol, s"group $g quantile $i: approx $a vs exact $e")
+    }
+    // at default accuracy the small-group summary is rank-lossless; the
+    // two still differ by estimator (exact interpolates between ranks,
+    // approx returns an actual data value) — so within one rank, not equal
+    val small = (0 until 500).map(i => ("s", i.toDouble)).toDF("g", "v")
+    val se = byGroup(Sketch.quantilesExact(small, Seq("g"), col("v"), ps))("s")
+    val sa = byGroup(Sketch.quantilesApprox(small, Seq("g"), col("v"), ps))("s")
+    for ((e, a) <- Seq(se._1 -> sa._1, se._2 -> sa._2, se._3 -> sa._3))
+      assert(math.abs(a - e) <= 1.0, s"approx $a vs exact $e beyond one rank")
+    // scale posture: the approx agg is a partial-merge hash aggregate, no
+    // per-row sort/window, and the partial state is the bounded summary
+    val plan = Sketch.quantilesApprox(df, Seq("g"), col("v"), ps)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_percentile_approx"),
+      s"expected map-side partial approx-percentile, got:\n$plan")
+  }
 }
