@@ -83,6 +83,83 @@ object Bench {
     recalls.sum / recalls.size
   }
 
+  /**
+   * Reference-workload bench (README.md:45-47: the vigilance corpus is
+   * ~1M MAUDE records): the stg→fact→counts→signals DAG timed per model
+   * with dbt-like materialization boundaries — marts are written to
+   * parquet and each downstream model reads the WRITTEN mart back, so a
+   * timing covers exactly one model's compute plus its own IO, never a
+   * recomputation of the chain. Fixture synthesis is distributed
+   * (`spark.range` → `to_json` → text) and excluded from the timings.
+   */
+  private def pipelineBench(spark: SparkSession, nRows: Long): Seq[(String, Double)] = {
+    import graft.models._
+    import graft.sources.MaudeIngest
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft_pipeline_bench")
+    val landing = base.resolve("landing").toString
+    val seedPath = base.resolve("manufacturer.csv")
+    Files.writeString(seedPath,
+      "RAW_NAME,CANONICAL_NAME,MANUFACTURER_ID\n" +
+        "ACME CORP,Acme Corporation,1\nMEDTECH GMBH,MedTech GmbH,2\n" +
+        "ZETA DEVICES,Zeta Devices,3\n")
+    try {
+      val evs = Seq("INJURY", "malfunction", "Death", "N/A", "Recall")
+      val mfrs = Seq("ACME CORP", "acme corp", "MedTech GmbH", "ZETA DEVICES", "NoSuch Inc")
+      val kw = Seq("routine operation reported", "leak detected near valve",
+        "pump fracture and break observed", "thrombus noted on lead")
+      val id = col("id")
+      def cyc(xs: Seq[String]) =
+        element_at(typedlit(xs), (pmod(id, lit(xs.size)) + 1).cast("int"))
+      // ~1% malformed dates exercise the null-safe parse exactly like the
+      // real feed; the rest spread uniformly over 2018-2024 quarters
+      val dateRecv = when(pmod(id, lit(97)) === 0, lit("2020xx01"))
+        .otherwise(date_format(date_add(lit("2018-01-01").cast("date"),
+          pmod(id, lit(2520)).cast("int")), "yyyyMMdd"))
+      spark.range(nRows).select(to_json(struct(
+          format_string("MDR%010d", id).as("mdr_report_key"),
+          format_string("RN-%d", id).as("report_number"),
+          dateRecv.as("date_received"),
+          cyc(evs).as("event_type"),
+          format_string("P%02d", pmod(id, lit(40))).as("device_report_product_code"),
+          array(struct(
+            cyc(mfrs).as("manufacturer_d_name"),
+            format_string("Brand%d", pmod(id, lit(12))).as("brand_name"))).as("device"),
+          array(struct(cyc(kw).as("text")),
+            struct(format_string("detail fragment %d", id).as("text"))).as("mdr_text")
+        )).as("value"))
+        .write.mode("overwrite").text(landing)
+
+      val models = Pipeline.build(MaudeIngest.batch(spark, landing),
+        MaudeIngest.manufacturerSeed(spark, seedPath.toString))
+      val factDir = base.resolve("fact").toString
+      val countsDir = base.resolve("counts").toString
+      val t = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+      def step(name: String)(body: => Unit): Unit = {
+        val t0 = System.nanoTime(); body
+        t += name -> (System.nanoTime() - t0) / 1e9
+      }
+      // staging is a lazy view in the reference (dbt_project.yml:10-12);
+      // its timing is one full evaluation, not a materialization
+      step("stg_maude") { models.stgMaude.count(); () }
+      step("fact_adverse_events") {
+        models.factAdverseEvents.withColumn("yyyy", year(col("date_received")))
+          .write.mode("overwrite").partitionBy("yyyy").parquet(factDir)
+      }
+      val factBack = spark.read.parquet(factDir)
+      step("ae_counts_q") {
+        AeCountsQ(factBack).write.mode("overwrite").parquet(countsDir)
+      }
+      val countsBack = spark.read.parquet(countsDir)
+      step("v_ae_early_signals") { VAeEarlySignals(countsBack).count(); () }
+      t.toSeq
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+  }
+
   /** Per-call telemetry over `n` warm interactive calls against a
     * prebuilt search index: (p95, p50, corpusRows, callTimes, gcMs, recall@20). */
   private def sloP95(spark: SparkSession, sfDir: String, nQueries: Int)
@@ -192,6 +269,18 @@ object Bench {
         (-1.0, -1.0, -1L, Seq.empty[Double], -1L, -1.0)
       }
 
+    val pipelineRows = sys.env.getOrElse("SPARK_GRAFT_PIPELINE_ROWS", "1000000").toLong
+    val pipelineJson =
+      try {
+        val ts = pipelineBench(spark, pipelineRows)
+        val per = ts.map { case (k, v) => s""""${k}_sec":${f"$v%.3f"}""" }.mkString(",")
+        s"""{"rows":$pipelineRows,$per,"total_sec":${f"${ts.map(_._2).sum}%.3f"}}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] pipeline bench FAILED: $e")
+        e.printStackTrace()
+        s"""{"rows":-1}"""
+      }
+
     val qs = results.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val failures = results.collect { case (k, v) if v < 0 => s"\"$k\"" }
       .mkString("[", ",", "]")
@@ -201,7 +290,8 @@ object Bench {
       s""""failures":$failures,"repeats":$repeats,""" +
       s""""p95_similar_cases_sec":$p95,"p50_similar_cases_sec":$p50,""" +
       s""""slo_corpus_rows":$corpusRows,"slo_call_times":$callsJson,""" +
-      s""""slo_gc_ms":$sloGcMs,"recall_at_20":${f"$recall20%.4f"},"sf":"$sfDir"}""")
+      s""""slo_gc_ms":$sloGcMs,"recall_at_20":${f"$recall20%.4f"},""" +
+      s""""pipeline":$pipelineJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -25,6 +25,21 @@ class PipelineSpec extends SparkSpec {
     assert(models.stgMaude.count() === 6)
   }
 
+  test("scan-side staging is row-identical to the flatten/groupBy spec") {
+    val raw = MaudeIngest.batch(spark, landing)
+    // load_ts is current_timestamp() — evaluated per plan, so drop it from
+    // the comparison (every other column must match bit-for-bit)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.drop("load_ts").collect().map(r => r.getString(0) -> r.toSeq).toMap
+    val fast = rows(StgMaude(raw))
+    val spec = rows(StgMaude.applyFlatten(raw))
+    assert(fast === spec)
+    // and the scale primary's physical plan has no exchange at all
+    val plan = StgMaude(raw).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Generate"),
+      s"staging must be a single scan-side projection, got:\n$plan")
+  }
+
   test("narrative reassembly: index order, blank fragments skipped") {
     val r1 = stgRow("1001")
     assert(r1.getAs[String]("narrative_text") === "part A\npart C")
