@@ -129,4 +129,83 @@ object Streams {
       spark.read.parquet(s"$outDir/assigned").drop("batch_id"),
       graft.operators.Knn.centroidMatrix(
         centroids.select(col(idCol).as("cid"), col(vecCol).as("cv"))))
+
+  /**
+   * Compact the micro-batch state written by [[incrementalSearchIndex]]
+   * IN PLACE: a week of `target_lag`-style refreshes accumulates one
+   * `batch_id=` directory (with its own small files) per batch per table,
+   * and read-side file listing + tiny row groups then degrade exactly the
+   * warm path the index exists to serve. All existing batch partitions of
+   * each table are rewritten into ONE `batch_id=<maxBatchId>` directory
+   * with `filesPerTable` files; [[readSearchIndex]] needs no change, and
+   * a live stream keeps appending — its checkpointed batch ids are
+   * strictly greater than every compacted id, so new partitions never
+   * collide with the compacted one.
+   *
+   * Runs as a periodic maintenance job between refresh windows. The swap
+   * is write-tmp → delete-originals → rename-in: a crash between the last
+   * two steps re-runs cleanly (the tmp dir is rewritten), but a crash
+   * after rename with a concurrent in-flight writer batch is the usual
+   * non-transactional-compaction caveat — the transactional answer is the
+   * Iceberg publication surface (S6), environment-blocked here.
+   */
+  def compactSearchIndex(spark: org.apache.spark.sql.SparkSession, outDir: String,
+                         filesPerTable: Int = 4): Unit = {
+    import org.apache.hadoop.fs.Path
+    val hconf = spark.sparkContext.hadoopConfiguration
+    for (t <- Seq("tf", "dl", "assigned")) {
+      val tablePath = new Path(s"$outDir/$t")
+      val fs = tablePath.getFileSystem(hconf)
+      val batches = fs.listStatus(tablePath)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+      if (batches.length > 1) {
+        val maxId = batches.map(_.getPath.getName.stripPrefix("batch_id=").toLong).max
+        val tmp = new Path(s"$outDir/.compact_tmp_$t")
+        fs.delete(tmp, true)
+        spark.read.parquet(tablePath.toString).drop("batch_id")
+          .repartition(filesPerTable)
+          .write.mode("overwrite").parquet(tmp.toString)
+        fs.delete(new Path(tmp, "_SUCCESS"), false)
+        batches.foreach(b => fs.delete(b.getPath, true))
+        fs.rename(tmp, new Path(tablePath, s"batch_id=$maxId"))
+        ()
+      }
+    }
+  }
+
+  /**
+   * Publish the incremental index state as BUCKETED catalog tables
+   * (`<prefix>_tf`/`_dl`/`_assigned`, via
+   * [[graft.sinks.Publish.bucketedTable]]) — the long-lived serving form:
+   * tf and dl are bucketed on `doc`, so the assemble-time postings join
+   * ([[Bm25.assemble]]'s `tf ⋈ dl`) is co-located with NO shuffle on
+   * either side at any corpus size; `assigned` is bucketed on `doc` and
+   * sorted by `cid`, so probed reads skip row groups via parquet min/max
+   * stats. Read back with [[readPublishedIndex]].
+   */
+  def publishSearchIndex(spark: org.apache.spark.sql.SparkSession, outDir: String,
+                         tablePrefix: String, buckets: Int = 32): Unit = {
+    graft.sinks.Publish.bucketedTable(
+      spark.read.parquet(s"$outDir/tf").drop("batch_id"),
+      s"${tablePrefix}_tf", Seq("doc"), buckets)
+    graft.sinks.Publish.bucketedTable(
+      spark.read.parquet(s"$outDir/dl").drop("batch_id"),
+      s"${tablePrefix}_dl", Seq("doc"), buckets)
+    graft.sinks.Publish.bucketedTable(
+      spark.read.parquet(s"$outDir/assigned").drop("batch_id"),
+      s"${tablePrefix}_assigned", Seq("doc"), buckets, sortCols = Seq("cid"))
+  }
+
+  /** Assemble a [[HybridSearch.SearchIndex]] from tables written by
+    * [[publishSearchIndex]] (bucketed: the postings join plans with zero
+    * shuffle exchanges). */
+  def readPublishedIndex(spark: org.apache.spark.sql.SparkSession, tablePrefix: String,
+                         centroids: DataFrame, idCol: String,
+                         vecCol: String): HybridSearch.SearchIndex =
+    HybridSearch.SearchIndex(
+      Bm25.assemble(spark.table(s"${tablePrefix}_tf"),
+        spark.table(s"${tablePrefix}_dl"), cache = false),
+      spark.table(s"${tablePrefix}_assigned"),
+      graft.operators.Knn.centroidMatrix(
+        centroids.select(col(idCol).as("cid"), col(vecCol).as("cv"))))
 }

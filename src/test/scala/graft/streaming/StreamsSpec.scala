@@ -100,6 +100,48 @@ class StreamsSpec extends SparkSpec {
       // assignment table covers exactly the landed docs
       assert(idx2.assigned.select("doc").collect().map(_.getLong(0)).toSet ===
         Set(10L, 11L, 12L))
+
+      // ---- read-after-compaction equivalence ----
+      def snapshot(idx: HybridSearch.SearchIndex) = (
+        idx.bm25.postings.collect().map(_.toSeq).toSet,
+        idx.assigned.collect().map(_.toSeq).toSet,
+        HybridSearch.similarCasesIndexed(idx, "valve leak", Seq(1.0, 0.0),
+          k = 2, nProbe = 1).collect().map(_.toSeq).toSeq)
+      val before = snapshot(idx2)
+      Streams.compactSearchIndex(spark, base, filesPerTable = 2)
+      // two micro-batch dirs collapsed into one per table
+      for (t <- Seq("tf", "dl", "assigned")) {
+        val dirs = new java.io.File(s"$base/$t").listFiles()
+          .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+        assert(dirs.length === 1, s"$t should hold exactly one compacted partition")
+      }
+      val idx3 = Streams.readSearchIndex(spark, base, centroids, "doc_id", "embedding")
+      assert(snapshot(idx3) === before)
+
+      // the live stream keeps appending after compaction (checkpointed
+      // batch ids never collide with the compacted partition)
+      input.addData((13L, "pump leak recurrence", Array(0.8, 0.3)))
+      q.processAllAvailable()
+      val idx4 = Streams.readSearchIndex(spark, base, centroids, "doc_id", "embedding")
+      assert(Bm25.scoreIndexed(idx4.bm25, Seq("leak"))
+        .collect().map(_.getLong(0)).toSet === Set(10L, 12L, 13L))
+
+      // ---- bucketed publication: same answers, shuffle-free assemble join ----
+      Streams.publishSearchIndex(spark, base, "idx_spec", buckets = 4)
+      val pub = Streams.readPublishedIndex(spark, "idx_spec", centroids,
+        "doc_id", "embedding")
+      assert(Bm25.scoreIndexed(pub.bm25, Seq("leak"))
+        .collect().map(_.getLong(0)).toSet === Set(10L, 12L, 13L))
+      assert(pub.assigned.select("doc").collect().map(_.getLong(0)).toSet ===
+        Set(10L, 11L, 12L, 13L))
+      val savedBt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val joinPlan = spark.table("idx_spec_tf").join(spark.table("idx_spec_dl"), "doc")
+          .queryExecution.executedPlan.toString
+        assert(!joinPlan.contains("Exchange hashpartitioning"),
+          s"bucketed tf-dl join must not shuffle, got:\n$joinPlan")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBt)
     } finally q.stop()
   }
 
