@@ -63,6 +63,17 @@ object Vec {
     call_function("graft_nearest_centroids", vec, typedlit(matrix), lit(n))
   }
 
+  /** Element-wise vector sum as a true mergeable aggregate (the k-means
+    * Lloyd-update aggregate): per-group state is one dim-wide double
+    * array, so the shuffle carries a single summed vector per
+    * (group × partition) — see
+    * [[graft.functions.expressions.VectorSum]]. */
+  def vectorSum(vec: Column): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.expressions.GraftExpressions.register)
+    call_function("graft_vector_sum", vec)
+  }
+
   /** Squared L2 distance (useful for IVF assignment without the sqrt). */
   def l2Sq(a: Column, b: Column): Column =
     aggregate(

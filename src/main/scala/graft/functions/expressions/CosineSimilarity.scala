@@ -194,6 +194,11 @@ object GraftExpressions {
     new ExpressionInfo(classOf[SimHashSha].getName, "graft_simhash_sha"),
     (children: Seq[Expression]) => SimHashSha(children.head))
 
+  val vectorSum: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_vector_sum"),
+    new ExpressionInfo(classOf[VectorSum].getName, "graft_vector_sum"),
+    (children: Seq[Expression]) => VectorSum(children.head))
+
   /** Decode a foldable array<array<float|double>> child into the centroid
     * matrix the nearest-centroid kernels carry as a constructor param. */
   private def matrixFromExpr(e: Expression, fn: String): Seq[Seq[Double]] = {
@@ -234,7 +239,7 @@ object GraftExpressions {
   /** Idempotently register on a session's function registry. */
   def register(spark: SparkSession): Unit =
     Seq(cosineSim, shingles, simhash64, minhash, lshSig, lshSigSha, kmv,
-        minhashSha, simhashSha, nearestCentroid, nearestCentroids).foreach {
+        minhashSha, simhashSha, vectorSum, nearestCentroid, nearestCentroids).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }

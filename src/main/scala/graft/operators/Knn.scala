@@ -85,17 +85,10 @@ object Knn {
     for (_ <- 0 until iters) {
       // scan-side assignment: the centroid matrix rides into the scan as a
       // kernel reference — the corpus is never crossJoined or shuffled to
-      // learn its cluster ids; the only exchange is the per-(cid, pos)
-      // partial-aggregated mean
-      val matrix = centroids.map(_._2)
-      val means = v
-        .select(Vec.nearestCentroid(col("vec"), matrix).as("cid"),
-          posexplode(col("vec")).as(Seq("pos", "x")))
-        .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
-        .groupBy(col("cid"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          s => s.getField("m")).as("cvec"))
-        .as[(Int, Seq[Double])].collect().toMap
+      // learn its cluster ids; the only exchange is the per-cluster
+      // fixed-width vector-sum partial (ONE dim-wide row per
+      // cluster × partition — the corpus is never exploded)
+      val means = clusterMeans(v, centroids.map(_._2))
       centroids = centroids.map { case (cid, old) =>
         (cid, means.getOrElse(cid.toInt, old))
       }
@@ -103,6 +96,49 @@ object Knn {
     // column names follow the corpus so the result plugs into ivfTopK
     centroids.toDF("cid", "cvec")
       .select(col("cid").as(idCol), col("cvec").as(vecCol))
+  }
+
+  /** One Lloyd update as a DataFrame: scan-side kernel assignment, then
+    * per-cluster [[Vec.vectorSum]] + row count. The aggregate's per-group
+    * state is a single dim-wide double array
+    * ([[graft.functions.expressions.VectorSum]]), so the shuffle carries
+    * ONE (sum vector, count) pair per cluster × partition — the corpus is
+    * never exploded. Returns (cid, s: array<double>, n: long). */
+  private[graft] def clusterSumsFrame(v: DataFrame, matrix: Seq[Seq[Double]]): DataFrame =
+    v.select(Vec.nearestCentroid(col("vec"), matrix).as("cid"), col("vec"))
+      .groupBy(col("cid"))
+      .agg(Vec.vectorSum(col("vec")).as("s"), count(lit(1)).as("n"))
+
+  /** Per-cluster mean vectors via [[clusterSumsFrame]] (the production
+    * Lloyd update; empty clusters are simply absent from the map). */
+  private[graft] def clusterMeans(v: DataFrame,
+                                  matrix: Seq[Seq[Double]]): Map[Int, Seq[Double]] = {
+    val spark = v.sparkSession
+    import spark.implicits._
+    clusterSumsFrame(v, matrix)
+      .as[(Int, Seq[Double], Long)].collect()
+      .map { case (cid, s, n) => cid -> s.map(_ / n) }.toMap
+  }
+
+  /** `posexplode` + per-(cid, pos) AVG formulation — the executable spec
+    * for [[clusterMeans]]: both forms sum the same doubles per position
+    * and divide by the same count (VectorSum fails fast on NULL elements,
+    * so the per-position AVG count always equals the row count), hence
+    * identical means whenever the position sums are order-exact
+    * (integer-valued fixtures; KnnSpec pins equality). Kept as the spec
+    * only: it materializes corpus × dim rows through the map-side hash
+    * aggregate before combining. */
+  private[graft] def clusterMeansExplode(v: DataFrame,
+                                         matrix: Seq[Seq[Double]]): Map[Int, Seq[Double]] = {
+    val spark = v.sparkSession
+    import spark.implicits._
+    v.select(Vec.nearestCentroid(col("vec"), matrix).as("cid"),
+        posexplode(col("vec")).as(Seq("pos", "x")))
+      .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
+      .groupBy(col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("cvec"))
+      .as[(Int, Seq[Double])].collect().toMap
   }
 
   /** Collect a (cid, cv) centroid frame into an ascending-cid matrix for

@@ -46,6 +46,23 @@ object Publish {
                     numBuckets: Int, sortCols: Seq[String] = Nil,
                     format: String = "parquet", mode: String = "overwrite"): Unit = {
     require(bucketCols.nonEmpty)
+    if (mode == "overwrite") {
+      // Overwrite semantics extend to a STALE location: if the table is
+      // absent from the catalog but its default directory survives (a
+      // previous process died between writing files and registering, or
+      // the metastore was reset), CTAS would fail with
+      // LOCATION_ALREADY_EXISTS instead of overwriting. Storage-agnostic
+      // via the Hadoop FS API (HDFS/object stores, not just local disk).
+      val spark = df.sparkSession
+      val cat = spark.sessionState.catalog
+      val ident = spark.sessionState.sqlParser.parseTableIdentifier(name)
+      if (!cat.tableExists(ident)) {
+        val path = new org.apache.hadoop.fs.Path(cat.defaultTablePath(ident))
+        val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+        fs.delete(path, true)
+        ()
+      }
+    }
     val w = df.write.format(format).mode(mode)
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
     val sw = if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w

@@ -177,4 +177,23 @@ class PlanSpec extends SparkSpec {
     assert(countOf(p, "Exchange hashpartitioning") <= 2, p.linesIterator
       .filter(_.contains("Exchange")).mkString("\n"))
   }
+
+  test("k-means Lloyd update: no Generate, one fixed-width aggregate exchange") {
+    // the r3 stretch item: training must never explode the corpus into
+    // corpus x dim rows -- the vector-sum aggregate keeps per-group state
+    // one dim-wide array, so the only exchange is the partial->final merge
+    import spark.implicits._
+    val vdf = (0 until 20).map(i =>
+      (i.toLong, Array.tabulate(4)(d => (i + d + 1).toDouble))).toDF("id", "vec")
+    val matrix = Seq(Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 0.0, 0.0, 1.0))
+    val p = graft.operators.Knn.clusterSumsFrame(vdf, matrix)
+      .queryExecution.executedPlan.toString
+    // (the nearest-centroid kernel folds into the LocalTableScan on a
+    // local fixture; its scan-side shape is pinned by the IVF plan tests)
+    assert(p.contains("graft_vector_sum"))
+    assert(!p.contains("Generate"),
+      s"training loop must not explode the corpus:\n$p")
+    assert(countOf(p, "Exchange hashpartitioning") === 1,
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
 }

@@ -65,4 +65,24 @@ class VecSpec extends SparkSpec {
       .select(Vec.cosine(col("a"), col("b"))).collect().head.getDouble(0)
     assert(math.abs(got - 1.0 / math.sqrt(2.0)) < 1e-15)
   }
+
+  test("vector_sum: NULL vectors ignored, all-NULL group NULL, float upcast, dim guard") {
+    val df = Seq(
+      (1L, Array(1.0, 2.0)),
+      (1L, null.asInstanceOf[Array[Double]]),
+      (1L, Array(3.0, 4.0)),
+      (2L, null.asInstanceOf[Array[Double]])
+    ).toDF("g", "v")
+    val got = df.groupBy("g").agg(Vec.vectorSum(col("v")).as("s"))
+      .collect().map(r => r.getLong(0) -> Option(r.getSeq[Double](1))).toMap
+    assert(got(1L) === Some(Seq(4.0, 6.0)))
+    assert(got(2L) === None)
+    // float inputs upcast element-wise to double (exact here)
+    val f = Seq(Array(1.5f, 2.5f), Array(0.5f, 0.25f)).toDF("v")
+      .agg(Vec.vectorSum(col("v"))).collect().head.getSeq[Double](0)
+    assert(f === Seq(2.0, 2.75))
+    // ragged dimensions fail fast instead of silently desyncing the sums
+    val ragged = Seq(Array(1.0), Array(1.0, 2.0)).toDF("v")
+    intercept[Exception] { ragged.agg(Vec.vectorSum(col("v"))).collect() }
+  }
 }

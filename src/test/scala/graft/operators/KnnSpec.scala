@@ -124,4 +124,20 @@ class KnnSpec extends SparkSpec {
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.6, s"recall $recall too low; got ${approx.size} pairs")
   }
+
+  test("Lloyd update: vector-sum aggregate is bit-equal to the explode spec") {
+    // integer-valued doubles: position sums are exact under any addition
+    // order, so the two formulations must agree to the bit
+    val vdf = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(6)(d => ((i * 13 + d * 7) % 11).toDouble))
+    }.toDF("id", "vec")
+    val matrix = Seq(
+      Seq(5.0, 1.0, 0.0, 0.0, 2.0, 0.0),
+      Seq(0.0, 4.0, 3.0, 0.0, 0.0, 1.0),
+      Seq(1.0, 0.0, 0.0, 6.0, 0.0, 2.0))
+    val prod = Knn.clusterMeans(vdf, matrix)
+    val spec = Knn.clusterMeansExplode(vdf, matrix)
+    assert(prod.nonEmpty)
+    assert(prod === spec)
+  }
 }
