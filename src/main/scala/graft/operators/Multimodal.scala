@@ -88,8 +88,15 @@ object Multimodal {
    */
   def featurize(assets: DataFrame, codec: Codec): Dataset[AssetFeature] = {
     implicit val enc = Encoders.product[AssetFeature]
-    assets.select(col("asset_id"), col("modality"), col("payload"))
-      .mapPartitions { rows =>
+    val sel = assets.select(col("asset_id"), col("modality"), col("payload"))
+    // Decode is the expensive stage, so it must occupy every core even
+    // when the scan is one small file (a 1-partition input would run the
+    // whole codec serially). Only a NARROW input is widened: an input
+    // that already has enough partitions — the at-scale case — gains
+    // nothing from moving the heavy binary payloads through a shuffle.
+    val target = assets.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val in = if (sel.rdd.getNumPartitions < target) sel.repartition(target) else sel
+    in.mapPartitions { rows =>
         rows.map { r =>
           val payload = r.getAs[Array[Byte]]("payload")
           AssetFeature(

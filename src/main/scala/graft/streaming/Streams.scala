@@ -100,7 +100,7 @@ object Streams {
    */
   def incrementalSearchIndex(docStream: DataFrame, idCol: String, textCol: String,
                              vecCol: String, centroids: DataFrame,
-                             outDir: String): DataStreamWriter[Row] =
+                             outDir: String, compactEvery: Int = 0): DataStreamWriter[Row] =
     docStream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val b = batch.cache()
@@ -113,6 +113,15 @@ object Streams {
           HybridSearch.assignIvf(b, idCol, vecCol, centroids)
             .write.mode("overwrite").parquet(s"$outDir/assigned/batch_id=$batchId")
         } finally { b.unpersist(); () }
+        // In-line maintenance (opt-in): every `compactEvery` batches,
+        // fold the accumulated batch partitions into one. Running HERE —
+        // synchronously, between micro-batches — is the one place the
+        // non-transactional caveat of [[compactSearchIndex]] vanishes:
+        // the stream is the only writer and it is idle until this hook
+        // returns. A week of target_lag-style refreshes then never
+        // accumulates more than `compactEvery` directories per table.
+        if (compactEvery > 0 && batchId % compactEvery == (compactEvery - 1).toLong)
+          compactSearchIndex(batch.sparkSession, outDir)
       }
 
   /** Assemble the queryable state written by [[incrementalSearchIndex]].

@@ -145,6 +145,39 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental index: in-line compaction bounds partitions, answers unchanged") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = Files.createTempDirectory("inc_autocompact").toString
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Array[Double])]
+    val docStream = input.toDS().toDF("doc_id", "text", "embedding")
+    val centroids = Seq(
+      (0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0))
+    ).toDF("doc_id", "embedding")
+
+    val q = Streams.incrementalSearchIndex(docStream, "doc_id", "text", "embedding",
+        centroids, base, compactEvery = 2)
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    try {
+      // 4 micro-batches -> compaction fires after batch ids 1 and 3
+      for (i <- 0L until 4L) {
+        input.addData((i, s"leak event number $i", Array(1.0 - i * 0.1, i * 0.1)))
+        q.processAllAvailable()
+      }
+      for (t <- Seq("tf", "dl", "assigned")) {
+        val dirs = new java.io.File(s"$base/$t").listFiles()
+          .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+        assert(dirs.length === 1,
+          s"$t should be fully compacted after the last batch, got ${dirs.length}")
+      }
+      val idx = Streams.readSearchIndex(spark, base, centroids, "doc_id", "embedding")
+      assert(Bm25.scoreIndexed(idx.bm25, Seq("leak"))
+        .collect().map(_.getLong(0)).toSet === Set(0L, 1L, 2L, 3L))
+      assert(idx.assigned.count() === 4)
+    } finally q.stop()
+  }
+
   test("stateful sessionize: in-batch close, timeout close, exact durations") {
     import StatefulSessionize.{Event, Session}
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
