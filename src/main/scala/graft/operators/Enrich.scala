@@ -65,10 +65,15 @@ object BatchedEnrich {
             model: Model, batchSize: Int = 10000): org.apache.spark.sql.Dataset[Enriched] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(org.apache.spark.sql.functions.col(idCol).cast("long"),
+    val sel = df.select(org.apache.spark.sql.functions.col(idCol).cast("long"),
         org.apache.spark.sql.functions.col(narrativeCol))
       .as[(Long, String)]
-      .mapPartitions { rows =>
+    // The model call is the expensive stage — widen a NARROW input (one
+    // small file would run every batch serially); an already-wide input
+    // adds no shuffle (same rule as Multimodal.featurize).
+    val target = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val in = if (sel.rdd.getNumPartitions < target) sel.repartition(target) else sel
+    in.mapPartitions { rows =>
         rows.grouped(batchSize).flatMap { batch =>
           val out = model(batch.map(_._2))
           require(out.length == batch.length,
