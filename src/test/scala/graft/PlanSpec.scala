@@ -178,6 +178,17 @@ class PlanSpec extends SparkSpec {
       .filter(_.contains("Exchange")).mkString("\n"))
   }
 
+  test("q46 lsh near-dup: bucket equi-join — never all-pairs") {
+    // the scale contract of the declared ANN near-dup: candidates come
+    // from sign-LSH bucket equality (a hash-partitioned equi-join),
+    // never a cross/nested-loop product like the brute verifier
+    val p = plan("q46_lsh_neardup")
+    assert(countOf(p, "BroadcastNestedLoopJoin") === 0, "no all-pairs join")
+    assert(!p.contains("CartesianProduct"), "no cartesian product")
+    assert(!p.contains("SortMergeJoin") || p.contains("Exchange hashpartitioning"),
+      "bucket join must be hash-partitioned")
+  }
+
   test("k-means Lloyd update: no Generate, one fixed-width aggregate exchange") {
     // the r3 stretch item: training must never explode the corpus into
     // corpus x dim rows -- the vector-sum aggregate keeps per-group state
