@@ -123,4 +123,31 @@ class PropertySpec extends SparkSpec {
       .filter($"count" > $"evts").count()
     assert(perUser === 0)
   }
+
+  test("vectorSum ≡ explode-sum for any grouping, order, and integer-valued data") {
+    // the Lloyd-update aggregate's parity property: on integer-valued
+    // doubles (order-exact addition) the fixed-width aggregate must match
+    // the posexplode+sum formulation bit-for-bit, for every group shape
+    // ScalaCheck produces — including singleton and giant groups
+    import graft.functions.Vec
+    val dim = 5
+    val rows = sample(Gen.zip(Gen.choose(1L, 12L),
+      Gen.listOfN(dim, Gen.choose(-50, 50))), 400)
+      .map { case (g, xs) => (g, xs.map(_.toDouble).toArray) }
+    def run(data: Seq[(Long, Array[Double])]) =
+      data.toDF("g", "v")
+        .groupBy($"g").agg(Vec.vectorSum($"v").as("s"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val viaAgg = run(rows)
+    val viaAggShuffled = run(new scala.util.Random(11).shuffle(rows))
+    val viaExplode = rows.toDF("g", "v")
+      .select($"g", posexplode($"v").as(Seq("pos", "x")))
+      .groupBy($"g", $"pos").agg(sum($"x").as("s"))
+      .groupBy($"g")
+      .agg(transform(array_sort(collect_list(struct($"pos", $"s"))),
+        c => c.getField("s")).as("sv"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(viaAgg === viaExplode)
+    assert(viaAgg === viaAggShuffled)
+  }
 }
