@@ -270,6 +270,20 @@ object SparkEntry {
       emb.filter(col("vec_id") < 16), "vec_id", "embedding", k = 5, nProbe = 4)
   }
 
+  /** K-means centroid training as a declared query — the IVF index BUILD
+    * step (q27 consumes centroids; this trains them): 8 centroids, 2
+    * Lloyd iterations, SHA-lane init for oracle parity
+    * ([[Knn.kmeansCentroidsSha]]). Output exploded to (cid, pos, c)
+    * scalars; centroid values rounded to 4dp — assignment compares
+    * bit-identical cosines on both engines, only the final per-position
+    * mean differs by fp accumulation order. */
+  private def kmeansTrain(s: SparkSession, d: String): DataFrame =
+    Knn.kmeansCentroidsSha(embeddings(s, d), "vec_id", "embedding", k = 8, iters = 2)
+      .select(col("vec_id").cast("long").as("cid"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "c")))
+      .select(col("cid"), col("pos").cast("long").as("pos"),
+        round(col("c"), 4).as("c"))
+
   /** Multimodal asset table derived from `documents`: text bytes stand in
     * for the opaque media payload (no media libs in this container); the
     * modality/meta plumbing is the real schema from [[Multimodal]]. */
@@ -487,6 +501,7 @@ object SparkEntry {
     "q44_pii_scrub"          -> (piiScrub _),
     "q45_tfidf_topterms"     -> (tfidfTopTerms _),
     "q46_lsh_neardup"        -> (lshNearDup _),
+    "q47_kmeans_train"       -> (kmeansTrain _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -612,6 +627,45 @@ object SparkEntry {
        |WHERE cosine >= 0.3""".stripMargin
   }
 
+  /** q47 oracle: two unrolled Lloyd iterations mirroring
+    * [[Knn.kmeansCentroidsSha]] (k = 8, dim = 64). Init = the 8 vectors
+    * with the smallest SHA lane of the string id; assignment = cosine
+    * argmax with ties to the lowest cid (bit-identical cosines — the
+    * [[graft.functions.Vec.cosine]] oracle contract); means per
+    * (cid, pos) with empty clusters keeping the previous centroid;
+    * output rounded to 4dp (means differ across engines only by fp
+    * accumulation order). */
+  private def kmeansOracle: String = {
+    val lane = duckLane("vec_id::VARCHAR")
+    def iter(prev: String, a: String, m: String, next: String): String =
+      s"""$a AS (
+         |  SELECT vec_id, v, cid FROM (
+         |    SELECT e.vec_id, e.v, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        list_dot_product(e.v, c.v) /
+         |          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.v, c.v))) DESC,
+         |        c.cid ASC) AS rn
+         |    FROM e CROSS JOIN $prev c) WHERE rn = 1),
+         |$m AS (
+         |  SELECT cid, r.range AS pos, avg(v[r.range + 1]) AS val
+         |  FROM $a CROSS JOIN range(0, 64) r GROUP BY cid, r.range),
+         |$next AS (
+         |  SELECT p.cid, list(coalesce(m.val, p.v[r.range + 1]) ORDER BY r.range) AS v
+         |  FROM $prev p CROSS JOIN range(0, 64) r
+         |  LEFT JOIN $m m ON m.cid = p.cid AND m.pos = r.range
+         |  GROUP BY p.cid)"""
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |ini AS (
+       |  SELECT vec_id, v, $lane AS lane FROM e ORDER BY lane, vec_id LIMIT 8),
+       |c0 AS (
+       |  SELECT row_number() OVER (ORDER BY lane, vec_id) - 1 AS cid, v FROM ini),
+       |${iter("c0", "a1", "m1", "c1")},
+       |${iter("c1", "a2", "m2", "c2")}
+       |SELECT cid::BIGINT AS cid, r.range::BIGINT AS pos,
+       |  round(c2.v[r.range + 1], 4) AS c
+       |FROM c2 CROSS JOIN range(0, 64) r""".stripMargin
+  }
+
   /** q28 oracle: SHA-lane codec features through the same math as
     * [[Multimodal.ShaCodec]] — lane → [-1,1) → FLOAT quantize → DOUBLE,
     * then a sequential-accumulation norm. */
@@ -698,6 +752,7 @@ object SparkEntry {
     "q21_simhash_pairs" -> simhashOracle,
     "q25_lsh_knn" -> lshKnnOracle,
     "q46_lsh_neardup" -> lshNearDupOracle,
+    "q47_kmeans_train" -> kmeansOracle,
     "q28_multimodal_features" -> multimodalOracle,
     "q40_kmv_distinct" -> kmvOracle,
     "q01_pricing_summary" ->

@@ -61,23 +61,42 @@ object Knn {
    * Returns (cid: Long, cvec: array<double>), ready for [[ivfTopK]].
    */
   def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-                      k: Int, iters: Int = 5): DataFrame = {
+                      k: Int, iters: Int = 5): DataFrame =
+    kmeansWith(corpus, idCol, vecCol, k, iters, xxhash64(_))
+
+  /** Oracle-parity k-means (q47): the identical Lloyd loop, but the
+    * init-sample ordering lane is the 60-bit SHA-256 lane of the STRING
+    * id ([[graft.functions.ShaLanes]]). Every step is then reproducible
+    * in DuckDB SQL — init selection by lane, assignment via the
+    * bit-reproducible cosine ([[graft.functions.Vec.cosine]]'s oracle
+    * contract), per-position means — so centroid TRAINING itself is a
+    * declared query, not just a spec-tested helper. The xxhash64 form
+    * stays the scale primary (one digest per id vs a SHA-256). */
+  def kmeansCentroidsSha(corpus: DataFrame, idCol: String, vecCol: String,
+                         k: Int, iters: Int = 2): DataFrame =
+    kmeansWith(corpus, idCol, vecCol, k, iters,
+      id => graft.functions.ShaLanes.lane(id.cast("string")))
+
+  private def kmeansWith(corpus: DataFrame, idCol: String, vecCol: String,
+                         k: Int, iters: Int, laneOf: Column => Column): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val v = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
     val n = v.count()
     require(n >= k, s"need at least $k vectors, have $n")
     // Deterministic pseudo-random init: the k vectors with the smallest
-    // xxhash64(id) — a distributed top-k (TakeOrderedAndProject), spread
-    // uniformly over the corpus with NO global window/sort (a
+    // hash lane of the id — a distributed top-k (TakeOrderedAndProject),
+    // spread uniformly over the corpus with NO global window/sort (a
     // row_number-stride sample would funnel every vector through one
     // partition before training even starts).
     var centroids: Seq[(Long, Seq[Double])] = v
-      .orderBy(xxhash64(col("id")).asc, col("id").asc)
+      .orderBy(laneOf(col("id")).asc, col("id").asc)
       .limit(k)
       // collect the HASH as the ordering key, not the id itself — ids of
-      // any type (string, decimal…) work without a cast
-      .select(xxhash64(col("id")).as("hid"), col("vec"))
+      // any type (string, decimal…) work without a cast. The k rows
+      // arrive (lane, id)-ordered; the stable sortBy keeps that order, so
+      // cid assignment is deterministic even under lane ties.
+      .select(laneOf(col("id")).as("hid"), col("vec"))
       .as[(Long, Seq[Double])].collect().toSeq
       .sortBy(_._1).zipWithIndex
       .map { case ((_, vec), i) => (i.toLong, vec) }

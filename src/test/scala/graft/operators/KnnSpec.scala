@@ -125,6 +125,17 @@ class KnnSpec extends SparkSpec {
     assert(recall >= 0.6, s"recall $recall too low; got ${approx.size} pairs")
   }
 
+  test("SHA-init k-means (q47's trainer) separates the clusters too") {
+    val centroids = Knn.kmeansCentroidsSha(corpus, "vec_id", "embedding", k = 3, iters = 3)
+    val cents = centroids.collect()
+    assert(cents.length === 3)
+    val axes = cents.map { r =>
+      val v = r.getSeq[Double](1)
+      v.indexOf(v.max)
+    }.toSet
+    assert(axes.size === 3, s"each trained centroid should own a distinct axis: $axes")
+  }
+
   test("Lloyd update: vector-sum aggregate is bit-equal to the explode spec") {
     // integer-valued doubles: position sums are exact under any addition
     // order, so the two formulations must agree to the bit
