@@ -295,7 +295,12 @@ object SparkEntry {
         .otherwise(lit("video")).as("modality"),
       col("text").cast("binary").as("payload"),
       struct(
-        lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+        // deterministic image geometry; a doc_id stripe keeps NULL dims
+        // so the resize planner's eligibility filter is exercised
+        when(col("doc_id") % 11 === 0, lit(null).cast("int"))
+          .otherwise((lit(320) + col("doc_id") % 7 * 160).cast("int")).as("width"),
+        when(col("doc_id") % 11 === 0, lit(null).cast("int"))
+          .otherwise((lit(240) + col("doc_id") % 5 * 144).cast("int")).as("height"),
         (col("n_chars") * 100).cast("long").as("duration_ms")).as("meta"))
 
   /** Oracle-parity codec (SHA-256 lane features) through the real
@@ -313,6 +318,19 @@ object SparkEntry {
 
   private def frameOffsets(s: SparkSession, d: String): DataFrame =
     Multimodal.frameSampleOffsets(mmAssets(s, d), n = 4)
+
+  /** Resize planning as a declared query ([[Multimodal.resizePlan]]):
+    * aspect-preserving target geometry for image assets, longest side
+    * capped at 512, never upscaled — pure pre-decode column math, so
+    * full-size pixels never materialize. Int outputs cast to LONG for
+    * the dtype-strict oracle compare. */
+  private def resizePlanQuery(s: SparkSession, d: String): DataFrame =
+    Multimodal.resizePlan(mmAssets(s, d), maxSide = 512)
+      .select(col("asset_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("target_width").cast("long").as("target_width"),
+        col("target_height").cast("long").as("target_height"))
 
   /** TPC-H Q14 shape: promo revenue share over a month (conditional
     * aggregation over a broadcast part join). */
@@ -502,6 +520,7 @@ object SparkEntry {
     "q45_tfidf_topterms"     -> (tfidfTopTerms _),
     "q46_lsh_neardup"        -> (lshNearDup _),
     "q47_kmeans_train"       -> (kmeansTrain _),
+    "q48_resize_plan"        -> (resizePlanQuery _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -1097,6 +1116,19 @@ object SparkEntry {
         |  unnest([CAST(floor((n_chars*100*i)/4.0) AS BIGINT) for i in range(0, 4)])
         |    AS frame_offset_ms
         |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
+
+    "q48_resize_plan" ->
+      """SELECT asset_id, width::BIGINT AS width, height::BIGINT AS height,
+        |  CAST(round(width * scale) AS BIGINT) AS target_width,
+        |  CAST(round(height * scale) AS BIGINT) AS target_height
+        |FROM (
+        |  SELECT asset_id, w AS width, h AS height,
+        |    least(1.0, 512.0 / greatest(w, h)) AS scale
+        |  FROM (SELECT doc_id AS asset_id,
+        |          (320 + (doc_id % 7) * 160)::DOUBLE AS w,
+        |          (240 + (doc_id % 5) * 144)::DOUBLE AS h
+        |        FROM documents
+        |        WHERE doc_id % 3 = 0 AND doc_id % 11 <> 0))""".stripMargin,
 
     "q31_salted_agg" ->
       """SELECT l_returnflag, count(*) AS n,
