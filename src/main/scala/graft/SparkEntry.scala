@@ -319,6 +319,36 @@ object SparkEntry {
   private def frameOffsets(s: SparkSession, d: String): DataFrame =
     Multimodal.frameSampleOffsets(mmAssets(s, d), n = 4)
 
+  /** The dbt-test surface as a declared query (reference
+    * models/stg/schema.yml + models/marts/schema.yml, README.md:110):
+    * one row per contract check with its failing-row count —
+    * [[graft.checks.Checks]]' compiled-SELECT-of-failures contract,
+    * summarized. The lang accepted-values list deliberately omits one
+    * real value so a NON-zero count is exercised, not just green zeros. */
+  private def qualityChecks(s: SparkSession, d: String): DataFrame = {
+    import graft.checks.Checks
+    val li = lineitem(s, d); val ord = orders(s, d)
+    val suite: Seq[(String, DataFrame)] = Seq(
+      "orders_orderkey_unique" ->
+        Checks.unique(ord, "o_orderkey"),
+      "orders_custkey_not_null" ->
+        Checks.notNull(ord, "o_custkey"),
+      "orders_custkey_fk_customer" ->
+        Checks.relationships(ord, "o_custkey", customer(s, d), "c_custkey"),
+      "lineitem_returnflag_accepted" ->
+        Checks.acceptedValues(li, "l_returnflag", Seq("A", "N", "R")),
+      "lineitem_orderkey_fk_orders" ->
+        Checks.relationships(li, "l_orderkey", ord, "o_orderkey"),
+      "documents_lang_accepted" ->
+        Checks.acceptedValues(documents(s, d), "lang", Seq("en", "es", "de", "fr")),
+      "documents_text_not_null_when_en" ->
+        Checks.notNull(documents(s, d), "text", col("lang") === "en"))
+    suite.map { case (name, fails) =>
+      fails.agg(count(lit(1)).cast("long").as("violations"))
+        .select(lit(name).as("check_name"), col("violations"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Resize planning as a declared query ([[Multimodal.resizePlan]]):
     * aspect-preserving target geometry for image assets, longest side
     * capped at 512, never upscaled — pure pre-decode column math, so
@@ -521,6 +551,7 @@ object SparkEntry {
     "q46_lsh_neardup"        -> (lshNearDup _),
     "q47_kmeans_train"       -> (kmeansTrain _),
     "q48_resize_plan"        -> (resizePlanQuery _),
+    "q49_quality_checks"     -> (qualityChecks _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -1116,6 +1147,28 @@ object SparkEntry {
         |  unnest([CAST(floor((n_chars*100*i)/4.0) AS BIGINT) for i in range(0, 4)])
         |    AS frame_offset_ms
         |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
+
+    "q49_quality_checks" ->
+      """SELECT 'orders_orderkey_unique' AS check_name, (
+        |  SELECT count(*) FROM (
+        |    SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1)
+        |  ) AS violations
+        |UNION ALL SELECT 'orders_custkey_not_null', (
+        |  SELECT count(*) FROM orders WHERE o_custkey IS NULL)
+        |UNION ALL SELECT 'orders_custkey_fk_customer', (
+        |  SELECT count(*) FROM orders o WHERE o.o_custkey IS NOT NULL
+        |    AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |UNION ALL SELECT 'lineitem_returnflag_accepted', (
+        |  SELECT count(*) FROM lineitem
+        |  WHERE l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A', 'N', 'R'))
+        |UNION ALL SELECT 'lineitem_orderkey_fk_orders', (
+        |  SELECT count(*) FROM lineitem l WHERE l.l_orderkey IS NOT NULL
+        |    AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |UNION ALL SELECT 'documents_lang_accepted', (
+        |  SELECT count(*) FROM documents
+        |  WHERE lang IS NOT NULL AND lang NOT IN ('en', 'es', 'de', 'fr'))
+        |UNION ALL SELECT 'documents_text_not_null_when_en', (
+        |  SELECT count(*) FROM documents WHERE lang = 'en' AND text IS NULL)""".stripMargin,
 
     "q48_resize_plan" ->
       """SELECT asset_id, width::BIGINT AS width, height::BIGINT AS height,
