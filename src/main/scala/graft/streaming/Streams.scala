@@ -68,7 +68,8 @@ object Streams {
    */
   def incrementalPipeline(maudeStream: DataFrame, manufacturer: DataFrame,
                           outDir: String,
-                          dedupHorizon: String = "24 hours"): DataStreamWriter[Row] =
+                          dedupHorizon: String = "24 hours",
+                          compactEvery: Int = 0): DataStreamWriter[Row] =
     maudeStream
       .withColumn("__key", col("raw.mdr_report_key"))
       .withWatermark("load_ts", dedupHorizon)
@@ -80,6 +81,13 @@ object Streams {
         val m = BatchPipeline.build(batch, manufacturer)
         m.factAdverseEvents.write.mode("overwrite")
           .parquet(s"$outDir/fact_adverse_events_stream/batch_id=$batchId")
+        // same single-writer argument as incrementalSearchIndex: between
+        // micro-batches the stream is the only writer, so the in-line
+        // compaction is safe; a week of fact refreshes stays bounded at
+        // compactEvery batch directories
+        if (compactEvery > 0 && batchId % compactEvery == (compactEvery - 1).toLong)
+          compactBatchPartitions(batch.sparkSession,
+            s"$outDir/fact_adverse_events_stream")
         ()
       }
 
@@ -159,26 +167,34 @@ object Streams {
    * Iceberg publication surface (S6), environment-blocked here.
    */
   def compactSearchIndex(spark: org.apache.spark.sql.SparkSession, outDir: String,
-                         filesPerTable: Int = 4): Unit = {
+                         filesPerTable: Int = 4): Unit =
+    for (t <- Seq("tf", "dl", "assigned"))
+      compactBatchPartitions(spark, s"$outDir/$t", filesPerTable)
+
+  /** Fold every `batch_id=` partition of ONE micro-batch-structured table
+    * into a single partition of `filesPer` files (the generic compactor
+    * behind [[compactSearchIndex]]; also fits
+    * [[incrementalPipeline]]'s fact output). Keeps the max batch id so a
+    * live stream's future batch ids never collide with the compacted
+    * partition. */
+  def compactBatchPartitions(spark: org.apache.spark.sql.SparkSession,
+                             tableDir: String, filesPer: Int = 4): Unit = {
     import org.apache.hadoop.fs.Path
-    val hconf = spark.sparkContext.hadoopConfiguration
-    for (t <- Seq("tf", "dl", "assigned")) {
-      val tablePath = new Path(s"$outDir/$t")
-      val fs = tablePath.getFileSystem(hconf)
-      val batches = fs.listStatus(tablePath)
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
-      if (batches.length > 1) {
-        val maxId = batches.map(_.getPath.getName.stripPrefix("batch_id=").toLong).max
-        val tmp = new Path(s"$outDir/.compact_tmp_$t")
-        fs.delete(tmp, true)
-        spark.read.parquet(tablePath.toString).drop("batch_id")
-          .repartition(filesPerTable)
-          .write.mode("overwrite").parquet(tmp.toString)
-        fs.delete(new Path(tmp, "_SUCCESS"), false)
-        batches.foreach(b => fs.delete(b.getPath, true))
-        fs.rename(tmp, new Path(tablePath, s"batch_id=$maxId"))
-        ()
-      }
+    val tablePath = new Path(tableDir)
+    val fs = tablePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batches = fs.listStatus(tablePath)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+    if (batches.length > 1) {
+      val maxId = batches.map(_.getPath.getName.stripPrefix("batch_id=").toLong).max
+      val tmp = new Path(tablePath.getParent, s".compact_tmp_${tablePath.getName}")
+      fs.delete(tmp, true)
+      spark.read.parquet(tableDir).drop("batch_id")
+        .repartition(filesPer)
+        .write.mode("overwrite").parquet(tmp.toString)
+      fs.delete(new Path(tmp, "_SUCCESS"), false)
+      batches.foreach(b => fs.delete(b.getPath, true))
+      fs.rename(tmp, new Path(tablePath, s"batch_id=$maxId"))
+      ()
     }
   }
 

@@ -35,6 +35,17 @@ class StreamsSpec extends SparkSpec {
     assert(fact.count() === 7)
     assert(fact.filter(col("mdr_report_key") === "2001")
       .collect().head.getAs[String]("failure_mode") === "LEAK")
+
+    // the generic batch-dir compactor folds both micro-batch partitions
+    // into one; rows and the uniqueness contract survive
+    Streams.compactBatchPartitions(spark, s"$out/fact_adverse_events_stream")
+    val dirs = new java.io.File(s"$out/fact_adverse_events_stream").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+    assert(dirs.length === 1)
+    val compacted = spark.read.parquet(s"$out/fact_adverse_events_stream")
+    assert(compacted.count() === 7)
+    assert(compacted.groupBy(col("mdr_report_key")).count()
+      .filter(col("count") > 1).isEmpty)
   }
 
   test("incremental pipeline drops cross-file re-deliveries of the same report key") {
