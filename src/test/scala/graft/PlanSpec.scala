@@ -189,6 +189,18 @@ class PlanSpec extends SparkSpec {
       "bucket join must be hash-partitioned")
   }
 
+  test("q48 resize plan is a pure scan-side projection") {
+    val p = plan("q48_resize_plan")
+    assert(!p.contains("Exchange") && !p.contains("Join") && !p.contains("Window"),
+      s"pre-decode geometry math must not shuffle:\n$p")
+  }
+
+  test("q49 quality checks: anti-joins stay hash/broadcast, no cartesian") {
+    val p = plan("q49_quality_checks")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "contract checks must never degenerate to all-pairs")
+  }
+
   test("k-means Lloyd update: no Generate, one fixed-width aggregate exchange") {
     // the r3 stretch item: training must never explode the corpus into
     // corpus x dim rows -- the vector-sum aggregate keeps per-group state
