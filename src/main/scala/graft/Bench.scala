@@ -235,12 +235,13 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // Keep AQE's runtime re-planning (skew split, broadcast conversion)
-      // but not byte-based partition coalescing: CPU-dense stages with
-      // small byte sizes (vector math over candidate pairs) otherwise get
-      // coalesced onto 1-2 cores at local scale. At cluster scale the
-      // same stages carry real bytes and coalescing re-enables usefully.
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // AQE partition coalescing stays at Spark's default (enabled). It was
+      // disabled in rounds 1-3 because the then-interpreted vector math left
+      // CPU-dense stages with tiny byte sizes that coalesced onto 1-2 cores;
+      // with the hot loops now native codegen kernels, the A/B at sf0.1 has
+      // coalescing strictly ahead (total 19.6s vs 23.2s, SLO P95 0.84s vs
+      // 0.97s, GC 89ms vs 381ms). SPARK_GRAFT_COALESCE=false re-runs the A/B.
+      .config("spark.sql.adaptive.coalescePartitions.enabled", sys.env.getOrElse("SPARK_GRAFT_COALESCE", "true"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
