@@ -112,26 +112,46 @@ object Dedup {
    * signatures, so `dropDuplicates` after scoring is deterministic).
    * Shuffle cost is O(|docs| × bands) rows of ~numHashes longs each.
    */
-  private def bandedPairs(sig: DataFrame, numHashes: Int,
+  /** Bucket rows for banded LSH: one row per (doc, band) carrying the
+    * band key components `v0..v{rowsPerBand-1}` AND the doc's full
+    * signature (`mh_*`), so downstream joins can score estimated Jaccard
+    * without re-joining the signature table. This is the persistable
+    * index layout behind [[lshIndex]]/[[admitIncremental]] as well as the
+    * in-plan shape of [[minhashLshPairs]]. */
+  private def bandBuckets(sig: DataFrame, numHashes: Int,
                           bands: Int, rowsPerBand: Int): DataFrame = {
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band") +:
         (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}").as(s"v$r")): _*)
     }
     val sigCols = (0 until numHashes).map(i => col(s"mh_$i"))
-    val buckets = sig
+    sig
       .select(col("doc") +: sigCols :+ explode(array(bandStructs: _*)).as("bk"): _*)
       .select(col("doc") +: sigCols ++: (0 until rowsPerBand).map(r => col(s"bk.v$r").as(s"v$r")) :+
         col("bk.band").as("band"): _*)
-    val joinCond = (0 until rowsPerBand)
-      .map(r => col(s"x.v$r") === col(s"y.v$r"))
-      .foldLeft(col("x.band") === col("y.band"))(_ && _) && col("x.doc") < col("y.doc")
-    val matches = (0 until numHashes)
-      .map(i => when(col(s"x.mh_$i") === col(s"y.mh_$i"), 1).otherwise(0))
-      .reduce(_ + _)
+  }
+
+  /** Equi-join condition over two aliased [[bandBuckets]] frames: same
+    * band, all band components equal. */
+  private def bucketJoinCond(x: String, y: String, rowsPerBand: Int): Column =
+    (0 until rowsPerBand)
+      .map(r => col(s"$x.v$r") === col(s"$y.v$r"))
+      .foldLeft(col(s"$x.band") === col(s"$y.band"))(_ && _)
+
+  /** Fraction of equal signature components between two aliased frames
+    * carrying `mh_*` columns — the banded-LSH Jaccard estimate. */
+  private def estJaccard(x: String, y: String, numHashes: Int): Column =
+    (0 until numHashes)
+      .map(i => when(col(s"$x.mh_$i") === col(s"$y.mh_$i"), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / lit(numHashes.toDouble)
+
+  private def bandedPairs(sig: DataFrame, numHashes: Int,
+                          bands: Int, rowsPerBand: Int): DataFrame = {
+    val buckets = bandBuckets(sig, numHashes, bands, rowsPerBand)
+    val joinCond = bucketJoinCond("x", "y", rowsPerBand) && col("x.doc") < col("y.doc")
     buckets.as("x").join(buckets.as("y"), joinCond)
       .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"),
-        round(matches.cast("double") / lit(numHashes.toDouble), 6).as("est_jaccard"))
+        round(estJaccard("x", "y", numHashes), 6).as("est_jaccard"))
       .dropDuplicates("doc_a", "doc_b")
   }
 
