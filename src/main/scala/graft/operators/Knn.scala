@@ -81,7 +81,12 @@ object Knn {
                          k: Int, iters: Int, laneOf: Column => Column): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // NULL embeddings carry no training signal and would otherwise skew
+    // the Lloyd update (vectorSum skips them but a bare row count would
+    // not) — drop them before init sampling so a NULL vector can never be
+    // picked as a seed centroid either.
     val v = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
+      .filter(col("vec").isNotNull)
     val n = v.count()
     require(n >= k, s"need at least $k vectors, have $n")
     // Deterministic pseudo-random init: the k vectors with the smallest
@@ -122,9 +127,13 @@ object Knn {
     * state is a single dim-wide double array
     * ([[graft.functions.expressions.VectorSum]]), so the shuffle carries
     * ONE (sum vector, count) pair per cluster × partition — the corpus is
-    * never exploded. Returns (cid, s: array<double>, n: long). */
+    * never exploded. NULL vectors are dropped here (not just ignored by
+    * the sum): vectorSum skips them but `count` would not, which deflates
+    * the mean — and a NULL vector's NULL cid breaks the caller's decode.
+    * Returns (cid, s: array<double>, n: long). */
   private[graft] def clusterSumsFrame(v: DataFrame, matrix: Seq[Seq[Double]]): DataFrame =
-    v.select(Vec.nearestCentroid(col("vec"), matrix).as("cid"), col("vec"))
+    v.filter(col("vec").isNotNull)
+      .select(Vec.nearestCentroid(col("vec"), matrix).as("cid"), col("vec"))
       .groupBy(col("cid"))
       .agg(Vec.vectorSum(col("vec")).as("s"), count(lit(1)).as("n"))
 
@@ -140,18 +149,19 @@ object Knn {
   }
 
   /** `posexplode` + per-(cid, pos) AVG formulation — the executable spec
-    * for [[clusterMeans]]: both forms sum the same doubles per position
-    * and divide by the same count (VectorSum fails fast on NULL elements,
-    * so the per-position AVG count always equals the row count), hence
-    * identical means whenever the position sums are order-exact
-    * (integer-valued fixtures; KnnSpec pins equality). Kept as the spec
-    * only: it materializes corpus × dim rows through the map-side hash
-    * aggregate before combining. */
+    * for [[clusterMeans]]: both forms drop NULL vectors, then sum the
+    * same doubles per position and divide by the same count (VectorSum
+    * fails fast on NULL elements, so the per-position AVG count always
+    * equals the surviving row count), hence identical means whenever the
+    * position sums are order-exact (integer-valued fixtures; KnnSpec pins
+    * equality). Kept as the spec only: it materializes corpus × dim rows
+    * through the map-side hash aggregate before combining. */
   private[graft] def clusterMeansExplode(v: DataFrame,
                                          matrix: Seq[Seq[Double]]): Map[Int, Seq[Double]] = {
     val spark = v.sparkSession
     import spark.implicits._
-    v.select(Vec.nearestCentroid(col("vec"), matrix).as("cid"),
+    v.filter(col("vec").isNotNull)
+      .select(Vec.nearestCentroid(col("vec"), matrix).as("cid"),
         posexplode(col("vec")).as(Seq("pos", "x")))
       .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
       .groupBy(col("cid"))

@@ -59,7 +59,23 @@ object Publish {
       if (!cat.tableExists(ident)) {
         val path = new org.apache.hadoop.fs.Path(cat.defaultTablePath(ident))
         val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
-        fs.delete(path, true)
+        if (fs.exists(path)) {
+          // Only remove what a died table-write could have left behind:
+          // Spark data/commit files, partition dirs, temporary dirs.
+          // Anything else parked at the default location (e.g. an
+          // externally-written directory awaiting registration) is not
+          // ours to destroy — refuse loudly instead of deleting.
+          val leftovers = fs.listStatus(path).forall { s =>
+            val n = s.getPath.getName
+            n.startsWith("part-") || n.startsWith(".") || n.startsWith("_") ||
+              (s.isDirectory && n.contains("="))
+          }
+          if (!leftovers)
+            throw new IllegalStateException(
+              s"refusing to overwrite $path: it is not registered as table " +
+                s"'$name' and does not look like a stale Spark table write")
+          fs.delete(path, true)
+        }
         ()
       }
     }

@@ -81,13 +81,14 @@ object Streams {
         val m = BatchPipeline.build(batch, manufacturer)
         m.factAdverseEvents.write.mode("overwrite")
           .parquet(s"$outDir/fact_adverse_events_stream/batch_id=$batchId")
-        // same single-writer argument as incrementalSearchIndex: between
-        // micro-batches the stream is the only writer, so the in-line
-        // compaction is safe; a week of fact refreshes stays bounded at
-        // compactEvery batch directories
+        // In-line compaction folds only batches BELOW the current one
+        // (`belowId = batchId`): those are checkpoint-committed and can
+        // never be replayed, whereas THIS batch replays with the same id
+        // after a crash-before-commit — its overwrite of `batch_id=<id>`
+        // must never target the directory holding earlier batches' rows.
         if (compactEvery > 0 && batchId % compactEvery == (compactEvery - 1).toLong)
           compactBatchPartitions(batch.sparkSession,
-            s"$outDir/fact_adverse_events_stream")
+            s"$outDir/fact_adverse_events_stream", belowId = batchId)
         ()
       }
 
@@ -128,8 +129,15 @@ object Streams {
         // the stream is the only writer and it is idle until this hook
         // returns. A week of target_lag-style refreshes then never
         // accumulates more than `compactEvery` directories per table.
+        // `belowId = batchId` keeps the CURRENT batch out of the fold: it
+        // is not checkpoint-committed yet, so a crash after this hook
+        // replays it — and its `mode("overwrite")` write to
+        // `batch_id=<batchId>` must never land on a compacted directory
+        // that holds every earlier batch's rows (that replay would be
+        // silent permanent data loss). Batches below the current id are
+        // committed and can never replay, so folding THEM is safe.
         if (compactEvery > 0 && batchId % compactEvery == (compactEvery - 1).toLong)
-          compactSearchIndex(batch.sparkSession, outDir)
+          compactSearchIndex(batch.sparkSession, outDir, belowId = batchId)
       }
 
   /** Assemble the queryable state written by [[incrementalSearchIndex]].
@@ -165,35 +173,61 @@ object Streams {
    * after rename with a concurrent in-flight writer batch is the usual
    * non-transactional-compaction caveat — the transactional answer is the
    * Iceberg publication surface (S6), environment-blocked here.
+   *
+   * `belowId` (exclusive) restricts the fold to batch ids strictly below
+   * it — REQUIRED when called from inside a live stream's `foreachBatch`
+   * (pass the current batch id): the current batch is not
+   * checkpoint-committed yet and replays with the same id after a crash,
+   * so it must never be folded into a directory its replay would
+   * overwrite. The default folds everything (offline maintenance, no
+   * writer in flight).
    */
   def compactSearchIndex(spark: org.apache.spark.sql.SparkSession, outDir: String,
-                         filesPerTable: Int = 4): Unit =
+                         filesPerTable: Int = 4,
+                         belowId: Long = Long.MaxValue): Unit =
     for (t <- Seq("tf", "dl", "assigned"))
-      compactBatchPartitions(spark, s"$outDir/$t", filesPerTable)
+      compactBatchPartitions(spark, s"$outDir/$t", filesPerTable, belowId)
 
-  /** Fold every `batch_id=` partition of ONE micro-batch-structured table
+  /** Fold `batch_id=` partitions of ONE micro-batch-structured table
     * into a single partition of `filesPer` files (the generic compactor
     * behind [[compactSearchIndex]]; also fits
-    * [[incrementalPipeline]]'s fact output). Keeps the max batch id so a
-    * live stream's future batch ids never collide with the compacted
-    * partition. */
+    * [[incrementalPipeline]]'s fact output). Only partitions with id
+    * strictly below `belowId` participate, and they fold into the LARGEST
+    * participating id — from inside `foreachBatch(batchId)` pass
+    * `belowId = batchId` so the not-yet-committed current batch (which a
+    * crash replays, overwriting `batch_id=<batchId>`) is never folded;
+    * ids below the current one are committed and cannot replay. A live
+    * stream's future batch ids are strictly greater than every folded id,
+    * so new partitions never collide with the compacted one. */
   def compactBatchPartitions(spark: org.apache.spark.sql.SparkSession,
-                             tableDir: String, filesPer: Int = 4): Unit = {
+                             tableDir: String, filesPer: Int = 4,
+                             belowId: Long = Long.MaxValue): Unit = {
     import org.apache.hadoop.fs.Path
     val tablePath = new Path(tableDir)
     val fs = tablePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val batches = fs.listStatus(tablePath)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+      .filter(_.getPath.getName.stripPrefix("batch_id=").toLong < belowId)
     if (batches.length > 1) {
       val maxId = batches.map(_.getPath.getName.stripPrefix("batch_id=").toLong).max
       val tmp = new Path(tablePath.getParent, s".compact_tmp_${tablePath.getName}")
       fs.delete(tmp, true)
-      spark.read.parquet(tableDir).drop("batch_id")
+      spark.read.parquet(
+          batches.map(_.getPath.toString): _*)
+        .drop("batch_id")
         .repartition(filesPer)
         .write.mode("overwrite").parquet(tmp.toString)
       fs.delete(new Path(tmp, "_SUCCESS"), false)
       batches.foreach(b => fs.delete(b.getPath, true))
-      fs.rename(tmp, new Path(tablePath, s"batch_id=$maxId"))
+      // Hadoop FileSystem.rename reports most failures by RETURNING false
+      // (not throwing); swallowing that would leave the table empty with
+      // the rows stranded in the tmp dir — fail loudly so the tmp dir is
+      // recoverable instead of silently lost.
+      val dest = new Path(tablePath, s"batch_id=$maxId")
+      if (!fs.rename(tmp, dest))
+        throw new java.io.IOException(
+          s"compaction swap failed: rename($tmp, $dest) returned false; " +
+            s"compacted rows are intact in $tmp")
       ()
     }
   }

@@ -151,4 +151,24 @@ class KnnSpec extends SparkSpec {
     assert(prod.nonEmpty)
     assert(prod === spec)
   }
+
+  test("NULL embeddings neither deflate Lloyd means nor poison k-means init") {
+    // vectorSum skips NULL vectors; a bare row count would not — the mean
+    // would divide by too large an n, and the NULL cid group would break
+    // the (cid, sums, n) decode. Both must behave as if the rows were absent.
+    val clean = (0 until 20).map { i =>
+      (i.toLong, Array.tabulate(4)(d => ((i * 7 + d * 3) % 5).toDouble))
+    }
+    val withNulls = clean.map { case (id, v) => (id, Option(v)) } ++
+      Seq((100L, Option.empty[Array[Double]]), (101L, Option.empty[Array[Double]]))
+    val matrix = Seq(Seq(4.0, 1.0, 0.0, 0.0), Seq(0.0, 0.0, 3.0, 2.0))
+    assert(Knn.clusterMeans(withNulls.toDF("id", "vec"), matrix) ===
+      Knn.clusterMeans(clean.toDF("id", "vec"), matrix))
+    // init sampling must never seed a centroid from a NULL vector, even
+    // when NULL-vec ids hash into the smallest-lane sample
+    val cents = Knn.kmeansCentroids(
+      withNulls.toDF("id", "vec"), "id", "vec", k = 2, iters = 2).collect()
+    assert(cents.length === 2)
+    assert(cents.forall(_.getSeq[Double](1) != null))
+  }
 }

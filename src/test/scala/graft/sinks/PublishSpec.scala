@@ -56,6 +56,33 @@ class PublishSpec extends SparkSpec {
     }
   }
 
+  test("bucketed sink: stale leftovers are cleared, foreign data is refused") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val cat = spark.sessionState.catalog
+    def defaultPath(name: String) = new java.io.File(new java.net.URI(
+      cat.defaultTablePath(spark.sessionState.sqlParser.parseTableIdentifier(name)).toString))
+
+    // a died writer's leftovers (part- files, no catalog entry) are swept
+    val stale = defaultPath("bkt_stale_test")
+    stale.mkdirs()
+    java.nio.file.Files.writeString(stale.toPath.resolve("part-00000-dead.parquet"), "junk")
+    Publish.bucketedTable(df, "bkt_stale_test", Seq("k"), numBuckets = 2)
+    try assert(spark.table("bkt_stale_test").count() === 2)
+    finally spark.sql("DROP TABLE bkt_stale_test")
+
+    // unrelated data parked at the default location is NOT ours to destroy
+    val foreign = defaultPath("bkt_foreign_test")
+    foreign.mkdirs()
+    java.nio.file.Files.writeString(foreign.toPath.resolve("somebody_elses.csv"), "x,y\n1,2\n")
+    intercept[IllegalStateException] {
+      Publish.bucketedTable(df, "bkt_foreign_test", Seq("k"), numBuckets = 2)
+    }
+    assert(foreign.toPath.resolve("somebody_elses.csv").toFile.exists())
+    java.nio.file.Files.delete(foreign.toPath.resolve("somebody_elses.csv"))
+    java.nio.file.Files.delete(foreign.toPath)
+  }
+
   test("table sink: registered in the session catalog and queryable") {
     Publish.table(mart, "fact_pub_test", partitionCols = Seq("yyyy"))
     assert(spark.table("fact_pub_test").count() === 3)

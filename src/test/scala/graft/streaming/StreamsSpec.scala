@@ -171,7 +171,11 @@ class StreamsSpec extends SparkSpec {
       .option("checkpointLocation", s"$base/ckpt")
       .start()
     try {
-      // 4 micro-batches -> compaction fires after batch ids 1 and 3
+      // 4 micro-batches -> the hook fires inside batches 1 and 3, folding
+      // only COMMITTED ids (strictly below the running batch): batch 1's
+      // fold is a no-op (one committed partition), batch 3 folds 0-2 into
+      // batch_id=2. The running batch never joins the fold — its replay
+      // overwrites batch_id=3, which must not be the compacted directory.
       for (i <- 0L until 4L) {
         input.addData((i, s"leak event number $i", Array(1.0 - i * 0.1, i * 0.1)))
         q.processAllAvailable()
@@ -179,14 +183,41 @@ class StreamsSpec extends SparkSpec {
       for (t <- Seq("tf", "dl", "assigned")) {
         val dirs = new java.io.File(s"$base/$t").listFiles()
           .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
-        assert(dirs.length === 1,
-          s"$t should be fully compacted after the last batch, got ${dirs.length}")
+          .map(_.getName).sorted
+        assert(dirs.toSeq === Seq("batch_id=2", "batch_id=3"),
+          s"$t should hold the compacted committed prefix plus the live batch, got ${dirs.mkString(",")}")
       }
       val idx = Streams.readSearchIndex(spark, base, centroids, "doc_id", "embedding")
       assert(Bm25.scoreIndexed(idx.bm25, Seq("leak"))
         .collect().map(_.getLong(0)).toSet === Set(0L, 1L, 2L, 3L))
       assert(idx.assigned.count() === 4)
     } finally q.stop()
+  }
+
+  test("compaction survives a checkpoint replay of the in-flight batch") {
+    // The failure mode the belowId contract exists for: foreachBatch(N)
+    // returns (having compacted), the process dies BEFORE the checkpoint
+    // commit, and batch N replays — re-running its mode("overwrite") write
+    // to batch_id=N. If N had been folded into the compacted directory,
+    // that overwrite would silently destroy every earlier batch's rows.
+    val base = Files.createTempDirectory("compact_replay").toString
+    def writeBatch(id: Long, rows: Seq[Long]): Unit =
+      rows.toDF("v").write.mode("overwrite").parquet(s"$base/t/batch_id=$id")
+    writeBatch(0, Seq(0L, 1L))
+    writeBatch(1, Seq(2L))
+    writeBatch(2, Seq(3L))
+
+    // in-line compaction during batch 2: fold only ids < 2
+    Streams.compactBatchPartitions(spark, s"$base/t", belowId = 2)
+    val dirs = new java.io.File(s"$base/t").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+      .map(_.getName).sorted
+    assert(dirs.toSeq === Seq("batch_id=1", "batch_id=2"))
+
+    // crash-before-commit: batch 2 replays and overwrites ITS OWN partition
+    writeBatch(2, Seq(3L))
+    assert(spark.read.parquet(s"$base/t").select("v")
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(0L, 1L, 2L, 3L))
   }
 
   test("stateful sessionize: in-batch close, timeout close, exact durations") {
