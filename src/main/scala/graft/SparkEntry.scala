@@ -210,6 +210,23 @@ object SparkEntry {
     Dedup.minhashLshPairsSha(documents(s, d), "doc_id", "text",
       shingleN = 3, bands = 4, rowsPerBand = 4)
 
+  /** Incremental dedup admission ([[Dedup.lshIndex]] +
+    * [[Dedup.admitIncremental]]): the corpus with doc_id >= 250 plays the
+    * already-admitted index (grows with sf), the fixed 250-doc batch
+    * (doc_id < 250) is admitted against it — index scanned once, batch
+    * buckets broadcast. SHA signature family for oracle parity; the
+    * xxhash64 family is the scale primary (DedupSpec cross-checks). */
+  private def lshAdmit(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val index = Dedup.lshIndex(docs.filter(col("doc_id") >= 250), "doc_id", "text",
+      shingleN = 3, bands = 4, rowsPerBand = 4,
+      sigFn = Dedup.minhashSignaturesSha)
+    Dedup.admitIncremental(index, docs.filter(col("doc_id") < 250),
+        "doc_id", "text", threshold = 0.5, shingleN = 3, bands = 4,
+        rowsPerBand = 4, sigFn = Dedup.minhashSignaturesSha)
+      .select(col("doc"), col("dup_of"), col("est_jaccard"))
+  }
+
   /** Oracle-parity SimHash (60-bit SHA-256 lanes); the xxhash64 scan-side
     * kernel ([[Dedup.simhashPairs]]) is the scale primary. */
   private def simhashPairs(s: SparkSession, d: String): DataFrame =
@@ -552,16 +569,23 @@ object SparkEntry {
     "q47_kmeans_train"       -> (kmeansTrain _),
     "q48_resize_plan"        -> (resizePlanQuery _),
     "q49_quality_checks"     -> (qualityChecks _),
+    "q50_lsh_admit"          -> (lshAdmit _),
   )
 
   // ------------------------------------------------------------ oracle SQL
 
   import graft.functions.ShaLanes.{duckHexLane, duckLane}
 
-  /** q20 oracle: SHA-lane MinHash + banded LSH, mirroring
-    * [[Dedup.minhashLshPairsSha]] (4 bands × 4 rows, 16 lanes from 4
-    * digests per shingle). */
-  private def minhashOracle: String = {
+  /** Fraction-of-equal-signature-components estimate between sig aliases
+    * `a` and `b` (shared by the q20 and q50 oracles). */
+  private def minhashMatchSum: String = (0 until 16)
+    .map(i => s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)").mkString(" + ")
+
+  /** Shared CTE prefix of the q20/q50 oracles: tokens → distinct word
+    * 3-shingles → 4 SHA-256 digests → 16 lanes → per-doc min-lane
+    * signature (`sig`) → band-bucket rows (`bk`), mirroring
+    * [[Dedup.minhashSignaturesSha]] + its banding (4 bands × 4 rows). */
+  private def minhashSigCte: String = {
     val lanes = (0 until 16).map(i =>
       s"${duckHexLane(s"d${i / 4}", graft.functions.ShaLanes.LaneOffsets(i % 4))} AS l$i")
       .mkString(",\n    ")
@@ -569,8 +593,6 @@ object SparkEntry {
     val bandRows = (1 until 4).map(b =>
       s"  UNION ALL SELECT doc, $b, ${(0 until 4).map(r => s"m${b * 4 + r}").mkString(", ")} FROM sig")
       .mkString("\n")
-    val matchSum = (0 until 16)
-      .map(i => s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)").mkString(" + ")
     s"""WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
        |s0 AS (
        |  SELECT doc_id AS doc, unnest(list_distinct(
@@ -584,14 +606,46 @@ object SparkEntry {
        |sig AS (SELECT doc, $mins FROM ln GROUP BY doc),
        |bk AS (
        |  SELECT doc, 0 AS band, m0 AS v0, m1 AS v1, m2 AS v2, m3 AS v3 FROM sig
-       |$bandRows),
+       |$bandRows)""".stripMargin
+  }
+
+  /** q20 oracle: SHA-lane MinHash + banded LSH, mirroring
+    * [[Dedup.minhashLshPairsSha]] (4 bands × 4 rows, 16 lanes from 4
+    * digests per shingle). */
+  private def minhashOracle: String =
+    s"""$minhashSigCte,
        |cand AS (
        |  SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
        |  FROM bk x JOIN bk y ON x.band = y.band AND x.v0 = y.v0 AND x.v1 = y.v1
        |    AND x.v2 = y.v2 AND x.v3 = y.v3 AND x.doc < y.doc)
-       |SELECT doc_a, doc_b, round(($matchSum) / 16.0, 6) AS est_jaccard
+       |SELECT doc_a, doc_b, round(($minhashMatchSum) / 16.0, 6) AS est_jaccard
        |FROM cand JOIN sig a ON doc_a = a.doc JOIN sig b ON doc_b = b.doc""".stripMargin
-  }
+
+  /** q50 oracle: incremental dedup admission, mirroring
+    * [[Dedup.admitIncremental]] — the corpus with doc_id >= 250 is the
+    * already-admitted index, the fixed 250-doc batch (doc_id < 250) is
+    * admitted against it; a batch doc's `dup_of` is the smallest doc id
+    * (any index doc, or a smaller-id batch doc) whose banded signature
+    * collides at estimated Jaccard >= 0.5. */
+  private def lshAdmitOracle: String =
+    s"""$minhashSigCte,
+       |cand AS (
+       |  SELECT DISTINCT y.doc AS doc, x.doc AS cand
+       |  FROM bk x JOIN bk y ON x.band = y.band AND x.v0 = y.v0 AND x.v1 = y.v1
+       |    AND x.v2 = y.v2 AND x.v3 = y.v3
+       |  WHERE y.doc < 250 AND (x.doc >= 250 OR x.doc < y.doc)),
+       |est AS (
+       |  SELECT c.doc, c.cand, round(($minhashMatchSum) / 16.0, 6) AS est_jaccard
+       |  FROM cand c JOIN sig a ON c.cand = a.doc JOIN sig b ON c.doc = b.doc),
+       |best AS (
+       |  SELECT doc, min(cand) AS dup_of FROM est
+       |  WHERE est_jaccard >= 0.5 GROUP BY doc)
+       |SELECT d.doc_id AS doc, w.dup_of, w.est_jaccard
+       |FROM (SELECT doc_id FROM documents WHERE doc_id < 250) d
+       |LEFT JOIN (
+       |  SELECT b.doc, b.dup_of, e.est_jaccard
+       |  FROM best b JOIN est e ON e.doc = b.doc AND e.cand = b.dup_of) w
+       |ON d.doc_id = w.doc""".stripMargin
 
   /** q21 oracle: 60-bit SHA-lane SimHash, mirroring [[Dedup.simhashPairsSha]]
     * (prefixBits=8 → bucket = fingerprint >> 52; Hamming ≤ 8). */
@@ -799,6 +853,7 @@ object SparkEntry {
         |WHERE rk <= 3""".stripMargin,
 
     "q20_minhash_lsh" -> minhashOracle,
+    "q50_lsh_admit" -> lshAdmitOracle,
     "q21_simhash_pairs" -> simhashOracle,
     "q25_lsh_knn" -> lshKnnOracle,
     "q46_lsh_neardup" -> lshNearDupOracle,

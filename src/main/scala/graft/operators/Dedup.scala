@@ -207,6 +207,84 @@ object Dedup {
   }
 
   /**
+   * Persistable banded-LSH dedup index: one row per (doc, band) carrying
+   * the band-key components (`v0..v{rowsPerBand-1}`, `band`) AND the
+   * doc's full signature (`mh_*`) — [[bandBuckets]]' layout. Write it out
+   * once (e.g. parquet, or bucketed on the band key via
+   * [[graft.sinks.Publish.bucketedTable]]) and every future batch is
+   * admitted against it with [[admitIncremental]] — the already-admitted
+   * corpus is never re-shingled or re-signed.
+   *
+   * `sigFn` selects the signature family: [[minhashSignatures]] (xxhash64
+   * kernel, scale default) or [[minhashSignaturesSha]] (oracle parity).
+   */
+  def lshIndex(df: DataFrame, idCol: String, textCol: String,
+               shingleN: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
+               sigFn: (DataFrame, String, String, Int, Int) => DataFrame =
+                 minhashSignatures): DataFrame =
+    bandBuckets(sigFn(df, idCol, textCol, shingleN, bands * rowsPerBand),
+      bands * rowsPerBand, bands, rowsPerBand)
+
+  /**
+   * Incremental dedup admission: test a batch of NEW documents against an
+   * existing [[lshIndex]] (and against each other) without touching the
+   * indexed corpus' text. Returns one row per batch doc:
+   * `(doc, dup_of, est_jaccard, admitted)` where `dup_of` is the smallest
+   * doc id — across the whole index plus smaller-id batch docs — whose
+   * banded signature collides with ≥ `threshold` estimated Jaccard, NULL
+   * (admitted = true) when none does.
+   *
+   * Decision rule is collision-based, not admission-chained: a batch doc
+   * can be `dup_of` a batch doc that is itself a duplicate — chained
+   * resolution is [[connectedComponents]]' job (exactly as for the batch
+   * pair operators). Batch ids must be disjoint from index ids. Docs too
+   * short to shingle (< shingleN tokens) have no signature and are always
+   * admitted.
+   *
+   * Scale shape: the batch is signed scan-side (zero shuffle), its
+   * buckets are BROADCAST against the index — the index is scanned once,
+   * never shuffled, any corpus size — and the in-batch check is
+   * [[bandedPairs]] on the batch alone. Per-admission cost is O(index
+   * scan + batch²-within-buckets), independent of corpus text size.
+   */
+  def admitIncremental(index: DataFrame, batch: DataFrame,
+                       idCol: String, textCol: String, threshold: Double,
+                       shingleN: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
+                       sigFn: (DataFrame, String, String, Int, Int) => DataFrame =
+                         minhashSignatures): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val newBuckets =
+      bandBuckets(sigFn(batch, idCol, textCol, shingleN, numHashes),
+        numHashes, bands, rowsPerBand)
+    // duplicate band collisions of one (index doc, batch doc) pair carry
+    // identical signatures → identical estimates, so dropDuplicates on the
+    // pair is deterministic (same argument as bandedPairs)
+    val vsIndex = index.as("x")
+      .join(broadcast(newBuckets.as("y")), bucketJoinCond("x", "y", rowsPerBand))
+      .select(col("y.doc").as("doc"), col("x.doc").as("cand"),
+        round(estJaccard("x", "y", numHashes), 6).as("est_jaccard"))
+      .dropDuplicates("doc", "cand")
+    val inBatch = newBuckets.as("x")
+      .join(broadcast(newBuckets.as("y")),
+        bucketJoinCond("x", "y", rowsPerBand) && col("x.doc") < col("y.doc"))
+      .select(col("y.doc").as("doc"), col("x.doc").as("cand"),
+        round(estJaccard("x", "y", numHashes), 6).as("est_jaccard"))
+      .dropDuplicates("doc", "cand")
+    // min-by-candidate-id: struct ordering compares cand first; est is a
+    // pure function of the (doc, cand) signatures, so this IS arg-min
+    val best = vsIndex.unionByName(inBatch)
+      .filter(col("est_jaccard") >= threshold)
+      .groupBy(col("doc"))
+      .agg(min(struct(col("cand"), col("est_jaccard"))).as("m"))
+      .select(col("doc"), col("m.cand").as("dup_of"),
+        col("m.est_jaccard").as("est_jaccard"))
+    batch.select(col(idCol).as("doc"))
+      .join(best, Seq("doc"), "left")
+      .select(col("doc"), col("dup_of"), col("est_jaccard"),
+        col("dup_of").isNull.as("admitted"))
+  }
+
+  /**
    * Oracle-parity banded-LSH candidate pairs: same banding/verification as
    * [[minhashLshPairs]] but over [[minhashSignaturesSha]] signatures, and
    * band buckets keyed by the raw component tuple (equality on `rowsPerBand`

@@ -140,6 +140,60 @@ object Streams {
           compactSearchIndex(batch.sparkSession, outDir, belowId = batchId)
       }
 
+  /**
+   * Streaming dedup admission (the corpus-growth counterpart of
+   * [[incrementalSearchIndex]]): each micro-batch of new documents is
+   * tested against the persisted banded-LSH index of every
+   * previously-admitted doc ([[graft.operators.Dedup.admitIncremental]]),
+   * per-doc decisions land in `decisionsDir/batch_id=`, and the ADMITTED
+   * docs' band buckets are appended to `indexDir/batch_id=` — so the
+   * index only ever grows by deduplicated content and no batch ever
+   * re-shingles the corpus.
+   *
+   * Replay safety (same contract as the compaction hook): the index is
+   * read with `batch_id < current` only, so a replayed batch never sees
+   * the buckets its failed first attempt wrote, and both writes overwrite
+   * their own `batch_id=` partition — idempotent under at-least-once
+   * foreachBatch.
+   */
+  def incrementalDedupAdmit(docStream: DataFrame, idCol: String, textCol: String,
+                            indexDir: String, decisionsDir: String,
+                            threshold: Double, shingleN: Int = 3,
+                            bands: Int = 4, rowsPerBand: Int = 4): DataStreamWriter[Row] =
+    docStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.operators.Dedup
+        val spark = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(indexDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val committed = {
+          val p = new org.apache.hadoop.fs.Path(indexDir)
+          fs.exists(p) && fs.listStatus(p).exists(s =>
+            s.isDirectory && s.getPath.getName.startsWith("batch_id=") &&
+              s.getPath.getName.stripPrefix("batch_id=").toLong < batchId)
+        }
+        val index =
+          if (committed)
+            spark.read.parquet(indexDir)
+              .filter(col("batch_id") < batchId).drop("batch_id")
+          else // first batch (or replay of it): nothing admitted yet
+            Dedup.lshIndex(batch.limit(0), idCol, textCol,
+              shingleN, bands, rowsPerBand)
+        val b = batch.cache()
+        try {
+          val decisions = Dedup.admitIncremental(index, b, idCol, textCol,
+            threshold, shingleN, bands, rowsPerBand)
+          decisions.write.mode("overwrite")
+            .parquet(s"$decisionsDir/batch_id=$batchId")
+          val admitted = b.join(
+            spark.read.parquet(s"$decisionsDir/batch_id=$batchId")
+              .filter(col("admitted")).select(col("doc")),
+            b(idCol) === col("doc")).drop("doc")
+          Dedup.lshIndex(admitted, idCol, textCol, shingleN, bands, rowsPerBand)
+            .write.mode("overwrite").parquet(s"$indexDir/batch_id=$batchId")
+        } finally { b.unpersist(); () }
+      }
+
   /** Assemble the queryable state written by [[incrementalSearchIndex]].
     * Uncached — interactive callers should cache + close via the returned
     * [[HybridSearch.SearchIndex]]'s lifecycle as usual. */

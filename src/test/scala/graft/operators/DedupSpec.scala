@@ -144,6 +144,61 @@ class DedupSpec extends SparkSpec {
       s"family {1,2,3} should collapse to 1; got $kept")
   }
 
+  test("incremental admission agrees with banded pairs over the union corpus") {
+    // Index docs carry ids 100+ (admitted earlier, ids larger than the
+    // batch's — admission must not assume index ids are smaller); batch
+    // brings an exact dup of an indexed doc, a near-dup, an in-batch dup
+    // chain, and fresh content.
+    val index = Seq(
+      100L -> "the quick brown fox jumps over the lazy dog near the river bank",
+      101L -> "data pipelines shuffle partitions across executors during wide transformations at scale",
+      102L -> "astronomy telescopes observe distant galaxies through adaptive optics instruments tonight"
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog near the river bank",
+      // appended-token near-dup of 101: 9 of 10 shingles shared (J = 0.9)
+      2L -> "data pipelines shuffle partitions across executors during wide transformations at scale today",
+      3L -> "completely new content about cooking pasta with tomato sauce and basil",
+      4L -> "completely new content about cooking pasta with tomato sauce and basil",
+      5L -> "tiny"  // < shingleN tokens: no signature, always admitted
+    ).toDF("doc_id", "text")
+
+    for (sigFn <- Seq(Dedup.minhashSignatures _, Dedup.minhashSignaturesSha _)) {
+      val idx = Dedup.lshIndex(index, "doc_id", "text", 3, 4, 4, sigFn)
+      val out = Dedup.admitIncremental(idx, batch, "doc_id", "text",
+          threshold = 0.5, 3, 4, 4, sigFn).collect()
+        .map(r => r.getLong(0) ->
+          (Option(r.get(1)).map(_.asInstanceOf[Long]), r.getBoolean(3))).toMap
+      assert(out.size === 5)
+      assert(out(1L) === (Some(100L), false))   // exact dup of indexed doc
+      assert(out(2L) === (Some(101L), false))   // near-dup of indexed doc
+      assert(out(3L) === (None, true))          // fresh: admitted
+      assert(out(4L) === (Some(3L), false))     // in-batch dup of smaller id
+      assert(out(5L) === (None, true))          // unshingleable: admitted
+    }
+
+    // ground truth (xxhash64 family): every decision is derivable from the
+    // banded pairs of the UNION corpus — a batch doc's dup_of is the min
+    // partner among {any index doc, smaller batch ids} at est >= 0.5
+    val batchIds = Set(1L, 2L, 3L, 4L, 5L)
+    val expected = Dedup.minhashLshPairs(index.unionByName(batch),
+        "doc_id", "text", 3, 4, 4)
+      .filter(col("est_jaccard") >= 0.5).collect()
+      .flatMap { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        Seq((a, b), (b, a)).collect {
+          case (p, d) if batchIds(d) && (!batchIds(p) || p < d) => d -> p
+        }
+      }
+      .groupBy(_._1).map { case (d, ps) => d -> ps.map(_._2).min }
+    val got = Dedup.admitIncremental(
+        Dedup.lshIndex(index, "doc_id", "text"), batch, "doc_id", "text",
+        threshold = 0.5).collect()
+      .flatMap(r => Option(r.get(1)).map(p => r.getLong(0) -> p.asInstanceOf[Long]))
+      .toMap
+    assert(got === expected)
+  }
+
   test("ANN near-dup (sign-LSH) has precision 1.0 vs the brute baseline") {
     val rnd = new scala.util.Random(7)
     val rows = (0 until 30).flatMap { i =>

@@ -194,6 +194,45 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup admission: index grows by admitted docs only") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = Files.createTempDirectory("inc_admit").toString
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = Streams.incrementalDedupAdmit(input.toDS().toDF("doc_id", "text"),
+        "doc_id", "text", s"$base/index", s"$base/decisions", threshold = 0.5)
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    try {
+      // batch 0: two fresh docs + an in-batch exact dup
+      input.addData(
+        (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2L, "data pipelines shuffle partitions across executors during wide transformations"),
+        (3L, "the quick brown fox jumps over the lazy dog near the river bank"))
+      q.processAllAvailable()
+      // batch 1: a dup of an indexed doc, an appended-token near-dup
+      // (high Jaccard, so banding collides for sure), and fresh content
+      input.addData(
+        (10L, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (11L, "data pipelines shuffle partitions across executors during wide transformations today"),
+        (12L, "astronomy telescopes observe distant galaxies through adaptive optics tonight"))
+      q.processAllAvailable()
+
+      val decisions = spark.read.parquet(s"$base/decisions")
+        .collect().map(r => r.getLong(0) ->
+          (Option(r.get(1)).map(_.asInstanceOf[Long]), r.getBoolean(3))).toMap
+      assert(decisions(1L) === (None, true))
+      assert(decisions(2L) === (None, true))
+      assert(decisions(3L) === (Some(1L), false))   // in-batch dup
+      assert(decisions(10L) === (Some(1L), false))  // dup of indexed doc
+      assert(decisions(11L) === (Some(2L), false))  // near-dup of indexed doc
+      assert(decisions(12L) === (None, true))
+      // the index holds band buckets for admitted docs ONLY
+      assert(spark.read.parquet(s"$base/index").select("doc").distinct()
+        .collect().map(_.getLong(0)).toSet === Set(1L, 2L, 12L))
+    } finally q.stop()
+  }
+
   test("compaction survives a checkpoint replay of the in-flight batch") {
     // The failure mode the belowId contract exists for: foreachBatch(N)
     // returns (having compacted), the process dies BEFORE the checkpoint
