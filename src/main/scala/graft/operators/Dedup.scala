@@ -278,8 +278,10 @@ object Dedup {
       .agg(min(struct(col("cand"), col("est_jaccard"))).as("m"))
       .select(col("doc"), col("m.cand").as("dup_of"),
         col("m.est_jaccard").as("est_jaccard"))
+    // `best` is bounded by the batch size (one row per matched batch doc)
+    // — broadcast it so the decision join never shuffles either side
     batch.select(col(idCol).as("doc"))
-      .join(best, Seq("doc"), "left")
+      .join(broadcast(best), Seq("doc"), "left")
       .select(col("doc"), col("dup_of"), col("est_jaccard"),
         col("dup_of").isNull.as("admitted"))
   }

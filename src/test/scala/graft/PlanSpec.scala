@@ -59,6 +59,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q50 admission: bucket joins broadcast the batch; index side never sort-merges") {
+    val p = plan("q50_lsh_admit")
+    // both collision joins (index×batch, batch×batch) broadcast the batch
+    // buckets — the index side is scanned once and never shuffled or
+    // sorted for the join, at any corpus size
+    assert(countOf(p, "BroadcastHashJoin") >= 2, p.linesIterator
+      .filter(_.contains("Join")).mkString("\n"))
+    assert(!p.contains("SortMergeJoin"), "index side must not sort-merge")
+    // signatures come from the scan-side kernel: the only aggregations in
+    // the plan are pair-dedup (first) and the arg-min decision — nothing
+    // aggregates 16 lanes into a signature
+    assert(!p.contains("partial_min(mh_") && !p.contains("min(l"),
+      "signatures must come from the scan-side kernel, not an aggregation")
+  }
+
   test("vigilance fact: manufacturer dim join is broadcast") {
     val base = java.nio.file.Files.createTempDirectory("maude_plan")
     val (landing, seed) = graft.models.MaudeFixture.write(base)
