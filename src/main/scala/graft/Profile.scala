@@ -10,13 +10,13 @@ object Profile {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.1"
-    def time(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime(); val n = f
-      println(f"PROF $name rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2f")
-    }
-    spark.range(1 << 20).selectExpr("sum(id)").collect()
-    for (i <- 1 to 4)
-      time(s"q25_run$i")(SparkEntry.queries("q25_lsh_knn")(spark, d).count())
+    val df = SparkEntry.queries("q20_minhash_lsh")(spark, d)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    println("AFTER EXEC isFinal: " + p.contains("isFinalPlan=true"))
+    println("ReusedExchange: " + p.contains("ReusedExchange"))
+    println("ShuffledHashJoin: " + p.contains("ShuffledHashJoin"))
+    println(p.linesIterator.filter(l => l.contains("Exchange") || l.contains("Join") || l.contains("ShuffleQueryStage") || l.contains("minhashshasig")).take(12).mkString("\n"))
     spark.stop()
   }
 }

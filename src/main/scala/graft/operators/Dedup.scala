@@ -57,8 +57,10 @@ object Dedup {
                         n: Int, threshold: Double): DataFrame = {
     val sh = shingleIndex(df, idCol, textCol, n)
     val counts = sh.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("a")
-      .join(sh.as("b"),
+    // identical exchanges on both sides → ReuseExchange tokenizes and
+    // shingles the corpus once for the self-join (see bandedPairs)
+    val inter = sh.as("a").hint("shuffle_hash")
+      .join(sh.as("b").hint("shuffle_hash"),
         col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc"))
       .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
@@ -86,10 +88,16 @@ object Dedup {
                         shingleN: Int, numHashes: Int): DataFrame = {
     org.apache.spark.sql.SparkSession.getActiveSession
       .foreach(graft.functions.expressions.GraftExpressions.register)
-    val sig = df.select(col(idCol).as("doc"),
+    // The kernel yields NULL exactly when the tokens are NULL or fewer
+    // than shingleN (no shingles). Filter on THAT cheap condition instead
+    // of `sig.isNotNull`: predicate pushdown would otherwise move the
+    // signature kernel into the scan Filter and evaluate it TWICE per row
+    // (once in the Filter, once in the Project).
+    val sig = df
+      .filter(size(Text.tokens(col(textCol))) >= lit(shingleN))
+      .select(col(idCol).as("doc"),
         call_function("graft_minhash", Text.tokens(col(textCol)),
           lit(shingleN), lit(numHashes)).as("sig"))
-      .filter(col("sig").isNotNull)
     sig.select(col("doc") +:
       (0 until numHashes).map(i => col("sig").getItem(i).as(s"mh_$i")): _*)
   }
@@ -149,7 +157,15 @@ object Dedup {
                           bands: Int, rowsPerBand: Int): DataFrame = {
     val buckets = bandBuckets(sig, numHashes, bands, rowsPerBand)
     val joinCond = bucketJoinCond("x", "y", rowsPerBand) && col("x.doc") < col("y.doc")
-    buckets.as("x").join(buckets.as("y"), joinCond)
+    // Route BOTH sides of the self-join through identical hash exchanges
+    // (shuffle_hash hint): Catalyst's ReuseExchange then computes the
+    // signature scan ONCE and feeds both sides, where a broadcast join
+    // would leave the stream side exchange-free and re-run the whole
+    // signature scan per side. A corpus self-join can't broadcast at
+    // scale anyway — the shuffled shape is the 100 TB plan, and at small
+    // scale it halves the kernel work.
+    buckets.as("x").hint("shuffle_hash")
+      .join(buckets.as("y").hint("shuffle_hash"), joinCond)
       .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"),
         round(estJaccard("x", "y", numHashes), 6).as("est_jaccard"))
       .dropDuplicates("doc_a", "doc_b")
@@ -184,10 +200,14 @@ object Dedup {
                            shingleN: Int, numHashes: Int): DataFrame = {
     org.apache.spark.sql.SparkSession.getActiveSession
       .foreach(graft.functions.expressions.GraftExpressions.register)
-    val sig = df.select(col(idCol).as("doc"),
+    // same cheap-equivalent pre-filter as [[minhashSignatures]] — keeps
+    // the 4-digest SHA kernel out of the pushed-down Filter (it would
+    // otherwise run twice per row)
+    val sig = df
+      .filter(size(Text.tokens(col(textCol))) >= lit(shingleN))
+      .select(col(idCol).as("doc"),
         call_function("graft_minhash_sha", Text.tokens(col(textCol)),
           lit(shingleN), lit(numHashes)).as("sig"))
-      .filter(col("sig").isNotNull)
     sig.select(col("doc") +:
       (0 until numHashes).map(i => col("sig").getItem(i).as(s"mh_$i")): _*)
   }
@@ -312,12 +332,14 @@ object Dedup {
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     org.apache.spark.sql.SparkSession.getActiveSession
       .foreach(graft.functions.expressions.GraftExpressions.register)
-    df.select(col(idCol).as("doc"),
+    // NULL text → NULL fingerprint (the kernel's only NULL case), but NO
+    // row at all in the aggregation formulation (explode of null emits
+    // nothing) — drop those rows via the cheap input condition rather
+    // than `simhash.isNotNull`, which pushdown would turn into a second
+    // per-row kernel evaluation inside the scan Filter.
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc"),
         call_function("graft_simhash64", Text.tokens(col(textCol))).as("simhash"))
-      // NULL text → NULL fingerprint here, but NO row at all in the
-      // aggregation formulation (explode of null emits nothing); drop the
-      // row so both formulations stay row-equal, like minhashSignatures.
-      .filter(col("simhash").isNotNull)
   }
 
   /** Aggregation-form SimHash (the executable spec for [[simhash]]). */
@@ -343,8 +365,10 @@ object Dedup {
     val fp = simhash(df, idCol, textCol)
       .withColumn("bucket", shiftrightunsigned(col("simhash"), 64 - prefixBits))
     val hamming = bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
-    fp.as("a")
-      .join(fp.as("b"),
+    // identical exchanges on both sides → ReuseExchange runs the
+    // fingerprint scan once (see bandedPairs)
+    fp.as("a").hint("shuffle_hash")
+      .join(fp.as("b").hint("shuffle_hash"),
         col("a.bucket") === col("b.bucket") && col("a.doc") < col("b.doc"))
       .filter(hamming <= maxHamming)
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
@@ -366,10 +390,11 @@ object Dedup {
   def simhashSha(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     org.apache.spark.sql.SparkSession.getActiveSession
       .foreach(graft.functions.expressions.GraftExpressions.register)
-    df.select(col(idCol).as("doc"),
+    // as in [[simhash]]: align NULL-text handling with the agg spec via
+    // the cheap input condition (keeps the SHA kernel out of the Filter)
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc"),
         call_function("graft_simhash_sha", Text.tokens(col(textCol))).as("simhash"))
-      // as in [[simhash]]: align NULL-text handling with the agg spec
-      .filter(col("simhash").isNotNull)
   }
 
   /** Aggregation-form SHA SimHash (the executable spec for [[simhashSha]],
@@ -398,8 +423,10 @@ object Dedup {
     val fp = simhashSha(df, idCol, textCol)
       .withColumn("bucket", shiftright(col("simhash"), 60 - prefixBits))
     val hamming = bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
-    fp.as("a")
-      .join(fp.as("b"),
+    // identical exchanges on both sides → ReuseExchange runs the
+    // fingerprint scan once (see bandedPairs)
+    fp.as("a").hint("shuffle_hash")
+      .join(fp.as("b").hint("shuffle_hash"),
         col("a.bucket") === col("b.bucket") && col("a.doc") < col("b.doc"))
       .filter(hamming <= maxHamming)
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
@@ -530,8 +557,9 @@ object Dedup {
       .select(col("id"), col("vec"), col("bk.t").as("t"), col("bk.sig").as("sig"))
     // vectors ride through the bucket join so verification needs no extra
     // corpus joins (tables × ~256B per row of extra shuffle — the price of
-    // a 2-stage plan instead of 4)
-    b.as("a").join(b.as("b"),
+    // a 2-stage plan instead of 4); identical exchanges on both sides →
+    // ReuseExchange runs the signature scan once (see bandedPairs)
+    b.as("a").hint("shuffle_hash").join(b.as("b").hint("shuffle_hash"),
         col("a.t") === col("b.t") && col("a.sig") === col("b.sig") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),

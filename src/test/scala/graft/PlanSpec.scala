@@ -74,6 +74,21 @@ class PlanSpec extends SparkSpec {
       "signatures must come from the scan-side kernel, not an aggregation")
   }
 
+  test("q20/q21 self-joins reuse the signature exchange at runtime") {
+    // The bucket self-joins route both sides through identical hash
+    // exchanges (shuffle_hash hints): after execution, AQE must have
+    // replaced one side with a ReusedExchange — the fingerprint/signature
+    // scan runs exactly once per query, not once per join side.
+    Seq("q20_minhash_lsh", "q21_simhash_pairs").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, d)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("isFinalPlan=true"), s"$q: expected an executed AQE plan")
+      assert(p.contains("ReusedExchange"),
+        s"$q: signature scan must be computed once and reused")
+    }
+  }
+
   test("vigilance fact: manufacturer dim join is broadcast") {
     val base = java.nio.file.Files.createTempDirectory("maude_plan")
     val (landing, seed) = graft.models.MaudeFixture.write(base)
