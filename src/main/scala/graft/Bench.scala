@@ -314,10 +314,10 @@ object Bench {
       .mkString("[", ",", "]")
     println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,""" +
       s""""failures":$failures,"repeats":$repeats,""" +
-      s""""p95_similar_cases_sec":${f"$p95%.4f"},"p50_similar_cases_sec":${f"$p50%.4f"},""" +
+      s""""p95_similar_cases_sec":${f"$p95%.3f"},"p50_similar_cases_sec":${f"$p50%.3f"},""" +
       s""""slo_corpus_rows":$corpusRows,"slo_call_ms":$callsJson,""" +
-      s""""slo_gc_ms":$sloGcMs,"recall_at_20":${f"$recall20%.4f"},""" +
-      s""""pipeline":$pipelineJson,"sf":"$sfDir"}""")
+      s""""slo_gc_ms":$sloGcMs,"recall_at_20":${f"$recall20%.2f"},""" +
+      s""""pipeline":$pipelineJson,"sf":"${new java.io.File(sfDir).getName}"}""")
     spark.stop()
   }
 }

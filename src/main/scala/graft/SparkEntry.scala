@@ -401,6 +401,16 @@ object SparkEntry {
     Dedup.connectedComponents(pairs, "doc_a", "doc_b")
   }
 
+  /** Z-order (Morton) clustering values over (user_id, second-resolution
+    * event time) — the key [[graft.functions.ZOrder.cluster]] lays files
+    * out by so parquet min/max stats prune on EITHER dimension. Declared
+    * so the interleaving bit math itself is oracled; the layout effect
+    * (per-file range narrowing) is ZOrderSpec's file-statistics test. */
+  private def zorderValues(s: SparkSession, d: String): DataFrame =
+    events(s, d).select(col("event_id"),
+      graft.functions.ZOrder.zvalue(col("user_id"),
+        unix_timestamp(col("ts"))).as("zvalue"))
+
   /** Corpus profiling: exact token-count quantiles per language tag
     * (the DuckDB-oracled form; [[Sketch.quantilesApprox]] is the
     * bounded-buffer scale path, cross-checked in SketchSpec — approx
@@ -570,6 +580,7 @@ object SparkEntry {
     "q48_resize_plan"        -> (resizePlanQuery _),
     "q49_quality_checks"     -> (qualityChecks _),
     "q50_lsh_admit"          -> (lshAdmit _),
+    "q51_zorder"             -> (zorderValues _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -646,6 +657,26 @@ object SparkEntry {
        |  SELECT b.doc, b.dup_of, e.est_jaccard
        |  FROM best b JOIN est e ON e.doc = b.doc AND e.cand = b.dup_of) w
        |ON d.doc_id = w.doc""".stripMargin
+
+  /** q51 oracle: the identical bit-spread chain as
+    * [[graft.functions.ZOrder.zvalue]] — (shift, mask) steps applied to
+    * the 31-bit-masked inputs via a CTE chain, then odd/even interleave. */
+  private def zorderOracle: String = {
+    val steps = Seq(16 -> 0x0000FFFF0000FFFFL, 8 -> 0x00FF00FF00FF00FFL,
+      4 -> 0x0F0F0F0F0F0F0F0FL, 2 -> 0x3333333333333333L,
+      1 -> 0x5555555555555555L)
+    val ctes = steps.zipWithIndex.map { case ((s, m), i) =>
+      s"""z${i + 1} AS (SELECT event_id,
+         |  ((a | (a << $s)) & $m) AS a, ((b | (b << $s)) & $m) AS b FROM z$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH z0 AS (
+       |  SELECT event_id,
+       |    user_id & 2147483647 AS a,
+       |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) & 2147483647 AS b
+       |  FROM events),
+       |$ctes
+       |SELECT event_id, a | (b << 1) AS zvalue FROM z5""".stripMargin
+  }
 
   /** q21 oracle: 60-bit SHA-lane SimHash, mirroring [[Dedup.simhashPairsSha]]
     * (prefixBits=8 → bucket = fingerprint >> 52; Hamming ≤ 8). */
@@ -854,6 +885,7 @@ object SparkEntry {
 
     "q20_minhash_lsh" -> minhashOracle,
     "q50_lsh_admit" -> lshAdmitOracle,
+    "q51_zorder" -> zorderOracle,
     "q21_simhash_pairs" -> simhashOracle,
     "q25_lsh_knn" -> lshKnnOracle,
     "q46_lsh_neardup" -> lshNearDupOracle,

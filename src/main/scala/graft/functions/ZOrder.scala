@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Z-order (Morton) clustering for multi-dimensional file skipping — the
+ * write-side layout operator a 100 TB lakehouse needs when queries filter
+ * on TWO columns: a table range-partitioned and sorted by the interleaved
+ * bit value keeps BOTH dimensions' per-file min/max ranges tight, so
+ * parquet row-group/file statistics prune on either predicate (a single-
+ * column sort gives tight stats on one dimension and useless stats on the
+ * other). The reference delegates layout to Snowflake micro-partition
+ * clustering; this is the Spark-native equivalent (SURVEY.md §4 calls the
+ * mart layout decision ours to make).
+ *
+ * Everything here is pure built-in Column bit math — whole-stage
+ * codegen'd, no UDF, no custom expression — and bit-reproducible in ANSI
+ * SQL, so the z-value computation itself is a declared, DuckDB-oracled
+ * query (q51).
+ */
+object ZOrder {
+
+  /** (shift, mask) steps of the classic bit-spread: after all steps, bit
+    * i of the masked input sits at position 2i. */
+  private val Steps = Seq(
+    16 -> 0x0000FFFF0000FFFFL,
+    8  -> 0x00FF00FF00FF00FFL,
+    4  -> 0x0F0F0F0F0F0F0F0FL,
+    2  -> 0x3333333333333333L,
+    1  -> 0x5555555555555555L)
+
+  /** Spread the low 31 bits of x to even bit positions 0,2,…,60. The
+    * 31-bit cap keeps the interleaved value positive in signed-64 space
+    * (bit 61 is the highest set bit), so ordering by the z value is the
+    * same in any engine's signed BIGINT order. */
+  private def spread(x: Column): Column =
+    Steps.foldLeft(x.cast("long").bitwiseAND(lit(0x7FFFFFFFL))) {
+      case (c, (s, m)) => (c bitwiseOR shiftleft(c, s)).bitwiseAND(lit(m))
+    }
+
+  /** 62-bit Morton value interleaving the low 31 bits of `a` (even bit
+    * positions) and `b` (odd positions). Monotonic locality: rows close
+    * in BOTH dimensions are close in z order. */
+  def zvalue(a: Column, b: Column): Column =
+    spread(a) bitwiseOR shiftleft(spread(b), 1)
+
+  /**
+   * Prepare a frame for a z-clustered write: range-partition into
+   * `numPartitions` z-ranges (one sampling pass — the standard price of
+   * any clustered write) and sort each partition by z, so every output
+   * file covers a tight rectangle in (a, b) space and its parquet min/max
+   * stats prune reads filtered on either column. Write the result with
+   * any sink; the layout survives because projection preserves row order.
+   */
+  def cluster(df: DataFrame, a: Column, b: Column,
+              numPartitions: Int): DataFrame =
+    df.withColumn("__z", zvalue(a, b))
+      .repartitionByRange(numPartitions, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+}
