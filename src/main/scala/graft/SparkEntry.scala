@@ -457,6 +457,17 @@ object SparkEntry {
         explode(Text.tokens(col("text"))).as("token")),
       Seq("lang"), Sketch.shaLane(col("token")), k = 256)
 
+  /** Count-Min Sketch token-frequency counters (d=4 rows × w=64 buckets)
+    * over the documents corpus, via the native mergeable
+    * [[graft.functions.expressions.CmsSketch]] aggregate — per-partition
+    * state is ONE d×w matrix, merged by elementwise add. CMS is a linear
+    * sketch, so the counters are order/partition-independent and the SHA
+    * family hash-matches the DuckDB groupBy reconstruction exactly. */
+  private def cmsTokenCounts(s: SparkSession, d: String): DataFrame =
+    Sketch.cmsCounters(
+      documents(s, d).select(explode(Text.tokens(col("text"))).as("tok")),
+      col("tok"), d = 4, w = 64, sha = true)
+
   /** Gopher-style rule-based quality filter over the documents corpus. */
   private def qualityFilter(s: SparkSession, d: String): DataFrame = {
     val toks = Text.tokens(col("text"))
@@ -581,6 +592,7 @@ object SparkEntry {
     "q49_quality_checks"     -> (qualityChecks _),
     "q50_lsh_admit"          -> (lshAdmit _),
     "q51_zorder"             -> (zorderValues _),
+    "q52_cms_counts"         -> (cmsTokenCounts _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -886,6 +898,12 @@ object SparkEntry {
     "q20_minhash_lsh" -> minhashOracle,
     "q50_lsh_admit" -> lshAdmitOracle,
     "q51_zorder" -> zorderOracle,
+    "q52_cms_counts" ->
+      s"""WITH toks AS (SELECT unnest(str_split(text, ' ')) AS v FROM documents),
+         |r AS (SELECT unnest(range(4)) AS j),
+         |b AS (SELECT j, ${duckLane("j::VARCHAR || '|' || v")} % 64 AS bucket
+         |      FROM toks CROSS JOIN r)
+         |SELECT j, bucket, count(*) AS cnt FROM b GROUP BY 1, 2""".stripMargin,
     "q21_simhash_pairs" -> simhashOracle,
     "q25_lsh_knn" -> lshKnnOracle,
     "q46_lsh_neardup" -> lshNearDupOracle,

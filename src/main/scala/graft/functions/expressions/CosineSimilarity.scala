@@ -177,6 +177,26 @@ object GraftExpressions {
       KmvSketch(children.head, k)
     })
 
+  private def cmsBuilder(fn: String, sha: Boolean)
+      : Seq[Expression] => Expression = { children =>
+    def intLit(e: Expression, what: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$fn(value, d, w): $what must be an integer literal, got $other")
+    }
+    CmsSketch(children.head, intLit(children(1), "d"), intLit(children(2), "w"), sha)
+  }
+
+  val cms: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_cms"),
+    new ExpressionInfo(classOf[CmsSketch].getName, "graft_cms"),
+    cmsBuilder("graft_cms", sha = false))
+
+  val cmsSha: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_cms_sha"),
+    new ExpressionInfo(classOf[CmsSketch].getName, "graft_cms_sha"),
+    cmsBuilder("graft_cms_sha", sha = true))
+
   val minhashSha: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_minhash_sha"),
     new ExpressionInfo(classOf[MinHashShaSig].getName, "graft_minhash_sha"),
@@ -239,7 +259,8 @@ object GraftExpressions {
   /** Idempotently register on a session's function registry. */
   def register(spark: SparkSession): Unit =
     Seq(cosineSim, shingles, simhash64, minhash, lshSig, lshSigSha, kmv,
-        minhashSha, simhashSha, vectorSum, nearestCentroid, nearestCentroids).foreach {
+        cms, cmsSha, minhashSha, simhashSha, vectorSum, nearestCentroid,
+        nearestCentroids).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }

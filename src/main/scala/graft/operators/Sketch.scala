@@ -70,6 +70,70 @@ object Sketch {
       .agg(round(call_function("graft_kmv", laneCol, lit(k)), 4).as("est_distinct"))
   }
 
+  /**
+   * Count-Min Sketch frequency counters over a value column (the third
+   * sketch of the family: KMV = distinct count, `percentile_approx` =
+   * quantiles, CMS = per-key frequency). The native
+   * [[graft.functions.expressions.CmsSketch]] aggregate holds ONE d×w
+   * long matrix per partition and merges by elementwise add — the shuffle
+   * carries O(d·w) regardless of how many distinct values stream through,
+   * vs a full `groupBy(value)` whose state is the distinct-value set.
+   * Returns the non-empty counters exploded to `(j, bucket, cnt)` rows.
+   *
+   * CMS is a linear sketch, so these counters are bit-equal to the
+   * explode+groupBy twin ([[cmsCountersSql]]) under ANY row order or
+   * partitioning — which is what makes the SHA family DuckDB-oracle-able
+   * (q52) and the spec cross-check exact rather than approximate.
+   */
+  def cmsCounters(df: DataFrame, value: Column, d: Int = 4, w: Int = 64,
+                  sha: Boolean = false): DataFrame = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.expressions.GraftExpressions.register)
+    val fn = if (sha) "graft_cms_sha" else "graft_cms"
+    df.agg(call_function(fn, value, lit(d), lit(w)).as("m"))
+      .select(posexplode(col("m")).as(Seq("j", "row")))
+      .select(col("j").cast("long").as("j"),
+        posexplode(col("row")).as(Seq("bucket", "cnt")))
+      .select(col("j"), col("bucket").cast("long").as("bucket"), col("cnt"))
+      .filter(col("cnt") > 0)
+  }
+
+  /** Explode+groupBy CMS counters (the executable spec for [[cmsCounters]],
+    * and the shape the q52 DuckDB oracle runs): one (j, bucket) row per
+    * value × sketch row, counted. Shuffles every value occurrence — the
+    * small-scale twin, not the scale path. */
+  def cmsCountersSql(df: DataFrame, value: Column, d: Int = 4, w: Int = 64,
+                     sha: Boolean = false): DataFrame = {
+    def bucketOf(j: Int, v: Column): Column =
+      if (sha) pmod(ShaLanes.lane(concat(lit(s"$j|"), v)), lit(w.toLong))
+      else pmod(shiftrightunsigned(xxhash64(lit(j), v), 4), lit(w.toLong))
+    val rows = (0 until d).map(j =>
+      struct(lit(j.toLong).as("j"), bucketOf(j, col("v")).as("bucket")))
+    df.select(value.as("v")).filter(col("v").isNotNull)
+      .select(explode(array(rows: _*)).as("e"))
+      .groupBy(col("e.j").as("j"), col("e.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimates from a `(j, bucket, cnt)` counters frame: for each
+    * key, `min_j cnt` over its d buckets (absent buckets count 0). The
+    * keys frame is broadcast — estimating is a lookup, never a shuffle of
+    * the counters. */
+  def cmsEstimate(counters: DataFrame, keys: DataFrame, key: Column,
+                  d: Int = 4, w: Int = 64, sha: Boolean = false): DataFrame = {
+    def bucketOf(j: Int, v: Column): Column =
+      if (sha) pmod(ShaLanes.lane(concat(lit(s"$j|"), v)), lit(w.toLong))
+      else pmod(shiftrightunsigned(xxhash64(lit(j), v), 4), lit(w.toLong))
+    val rows = (0 until d).map(j =>
+      struct(lit(j.toLong).as("j"), bucketOf(j, col("k")).as("bucket")))
+    val probes = keys.select(key.as("k")).distinct()
+      .select(col("k"), explode(array(rows: _*)).as("e"))
+      .select(col("k"), col("e.j").as("j"), col("e.bucket").as("bucket"))
+    counters.join(broadcast(probes), Seq("j", "bucket"), "right")
+      .groupBy(col("k"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
+  }
+
   /** Exact per-group quantiles (q37's oracle twin / executable spec).
     * `percentile` buffers EVERY group value in the aggregation buffer —
     * at 100 TB that is an OOM, not a slowdown, so this form is for

@@ -105,4 +105,39 @@ class SketchSpec extends SparkSpec {
     assert(plan.contains("partial_percentile_approx"),
       s"expected map-side partial approx-percentile, got:\n$plan")
   }
+
+  test("cms: native sketch counters bit-equal the explode+groupBy twin, any partitioning") {
+    val rows = (0 until 5000).map(i => s"tok_${i % 300}") ++
+      Seq.fill(500)("hot") ++ (0 until 40).map(i => s"rare_$i")
+    for (sha <- Seq(false, true); parts <- Seq(1, 13)) {
+      val df = rows.toDF("v").repartition(parts)
+      def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1)) -> r.getLong(2)
+      val native = Sketch.cmsCounters(df, col("v"), d = 4, w = 64, sha = sha)
+        .collect().map(key).toMap
+      val twin = Sketch.cmsCountersSql(df, col("v"), d = 4, w = 64, sha = sha)
+        .collect().map(key).toMap
+      assert(native === twin, s"sha=$sha parts=$parts")
+      // linear sketch: total mass per row == total input rows
+      assert(native.collect { case ((j, _), c) if j == 0 => c }.sum === rows.size.toLong)
+    }
+  }
+
+  test("cms estimates: never under the true count, exact when buckets are sparse") {
+    val rows = Seq.fill(500)("hot") ++ Seq.fill(40)("warm") ++ Seq("cold")
+    val df = rows.toDF("v")
+    val exact = rows.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    for (sha <- Seq(false, true)) {
+      // w >> distinct values: all three keys should estimate exactly
+      val counters = Sketch.cmsCounters(df, col("v"), d = 4, w = 512, sha = sha)
+      val est = Sketch.cmsEstimate(counters, df, col("v"), d = 4, w = 512, sha = sha)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(est === exact, s"sha=$sha")
+      // tight w forces collisions: estimates stay upper bounds
+      val tight = Sketch.cmsCounters(df, col("v"), d = 2, w = 4, sha = sha)
+      Sketch.cmsEstimate(tight, df, col("v"), d = 2, w = 4, sha = sha)
+        .collect().foreach { r =>
+          assert(r.getLong(1) >= exact(r.getString(0)), s"sha=$sha ${r.getString(0)}")
+        }
+    }
+  }
 }
