@@ -74,6 +74,18 @@ class PlanSpec extends SparkSpec {
       "signatures must come from the scan-side kernel, not an aggregation")
   }
 
+  test("q51 z-values are a pure scan-side projection; q52 aggregates partially") {
+    val p51 = plan("q51_zorder")
+    assert(!p51.contains("Exchange"), "z-value computation must not shuffle")
+    assert(!p51.contains("Join") && !p51.contains("Window"))
+    val p52 = plan("q52_cms_counts")
+    // the CMS matrix is built by map-side partials (one d x w state per
+    // partition) merged into a single group — never a per-token groupBy
+    assert(p52.contains("partial_graft_cms"), "expected a partial sketch aggregate")
+    assert(countOf(p52, "Exchange") <= 1,
+      p52.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
   test("q20/q21 self-joins reuse the signature exchange at runtime") {
     // The bucket self-joins route both sides through identical hash
     // exchanges (shuffle_hash hints): after execution, AQE must have
