@@ -488,6 +488,32 @@ object SparkEntry {
         col("doc_id"), size(Text.tokens(col("text"))), budget = 4096, nShards = 32)
       .select(col("doc_id"), col("n_tokens"), col("chunk_id"))
 
+  /** End-to-end training-corpus build — the LLM-pipeline tier's flagship
+    * COMPOSITION, declared as one query so the operators are verified
+    * working together, not just alone: Gopher quality rules
+    * ([[graft.functions.Text.qualityRules]], q36) → exact-dedup keep set
+    * ([[Dedup.exact]], q14 — dedup runs on the quality-surviving corpus)
+    * → per-source quota ([[Curate.perGroupQuota]], q43, ≤25/source) →
+    * sharded sequence packing ([[Pack.sharded]], q35, 2048-token budget).
+    * One row per doc in the final corpus: (doc_id, source, rk, n_tokens,
+    * chunk_id). */
+  private def corpusBuild(s: SparkSession, d: String): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    val (_, _, _, _, keep) = Text.qualityRules(toks, minTokens = 30,
+      maxTokens = 100000, minAvgTokenLen = 3.0, maxAvgTokenLen = 10.0,
+      minStopRatio = 0.05, minDistinctRatio = 0.3)
+    val quality = documents(s, d).filter(keep)
+    val keepIds = Dedup.exact(quality, "doc_id", "text").select(col("doc_id"))
+    val deduped = quality.join(keepIds, Seq("doc_id"), "left_semi")
+    val quota = Curate.perGroupQuota(
+      deduped.select(col("source"), col("doc_id"), col("text")),
+      col("source"), col("doc_id"), n = 25)
+    Pack.sharded(quota.select(col("doc_id"), col("source"), col("rk"), col("text")),
+        col("doc_id"), size(Text.tokens(col("text"))), budget = 2048, nShards = 32)
+      .select(col("doc_id"), col("source"), col("rk"), col("n_tokens"),
+        col("chunk_id"))
+  }
+
   /** Skew-salted two-phase aggregation — must equal the plain GROUP BY. */
   private def saltedAgg(s: SparkSession, d: String): DataFrame =
     Salt.aggregate(lineitem(s, d), Seq("l_returnflag"), col("l_orderkey"),
@@ -593,6 +619,7 @@ object SparkEntry {
     "q50_lsh_admit"          -> (lshAdmit _),
     "q51_zorder"             -> (zorderValues _),
     "q52_cms_counts"         -> (cmsTokenCounts _),
+    "q53_corpus_build"       -> (corpusBuild _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -904,6 +931,29 @@ object SparkEntry {
          |b AS (SELECT j, ${duckLane("j::VARCHAR || '|' || v")} % 64 AS bucket
          |      FROM toks CROSS JOIN r)
          |SELECT j, bucket, count(*) AS cnt FROM b GROUP BY 1, 2""".stripMargin,
+    "q53_corpus_build" ->
+      """WITH t AS (SELECT doc_id, source, text, str_split(text, ' ') AS toks FROM documents),
+        |m AS (SELECT doc_id, source, text, toks,
+        |  len(toks) AS n,
+        |  list_aggregate(list_transform(toks, x -> length(x)), 'sum') / len(toks) AS avg_len,
+        |  len(list_filter(toks, x -> x IN ('the','a','of','to','in','and','is','it','on','for'))) / len(toks) AS stop_ratio,
+        |  len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) AS distinct_ratio
+        |FROM t),
+        |q AS (SELECT doc_id, source, text, toks FROM m
+        |  WHERE n BETWEEN 30 AND 100000 AND avg_len BETWEEN 3.0 AND 10.0
+        |    AND stop_ratio >= 0.05 AND distinct_ratio >= 0.3),
+        |k AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY text),
+        |d AS (SELECT q.* FROM q JOIN k USING (doc_id)),
+        |r AS (SELECT doc_id, source, toks,
+        |  row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk FROM d),
+        |qt AS (SELECT doc_id, source, rk, CAST(len(toks) AS BIGINT) AS n_tokens
+        |  FROM r WHERE rk <= 25),
+        |p AS (SELECT doc_id, source, rk, n_tokens,
+        |  coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |FROM qt)
+        |SELECT doc_id, source, rk, n_tokens,
+        |  CAST(floor(cum_before / 2048.0) AS BIGINT) AS chunk_id FROM p""".stripMargin,
     "q21_simhash_pairs" -> simhashOracle,
     "q25_lsh_knn" -> lshKnnOracle,
     "q46_lsh_neardup" -> lshNearDupOracle,
