@@ -16,7 +16,7 @@ object Profile {
     }
     spark.range(1 << 20).selectExpr("sum(id)").collect()
     for (i <- 1 to 3)
-      time(s"q52_$i")(SparkEntry.queries("q52_cms_counts")(spark, d).count())
+      time(s"q53_$i")(SparkEntry.queries("q53_corpus_build")(spark, d).count())
     spark.stop()
   }
 }

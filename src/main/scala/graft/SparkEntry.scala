@@ -508,8 +508,16 @@ object SparkEntry {
     val quota = Curate.perGroupQuota(
       deduped.select(col("source"), col("doc_id"), col("text")),
       col("source"), col("doc_id"), n = 25)
-    Pack.sharded(quota.select(col("doc_id"), col("source"), col("rk"), col("text")),
-        col("doc_id"), size(Text.tokens(col("text"))), budget = 2048, nShards = 32)
+    // Pack.sharded runs two tiny plan-construction jobs (key validation,
+    // shard totals) before the real one — localCheckpoint materializes
+    // the filter→dedup→quota upstream ONCE (GC-managed blocks, truncated
+    // lineage) instead of recomputing it for each of the three passes
+    val curated = quota
+      .select(col("doc_id"), col("source"), col("rk"),
+        size(Text.tokens(col("text"))).as("n_tok"))
+      .localCheckpoint()
+    Pack.sharded(curated, col("doc_id"), col("n_tok"), budget = 2048,
+        nShards = 32)
       .select(col("doc_id"), col("source"), col("rk"), col("n_tokens"),
         col("chunk_id"))
   }
