@@ -468,6 +468,18 @@ object SparkEntry {
       documents(s, d).select(explode(Text.tokens(col("text"))).as("tok")),
       col("tok"), d = 4, w = 64, sha = true)
 
+  /** Symmetric int8 embedding quantization (q54): per-vector max-abs
+    * scale + HALF_UP rounded codes ([[Vec.quantQ8]]) — 4× smaller vector
+    * storage/shuffle, and cosine over the CODES equals cosine over the
+    * dequantized vectors exactly (scales cancel; VecSpec pins it).
+    * Exploded to scalars for the oracle hash. */
+  private def quantizeEmbeddings(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).select(col("vec_id"),
+        round(Vec.q8Scale(col("embedding")), 6).as("q8_scale"),
+        posexplode(Vec.quantQ8(col("embedding"))).as(Seq("pos", "q")))
+      .select(col("vec_id"), col("q8_scale"), col("pos").cast("long").as("pos"),
+        col("q").cast("long").as("q"))
+
   /** Gopher-style rule-based quality filter over the documents corpus. */
   private def qualityFilter(s: SparkSession, d: String): DataFrame = {
     val toks = Text.tokens(col("text"))
@@ -628,6 +640,7 @@ object SparkEntry {
     "q51_zorder"             -> (zorderValues _),
     "q52_cms_counts"         -> (cmsTokenCounts _),
     "q53_corpus_build"       -> (corpusBuild _),
+    "q54_quantize_i8"        -> (quantizeEmbeddings _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -962,6 +975,16 @@ object SparkEntry {
         |FROM qt)
         |SELECT doc_id, source, rk, n_tokens,
         |  CAST(floor(cum_before / 2048.0) AS BIGINT) AS chunk_id FROM p""".stripMargin,
+    "q54_quantize_i8" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |  coalesce(list_max(list_transform(v, x -> abs(x))), 0.0) AS sc FROM e),
+        |p AS (SELECT vec_id, sc, r.range AS pos, v[r.range + 1] AS x
+        |  FROM s CROSS JOIN range(0, 64) r)
+        |SELECT vec_id, round(sc, 6) AS q8_scale, pos,
+        |  CASE WHEN sc = 0 THEN CAST(0 AS BIGINT)
+        |       ELSE CAST(round(x / sc * 127.0) AS BIGINT) END AS q
+        |FROM p""".stripMargin,
     "q21_simhash_pairs" -> simhashOracle,
     "q25_lsh_knn" -> lshKnnOracle,
     "q46_lsh_neardup" -> lshNearDupOracle,

@@ -80,4 +80,39 @@ object Vec {
       zip_with(asDouble(a), asDouble(b), (x, y) => (x - y) * (x - y)),
       lit(0.0),
       (acc, x) => acc + x)
+
+  // ---------------------------------------------------------- quantization
+
+  /** Per-vector symmetric int8 scale: max |x_i| (0.0 for the zero/empty
+    * vector — its codes are all zero anyway). */
+  def q8Scale(a: Column): Column =
+    coalesce(array_max(transform(asDouble(a), x => abs(x))), lit(0.0))
+
+  /**
+   * Symmetric int8 quantization code array: `round(x_i / scale * 127)` as
+   * TINYINT (HALF_UP — identical to DuckDB/ANSI `round`), zero vector →
+   * zero codes. 4× smaller than float32 — at a 100 TB embedding corpus
+   * this is the difference between shuffling/storing 25 TB and 100 TB of
+   * vectors — and, because cosine is scale-invariant, [[cosineQ8]] on the
+   * codes equals cosine on the dequantized vectors EXACTLY (not
+   * approximately): the per-vector scales cancel. Store `(q8_scale, q8)`
+   * next to (or instead of) the float column; dequantize with [[dequantQ8]]
+   * only where absolute magnitudes matter.
+   */
+  def quantQ8(a: Column): Column = {
+    val s = q8Scale(a)
+    transform(asDouble(a),
+      x => when(s === 0.0, lit(0))
+        .otherwise(round(x / s * lit(127.0))).cast("tinyint"))
+  }
+
+  /** Reconstruction: `q_i * scale / 127` (error ≤ scale/254 per element). */
+  def dequantQ8(q: Column, scale: Column): Column =
+    transform(q, x => x.cast("double") * scale / lit(127.0))
+
+  /** Cosine over int8 code arrays — pure integer dot/norm math (the
+    * SIMD-friendly form at scale), bit-equal to [[cosine]] of the
+    * dequantized vectors because the scales cancel. */
+  def cosineQ8(qa: Column, qb: Column): Column = cosine(
+    qa.cast("array<double>"), qb.cast("array<double>"))
 }

@@ -66,6 +66,41 @@ class VecSpec extends SparkSpec {
     assert(math.abs(got - 1.0 / math.sqrt(2.0)) < 1e-15)
   }
 
+  test("int8 quantization: bounded round-trip error; cosine over codes is scale-free") {
+    val q = pairs.select(col("id"), col("v"),
+      Vec.q8Scale(col("v")).as("sc"), Vec.quantQ8(col("v")).as("q"))
+    // codes stay in the int8 range; zero vector → zero scale and codes
+    q.collect().foreach { r =>
+      val codes = r.getSeq[Byte](3)
+      assert(codes.forall(c => c >= -127 && c <= 127), s"id ${r.getLong(0)}")
+      if (r.getDouble(2) == 0.0) assert(codes.forall(_ == 0))
+    }
+    // reconstruction error per element <= scale/254 (half a code step)
+    val worst = q.select(greatest(array_max(transform(
+        zip_with(col("v").cast("array<double>"),
+          Vec.dequantQ8(col("q"), col("sc")), (x, y) => abs(x - y)),
+        e => e / when(col("sc") === 0.0, 1.0).otherwise(col("sc")))), lit(0.0)).as("rel"))
+      .agg(max("rel")).head().getDouble(0)
+    assert(worst <= 1.0 / 254.0 + 1e-12, s"worst relative error $worst")
+
+    // cosine over the CODES equals cosine over the dequantized vectors
+    // exactly — per-vector scales cancel (the int math IS the answer)
+    val j = q.as("a").join(q.as("b"), col("a.id") < col("b.id"))
+      .filter(col("a.sc") > 0 && col("b.sc") > 0)
+    val bad = j.select(
+        Vec.cosineQ8(col("a.q"), col("b.q")).as("qc"),
+        Vec.cosine(Vec.dequantQ8(col("a.q"), col("a.sc")),
+          Vec.dequantQ8(col("b.q"), col("b.sc"))).as("dc"))
+      .filter(!(col("qc") <=> col("dc")) && abs(col("qc") - col("dc")) > lit(1e-12))
+      .count()
+    assert(bad === 0)
+    // and approximates the full-precision cosine well at 16 dims
+    val drift = j.select(max(abs(Vec.cosineQ8(col("a.q"), col("b.q")) -
+        Vec.cosine(col("a.v"), col("b.v")))).as("d"))
+      .head().getDouble(0)
+    assert(drift < 0.02, s"quantized cosine drift $drift")
+  }
+
   test("vector_sum: NULL vectors ignored, all-NULL group NULL, float upcast, dim guard") {
     val df = Seq(
       (1L, Array(1.0, 2.0)),
