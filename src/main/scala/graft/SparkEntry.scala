@@ -586,6 +586,18 @@ object SparkEntry {
   private def tfidfTopTerms(s: SparkSession, d: String): DataFrame =
     Bm25.tfidfTopTerms(documents(s, d), "doc_id", "text", k = 3)
 
+  /** Eval-set decontamination (q55): train docs (doc_id % 17 != 0)
+    * flagged when ≥ 2 of their distinct 3-gram shingles occur anywhere in
+    * the held-out eval slice (doc_id % 17 == 0) — broadcast eval shingle
+    * universe, one shuffle ([[Dedup.decontaminate]]). */
+  private def decontaminateTrain(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    Dedup.decontaminate(
+      docs.filter(col("doc_id") % 17 =!= 0),
+      docs.filter(col("doc_id") % 17 === 0),
+      "doc_id", "text", shingleN = 3, minHits = 2)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"    -> (pricingSummary _),
     "q02_revenue_filter"     -> (revenueFilter _),
@@ -641,6 +653,7 @@ object SparkEntry {
     "q52_cms_counts"         -> (cmsTokenCounts _),
     "q53_corpus_build"       -> (corpusBuild _),
     "q54_quantize_i8"        -> (quantizeEmbeddings _),
+    "q55_decontaminate"      -> (decontaminateTrain _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -985,6 +998,24 @@ object SparkEntry {
         |  CASE WHEN sc = 0 THEN CAST(0 AS BIGINT)
         |       ELSE CAST(round(x / sc * 127.0) AS BIGINT) END AS q
         |FROM p""".stripMargin,
+    "q55_decontaminate" ->
+      """WITH tr AS (SELECT doc_id, text, str_split(text, ' ') AS toks
+        |  FROM documents WHERE doc_id % 17 <> 0),
+        |ev AS (SELECT str_split(text, ' ') AS toks
+        |  FROM documents WHERE doc_id % 17 = 0),
+        |trs AS (SELECT doc_id AS doc, unnest(list_distinct(
+        |    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks)-1)])) AS sh
+        |  FROM tr WHERE len(toks) >= 3),
+        |evs AS (SELECT DISTINCT unnest(
+        |    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks)-1)]) AS sh
+        |  FROM ev WHERE len(toks) >= 3),
+        |agg AS (SELECT t.doc, count(*) AS n_shingles, count(e.sh) AS n_hit
+        |  FROM trs t LEFT JOIN evs e ON t.sh = e.sh GROUP BY t.doc)
+        |SELECT doc, n_shingles, n_hit, n_hit >= 2 AS contaminated FROM agg
+        |UNION ALL
+        |SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT), false
+        |FROM tr WHERE text IS NULL OR len(toks) < 3""".stripMargin,
+
     "q21_simhash_pairs" -> simhashOracle,
     "q25_lsh_knn" -> lshKnnOracle,
     "q46_lsh_neardup" -> lshNearDupOracle,

@@ -527,6 +527,46 @@ object Dedup {
   }
 
   /**
+   * Eval-set decontamination: for every training document, count how many
+   * of its distinct word-n-gram shingles also occur anywhere in the eval
+   * set (benchmark/test corpus), and flag the doc as contaminated when
+   * `minHits` or more shingles overlap — the standard n-gram-overlap
+   * decontamination rule for LLM training corpora (train docs that quote
+   * benchmark items must not be trained on).
+   *
+   * Scale shape: the eval set is benchmark-sized (thousands of docs, not
+   * the corpus), so its distinct shingle universe is BROADCAST; the train
+   * corpus is shingled scan-side (native [[graft.functions.expressions.WordShingles]]
+   * kernel), probed against the broadcast set with a left join that
+   * cannot multiply rows (the probe side is distinct), and aggregated
+   * per doc — exactly ONE shuffle of (doc, tiny counts), the train text
+   * itself never moves. Docs too short to shingle (< n tokens, or NULL
+   * text) are appended scan-side as trivially-uncontaminated — no extra
+   * join against the train table.
+   */
+  def decontaminate(train: DataFrame, eval: DataFrame,
+                    idCol: String, textCol: String,
+                    shingleN: Int = 3, minHits: Int = 2): DataFrame = {
+    val trainSh = shingleIndex(train, idCol, textCol, shingleN)
+    val evalSh = eval
+      .select(explode(Text.shingles(Text.tokens(col(textCol)), shingleN)).as("sh"))
+      .distinct()
+      .withColumn("hit", lit(1))
+    val flagged = trainSh
+      .join(broadcast(evalSh), Seq("sh"), "left")
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_hit"))
+    val tooShort = train
+      .filter(col(textCol).isNull ||
+        size(Text.tokens(col(textCol))) < lit(shingleN))
+      .select(col(idCol).as("doc"),
+        lit(0L).as("n_shingles"), lit(0L).as("n_hit"))
+    flagged.unionByName(tooShort)
+      .select(col("doc"), col("n_shingles"), col("n_hit"),
+        (col("n_hit") >= minHits).as("contaminated"))
+  }
+
+  /**
    * ANN embedding near-duplicates — the declared scale path for
    * embedding-level dedup ([[embeddingNearDups]] is its brute-force
    * executable spec/verifier). Sign-LSH bucketing bounds candidate

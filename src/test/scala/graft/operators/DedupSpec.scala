@@ -232,4 +232,27 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs === Set((1L, 2L)))
   }
+
+  test("decontamination flags train docs sharing >= minHits shingles with eval") {
+    // eval quotes doc 20's phrasing; doc 11 is an exact copy of eval text;
+    // 30/31 share nothing; 50 is too short to shingle; 51 has NULL text
+    val train = docs.unionByName(Seq(
+      (50L, "tiny doc"), (51L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val eval = Seq(
+      100L -> "the quick brown fox jumps over the lazy dog near the river bank",
+      101L -> "shuffle partitions across executors during wide transformations"
+    ).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(train, eval, "doc_id", "text",
+      shingleN = 3, minHits = 2)
+    val rows = out.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(rows.keySet === Set(10L, 11L, 20L, 21L, 30L, 31L, 50L, 51L))
+    assert(rows(10L)._3 && rows(11L)._3)     // exact quotes of eval text
+    assert(rows(20L)._3 && rows(21L)._3)     // both share the quoted phrase
+    assert(!rows(30L)._3 && !rows(31L)._3)   // unrelated content
+    assert(rows(50L) === ((0L, 0L, false)))  // too short to shingle
+    assert(rows(51L) === ((0L, 0L, false)))  // NULL text
+    // n_hit never exceeds n_shingles, and a doc's hits are distinct shingles
+    rows.values.foreach { case (nSh, nHit, _) => assert(nHit <= nSh) }
+  }
 }
