@@ -598,6 +598,39 @@ object SparkEntry {
       "doc_id", "text", shingleN = 3, minHits = 2)
   }
 
+  /** Bloom-filter exact-dedup admission (q56): a synthetic ingest batch —
+    * re-idded copies of corpus docs (must be rejected) plus suffixed
+    * novel texts (must be admitted) — tested against the corpus
+    * (doc_id % 7 != 0) via [[Bloom.admitExact]]: scan-side bloom probe
+    * admits novel rows without a join, probe hits verify against SHA-256
+    * digests, output exact. */
+  private def bloomAdmit(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+    val batch = docs.filter(col("doc_id") % 7 === 3)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" batch-novel")).as("text")))
+    Bloom.admitExact(corpus, batch, "doc_id", "text",
+      expectedItems = 1L << 16)
+  }
+
+  /** Deterministic 80/10/10 train/val/test split (q57): pure scan-side
+    * SHA-lane bucketing ([[Curate.hashSplit]]) — a doc's split never
+    * changes as the corpus grows. */
+  private def trainSplit(s: SparkSession, d: String): DataFrame =
+    Curate.hashSplit(documents(s, d),
+        concat(lit("split|"), col("doc_id").cast("string")),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select(col("doc_id"), col("source"), col("split"))
+
+  /** Token-window document chunking (q58): 64-token windows, stride 48
+    * (16 tokens of left-context overlap), scan-side generate
+    * ([[Pack.chunk]] — zero shuffle). */
+  private def docChunks(s: SparkSession, d: String): DataFrame =
+    Pack.chunk(documents(s, d), "doc_id", "text", chunkSize = 64, stride = 48)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"    -> (pricingSummary _),
     "q02_revenue_filter"     -> (revenueFilter _),
@@ -654,6 +687,9 @@ object SparkEntry {
     "q53_corpus_build"       -> (corpusBuild _),
     "q54_quantize_i8"        -> (quantizeEmbeddings _),
     "q55_decontaminate"      -> (decontaminateTrain _),
+    "q56_bloom_admit"        -> (bloomAdmit _),
+    "q57_train_split"        -> (trainSplit _),
+    "q58_doc_chunks"         -> (docChunks _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -1015,6 +1051,42 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT), false
         |FROM tr WHERE text IS NULL OR len(toks) < 3""".stripMargin,
+
+    "q56_bloom_admit" ->
+      """WITH corpus AS (SELECT DISTINCT text FROM documents
+        |  WHERE doc_id % 7 <> 0 AND text IS NOT NULL),
+        |b AS (
+        |  SELECT doc_id + 1000000 AS doc, text FROM documents WHERE doc_id % 7 = 3
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc, text || ' batch-novel' AS text
+        |  FROM documents WHERE doc_id % 7 = 0)
+        |SELECT b.doc, (c.text IS NULL) AS admitted
+        |FROM b LEFT JOIN corpus c ON b.text = c.text""".stripMargin,
+
+    // thresholds written as the same double SUMS Scala's scanLeft
+    // accumulates (0.8 + 0.1 != 0.9 in IEEE double) so both engines
+    // compare lanes against bit-identical bounds
+    "q57_train_split" ->
+      s"""SELECT doc_id, source,
+         |  CASE WHEN lane < 0.8 * 1152921504606846976.0 THEN 'train'
+         |       WHEN lane < (0.8 + 0.1) * 1152921504606846976.0 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM (SELECT doc_id, source,
+         |  CAST(${duckLane("'split|' || doc_id::VARCHAR")} AS DOUBLE) AS lane
+         |  FROM documents)""".stripMargin,
+
+    "q58_doc_chunks" ->
+      """WITH t AS (SELECT doc_id AS doc, str_split(text, ' ') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |w AS (SELECT doc, toks,
+        |  CASE WHEN len(toks) <= 64 THEN 1
+        |       ELSE CAST(ceil((len(toks) - 64) / 48.0) AS BIGINT) + 1 END AS nwin
+        |  FROM t),
+        |c AS (SELECT doc, toks, unnest(range(nwin)) AS chunk_id FROM w)
+        |SELECT doc, chunk_id,
+        |  CAST(len(toks[chunk_id*48 + 1 : chunk_id*48 + 64]) AS BIGINT) AS n_tokens,
+        |  array_to_string(toks[chunk_id*48 + 1 : chunk_id*48 + 64], ' ') AS chunk_text
+        |FROM c""".stripMargin,
 
     "q21_simhash_pairs" -> simhashOracle,
     "q25_lsh_knn" -> lshKnnOracle,

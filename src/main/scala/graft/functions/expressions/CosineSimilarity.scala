@@ -257,10 +257,26 @@ object GraftExpressions {
     })
 
   /** Idempotently register on a session's function registry. */
+  /** Spark's own runtime-filter predicate
+    * (`BloomFilterMightContain(filterBinary, xxhash64Value)`), registered
+    * so DataFrame code can apply a driver-built bloom filter as a foldable
+    * binary literal — the same scan-side pruning shape
+    * `InjectRuntimeFilter` plans, but against a PERSISTED filter (see
+    * [[graft.operators.Bloom]]). Not a graft kernel: reusing the built-in
+    * beats reimplementing it. */
+  val bloomMightContain: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_bloom_might_contain"),
+    new ExpressionInfo(
+      classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+      "graft_bloom_might_contain"),
+    (children: Seq[Expression]) =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        children.head, children(1)))
+
   def register(spark: SparkSession): Unit =
     Seq(cosineSim, shingles, simhash64, minhash, lshSig, lshSigSha, kmv,
         cms, cmsSha, minhashSha, simhashSha, vectorSum, nearestCentroid,
-        nearestCentroids).foreach {
+        nearestCentroids, bloomMightContain).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }

@@ -29,6 +29,33 @@ object Curate {
       rate * lit(ShaLanes.LaneSpace))
 
   /**
+   * Deterministic train/val/test assignment: each row lands in the first
+   * split whose cumulative weight bound exceeds the row's SHA-lane
+   * position in [0, 2^60) — the hash-bucket analog of [[hashSample]], so
+   * the same properties hold: pure scan-side projection (no RNG state, no
+   * shuffle, no global count), stable across runs, engines, cluster sizes
+   * and corpus growth (a doc keeps its split when new docs arrive — the
+   * property that keeps eval sets frozen across corpus versions).
+   * `splits` are (name, weight) with weights summing to 1. Prefix the key
+   * (`"split|" + id`) to decorrelate from other lane uses.
+   */
+  def hashSplit(df: DataFrame, keyCol: Column,
+                splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.size >= 2, "need at least two splits")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split weights must sum to 1, got ${splits.map(_._2).sum}")
+    val lane = ShaLanes.lane(keyCol.cast("string")).cast("double")
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail
+    val first = when(lane < lit(cum.head) * lit(ShaLanes.LaneSpace),
+      lit(splits.head._1))
+    val chained = splits.tail.init.zip(cum.tail.init).foldLeft(first) {
+      case (acc, ((name, _), c)) =>
+        acc.when(lane < lit(c) * lit(ShaLanes.LaneSpace), lit(name))
+    }
+    df.withColumn("split", chained.otherwise(lit(splits.last._1)))
+  }
+
+  /**
    * Keep-latest version resolution: one row per key set, the first under
    * `order` (pass descending columns for "latest wins" — e.g. crawl
    * snapshots of the same URL). One shuffle on the keys; ties must be

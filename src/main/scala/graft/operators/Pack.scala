@@ -74,4 +74,43 @@ object Pack {
         floor((col("pack_offset") + within) / lit(budget.toDouble)).cast("long"))
       .drop("pack_shard", "pack_offset")
   }
+
+  /**
+   * Per-document token-window chunking — the other packing style: instead
+   * of concatenating documents ([[sequential]]/[[sharded]]), each document
+   * is cut into fixed-size token windows with overlap (`stride` <
+   * `chunkSize` keeps `chunkSize - stride` tokens of left context per
+   * window — the standard long-document treatment for context-bounded
+   * training and embedding).
+   *
+   * One row per (doc, window): `(doc, chunk_id, n_tokens, chunk_text)`.
+   * Windows start at `chunk_id * stride`; the last window starts at the
+   * largest multiple of `stride` still inside the token list, so every
+   * token lands in ≥ 1 window and no window starts past the end. A doc
+   * with ≤ `chunkSize` tokens yields exactly one window. NULL-text docs
+   * yield no rows (nothing to chunk).
+   *
+   * Scale shape: tokenize → `sequence`/`posexplode` → `slice`, all
+   * scan-side (one Generate, ZERO shuffle, no UDF); output order is
+   * irrelevant downstream so no sort is imposed.
+   */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+            chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize >= 1 && stride >= 1 && stride <= chunkSize,
+      s"need 1 <= stride <= chunkSize, got chunkSize=$chunkSize stride=$stride")
+    val toks = graft.functions.Text.tokens(col(textCol))
+    // windows = ceil((n - chunkSize) / stride) + 1 for n > chunkSize
+    // (stride <= chunkSize guarantees the last start is < n), else 1
+    val nWin = when(size(toks) <= chunkSize, lit(1))
+      .otherwise(
+        ceil((size(toks) - lit(chunkSize)) / lit(stride.toDouble)).cast("int") + lit(1))
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc"), toks.as("toks"),
+        posexplode(sequence(lit(0), nWin - lit(1))).as(Seq("chunk_id", "w")))
+      .select(col("doc"), col("chunk_id").cast("long").as("chunk_id"),
+        slice(col("toks"), col("chunk_id") * stride + lit(1), lit(chunkSize)).as("win"))
+      .select(col("doc"), col("chunk_id"),
+        size(col("win")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("win")).as("chunk_text"))
+  }
 }

@@ -231,6 +231,31 @@ class PlanSpec extends SparkSpec {
       "bucket join must be hash-partitioned")
   }
 
+  test("q55 decontamination: eval shingles broadcast; train text never shuffles") {
+    val p = plan("q55_decontaminate")
+    // the probe join against the eval shingle universe must broadcast —
+    // a sort-merge here would shuffle every train shingle
+    assert(p.contains("BroadcastHashJoin"), p.linesIterator
+      .filter(_.contains("Join")).mkString("\n"))
+    assert(!p.contains("SortMergeJoin"), "eval probe must not sort-merge")
+    // only the eval-shingle distinct and the per-doc count aggregate
+    // repartition — the scan-side shingle kernel adds no exchange
+    assert(countOf(p, "Exchange hashpartitioning") <= 2,
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
+  test("q56 bloom admission: scan-side probe; corpus digests never shuffle") {
+    val p = plan("q56_bloom_admit")
+    // the persisted-filter probe is a Filter predicate in the batch scan
+    // stage — the fast path admits without any join
+    assert(p.contains("might_contain"), "bloom probe must be in the plan")
+    // both verify joins broadcast the batch-bounded side; the corpus
+    // digest scan is never exchanged or sort-merged
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    assert(countOf(p, "BroadcastHashJoin") >= 2, p.linesIterator
+      .filter(_.contains("Join")).mkString("\n"))
+  }
+
   test("q48 resize plan is a pure scan-side projection") {
     val p = plan("q48_resize_plan")
     assert(!p.contains("Exchange") && !p.contains("Join") && !p.contains("Window"),

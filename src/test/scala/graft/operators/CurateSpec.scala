@@ -28,6 +28,25 @@ class CurateSpec extends SparkSpec {
     assert(math.abs(kept.getOrElse("de", 0L) / 1000.0 - 0.1) < 0.1)
   }
 
+  test("hashSplit: proportions near weights, assignment frozen under growth") {
+    val big = (0 until 4000).map(i => (i.toLong, s"k$i")).toDF("id", "k")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    def assign(d: org.apache.spark.sql.DataFrame) =
+      Curate.hashSplit(d, col("k"), splits).collect()
+        .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val a = assign(big)
+    assert(a.values.toSet === Set("train", "val", "test"))
+    assert(math.abs(a.values.count(_ == "train") / 4000.0 - 0.8) < 0.03)
+    assert(math.abs(a.values.count(_ == "val") / 4000.0 - 0.1) < 0.02)
+    // the headline property: a doc keeps its split when the corpus grows
+    val small = assign(big.filter(col("id") < 1000))
+    assert(small === a.filter(_._1 < 1000), "splits must not move as docs arrive")
+    // weights must sum to 1
+    intercept[IllegalArgumentException] {
+      Curate.hashSplit(big, col("k"), Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+
   test("keepLatest resolves to the newest version per key, ties by id") {
     val df = Seq(
       ("u1", 1L, 10L), ("u1", 2L, 30L), ("u1", 3L, 30L), // tie at ts 30 → id 3

@@ -148,6 +148,30 @@ class OperatorsSpec extends SparkSpec {
     assert(e.getMessage.contains("non-NULL, non-negative"))
   }
 
+  test("token-window chunking: coverage, overlap, and edge docs") {
+    val docs = Seq(
+      1L -> (1 to 10).map(i => s"t$i").mkString(" "), // 10 tokens
+      2L -> "a b c",                                  // shorter than a window
+      3L -> "",                                       // one empty token
+      4L -> null.asInstanceOf[String]                 // nothing to chunk
+    ).toDF("doc_id", "text")
+    val out = Pack.chunk(docs, "doc_id", "text", chunkSize = 4, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getString(3)))).toMap
+    // 10 tokens, windows start 0,2,4,6: every token covered, 2-token overlap
+    assert(out.keys.count(_._1 == 1L) === 4)
+    assert(out((1L, 0L)) === ((4L, "t1 t2 t3 t4")))
+    assert(out((1L, 1L)) === ((4L, "t3 t4 t5 t6")))
+    assert(out((1L, 3L)) === ((4L, "t7 t8 t9 t10")))
+    // short doc: exactly one (partial) window
+    assert(out.keys.count(_._1 == 2L) === 1)
+    assert(out((2L, 0L)) === ((3L, "a b c")))
+    // empty text tokenizes to [""]: one window, "" text
+    assert(out((3L, 0L)) === ((1L, "")))
+    // NULL text yields no rows
+    assert(!out.keys.exists(_._1 == 4L))
+  }
+
   test("multimodal resize plan: aspect preserved, capped longest side, no upscale") {
     val assets = Seq(
       (1L, "image", 4000, 3000),   // downscale 4:3
