@@ -306,9 +306,12 @@ object Bench {
     // compactly — ms precision everywhere, per-call times as integer
     // milliseconds — so line + sbt's success trailer fit the capture
     // window and the driver's parse finally succeeds.
-    // 2dp (10 ms) per-query medians: with 52 queries the line must stay
-    // under ~1850 chars for the driver's 2000-char tail capture
-    val qs = results.map { case (k, v) => s""""$k":${f"$v%.2f"}""" }.mkString("{", ",", "}")
+    // Short "qNN" keys (the driver contract's own example shape) + 2dp
+    // medians: at 58 queries the full names alone were ~1400 chars, which
+    // with the 50-entry slo_call_ms array overflowed the 2000-char tail
+    // capture; short keys leave ~700 chars of headroom for more queries
+    val qs = results.map { case (k, v) => s""""${k.take(3)}":${f"$v%.2f"}""" }
+      .mkString("{", ",", "}")
     val failures = results.collect { case (k, v) if v < 0 => s"\"$k\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum

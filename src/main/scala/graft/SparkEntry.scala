@@ -631,6 +631,13 @@ object SparkEntry {
   private def docChunks(s: SparkSession, d: String): DataFrame =
     Pack.chunk(documents(s, d), "doc_id", "text", chunkSize = 64, stride = 48)
 
+  /** Cross-document passage dedup (q59): every '. '-separated passage
+    * keeps only its first (doc, pos) occurrence corpus-wide; docs rebuilt
+    * from survivors ([[Dedup.passageDedup]] — two shuffles, no joins). A
+    * doc whose every passage occurred earlier vanishes (fully deduped). */
+  private def passageDedupQ(s: SparkSession, d: String): DataFrame =
+    Dedup.passageDedup(documents(s, d), "doc_id", "text")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"    -> (pricingSummary _),
     "q02_revenue_filter"     -> (revenueFilter _),
@@ -690,6 +697,7 @@ object SparkEntry {
     "q56_bloom_admit"        -> (bloomAdmit _),
     "q57_train_split"        -> (trainSplit _),
     "q58_doc_chunks"         -> (docChunks _),
+    "q59_passage_dedup"      -> (passageDedupQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -1087,6 +1095,17 @@ object SparkEntry {
         |  CAST(len(toks[chunk_id*48 + 1 : chunk_id*48 + 64]) AS BIGINT) AS n_tokens,
         |  array_to_string(toks[chunk_id*48 + 1 : chunk_id*48 + 64], ' ') AS chunk_text
         |FROM c""".stripMargin,
+
+    "q59_passage_dedup" ->
+      """WITH sp AS (SELECT doc_id AS doc, str_split(text, '. ') AS l
+        |  FROM documents WHERE text IS NOT NULL),
+        |p AS (SELECT doc, CAST(len(l) AS BIGINT) AS n_passages,
+        |  unnest(l) AS passage, unnest(range(len(l))) AS pos FROM sp),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY passage
+        |  ORDER BY doc, pos) AS rn FROM p)
+        |SELECT doc, any_value(n_passages) AS n_passages, count(*) AS n_kept,
+        |  string_agg(passage, '. ' ORDER BY pos) AS clean_text
+        |FROM r WHERE rn = 1 GROUP BY doc""".stripMargin,
 
     "q21_simhash_pairs" -> simhashOracle,
     "q25_lsh_knn" -> lshKnnOracle,

@@ -567,6 +567,42 @@ object Dedup {
   }
 
   /**
+   * Cross-document passage-level exact dedup — repeated-passage removal
+   * for training corpora (boilerplate, quoted headers, license blocks):
+   * every passage (text split on `sep`) keeps exactly its FIRST occurrence
+   * in (doc, pos) order across the whole corpus; later byte-identical
+   * copies are dropped and each doc's text is rebuilt from its surviving
+   * passages in original order. This is the document-boundary-respecting
+   * Spark form of exact-substring dedup (suffix-array dedup's practical
+   * cousin) — near-dup TEXT dedup is [[minhashLshPairs]]; this operator
+   * removes repeated passages *inside otherwise-distinct docs*.
+   *
+   * Plan: split+posexplode scan-side; first-occurrence = row_number over
+   * (sha2(passage)) ordered by (doc, pos) — ONE shuffle keyed by the
+   * passage digest; rebuild = one groupBy doc with sort-inside-agg
+   * (shuffle-order deterministic, the [[graft.functions.F.orderedListagg]]
+   * idiom). Two shuffles total, no joins, passage payloads move once per
+   * shuffle. Per-doc passage counts ride from the scan (no extra pass).
+   */
+  def passageDedup(df: DataFrame, idCol: String, textCol: String,
+                   sepRegex: String = "\\. ", sepOut: String = ". "): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("h")).orderBy(col("doc"), col("pos"))
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc"),
+        size(split(col(textCol), sepRegex)).cast("long").as("n_passages"),
+        posexplode(split(col(textCol), sepRegex)).as(Seq("pos", "passage")))
+      .withColumn("h", sha2(col("passage"), 256))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("doc"))
+      .agg(first(col("n_passages")).as("n_passages"),
+        count(lit(1)).as("n_kept"),
+        graft.functions.F.orderedListagg(col("passage"), col("pos"), sepOut)
+          .as("clean_text"))
+  }
+
+  /**
    * ANN embedding near-duplicates — the declared scale path for
    * embedding-level dedup ([[embeddingNearDups]] is its brute-force
    * executable spec/verifier). Sign-LSH bucketing bounds candidate

@@ -233,6 +233,22 @@ class DedupSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("passage dedup keeps first occurrence corpus-wide, rebuilds in order") {
+    val corpus = Seq(
+      1L -> "alpha beta. gamma delta. only here",
+      2L -> "alpha beta. fresh text",          // first passage is doc 1's
+      3L -> "alpha beta. gamma delta. only here", // exact copy -> vanishes
+      4L -> null.asInstanceOf[String]
+    ).toDF("doc_id", "text")
+    val out = Dedup.passageDedup(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) === ((3L, 3L, "alpha beta. gamma delta. only here")))
+    assert(out(2L) === ((2L, 1L, "fresh text")))
+    assert(!out.contains(3L), "a fully-deduped doc must vanish")
+    assert(!out.contains(4L))
+  }
+
   test("decontamination flags train docs sharing >= minHits shingles with eval") {
     // eval quotes doc 20's phrasing; doc 11 is an exact copy of eval text;
     // 30/31 share nothing; 50 is too short to shingle; 51 has NULL text
