@@ -638,6 +638,15 @@ object SparkEntry {
   private def passageDedupQ(s: SparkSession, d: String): DataFrame =
     Dedup.passageDedup(documents(s, d), "doc_id", "text")
 
+  /** Product-quantization encoding (q60): 64-dim embeddings → 8 sub-codes
+    * against the SHA-derived oracle-parity codebook (8 subspaces × 16
+    * centroids × 8 dims) — scan-side argmins over codebook literals, zero
+    * shuffle ([[Pq.encode]]; [[Pq.trainCodebook]] is the production
+    * codebook, PqSpec-pinned to reconstruct strictly better). */
+  private def pqCodes(s: SparkSession, d: String): DataFrame =
+    Pq.encode(embeddings(s, d), "vec_id", "embedding",
+      Pq.shaCodebook(m = 8, k = 16, subDim = 8))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"    -> (pricingSummary _),
     "q02_revenue_filter"     -> (revenueFilter _),
@@ -698,6 +707,7 @@ object SparkEntry {
     "q57_train_split"        -> (trainSplit _),
     "q58_doc_chunks"         -> (docChunks _),
     "q59_passage_dedup"      -> (passageDedupQ _),
+    "q60_pq_codes"           -> (pqCodes _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -848,6 +858,29 @@ object SparkEntry {
        |  SELECT *, row_number() OVER (PARTITION BY query_id
        |    ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
        |WHERE rank <= 5""".stripMargin
+  }
+
+  /** q60 oracle: PQ encoding over the SHA-lane codebook rebuilt from a
+    * range(s)×range(c)×range(d) CTE (the q25 hyperplane pattern); sub
+    * distances written as the same left-assoc 8-term sums Scala reduces,
+    * argmin = rank by (dist, c) — first-minimum, matching array_position. */
+  private def pqOracle: String = {
+    val dist = (0 until 8).map(dd =>
+      s"(v[s*8+${dd + 1}] - cv[${dd + 1}]) * (v[s*8+${dd + 1}] - cv[${dd + 1}])")
+      .mkString(" + ")
+    val laneExpr = duckLane(
+      "'pq|' || s.range::VARCHAR || ',' || c.range::VARCHAR || ',' || d.range::VARCHAR")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |  WHERE embedding IS NOT NULL),
+       |cw AS (SELECT s.range AS s, c.range AS c, d.range AS d,
+       |  $laneExpr / 576460752303423488.0 - 1.0 AS w
+       |  FROM range(0, 8) s, range(0, 16) c, range(0, 8) d),
+       |cb AS (SELECT s, c, list(w ORDER BY d) AS cv FROM cw GROUP BY s, c),
+       |dist AS (SELECT e.vec_id, cb.s, cb.c, $dist AS dist
+       |  FROM e CROSS JOIN cb),
+       |r AS (SELECT vec_id, s, c, row_number() OVER (PARTITION BY vec_id, s
+       |  ORDER BY dist, c) AS rn FROM dist)
+       |SELECT vec_id, s AS sub, c AS code FROM r WHERE rn = 1""".stripMargin
   }
 
   /** q46 oracle: sign-LSH bucketed near-dup pairs over the same
@@ -1110,6 +1143,7 @@ object SparkEntry {
     "q21_simhash_pairs" -> simhashOracle,
     "q25_lsh_knn" -> lshKnnOracle,
     "q46_lsh_neardup" -> lshNearDupOracle,
+    "q60_pq_codes" -> pqOracle,
     "q47_kmeans_train" -> kmeansOracle,
     "q28_multimodal_features" -> multimodalOracle,
     "q40_kmv_distinct" -> kmvOracle,

@@ -262,6 +262,12 @@ class PlanSpec extends SparkSpec {
       s"pre-decode geometry math must not shuffle:\n$p")
   }
 
+  test("q60 pq encoding is a scan-side projection — no shuffle, join, or window") {
+    val p = plan("q60_pq_codes")
+    assert(!p.contains("Exchange") && !p.contains("Join") && !p.contains("Window"),
+      s"PQ argmins must stay in the scan stage:\n$p")
+  }
+
   test("q49 quality checks: anti-joins stay hash/broadcast, no cartesian") {
     val p = plan("q49_quality_checks")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

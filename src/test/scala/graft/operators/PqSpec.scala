@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val M = 4
+  private val K = 8
+  private val D = 4 // subDim; vectors are M*D = 16-dim
+
+  private lazy val cb = Pq.shaCodebook(M, K, D)
+
+  // vectors assembled EXACTLY from codebook entries: vector i uses entry
+  // (i + s) % K in subspace s
+  private def planted(n: Int): Seq[(Long, Array[Double])] =
+    (0 until n).map { i =>
+      i.toLong -> (0 until M).flatMap(s => cb(s)((i + s) % K)).toArray
+    }
+
+  test("encode recovers the planted codes; ADC is exact on codebook points") {
+    val df = planted(8).toDF("vec_id", "embedding")
+    val codes = Pq.encode(df, "vec_id", "embedding", cb).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for (i <- 0 until 8; s <- 0 until M)
+      assert(codes((i.toLong, s.toLong)) === ((i + s) % K).toLong,
+        s"vector $i subspace $s")
+    // a query that IS row 3's vector: ADC distance to row 3 is exactly 0
+    // and row 3 ranks first
+    val packed = Pq.encodePacked(df, "vec_id", "embedding", cb)
+    val top = Pq.adcTopK(packed, "vec_id", planted(8)(3)._2.toSeq, cb, k = 3)
+      .collect()
+    assert(top.head.getLong(0) === 3L)
+    assert(top.head.getDouble(1) === 0.0)
+  }
+
+  test("NULL vectors are skipped; codes always in [0, k)") {
+    val df = (planted(5) :+ (99L -> null.asInstanceOf[Array[Double]]))
+      .toDF("vec_id", "embedding")
+    val out = Pq.encode(df, "vec_id", "embedding", cb).collect()
+    assert(!out.exists(_.getLong(0) == 99L))
+    assert(out.forall(r => r.getLong(2) >= 0 && r.getLong(2) < K))
+    assert(out.length === 5 * M)
+  }
+
+  test("trained codebook reconstructs strictly better than the SHA codebook") {
+    // clustered data: 3 tight clusters per subspace, far from the SHA
+    // codebook's uniform entries
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(3, M * D)(rnd.nextDouble() * 8 - 4)
+    val vecs = (0 until 120).map { i =>
+      val c = centers(i % 3)
+      i.toLong -> c.map(_ + rnd.nextGaussian() * 0.05)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val trained = Pq.trainCodebook(df, "vec_id", "embedding", M, K, D, iters = 4)
+
+    def mse(codebook: Array[Array[Array[Double]]]): Double = {
+      val codes = Pq.encodePacked(df, "vec_id", "embedding", codebook)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      vecs.map { case (id, v) =>
+        (0 until M).map { s =>
+          val e = codebook(s)(codes(id)(s))
+          (0 until D).map(d => math.pow(v(s * D + d) - e(d), 2)).sum
+        }.sum
+      }.sum / vecs.size
+    }
+    val (tMse, sMse) = (mse(trained), mse(cb))
+    assert(tMse < sMse,
+      s"trained codebook must reconstruct better: trained=$tMse sha=$sMse")
+  }
+}
