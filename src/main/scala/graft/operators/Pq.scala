@@ -126,4 +126,43 @@ object Pq {
         adcScore(col("codes"), queryVec, codebook).as("adc_dist"))
       .orderBy(col("adc_dist").asc, col(idCol).asc)
       .limit(k)
+
+  /**
+   * IVF-PQ — the composed serving path, and the shape a 100 TB vector
+   * index actually takes: IVF list assignment bounds WHICH rows are
+   * scored (probe `nProbe` of the centroid lists — the partition-pruning
+   * analog; in production the (cid, codes) table is persisted partitioned
+   * by cid so probes prune whole files) and PQ-ADC bounds WHAT scoring
+   * costs (m table lookups per candidate — no float vectors in the
+   * serving path at all).
+   *
+   * `centroids` carries (idCol, vecCol) like [[Knn.ivfTopK]]'s; the query
+   * probe runs on the driver against the resident centroid matrix (k ×
+   * dim doubles) with the SAME cosine metric and index-asc tie-break as
+   * the scan-side assignment kernel, so a probed list is exactly the list
+   * the kernel assigned.
+   */
+  def ivfPqTopK(corpus: DataFrame, centroids: DataFrame,
+                idCol: String, vecCol: String,
+                codebook: Array[Array[Array[Double]]],
+                queryVec: Seq[Double], k: Int, nProbe: Int): DataFrame = {
+    val matrix = Knn.centroidMatrix(
+      centroids.select(col(idCol).as("cid"), col(vecCol).as("cv")))
+    val indexed = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol),
+        graft.functions.Vec.nearestCentroid(col(vecCol), matrix).as("cid"),
+        encodeCol(col(vecCol), codebook).as("codes"))
+    val qNorm = math.sqrt(queryVec.map(x => x * x).sum)
+    val probed = matrix.zipWithIndex.map { case (cv, i) =>
+      val dot = cv.zip(queryVec).map { case (a, b) => a * b }.sum
+      val n = math.sqrt(cv.map(x => x * x).sum) * qNorm
+      (if (n == 0) Double.NegativeInfinity else dot / n, i)
+    }.sortBy { case (cos, i) => (-cos, i) }.take(nProbe).map(_._2)
+    indexed
+      .filter(col("cid").isin(probed: _*))
+      .select(col(idCol),
+        adcScore(col("codes"), queryVec, codebook).as("adc_dist"))
+      .orderBy(col("adc_dist").asc, col(idCol).asc)
+      .limit(k)
+  }
 }

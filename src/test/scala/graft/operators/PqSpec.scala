@@ -44,6 +44,38 @@ class PqSpec extends SparkSpec {
     assert(out.length === 5 * M)
   }
 
+  test("ivf-pq: probing every list equals plain ADC; nProbe=1 stays in the query's list") {
+    val df = planted(8).toDF("vec_id", "embedding")
+    val cent = Seq(planted(8)(0), planted(8)(5))
+      .map { case (id, v) => (id, v) }.toDF("vec_id", "embedding")
+    val q = planted(8)(3)._2.toSeq
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // full probe -> IVF pruning admits everything -> identical to ADC
+    val full = rows(Pq.ivfPqTopK(df, cent, "vec_id", "embedding", cb, q,
+      k = 5, nProbe = 2))
+    val adc = rows(Pq.adcTopK(Pq.encodePacked(df, "vec_id", "embedding", cb),
+      "vec_id", q, cb, k = 5))
+    assert(full === adc)
+
+    // axis-aligned clusters: nProbe=1 must only ever score the query's list
+    val dim = M * D
+    val clustered = (0 until 30).map { i =>
+      val axis = i % 3
+      i.toLong -> Array.tabulate(dim)(d =>
+        (if (d == axis) 3.0 else 0.0) + 0.01 * ((i * 31 + d) % 7 - 3))
+    }
+    val cdf = clustered.toDF("vec_id", "embedding")
+    val centers = (0 until 3).map(a =>
+      (a.toLong, Array.tabulate(dim)(d => if (d == a) 3.0 else 0.0)))
+      .toDF("vec_id", "embedding")
+    val got = Pq.ivfPqTopK(cdf, centers, "vec_id", "embedding", cb,
+        clustered(6)._2.toSeq, k = 30, nProbe = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(got.nonEmpty && got.forall(_ % 3 === 0L),
+      s"nProbe=1 must stay inside cluster 0's list, got $got")
+  }
+
   test("trained codebook reconstructs strictly better than the SHA codebook") {
     // clustered data: 3 tight clusters per subspace, far from the SHA
     // codebook's uniform entries
