@@ -647,6 +647,22 @@ object SparkEntry {
     Pq.encode(embeddings(s, d), "vec_id", "embedding",
       Pq.shaCodebook(m = 8, k = 16, subDim = 8))
 
+  /** Within-document repetition metrics (q61): duplicate 2-/3-gram
+    * fractions and the top single-token share — the Gopher repetition
+    * rules ([[graft.functions.Text.dupNgramFrac]]/[[graft.functions.Text.topTokenRatio]]),
+    * pure scan-side column math; repetitive = any signal over threshold. */
+  private def repMetrics(s: SparkSession, d: String): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    val d2 = Text.dupNgramFrac(toks, 2)
+    val d3 = Text.dupNgramFrac(toks, 3)
+    val tt = Text.topTokenRatio(toks)
+    documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        round(d2, 6).as("dup2_frac"), round(d3, 6).as("dup3_frac"),
+        round(tt, 6).as("top_token_ratio"),
+        (d2 > 0.2 || d3 > 0.15 || tt > 0.2).as("repetitive"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"    -> (pricingSummary _),
     "q02_revenue_filter"     -> (revenueFilter _),
@@ -708,6 +724,7 @@ object SparkEntry {
     "q58_doc_chunks"         -> (docChunks _),
     "q59_passage_dedup"      -> (passageDedupQ _),
     "q60_pq_codes"           -> (pqCodes _),
+    "q61_rep_metrics"        -> (repMetrics _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -1144,6 +1161,30 @@ object SparkEntry {
     "q25_lsh_knn" -> lshKnnOracle,
     "q46_lsh_neardup" -> lshNearDupOracle,
     "q60_pq_codes" -> pqOracle,
+    "q61_rep_metrics" ->
+      """WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |m AS (SELECT doc_id, len(toks) AS n,
+        |  greatest(len(toks) - 1, 0) AS t2,
+        |  len(list_distinct([toks[i] || ' ' || toks[i+1]
+        |    for i in range(1, len(toks))])) AS d2,
+        |  greatest(len(toks) - 2, 0) AS t3,
+        |  len(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |    for i in range(1, len(toks) - 1)])) AS d3,
+        |  list_max(list_transform(list_distinct(toks),
+        |    x -> len(list_filter(toks, y -> y = x)))) AS topcnt
+        |  FROM t),
+        |f AS (SELECT doc_id,
+        |  CASE WHEN t2 > 0 THEN CAST(t2 - d2 AS DOUBLE) / CAST(t2 AS DOUBLE)
+        |       ELSE 0.0 END AS f2,
+        |  CASE WHEN t3 > 0 THEN CAST(t3 - d3 AS DOUBLE) / CAST(t3 AS DOUBLE)
+        |       ELSE 0.0 END AS f3,
+        |  CAST(topcnt AS DOUBLE) / CAST(n AS DOUBLE) AS tt FROM m)
+        |SELECT doc_id, round(f2, 6) AS dup2_frac, round(f3, 6) AS dup3_frac,
+        |  round(tt, 6) AS top_token_ratio,
+        |  (f2 > CAST(0.2 AS DOUBLE) OR f3 > CAST(0.15 AS DOUBLE)
+        |    OR tt > CAST(0.2 AS DOUBLE)) AS repetitive
+        |FROM f""".stripMargin,
     "q47_kmeans_train" -> kmeansOracle,
     "q28_multimodal_features" -> multimodalOracle,
     "q40_kmv_distinct" -> kmvOracle,

@@ -115,4 +115,26 @@ object Text {
     val keep = ruleLen && ruleTokenLen && ruleStop && ruleDistinct
     (ruleLen, ruleTokenLen, ruleStop, ruleDistinct, keep)
   }
+
+  /** Fraction of duplicated word n-grams in a document: (total − distinct)
+    * / total over the sliding n-grams, 0 when the doc is too short to form
+    * any — the Gopher duplicate-n-gram signal (generated/boilerplate text
+    * repeats phrases). Pure scan-side column math over the distinct-shingle
+    * kernel; total n-grams = max(len − n + 1, 0) needs no materialization. */
+  def dupNgramFrac(toks: Column, n: Int): Column = {
+    val total = greatest(size(toks) - lit(n - 1), lit(0))
+    when(total > 0,
+      (total - size(shingles(toks, n))).cast("double") / total.cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Highest single-token share of a document: count of the most frequent
+    * token / total tokens — the degenerate-repetition signal (a doc that
+    * is mostly one token survives distinct-RATIO rules at moderate
+    * lengths). Higher-order functions over the token array, scan-side;
+    * O(distinct × len) per row, bounded by document length. */
+  def topTokenRatio(toks: Column): Column =
+    array_max(transform(array_distinct(toks),
+      x => size(filter(toks, y => y === x)))).cast("double") /
+      size(toks).cast("double")
 }

@@ -70,6 +70,21 @@ class FunctionsSpec extends SparkSpec {
       Seq(null, 0.5))
   }
 
+  test("repetition metrics: dup n-gram fractions and top-token share") {
+    val df = Seq(
+      1L -> "a b a b a b",  // bigrams: 5 total, 2 distinct; 'a' 3/6
+      2L -> "x y z",        // all distinct
+      3L -> "x"             // too short for any bigram
+    ).toDF("id", "text")
+    val toks = Text.tokens(col("text"))
+    val out = df.select(col("id"), Text.dupNgramFrac(toks, 2).as("d2"),
+        Text.topTokenRatio(toks).as("tt"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(out(1L) === ((0.6, 0.5)))
+    assert(out(2L)._1 === 0.0)
+    assert(out(3L) === ((0.0, 1.0)))
+  }
+
   test("ShaLanes: Column, JVM and known-answer lanes agree") {
     // known vector: sha256("hello") = 2cf24dba5fb0a30e... -> first 15 hex
     // chars parse to 202421034056092208 (cross-checked against DuckDB's
