@@ -273,11 +273,15 @@ object GraftExpressions {
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
         children.head, children(1)))
 
-  def register(spark: SparkSession): Unit =
+  /** Every graft native expression, in `injectFunction` tuple shape —
+    * shared by [[register]] and [[graft.GraftSparkExtensions]]. */
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(cosineSim, shingles, simhash64, minhash, lshSig, lshSigSha, kmv,
         cms, cmsSha, minhashSha, simhashSha, vectorSum, nearestCentroid,
-        nearestCentroids, bloomMightContain).foreach {
-      case (id, info, builder) =>
-        spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+        nearestCentroids, bloomMightContain)
+
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
 }
