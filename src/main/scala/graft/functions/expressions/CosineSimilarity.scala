@@ -257,6 +257,32 @@ object GraftExpressions {
     })
 
   /** Idempotently register on a session's function registry. */
+  /** Foldable array<array<array<float|double>>> literal → PQ codebook. */
+  private def cubeFromExpr(e: Expression, fn: String): Seq[Seq[Seq[Double]]] = {
+    require(e.foldable, s"$fn: the codebook must be a literal (foldable)")
+    val et = e.dataType match {
+      case ArrayType(ArrayType(ArrayType(t @ (FloatType | DoubleType), _), _), _) => t
+      case other => throw new IllegalArgumentException(
+        s"$fn: codebook must be array<array<array<float|double>>>, got ${other.catalogString}")
+    }
+    val ad = e.eval().asInstanceOf[ArrayData]
+    (0 until ad.numElements()).map { s =>
+      val sub = ad.getArray(s)
+      (0 until sub.numElements()).map { c =>
+        val row = sub.getArray(c)
+        (0 until row.numElements()).map { d =>
+          if (et == FloatType) row.getFloat(d).toDouble else row.getDouble(d)
+        }
+      }
+    }
+  }
+
+  val pqEncode: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_pq_encode"),
+    new ExpressionInfo(classOf[PqEncode].getName, "graft_pq_encode"),
+    (children: Seq[Expression]) => PqEncode(children.head,
+      cubeFromExpr(children(1), "graft_pq_encode")))
+
   /** Spark's own runtime-filter predicate
     * (`BloomFilterMightContain(filterBinary, xxhash64Value)`), registered
     * so DataFrame code can apply a driver-built bloom filter as a foldable
@@ -278,7 +304,7 @@ object GraftExpressions {
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(cosineSim, shingles, simhash64, minhash, lshSig, lshSigSha, kmv,
         cms, cmsSha, minhashSha, simhashSha, vectorSum, nearestCentroid,
-        nearestCentroids, bloomMightContain)
+        nearestCentroids, pqEncode, bloomMightContain)
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (id, info, builder) =>

@@ -67,10 +67,27 @@ object Pq {
       x * x
     }.reduce(_ + _)
 
-  /** PQ code array (m ints) for one vector column — scan-side argmins
-    * over codebook literals. First-minimum tie-break (array_position
-    * semantics, identical to the oracle's rank-by-(dist, c)). */
+  /** PQ code array (m ints) for one vector column — the native
+    * [[graft.functions.expressions.PqEncode]] kernel: the codebook rides
+    * into generated code as a reference object, so encoding stays one
+    * tight codegen'd loop regardless of m·k·subDim. First-minimum
+    * tie-break (array_position semantics, identical to the oracle's
+    * rank-by-(dist, c)); [[encodeColHof]] keeps the Column-combinator
+    * formulation as the cross-checked executable spec. */
   def encodeCol(vec: Column, codebook: Array[Array[Array[Double]]]): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.expressions.GraftExpressions.register)
+    call_function("graft_pq_encode", vec,
+      typedlit(codebook.map(_.map(_.toSeq).toSeq).toSeq))
+  }
+
+  /** Column-combinator PQ encoding (the executable spec for [[encodeCol]]
+    * — PqSpec pins bit-equality). NOT the production path: the
+    * m·k·subDim-term tree (1024 terms at 8×16×8) exceeds codegen method
+    * limits and falls back to interpreted eval (46 s vs sub-second for
+    * the kernel on 40k×64-dim at sf0.1), and `array_position(dists,
+    * array_min(dists))` evaluates every sub-distance twice. */
+  def encodeColHof(vec: Column, codebook: Array[Array[Array[Double]]]): Column = {
     val v = vec.cast("array<double>")
     val codes = codebook.indices.map { s =>
       val dists = array(codebook(s).indices.map(c =>
@@ -142,6 +159,36 @@ object Pq {
    * the scan-side assignment kernel, so a probed list is exactly the list
    * the kernel assigned.
    */
+  /** Driver-side IVF probe: the `nProbe` centroid list ids nearest the
+    * query by cosine, index-asc tie-break — the SAME metric and tie rule
+    * as the scan-side assignment kernel, so a probed list is exactly the
+    * list the kernel assigned. */
+  def probeLists(matrix: Seq[Seq[Double]], queryVec: Seq[Double],
+                 nProbe: Int): Seq[Int] = {
+    val qNorm = math.sqrt(queryVec.map(x => x * x).sum)
+    matrix.zipWithIndex.map { case (cv, i) =>
+      val dot = cv.zip(queryVec).map { case (a, b) => a * b }.sum
+      val n = math.sqrt(cv.map(x => x * x).sum) * qNorm
+      (if (n == 0) Double.NegativeInfinity else dot / n, i)
+    }.sortBy { case (cos, i) => (-cos, i) }.take(nProbe).map(_._2)
+  }
+
+  /** ADC top-k over an already-materialized (idCol, cid, codes) index
+    * frame (e.g. the persisted table [[graft.streaming.Streams.incrementalVectorIndex]]
+    * maintains): probe on the driver, prune by list id — partition
+    * pruning when the index is laid out by cid — and score codes only. */
+  def ivfPqQuery(index: DataFrame, matrix: Seq[Seq[Double]], idCol: String,
+                 codebook: Array[Array[Array[Double]]],
+                 queryVec: Seq[Double], k: Int, nProbe: Int): DataFrame = {
+    val probed = probeLists(matrix, queryVec, nProbe)
+    index
+      .filter(col("cid").isin(probed: _*))
+      .select(col(idCol),
+        adcScore(col("codes"), queryVec, codebook).as("adc_dist"))
+      .orderBy(col("adc_dist").asc, col(idCol).asc)
+      .limit(k)
+  }
+
   def ivfPqTopK(corpus: DataFrame, centroids: DataFrame,
                 idCol: String, vecCol: String,
                 codebook: Array[Array[Array[Double]]],
@@ -152,17 +199,6 @@ object Pq {
       .select(col(idCol),
         graft.functions.Vec.nearestCentroid(col(vecCol), matrix).as("cid"),
         encodeCol(col(vecCol), codebook).as("codes"))
-    val qNorm = math.sqrt(queryVec.map(x => x * x).sum)
-    val probed = matrix.zipWithIndex.map { case (cv, i) =>
-      val dot = cv.zip(queryVec).map { case (a, b) => a * b }.sum
-      val n = math.sqrt(cv.map(x => x * x).sum) * qNorm
-      (if (n == 0) Double.NegativeInfinity else dot / n, i)
-    }.sortBy { case (cos, i) => (-cos, i) }.take(nProbe).map(_._2)
-    indexed
-      .filter(col("cid").isin(probed: _*))
-      .select(col(idCol),
-        adcScore(col("codes"), queryVec, codebook).as("adc_dist"))
-      .orderBy(col("adc_dist").asc, col(idCol).asc)
-      .limit(k)
+    ivfPqQuery(indexed, matrix, idCol, codebook, queryVec, k, nProbe)
   }
 }

@@ -194,6 +194,43 @@ object Streams {
         } finally { b.unpersist(); () }
       }
 
+  /**
+   * Streaming IVF-PQ vector-index maintenance — the vector-side
+   * `target_lag` analog of [[incrementalSearchIndex]]: each micro-batch
+   * of new (id, vec) rows is IVF-assigned and PQ-encoded SCAN-SIDE (the
+   * centroid matrix and codebook are resident literals; zero shuffle per
+   * batch) and appended as (id, cid, codes) under
+   * `outDir/batch_id=<id>/cid=<list>` — partitioned by list id, so a
+   * probe-time `cid IN (...)` filter prunes whole files exactly like the
+   * batch index. Float vectors never land in the serving table at all.
+   *
+   * Replay-safe by the same contract as every writer here: a batch
+   * overwrites only its own `batch_id=` partition. Query the live index
+   * with [[readVectorIndex]] + [[graft.operators.Pq.ivfPqQuery]]. Put the
+   * checkpoint OUTSIDE `outDir` — the reader infers (batch_id, cid)
+   * partitions from the directory tree, and a foreign `ckpt/` subtree
+   * would break partition discovery.
+   */
+  def incrementalVectorIndex(vecStream: DataFrame, idCol: String, vecCol: String,
+                             matrix: Seq[Seq[Double]],
+                             codebook: Array[Array[Array[Double]]],
+                             outDir: String): DataStreamWriter[Row] =
+    vecStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.filter(col(vecCol).isNotNull)
+          .select(col(idCol),
+            graft.functions.Vec.nearestCentroid(col(vecCol), matrix).as("cid"),
+            graft.operators.Pq.encodeCol(col(vecCol), codebook).as("codes"))
+          .write.mode("overwrite").partitionBy("cid")
+          .parquet(s"$outDir/batch_id=$batchId")
+        ()
+      }
+
+  /** The live (id, cid, codes) state written by [[incrementalVectorIndex]]. */
+  def readVectorIndex(spark: org.apache.spark.sql.SparkSession,
+                      outDir: String): DataFrame =
+    spark.read.parquet(outDir).drop("batch_id")
+
   /** Assemble the queryable state written by [[incrementalSearchIndex]].
     * Uncached — interactive callers should cache + close via the returned
     * [[HybridSearch.SearchIndex]]'s lifecycle as usual. */

@@ -35,6 +35,28 @@ class PqSpec extends SparkSpec {
     assert(top.head.getDouble(1) === 0.0)
   }
 
+  test("native pq encoder is bit-identical to the column formulation") {
+    val rnd = new scala.util.Random(3)
+    val vecs = (0 until 60).map(i =>
+      i.toLong -> Array.fill(M * D)(rnd.nextDouble() * 2 - 1))
+    val df = vecs.toDF("vec_id", "embedding")
+    def codes(enc: (org.apache.spark.sql.Column, Array[Array[Array[Double]]]) =>
+        org.apache.spark.sql.Column) =
+      df.select(col("vec_id"), enc(col("embedding"), cb).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes(Pq.encodeCol) === codes(Pq.encodeColHof))
+    // float input widens identically
+    val fdf = vecs.map { case (id, v) => id -> v.map(_.toFloat) }
+      .toDF("vec_id", "embedding")
+    val f = fdf.select(Pq.encodeCol(col("embedding"), cb).as("c"))
+      .collect().map(_.getSeq[Int](0))
+    // float->double widening happens before arithmetic in both forms, so
+    // the float kernel must match the HOF over the same widened floats
+    val dWide = fdf.select(Pq.encodeColHof(col("embedding").cast("array<double>"), cb).as("c"))
+      .collect().map(_.getSeq[Int](0))
+    assert(f === dWide)
+  }
+
   test("NULL vectors are skipped; codes always in [0, k)") {
     val df = (planted(5) :+ (99L -> null.asInstanceOf[Array[Double]]))
       .toDF("vec_id", "embedding")

@@ -194,6 +194,52 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental vector index: new vectors queryable, laid out by list id") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = Files.createTempDirectory("inc_vec").toString
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Double])]
+    val vecStream = input.toDS().toDF("vec_id", "embedding")
+    import graft.operators.Pq
+    val dim = 8
+    val cb = Pq.shaCodebook(m = 2, k = 4, subDim = 4)
+    // two orthogonal lists
+    val matrix = Seq(
+      Seq(1.0, 0, 0, 0, 0, 0, 0, 0), Seq(0, 1.0, 0, 0, 0, 0, 0, 0))
+    def v(axis: Int, seed: Int): Array[Double] =
+      Array.tabulate(dim)(d => (if (d == axis) 2.0 else 0.0) + 0.01 * ((seed + d) % 3))
+
+    val q = Streams.incrementalVectorIndex(vecStream, "vec_id", "embedding",
+        matrix, cb, s"$base/idx")
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    try {
+      input.addData((1L, v(0, 1)), (2L, v(1, 2)))
+      q.processAllAvailable()
+      input.addData((3L, v(0, 3)))
+      q.processAllAvailable()
+      val idx = Streams.readVectorIndex(spark, s"$base/idx")
+      // all three vectors landed, codes match the batch encoder bit-for-bit
+      val expect = Pq.encodePacked(
+        Seq((1L, v(0, 1)), (2L, v(1, 2)), (3L, v(0, 3)))
+          .toDF("vec_id", "embedding"), "vec_id", "embedding", cb)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      // the partition column (cid) moves to the end on read-back: name-based access
+      val got = idx.select("vec_id", "codes").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      assert(got === expect)
+      // probe-time pruning: a query along axis 0 with nProbe=1 sees only list 0
+      val top = Pq.ivfPqQuery(idx, matrix, "vec_id", cb,
+          Seq(1.0, 0, 0, 0, 0, 0, 0, 0), k = 10, nProbe = 1)
+        .collect().map(_.getLong(0)).toSet
+      assert(top === Set(1L, 3L))
+      // physical layout: each batch dir is partitioned by list id
+      val cidDirs = new java.io.File(s"$base/idx/batch_id=0").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("cid="))
+      assert(cidDirs.nonEmpty, "index must be laid out by cid for file pruning")
+    } finally q.stop()
+  }
+
   test("streaming dedup admission: index grows by admitted docs only") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val base = Files.createTempDirectory("inc_admit").toString
