@@ -647,6 +647,48 @@ object SparkEntry {
     Pq.encode(embeddings(s, d), "vec_id", "embedding",
       Pq.shaCodebook(m = 8, k = 16, subDim = 8))
 
+  /** The round-5 flagship composition (q62): the FULL modern
+    * training-corpus pipeline as one oracled query — Gopher quality rules
+    * (q36) → repetition filter (q61) → eval-set decontamination against
+    * the held-out doc_id % 17 == 0 slice (q55) → exact-dedup keep set
+    * (q14) → per-source quota ≤ 20 (q43) → deterministic 80/10/10 split
+    * (q57) → sharded 2048-token packing (q35). One row per surviving doc:
+    * (doc_id, source, split, n_tokens, chunk_id). q53 remains the
+    * narrower round-4 composition. */
+  private def corpusBuild2(s: SparkSession, d: String): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    val (_, _, _, _, keep) = Text.qualityRules(toks, minTokens = 30,
+      maxTokens = 100000, minAvgTokenLen = 3.0, maxAvgTokenLen = 10.0,
+      minStopRatio = 0.05, minDistinctRatio = 0.3)
+    val notRep = !(Text.dupNgramFrac(toks, 2) > 0.2 ||
+      Text.dupNgramFrac(toks, 3) > 0.15 || Text.topTokenRatio(toks) > 0.2)
+    val docs = documents(s, d)
+    val train = docs.filter(col("doc_id") % 17 =!= 0).filter(keep && notRep)
+    val eval = docs.filter(col("doc_id") % 17 === 0)
+    val cleanIds = Dedup.decontaminate(train, eval, "doc_id", "text",
+        shingleN = 3, minHits = 2)
+      .filter(!col("contaminated")).select(col("doc").as("doc_id"))
+    val clean = train.join(cleanIds, Seq("doc_id"), "left_semi")
+    val keepIds = Dedup.exact(clean, "doc_id", "text").select(col("doc_id"))
+    val deduped = clean.join(keepIds, Seq("doc_id"), "left_semi")
+    val quota = Curate.perGroupQuota(
+      deduped.select(col("source"), col("doc_id"), col("text")),
+      col("source"), col("doc_id"), n = 20)
+    val split = Curate.hashSplit(quota,
+      concat(lit("split|"), col("doc_id").cast("string")),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    // same localCheckpoint rationale as q53: Pack.sharded runs two tiny
+    // plan-construction jobs before the real one
+    val curated = split
+      .select(col("doc_id"), col("source"), col("split"),
+        size(Text.tokens(col("text"))).as("n_tok"))
+      .localCheckpoint()
+    Pack.sharded(curated, col("doc_id"), col("n_tok"), budget = 2048,
+        nShards = 32)
+      .select(col("doc_id"), col("source"), col("split"), col("n_tokens"),
+        col("chunk_id"))
+  }
+
   /** Within-document repetition metrics (q61): duplicate 2-/3-gram
     * fractions and the top single-token share — the Gopher repetition
     * rules ([[graft.functions.Text.dupNgramFrac]]/[[graft.functions.Text.topTokenRatio]]),
@@ -725,6 +767,7 @@ object SparkEntry {
     "q59_passage_dedup"      -> (passageDedupQ _),
     "q60_pq_codes"           -> (pqCodes _),
     "q61_rep_metrics"        -> (repMetrics _),
+    "q62_corpus_build2"      -> (corpusBuild2 _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -899,6 +942,68 @@ object SparkEntry {
        |  ORDER BY dist, c) AS rn FROM dist)
        |SELECT vec_id, s AS sub, c AS code FROM r WHERE rn = 1""".stripMargin
   }
+
+  /** q62 oracle: the full corpus pipeline composed from the q53 quality
+    * CTEs, the q61 repetition metrics, the q55 decontamination join, the
+    * q14 dedup keep-set, the q43 quota window, the q57 split thresholds
+    * and the q53 prefix-sum packing. */
+  private def corpusBuild2Oracle: String =
+    s"""WITH t AS (SELECT doc_id, source, text, str_split(text, ' ') AS toks FROM documents),
+       |m AS (SELECT doc_id, source, text, toks,
+       |  len(toks) AS n,
+       |  list_aggregate(list_transform(toks, x -> length(x)), 'sum') / len(toks) AS avg_len,
+       |  len(list_filter(toks, x -> x IN ('the','a','of','to','in','and','is','it','on','for'))) / len(toks) AS stop_ratio,
+       |  len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) AS distinct_ratio,
+       |  greatest(len(toks) - 1, 0) AS t2,
+       |  len(list_distinct([toks[i] || ' ' || toks[i+1]
+       |    for i in range(1, len(toks))])) AS d2,
+       |  greatest(len(toks) - 2, 0) AS t3,
+       |  len(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+       |    for i in range(1, len(toks) - 1)])) AS d3,
+       |  list_max(list_transform(list_distinct(toks),
+       |    x -> len(list_filter(toks, y -> y = x)))) AS topcnt
+       |FROM t),
+       |f AS (SELECT *,
+       |  CASE WHEN t2 > 0 THEN CAST(t2 - d2 AS DOUBLE) / CAST(t2 AS DOUBLE)
+       |       ELSE 0.0 END AS f2,
+       |  CASE WHEN t3 > 0 THEN CAST(t3 - d3 AS DOUBLE) / CAST(t3 AS DOUBLE)
+       |       ELSE 0.0 END AS f3,
+       |  CAST(topcnt AS DOUBLE) / CAST(n AS DOUBLE) AS tt FROM m),
+       |q AS (SELECT doc_id, source, text, toks FROM f
+       |  WHERE doc_id % 17 <> 0
+       |    AND n BETWEEN 30 AND 100000 AND avg_len BETWEEN 3.0 AND 10.0
+       |    AND stop_ratio >= 0.05 AND distinct_ratio >= 0.3
+       |    AND NOT (f2 > CAST(0.2 AS DOUBLE) OR f3 > CAST(0.15 AS DOUBLE)
+       |      OR tt > CAST(0.2 AS DOUBLE))),
+       |ev AS (SELECT toks FROM t WHERE doc_id % 17 = 0),
+       |evs AS (SELECT DISTINCT unnest(
+       |    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks)-1)]) AS sh
+       |  FROM ev WHERE len(toks) >= 3),
+       |trs AS (SELECT doc_id, unnest(list_distinct(
+       |    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks)-1)])) AS sh
+       |  FROM q WHERE len(toks) >= 3),
+       |hits AS (SELECT tr.doc_id, count(e.sh) AS n_hit
+       |  FROM trs tr LEFT JOIN evs e ON tr.sh = e.sh GROUP BY tr.doc_id),
+       |cl AS (SELECT q.* FROM q LEFT JOIN hits USING (doc_id)
+       |  WHERE coalesce(n_hit, 0) < 2),
+       |k AS (SELECT min(doc_id) AS doc_id FROM cl GROUP BY text),
+       |dd AS (SELECT cl.* FROM cl JOIN k USING (doc_id)),
+       |r AS (SELECT doc_id, source, toks,
+       |  row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk FROM dd),
+       |qt AS (SELECT doc_id, source, toks FROM r WHERE rk <= 20),
+       |sp AS (SELECT doc_id, source,
+       |  CASE WHEN lane < 0.8 * 1152921504606846976.0 THEN 'train'
+       |       WHEN lane < (0.8 + 0.1) * 1152921504606846976.0 THEN 'val'
+       |       ELSE 'test' END AS split,
+       |  CAST(len(toks) AS BIGINT) AS n_tokens
+       |  FROM (SELECT *, CAST(${duckLane("'split|' || doc_id::VARCHAR")} AS DOUBLE) AS lane
+       |        FROM qt)),
+       |p AS (SELECT doc_id, source, split, n_tokens,
+       |  coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |FROM sp)
+       |SELECT doc_id, source, split, n_tokens,
+       |  CAST(floor(cum_before / 2048.0) AS BIGINT) AS chunk_id FROM p""".stripMargin
 
   /** q46 oracle: sign-LSH bucketed near-dup pairs over the same
     * SHA-derived hyperplanes as q25 (2 tables × 8 bits over 64 dims):
@@ -1161,6 +1266,7 @@ object SparkEntry {
     "q25_lsh_knn" -> lshKnnOracle,
     "q46_lsh_neardup" -> lshNearDupOracle,
     "q60_pq_codes" -> pqOracle,
+    "q62_corpus_build2" -> corpusBuild2Oracle,
     "q61_rep_metrics" ->
       """WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks
         |  FROM documents WHERE text IS NOT NULL),
