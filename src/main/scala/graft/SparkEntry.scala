@@ -689,6 +689,16 @@ object SparkEntry {
         col("chunk_id"))
   }
 
+  /** Deterministic negative sampling (q63): 4 contrastive negatives per
+    * doc by SHA-lane draws modulo the id space ([[Curate.negativeSamples]]
+    * — scan-side draws, id-only existence join; one tiny driver agg for
+    * the id space, the Pack.sharded width-job pattern). */
+  private def negSamples(s: SparkSession, d: String): DataFrame = {
+    val ids = documents(s, d).select(col("doc_id"))
+    val idSpace = ids.agg(max(col("doc_id"))).head().getLong(0) + 1
+    Curate.negativeSamples(ids, "doc_id", k = 4, idSpace)
+  }
+
   /** Within-document repetition metrics (q61): duplicate 2-/3-gram
     * fractions and the top single-token share — the Gopher repetition
     * rules ([[graft.functions.Text.dupNgramFrac]]/[[graft.functions.Text.topTokenRatio]]),
@@ -768,6 +778,7 @@ object SparkEntry {
     "q60_pq_codes"           -> (pqCodes _),
     "q61_rep_metrics"        -> (repMetrics _),
     "q62_corpus_build2"      -> (corpusBuild2 _),
+    "q63_neg_samples"        -> (negSamples _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -1267,6 +1278,14 @@ object SparkEntry {
     "q46_lsh_neardup" -> lshNearDupOracle,
     "q60_pq_codes" -> pqOracle,
     "q62_corpus_build2" -> corpusBuild2Oracle,
+    "q63_neg_samples" ->
+      s"""WITH ids AS (SELECT doc_id FROM documents),
+         |n AS (SELECT max(doc_id) + 1 AS space FROM ids),
+         |d AS (SELECT doc_id AS anchor, j.range AS j,
+         |  ${duckLane("'neg|' || doc_id::VARCHAR || ',' || j.range::VARCHAR")} % space AS neg_id
+         |  FROM ids CROSS JOIN range(0, 4) j CROSS JOIN n)
+         |SELECT anchor, j, neg_id FROM d JOIN ids ON d.neg_id = ids.doc_id
+         |WHERE neg_id <> anchor""".stripMargin,
     "q61_rep_metrics" ->
       """WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks
         |  FROM documents WHERE text IS NOT NULL),

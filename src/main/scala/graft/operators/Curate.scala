@@ -69,6 +69,35 @@ object Curate {
   }
 
   /**
+   * Deterministic negative sampling for contrastive training pairs: for
+   * every anchor row, `k` pseudo-random partner ids drawn by SHA-lane
+   * arithmetic over (anchor id, draw index) modulo the id-space size —
+   * scan-side generation (one Generate, no RNG state, no shuffle), then
+   * one equi-join against the id table to keep only partners that exist
+   * (and never the anchor itself). Reproducible across runs, engines and
+   * cluster sizes like every lane-based operator here; at 100 TB the
+   * candidate join is a join on ids only — payloads are attached by the
+   * caller, and near-dup collisions are filtered downstream against the
+   * dedup pair graph ([[graft.operators.Dedup]]), not here.
+   *
+   * `idSpace` bounds the draw range (pass the max id + 1; ids need not be
+   * dense — non-existent draws are dropped by the join, so the realized
+   * count per anchor is ≤ k).
+   */
+  def negativeSamples(df: DataFrame, idCol: String, k: Int,
+                      idSpace: Long): DataFrame = {
+    require(k >= 1 && idSpace >= 2, s"need k >= 1, idSpace >= 2")
+    val draws = df.select(col(idCol).as("anchor"))
+      .select(col("anchor"), explode(array((0 until k).map(lit): _*)).as("j"))
+      .select(col("anchor"), col("j"),
+        pmod(ShaLanes.lane(concat(lit("neg|"), col("anchor").cast("string"),
+          lit(","), col("j").cast("string"))), lit(idSpace)).as("neg_id"))
+      .filter(col("neg_id") =!= col("anchor"))
+    draws.join(df.select(col(idCol).as("neg_id")), Seq("neg_id"))
+      .select(col("anchor"), col("j").cast("long").as("j"), col("neg_id"))
+  }
+
+  /**
    * Per-group quota: cap each group at its first `n` rows in `orderCol`
    * order (source/domain balancing — no single crawl domain may dominate
    * the corpus). Emits the within-group rank as `rk`. Catalyst rewrites

@@ -47,6 +47,26 @@ class CurateSpec extends SparkSpec {
     }
   }
 
+  test("negativeSamples: deterministic, never the anchor, only existing ids") {
+    val df = (0 until 200).map(_.toLong * 3).toDF("id") // sparse ids
+    def tup(r: org.apache.spark.sql.Row) = // (anchor, j, neg_id)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    val out = Curate.negativeSamples(df, "id", k = 4, idSpace = 600)
+      .collect().map(tup)
+    val again = Curate.negativeSamples(df.orderBy(col("id").desc), "id", k = 4,
+        idSpace = 600)
+      .collect().map(tup)
+    assert(out.toSet === again.toSet, "draws must not depend on row order")
+    val ids = (0 until 200).map(_.toLong * 3).toSet
+    out.foreach { case (anchor, _, neg) =>
+      assert(neg != anchor && ids.contains(neg) && ids.contains(anchor))
+    }
+    // sparse id space: roughly 1/3 of draws land on existing ids
+    assert(out.length > 100 && out.length < 400, s"got ${out.length}")
+    // at most k draws per anchor
+    assert(out.groupBy(_._1).values.map(_.size).max <= 4)
+  }
+
   test("keepLatest resolves to the newest version per key, ties by id") {
     val df = Seq(
       ("u1", 1L, 10L), ("u1", 2L, 30L), ("u1", 3L, 30L), // tie at ts 30 → id 3
