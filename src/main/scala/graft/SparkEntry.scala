@@ -474,9 +474,18 @@ object SparkEntry {
     * dequantized vectors exactly (scales cancel; VecSpec pins it).
     * Exploded to scalars for the oracle hash. */
   private def quantizeEmbeddings(s: SparkSession, d: String): DataFrame =
-    embeddings(s, d).select(col("vec_id"),
-        round(Vec.q8Scale(col("embedding")), 6).as("q8_scale"),
-        posexplode(Vec.quantQ8(col("embedding"))).as(Seq("pos", "q")))
+    embeddings(s, d)
+      // NULL vectors: drop explicitly (posexplode would silently emit no
+      // rows while the oracle's CROSS JOIN would keep 64 — pin matching
+      // semantics, the q60 pattern)
+      .filter(col("embedding").isNotNull)
+      // scale projected FIRST so the quantize lambda references an
+      // attribute — inlining q8Scale into the lambda re-runs its O(dim)
+      // scan per element (lambdas don't hoist invariant subtrees)
+      .select(col("vec_id"), col("embedding"),
+        Vec.q8Scale(col("embedding")).as("sc"))
+      .select(col("vec_id"), round(col("sc"), 6).as("q8_scale"),
+        posexplode(Vec.quantQ8(col("embedding"), col("sc"))).as(Seq("pos", "q")))
       .select(col("vec_id"), col("q8_scale"), col("pos").cast("long").as("pos"),
         col("q").cast("long").as("q"))
 
@@ -1199,7 +1208,8 @@ object SparkEntry {
         |SELECT doc_id, source, rk, n_tokens,
         |  CAST(floor(cum_before / 2048.0) AS BIGINT) AS chunk_id FROM p""".stripMargin,
     "q54_quantize_i8" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  WHERE embedding IS NOT NULL),
         |s AS (SELECT vec_id, v,
         |  coalesce(list_max(list_transform(v, x -> abs(x))), 0.0) AS sc FROM e),
         |p AS (SELECT vec_id, sc, r.range AS pos, v[r.range + 1] AS x

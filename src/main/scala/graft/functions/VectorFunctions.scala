@@ -99,12 +99,17 @@ object Vec {
    * next to (or instead of) the float column; dequantize with [[dequantQ8]]
    * only where absolute magnitudes matter.
    */
-  def quantQ8(a: Column): Column = {
-    val s = q8Scale(a)
+  def quantQ8(a: Column, scale: Column): Column =
     transform(asDouble(a),
-      x => when(s === 0.0, lit(0))
-        .otherwise(round(x / s * lit(127.0))).cast("tinyint"))
-  }
+      x => when(scale === 0.0, lit(0))
+        .otherwise(round(x / scale * lit(127.0))).cast("tinyint"))
+
+  /** Convenience single-arg form. Prefer the two-arg overload with the
+    * scale PROJECTED in a prior select: Spark does not hoist
+    * loop-invariant subtrees out of higher-order-function lambdas, so an
+    * inline [[q8Scale]] re-evaluates its O(dim) scan per ELEMENT —
+    * O(dim²) per row on the column this operator exists to shrink. */
+  def quantQ8(a: Column): Column = quantQ8(a, q8Scale(a))
 
   /** Reconstruction: `q_i * scale / 127` (error ≤ scale/254 per element). */
   def dequantQ8(q: Column, scale: Column): Column =

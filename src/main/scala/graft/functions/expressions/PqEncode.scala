@@ -41,6 +41,11 @@ case class PqEncode(child: Expression, codebook: Seq[Seq[Seq[Double]]])
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
+  // NULL beyond child-null (short vector, NULL element) — without this a
+  // non-nullable input column would advertise a non-nullable result and
+  // fail decoding at runtime (same contract as MinHashSig/CosineSimilarity)
+  override def nullable: Boolean = true
+
   override def prettyName: String = "graft_pq_encode"
 
   @transient private lazy val cube: Array[Array[Array[Double]]] =

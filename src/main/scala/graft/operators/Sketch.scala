@@ -117,8 +117,9 @@ object Sketch {
 
   /** Point estimates from a `(j, bucket, cnt)` counters frame: for each
     * key, `min_j cnt` over its d buckets (absent buckets count 0). The
-    * keys frame is broadcast — estimating is a lookup, never a shuffle of
-    * the counters. */
+    * COUNTERS side is broadcast (bounded at d×w rows by construction) —
+    * estimating is a lookup against the probe scan, never a shuffle of
+    * either side. */
   def cmsEstimate(counters: DataFrame, keys: DataFrame, key: Column,
                   d: Int = 4, w: Int = 64, sha: Boolean = false): DataFrame = {
     def bucketOf(j: Int, v: Column): Column =
@@ -129,7 +130,11 @@ object Sketch {
     val probes = keys.select(key.as("k")).distinct()
       .select(col("k"), explode(array(rows: _*)).as("e"))
       .select(col("k"), col("e.j").as("j"), col("e.bucket").as("bucket"))
-    counters.join(broadcast(probes), Seq("j", "bucket"), "right")
+    // counters is bounded at d×w rows — broadcast THAT side (a broadcast
+    // hint on the preserved side of an outer join can never build, so the
+    // previous broadcast(probes)-into-right-outer shape only avoided a
+    // shuffle when the planner happened to auto-broadcast the counters)
+    probes.join(broadcast(counters), Seq("j", "bucket"), "left")
       .groupBy(col("k"))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
   }

@@ -57,6 +57,15 @@ class PqSpec extends SparkSpec {
     assert(f === dWide)
   }
 
+  test("short vector from a NON-nullable input yields SQL NULL (kernel nullability)") {
+    // array(lit, ...) is a non-nullable column: without the kernel's
+    // nullable override this advertised a non-nullable result while eval
+    // returned null — EXPRESSION_DECODING_FAILED at collect time
+    val out = spark.range(1)
+      .select(Pq.encodeCol(array(lit(0.1), lit(0.2), lit(0.3)), cb).as("c"))
+    assert(out.collect().head.isNullAt(0))
+  }
+
   test("NULL vectors are skipped; codes always in [0, k)") {
     val df = (planted(5) :+ (99L -> null.asInstanceOf[Array[Double]]))
       .toDF("vec_id", "embedding")
