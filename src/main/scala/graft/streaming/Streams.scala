@@ -214,7 +214,8 @@ object Streams {
   def incrementalVectorIndex(vecStream: DataFrame, idCol: String, vecCol: String,
                              matrix: Seq[Seq[Double]],
                              codebook: Array[Array[Array[Double]]],
-                             outDir: String): DataStreamWriter[Row] =
+                             outDir: String,
+                             compactEvery: Int = 0): DataStreamWriter[Row] =
     vecStream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.filter(col(vecCol).isNotNull)
@@ -223,8 +224,44 @@ object Streams {
             graft.operators.Pq.encodeCol(col(vecCol), codebook).as("codes"))
           .write.mode("overwrite").partitionBy("cid")
           .parquet(s"$outDir/batch_id=$batchId")
-        ()
+        // same in-line maintenance contract as incrementalSearchIndex:
+        // fold only checkpoint-committed batches (belowId = current), so a
+        // replayed in-flight batch can never overwrite the compacted dir
+        if (compactEvery > 0 && batchId % compactEvery == (compactEvery - 1).toLong)
+          compactVectorIndex(batch.sparkSession, outDir, belowId = batchId)
       }
+
+  /** Fold the vector index's committed `batch_id=` directories into one,
+    * PRESERVING the `cid=` sublayout ([[compactBatchPartitions]] would
+    * flatten it, and the list-pruned read is the table's whole point).
+    * Same tmp-write → delete → rename swap and replay contract as the
+    * generic form. */
+  def compactVectorIndex(spark: org.apache.spark.sql.SparkSession,
+                         outDir: String, belowId: Long = Long.MaxValue): Unit = {
+    import org.apache.hadoop.fs.Path
+    val tablePath = new Path(outDir)
+    val fs = tablePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batches = fs.listStatus(tablePath)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+      .filter(_.getPath.getName.stripPrefix("batch_id=").toLong < belowId)
+    if (batches.length > 1) {
+      val maxId = batches.map(_.getPath.getName.stripPrefix("batch_id=").toLong).max
+      val tmp = new Path(tablePath.getParent, s".compact_tmp_${tablePath.getName}")
+      fs.delete(tmp, true)
+      spark.read.parquet(outDir)
+        .filter(col("batch_id") < belowId)
+        .drop("batch_id")
+        .write.mode("overwrite").partitionBy("cid").parquet(tmp.toString)
+      fs.delete(new Path(tmp, "_SUCCESS"), false)
+      batches.foreach(b => fs.delete(b.getPath, true))
+      val dest = new Path(tablePath, s"batch_id=$maxId")
+      if (!fs.rename(tmp, dest))
+        throw new java.io.IOException(
+          s"compaction swap failed: rename($tmp, $dest) returned false; " +
+            s"compacted rows are intact in $tmp")
+      ()
+    }
+  }
 
   /** The live (id, cid, codes) state written by [[incrementalVectorIndex]]. */
   def readVectorIndex(spark: org.apache.spark.sql.SparkSession,

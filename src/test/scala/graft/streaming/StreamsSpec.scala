@@ -237,6 +237,19 @@ class StreamsSpec extends SparkSpec {
       val cidDirs = new java.io.File(s"$base/idx/batch_id=0").listFiles()
         .filter(f => f.isDirectory && f.getName.startsWith("cid="))
       assert(cidDirs.nonEmpty, "index must be laid out by cid for file pruning")
+
+      // ---- read-after-compaction equivalence, cid layout preserved ----
+      def snapshot() = Streams.readVectorIndex(spark, s"$base/idx")
+        .select("vec_id", "cid", "codes").collect().map(_.toSeq).toSet
+      val before = snapshot()
+      Streams.compactVectorIndex(spark, s"$base/idx")
+      val batchDirs = new java.io.File(s"$base/idx").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+      assert(batchDirs.length === 1, "batch dirs must fold into one")
+      assert(batchDirs.head.listFiles().exists(f =>
+        f.isDirectory && f.getName.startsWith("cid=")),
+        "compaction must preserve the cid= sublayout")
+      assert(snapshot() === before)
     } finally q.stop()
   }
 
