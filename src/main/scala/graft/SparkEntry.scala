@@ -672,7 +672,13 @@ object SparkEntry {
     val notRep = !(Text.dupNgramFrac(toks, 2) > 0.2 ||
       Text.dupNgramFrac(toks, 3) > 0.15 || Text.topTokenRatio(toks) > 0.2)
     val docs = documents(s, d)
-    val train = docs.filter(col("doc_id") % 17 =!= 0).filter(keep && notRep)
+    // the quality + repetition predicates are the pipeline's priciest
+    // per-row math (topTokenRatio is O(distinct×len)) and `train` feeds
+    // three consumers (decontamination shingles, the semi-join, dedup) —
+    // materialize the filtered corpus ONCE (GC-managed blocks, truncated
+    // lineage), the stage boundary a 100 TB run would persist to storage
+    val train = docs.filter(col("doc_id") % 17 =!= 0)
+      .filter(keep && notRep).localCheckpoint()
     val eval = docs.filter(col("doc_id") % 17 === 0)
     val cleanIds = Dedup.decontaminate(train, eval, "doc_id", "text",
         shingleN = 3, minHits = 2)
