@@ -714,6 +714,22 @@ object SparkEntry {
     Curate.negativeSamples(ids, "doc_id", k = 4, idSpace)
   }
 
+  /** Corpus mixing (q64): realize per-source proportions (7% even /
+    * 3% odd sources of a 15k-token budget) via
+    * [[Curate.mixByTokenBudget]] — one tiny totals aggregate, then a
+    * scan-side lane filter; under-sized sources are taken whole. */
+  private def corpusMix(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val sources = docs.select(col("source")).distinct()
+      .collect().map(_.getString(0))
+    val weights = sources.map(src => src ->
+      (if (src.stripPrefix("src").toInt % 2 == 0) 0.07 else 0.03)).toMap
+    Curate.mixByTokenBudget(docs,
+        concat(lit("mix|"), col("doc_id").cast("string")), col("source"),
+        size(Text.tokens(col("text"))), weights, budgetTokens = 15000L)
+      .select(col("doc_id"), col("source"))
+  }
+
   /** Within-document repetition metrics (q61): duplicate 2-/3-gram
     * fractions and the top single-token share — the Gopher repetition
     * rules ([[graft.functions.Text.dupNgramFrac]]/[[graft.functions.Text.topTokenRatio]]),
@@ -794,6 +810,7 @@ object SparkEntry {
     "q61_rep_metrics"        -> (repMetrics _),
     "q62_corpus_build2"      -> (corpusBuild2 _),
     "q63_neg_samples"        -> (negSamples _),
+    "q64_corpus_mix"         -> (corpusMix _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -1294,6 +1311,19 @@ object SparkEntry {
     "q46_lsh_neardup" -> lshNearDupOracle,
     "q60_pq_codes" -> pqOracle,
     "q62_corpus_build2" -> corpusBuild2Oracle,
+    // rate arithmetic written as the same left-assoc (w · B) / t double
+    // ops the Scala driver computes from the collected totals
+    "q64_corpus_mix" ->
+      s"""WITH tot AS (SELECT source, sum(len(str_split(text, ' '))) AS t
+         |  FROM documents GROUP BY source),
+         |r AS (SELECT source, least(1.0,
+         |  (CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+         |        THEN 0.07 ELSE 0.03 END)
+         |    * CAST(15000 AS DOUBLE) / CAST(t AS DOUBLE)) AS rate FROM tot)
+         |SELECT doc_id, d.source FROM documents d JOIN r ON d.source = r.source
+         |WHERE CAST(${duckLane("'mix|' || doc_id::VARCHAR")} AS DOUBLE)
+         |  < rate * 1152921504606846976.0""".stripMargin,
+
     "q63_neg_samples" ->
       s"""WITH ids AS (SELECT doc_id FROM documents),
          |n AS (SELECT max(doc_id) + 1 AS space FROM ids),

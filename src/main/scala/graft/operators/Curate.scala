@@ -69,6 +69,37 @@ object Curate {
   }
 
   /**
+   * Corpus mixing: realize target source proportions under a total token
+   * budget — the data-mixing step of a pretraining corpus build (e.g.
+   * 30% web / 30% code / 40% books of an N-token budget). Per-source
+   * keep-rates are derived from one tiny aggregate (source token totals,
+   * collected — #sources rows, the Pack-width size class):
+   * `rate_s = min(1, weight_s · budget / tokens_s)`; rows are then kept
+   * by the [[hashSample]] lane filter at their source's rate — pure
+   * scan-side, deterministic, no shuffle of the corpus, and a source
+   * whose corpus is smaller than its target allocation is simply taken
+   * whole (rate capped at 1 — standard under-sampling behavior; weights
+   * need not sum to 1, absent sources rate 0).
+   */
+  def mixByTokenBudget(df: DataFrame, keyCol: Column, sourceCol: Column,
+                       tokensCol: Column, weights: Map[String, Double],
+                       budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0 && weights.values.forall(_ >= 0))
+    val totals = df.groupBy(sourceCol.as("source"))
+      .agg(sum(tokensCol.cast("long")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rates = totals.map { case (s, t) =>
+      s -> math.min(1.0,
+        weights.getOrElse(s, 0.0) * budgetTokens.toDouble / t.toDouble)
+    }
+    // disjoint equality conditions: fold order over the map is irrelevant
+    val rate = rates.foldLeft(lit(0.0)) { case (acc, (s, r)) =>
+      when(sourceCol === s, lit(r)).otherwise(acc)
+    }
+    hashSample(df, keyCol, rate)
+  }
+
+  /**
    * Deterministic negative sampling for contrastive training pairs: for
    * every anchor row, `k` pseudo-random partner ids drawn by SHA-lane
    * arithmetic over (anchor id, draw index) modulo the id-space size —

@@ -47,6 +47,27 @@ class CurateSpec extends SparkSpec {
     }
   }
 
+  test("mixByTokenBudget: realized tokens track weight*budget; small sources taken whole") {
+    // a: 100 docs x 100 tokens = 10k; b: 200 x 50 = 10k; c: 10 x 10 = 100 (tiny)
+    val df = ((0 until 100).map(i => (i.toLong, "a", 100L)) ++
+      (100 until 300).map(i => (i.toLong, "b", 50L)) ++
+      (300 until 310).map(i => (i.toLong, "c", 10L)))
+      .toDF("id", "source", "n_tok")
+    val out = Curate.mixByTokenBudget(df, col("id").cast("string"), col("source"),
+        col("n_tok"), Map("a" -> 0.6, "b" -> 0.2, "c" -> 0.2), budgetTokens = 5000L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byTokens = out.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    // targets: a 3000 of 10k (rate .3), b 1000 of 10k (rate .1); c's target
+    // (1000) exceeds its 100 tokens -> rate capped at 1, taken WHOLE
+    assert(byTokens("c") === 100L, "undersized source must be kept entirely")
+    assert(math.abs(byTokens("a") - 3000.0) / 3000.0 < 0.25, s"a: ${byTokens("a")}")
+    assert(math.abs(byTokens("b") - 1000.0) / 1000.0 < 0.35, s"b: ${byTokens("b")}")
+    // unknown source weight -> rate 0
+    val none = Curate.mixByTokenBudget(df, col("id").cast("string"), col("source"),
+      col("n_tok"), Map("zzz" -> 1.0), budgetTokens = 5000L)
+    assert(none.count() === 0)
+  }
+
   test("negativeSamples: deterministic, never the anchor, only existing ids") {
     val df = (0 until 200).map(_.toLong * 3).toDF("id") // sparse ids
     def tup(r: org.apache.spark.sql.Row) = // (anchor, j, neg_id)
