@@ -268,6 +268,18 @@ class PlanSpec extends SparkSpec {
       s"PQ argmins must stay in the scan stage:\n$p")
   }
 
+  test("q64 corpus mix is a pure scan-side lane filter; q63 joins ids only") {
+    // the totals aggregate runs at plan construction (driver, #sources
+    // rows) — the REALIZED plan must be a bare filtered scan
+    val p64 = plan("q64_corpus_mix")
+    assert(!p64.contains("Exchange") && !p64.contains("Join") && !p64.contains("Window"),
+      s"mix must be a scan-side filter:\n$p64")
+    val p63 = plan("q63_neg_samples")
+    assert(!p63.contains("CartesianProduct") &&
+      !p63.contains("BroadcastNestedLoopJoin"),
+      "negative-sample existence check must stay an equi-join")
+  }
+
   test("q49 quality checks: anti-joins stay hash/broadcast, no cartesian") {
     val p = plan("q49_quality_checks")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
