@@ -710,7 +710,10 @@ object SparkEntry {
     * the id space, the Pack.sharded width-job pattern). */
   private def negSamples(s: SparkSession, d: String): DataFrame = {
     val ids = documents(s, d).select(col("doc_id"))
-    val idSpace = ids.agg(max(col("doc_id"))).head().getLong(0) + 1
+    // max of an empty table is NULL — any idSpace works then (the
+    // existence join over zero ids is empty either way)
+    val maxRow = ids.agg(max(col("doc_id"))).head()
+    val idSpace = if (maxRow.isNullAt(0)) 2L else maxRow.getLong(0) + 1
     Curate.negativeSamples(ids, "doc_id", k = 4, idSpace)
   }
 
@@ -718,17 +721,16 @@ object SparkEntry {
     * 3% odd sources of a 15k-token budget) via
     * [[Curate.mixByTokenBudget]] — one tiny totals aggregate, then a
     * scan-side lane filter; under-sized sources are taken whole. */
-  private def corpusMix(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d)
-    val sources = docs.select(col("source")).distinct()
-      .collect().map(_.getString(0))
-    val weights = sources.map(src => src ->
-      (if (src.stripPrefix("src").toInt % 2 == 0) 0.07 else 0.03)).toMap
-    Curate.mixByTokenBudget(docs,
+  private def corpusMix(s: SparkSession, d: String): DataFrame =
+    // weight as a FUNCTION of the source key: the operator's own totals
+    // aggregate supplies the source list, so no second distinct+collect
+    // scan of the corpus runs at plan construction
+    Curate.mixByTokenBudget(documents(s, d),
         concat(lit("mix|"), col("doc_id").cast("string")), col("source"),
-        size(Text.tokens(col("text"))), weights, budgetTokens = 15000L)
+        size(Text.tokens(col("text"))),
+        (src: String) => if (src.stripPrefix("src").toInt % 2 == 0) 0.07 else 0.03,
+        budgetTokens = 15000L)
       .select(col("doc_id"), col("source"))
-  }
 
   /** Within-document repetition metrics (q61): duplicate 2-/3-gram
     * fractions and the top single-token share — the Gopher repetition

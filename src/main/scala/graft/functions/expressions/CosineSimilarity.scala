@@ -256,7 +256,6 @@ object GraftExpressions {
         matrixFromExpr(children(1), "graft_nearest_centroids"), n)
     })
 
-  /** Idempotently register on a session's function registry. */
   /** Foldable array<array<array<float|double>>> literal → PQ codebook. */
   private def cubeFromExpr(e: Expression, fn: String): Seq[Seq[Seq[Double]]] = {
     require(e.foldable, s"$fn: the codebook must be a literal (foldable)")
@@ -266,11 +265,21 @@ object GraftExpressions {
         s"$fn: codebook must be array<array<array<float|double>>>, got ${other.catalogString}")
     }
     val ad = e.eval().asInstanceOf[ArrayData]
+    // ArrayData.getDouble on a null slot silently returns garbage (0.0) —
+    // a NULL anywhere in the literal would corrupt the codebook without
+    // an error, so reject explicitly at analysis
+    def noNull(cond: Boolean, where: String): Unit =
+      if (cond) throw new IllegalArgumentException(
+        s"$fn: codebook must not contain NULLs (found at $where)")
+    noNull(ad == null, "root")
     (0 until ad.numElements()).map { s =>
+      noNull(ad.isNullAt(s), s"subspace $s")
       val sub = ad.getArray(s)
       (0 until sub.numElements()).map { c =>
+        noNull(sub.isNullAt(c), s"subspace $s centroid $c")
         val row = sub.getArray(c)
         (0 until row.numElements()).map { d =>
+          noNull(row.isNullAt(d), s"subspace $s centroid $c dim $d")
           if (et == FloatType) row.getFloat(d).toDouble else row.getDouble(d)
         }
       }
@@ -306,6 +315,7 @@ object GraftExpressions {
         cms, cmsSha, minhashSha, simhashSha, vectorSum, nearestCentroid,
         nearestCentroids, pqEncode, bloomMightContain)
 
+  /** Idempotently register on a session's function registry. */
   def register(spark: SparkSession): Unit =
     all.foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)

@@ -30,13 +30,18 @@ case class PqEncode(child: Expression, codebook: Seq[Seq[Seq[Double]]])
     extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(FloatType | DoubleType, _)
-        if codebook.nonEmpty && codebook.forall(_.nonEmpty) &&
-          codebook.flatten.map(_.size).distinct.size == 1 =>
-      TypeCheckResult.TypeCheckSuccess
+    case ArrayType(FloatType | DoubleType, _) =>
+      // distinguish the two failure causes — blaming the (valid) child
+      // type for a ragged codebook sends the user to the wrong argument
+      if (codebook.nonEmpty && codebook.forall(_.nonEmpty) &&
+          codebook.flatten.map(_.size).distinct.size == 1)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        "graft_pq_encode: codebook must be non-empty and rectangular " +
+          "(equal centroid counts per subspace, equal dims per centroid)")
     case other => TypeCheckResult.TypeCheckFailure(
-      s"graft_pq_encode expects (array<float|double>, non-empty rectangular " +
-        s"codebook), got ${other.catalogString}")
+      s"graft_pq_encode expects an array<float|double> input vector, " +
+        s"got ${other.catalogString}")
   }
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)

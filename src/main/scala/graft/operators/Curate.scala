@@ -82,22 +82,34 @@ object Curate {
    * need not sum to 1, absent sources rate 0).
    */
   def mixByTokenBudget(df: DataFrame, keyCol: Column, sourceCol: Column,
-                       tokensCol: Column, weights: Map[String, Double],
+                       tokensCol: Column, weightOf: String => Double,
                        budgetTokens: Long): DataFrame = {
-    require(budgetTokens > 0 && weights.values.forall(_ >= 0))
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    // a source whose token sum is NULL (every row NULL-tokened) has no
+    // budgetable mass — leave it out, which rates it 0 like an unknown
+    // source
     val totals = df.groupBy(sourceCol.as("source"))
       .agg(sum(tokensCol.cast("long")).as("t"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .collect()
+      .flatMap(r => if (r.isNullAt(1)) None
+                    else Some(r.getString(0) -> r.getLong(1))).toMap
     val rates = totals.map { case (s, t) =>
-      s -> math.min(1.0,
-        weights.getOrElse(s, 0.0) * budgetTokens.toDouble / t.toDouble)
+      s -> math.min(1.0, weightOf(s) * budgetTokens.toDouble / t.toDouble)
     }
+    require(rates.values.forall(_ >= 0), "weights must be non-negative")
     // disjoint equality conditions: fold order over the map is irrelevant
     val rate = rates.foldLeft(lit(0.0)) { case (acc, (s, r)) =>
       when(sourceCol === s, lit(r)).otherwise(acc)
     }
     hashSample(df, keyCol, rate)
   }
+
+  /** Map form: absent sources rate 0. */
+  def mixByTokenBudget(df: DataFrame, keyCol: Column, sourceCol: Column,
+                       tokensCol: Column, weights: Map[String, Double],
+                       budgetTokens: Long): DataFrame =
+    mixByTokenBudget(df, keyCol, sourceCol, tokensCol,
+      (s: String) => weights.getOrElse(s, 0.0), budgetTokens)
 
   /**
    * Deterministic negative sampling for contrastive training pairs: for

@@ -144,21 +144,6 @@ object Pq {
       .orderBy(col("adc_dist").asc, col(idCol).asc)
       .limit(k)
 
-  /**
-   * IVF-PQ — the composed serving path, and the shape a 100 TB vector
-   * index actually takes: IVF list assignment bounds WHICH rows are
-   * scored (probe `nProbe` of the centroid lists — the partition-pruning
-   * analog; in production the (cid, codes) table is persisted partitioned
-   * by cid so probes prune whole files) and PQ-ADC bounds WHAT scoring
-   * costs (m table lookups per candidate — no float vectors in the
-   * serving path at all).
-   *
-   * `centroids` carries (idCol, vecCol) like [[Knn.ivfTopK]]'s; the query
-   * probe runs on the driver against the resident centroid matrix (k ×
-   * dim doubles) with the SAME cosine metric and index-asc tie-break as
-   * the scan-side assignment kernel, so a probed list is exactly the list
-   * the kernel assigned.
-   */
   /** Driver-side IVF probe: the `nProbe` centroid list ids nearest the
     * query by cosine, index-asc tie-break — the SAME metric and tie rule
     * as the scan-side assignment kernel, so a probed list is exactly the
@@ -189,6 +174,19 @@ object Pq {
       .limit(k)
   }
 
+  /**
+   * IVF-PQ — the composed serving path, and the shape a 100 TB vector
+   * index actually takes: IVF list assignment bounds WHICH rows are
+   * scored (probe `nProbe` of the centroid lists — the partition-pruning
+   * analog; in production the (cid, codes) table is persisted partitioned
+   * by cid so probes prune whole files) and PQ-ADC bounds WHAT scoring
+   * costs (m table lookups per candidate — no float vectors in the
+   * serving path at all).
+   *
+   * `centroids` carries (idCol, vecCol) like [[Knn.ivfTopK]]'s; the query
+   * probe runs on the driver against the resident centroid matrix (k ×
+   * dim doubles) — see [[probeLists]].
+   */
   def ivfPqTopK(corpus: DataFrame, centroids: DataFrame,
                 idCol: String, vecCol: String,
                 codebook: Array[Array[Array[Double]]],

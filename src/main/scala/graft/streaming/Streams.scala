@@ -241,13 +241,14 @@ object Streams {
     import org.apache.hadoop.fs.Path
     val tablePath = new Path(outDir)
     val fs = tablePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverCompactLeftovers(fs, tablePath) // see compactBatchPartitions
     val batches = fs.listStatus(tablePath)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
       .filter(_.getPath.getName.stripPrefix("batch_id=").toLong < belowId)
     if (batches.length > 1) {
       val maxId = batches.map(_.getPath.getName.stripPrefix("batch_id=").toLong).max
-      val tmp = new Path(tablePath.getParent, s".compact_tmp_${tablePath.getName}")
-      fs.delete(tmp, true)
+      val tmp = new Path(tablePath.getParent,
+        s".compact_tmp_${tablePath.getName}_b$maxId")
       spark.read.parquet(outDir)
         .filter(col("batch_id") < belowId)
         .drop("batch_id")
@@ -327,19 +328,48 @@ object Streams {
     * ids below the current one are committed and cannot replay. A live
     * stream's future batch ids are strictly greater than every folded id,
     * so new partitions never collide with the compacted one. */
+  /** Complete or clean leftovers of a previously-FAILED compaction before
+    * a new fold runs. Tmp dirs are named `.compact_tmp_<table>_b<id>`
+    * where `<id>` is the fold's destination batch id, which makes
+    * recovery decidable: a leftover whose `batch_id=<id>` dir still
+    * exists came from a failed WRITE (its sources are intact — drop it);
+    * one whose dir is GONE came from a failed SWAP and holds the ONLY
+    * copy of the folded rows — finish the rename. Without this, the next
+    * fold's tmp cleanup would permanently destroy those rows. */
+  private def recoverCompactLeftovers(fs: org.apache.hadoop.fs.FileSystem,
+                                      tablePath: org.apache.hadoop.fs.Path): Unit = {
+    import org.apache.hadoop.fs.Path
+    val prefix = s".compact_tmp_${tablePath.getName}_b"
+    val parent = tablePath.getParent
+    if (fs.exists(parent)) fs.listStatus(parent)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+      .foreach { s =>
+        val id = s.getPath.getName.stripPrefix(prefix).toLong
+        val dest = new Path(tablePath, s"batch_id=$id")
+        if (fs.exists(dest)) fs.delete(s.getPath, true)
+        else if (!fs.rename(s.getPath, dest))
+          throw new java.io.IOException(
+            s"recovery of a failed compaction swap failed: " +
+              s"rename(${s.getPath}, $dest) returned false")
+      }
+  }
+
   def compactBatchPartitions(spark: org.apache.spark.sql.SparkSession,
                              tableDir: String, filesPer: Int = 4,
                              belowId: Long = Long.MaxValue): Unit = {
     import org.apache.hadoop.fs.Path
     val tablePath = new Path(tableDir)
     val fs = tablePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a recovered swap re-materializes its batch dir, so recovery must run
+    // BEFORE the fold set is listed — the recovered rows then re-fold
+    recoverCompactLeftovers(fs, tablePath)
     val batches = fs.listStatus(tablePath)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
       .filter(_.getPath.getName.stripPrefix("batch_id=").toLong < belowId)
     if (batches.length > 1) {
       val maxId = batches.map(_.getPath.getName.stripPrefix("batch_id=").toLong).max
-      val tmp = new Path(tablePath.getParent, s".compact_tmp_${tablePath.getName}")
-      fs.delete(tmp, true)
+      val tmp = new Path(tablePath.getParent,
+        s".compact_tmp_${tablePath.getName}_b$maxId")
       spark.read.parquet(
           batches.map(_.getPath.toString): _*)
         .drop("batch_id")
@@ -349,8 +379,8 @@ object Streams {
       batches.foreach(b => fs.delete(b.getPath, true))
       // Hadoop FileSystem.rename reports most failures by RETURNING false
       // (not throwing); swallowing that would leave the table empty with
-      // the rows stranded in the tmp dir — fail loudly so the tmp dir is
-      // recoverable instead of silently lost.
+      // the rows stranded in the tmp dir — fail loudly; the id-suffixed
+      // tmp name makes the next run's recovery complete the swap.
       val dest = new Path(tablePath, s"batch_id=$maxId")
       if (!fs.rename(tmp, dest))
         throw new java.io.IOException(

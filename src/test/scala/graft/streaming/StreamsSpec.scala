@@ -253,6 +253,29 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("compaction recovery: a failed swap's tmp is completed, a failed write's dropped") {
+    val base = Files.createTempDirectory("reco").toString
+    val t = s"$base/tbl"
+    // committed batch 2 on disk
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$t/batch_id=2")
+    // failed SWAP leftover: fold for dest batch_id=1 wrote tmp and deleted
+    // its sources, but the rename never happened — rows exist ONLY here
+    Seq((0L, "z")).toDF("id", "v").write.parquet(s"$base/.compact_tmp_tbl_b1")
+    // failed WRITE leftover: dest batch_id=2 still exists, so this tmp's
+    // sources are intact and its (bogus) content must be dropped
+    Seq((9L, "junk")).toDF("id", "v").write.parquet(s"$base/.compact_tmp_tbl_b2")
+    Streams.compactBatchPartitions(spark, t)
+    val rows = spark.read.parquet(t).drop("batch_id")
+      .collect().map(_.toSeq).toSet
+    assert(rows === Set(Seq(0L, "z"), Seq(1L, "a")),
+      "swap-leftover rows recovered, write-leftover junk dropped")
+    val dirs = new java.io.File(t).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+    assert(dirs.length === 1, "recovered batch re-folds with the committed one")
+    assert(!new java.io.File(base).listFiles()
+      .exists(_.getName.startsWith(".compact_tmp")), "no stranded tmp remains")
+  }
+
   test("streaming dedup admission: index grows by admitted docs only") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val base = Files.createTempDirectory("inc_admit").toString
