@@ -229,10 +229,15 @@ class StreamsSpec extends SparkSpec {
         .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
       assert(got === expect)
       // probe-time pruning: a query along axis 0 with nProbe=1 sees only list 0
-      val top = Pq.ivfPqQuery(idx, matrix, "vec_id", cb,
-          Seq(1.0, 0, 0, 0, 0, 0, 0, 0), k = 10, nProbe = 1)
-        .collect().map(_.getLong(0)).toSet
-      assert(top === Set(1L, 3L))
+      val pruned = Pq.ivfPqQuery(idx, matrix, "vec_id", cb,
+        Seq(1.0, 0, 0, 0, 0, 0, 0, 0), k = 10, nProbe = 1)
+      assert(pruned.collect().map(_.getLong(0)).toSet === Set(1L, 3L))
+      // and the list filter prunes FILES, not rows: it lands in the
+      // scan's PartitionFilters (the whole point of the cid= layout)
+      val scan = pruned.queryExecution.executedPlan.toString
+      val pf = scan.linesIterator.find(_.contains("PartitionFilters"))
+      assert(pf.exists(_.contains("cid")),
+        s"cid probe must be a partition filter:\n$scan")
       // physical layout: each batch dir is partitioned by list id
       val cidDirs = new java.io.File(s"$base/idx/batch_id=0").listFiles()
         .filter(f => f.isDirectory && f.getName.startsWith("cid="))
