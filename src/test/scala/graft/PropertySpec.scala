@@ -90,6 +90,52 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("token chunking covers every token; overlap and sizes honor the contract") {
+    val doc: Gen[String] = Gen.choose(1, 150)
+      .flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val docs = sample(doc, 120).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    for ((cs, st) <- Seq((16, 16), (16, 8), (5, 3))) {
+      val chunks = graft.operators.Pack
+        .chunk(docs.toDF("doc_id", "text"), "doc_id", "text", cs, st)
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (d, rs) => d -> rs.sortBy(_.getLong(1)).map(r =>
+          (r.getLong(2), r.getString(3))) }
+      docs.foreach { case (id, text) =>
+        val toks = text.split(" ")
+        val got = chunks(id)
+        // every window except possibly the last is exactly chunkSize; the
+        // reassembled stride-prefixes reproduce the document (coverage)
+        got.init.foreach { case (n, _) => assert(n === cs.toLong) }
+        assert(got.last._1 >= 1L && got.last._1 <= cs.toLong)
+        val rebuilt = got.init.map(_._2.split(" ").take(st)).flatten ++
+          got.last._2.split(" ")
+        assert(rebuilt.toSeq === toks.toSeq, s"doc $id cs=$cs st=$st")
+      }
+    }
+  }
+
+  test("passage dedup: survivors are exactly the first occurrences, text conserved") {
+    val passage: Gen[String] = Gen.choose(1, 4)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf("aa", "bb", "cc", "dd", "ee")))
+      .map(_.mkString(" "))
+    val doc: Gen[String] = Gen.choose(1, 6)
+      .flatMap(n => Gen.listOfN(n, passage)).map(_.mkString(". "))
+    val docs = sample(doc, 150).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val out = graft.operators.Dedup
+      .passageDedup(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // reference computation: first (doc, pos) occurrence per passage text
+    val seen = scala.collection.mutable.Set[String]()
+    val expected = docs.map { case (id, text) =>
+      val ps = text.split("\\. ", -1)
+      val kept = ps.filter(p => seen.add(p))
+      id -> ((ps.length.toLong, kept.length.toLong, kept.mkString(". ")))
+    }.filter(_._2._2 > 0).toMap
+    assert(out === expected)
+  }
+
   test("connected components are idempotent and order-insensitive") {
     val edgeGen = Gen.zip(Gen.choose(0L, 40L), Gen.choose(0L, 40L))
       .suchThat { case (a, b) => a != b }
