@@ -245,6 +245,18 @@ object SparkEntry {
     Dedup.lshNearDupPairs(embeddings(s, d), "vec_id", "embedding",
       threshold = 0.3, bits = 8, tables = 2, sig = Knn.lshSignatureSha)
 
+  /** Semantic dedup (q65): SemDeDup over the embedding corpus — q47's
+    * oracle-parity k-means supplies the clusters, then every vector with
+    * a smaller-id cluster-mate at cosine ≥ 0.3 is dropped
+    * ([[Dedup.semanticDedup]] — assignment is the scan-side IVF kernel,
+    * the only shuffle is the cid equi-join, candidates form within
+    * clusters only: O(Σ|cluster|²), never O(n²)). */
+  private def semanticDedupQ(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val cents = Knn.kmeansCentroidsSha(emb, "vec_id", "embedding", k = 8, iters = 2)
+    Dedup.semanticDedup(emb, cents, "vec_id", "embedding", threshold = 0.3)
+  }
+
   private def bm25(s: SparkSession, d: String): DataFrame =
     Bm25.score(documents(s, d), "doc_id", "text", Seq("spark", "join", "fast"))
 
@@ -813,6 +825,7 @@ object SparkEntry {
     "q62_corpus_build2"      -> (corpusBuild2 _),
     "q63_neg_samples"        -> (negSamples _),
     "q64_corpus_mix"         -> (corpusMix _),
+    "q65_semantic_dedup"     -> (semanticDedupQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -1087,17 +1100,26 @@ object SparkEntry {
     * (cid, pos) with empty clusters keeping the previous centroid;
     * output rounded to 4dp (means differ across engines only by fp
     * accumulation order). */
-  private def kmeansOracle: String = {
+  /** Cosine-argmax assignment of each `e` row against centroid table
+    * `prev` (ties to the lowest cid) — one Lloyd assignment step as a
+    * DuckDB CTE, shared by the q47/q65 oracles. */
+  private def kmeansAssignCte(prev: String, a: String): String =
+    s"""$a AS (
+       |  SELECT vec_id, v, cid FROM (
+       |    SELECT e.vec_id, e.v, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        list_dot_product(e.v, c.v) /
+       |          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.v, c.v))) DESC,
+       |        c.cid ASC) AS rn
+       |    FROM e CROSS JOIN $prev c) WHERE rn = 1)"""
+
+  /** The shared q47/q65 oracle CTE chain: embeddings → SHA-lane init →
+    * two unrolled Lloyd iterations, ending at centroid table `c2`
+    * (mirrors [[Knn.kmeansCentroidsSha]], k = 8, dim = 64). */
+  private def kmeansCtes: String = {
     val lane = duckLane("vec_id::VARCHAR")
     def iter(prev: String, a: String, m: String, next: String): String =
-      s"""$a AS (
-         |  SELECT vec_id, v, cid FROM (
-         |    SELECT e.vec_id, e.v, c.cid,
-         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-         |        list_dot_product(e.v, c.v) /
-         |          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.v, c.v))) DESC,
-         |        c.cid ASC) AS rn
-         |    FROM e CROSS JOIN $prev c) WHERE rn = 1),
+      s"""${kmeansAssignCte(prev, a)},
          |$m AS (
          |  SELECT cid, r.range AS pos, avg(v[r.range + 1]) AS val
          |  FROM $a CROSS JOIN range(0, 64) r GROUP BY cid, r.range),
@@ -1106,17 +1128,33 @@ object SparkEntry {
          |  FROM $prev p CROSS JOIN range(0, 64) r
          |  LEFT JOIN $m m ON m.cid = p.cid AND m.pos = r.range
          |  GROUP BY p.cid)"""
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |ini AS (
        |  SELECT vec_id, v, $lane AS lane FROM e ORDER BY lane, vec_id LIMIT 8),
        |c0 AS (
        |  SELECT row_number() OVER (ORDER BY lane, vec_id) - 1 AS cid, v FROM ini),
        |${iter("c0", "a1", "m1", "c1")},
-       |${iter("c1", "a2", "m2", "c2")}
+       |${iter("c1", "a2", "m2", "c2")}""".stripMargin
+  }
+
+  private def kmeansOracle: String =
+    s"""WITH $kmeansCtes
        |SELECT cid::BIGINT AS cid, r.range::BIGINT AS pos,
        |  round(c2.v[r.range + 1], 4) AS c
        |FROM c2 CROSS JOIN range(0, 64) r""".stripMargin
-  }
+
+  /** q65 oracle: assign every vector against the trained `c2` centroids,
+    * then NOT EXISTS a smaller-id cluster-mate at round-6 cosine ≥ 0.3 —
+    * the [[Dedup.semanticDedup]] drop rule verbatim. */
+  private def semanticDedupOracle: String =
+    s"""WITH $kmeansCtes,
+       |${kmeansAssignCte("c2", "asg")}
+       |SELECT s.vec_id, s.cid::BIGINT AS cid, NOT EXISTS (
+       |  SELECT 1 FROM asg o WHERE o.cid = s.cid AND o.vec_id < s.vec_id
+       |    AND round(list_dot_product(o.v, s.v) /
+       |      (sqrt(list_dot_product(o.v, o.v)) * sqrt(list_dot_product(s.v, s.v))), 6) >= 0.3
+       |) AS kept
+       |FROM asg s""".stripMargin
 
   /** q28 oracle: SHA-lane codec features through the same math as
     * [[Multimodal.ShaCodec]] — lane → [-1,1) → FLOAT quantize → DOUBLE,
@@ -1359,6 +1397,7 @@ object SparkEntry {
         |    OR tt > CAST(0.2 AS DOUBLE)) AS repetitive
         |FROM f""".stripMargin,
     "q47_kmeans_train" -> kmeansOracle,
+    "q65_semantic_dedup" -> semanticDedupOracle,
     "q28_multimodal_features" -> multimodalOracle,
     "q40_kmv_distinct" -> kmvOracle,
     "q01_pricing_summary" ->

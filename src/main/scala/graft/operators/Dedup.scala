@@ -646,6 +646,48 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** SemDeDup-style semantic dedup: cluster the embedding space, then
+    * within each cluster drop every vector that has a SMALLER-id
+    * cluster-mate with cosine ≥ threshold (so the survivor of any
+    * near-duplicate neighborhood is its minimum id — deterministic, no
+    * RNG, no iteration). Returns every input row as
+    * (id, cid, kept: boolean).
+    *
+    * `centroids` is a (idCol, vecCol) frame as produced by
+    * [[Knn.kmeansCentroids]]/[[Knn.kmeansCentroidsSha]] — training is the
+    * caller's (declared q47); this operator is the pruning pass.
+    *
+    * Scale shape (the reason SemDeDup beats all-pairs at corpus scale):
+    * assignment is a scan-side projection via the native nearest-centroid
+    * kernel (zero exchanges — the q27 IVF shape), and the only shuffle is
+    * the cid equi-join, so candidate pairs form within clusters only:
+    * O(Σ|cluster|²) instead of O(n²). k controls the bound — at 100 TB
+    * you train thousands of centroids so clusters stay ~1e4-ish; a runaway
+    * cluster is a k (or skew-salt) tuning problem, never a cross join. */
+  def semanticDedup(df: DataFrame, centroids: DataFrame, idCol: String,
+                    vecCol: String, threshold: Double): DataFrame = {
+    val matrix = Knn.centroidMatrix(
+      centroids.select(col(idCol).as("cid"), col(vecCol).as("cv")))
+    val assigned = df
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
+      .filter(col("vec").isNotNull)
+      .withColumn("cid", Vec.nearestCentroid(col("vec"), matrix).cast("long"))
+    // rows with a smaller-id near-dup cluster-mate; left_semi so the
+    // pair relation is never materialized wider than the match probe.
+    // Cosines compare at round-6 like every declared threshold (the
+    // vec-vs-vec cosine is the bit-reproducible oracle contract).
+    val dropped = assigned.as("b").hint("shuffle_hash")
+      .join(assigned.as("a").hint("shuffle_hash"),
+        col("a.cid") === col("b.cid") && col("a.id") < col("b.id") &&
+          round(Vec.cosine(col("a.vec"), col("b.vec")), 6) >= threshold,
+        "left_semi")
+      .select(col("id"))
+    assigned
+      .join(dropped.withColumn("is_dup", lit(true)), Seq("id"), "left")
+      .select(col("id").as(idCol), col("cid"),
+        col("is_dup").isNull.as("kept"))
+  }
+
   /** Embedding-cosine near-duplicates: all pairs with cosine ≥ threshold.
     * Brute self-join — correct baseline and the executable spec verifying
     * [[lshNearDupPairs]]; the top-k ANN path is [[Knn.lshTopK]]. */

@@ -231,6 +231,18 @@ class PlanSpec extends SparkSpec {
       "bucket join must be hash-partitioned")
   }
 
+  test("q65 semantic dedup: within-cluster equi-join only — never all-pairs") {
+    // SemDeDup's scale contract: candidate pairs form through the cid
+    // equi-join (shuffle-hash, O(Σ|cluster|²)), never a cross product;
+    // assignment itself is the scan-side nearest-centroid kernel
+    val p = plan("q65_semantic_dedup")
+    assert(!p.contains("CartesianProduct"), "no cartesian product")
+    assert(countOf(p, "BroadcastNestedLoopJoin") === 0, "no all-pairs join")
+    assert(countOf(p, "ShuffledHashJoin") >= 1, p.linesIterator
+      .filter(_.contains("Join")).mkString("\n"))
+    assert(p.contains("graft_nearest_centroid"), "assignment must be the native kernel")
+  }
+
   test("q55 decontamination: eval shingles broadcast; train text never shuffles") {
     val p = plan("q55_decontaminate")
     // the probe join against the eval shingle universe must broadcast —

@@ -223,6 +223,40 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("semantic dedup drops exactly the smaller-id near-dups within clusters") {
+    val rnd = new scala.util.Random(11)
+    val seeds = Array.fill(4)(Array.fill(16)(rnd.nextGaussian()))
+    // ids 0..15 hug their seed (near-dups of each other); 16..39 scatter
+    val rows = (0 until 40).map { i =>
+      val jitter = if (i < 16) 0.001 else 0.6
+      val v = seeds(i % 4).map(x => (x + rnd.nextGaussian() * jitter).toFloat)
+      (i.toLong, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val cents = Knn.kmeansCentroids(df, "vec_id", "embedding", k = 4, iters = 2)
+    val out = Dedup.semanticDedup(df, cents, "vec_id", "embedding", 0.95)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out.size === 40)
+    // reference model: recompute the drop rule from the operator's own
+    // cluster ids with driver-side cosine at the same round-6 compare
+    val vec = rows.map { case (id, v) => id -> v.map(_.toDouble) }.toMap
+    def cos6(a: Array[Double], b: Array[Double]): BigDecimal = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }
+    out.foreach { case (id, (cid, kept)) =>
+      val expected = !out.exists { case (o, (ocid, _)) =>
+        ocid == cid && o < id && cos6(vec(o), vec(id)) >= BigDecimal(0.95) }
+      assert(kept === expected, s"id=$id cid=$cid")
+    }
+    // the planted near-dup ids (0..15, 4 per cluster) must collapse to one
+    // survivor each; the scattered tail keeps a healthy mix of both flags
+    assert((0 until 16).count(i => out(i.toLong)._2) === 4)
+    assert(out.count(_._2._2) > 4 && out.count(!_._2._2) >= 12)
+  }
+
   test("embedding near-dup by cosine threshold") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),
