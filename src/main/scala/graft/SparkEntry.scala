@@ -245,6 +245,14 @@ object SparkEntry {
     Dedup.lshNearDupPairs(embeddings(s, d), "vec_id", "embedding",
       threshold = 0.3, bits = 8, tables = 2, sig = Knn.lshSignatureSha)
 
+  /** LM surprisal (q66): add-α unigram model trained on the corpus
+    * itself, vocab capped at the top 20 tokens so the OOV bucket is
+    * genuinely exercised ([[LangModel.surprisal]] — O(vocab) broadcast,
+    * per-doc partials collapse map-side). */
+  private def lmSurprisal(s: SparkSession, d: String): DataFrame =
+    LangModel.surprisal(documents(s, d), "doc_id", "text",
+      vocabSize = 20, alpha = 0.5)
+
   /** Semantic dedup (q65): SemDeDup over the embedding corpus — q47's
     * oracle-parity k-means supplies the clusters, then every vector with
     * a smaller-id cluster-mate at cosine ≥ 0.3 is dropped
@@ -826,6 +834,7 @@ object SparkEntry {
     "q63_neg_samples"        -> (negSamples _),
     "q64_corpus_mix"         -> (corpusMix _),
     "q65_semantic_dedup"     -> (semanticDedupQ _),
+    "q66_lm_surprisal"       -> (lmSurprisal _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -1398,6 +1407,24 @@ object SparkEntry {
         |FROM f""".stripMargin,
     "q47_kmeans_train" -> kmeansOracle,
     "q65_semantic_dedup" -> semanticDedupOracle,
+
+    // q66: the identical smoothed-unigram math — vocab = top-20 tokens by
+    // (count desc, token asc), α = 0.5; round(avg, 4) absorbs sum-order fp
+    // drift exactly like the q23 bm25 oracle
+    "q66_lm_surprisal" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id, unnest(str_split(text, ' ')) AS token
+        |  FROM documents WHERE text IS NOT NULL),
+        |counts AS (SELECT token, count(*) AS c FROM toks GROUP BY 1),
+        |vocab AS (SELECT token, c FROM counts ORDER BY c DESC, token ASC LIMIT 20),
+        |stats AS (SELECT (SELECT sum(c)::DOUBLE FROM counts) AS n_total,
+        |                 (SELECT count(*)::DOUBLE FROM vocab) AS k_vocab)
+        |SELECT id AS doc_id, count(*)::BIGINT AS n_tokens,
+        |  round(avg(-ln((coalesce(v.c, 0)::DOUBLE + 0.5) /
+        |    (n_total + 0.5 * (k_vocab + 1.0)))), 4) AS avg_surprisal,
+        |  round(avg(CASE WHEN v.c IS NULL THEN 1.0 ELSE 0.0 END), 6) AS oov_frac
+        |FROM toks t LEFT JOIN vocab v USING (token) CROSS JOIN stats
+        |GROUP BY id""".stripMargin,
     "q28_multimodal_features" -> multimodalOracle,
     "q40_kmv_distinct" -> kmvOracle,
     "q01_pricing_summary" ->

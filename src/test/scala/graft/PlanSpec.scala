@@ -231,6 +231,16 @@ class PlanSpec extends SparkSpec {
       "bucket join must be hash-partitioned")
   }
 
+  test("q66 lm surprisal: vocab and corpus stats broadcast; no token sort-merge") {
+    // the scoring join must broadcast the bounded vocab (and the 1-row
+    // stats frame) — a sort-merge would shuffle every corpus token
+    val p = plan("q66_lm_surprisal")
+    assert(countOf(p, "BroadcastHashJoin") >= 1, p.linesIterator
+      .filter(_.contains("Join")).mkString("\n"))
+    assert(!p.contains("SortMergeJoin"), "token-vocab join must not sort-merge")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q65 semantic dedup: within-cluster equi-join only — never all-pairs") {
     // SemDeDup's scale contract: candidate pairs form through the cid
     // equi-join (shuffle-hash, O(Σ|cluster|²)), never a cross product;

@@ -172,6 +172,27 @@ class OperatorsSpec extends SparkSpec {
     assert(!out.keys.exists(_._1 == 4L))
   }
 
+  test("lm surprisal: hand-computed smoothed unigram, OOV bucket, null text dropped") {
+    // corpus: "a" ×4, "b" ×2, "z" ×1 → N=7; vocabSize=2 keeps {a, b}, z is OOV
+    val docs = Seq(
+      1L -> "a a b",
+      2L -> "a b z",
+      3L -> "a",
+      4L -> null.asInstanceOf[String]
+    ).toDF("doc_id", "text")
+    val out = LangModel.surprisal(docs, "doc_id", "text", vocabSize = 2, alpha = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // denom = N + α(K+1) = 7 + 0.5·3 = 8.5
+    val pa = -math.log(4.5 / 8.5); val pb = -math.log(2.5 / 8.5)
+    val pz = -math.log(0.5 / 8.5)
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.keySet === Set(1L, 2L, 3L))
+    assert(out(1L) === ((3L, r4((pa + pa + pb) / 3), 0.0)))
+    assert(out(2L) === ((3L, r4((pa + pb + pz) / 3), 0.333333)))
+    assert(out(3L) === ((1L, r4(pa), 0.0)))
+  }
+
   test("multimodal resize plan: aspect preserved, capped longest side, no upscale") {
     val assets = Seq(
       (1L, "image", 4000, 3000),   // downscale 4:3
