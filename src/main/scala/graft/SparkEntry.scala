@@ -245,6 +245,14 @@ object SparkEntry {
     Dedup.lshNearDupPairs(embeddings(s, d), "vec_id", "embedding",
       threshold = 0.3, bits = 8, tables = 2, sig = Knn.lshSignatureSha)
 
+  /** DSIR importance weights (q67): how much more likely each doc's
+    * hashed bigram features are under the English slice than under the
+    * raw corpus ([[Curate.dsirWeights]] — 256 SHA-lane buckets, both
+    * distributions one aggregate pass, broadcast by construction). */
+  private def dsirWeightsQ(s: SparkSession, d: String): DataFrame =
+    Curate.dsirWeights(documents(s, d), "doc_id", "text",
+      isTarget = col("lang") === "en", n = 2, buckets = 256, alpha = 0.5)
+
   /** LM surprisal (q66): add-α unigram model trained on the corpus
     * itself, vocab capped at the top 20 tokens so the OOV bucket is
     * genuinely exercised ([[LangModel.surprisal]] — O(vocab) broadcast,
@@ -835,6 +843,7 @@ object SparkEntry {
     "q64_corpus_mix"         -> (corpusMix _),
     "q65_semantic_dedup"     -> (semanticDedupQ _),
     "q66_lm_surprisal"       -> (lmSurprisal _),
+    "q67_dsir_weights"       -> (dsirWeightsQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -1425,6 +1434,29 @@ object SparkEntry {
         |  round(avg(CASE WHEN v.c IS NULL THEN 1.0 ELSE 0.0 END), 6) AS oov_frac
         |FROM toks t LEFT JOIN vocab v USING (token) CROSS JOIN stats
         |GROUP BY id""".stripMargin,
+
+    // q67: identical DSIR math — distinct bigram SHA-lane buckets (mod
+    // 256), doc-frequency distributions over target (lang='en') vs raw,
+    // add-0.5 smoothing, round(avg, 4)
+    "q67_dsir_weights" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang = 'en' AS is_target, str_split(text, ' ') AS toks
+         |  FROM documents WHERE text IS NOT NULL),
+         |s AS (
+         |  -- outer comprehension variable must NOT be `i`: duckLane's hex
+         |  -- parse comprehension binds `i` and would shadow it
+         |  SELECT doc_id, is_target, unnest(list_distinct(
+         |    [${duckLane("toks[gi] || ' ' || toks[gi+1]")} % 256 for gi in range(1, len(toks))])) AS b
+         |  FROM t WHERE len(toks) >= 2),
+         |c AS (SELECT b, count(*) AS c_raw,
+         |    sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS c_tgt
+         |  FROM s GROUP BY 1),
+         |tot AS (SELECT sum(c_raw)::DOUBLE AS n_raw, sum(c_tgt)::DOUBLE AS n_tgt FROM c)
+         |SELECT doc_id, is_target, count(*)::BIGINT AS n_feats,
+         |  round(avg(ln((c_tgt::DOUBLE + 0.5) / (n_tgt + 128.0)) -
+         |            ln((c_raw::DOUBLE + 0.5) / (n_raw + 128.0))), 4) AS dsir_logweight
+         |FROM s JOIN c USING (b) CROSS JOIN tot
+         |GROUP BY doc_id, is_target""".stripMargin,
     "q28_multimodal_features" -> multimodalOracle,
     "q40_kmv_distinct" -> kmvOracle,
     "q01_pricing_summary" ->

@@ -153,4 +153,63 @@ object Curate {
     df.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= n)
   }
+
+  /**
+   * DSIR-style importance weighting (Data Selection via Importance
+   * Resampling, Xie et al. 2023): score each document by how much more
+   * likely its hashed n-gram features are under a TARGET slice of the
+   * corpus than under the raw corpus —
+   * `avg_f [ ln p_target(f) − ln p_raw(f) ]` over the doc's distinct
+   * feature buckets, add-α smoothed. High scores mean "looks like the
+   * target domain"; feed the weight into [[hashSample]]-style resampling.
+   *
+   * Features are word n-grams hashed into `buckets` SHA-lane buckets
+   * ([[ShaLanes]] so the oracle rebuilds them bit-identically), deduped
+   * per document INSIDE the array (scan-side) before any shuffle. Both
+   * doc-frequency distributions come from ONE aggregate pass over the
+   * corpus (the target count is a conditional sum riding the raw count's
+   * shuffle) whose result is ≤ `buckets` rows — small enough to COLLECT
+   * by construction at any corpus scale (the centroid-matrix /
+   * broadcast-threshold argument), so the per-bucket log-ratios ride
+   * back into the scoring scan as a map literal and scoring is a pure
+   * scan-side projection: zero joins, zero shuffles, one corpus re-scan.
+   *
+   * Returns (id, is_target, n_feats, dsir_logweight) for every doc with
+   * at least one n-gram (docs shorter than n tokens have no features and
+   * are absent — they carry no evidence either way). `dsir_logweight`
+   * accumulates in the doc's feature order (bit-reproducible; the oracle
+   * differs only by sum order, absorbed by round-4 like q23/q66).
+   */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+                  isTarget: Column, n: Int = 2, buckets: Int = 1024,
+                  alpha: Double = 0.5): DataFrame = {
+    import graft.functions.Text
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), isTarget.as("is_target"),
+        array_distinct(transform(
+          Text.shingles(Text.tokens(col(textCol)), n),
+          f => pmod(ShaLanes.lane(f), lit(buckets.toLong)))).as("bs"))
+    // one corpus pass → ≤ `buckets` rows → driver
+    val counts = base.select(col("is_target"), explode(col("bs")).as("b"))
+      .groupBy(col("b")).agg(
+        count(lit(1)).as("c_raw"),
+        sum(when(col("is_target"), 1L).otherwise(0L)).as("c_tgt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nRaw = counts.map(_._2).sum.toDouble
+    val nTgt = counts.map(_._3).sum.toDouble
+    val aB = alpha * buckets
+    val ratio: Map[Long, Double] = counts.map { case (b, cRaw, cTgt) =>
+      b -> (math.log((cTgt + alpha) / (nTgt + aB)) -
+            math.log((cRaw + alpha) / (nRaw + aB)))
+    }.toMap
+    // every bucket in any doc's array appeared in the counts pass (same
+    // corpus, same projection), so the lookup can never miss
+    val m = typedlit(ratio)
+    base.filter(size(col("bs")) > 0)
+      .select(col("id").as(idCol), col("is_target"),
+        size(col("bs")).cast("long").as("n_feats"),
+        round(aggregate(col("bs"), lit(0.0),
+          (acc, b) => acc + element_at(m, b)) / size(col("bs")), 4)
+          .as("dsir_logweight"))
+  }
 }

@@ -241,6 +241,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q67 dsir: scoring is a pure scan-side projection — no join, no shuffle") {
+    // the bucket table is ≤ `buckets` rows by construction and rides back
+    // into the scan as a map literal, so the declared plan re-scans the
+    // corpus exactly once with zero exchanges
+    val p = plan("q67_dsir_weights")
+    assert(!p.contains("Join"), p.linesIterator
+      .filter(_.contains("Join")).mkString("\n"))
+    assert(!p.contains("Exchange"),
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
   test("q65 semantic dedup: within-cluster equi-join only — never all-pairs") {
     // SemDeDup's scale contract: candidate pairs form through the cid
     // equi-join (shuffle-hash, O(Σ|cluster|²)), never a cross product;

@@ -88,6 +88,45 @@ class CurateSpec extends SparkSpec {
     assert(out.groupBy(_._1).values.map(_.size).max <= 4)
   }
 
+  test("dsirWeights matches a from-scratch reference model, featureless docs absent") {
+    import graft.functions.ShaLanes
+    val docs = Seq(
+      (1L, "en", "a b c"), (2L, "en", "a b"), (3L, "de", "b c d"),
+      (4L, "de", "x"),                       // no bigram -> absent
+      (5L, "en", null.asInstanceOf[String])  // null text -> absent
+    ).toDF("doc_id", "lang", "text")
+    val buckets = 64
+    val out = Curate.dsirWeights(docs, "doc_id", "text",
+        isTarget = col("lang") === "en", n = 2, buckets = buckets, alpha = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getLong(2), r.getDouble(3)))).toMap
+    // reference model straight from the definition, via the jvm lane (so
+    // bucket collisions — if any — are reproduced, not assumed away)
+    def bs(text: String): Seq[Long] = {
+      val t = text.split(" ")
+      t.sliding(2).filter(_.length == 2).map(w =>
+        Math.floorMod(ShaLanes.jvmLane(w.mkString(" ")), buckets.toLong))
+        .toSeq.distinct
+    }
+    val fx = Seq((1L, true, bs("a b c")), (2L, true, bs("a b")), (3L, false, bs("b c d")))
+    val all = fx.flatMap { case (_, tgt, b) => b.map(_ -> tgt) }
+    val cRaw = all.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    val cTgt = all.groupBy(_._1).view.mapValues(_.count(_._2).toDouble).toMap
+    val (nRaw, nTgt) = (all.size.toDouble, all.count(_._2).toDouble)
+    val aB = 0.5 * buckets
+    def w(b: Seq[Long]): Double = {
+      val terms = b.map(k => math.log((cTgt(k) + 0.5) / (nTgt + aB)) -
+        math.log((cRaw(k) + 0.5) / (nRaw + aB)))
+      BigDecimal(terms.sum / terms.size)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(out.keySet === Set(1L, 2L, 3L))
+    fx.foreach { case (id, tgt, b) =>
+      assert(out(id) === ((tgt, b.size.toLong, w(b))), s"doc $id") }
+    // target docs must outscore the raw-only doc on this fixture
+    assert(out(2L)._3 > out(3L)._3)
+  }
+
   test("keepLatest resolves to the newest version per key, ties by id") {
     val df = Seq(
       ("u1", 1L, 10L), ("u1", 2L, 30L), ("u1", 3L, 30L), // tie at ts 30 → id 3
