@@ -245,6 +245,23 @@ object SparkEntry {
     Dedup.lshNearDupPairs(embeddings(s, d), "vec_id", "embedding",
       threshold = 0.3, bits = 8, tables = 2, sig = Knn.lshSignatureSha)
 
+  /** Rare-n-gram memorization risk (q68): fraction of each doc's
+    * distinct 5-grams that occur nowhere else in the corpus
+    * ([[Dedup.rareNgramStatsSha]] — the oracle-parity SHA twin; the
+    * xxhash64 primary is DedupSpec-cross-checked). */
+  private def rareNgramsQ(s: SparkSession, d: String): DataFrame =
+    Dedup.rareNgramStatsSha(documents(s, d), "doc_id", "text",
+      shingleN = 5, riskFrac = 0.5)
+
+  /** Embedding outliers (q69): cosine of every vector to its own nearest
+    * centroid under q47's trained k-means ([[Knn.centroidOutliers]] —
+    * scan-side assignment, k-row broadcast join, corpus never shuffled). */
+  private def centroidOutliersQ(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val cents = Knn.kmeansCentroidsSha(emb, "vec_id", "embedding", k = 8, iters = 2)
+    Knn.centroidOutliers(emb, cents, "vec_id", "embedding", threshold = 0.2)
+  }
+
   /** DSIR importance weights (q67): how much more likely each doc's
     * hashed bigram features are under the English slice than under the
     * raw corpus ([[Curate.dsirWeights]] — 256 SHA-lane buckets, both
@@ -844,6 +861,8 @@ object SparkEntry {
     "q65_semantic_dedup"     -> (semanticDedupQ _),
     "q66_lm_surprisal"       -> (lmSurprisal _),
     "q67_dsir_weights"       -> (dsirWeightsQ _),
+    "q68_rare_ngrams"        -> (rareNgramsQ _),
+    "q69_centroid_outliers"  -> (centroidOutliersQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -1457,6 +1476,40 @@ object SparkEntry {
          |            ln((c_raw::DOUBLE + 0.5) / (n_raw + 128.0))), 4) AS dsir_logweight
          |FROM s JOIN c USING (b) CROSS JOIN tot
          |GROUP BY doc_id, is_target""".stripMargin,
+
+    // q68: identical rarity math over SHA-lane 5-gram digests (the
+    // declared twin of the xxhash64 primary); `gi`, never `i` (duckLane)
+    "q68_rare_ngrams" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+         |s AS (
+         |  SELECT doc_id AS doc, unnest(list_distinct(
+         |    [toks[gi] || ' ' || toks[gi+1] || ' ' || toks[gi+2] || ' ' ||
+         |       toks[gi+3] || ' ' || toks[gi+4] for gi in range(1, len(toks) - 3)])) AS sh
+         |  FROM t WHERE len(toks) >= 5),
+         |p AS (SELECT doc, ${duckLane("'rare|' || sh")} AS h FROM s),
+         |c AS (SELECT h, count(*) AS df FROM p GROUP BY 1)
+         |SELECT doc, n_ngrams, n_unique,
+         |  round(n_unique::DOUBLE / n_ngrams, 6) AS uniq_frac,
+         |  n_unique::DOUBLE / n_ngrams > 0.5 AS risky
+         |FROM (
+         |  SELECT doc, count(*)::BIGINT AS n_ngrams,
+         |    sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_unique
+         |  FROM p JOIN c USING (h) GROUP BY doc)""".stripMargin,
+
+    // q69: assignment against the q47-trained centroids, then round-4
+    // cosine to the OWN centroid (4dp absorbs the engines' Lloyd-mean
+    // accumulation-order drift, like the q47 output contract)
+    "q69_centroid_outliers" ->
+      s"""WITH $kmeansCtes,
+         |${kmeansAssignCte("c2", "asg")}
+         |SELECT vec_id, cid, cos_centroid, cos_centroid < 0.2 AS is_outlier
+         |FROM (
+         |  SELECT s.vec_id, s.cid::BIGINT AS cid,
+         |    round(list_dot_product(s.v, c.v) /
+         |      (sqrt(list_dot_product(s.v, s.v)) * sqrt(list_dot_product(c.v, c.v))), 4)
+         |      AS cos_centroid
+         |  FROM asg s JOIN c2 c ON s.cid = c.cid)""".stripMargin,
     "q28_multimodal_features" -> multimodalOracle,
     "q40_kmv_distinct" -> kmvOracle,
     "q01_pricing_summary" ->

@@ -567,6 +567,57 @@ object Dedup {
   }
 
   /**
+   * Memorization-risk / rarity stats: how much of each document is made
+   * of n-grams that occur NOWHERE else in the corpus. Documents dominated
+   * by globally-unique n-grams are the ones a model can only reproduce by
+   * memorizing (PII, serials, leaked keys, single-source text) — the
+   * inverse question of [[decontaminate]]'s overlap test. Returns
+   * (doc, n_ngrams, n_unique, uniq_frac, risky) per doc with ≥ 1 n-gram,
+   * where `n_unique` counts the doc's distinct n-grams whose corpus-wide
+   * doc-frequency is exactly 1.
+   *
+   * Plan shape — the inverted-index discipline of [[ngramJaccardPairs]]:
+   * distinct shingles materialize scan-side (native kernel), corpus
+   * doc-frequency is one digest-keyed shuffle with map-side partials, and
+   * the (doc, shingle) pairs re-join that count table by shingle hash —
+   * shuffles carry O(doc-shingles) 8-byte digests, never text, and
+   * nothing is ever all-pairs. The count table is O(distinct shingles) —
+   * NOT broadcastable by construction (unlike [[Curate.dsirWeights]]'s
+   * bucketed table), which is why this stays a shuffle join.
+   */
+  def rareNgramStats(df: DataFrame, idCol: String, textCol: String,
+                     shingleN: Int = 5, riskFrac: Double = 0.5): DataFrame =
+    // xxhash64 digests scan-side so the two shuffles move longs, not
+    // n-token strings (collisions at corpus scale are the standard
+    // minhash-tier accepted risk)
+    rareNgramsWith(df, idCol, textCol, shingleN, riskFrac,
+      sh => xxhash64(lit("rare|"), sh))
+
+  /** Oracle-parity twin of [[rareNgramStats]]: SHA-256 lane digests
+    * ([[ShaLanes]]) instead of xxhash64, bit-reproducible in DuckDB. */
+  def rareNgramStatsSha(df: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 5, riskFrac: Double = 0.5): DataFrame =
+    rareNgramsWith(df, idCol, textCol, shingleN, riskFrac,
+      sh => ShaLanes.lane(concat(lit("rare|"), sh)))
+
+  private def rareNgramsWith(df: DataFrame, idCol: String, textCol: String,
+                             shingleN: Int, riskFrac: Double,
+                             hashOf: Column => Column): DataFrame = {
+    val pairs = df
+      .select(col(idCol).as("doc"),
+        explode(Text.shingles(Text.tokens(col(textCol)), shingleN)).as("sh"))
+      .select(col("doc"), hashOf(col("sh")).as("h"))
+    val dfreq = pairs.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    pairs.join(dfreq, Seq("h"))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("doc"), col("n_ngrams"), col("n_unique"),
+        round(col("n_unique").cast("double") / col("n_ngrams"), 6).as("uniq_frac"),
+        (col("n_unique").cast("double") / col("n_ngrams") > riskFrac).as("risky"))
+  }
+
+  /**
    * Cross-document passage-level exact dedup — repeated-passage removal
    * for training corpora (boilerplate, quoted headers, license blocks):
    * every passage (text split on `sep`) keeps exactly its FIRST occurrence

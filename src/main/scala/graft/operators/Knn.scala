@@ -266,6 +266,34 @@ object Knn {
         round(col("cos"), 6).as("cosine"))
   }
 
+  /** Embedding outlier scoring: each vector's cosine to its OWN nearest
+    * centroid — low similarity means the vector sits between clusters
+    * (noise, mislabeled modality, garbage embeddings), the standard
+    * cluster-distance curation signal next to [[graft.operators.Dedup.semanticDedup]]'s
+    * within-cluster pruning. Returns (id, cid, cos_centroid (4dp),
+    * is_outlier = cos_centroid < threshold).
+    *
+    * Scale shape: assignment is the scan-side nearest-centroid kernel
+    * (zero exchanges), and the centroid vectors ride back in as a
+    * broadcast of k rows — the corpus is scanned once and never
+    * shuffled. */
+  def centroidOutliers(corpus: DataFrame, centroids: DataFrame,
+                       idCol: String, vecCol: String,
+                       threshold: Double): DataFrame = {
+    val cents = centroids.select(col(idCol).cast("long").as("cid"),
+      col(vecCol).cast("array<double>").as("cvec"))
+    val matrix = centroidMatrix(
+      centroids.select(col(idCol).as("cid"), col(vecCol).as("cv")))
+    corpus
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
+      .filter(col("vec").isNotNull)
+      .withColumn("cid", Vec.nearestCentroid(col("vec"), matrix).cast("long"))
+      .join(broadcast(cents), Seq("cid"))
+      .select(col("id").as(idCol), col("cid"),
+        round(Vec.cosine(col("vec"), col("cvec")), 4).as("cos_centroid"))
+      .withColumn("is_outlier", col("cos_centroid") < threshold)
+  }
+
   /** Oracle-parity sign-LSH signature: SHA-256-derived hyperplanes
     * ([[graft.functions.expressions.LshSigSha]]) that a DuckDB oracle can
     * rebuild exactly from a `range(t)×range(p)×range(d)` plane CTE. */

@@ -252,6 +252,24 @@ class PlanSpec extends SparkSpec {
       p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
   }
 
+  test("q68 rare ngrams: digest-keyed shuffles only — no text moves, no all-pairs") {
+    val p = plan("q68_rare_ngrams")
+    assert(!p.contains("CartesianProduct") &&
+      countOf(p, "BroadcastNestedLoopJoin") === 0)
+    // the df-count join keys on the 8-byte lane, hash-partitioned
+    assert(countOf(p, "Exchange hashpartitioning") >= 1)
+  }
+
+  test("q69 centroid outliers: scan-side assignment + k-row broadcast, no corpus shuffle") {
+    val p = plan("q69_centroid_outliers")
+    assert(p.contains("graft_nearest_centroid"), "assignment must be the native kernel")
+    assert(countOf(p, "BroadcastHashJoin") >= 1, p.linesIterator
+      .filter(_.contains("Join")).mkString("\n"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    assert(countOf(p, "Exchange hashpartitioning") === 0,
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
   test("q65 semantic dedup: within-cluster equi-join only — never all-pairs") {
     // SemDeDup's scale contract: candidate pairs form through the cid
     // equi-join (shuffle-hash, O(Σ|cluster|²)), never a cross product;

@@ -223,6 +223,30 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("rare-ngram stats match a from-scratch model; hash twins agree") {
+    // reference model straight from the definition over the shared fixture
+    val sh = docs.collect().map(r => r.getLong(0) ->
+        r.getString(1).split(" ").sliding(5).map(_.mkString(" ")).toSeq.distinct)
+      .toMap
+    val dfreq = sh.values.flatten.toSeq.groupBy(identity).view.mapValues(_.size).toMap
+    val expected = sh.map { case (id, ss) =>
+      val uniq = ss.count(s => dfreq(s) == 1)
+      val frac = BigDecimal(uniq.toDouble / ss.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      id -> ((ss.size.toLong, uniq.toLong, frac, uniq.toDouble / ss.size > 0.5))
+    }
+    for (out <- Seq(Dedup.rareNgramStats(docs, "doc_id", "text"),
+                    Dedup.rareNgramStatsSha(docs, "doc_id", "text"))) {
+      val got = out.collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+      assert(got === expected)
+    }
+    // identical docs can have no globally-unique ngrams
+    assert(expected(10L)._2 === 0L && expected(11L)._2 === 0L)
+    // unrelated docs are all-unique -> risky
+    assert(expected(30L)._4 && expected(31L)._4)
+  }
+
   test("semantic dedup drops exactly the smaller-id near-dups within clusters") {
     val rnd = new scala.util.Random(11)
     val seeds = Array.fill(4)(Array.fill(16)(rnd.nextGaussian()))

@@ -125,6 +125,25 @@ class KnnSpec extends SparkSpec {
     assert(recall >= 0.6, s"recall $recall too low; got ${approx.size} pairs")
   }
 
+  test("centroid outliers: junk vector flagged, cluster members are not") {
+    // corpus + one vector pointing into an unused dimension: far from
+    // every cluster centroid, so its best cosine is low
+    val junk = Seq((99L, {
+      val v = Array.fill(8)(0.0f); v(7) = 1.0f; v
+    })).toDF("vec_id", "embedding")
+    val all = corpus.unionByName(junk)
+    val cents = Knn.kmeansCentroids(all, "vec_id", "embedding", k = 3, iters = 3)
+    val out = Knn.centroidOutliers(all, cents, "vec_id", "embedding", threshold = 0.6)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(out.size === 31)
+    assert(out(99L)._3, s"junk vector must be an outlier: ${out(99L)}")
+    (0 until 30).foreach(i => assert(!out(i.toLong)._3,
+      s"cluster member $i flagged: ${out(i.toLong)}"))
+    // flag is exactly the rounded-cosine threshold compare
+    out.values.foreach { case (_, c, o) => assert(o === (c < 0.6)) }
+  }
+
   test("SHA-init k-means (q47's trainer) separates the clusters too") {
     val centroids = Knn.kmeansCentroidsSha(corpus, "vec_id", "embedding", k = 3, iters = 3)
     val cents = centroids.collect()
