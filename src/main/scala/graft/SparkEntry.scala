@@ -245,6 +245,29 @@ object SparkEntry {
     Dedup.lshNearDupPairs(embeddings(s, d), "vec_id", "embedding",
       threshold = 0.3, bits = 8, tables = 2, sig = Knn.lshSignatureSha)
 
+  /** Corpus health report (q70): the per-source ops dashboard every
+    * corpus pipeline runs before a training cut — volume, null rate,
+    * exact-dup rate (distinct text digests vs non-null docs), token
+    * length (mean + exact p90, the [[Sketch.quantilesApprox]] scale twin
+    * applies at 100 TB), and language spread. One grouped aggregate;
+    * digests are 64-byte sha2, never text, in the distinct count. */
+  private def corpusReport(s: SparkSession, d: String): DataFrame = {
+    val toksz = size(Text.tokens(col("text"))).cast("double")
+    val nonNull = (col("n_docs") - col("n_null_text")).cast("double")
+    documents(s, d).groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("text").isNull.cast("long")).as("n_null_text"),
+        countDistinct(sha2(col("text"), 256)).as("n_distinct_texts"),
+        round(avg(toksz), 4).as("avg_tokens"),
+        round(percentile(toksz, lit(0.9)), 4).as("p90_tokens"),
+        countDistinct(col("lang")).as("n_langs"))
+      .select(col("source"), col("n_docs"), col("n_null_text"),
+        col("n_distinct_texts"),
+        round(lit(1.0) - col("n_distinct_texts").cast("double") /
+          when(nonNull === 0.0, lit(null)).otherwise(nonNull), 6).as("dup_frac"),
+        col("avg_tokens"), col("p90_tokens"), col("n_langs"))
+  }
+
   /** Rare-n-gram memorization risk (q68): fraction of each doc's
     * distinct 5-grams that occur nowhere else in the corpus
     * ([[Dedup.rareNgramStatsSha]] — the oracle-parity SHA twin; the
@@ -863,6 +886,7 @@ object SparkEntry {
     "q67_dsir_weights"       -> (dsirWeightsQ _),
     "q68_rare_ngrams"        -> (rareNgramsQ _),
     "q69_centroid_outliers"  -> (centroidOutliersQ _),
+    "q70_corpus_report"      -> (corpusReport _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -1496,6 +1520,22 @@ object SparkEntry {
          |  SELECT doc, count(*)::BIGINT AS n_ngrams,
          |    sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_unique
          |  FROM p JOIN c USING (h) GROUP BY doc)""".stripMargin,
+
+    // q70: identical health-report math; exact interpolated p90
+    // (quantile_cont ≡ Spark percentile, the q37 contract)
+    "q70_corpus_report" ->
+      """SELECT source, n_docs, n_null_text, n_distinct_texts,
+        |  round(1.0 - n_distinct_texts::DOUBLE /
+        |    nullif((n_docs - n_null_text)::DOUBLE, 0.0), 6) AS dup_frac,
+        |  avg_tokens, p90_tokens, n_langs
+        |FROM (
+        |  SELECT source, count(*)::BIGINT AS n_docs,
+        |    sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null_text,
+        |    count(DISTINCT sha256(text))::BIGINT AS n_distinct_texts,
+        |    round(avg(CAST(len(str_split(text, ' ')) AS DOUBLE)), 4) AS avg_tokens,
+        |    round(quantile_cont(CAST(len(str_split(text, ' ')) AS DOUBLE), 0.9), 4) AS p90_tokens,
+        |    count(DISTINCT lang)::BIGINT AS n_langs
+        |  FROM documents GROUP BY source)""".stripMargin,
 
     // q69: assignment against the q47-trained centroids, then round-4
     // cosine to the OWN centroid (4dp absorbs the engines' Lloyd-mean

@@ -231,6 +231,50 @@ object Streams {
           compactVectorIndex(batch.sparkSession, outDir, belowId = batchId)
       }
 
+  /**
+   * Streaming corpus-statistics maintenance: per-micro-batch CMS counter
+   * DELTAS ([[graft.operators.Sketch.cmsCounters]] — one bounded d×w
+   * matrix per batch, shuffle O(d·w) however many values stream through)
+   * land under `outDir/batch_id=<id>`. CMS is a LINEAR sketch, so the
+   * live sketch is exactly the element-wise sum of the deltas: read it
+   * any time with [[readCmsCounters]] — valid mid-stream, after a crash,
+   * and across compactions — and estimate with
+   * [[graft.operators.Sketch.cmsEstimate]]. `value` is one sketched value
+   * per row of the stream (pre-explode tokens upstream if sketching
+   * token frequencies).
+   *
+   * Replay-safe by the standard contract here (a batch overwrites only
+   * its own `batch_id=` partition; compaction folds committed ids only).
+   * Compaction PRE-SUMS the committed deltas through the generic
+   * compactor's `fold` hook, so the table never holds more than
+   * `compactEvery`+1 un-summed deltas — the mergeable-state analog of
+   * [[incrementalSearchIndex]]'s file folding.
+   */
+  def incrementalCmsCounters(stream: DataFrame, value: org.apache.spark.sql.Column,
+                             outDir: String, d: Int = 4, w: Int = 64,
+                             sha: Boolean = false,
+                             compactEvery: Int = 0): DataStreamWriter[Row] =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Sketch.cmsCounters(batch, value, d, w, sha)
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        if (compactEvery > 0 && batchId % compactEvery == (compactEvery - 1).toLong)
+          compactBatchPartitions(batch.sparkSession, outDir, filesPer = 1,
+            belowId = batchId,
+            fold = df => df.groupBy(col("j"), col("bucket"))
+              .agg(sum(col("cnt")).as("cnt")))
+      }
+
+  /** The live CMS from the persisted deltas: element-wise sum (linearity
+    * makes this exact, not an approximation of the batch-computed
+    * sketch). ≤ (batches × d × w) tiny rows — a driver-light read. */
+  def readCmsCounters(spark: org.apache.spark.sql.SparkSession,
+                      outDir: String): DataFrame =
+    spark.read.parquet(outDir)
+      .groupBy(col("j"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+
   /** Fold the vector index's committed `batch_id=` directories into one,
     * PRESERVING the `cid=` sublayout ([[compactBatchPartitions]] would
     * flatten it, and the list-pruned read is the table's whole point).
@@ -356,7 +400,8 @@ object Streams {
 
   def compactBatchPartitions(spark: org.apache.spark.sql.SparkSession,
                              tableDir: String, filesPer: Int = 4,
-                             belowId: Long = Long.MaxValue): Unit = {
+                             belowId: Long = Long.MaxValue,
+                             fold: DataFrame => DataFrame = identity): Unit = {
     import org.apache.hadoop.fs.Path
     val tablePath = new Path(tableDir)
     val fs = tablePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -370,9 +415,11 @@ object Streams {
       val maxId = batches.map(_.getPath.getName.stripPrefix("batch_id=").toLong).max
       val tmp = new Path(tablePath.getParent,
         s".compact_tmp_${tablePath.getName}_b$maxId")
-      spark.read.parquet(
+      // `fold` lets a table with mergeable rows (e.g. linear-sketch
+      // deltas) PRE-AGGREGATE while compacting, not just re-bucket files
+      fold(spark.read.parquet(
           batches.map(_.getPath.toString): _*)
-        .drop("batch_id")
+        .drop("batch_id"))
         .repartition(filesPer)
         .write.mode("overwrite").parquet(tmp.toString)
       fs.delete(new Path(tmp, "_SUCCESS"), false)

@@ -252,6 +252,13 @@ class PlanSpec extends SparkSpec {
       p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
   }
 
+  test("q70 corpus report: one grouped pass — no joins at all") {
+    val p = plan("q70_corpus_report")
+    assert(!p.contains("Join"), p.linesIterator
+      .filter(_.contains("Join")).mkString("\n"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q68 rare ngrams: digest-keyed shuffles only — no text moves, no all-pairs") {
     val p = plan("q68_rare_ngrams")
     assert(!p.contains("CartesianProduct") &&

@@ -281,6 +281,44 @@ class StreamsSpec extends SparkSpec {
       .exists(_.getName.startsWith(".compact_tmp")), "no stranded tmp remains")
   }
 
+  test("streaming CMS deltas: live read equals the batch sketch; compaction pre-sums") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = Files.createTempDirectory("inc_cms").toString
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[String]
+    val q = Streams.incrementalCmsCounters(input.toDS().toDF("tok"),
+        col("tok"), s"$base/cms", d = 4, w = 16, compactEvery = 2)
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    try {
+      val b0 = Seq("a", "b", "a", "c"); val b1 = Seq("b", "b", "d")
+      val b2 = Seq("a", "e", "e", "e"); val b3 = Seq("c", "a")
+      Seq(b0, b1, b2, b3).foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      }
+      def counters(df: org.apache.spark.sql.DataFrame) = df
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      // linearity: summed deltas == one sketch over the whole stream
+      val live = counters(Streams.readCmsCounters(spark, s"$base/cms"))
+      val whole = counters(graft.operators.Sketch.cmsCounters(
+        (b0 ++ b1 ++ b2 ++ b3).toDF("tok"), col("tok"), d = 4, w = 16))
+      assert(live === whole)
+      // the fold at batch 3 pre-summed committed batches 0-2 into one dir
+      // (dest = max committed id); batch 3's own delta then landed beside
+      // it — exactly two batch dirs remain
+      val dirs = new java.io.File(s"$base/cms").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+        .map(_.getName).sorted
+      assert(dirs.toSeq === Seq("batch_id=2", "batch_id=3"), dirs.mkString(","))
+      // estimates over the live counters are sane (CMS never undercounts)
+      val est = graft.operators.Sketch.cmsEstimate(
+          Streams.readCmsCounters(spark, s"$base/cms"),
+          Seq("a", "b", "e", "zz").toDF("k"), col("k"), d = 4, w = 16)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(est("a") >= 3L && est("b") >= 3L && est("e") >= 3L)
+    } finally q.stop()
+  }
+
   test("streaming dedup admission: index grows by admitted docs only") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val base = Files.createTempDirectory("inc_admit").toString
