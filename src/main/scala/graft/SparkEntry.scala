@@ -245,6 +245,28 @@ object SparkEntry {
     Dedup.lshNearDupPairs(embeddings(s, d), "vec_id", "embedding",
       threshold = 0.3, bits = 8, tables = 2, sig = Knn.lshSignatureSha)
 
+  /** Label cohesion (q71): per-label mean embedding + average member
+    * cosine ([[Knn.labelCohesion]] — fixed-width vector-sum aggregate,
+    * |labels|-row broadcast; the contrastive-class QA metric). */
+  private def labelCohesionQ(s: SparkSession, d: String): DataFrame =
+    Knn.labelCohesion(embeddings(s, d), "label", "embedding")
+      .select(col("label").cast("long").as("label"), col("n_vecs"),
+        col("cohesion"))
+
+  /** Hard negatives (q72): top-5 most-similar CROSS-label vectors per
+    * query under the q27 IVF serving shape ([[Knn.hardNegatives]] —
+    * fixed vec_id<16 centroids, 4 probes, label filter inside the
+    * candidate join). */
+  private def hardNegativesQ(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    Knn.hardNegatives(emb, emb.filter(col("vec_id") < 10),
+        emb.filter(col("vec_id") < 16), "vec_id", "embedding", "label",
+        k = 5, nProbe = 4)
+      .select(col("query_id"), col("neighbor_id"),
+        col("neg_label").cast("long").as("neg_label"), col("rank"),
+        col("cosine"))
+  }
+
   /** Corpus health report (q70): the per-source ops dashboard every
     * corpus pipeline runs before a training cut — volume, null rate,
     * exact-dup rate (distinct text digests vs non-null docs), token
@@ -887,6 +909,8 @@ object SparkEntry {
     "q68_rare_ngrams"        -> (rareNgramsQ _),
     "q69_centroid_outliers"  -> (centroidOutliersQ _),
     "q70_corpus_report"      -> (corpusReport _),
+    "q71_label_cohesion"     -> (labelCohesionQ _),
+    "q72_hard_negatives"     -> (hardNegativesQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -1520,6 +1544,65 @@ object SparkEntry {
          |  SELECT doc, count(*)::BIGINT AS n_ngrams,
          |    sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_unique
          |  FROM p JOIN c USING (h) GROUP BY doc)""".stripMargin,
+
+    // q71: per-label position-wise mean (the q47 Lloyd-mean shape), then
+    // average member cosine to it — round-4 absorbs the engines' mean
+    // accumulation-order drift exactly like the q47 output contract
+    "q71_label_cohesion" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+        |  WHERE embedding IS NOT NULL),
+        |m AS (
+        |  SELECT label, r.range AS pos, avg(v[r.range + 1]) AS val
+        |  FROM e CROSS JOIN range(0, 64) r GROUP BY 1, 2),
+        |mv AS (SELECT label, list(val ORDER BY pos) AS mv FROM m GROUP BY label),
+        |n AS (SELECT label, count(*) AS n_vecs FROM e GROUP BY label)
+        |SELECT e.label::BIGINT AS label, n.n_vecs::BIGINT AS n_vecs,
+        |  round(avg(list_dot_product(e.v, mv.mv) /
+        |    (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(mv.mv, mv.mv)))), 4)
+        |    AS cohesion
+        |FROM e JOIN mv USING (label) JOIN n USING (label)
+        |GROUP BY 1, 2""".stripMargin,
+
+    // q72: the q27 IVF oracle with the cross-label predicate inside the
+    // candidate set (rank AFTER the filter), labels riding the assign CTE
+    "q72_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+        |assign AS (
+        |  SELECT vec_id, label, v, cid FROM (
+        |    SELECT e.vec_id, e.label, e.v, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_dot_product(e.v, c.cv) /
+        |          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+        |        DESC, c.cid) AS rk
+        |    FROM e CROSS JOIN cent c)
+        |  WHERE rk = 1),
+        |probe AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT q.vec_id AS qid, c.cid,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_dot_product(q.v, c.cv) /
+        |          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+        |        DESC, c.cid) AS rk
+        |    FROM e q CROSS JOIN cent c WHERE q.vec_id < 10)
+        |  WHERE rk <= 4),
+        |cand AS (
+        |  SELECT p.qid AS query_id, a.vec_id AS neighbor_id,
+        |    a.label AS neg_label,
+        |    list_dot_product(qe.v, a.v) /
+        |      (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(a.v, a.v))) AS cos
+        |  FROM probe p
+        |  JOIN assign a ON p.cid = a.cid
+        |  JOIN e qe ON qe.vec_id = p.qid
+        |  WHERE p.qid <> a.vec_id AND qe.label <> a.label)
+        |SELECT query_id, neighbor_id, neg_label::BIGINT AS neg_label,
+        |  rank, round(cos, 6) AS cosine FROM (
+        |  SELECT query_id, neighbor_id, neg_label, cos,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM cand)
+        |WHERE rank <= 5""".stripMargin,
 
     // q70: identical health-report math; exact interpolated p90
     // (quantile_cont ≡ Spark percentile, the q37 contract)

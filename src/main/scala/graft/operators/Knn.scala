@@ -266,6 +266,68 @@ object Knn {
         round(col("cos"), 6).as("cosine"))
   }
 
+  /** Per-label embedding cohesion — the contrastive-training QA metric:
+    * for each label, the mean vector and the average cosine of members
+    * to it. Labels whose cohesion is low are noisy classes (mislabeled
+    * rows, heterogeneous buckets) that poison contrastive pairs.
+    *
+    * Two scan passes, both scale-clean: the mean pass is the fixed-width
+    * [[Vec.vectorSum]] aggregate (ONE dim-wide row per label × partition
+    * — the k-means Lloyd shuffle bound), and the cohesion pass re-joins
+    * the |labels|-row mean table back as a broadcast. Returns
+    * (label, n_vecs, cohesion (4dp)). */
+  def labelCohesion(vecs: DataFrame, labelCol: String, vecCol: String): DataFrame = {
+    val v = vecs.select(col(labelCol).as("label"),
+        col(vecCol).cast("array<double>").as("vec"))
+      .filter(col("vec").isNotNull)
+    val means = v.groupBy(col("label"))
+      .agg(Vec.vectorSum(col("vec")).as("sv"), count(lit(1)).as("n_vecs"))
+      .select(col("label"), col("n_vecs"),
+        transform(col("sv"), x => x / col("n_vecs")).as("mv"))
+    v.join(broadcast(means), Seq("label"))
+      .select(col("label"), col("n_vecs"), Vec.cosine(col("vec"), col("mv")).as("c"))
+      .groupBy(col("label"), col("n_vecs"))
+      .agg(round(avg(col("c")), 4).as("cohesion"))
+  }
+
+  /** Hard-negative mining for contrastive training: for each query, the
+    * top-k most-similar corpus vectors with a DIFFERENT label — the
+    * "looks alike, isn't" pairs that carry the most contrastive signal
+    * (the ANN counterpart of [[graft.operators.Curate.negativeSamples]]'
+    * uniform draws). Exactly [[ivfTopK]]'s candidate-bounded plan shape
+    * (scan-side assignment/probing kernels, probe side broadcast, corpus
+    * never shuffled) with the label-mismatch predicate applied inside the
+    * candidate join — ranking happens AFTER the filter, so the k
+    * negatives are the best cross-label candidates in the probed lists. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+                    idCol: String, vecCol: String, labelCol: String,
+                    k: Int, nProbe: Int = 2): DataFrame = {
+    val matrix = centroidMatrix(
+      centroids.select(col(idCol).as("cid"), col(vecCol).as("cv")))
+    val assigned = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+        col(labelCol).as("neg_label"))
+      .filter(col("cvec").isNotNull)
+      .withColumn("cid", Vec.nearestCentroid(col("cvec"), matrix))
+    val probed = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+        col(labelCol).as("q_label"))
+      .filter(col("qvec").isNotNull)
+      .withColumn("cid",
+        explode(Vec.nearestCentroids(col("qvec"), matrix, nProbe)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    broadcast(probed).join(assigned, Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id") &&
+        col("q_label") =!= col("neg_label"))
+      .select(col("query_id"), col("neighbor_id"), col("neg_label"),
+        Vec.cosine(col("qvec"), col("cvec")).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("neg_label"),
+        col("rank"), round(col("cos"), 6).as("cosine"))
+  }
+
   /** Embedding outlier scoring: each vector's cosine to its OWN nearest
     * centroid — low similarity means the vector sits between clusters
     * (noise, mislabeled modality, garbage embeddings), the standard

@@ -252,6 +252,22 @@ class PlanSpec extends SparkSpec {
       p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
   }
 
+  test("q71 label cohesion: fixed-width vector-sum agg (no Generate), means broadcast") {
+    val p = plan("q71_label_cohesion")
+    assert(!p.contains("Generate"), "mean pass must not explode the vectors")
+    assert(countOf(p, "BroadcastHashJoin") >= 1, p.linesIterator
+      .filter(_.contains("Join")).mkString("\n"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q72 hard negatives: the q27 serving shape — kernel assignment, one exchange") {
+    val p = plan("q72_hard_negatives")
+    assert(p.contains("graft_nearest_centroid"))
+    assert(countOf(p, "BroadcastNestedLoopJoin") === 0 && !p.contains("SortMergeJoin"))
+    assert(countOf(p, "Exchange hashpartitioning") === 1,
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
   test("q70 corpus report: one grouped pass — no joins at all") {
     val p = plan("q70_corpus_report")
     assert(!p.contains("Join"), p.linesIterator

@@ -125,6 +125,56 @@ class KnnSpec extends SparkSpec {
     assert(recall >= 0.6, s"recall $recall too low; got ${approx.size} pairs")
   }
 
+  test("label cohesion: hand-computed means and cosines") {
+    val vecs = Seq(
+      (0, Array(1.0f, 0.0f)), (0, Array(0.0f, 1.0f)),
+      (1, Array(1.0f, 0.0f)), (1, Array(1.0f, 0.0f)), (1, Array(1.0f, 0.0f)),
+      (2, null.asInstanceOf[Array[Float]])
+    ).toDF("label", "embedding")
+    val out = Knn.labelCohesion(vecs, "label", "embedding")
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // label 0: mean (.5, .5); cos(e_i, mean) = 1/sqrt(2) each
+    assert(out(0) === ((2L,
+      BigDecimal(1.0 / math.sqrt(2.0))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(out(1) === ((3L, 1.0)))
+    assert(!out.contains(2), "all-NULL label has no vectors")
+  }
+
+  test("hard negatives: full probe equals brute cross-label top-k") {
+    val labeled = corpus.withColumn("label", (col("vec_id") / 10).cast("int"))
+    val queries = labeled.filter(col("vec_id") < 3)
+    val cents = Knn.kmeansCentroids(labeled, "vec_id", "embedding", k = 3, iters = 3)
+      .withColumn("label", lit(-1))
+    val out = Knn.hardNegatives(labeled, queries, cents,
+        "vec_id", "embedding", "label", k = 5, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(3)) ->
+        ((r.getLong(1), r.getInt(2), r.getDouble(4)))).toMap
+    // driver-side brute reference with the same sequential-double cosine
+    val rows = corpus.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    for (q <- 0L until 3L) {
+      val expect = rows.toSeq
+        .filter { case (id, _) => id / 10 != q / 10 && id != q }
+        .map { case (id, v) => (id, cos(rows(q), v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(5)
+      expect.zipWithIndex.foreach { case ((id, c), i) =>
+        val got = out((q, i + 1L))
+        assert(got._1 === id, s"q=$q rank=${i + 1}")
+        assert(got._2 === (id / 10).toInt, "neighbor label must differ")
+        assert(got._3 === BigDecimal(c)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }
+    // never a same-label "negative"
+    out.foreach { case ((q, _), (_, lab, _)) => assert(lab != (q / 10).toInt) }
+  }
+
   test("centroid outliers: junk vector flagged, cluster members are not") {
     // corpus + one vector pointing into an unused dimension: far from
     // every cluster centroid, so its best cosine is low
