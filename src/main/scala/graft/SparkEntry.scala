@@ -245,6 +245,15 @@ object SparkEntry {
     Dedup.lshNearDupPairs(embeddings(s, d), "vec_id", "embedding",
       threshold = 0.3, bits = 8, tables = 2, sig = Knn.lshSignatureSha)
 
+  /** Funnel (q73): view → click → purchase stage per user over the
+    * events stream ([[Funnel.stages]] — greedy earliest-match automaton,
+    * one user-keyed shuffle of step-typed events only). Order key =
+    * microsecond event time (the engines' shared truncation) with
+    * event_id as the unique tiebreak. */
+  private def funnelQ(s: SparkSession, d: String): DataFrame =
+    Funnel.stages(events(s, d), col("user_id"), unix_micros(col("ts")),
+      col("event_id"), col("event_type"), Seq("view", "click", "purchase"))
+
   /** Label cohesion (q71): per-label mean embedding + average member
     * cosine ([[Knn.labelCohesion]] — fixed-width vector-sum aggregate,
     * |labels|-row broadcast; the contrastive-class QA metric). */
@@ -911,6 +920,7 @@ object SparkEntry {
     "q70_corpus_report"      -> (corpusReport _),
     "q71_label_cohesion"     -> (labelCohesionQ _),
     "q72_hard_negatives"     -> (hardNegativesQ _),
+    "q73_funnel"             -> (funnelQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -1544,6 +1554,31 @@ object SparkEntry {
          |  SELECT doc, count(*)::BIGINT AS n_ngrams,
          |    sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_unique
          |  FROM p JOIN c USING (h) GROUP BY doc)""".stripMargin,
+
+    // q73: the greedy automaton as iterated "first qualifying occurrence
+    // strictly after the previous match" struct-mins (equivalent by the
+    // greedy-subsequence property); order = microsecond truncation
+    // (epoch_ns // 1000 ≡ Spark's unix_micros after Tables' DIV 1000)
+    // with event_id tiebreak
+    "q73_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000 AS us, event_id AS eid, event_type AS t
+        |  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+        |s1 AS (SELECT user_id, min((us, eid)) AS k1 FROM ev
+        |  WHERE t = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min((us, eid)) AS k2 FROM ev e
+        |  JOIN s1 USING (user_id) WHERE t = 'click' AND (us, eid) > k1
+        |  GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min((us, eid)) AS k3 FROM ev e
+        |  JOIN s2 USING (user_id) WHERE t = 'purchase' AND (us, eid) > k2
+        |  GROUP BY e.user_id)
+        |SELECT u.user_id,
+        |  (CASE WHEN k3 IS NOT NULL THEN 3 WHEN k2 IS NOT NULL THEN 2
+        |        WHEN k1 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS stage_reached,
+        |  k3 IS NOT NULL AS converted
+        |FROM (SELECT DISTINCT user_id FROM ev) u
+        |LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        |LEFT JOIN s3 USING (user_id)""".stripMargin,
 
     // q71: per-label position-wise mean (the q47 Lloyd-mean shape), then
     // average member cosine to it — round-4 absorbs the engines' mean

@@ -268,6 +268,15 @@ class PlanSpec extends SparkSpec {
       p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
   }
 
+  test("q73 funnel: type filter pushed to scan, one user-keyed shuffle, no joins") {
+    val p = plan("q73_funnel")
+    assert(!p.contains("Join"))
+    assert(countOf(p, "Exchange hashpartitioning") === 1,
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    // only step-typed events reach the per-user list state
+    assert(p.contains("event_type"), "type filter must appear")
+  }
+
   test("q70 corpus report: one grouped pass — no joins at all") {
     val p = plan("q70_corpus_report")
     assert(!p.contains("Join"), p.linesIterator

@@ -172,6 +172,28 @@ class OperatorsSpec extends SparkSpec {
     assert(!out.keys.exists(_._1 == 4L))
   }
 
+  test("funnel: greedy stage matching, order ties broken by id, typeless users absent") {
+    val ev = Seq(
+      // u1: full conversion in order
+      (1L, 10L, 1L, "view"), (1L, 20L, 2L, "click"), (1L, 30L, 3L, "purchase"),
+      // u2: click precedes view -> only stage 1 (view found, no later click)
+      (2L, 10L, 4L, "click"), (2L, 20L, 5L, "view"), (2L, 30L, 6L, "error"),
+      // u3: non-step + early purchase skipped; converts via later events
+      (3L, 10L, 7L, "view"), (3L, 11L, 8L, "purchase"), (3L, 12L, 9L, "click"),
+      (3L, 13L, 10L, "purchase"),
+      // u4: no step-typed events at all -> absent
+      (4L, 10L, 11L, "error"),
+      // u5: same timestamp — id order decides: view(id 12) then click(id 13)
+      (5L, 10L, 12L, "view"), (5L, 10L, 13L, "click")
+    ).toDF("user_id", "ord", "event_id", "event_type")
+    val out = Funnel.stages(ev, col("user_id"), col("ord"), col("event_id"),
+        col("event_type"), Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out === Map(
+      1L -> ((3L, true)), 2L -> ((1L, false)), 3L -> ((3L, true)),
+      5L -> ((2L, false))))
+  }
+
   test("lm surprisal: hand-computed smoothed unigram, OOV bucket, null text dropped") {
     // corpus: "a" ×4, "b" ×2, "z" ×1 → N=7; vocabSize=2 keeps {a, b}, z is OOV
     val docs = Seq(
