@@ -136,6 +136,60 @@ class PropertySpec extends SparkSpec {
     assert(out === expected)
   }
 
+  test("funnel agrees with a reference automaton on random event streams") {
+    val steps = Seq("a", "b", "c")
+    val evGen = Gen.zip(Gen.choose(1L, 25L), Gen.choose(0L, 50L),
+      Gen.oneOf("a", "b", "c", "x", "y"))
+    val evs = sample(evGen, 400).zipWithIndex
+      .map { case ((u, o, t), i) => (u, o, i.toLong, t) }
+    val out = graft.operators.Funnel.stages(
+        evs.toDF("user_id", "ord", "event_id", "event_type"),
+        col("user_id"), col("ord"), col("event_id"), col("event_type"), steps)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    val expected = evs.filter(e => steps.contains(e._4))
+      .groupBy(_._1).map { case (u, us) =>
+        var st = 0
+        us.sortBy(e => (e._2, e._3)).foreach { e =>
+          if (st < steps.size && e._4 == steps(st)) st += 1 }
+        u -> ((st.toLong, st == steps.size))
+      }
+    assert(out === expected)
+  }
+
+  test("lm surprisal is invariant to corpus row order") {
+    val doc: Gen[String] = Gen.choose(1, 30)
+      .flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val docs = sample(doc, 150).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    def run(rows: Seq[(Long, String)]) = graft.operators.LangModel
+      .surprisal(rows.toDF("doc_id", "text"), "doc_id", "text",
+        vocabSize = 40, alpha = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val forward = run(docs)
+    val shuffled = run(new scala.util.Random(3).shuffle(docs))
+    assert(forward === shuffled)
+    // smoothed log-probs are genuine probabilities: surprisal > 0
+    forward.values.foreach { case (_, s, oov) =>
+      assert(s > 0.0 && oov >= 0.0 && oov <= 1.0) }
+  }
+
+  test("semantic dedup is idempotent: re-running on survivors keeps them all") {
+    val vec: Gen[Array[Float]] = Gen.listOfN(8, Gen.choose(-5, 5))
+      .map(_.map(_.toFloat).toArray)
+    val rows = sample(vec, 120).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val df = rows.toDF("vec_id", "embedding")
+    val cents = graft.operators.Knn
+      .kmeansCentroids(df, "vec_id", "embedding", k = 4, iters = 2)
+    def survivors(in: Seq[(Long, Array[Float])]) = graft.operators.Dedup
+      .semanticDedup(in.toDF("vec_id", "embedding"), cents,
+        "vec_id", "embedding", threshold = 0.9)
+      .collect().filter(_.getBoolean(2)).map(_.getLong(0)).toSet
+    val s1 = survivors(rows)
+    assert(s1.nonEmpty && s1.size < rows.size, "fixture must actually dedup")
+    val s2 = survivors(rows.filter(r => s1.contains(r._1)))
+    assert(s2 === s1, "a second pass over survivors must be a no-op")
+  }
+
   test("connected components are idempotent and order-insensitive") {
     val edgeGen = Gen.zip(Gen.choose(0L, 40L), Gen.choose(0L, 40L))
       .suchThat { case (a, b) => a != b }
