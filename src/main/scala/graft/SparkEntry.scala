@@ -254,6 +254,12 @@ object SparkEntry {
     Funnel.stages(events(s, d), col("user_id"), unix_micros(col("ts")),
       col("event_id"), col("event_type"), Seq("view", "click", "purchase"))
 
+  /** Retention cohorts (q74): distinct active users per (first-activity
+    * week, week offset) — [[Cohorts.retention]]; the distinct and the
+    * cohort min share one user-keyed partitioning. */
+  private def retentionQ(s: SparkSession, d: String): DataFrame =
+    Cohorts.retention(events(s, d), col("user_id"), col("ts"))
+
   /** Label cohesion (q71): per-label mean embedding + average member
     * cosine ([[Knn.labelCohesion]] — fixed-width vector-sum aggregate,
     * |labels|-row broadcast; the contrastive-class QA metric). */
@@ -921,6 +927,7 @@ object SparkEntry {
     "q71_label_cohesion"     -> (labelCohesionQ _),
     "q72_hard_negatives"     -> (hardNegativesQ _),
     "q73_funnel"             -> (funnelQ _),
+    "q74_retention"          -> (retentionQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -1579,6 +1586,17 @@ object SparkEntry {
         |FROM (SELECT DISTINCT user_id FROM ev) u
         |LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
         |LEFT JOIN s3 USING (user_id)""".stripMargin,
+
+    // q74: identical cohort math; ISO Monday week buckets in both engines
+    "q74_retention" ->
+      """WITH w AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+        |  FROM events),
+        |c AS (SELECT user_id, min(wk) AS cohort_week FROM w GROUP BY 1)
+        |SELECT cohort_week, ((wk - cohort_week) // 7)::BIGINT AS week_offset,
+        |  count(DISTINCT user_id)::BIGINT AS n_users
+        |FROM w JOIN c USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
 
     // q71: per-label position-wise mean (the q47 Lloyd-mean shape), then
     // average member cosine to it — round-4 absorbs the engines' mean

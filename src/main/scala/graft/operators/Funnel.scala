@@ -52,3 +52,33 @@ object Funnel {
       .withColumn("converted", col("stage_reached") === n)
   }
 }
+
+/**
+ * Cohort retention over an event stream — the second half of the
+ * events-analytics pair with [[Funnel]]: group users by first-activity
+ * week (their cohort), then count distinct users active at each week
+ * offset from their cohort.
+ *
+ * Scale shape: ONE user-keyed aggregation collects each user's distinct
+ * week set (per-user state bounded by the calendar — weeks, not events;
+ * the partial aggregate dedupes map-side so the shuffle carries
+ * ~distinct user-weeks), the cohort is the set's min taken SCAN-SIDE
+ * (`array_min` — no self-join back for the first week), and only the
+ * final (cohort, offset) rollup re-shuffles. Two exchanges, zero joins.
+ */
+object Cohorts {
+
+  /** (cohort_week, week_offset, n_users). Weeks are ISO Monday
+    * `date_trunc` buckets — identical in Spark and the SQL oracle. */
+  def retention(events: DataFrame, userCol: Column, tsCol: Column): DataFrame =
+    events
+      .select(userCol.as("user_id"),
+        date_trunc("week", tsCol).cast("date").as("wk"))
+      .groupBy(col("user_id"))
+      .agg(collect_set(col("wk")).as("wks"))
+      .select(col("user_id"), array_min(col("wks")).as("cohort_week"),
+        explode(col("wks")).as("wk"))
+      .groupBy(col("cohort_week"),
+        (datediff(col("wk"), col("cohort_week")) / 7).cast("long").as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+}

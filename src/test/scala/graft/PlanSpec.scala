@@ -277,6 +277,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("event_type"), "type filter must appear")
   }
 
+  test("q74 retention: two exchanges, zero joins (cohort min is scan-side)") {
+    val p = plan("q74_retention")
+    assert(!p.contains("Join"))
+    assert(countOf(p, "Exchange hashpartitioning") <= 2,
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
   test("q70 corpus report: one grouped pass — no joins at all") {
     val p = plan("q70_corpus_report")
     assert(!p.contains("Join"), p.linesIterator

@@ -194,6 +194,23 @@ class OperatorsSpec extends SparkSpec {
       5L -> ((2L, false))))
   }
 
+  test("retention cohorts: offsets from first-activity week, users counted once") {
+    def ts(day: String) = java.sql.Timestamp.valueOf(s"$day 12:00:00")
+    // 2024-01-01 is a Monday; u1 active weeks 0,1,3 (twice in week 0);
+    // u2 first appears in week 1, active weeks 1,2
+    val ev = Seq(
+      (1L, ts("2024-01-01")), (1L, ts("2024-01-03")), (1L, ts("2024-01-08")),
+      (1L, ts("2024-01-22")),
+      (2L, ts("2024-01-10")), (2L, ts("2024-01-15"))
+    ).toDF("user_id", "ts")
+    val out = Cohorts.retention(ev, col("user_id"), col("ts"))
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(out === Map(
+      ("2024-01-01", 0L) -> 1L, ("2024-01-01", 1L) -> 1L, ("2024-01-01", 3L) -> 1L,
+      ("2024-01-08", 0L) -> 1L, ("2024-01-08", 1L) -> 1L))
+  }
+
   test("lm surprisal: hand-computed smoothed unigram, OOV bucket, null text dropped") {
     // corpus: "a" ×4, "b" ×2, "z" ×1 → N=7; vocabSize=2 keeps {a, b}, z is OOV
     val docs = Seq(

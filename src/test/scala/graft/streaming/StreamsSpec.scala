@@ -415,6 +415,49 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful funnel emits stage transitions; final stages match the batch operator") {
+    import StatefulFunnel.{Event, StageReached}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    def ev(user: Long, offSec: Long, id: Long, t: String) =
+      Event(user, new java.sql.Timestamp(t0 + offSec * 1000), id, t)
+    val steps = Seq("view", "click", "purchase")
+
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    val q = StatefulFunnel(input.toDS(), steps, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("funnel").outputMode("append").start()
+    try {
+      // batch 1: u1 views+clicks (purchase pending); u2 clicks before
+      // viewing (only the view advances); noise types ignored
+      input.addData(
+        ev(1, 0, 1, "view"), ev(1, 10, 2, "click"), ev(1, 11, 3, "error"),
+        ev(2, 0, 4, "click"), ev(2, 10, 5, "view"))
+      q.processAllAvailable()
+      // batch 2: u1 converts; u2's click NOW arrives after its view
+      input.addData(ev(1, 20, 6, "purchase"), ev(2, 20, 7, "click"))
+      q.processAllAvailable()
+
+      val rows = spark.table("funnel").as[StageReached].collect()
+      val byUser = rows.groupBy(_.user_id).view
+        .mapValues(_.map(r => (r.stage, r.converted)).sortBy(_._1).toSeq).toMap
+      assert(byUser(1L) === Seq((1L, false), (2L, false), (3L, true)))
+      assert(byUser(2L) === Seq((1L, false), (2L, false)))
+
+      // in-order feed ⇒ final stage per user == the batch operator's
+      val history = Seq(
+        (1L, 0L, 1L, "view"), (1L, 10L, 2L, "click"), (1L, 11L, 3L, "error"),
+        (2L, 0L, 4L, "click"), (2L, 10L, 5L, "view"),
+        (1L, 20L, 6L, "purchase"), (2L, 20L, 7L, "click"))
+        .toDF("user_id", "ord", "event_id", "event_type")
+      val batch = graft.operators.Funnel.stages(history, col("user_id"),
+          col("ord"), col("event_id"), col("event_type"), steps)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val finalStage = rows.groupBy(_.user_id).view
+        .mapValues(_.map(_.stage).max).toMap
+      assert(finalStage === batch)
+    } finally q.stop()
+  }
+
   test("stateful sessionize agrees with the batch Sessionize oracle") {
     import StatefulSessionize.Event
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
