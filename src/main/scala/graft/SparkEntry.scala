@@ -254,6 +254,32 @@ object SparkEntry {
     Funnel.stages(events(s, d), col("user_id"), unix_micros(col("ts")),
       col("event_id"), col("event_type"), Seq("view", "click", "purchase"))
 
+  /** Model-signal curation policy (q75): the ensemble keep/drop decision
+    * combining the rule-based quality gate (q36's
+    * [[graft.functions.Text.qualityRules]]), the Gopher repetition flags
+    * (q61), and corpus-LM fluency (q66's surprisal ≤ 6.0 — the
+    * [[LangModel.surprisal]] median at sf0.01 is ~5.8). The two
+    * trained unigram model rides in as a map literal
+    * ([[LangModel.columnsOf]]), so ALL THREE signal families evaluate in
+    * ONE scan of the corpus — the whole policy is a pure projection with
+    * zero joins and zero shuffles. */
+  private def modelFilterQ(s: SparkSession, d: String): DataFrame = {
+    val doc = documents(s, d).filter(col("text").isNotNull)
+    val toks = Text.tokens(col("text"))
+    val (_, _, _, _, qKeep) = Text.qualityRules(toks, minTokens = 30,
+      maxTokens = 100000, minAvgTokenLen = 3.0, maxAvgTokenLen = 10.0,
+      minStopRatio = 0.05, minDistinctRatio = 0.3)
+    val repetitive = Text.dupNgramFrac(toks, 2) > 0.2 ||
+      Text.dupNgramFrac(toks, 3) > 0.15 || Text.topTokenRatio(toks) > 0.2
+    val model = LangModel.train(doc, "text", vocabSize = 20, alpha = 0.5)
+    val (_, surprisal, _) = LangModel.columnsOf(model, toks)
+    doc.select(col("doc_id"), qKeep.as("quality_ok"),
+        (!repetitive).as("not_repetitive"),
+        (surprisal <= 6.0).as("fluent"))
+      .withColumn("keep",
+        col("quality_ok") && col("not_repetitive") && col("fluent"))
+  }
+
   /** Retention cohorts (q74): distinct active users per (first-activity
     * week, week offset) — [[Cohorts.retention]]; the distinct and the
     * cohort min share one user-keyed partitioning. */
@@ -928,6 +954,7 @@ object SparkEntry {
     "q72_hard_negatives"     -> (hardNegativesQ _),
     "q73_funnel"             -> (funnelQ _),
     "q74_retention"          -> (retentionQ _),
+    "q75_model_filter"       -> (modelFilterQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -1586,6 +1613,46 @@ object SparkEntry {
         |FROM (SELECT DISTINCT user_id FROM ev) u
         |LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
         |LEFT JOIN s3 USING (user_id)""".stripMargin,
+
+    // q75: the q36 rules + q61 repetition flags + q66 fluency as CTEs,
+    // conjoined — each sub-expression is its source oracle's verbatim
+    "q75_model_filter" ->
+      """WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |q AS (SELECT doc_id,
+        |    (len(toks) BETWEEN 30 AND 100000)
+        |    AND (list_aggregate(list_transform(toks, x -> length(x)), 'sum') / len(toks)
+        |         BETWEEN 3.0 AND 10.0)
+        |    AND len(list_filter(toks, x -> x IN ('the','a','of','to','in','and','is','it','on','for'))) / len(toks) >= 0.05
+        |    AND len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) >= 0.3
+        |    AS quality_ok
+        |  FROM t),
+        |r AS (SELECT doc_id, NOT (
+        |    (CASE WHEN greatest(len(toks) - 1, 0) > 0 THEN
+        |      CAST(greatest(len(toks) - 1, 0) - len(list_distinct([toks[i] || ' ' || toks[i+1]
+        |        for i in range(1, len(toks))])) AS DOUBLE) / greatest(len(toks) - 1, 0)
+        |      ELSE 0.0 END) > CAST(0.2 AS DOUBLE)
+        |    OR (CASE WHEN greatest(len(toks) - 2, 0) > 0 THEN
+        |      CAST(greatest(len(toks) - 2, 0) - len(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |        for i in range(1, len(toks) - 1)])) AS DOUBLE) / greatest(len(toks) - 2, 0)
+        |      ELSE 0.0 END) > CAST(0.15 AS DOUBLE)
+        |    OR CAST(list_max(list_transform(list_distinct(toks),
+        |        x -> len(list_filter(toks, y -> y = x)))) AS DOUBLE) / len(toks)
+        |      > CAST(0.2 AS DOUBLE)) AS not_repetitive
+        |  FROM t),
+        |toklist AS (SELECT doc_id AS id, unnest(toks) AS token FROM t),
+        |counts AS (SELECT token, count(*) AS c FROM toklist GROUP BY 1),
+        |vocab AS (SELECT token, c FROM counts ORDER BY c DESC, token ASC LIMIT 20),
+        |stats AS (SELECT (SELECT sum(c)::DOUBLE FROM counts) AS n_total,
+        |                 (SELECT count(*)::DOUBLE FROM vocab) AS k_vocab),
+        |f AS (SELECT id AS doc_id,
+        |    round(avg(-ln((coalesce(v.c, 0)::DOUBLE + 0.5) /
+        |      (n_total + 0.5 * (k_vocab + 1.0)))), 4) <= 6.0 AS fluent
+        |  FROM toklist tl LEFT JOIN vocab v USING (token) CROSS JOIN stats
+        |  GROUP BY id)
+        |SELECT doc_id, quality_ok, not_repetitive, fluent,
+        |  quality_ok AND not_repetitive AND fluent AS keep
+        |FROM q JOIN r USING (doc_id) JOIN f USING (doc_id)""".stripMargin,
 
     // q74: identical cohort math; ISO Monday week buckets in both engines
     "q74_retention" ->

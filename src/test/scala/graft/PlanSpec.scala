@@ -231,14 +231,15 @@ class PlanSpec extends SparkSpec {
       "bucket join must be hash-partitioned")
   }
 
-  test("q66 lm surprisal: vocab and corpus stats broadcast; no token sort-merge") {
-    // the scoring join must broadcast the bounded vocab (and the 1-row
-    // stats frame) — a sort-merge would shuffle every corpus token
+  test("q66 lm surprisal: scoring is a pure scan-side projection — no join, no shuffle") {
+    // the trained model is ≤ vocabSize entries and rides in as a map
+    // literal; the declared plan re-scans the corpus once with zero
+    // exchanges (training's single token agg ran at construction)
     val p = plan("q66_lm_surprisal")
-    assert(countOf(p, "BroadcastHashJoin") >= 1, p.linesIterator
+    assert(!p.contains("Join"), p.linesIterator
       .filter(_.contains("Join")).mkString("\n"))
-    assert(!p.contains("SortMergeJoin"), "token-vocab join must not sort-merge")
-    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("Exchange"),
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
   }
 
   test("q67 dsir: scoring is a pure scan-side projection — no join, no shuffle") {
@@ -275,6 +276,14 @@ class PlanSpec extends SparkSpec {
       p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
     // only step-typed events reach the per-user list state
     assert(p.contains("event_type"), "type filter must appear")
+  }
+
+  test("q75 model filter: all three signal families in one scan — no join, no shuffle") {
+    val p = plan("q75_model_filter")
+    assert(!p.contains("Join"), p.linesIterator
+      .filter(_.contains("Join")).mkString("\n"))
+    assert(!p.contains("Exchange"),
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
   }
 
   test("q74 retention: two exchanges, zero joins (cohort min is scan-side)") {
