@@ -254,6 +254,19 @@ object SparkEntry {
     Funnel.stages(events(s, d), col("user_id"), unix_micros(col("ts")),
       col("event_id"), col("event_type"), Seq("view", "click", "purchase"))
 
+  /** Text normalization (q76): the CCNet-style cleaning stage — NFC
+    * (native [[graft.functions.expressions.NfcNormalize]] kernel) →
+    * lowercase → whitespace collapse → trim, a pure scan-side projection
+    * ([[Text.cleaned]]). Output carries the cleaned text so the oracle
+    * hash-checks the transform byte-for-byte. */
+  private def normalizeQ(s: SparkSession, d: String): DataFrame = {
+    val c = Text.cleaned(col("text"))
+    documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"), c.as("clean_text"),
+        length(c).cast("long").as("clean_len"),
+        (length(col("text")) - length(c)).cast("long").as("n_removed"))
+  }
+
   /** Model-signal curation policy (q75): the ensemble keep/drop decision
     * combining the rule-based quality gate (q36's
     * [[graft.functions.Text.qualityRules]]), the Gopher repetition flags
@@ -955,6 +968,7 @@ object SparkEntry {
     "q73_funnel"             -> (funnelQ _),
     "q74_retention"          -> (retentionQ _),
     "q75_model_filter"       -> (modelFilterQ _),
+    "q76_normalize"          -> (normalizeQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -1613,6 +1627,16 @@ object SparkEntry {
         |FROM (SELECT DISTINCT user_id FROM ev) u
         |LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
         |LEFT JOIN s3 USING (user_id)""".stripMargin,
+
+    // q76: the same cleaning composition over DuckDB's UAX#15 NFC
+    "q76_normalize" ->
+      """SELECT doc_id, clean_text,
+        |  length(clean_text)::BIGINT AS clean_len,
+        |  (length(text) - length(clean_text))::BIGINT AS n_removed
+        |FROM (
+        |  SELECT doc_id, text,
+        |    trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) AS clean_text
+        |  FROM documents WHERE text IS NOT NULL)""".stripMargin,
 
     // q75: the q36 rules + q61 repetition flags + q66 fluency as CTEs,
     // conjoined — each sub-expression is its source oracle's verbatim

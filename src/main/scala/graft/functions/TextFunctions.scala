@@ -16,6 +16,21 @@ object Text {
   /** Whitespace tokenization (single-space corpus convention). */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Unicode NFC normalization (UAX #15 canonical composition) via the
+    * native [[graft.functions.expressions.NfcNormalize]] kernel — Spark
+    * has no built-in; a UDF would break codegen on the hottest scan. */
+  def nfc(text: Column): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.expressions.GraftExpressions.register)
+    call_function("graft_nfc", text)
+  }
+
+  /** CCNet-style cleaning: NFC → lowercase → collapse whitespace runs →
+    * trim. Pure scan-side (kernel + codegen'd built-ins); the q76 oracle
+    * is the same composition over DuckDB's `nfc_normalize`. */
+  def cleaned(text: Column): Column =
+    trim(regexp_replace(lower(nfc(text)), "\\s+", " "))
+
   /** BPE-ish sub-token count: runs of letters, runs of digits, or single
     * other non-space chars (same regex semantics in Java and RE2). */
   val BpePattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"

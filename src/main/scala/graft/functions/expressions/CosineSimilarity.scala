@@ -219,6 +219,11 @@ object GraftExpressions {
     new ExpressionInfo(classOf[VectorSum].getName, "graft_vector_sum"),
     (children: Seq[Expression]) => VectorSum(children.head))
 
+  val nfc: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_nfc"),
+    new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+    (children: Seq[Expression]) => NfcNormalize(children.head))
+
   /** Decode a foldable array<array<float|double>> child into the centroid
     * matrix the nearest-centroid kernels carry as a constructor param. */
   private def matrixFromExpr(e: Expression, fn: String): Seq[Seq[Double]] = {
@@ -313,7 +318,7 @@ object GraftExpressions {
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(cosineSim, shingles, simhash64, minhash, lshSig, lshSigSha, kmv,
         cms, cmsSha, minhashSha, simhashSha, vectorSum, nearestCentroid,
-        nearestCentroids, pqEncode, bloomMightContain)
+        nearestCentroids, pqEncode, bloomMightContain, nfc)
 
   /** Idempotently register on a session's function registry. */
   def register(spark: SparkSession): Unit =

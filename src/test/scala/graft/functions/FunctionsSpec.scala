@@ -85,6 +85,21 @@ class FunctionsSpec extends SparkSpec {
     assert(out(3L) === ((0.0, 1.0)))
   }
 
+  test("nfc kernel composes combining marks; cleaned() collapses and trims") {
+    // "e" + COMBINING ACUTE (U+0301) must compose to precomposed é (U+00E9)
+    val decomposed = "café"
+    val rows = Seq(decomposed, "café", "  A  \t B\n", null)
+      .toDF("s")
+      .select(Text.nfc(col("s")).as("n"), Text.cleaned(col("s")).as("c"))
+      .collect()
+    assert(rows(0).getString(0) === "café")
+    assert(rows(0).getString(0).length === 4, "must be the composed form")
+    assert(rows(1).getString(0) === "café")      // already-NFC fast path
+    assert(rows(0).getString(1) === rows(1).getString(1))
+    assert(rows(2).getString(1) === "a b")            // lower + collapse + trim
+    assert(rows(3).isNullAt(0) && rows(3).isNullAt(1))
+  }
+
   test("ShaLanes: Column, JVM and known-answer lanes agree") {
     // known vector: sha256("hello") = 2cf24dba5fb0a30e... -> first 15 hex
     // chars parse to 202421034056092208 (cross-checked against DuckDB's
