@@ -254,6 +254,16 @@ object SparkEntry {
     Funnel.stages(events(s, d), col("user_id"), unix_micros(col("ts")),
       col("event_id"), col("event_type"), Seq("view", "click", "purchase"))
 
+  /** Coverage shift (q77): train-vs-eval density per IVF list under
+    * q47's centroids ([[Knn.coverageShift]] — scan-side assignment, one
+    * k-row aggregate, zero joins). Slice = odd vec_id ("eval"). */
+  private def coverageShiftQ(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val cents = Knn.kmeansCentroidsSha(emb, "vec_id", "embedding", k = 8, iters = 2)
+    Knn.coverageShift(emb, cents, "vec_id", "embedding",
+      slice = col("vec_id") % 2 === 1, tolerance = 0.02)
+  }
+
   /** Text normalization (q76): the CCNet-style cleaning stage — NFC
     * (native [[graft.functions.expressions.NfcNormalize]] kernel) →
     * lowercase → whitespace collapse → trim, a pure scan-side projection
@@ -969,6 +979,7 @@ object SparkEntry {
     "q74_retention"          -> (retentionQ _),
     "q75_model_filter"       -> (modelFilterQ _),
     "q76_normalize"          -> (normalizeQ _),
+    "q77_coverage_shift"     -> (coverageShiftQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -1627,6 +1638,23 @@ object SparkEntry {
         |FROM (SELECT DISTINCT user_id FROM ev) u
         |LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
         |LEFT JOIN s3 USING (user_id)""".stripMargin,
+
+    // q77: assignment against the trained centroids, slice = odd vec_id;
+    // all ratios are exact integer-derived divisions, so the shift flag
+    // compares bit-identical doubles in both engines
+    "q77_coverage_shift" ->
+      s"""WITH $kmeansCtes,
+         |${kmeansAssignCte("c2", "asg")},
+         |a AS (SELECT cid, vec_id % 2 = 1 AS in_slice FROM asg),
+         |g AS (SELECT sum(CASE WHEN in_slice THEN 1 ELSE 0 END)::DOUBLE /
+         |        count(*)::DOUBLE AS gs FROM a)
+         |SELECT cid, n_total, n_slice,
+         |  round(n_slice::DOUBLE / n_total, 6) AS slice_share,
+         |  abs(n_slice::DOUBLE / n_total - gs) > 0.02 AS shifted
+         |FROM (
+         |  SELECT cid::BIGINT AS cid, count(*)::BIGINT AS n_total,
+         |    sum(CASE WHEN in_slice THEN 1 ELSE 0 END)::BIGINT AS n_slice
+         |  FROM a GROUP BY 1) CROSS JOIN g""".stripMargin,
 
     // q76: the same cleaning composition over DuckDB's UAX#15 NFC
     "q76_normalize" ->

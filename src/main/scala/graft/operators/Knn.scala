@@ -266,6 +266,40 @@ object Knn {
         round(col("cos"), 6).as("cosine"))
   }
 
+  /** Embedding-space coverage shift: how differently two corpus slices
+    * (e.g. train vs eval, old crawl vs new) populate the clustered
+    * embedding space — the domain-shift check run before training or
+    * after a crawl refresh. Vectors are assigned scan-side to the given
+    * centroids, one grouped pass counts both slices per list (the slice
+    * count rides the total's shuffle as a conditional sum), and the
+    * output flags lists whose slice share drifts from the global share
+    * by more than `tolerance` (absolute). Zero joins; one k-row-output
+    * aggregate.
+    *
+    * Returns (cid, n_total, n_slice, slice_share (6dp), shifted). */
+  def coverageShift(vecs: DataFrame, centroids: DataFrame, idCol: String,
+                    vecCol: String, slice: Column,
+                    tolerance: Double): DataFrame = {
+    val matrix = centroidMatrix(
+      centroids.select(col(idCol).as("cid"), col(vecCol).as("cv")))
+    val assigned = vecs
+      .select(col(vecCol).cast("array<double>").as("vec"), slice.as("in_slice"))
+      .filter(col("vec").isNotNull)
+      .select(Vec.nearestCentroid(col("vec"), matrix).cast("long").as("cid"),
+        col("in_slice"))
+    val global = assigned.agg(
+        sum(when(col("in_slice"), 1L).otherwise(0L)).cast("double") /
+          count(lit(1)).cast("double"))
+      .head().getDouble(0)
+    assigned.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("in_slice"), 1L).otherwise(0L)).as("n_slice"))
+      .select(col("cid"), col("n_total"), col("n_slice"),
+        round(col("n_slice").cast("double") / col("n_total"), 6).as("slice_share"),
+        (abs(col("n_slice").cast("double") / col("n_total") - lit(global)) >
+          tolerance).as("shifted"))
+  }
+
   /** Per-label embedding cohesion — the contrastive-training QA metric:
     * for each label, the mean vector and the average cosine of members
     * to it. Labels whose cohesion is low are noisy classes (mislabeled

@@ -286,6 +286,14 @@ class PlanSpec extends SparkSpec {
       p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
   }
 
+  test("q77 coverage shift: scan-side assignment, one k-row aggregate, no joins") {
+    val p = plan("q77_coverage_shift")
+    assert(p.contains("graft_nearest_centroid"))
+    assert(!p.contains("Join"))
+    assert(countOf(p, "Exchange hashpartitioning") === 1,
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
   test("q74 retention: two exchanges, zero joins (cohort min is scan-side)") {
     val p = plan("q74_retention")
     assert(!p.contains("Join"))

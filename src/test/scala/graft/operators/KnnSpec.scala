@@ -175,6 +175,23 @@ class KnnSpec extends SparkSpec {
     out.foreach { case ((q, _), (_, lab, _)) => assert(lab != (q / 10).toInt) }
   }
 
+  test("coverage shift: planted all-slice cluster flagged, balanced ones are not") {
+    // corpus has 3 tight clusters of 10; slice = cluster 2 entirely plus
+    // nothing else -> its lists shift hard, the others sit at share 0
+    val cents = Knn.kmeansCentroids(corpus, "vec_id", "embedding", k = 3, iters = 3)
+    val out = Knn.coverageShift(corpus, cents, "vec_id", "embedding",
+        slice = col("vec_id") >= 20, tolerance = 0.2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(out.values.map(_._1).sum === 30L)
+    assert(out.values.map(_._2).sum === 10L)
+    // global share = 1/3; the pure-slice cluster (share 1.0) and the
+    // empty-slice clusters (share 0.0) all deviate by > 0.2
+    out.values.foreach { case (_, _, share, shifted) =>
+      assert(shifted === (math.abs(share - 1.0 / 3) > 0.2), s"share=$share") }
+    assert(out.values.exists(_._3 === 1.0) && out.values.exists(_._3 === 0.0))
+  }
+
   test("centroid outliers: junk vector flagged, cluster members are not") {
     // corpus + one vector pointing into an unused dimension: far from
     // every cluster centroid, so its best cosine is low
