@@ -254,6 +254,14 @@ object SparkEntry {
     Funnel.stages(events(s, d), col("user_id"), unix_micros(col("ts")),
       col("event_id"), col("event_type"), Seq("view", "click", "purchase"))
 
+  /** DSIR resampling (q78): q67's weights pushed through the sigmoid
+    * acceptance draw ([[Curate.dsirResample]], T = 20) — the importance-
+    * resampled corpus cut, still a pure scan-side plan. */
+  private def dsirResampleQ(s: SparkSession, d: String): DataFrame =
+    Curate.dsirResample(dsirWeightsQ(s, d), "doc_id", temperature = 20.0)
+      .select(col("doc_id"), col("is_target"), col("dsir_logweight"),
+        col("p_accept"))
+
   /** Coverage shift (q77): train-vs-eval density per IVF list under
     * q47's centroids ([[Knn.coverageShift]] — scan-side assignment, one
     * k-row aggregate, zero joins). Slice = odd vec_id ("eval"). */
@@ -980,6 +988,7 @@ object SparkEntry {
     "q75_model_filter"       -> (modelFilterQ _),
     "q76_normalize"          -> (normalizeQ _),
     "q77_coverage_shift"     -> (coverageShiftQ _),
+    "q78_dsir_resample"      -> (dsirResampleQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -1297,6 +1306,29 @@ object SparkEntry {
        |  round(c2.v[r.range + 1], 4) AS c
        |FROM c2 CROSS JOIN range(0, 64) r""".stripMargin
 
+  /** q67 oracle (also the q78 CTE): DSIR weights — distinct bigram
+    * SHA-lane buckets (mod 256), doc-frequency distributions over target
+    * (lang='en') vs raw, add-0.5 smoothing, round(avg, 4). The outer
+    * comprehension variable must NOT be `i`: duckLane's hex-parse
+    * comprehension binds `i` and would shadow it. */
+  private def dsirOracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang = 'en' AS is_target, str_split(text, ' ') AS toks
+       |  FROM documents WHERE text IS NOT NULL),
+       |s AS (
+       |  SELECT doc_id, is_target, unnest(list_distinct(
+       |    [${duckLane("toks[gi] || ' ' || toks[gi+1]")} % 256 for gi in range(1, len(toks))])) AS b
+       |  FROM t WHERE len(toks) >= 2),
+       |c AS (SELECT b, count(*) AS c_raw,
+       |    sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS c_tgt
+       |  FROM s GROUP BY 1),
+       |tot AS (SELECT sum(c_raw)::DOUBLE AS n_raw, sum(c_tgt)::DOUBLE AS n_tgt FROM c)
+       |SELECT doc_id, is_target, count(*)::BIGINT AS n_feats,
+       |  round(avg(ln((c_tgt::DOUBLE + 0.5) / (n_tgt + 128.0)) -
+       |            ln((c_raw::DOUBLE + 0.5) / (n_raw + 128.0))), 4) AS dsir_logweight
+       |FROM s JOIN c USING (b) CROSS JOIN tot
+       |GROUP BY doc_id, is_target""".stripMargin
+
   /** q65 oracle: assign every vector against the trained `c2` centroids,
     * then NOT EXISTS a smaller-id cluster-mate at round-6 cosine ≥ 0.3 —
     * the [[Dedup.semanticDedup]] drop rule verbatim. */
@@ -1574,25 +1606,18 @@ object SparkEntry {
     // q67: identical DSIR math — distinct bigram SHA-lane buckets (mod
     // 256), doc-frequency distributions over target (lang='en') vs raw,
     // add-0.5 smoothing, round(avg, 4)
-    "q67_dsir_weights" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, lang = 'en' AS is_target, str_split(text, ' ') AS toks
-         |  FROM documents WHERE text IS NOT NULL),
-         |s AS (
-         |  -- outer comprehension variable must NOT be `i`: duckLane's hex
-         |  -- parse comprehension binds `i` and would shadow it
-         |  SELECT doc_id, is_target, unnest(list_distinct(
-         |    [${duckLane("toks[gi] || ' ' || toks[gi+1]")} % 256 for gi in range(1, len(toks))])) AS b
-         |  FROM t WHERE len(toks) >= 2),
-         |c AS (SELECT b, count(*) AS c_raw,
-         |    sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS c_tgt
-         |  FROM s GROUP BY 1),
-         |tot AS (SELECT sum(c_raw)::DOUBLE AS n_raw, sum(c_tgt)::DOUBLE AS n_tgt FROM c)
-         |SELECT doc_id, is_target, count(*)::BIGINT AS n_feats,
-         |  round(avg(ln((c_tgt::DOUBLE + 0.5) / (n_tgt + 128.0)) -
-         |            ln((c_raw::DOUBLE + 0.5) / (n_raw + 128.0))), 4) AS dsir_logweight
-         |FROM s JOIN c USING (b) CROSS JOIN tot
-         |GROUP BY doc_id, is_target""".stripMargin,
+    "q67_dsir_weights" -> dsirOracle,
+
+    // q78: q67's weights through the sigmoid acceptance draw (T = 20);
+    // the lane compare promotes BIGINT to DOUBLE exactly like Spark's
+    // cast, and exp sees the identical round-4 argument in both engines
+    "q78_dsir_resample" ->
+      s"""WITH w AS ($dsirOracle)
+         |SELECT doc_id, is_target, dsir_logweight,
+         |  round(1.0 / (1.0 + exp(-20.0 * dsir_logweight)), 6) AS p_accept
+         |FROM w
+         |WHERE ${duckLane("'resample|' || doc_id::VARCHAR")} <
+         |  (1.0 / (1.0 + exp(-20.0 * dsir_logweight))) * 1152921504606846976.0""".stripMargin,
 
     // q68: identical rarity math over SHA-lane 5-gram digests (the
     // declared twin of the xxhash64 primary); `gi`, never `i` (duckLane)

@@ -180,6 +180,25 @@ object Curate {
    * accumulates in the doc's feature order (bit-reproducible; the oracle
    * differs only by sum order, absorbed by round-4 like q23/q66).
    */
+  /** DSIR step 2 — importance RESAMPLING: accept each weighted doc with
+    * probability `sigmoid(temperature × dsir_logweight)` via the same
+    * deterministic SHA-lane draw as [[hashSample]] (no RNG state,
+    * reproducible across runs/engines/cluster sizes). `weighted` is
+    * [[dsirWeights]]' output (or anything carrying `idCol` +
+    * `dsir_logweight`); the pure scan-side filter composes directly on
+    * it, so the whole select-and-cut is weights' plan + one projection.
+    * Temperature sharpens the near-zero log-ratios into a real
+    * acceptance spread (σ(T·w)); T=0 degenerates to rate-0.5 sampling. */
+  def dsirResample(weighted: DataFrame, idCol: String,
+                   temperature: Double): DataFrame = {
+    val p = lit(1.0) /
+      (lit(1.0) + exp(col("dsir_logweight") * lit(-temperature)))
+    weighted
+      .withColumn("p_accept", round(p, 6))
+      .filter(ShaLanes.lane(concat(lit("resample|"), col(idCol).cast("string")))
+        .cast("double") < p * lit(ShaLanes.LaneSpace))
+  }
+
   def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
                   isTarget: Column, n: Int = 2, buckets: Int = 1024,
                   alpha: Double = 0.5): DataFrame = {

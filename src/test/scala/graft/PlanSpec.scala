@@ -242,15 +242,18 @@ class PlanSpec extends SparkSpec {
       p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
   }
 
-  test("q67 dsir: scoring is a pure scan-side projection — no join, no shuffle") {
+  test("q67/q78 dsir: scoring and resampling are pure scan-side projections") {
     // the bucket table is ≤ `buckets` rows by construction and rides back
-    // into the scan as a map literal, so the declared plan re-scans the
-    // corpus exactly once with zero exchanges
-    val p = plan("q67_dsir_weights")
-    assert(!p.contains("Join"), p.linesIterator
-      .filter(_.contains("Join")).mkString("\n"))
-    assert(!p.contains("Exchange"),
-      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    // into the scan as a map literal, so the declared plans re-scan the
+    // corpus exactly once with zero exchanges (q78 adds only the
+    // sigmoid-lane filter on top)
+    Seq("q67_dsir_weights", "q78_dsir_resample").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q:\n" + p.linesIterator
+        .filter(_.contains("Join")).mkString("\n"))
+      assert(!p.contains("Exchange"), s"$q:\n" +
+        p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    }
   }
 
   test("q71 label cohesion: fixed-width vector-sum agg (no Generate), means broadcast") {

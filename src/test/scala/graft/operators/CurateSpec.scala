@@ -127,6 +127,26 @@ class CurateSpec extends SparkSpec {
     assert(out(2L)._3 > out(3L)._3)
   }
 
+  test("dsirResample: deterministic sigmoid-rate acceptance via the jvm lane") {
+    import graft.functions.ShaLanes
+    val weighted = Seq(
+      (1L, -0.5), (2L, -0.1), (3L, 0.0), (4L, 0.1), (5L, 0.5), (6L, 2.0)
+    ).toDF("doc_id", "dsir_logweight")
+    val out = Curate.dsirResample(weighted, "doc_id", temperature = 3.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val expected = Seq(1L -> -0.5, 2L -> -0.1, 3L -> 0.0, 4L -> 0.1,
+        5L -> 0.5, 6L -> 2.0)
+      .filter { case (id, w) =>
+        val p = 1.0 / (1.0 + math.exp(-3.0 * w))
+        ShaLanes.jvmLane(s"resample|$id").toDouble < p * ShaLanes.LaneSpace
+      }.map { case (id, w) =>
+        id -> BigDecimal(1.0 / (1.0 + math.exp(-3.0 * w)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.toMap
+    assert(out === expected)
+    assert(out.nonEmpty && out.size < 6, "fixture must accept some, not all")
+  }
+
   test("keepLatest resolves to the newest version per key, ties by id") {
     val df = Seq(
       ("u1", 1L, 10L), ("u1", 2L, 30L), ("u1", 3L, 30L), // tie at ts 30 → id 3
