@@ -254,6 +254,26 @@ object SparkEntry {
     Funnel.stages(events(s, d), col("user_id"), unix_micros(col("ts")),
       col("event_id"), col("event_type"), Seq("view", "click", "purchase"))
 
+  /** Matryoshka retention (q79): per dim-budget, how much of each
+    * embedding's norm the prefix keeps (||v[:k]|| / ||v||) — the
+    * go/no-go check before serving truncated vectors (MRL-style
+    * dimension cuts for 2-4× cheaper ANN). Scan-side ratio + one
+    * 3-group aggregate; p10 is the tail that decides. */
+  private def matryoshkaQ(s: SparkSession, d: String): DataFrame = {
+    val budgets = Seq(16, 32, 48)
+    val rows = budgets.map(b => struct(lit(b.toLong).as("dims"),
+      (Vec.norm(slice(col("v"), 1, b)) / Vec.norm(col("v"))).as("r")))
+    embeddings(s, d)
+      .select(col("embedding").cast("array<double>").as("v"))
+      .filter(col("v").isNotNull)
+      .select(explode(array(rows: _*)).as("e"))
+      .select(col("e.dims").as("dims"), col("e.r").as("r"))
+      .groupBy(col("dims"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg(col("r")), 4).as("avg_retained"),
+        round(percentile(col("r"), lit(0.1)), 4).as("p10_retained"))
+  }
+
   /** DSIR resampling (q78): q67's weights pushed through the sigmoid
     * acceptance draw ([[Curate.dsirResample]], T = 20) — the importance-
     * resampled corpus cut, still a pure scan-side plan. */
@@ -989,6 +1009,7 @@ object SparkEntry {
     "q76_normalize"          -> (normalizeQ _),
     "q77_coverage_shift"     -> (coverageShiftQ _),
     "q78_dsir_resample"      -> (dsirResampleQ _),
+    "q79_matryoshka"         -> (matryoshkaQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -1680,6 +1701,22 @@ object SparkEntry {
          |  SELECT cid::BIGINT AS cid, count(*)::BIGINT AS n_total,
          |    sum(CASE WHEN in_slice THEN 1 ELSE 0 END)::BIGINT AS n_slice
          |  FROM a GROUP BY 1) CROSS JOIN g""".stripMargin,
+
+    // q79: prefix-norm ratios with DuckDB's inclusive 1-based list slice
+    // mirroring Spark's slice(v, 1, k); quantile_cont ≡ percentile (q37)
+    "q79_matryoshka" ->
+      """WITH e AS (
+        |  SELECT embedding::DOUBLE[] AS v FROM embeddings
+        |  WHERE embedding IS NOT NULL),
+        |r AS (
+        |  SELECT b.dims,
+        |    sqrt(list_dot_product(v[1:b.dims], v[1:b.dims])) /
+        |      sqrt(list_dot_product(v, v)) AS r
+        |  FROM e CROSS JOIN (VALUES (16), (32), (48)) b(dims))
+        |SELECT dims::BIGINT AS dims, count(*)::BIGINT AS n_vecs,
+        |  round(avg(r), 4) AS avg_retained,
+        |  round(quantile_cont(r, 0.1), 4) AS p10_retained
+        |FROM r GROUP BY 1""".stripMargin,
 
     // q76: the same cleaning composition over DuckDB's UAX#15 NFC
     "q76_normalize" ->
