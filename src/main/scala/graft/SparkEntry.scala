@@ -254,6 +254,20 @@ object SparkEntry {
     Funnel.stages(events(s, d), col("user_id"), unix_micros(col("ts")),
       col("event_id"), col("event_type"), Seq("view", "click", "purchase"))
 
+  /** PQ reconstruction fidelity (q80): cosine between each vector and
+    * its decode(encode(v)) under the SHA codebook — the quantization-
+    * error audit of the q60 index ([[Pq.decodeCol]]; encode is the
+    * native kernel, decode a codebook-literal lookup — pure scan). */
+  private def pqDistortionQ(s: SparkSession, d: String): DataFrame = {
+    val cb = Pq.shaCodebook(m = 8, k = 16, subDim = 8)
+    embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .filter(col("v").isNotNull)
+      .select(col("vec_id"),
+        round(Vec.cosine(col("v"),
+          Pq.decodeCol(Pq.encodeCol(col("v"), cb), cb)), 4).as("recon_cosine"))
+  }
+
   /** Matryoshka retention (q79): per dim-budget, how much of each
     * embedding's norm the prefix keeps (||v[:k]|| / ||v||) — the
     * go/no-go check before serving truncated vectors (MRL-style
@@ -1010,6 +1024,7 @@ object SparkEntry {
     "q77_coverage_shift"     -> (coverageShiftQ _),
     "q78_dsir_resample"      -> (dsirResampleQ _),
     "q79_matryoshka"         -> (matryoshkaQ _),
+    "q80_pq_distortion"      -> (pqDistortionQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -1166,13 +1181,16 @@ object SparkEntry {
     * range(s)×range(c)×range(d) CTE (the q25 hyperplane pattern); sub
     * distances written as the same left-assoc 8-term sums Scala reduces,
     * argmin = rank by (dist, c) — first-minimum, matching array_position. */
-  private def pqOracle: String = {
+  /** Shared q60/q80 oracle CTE chain: SHA-lane codebook (8×16×8), per-
+    * (vec, subspace) L2 argmin code — ends at `r` (rn = 1 row = the
+    * chosen code), mirroring [[Pq.shaCodebook]] + [[Pq.encodeCol]]. */
+  private def pqCtes: String = {
     val dist = (0 until 8).map(dd =>
       s"(v[s*8+${dd + 1}] - cv[${dd + 1}]) * (v[s*8+${dd + 1}] - cv[${dd + 1}])")
       .mkString(" + ")
     val laneExpr = duckLane(
       "'pq|' || s.range::VARCHAR || ',' || c.range::VARCHAR || ',' || d.range::VARCHAR")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
        |  WHERE embedding IS NOT NULL),
        |cw AS (SELECT s.range AS s, c.range AS c, d.range AS d,
        |  $laneExpr / 576460752303423488.0 - 1.0 AS w
@@ -1181,9 +1199,28 @@ object SparkEntry {
        |dist AS (SELECT e.vec_id, cb.s, cb.c, $dist AS dist
        |  FROM e CROSS JOIN cb),
        |r AS (SELECT vec_id, s, c, row_number() OVER (PARTITION BY vec_id, s
-       |  ORDER BY dist, c) AS rn FROM dist)
-       |SELECT vec_id, s AS sub, c AS code FROM r WHERE rn = 1""".stripMargin
+       |  ORDER BY dist, c) AS rn FROM dist)""".stripMargin
   }
+
+  private def pqOracle: String =
+    s"""WITH $pqCtes
+       |SELECT vec_id, s AS sub, c AS code FROM r WHERE rn = 1""".stripMargin
+
+  /** q80 oracle: decode the chosen codes back through the codebook
+    * (flatten in subspace order) and compare to the original by round-4
+    * cosine — [[Pq.encodeCol]]'s reconstruction-fidelity audit. */
+  private def pqDistortionOracle: String =
+    s"""WITH $pqCtes,
+       |dec AS (
+       |  SELECT vec_id, flatten(list(cv ORDER BY s)) AS vhat FROM (
+       |    SELECT r.vec_id, r.s, cb.cv FROM r JOIN cb
+       |    ON r.s = cb.s AND r.c = cb.c WHERE r.rn = 1)
+       |  GROUP BY vec_id)
+       |SELECT e.vec_id,
+       |  round(list_dot_product(e.v, d.vhat) /
+       |    (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(d.vhat, d.vhat))), 4)
+       |    AS recon_cosine
+       |FROM e JOIN dec d USING (vec_id)""".stripMargin
 
   /** q62 oracle: the full corpus pipeline composed from the q53 quality
     * CTEs, the q61 repetition metrics, the q55 decontamination join, the
@@ -1557,6 +1594,7 @@ object SparkEntry {
     "q25_lsh_knn" -> lshKnnOracle,
     "q46_lsh_neardup" -> lshNearDupOracle,
     "q60_pq_codes" -> pqOracle,
+    "q80_pq_distortion" -> pqDistortionOracle,
     "q62_corpus_build2" -> corpusBuild2Oracle,
     // rate arithmetic written as the same left-assoc (w · B) / t double
     // ops the Scala driver computes from the collected totals

@@ -81,6 +81,20 @@ object Pq {
       typedlit(codebook.map(_.map(_.toSeq).toSeq).toSeq))
   }
 
+  /** Scan-side PQ decode: codes → the concatenated codeword vector
+    * (subspace order), the reconstruction [[adcTopK]] scores against
+    * implicitly. The codebook rides in as a literal; indices are always
+    * in-range by construction (codes come from [[encodeCol]] over the
+    * same codebook), so ANSI array access cannot throw. Pair with
+    * [[encodeCol]] for the fidelity audit (q80): cosine(v, decode(
+    * encode(v))) is the per-vector quantization error. */
+  def decodeCol(codes: Column, codebook: Array[Array[Array[Double]]]): Column = {
+    val cb = typedlit(codebook.map(_.map(_.toSeq).toSeq).toSeq)
+    flatten(transform(sequence(lit(0), lit(codebook.length - 1)),
+      s => element_at(element_at(cb, s + lit(1)),
+        element_at(codes, s + lit(1)) + lit(1))))
+  }
+
   /** Column-combinator PQ encoding (the executable spec for [[encodeCol]]
     * — PqSpec pins bit-equality). NOT the production path: the
     * m·k·subDim-term tree (1024 terms at 8×16×8) exceeds codegen method

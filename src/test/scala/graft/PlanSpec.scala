@@ -289,6 +289,14 @@ class PlanSpec extends SparkSpec {
       p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
   }
 
+  test("q80 pq distortion: encode+decode is one scan — no join, no shuffle") {
+    val p = plan("q80_pq_distortion")
+    assert(p.contains("graft_pq_encode"), "encode must be the native kernel")
+    assert(!p.contains("Join") && !p.contains("Exchange"),
+      p.linesIterator.filter(l => l.contains("Join") || l.contains("Exchange"))
+        .mkString("\n"))
+  }
+
   test("q77 coverage shift: scan-side assignment, one k-row aggregate, no joins") {
     val p = plan("q77_coverage_shift")
     assert(p.contains("graft_nearest_centroid"))

@@ -107,6 +107,26 @@ class PqSpec extends SparkSpec {
       s"nProbe=1 must stay inside cluster 0's list, got $got")
   }
 
+  test("decodeCol rebuilds exactly the chosen codewords, in subspace order") {
+    // planted vectors ARE codebook points -> decode(encode(v)) == v
+    val df = planted(10).toDF("vec_id", "embedding")
+    val out = df.select(col("vec_id"),
+        Pq.decodeCol(Pq.encodeCol(col("embedding"), cb), cb).as("vhat"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    planted(10).foreach { case (id, v) =>
+      assert(out(id).toArray.toSeq === v.toSeq, s"vec $id") }
+    // an off-codebook vector decodes to its per-subspace L2-argmin entry
+    val v = Array.tabulate(M * D)(i => 0.1 * i - 0.7)
+    val got = Seq(0L -> v).toDF("vec_id", "embedding")
+      .select(Pq.decodeCol(Pq.encodeCol(col("embedding"), cb), cb))
+      .head().getSeq[Double](0)
+    val expect = (0 until M).flatMap { s =>
+      cb(s).zipWithIndex.minBy { case (e, c) =>
+        ((0 until D).map(d => math.pow(v(s * D + d) - e(d), 2)).sum, c) }._1
+    }
+    assert(got.toSeq === expect)
+  }
+
   test("trained codebook reconstructs strictly better than the SHA codebook") {
     // clustered data: 3 tight clusters per subspace, far from the SHA
     // codebook's uniform entries
