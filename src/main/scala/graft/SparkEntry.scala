@@ -347,9 +347,13 @@ object SparkEntry {
 
   /** Retention cohorts (q74): distinct active users per (first-activity
     * week, week offset) — [[Cohorts.retention]]; the distinct and the
-    * cohort min share one user-keyed partitioning. */
+    * cohort min share one user-keyed partitioning. The cohort week is
+    * emitted as a yyyy-MM-dd string per the determinism conventions
+    * above (a raw DATE column hash-compares engine-dependently). */
   private def retentionQ(s: SparkSession, d: String): DataFrame =
     Cohorts.retention(events(s, d), col("user_id"), col("ts"))
+      .select(date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"), col("n_users"))
 
   /** Label cohesion (q71): per-label mean embedding + average member
     * cosine ([[Knn.labelCohesion]] — fixed-width vector-sum aggregate,
@@ -944,6 +948,48 @@ object SparkEntry {
         (d2 > 0.2 || d3 > 0.15 || tt > 0.2).as("repetitive"))
   }
 
+  /** BPE merge-pair counting (q81): one tokenizer-induction count step —
+    * adjacent character-pair frequencies weighted by word frequency, top
+    * 30 merges ([[Tokenize.bpePairCounts]] — the corpus collapses to the
+    * distinct-word table map-side; no corpus explode, no window). */
+  private def bpePairsQ(s: SparkSession, d: String): DataFrame =
+    Tokenize.bpePairCounts(documents(s, d), "text", topK = 30)
+
+  /** Corpus snapshot diff (q82): CDC-style added/removed/changed
+    * classification between two snapshot views of the corpus (old = ids
+    * not ≡ 0 mod 7; new = ids not ≡ 0 mod 5 with ids ≡ 0 mod 11 edited)
+    * — [[Diff.snapshotDiff]]: digests computed scan-side, one id-keyed
+    * digest join, payloads never shuffle. */
+  private def snapshotDiffQ(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val oldSnap = docs.filter(col("doc_id") % 7 =!= 0)
+    val newSnap = docs.filter(col("doc_id") % 5 =!= 0)
+      .withColumn("text", when(col("doc_id") % 11 === 0,
+        concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+    Diff.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+  }
+
+  /** Edit-distance near-dup verification (q83): banded Levenshtein over
+    * (source, length-band) candidate buckets with the threshold-bounded
+    * kernel ([[Dedup.editDistancePairs]] — the character-exact final
+    * verifier after an LSH candidate stage). */
+  private def editDistanceQ(s: SparkSession, d: String): DataFrame =
+    Dedup.editDistancePairs(documents(s, d), "doc_id", "text",
+      groupCols = Seq("source"), bandChars = 128, maxDist = 100)
+
+  /** Weighted sampling without replacement (q84): per-source top-5 by
+    * exponential race keyed on token-count weight
+    * ([[Curate.weightedSample]] — scan-side keys, WindowGroupLimit). */
+  private def weightedSampleQ(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).filter(col("text").isNotNull)
+      .select(col("source"), col("doc_id"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tok"))
+    Curate.weightedSample(docs,
+        concat(lit("ws|"), col("doc_id").cast("string")),
+        col("source"), col("n_tok"), k = 5)
+      .select(col("source"), col("doc_id"), col("n_tok"), col("rk"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"    -> (pricingSummary _),
     "q02_revenue_filter"     -> (revenueFilter _),
@@ -1025,6 +1071,10 @@ object SparkEntry {
     "q78_dsir_resample"      -> (dsirResampleQ _),
     "q79_matryoshka"         -> (matryoshkaQ _),
     "q80_pq_distortion"      -> (pqDistortionQ _),
+    "q81_bpe_pairs"          -> (bpePairsQ _),
+    "q82_snapshot_diff"      -> (snapshotDiffQ _),
+    "q83_edit_distance"      -> (editDistanceQ _),
+    "q84_weighted_sample"    -> (weightedSampleQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -1595,6 +1645,65 @@ object SparkEntry {
     "q46_lsh_neardup" -> lshNearDupOracle,
     "q60_pq_codes" -> pqOracle,
     "q80_pq_distortion" -> pqDistortionOracle,
+
+    // q81: same word-frequency-weighted adjacent char-pair counts; the
+    // top-30 cut is deterministic under the (cnt desc, pair asc) tiebreak
+    "q81_bpe_pairs" ->
+      """WITH w AS (SELECT unnest(str_split(text, ' ')) AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |wc AS (SELECT w, count(*) AS c FROM w WHERE length(w) >= 2 GROUP BY 1),
+        |p AS (SELECT unnest([substr(w, i, 2) for i in range(1, length(w))]) AS pair, c
+        |  FROM wc)
+        |SELECT pair, sum(c)::BIGINT AS cnt FROM p GROUP BY 1
+        |ORDER BY cnt DESC, pair ASC LIMIT 30""".stripMargin,
+
+    // q82: the same digest-compare classification; || propagates NULL
+    // text exactly like Spark's concat, and IS DISTINCT FROM mirrors the
+    // null-safe <=> comparison
+    "q82_snapshot_diff" ->
+      """WITH o AS (SELECT doc_id, sha256(text) AS d_old FROM documents
+        |  WHERE doc_id % 7 <> 0),
+        |n AS (SELECT doc_id, sha256(CASE WHEN doc_id % 11 = 0
+        |    THEN text || ' rev2' ELSE text END) AS d_new
+        |  FROM documents WHERE doc_id % 5 <> 0)
+        |SELECT doc_id, status FROM (
+        |  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |    CASE WHEN o.doc_id IS NULL THEN 'added'
+        |         WHEN n.doc_id IS NULL THEN 'removed'
+        |         WHEN o.d_old IS DISTINCT FROM n.d_new THEN 'changed'
+        |    END AS status
+        |  FROM o FULL JOIN n ON o.doc_id = n.doc_id)
+        |WHERE status IS NOT NULL""".stripMargin,
+
+    // q83: unbounded levenshtein + a <= filter computes the same pair set
+    // as Spark's threshold-banded kernel (which returns -1 past the bound)
+    "q83_edit_distance" ->
+      """WITH v AS (SELECT doc_id, source, text, length(text) // 128 AS band
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  levenshtein(a.text, b.text)::BIGINT AS dist
+        |FROM v a JOIN v b
+        |  ON a.source = b.source AND a.band = b.band AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.text, b.text) <= 100""".stripMargin,
+
+    // q84: the identical exponential-race key — (lane+1)/2^60 ∈ (0,1],
+    // -ln(u)/w — ranked per source; the race key itself is not emitted,
+    // so sub-ulp ln() library drift can only matter at an exact rank-5
+    // boundary tie (probability ~0 over continuous keys)
+    "q84_weighted_sample" ->
+      s"""WITH d AS (SELECT source, doc_id,
+         |    len(str_split(text, ' '))::BIGINT AS n_tok,
+         |    'ws|' || doc_id::VARCHAR AS k
+         |  FROM documents WHERE text IS NOT NULL),
+         |r AS (SELECT source, doc_id, n_tok, k,
+         |    -ln((CAST(${duckLane("k")} AS DOUBLE) + 1.0) /
+         |        1152921504606846976.0) / CAST(n_tok AS DOUBLE) AS race
+         |  FROM d WHERE n_tok > 0)
+         |SELECT source, doc_id, n_tok, rk FROM (
+         |  SELECT source, doc_id, n_tok,
+         |    row_number() OVER (PARTITION BY source ORDER BY race ASC, k ASC)::BIGINT AS rk
+         |  FROM r)
+         |WHERE rk <= 5""".stripMargin,
     "q62_corpus_build2" -> corpusBuild2Oracle,
     // rate arithmetic written as the same left-assoc (w · B) / t double
     // ops the Scala driver computes from the collected totals
@@ -1812,7 +1921,8 @@ object SparkEntry {
         |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
         |  FROM events),
         |c AS (SELECT user_id, min(wk) AS cohort_week FROM w GROUP BY 1)
-        |SELECT cohort_week, ((wk - cohort_week) // 7)::BIGINT AS week_offset,
+        |SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+        |  ((wk - cohort_week) // 7)::BIGINT AS week_offset,
         |  count(DISTINCT user_id)::BIGINT AS n_users
         |FROM w JOIN c USING (user_id)
         |GROUP BY 1, 2""".stripMargin,

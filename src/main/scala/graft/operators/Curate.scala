@@ -155,6 +155,39 @@ object Curate {
   }
 
   /**
+   * Deterministic WEIGHTED sampling without replacement: per group, the
+   * `k` rows with the smallest exponential race keys
+   * `-ln(u) / w` where `u` is the row's SHA-lane uniform in (0, 1] and
+   * `w` its weight — the Efraimidis–Spirakis / exponential-clocks scheme
+   * (each row is selected with probability proportional to `w` among the
+   * not-yet-taken), here with the lane draw standing in for the RNG so
+   * the sample is reproducible across runs, engines and cluster sizes
+   * like every lane-based operator in this file.
+   *
+   * Scale shape: the key is a pure scan-side projection and the rank
+   * filter compiles to WindowGroupLimit, so each map partition retains at
+   * most `k` rows per group before the single group-keyed shuffle —
+   * the weighted analog of [[perGroupQuota]]. Rows with NULL or
+   * non-positive weight carry no mass and are dropped.
+   *
+   * Emits the input columns plus `rk` (1-based rank within the group).
+   */
+  def weightedSample(df: DataFrame, keyCol: Column, groupCol: Column,
+                     weightCol: Column, k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    // (lane + 1) / 2^60 ∈ (0, 1]: never ln(0), and u = 1 → key 0 (first)
+    val u = (ShaLanes.lane(keyCol.cast("string")).cast("double") + lit(1.0)) /
+      lit(ShaLanes.LaneSpace)
+    val key = -log(u) / weightCol.cast("double")
+    val w = Window.partitionBy(groupCol).orderBy(col("__race").asc, keyCol)
+    df.filter(weightCol.isNotNull && weightCol > 0)
+      .withColumn("__race", key)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .drop("__race")
+  }
+
+  /**
    * DSIR-style importance weighting (Data Selection via Importance
    * Resampling, Xie et al. 2023): score each document by how much more
    * likely its hashed n-gram features are under a TARGET slice of the

@@ -756,4 +756,39 @@ object Dedup {
         round(cos, 6).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /**
+   * Edit-distance near-dup verification: Levenshtein distance over
+   * length-banded candidate pairs — the character-exact final verifier a
+   * dedup pipeline runs after a cheap candidate stage (LSH buckets, or
+   * here the (group, length-band) equi-join: two texts within `maxDist`
+   * edits differ in length by at most `maxDist`, so true pairs land in
+   * the same or adjacent band when `bandChars > maxDist`; production
+   * unions the adjacent-band join the same way).
+   *
+   * Scale shape: candidates form ONLY inside (groupCols, band) buckets
+   * via an equi-join — never all-pairs — and the per-pair cost is bounded
+   * by the `threshold` argument of Spark's banded Levenshtein kernel
+   * (O(len × maxDist) with early abandon, returning -1 past the bound,
+   * instead of the O(len²) full matrix).
+   *
+   * Returns (id_a, id_b, dist) with id_a < id_b and dist ≤ maxDist.
+   */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+                        groupCols: Seq[String], bandChars: Int,
+                        maxDist: Int): DataFrame = {
+    require(bandChars > maxDist, "bandChars must exceed maxDist")
+    val v = df.filter(col(textCol).isNotNull)
+      .select((col(idCol).as("id") +: groupCols.map(col)) :+
+        col(textCol).as("t") :+
+        floor(length(col(textCol)) / bandChars).as("band"): _*)
+    val joinKeys = groupCols :+ "band"
+    val cond = joinKeys.map(k => col(s"a.$k") === col(s"b.$k"))
+      .reduce(_ && _) && col("a.id") < col("b.id")
+    v.as("a").join(v.as("b"), cond)
+      .withColumn("dist",
+        levenshtein(col("a.t"), col("b.t"), maxDist).cast("long"))
+      .filter(col("dist") >= 0)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("dist"))
+  }
 }

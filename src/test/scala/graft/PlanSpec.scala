@@ -404,6 +404,41 @@ class PlanSpec extends SparkSpec {
       "contract checks must never degenerate to all-pairs")
   }
 
+  test("q81 bpe pairs: corpus collapses map-side; top-K is TakeOrdered, no window") {
+    val p = plan("q81_bpe_pairs")
+    // word and pair aggregates partial-combine before their shuffles; the
+    // top-30 cut must be a distributed TakeOrderedAndProject, never a
+    // global sort or a partition-less window
+    assert(p.contains("TakeOrderedAndProject"), "topK must be TakeOrdered")
+    assert(!p.contains("Join") && !p.contains("Window"))
+    assert(countOf(p, "Exchange hashpartitioning") <= 2,
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
+  test("q82 snapshot diff: id-keyed digest join only — payloads never shuffle") {
+    val p = plan("q82_snapshot_diff")
+    assert(!p.contains("CartesianProduct") &&
+      countOf(p, "BroadcastNestedLoopJoin") === 0)
+    // both sides reduce to (id, digest) before the single full-outer join
+    assert(countOf(p, "Exchange hashpartitioning") <= 2,
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
+  test("q83 edit distance: banded equi-join candidates — never all-pairs") {
+    val p = plan("q83_edit_distance")
+    assert(!p.contains("CartesianProduct") &&
+      countOf(p, "BroadcastNestedLoopJoin") === 0,
+      "candidates must form via the (source, band) equi-join")
+  }
+
+  test("q84 weighted sample: rank filter compiles to WindowGroupLimit") {
+    // the weighted analog of q43: each partition retains at most k rows
+    // per group before the group-keyed shuffle
+    val p = plan("q84_weighted_sample")
+    assert(countOf(p, "WindowGroupLimit") >= 2, p.linesIterator
+      .filter(_.contains("Window")).mkString("\n"))
+  }
+
   test("k-means Lloyd update: no Generate, one fixed-width aggregate exchange") {
     // the r3 stretch item: training must never explode the corpus into
     // corpus x dim rows -- the vector-sum aggregate keeps per-group state

@@ -165,6 +165,43 @@ class CurateSpec extends SparkSpec {
     assert(out.agg(max(col("rk"))).head.getLong(0) === 4L)
   }
 
+  test("weightedSample: k per group, deterministic, row-order invariant") {
+    val df = (0 until 300).map(i => (i.toLong, s"g${i % 3}", (i % 7 + 1).toLong))
+      .toDF("id", "g", "w")
+    def sample(d: org.apache.spark.sql.DataFrame) =
+      Curate.weightedSample(d, col("id").cast("string"), col("g"), col("w"), k = 5)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSet
+    val a = sample(df)
+    val b = sample(df.orderBy(col("id").desc))
+    assert(a === b, "sample must not depend on row order")
+    assert(a.size === 15)
+    assert(a.groupBy(_._2).forall(_._2.size == 5))
+    assert(a.filter(_._2 == "g0").map(_._3) === Set(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("weightedSample: selection probability tracks weight") {
+    // 300 groups, each one heavy (w=50) item among ten light (w=1):
+    // P(heavy first) = 50/60; the deterministic lane draws should land near
+    val rows = (0 until 300).flatMap { g =>
+      (0 until 11).map(i => (g * 100L + i, s"g$g", if (i == 0) 50L else 1L))
+    }
+    val df = rows.toDF("id", "g", "w")
+    val winners = Curate.weightedSample(df, col("id").cast("string"),
+        col("g"), col("w"), k = 1)
+      .collect().map(r => r.getLong(2)).count(_ == 50L)
+    assert(winners > 300 * 0.7 && winners < 300 * 0.95,
+      s"heavy item won $winners/300, expected ~${300 * 50 / 60}")
+  }
+
+  test("weightedSample drops NULL and non-positive weights") {
+    val df = Seq((1L, "g", Some(5L)), (2L, "g", None),
+      (3L, "g", Some(0L)), (4L, "g", Some(-2L)))
+      .toDF("id", "g", "w")
+    val got = Curate.weightedSample(df, col("id").cast("string"),
+      col("g"), col("w"), k = 10).collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L))
+  }
+
   test("scrubPii masks emails and long digit runs, leaves prose alone") {
     val out = Seq(
       "reach me at jane.doe+x@lab.example.org today",
