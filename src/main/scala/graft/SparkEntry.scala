@@ -990,6 +990,105 @@ object SparkEntry {
       .select(col("source"), col("doc_id"), col("n_tok"), col("rk"))
   }
 
+  /** Boilerplate removal (q85): passages occurring more than 3 times
+    * corpus-wide are dropped from every doc — the CCNet cleaning step
+    * ([[Dedup.passageFrequencyFilter]]; q59 keeps first occurrences,
+    * this keeps only rare passages). */
+  private def boilerplateQ(s: SparkSession, d: String): DataFrame =
+    Dedup.passageFrequencyFilter(documents(s, d), "doc_id", "text",
+      maxFreq = 3)
+
+  /** Hierarchical rollup (q86): revenue by (region, nation) with nation
+    * subtotals and a grand total in ONE aggregation pass — Spark's
+    * `rollup` plans a single Expand + hash aggregate instead of N
+    * unioned GROUP BYs re-reading the fact table (the reference's
+    * reporting-mart subtotal pattern). `grouping(..)` flags distinguish
+    * a rolled-up level from a genuine NULL key. */
+  private def rollupRevenueQ(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(grouping(col("r_name")).cast("long").as("g_region"),
+        grouping(col("n_name")).cast("long").as("g_nation"),
+        count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"))
+
+  /** Pivot (q87): daily event counts pivoted to one column per event
+    * type — Spark's `pivot` with an explicit value list compiles to a
+    * single PivotFirst aggregate (one shuffle on the day key, no joins,
+    * no per-type re-scan). Absent (day, type) cells coalesce to 0 so the
+    * output is dense. */
+  private def pivotEventsQ(s: SparkSession, d: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val p = events(s, d)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+      .groupBy(col("day"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    p.select(col("day") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+  }
+
+  /** Set operations (q88): churn/retention via INTERSECT and EXCEPT —
+    * purchasers active in 1996 vs 1997 classified as retained (both
+    * years) or churned (1996 only). Both set ops plan as hash
+    * aggregates over a single shuffle per side — no driver-side set
+    * math. */
+  private def setOpsQ(s: SparkSession, d: String): DataFrame = {
+    def buyers(year: Int) = orders(s, d)
+      .filter(col("o_orderdate") >= lit(s"$year-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit(s"${year + 1}-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    val retained = buyers(1996).intersect(buyers(1997))
+      .select(col("o_custkey"), lit("retained").as("status"))
+    val churned = buyers(1996).except(buyers(1997))
+      .select(col("o_custkey"), lit("churned").as("status"))
+    retained.unionByName(churned)
+  }
+
+  /** Shared changelog for q89/q90: events as a per-user state log —
+    * `error` is a tombstone, anything else an upsert of the user's
+    * current activity state. Order key = microsecond event time with
+    * event_id as the unique tiebreak (the q73 convention). */
+  private def userChangelog(s: SparkSession, d: String): DataFrame =
+    events(s, d).select(col("user_id"),
+      col("event_type").as("state"),
+      unix_micros(col("ts")).as("us"), col("event_id"),
+      when(col("event_type") === "error", lit("D"))
+        .otherwise(lit("U")).as("op"))
+
+  /** CDC merge (q89): fold the user changelog into current state the
+    * way a nightly lakehouse MERGE INTO does — as prior state (the
+    * pre-cutoff fold) plus an incremental delta, which
+    * [[Cdc.merge]]'s associativity makes equal to folding the whole
+    * log in one shot (what the oracle computes). Latest change per
+    * user wins; users whose last event is a tombstone drop out. */
+  private def cdcMergeQ(s: SparkSession, d: String): DataFrame = {
+    val log = userChangelog(s, d)
+    val cut = unix_micros(lit("2024-01-16 00:00:00").cast("timestamp"))
+    val keys = Seq("user_id")
+    val order = Seq(col("us").desc, col("event_id").desc)
+    val base = Cdc.merge(log.filter(col("us") < cut), keys, order, "op", "D")
+    Cdc.merge(base.unionByName(log.filter(col("us") >= cut)),
+        keys, order, "op", "D")
+      .select(col("user_id"), col("state").as("last_type"),
+        col("us").as("last_us"), col("event_id").as("last_event_id"))
+  }
+
+  /** SCD-2 history (q90): the user changelog as validity intervals —
+    * one row per run of equal states with valid_from/valid_to/version/
+    * is_current ([[Cdc.scd2History]] — the dbt-snapshot surface; one
+    * user-keyed shuffle, both windows share its sort). */
+  private def scd2Q(s: SparkSession, d: String): DataFrame =
+    Cdc.scd2History(userChangelog(s, d).drop("op"),
+        Seq("user_id"), "state",
+        Seq(col("us").asc, col("event_id").asc), col("us"))
+      .select(col("user_id"), col("state"),
+        col("valid_from").as("valid_from_us"),
+        col("valid_to").as("valid_to_us"),
+        col("version"), col("is_current"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"    -> (pricingSummary _),
     "q02_revenue_filter"     -> (revenueFilter _),
@@ -1075,6 +1174,12 @@ object SparkEntry {
     "q82_snapshot_diff"      -> (snapshotDiffQ _),
     "q83_edit_distance"      -> (editDistanceQ _),
     "q84_weighted_sample"    -> (weightedSampleQ _),
+    "q85_boilerplate"        -> (boilerplateQ _),
+    "q86_rollup_revenue"     -> (rollupRevenueQ _),
+    "q87_pivot_events"       -> (pivotEventsQ _),
+    "q88_set_ops"            -> (setOpsQ _),
+    "q89_cdc_merge"          -> (cdcMergeQ _),
+    "q90_scd2_history"       -> (scd2Q _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -1704,6 +1809,88 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY source ORDER BY race ASC, k ASC)::BIGINT AS rk
          |  FROM r)
          |WHERE rk <= 5""".stripMargin,
+    // q85: the q59 split/rebuild shape with a corpus-frequency window in
+    // place of the first-occurrence rank; partitioning by the passage
+    // text groups identically to Spark's SHA-256 digest key
+    "q85_boilerplate" ->
+      """WITH sp AS (SELECT doc_id AS doc, str_split(text, '. ') AS l
+        |  FROM documents WHERE text IS NOT NULL),
+        |p AS (SELECT doc, CAST(len(l) AS BIGINT) AS n_passages,
+        |  unnest(l) AS passage, unnest(range(len(l))) AS pos FROM sp),
+        |f AS (SELECT *, count(*) OVER (PARTITION BY passage) AS freq FROM p)
+        |SELECT doc, any_value(n_passages) AS n_passages, count(*) AS n_kept,
+        |  string_agg(passage, '. ' ORDER BY pos) AS clean_text
+        |FROM f WHERE freq <= 3 GROUP BY doc""".stripMargin,
+
+    // q86: same one-pass ROLLUP; GROUPING() disambiguates subtotal rows
+    // from genuine NULL keys exactly like Spark's grouping() flags
+    "q86_rollup_revenue" ->
+      """SELECT r_name, n_name,
+        |  grouping(r_name)::BIGINT AS g_region,
+        |  grouping(n_name)::BIGINT AS g_nation,
+        |  count(*)::BIGINT AS n_orders,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+
+    // q87: conditional aggregation computes the same dense pivot —
+    // FILTER count yields 0 where Spark's pivot cell coalesces to 0
+    "q87_pivot_events" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |  count(*) FILTER (WHERE event_type = 'click')::BIGINT AS click,
+        |  count(*) FILTER (WHERE event_type = 'error')::BIGINT AS error,
+        |  count(*) FILTER (WHERE event_type = 'purchase')::BIGINT AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup')::BIGINT AS signup,
+        |  count(*) FILTER (WHERE event_type = 'view')::BIGINT AS view
+        |FROM events GROUP BY 1""".stripMargin,
+
+    // q88: identical INTERSECT / EXCEPT classification
+    "q88_set_ops" ->
+      """WITH y96 AS (SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate <  TIMESTAMP '1997-01-01'),
+        |y97 AS (SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |    AND o_orderdate <  TIMESTAMP '1998-01-01')
+        |SELECT o_custkey, 'retained' AS status FROM (
+        |  SELECT o_custkey FROM y96 INTERSECT SELECT o_custkey FROM y97)
+        |UNION ALL
+        |SELECT o_custkey, 'churned' AS status FROM (
+        |  SELECT o_custkey FROM y96 EXCEPT SELECT o_custkey FROM y97)""".stripMargin,
+
+    // q89: the one-shot fold of the whole changelog — equal to Spark's
+    // base-plus-delta merge by Cdc.merge associativity (every delta row
+    // orders after every base row); us = epoch_ns // 1000 ≡ unix_micros
+    "q89_cdc_merge" ->
+      """WITH log AS (SELECT user_id, event_type AS state,
+        |    epoch_ns(ts) // 1000 AS us, event_id,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+        |  FROM events),
+        |r AS (SELECT *, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rk
+        |  FROM log)
+        |SELECT user_id, state AS last_type, us AS last_us,
+        |  event_id AS last_event_id
+        |FROM r WHERE rk = 1 AND op <> 'D'""".stripMargin,
+
+    // q90: identical run-collapse (IS DISTINCT FROM = Spark's null-safe
+    // <=> negation) + interval windows over the same user/us ordering
+    "q90_scd2_history" ->
+      """WITH log AS (SELECT user_id, event_type AS state,
+        |    epoch_ns(ts) // 1000 AS us, event_id FROM events),
+        |x AS (SELECT *, lag(state) OVER w AS prev,
+        |    row_number() OVER w AS rn FROM log
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |c AS (SELECT * FROM x WHERE rn = 1 OR prev IS DISTINCT FROM state)
+        |SELECT user_id, state, us AS valid_from_us,
+        |  lead(us) OVER w2 AS valid_to_us,
+        |  row_number() OVER w2 AS version,
+        |  lead(us) OVER w2 IS NULL AS is_current
+        |FROM c WINDOW w2 AS (PARTITION BY user_id ORDER BY us, event_id)""".stripMargin,
+
     "q62_corpus_build2" -> corpusBuild2Oracle,
     // rate arithmetic written as the same left-assoc (w · B) / t double
     // ops the Scala driver computes from the collected totals

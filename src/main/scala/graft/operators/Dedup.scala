@@ -654,6 +654,40 @@ object Dedup {
   }
 
   /**
+   * Corpus-frequency boilerplate removal (the CCNet/RefinedWeb cleaning
+   * step [[passageDedup]] does NOT cover): drop every passage whose
+   * corpus-wide occurrence count exceeds `maxFreq` — headers, nav bars,
+   * cookie banners, licence blurbs — from EVERY document, including the
+   * first occurrence (where passageDedup keeps firsts, this keeps only
+   * rare passages). Documents whose passages are all boilerplate have no
+   * surviving rows and are absent from the output (they'd be empty).
+   *
+   * Plan: split+posexplode scan-side; corpus frequency = count over a
+   * window partitioned by the passage's SHA-256 digest — ONE shuffle
+   * keyed by the digest, no join against a counts table; rebuild = one
+   * groupBy doc with sort-inside-agg. Two shuffles total, the exact
+   * [[passageDedup]] shape (passage payloads move once per shuffle).
+   */
+  def passageFrequencyFilter(df: DataFrame, idCol: String, textCol: String,
+                             maxFreq: Int, sepRegex: String = "\\. ",
+                             sepOut: String = ". "): DataFrame = {
+    require(maxFreq >= 1, "maxFreq must be positive")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc"),
+        size(split(col(textCol), sepRegex)).cast("long").as("n_passages"),
+        posexplode(split(col(textCol), sepRegex)).as(Seq("pos", "passage")))
+      .withColumn("h", sha2(col("passage"), 256))
+      .withColumn("freq", count(lit(1)).over(w))
+      .filter(col("freq") <= maxFreq)
+      .groupBy(col("doc"))
+      .agg(first(col("n_passages")).as("n_passages"),
+        count(lit(1)).as("n_kept"),
+        graft.functions.F.orderedListagg(col("passage"), col("pos"), sepOut)
+          .as("clean_text"))
+  }
+
+  /**
    * ANN embedding near-duplicates — the declared scale path for
    * embedding-level dedup ([[embeddingNearDups]] is its brute-force
    * executable spec/verifier). Sign-LSH bucketing bounds candidate

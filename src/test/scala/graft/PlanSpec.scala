@@ -439,6 +439,65 @@ class PlanSpec extends SparkSpec {
       .filter(_.contains("Window")).mkString("\n"))
   }
 
+  test("q85 boilerplate: the q59 two-shuffle shape — digest window + doc rebuild, no joins") {
+    val p = plan("q85_boilerplate")
+    assert(!p.contains("Join"), p.linesIterator
+      .filter(_.contains("Join")).mkString("\n"))
+    assert(countOf(p, "Exchange hashpartitioning") <= 2,
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
+  test("q86 rollup: one Expand pass, broadcast dims, single aggregate shuffle") {
+    val p = plan("q86_rollup_revenue")
+    // ROLLUP must plan as Expand + one hash aggregate, not N unioned
+    // GROUP BYs re-reading the fact table
+    assert(p.contains("Expand"), "rollup must plan via Expand")
+    assert(!p.contains("SortMergeJoin"), "dims must broadcast")
+    assert(countOf(p, "Exchange hashpartitioning") <= 1,
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
+  test("q87 pivot: two-phase aggregate — no joins, no per-type re-scan") {
+    val p = plan("q87_pivot_events")
+    assert(!p.contains("Join"))
+    // Spark plans pivot as count-by-(day,type) then pivot-by-day: both
+    // aggregates partial-combine map-side, so the first shuffle carries
+    // only day x type rows and the second only day rows — never a
+    // per-type re-scan of the events table
+    assert(countOf(p, "Exchange hashpartitioning") <= 2,
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    assert(countOf(p, "Scan parquet") === 1, "events must be read once")
+  }
+
+  test("q88 set ops: intersect/except stay hash-keyed — never nested-loop") {
+    val p = plan("q88_set_ops")
+    assert(!p.contains("CartesianProduct") &&
+      countOf(p, "BroadcastNestedLoopJoin") === 0)
+  }
+
+  test("q89 cdc merge: rank-1 prunes map-side (WindowGroupLimit), key shuffles only, no joins") {
+    val p = plan("q89_cdc_merge")
+    assert(!p.contains("Join"), p.linesIterator
+      .filter(_.contains("Join")).mkString("\n"))
+    assert(p.contains("WindowGroupLimit"),
+      "keep-latest must pre-prune to one row per key per partition")
+    // base fold + delta merge: two user_id-keyed exchanges, payloads
+    // (one row per key after the group limit) move once each
+    assert(countOf(p, "Exchange hashpartitioning") <= 2,
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
+  test("q90 scd2: change-detect and interval windows share ONE shuffle and sort") {
+    val p = plan("q90_scd2_history")
+    assert(!p.contains("Join"))
+    // filter preserves the (user_id, us) partitioning+ordering, so the
+    // second WindowExec stacks on the first without a new exchange/sort
+    assert(countOf(p, "Exchange hashpartitioning") === 1,
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    assert(countOf(p, "Sort \\[") <= 1,
+      p.linesIterator.filter(_.contains("Sort")).mkString("\n"))
+  }
+
   test("k-means Lloyd update: no Generate, one fixed-width aggregate exchange") {
     // the r3 stretch item: training must never explode the corpus into
     // corpus x dim rows -- the vector-sum aggregate keeps per-group state

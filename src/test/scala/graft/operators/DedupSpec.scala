@@ -307,6 +307,27 @@ class DedupSpec extends SparkSpec {
     assert(!out.contains(4L))
   }
 
+  test("boilerplate filter drops over-frequent passages from EVERY doc, firsts included") {
+    // "promo line" appears 3 times > maxFreq=2 -> removed everywhere
+    // (passageDedup would have kept doc 1's copy); "rare once"/"rare twice"
+    // survive in order
+    val corpus = Seq(
+      1L -> "promo line. rare once",
+      2L -> "promo line. rare twice",
+      3L -> "rare twice. promo line",
+      4L -> "promo line",                      // all boilerplate -> vanishes
+      5L -> null.asInstanceOf[String]
+    ).toDF("doc_id", "text")
+    val out = Dedup.passageFrequencyFilter(corpus, "doc_id", "text", maxFreq = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) === ((2L, 1L, "rare once")))
+    assert(out(2L) === ((2L, 1L, "rare twice")))
+    assert(out(3L) === ((2L, 1L, "rare twice")))
+    assert(!out.contains(4L), "an all-boilerplate doc must vanish")
+    assert(!out.contains(5L))
+  }
+
   test("decontamination flags train docs sharing >= minHits shingles with eval") {
     // eval quotes doc 20's phrasing; doc 11 is an exact copy of eval text;
     // 30/31 share nothing; 50 is too short to shingle; 51 has NULL text
