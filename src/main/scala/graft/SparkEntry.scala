@@ -969,13 +969,18 @@ object SparkEntry {
     Diff.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
   }
 
-  /** Edit-distance near-dup verification (q83): banded Levenshtein over
-    * (source, length-band) candidate buckets with the threshold-bounded
-    * kernel ([[Dedup.editDistancePairs]] — the character-exact final
-    * verifier after an LSH candidate stage). */
-  private def editDistanceQ(s: SparkSession, d: String): DataFrame =
-    Dedup.editDistancePairs(documents(s, d), "doc_id", "text",
-      groupCols = Seq("source"), bandChars = 128, maxDist = 100)
+  /** Edit-distance near-dup verification (q83): the two-stage pipeline —
+    * banded-LSH candidates (the q20 SHA shape) verified character-exactly
+    * by the threshold-bounded Levenshtein kernel
+    * ([[Dedup.editDistanceVerify]]). Levenshtein work is O(candidates),
+    * proportional to the near-dup rate at any corpus size — the
+    * length-band self-join form ([[Dedup.editDistancePairs]]) grows
+    * quadratically and stays spec-only. */
+  private def editDistanceQ(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    Dedup.editDistanceVerify(docs, "doc_id", "text",
+      Dedup.minhashLshPairsSha(docs, "doc_id", "text"), maxDist = 100)
+  }
 
   /** Weighted sampling without replacement (q84): per-source top-5 by
     * exponential race keyed on token-count weight
@@ -1089,6 +1094,36 @@ object SparkEntry {
         col("valid_to").as("valid_to_us"),
         col("version"), col("is_current"))
 
+  /** GROUPING SETS (q91): the general form behind q86's rollup — an
+    * explicit set list including a cross-cut ((rf,ls), (rf), (ls)) that
+    * no single ROLLUP/CUBE chain expresses, still ONE Expand-based
+    * aggregation pass over one scan of the fact table. */
+  private def groupingSetsQ(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping(col("l_returnflag")).cast("long").as("g_rf"),
+        grouping(col("l_linestatus")).cast("long").as("g_ls"),
+        count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+
+  /** Distribution windows (q92): per event type, each user's activity
+    * quartile / percent_rank / cume_dist — the reporting-tier ranking
+    * surface (W-family completeness beyond rank/row_number). Both ranks
+    * are exact integer-derived doubles, so rounding matches any engine;
+    * ties broken by user_id for full determinism. */
+  private def userDistributionQ(s: SparkSession, d: String): DataFrame = {
+    val counts = events(s, d).groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("n").desc, col("user_id").asc)
+    counts.select(col("event_type"), col("user_id"), col("n"),
+      ntile(4).over(w).cast("long").as("quartile"),
+      round(percent_rank().over(w), 6).as("pct_rank"),
+      round(cume_dist().over(w), 6).as("cume"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"    -> (pricingSummary _),
     "q02_revenue_filter"     -> (revenueFilter _),
@@ -1180,6 +1215,8 @@ object SparkEntry {
     "q88_set_ops"            -> (setOpsQ _),
     "q89_cdc_merge"          -> (cdcMergeQ _),
     "q90_scd2_history"       -> (scd2Q _),
+    "q91_grouping_sets"      -> (groupingSetsQ _),
+    "q92_user_distribution"  -> (userDistributionQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -1780,16 +1817,20 @@ object SparkEntry {
         |  FROM o FULL JOIN n ON o.doc_id = n.doc_id)
         |WHERE status IS NOT NULL""".stripMargin,
 
-    // q83: unbounded levenshtein + a <= filter computes the same pair set
-    // as Spark's threshold-banded kernel (which returns -1 past the bound)
+    // q83: the q20 SHA banded-LSH candidate CTEs, then unbounded
+    // levenshtein + a <= filter — the same pair set as Spark's
+    // threshold-banded kernel (which returns -1 past the bound)
     "q83_edit_distance" ->
-      """WITH v AS (SELECT doc_id, source, text, length(text) // 128 AS band
-        |  FROM documents WHERE text IS NOT NULL)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  levenshtein(a.text, b.text)::BIGINT AS dist
-        |FROM v a JOIN v b
-        |  ON a.source = b.source AND a.band = b.band AND a.doc_id < b.doc_id
-        |WHERE levenshtein(a.text, b.text) <= 100""".stripMargin,
+      s"""$minhashSigCte,
+         |cand AS (
+         |  SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
+         |  FROM bk x JOIN bk y ON x.band = y.band AND x.v0 = y.v0 AND x.v1 = y.v1
+         |    AND x.v2 = y.v2 AND x.v3 = y.v3 AND x.doc < y.doc)
+         |SELECT doc_a AS id_a, doc_b AS id_b,
+         |  levenshtein(a.text, b.text)::BIGINT AS dist
+         |FROM cand JOIN documents a ON doc_a = a.doc_id
+         |  JOIN documents b ON doc_b = b.doc_id
+         |WHERE levenshtein(a.text, b.text) <= 100""".stripMargin,
 
     // q84: the identical exponential-race key — (lane+1)/2^60 ∈ (0,1],
     // -ln(u)/w — ranked per source; the race key itself is not emitted,
@@ -1890,6 +1931,30 @@ object SparkEntry {
         |  row_number() OVER w2 AS version,
         |  lead(us) OVER w2 IS NULL AS is_current
         |FROM c WINDOW w2 AS (PARTITION BY user_id ORDER BY us, event_id)""".stripMargin,
+
+    // q91: identical explicit set list; GROUPING() flags disambiguate
+    // subtotal rows exactly like Spark's grouping()
+    "q91_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  grouping(l_returnflag)::BIGINT AS g_rf,
+        |  grouping(l_linestatus)::BIGINT AS g_ls,
+        |  count(*)::BIGINT AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_returnflag), (l_linestatus))""".stripMargin,
+
+    // q92: ntile/percent_rank/cume_dist are rank-arithmetic on exact
+    // integers in both engines, so the rounded doubles hash-match
+    "q92_user_distribution" ->
+      """WITH c AS (SELECT event_type, user_id, count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, user_id, n,
+        |  (ntile(4) OVER w)::BIGINT AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume
+        |FROM c WINDOW w AS (
+        |  PARTITION BY event_type ORDER BY n DESC, user_id ASC)""".stripMargin,
 
     "q62_corpus_build2" -> corpusBuild2Oracle,
     // rate arithmetic written as the same left-assoc (w · B) / t double

@@ -472,4 +472,136 @@ object Streams {
       spark.table(s"${tablePrefix}_assigned"),
       graft.operators.Knn.centroidMatrix(
         centroids.select(col(idCol).as("cid"), col(vecCol).as("cv"))))
+
+  /**
+   * Streaming SCD-1 state maintenance — the streaming MERGE INTO: fold a
+   * CDC changelog stream into a persisted current-state table with
+   * BUCKET-PARTIAL rewrites. The state lives hash-bucketed by key
+   * (`bucket = pmod(xxhash64(keys), nBuckets)`); each micro-batch merges
+   * its delta into ONLY the buckets containing changed keys
+   * ([[graft.operators.Cdc.merge]] — latest change wins, `deleteOp`
+   * tombstones drop), so per batch the engine reads and rewrites
+   * O(delta + touched buckets) — never the full state. That is what
+   * keeps a nightly merge into a 100 TB state table a shuffle of the
+   * delta instead of a rebuild, and it is the file-pruning idea behind
+   * lakehouse MERGE applied with plain parquet.
+   *
+   * Layout and crash safety (single writer, at-least-once foreachBatch):
+   * a batch writes its touched buckets under `stateDir/v=<batchId>/
+   * bucket=<b>` — overwriting only its OWN `v=` dir, so a checkpoint
+   * replay is idempotent (same delta, same base, same output dir; the
+   * failed attempt's dir is excluded from its own base by `v < batchId`).
+   * A bucket's current version is its LARGEST `v=`; the merge base is the
+   * largest `v < batchId`, which is never deleted until a LATER batch
+   * supersedes it (cleanup removes only versions strictly below the base
+   * just read), so no crash point can strand a bucket without its base —
+   * the failure mode in-place overwrites cannot avoid. Each bucket
+   * settles at ≤2 resident versions. Per-batch driver work is directory
+   * listing bounded by `nBuckets` × 2 — metadata, not data.
+   *
+   * `orderDesc` are column names by DESCENDING priority ("latest wins"),
+   * ties broken by the last of them (pass a unique column, e.g. an event
+   * id). The state keeps the changelog schema — `opCol` and order columns
+   * included — and RETAINS tombstone rows rather than dropping them at
+   * write time, for two load-bearing reasons: a bucket whose keys were
+   * all deleted would otherwise produce an EMPTY write (partitioned
+   * writers emit no dir for an empty partition), leaving the stale prior
+   * version as the bucket's newest — a resurrection bug; and a retained
+   * tombstone keeps ordering against LATE-arriving older updates, which
+   * must not resurrect a deleted key. [[readScd1State]] filters
+   * tombstones out of the served state.
+   */
+  def incrementalScd1(changeStream: DataFrame, keys: Seq[String],
+                      orderDesc: Seq[String],
+                      stateDir: String, nBuckets: Int = 64): DataStreamWriter[Row] =
+    changeStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import org.apache.hadoop.fs.Path
+        val spark = batch.sparkSession
+        val root = new Path(stateDir)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val bucketOf = pmod(xxhash64(keys.map(col): _*), lit(nBuckets.toLong))
+        val delta = batch.withColumn("bucket", bucketOf).cache()
+        try {
+          val changed = delta.select("bucket").distinct()
+            .collect().map(_.getLong(0)).toSeq
+          if (changed.nonEmpty) {
+            // (bucket -> resident versions) from one bounded listing
+            val vers: Map[Long, Seq[Long]] =
+              if (!fs.exists(root)) Map.empty
+              else fs.listStatus(root)
+                .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+                .flatMap { vd =>
+                  val v = vd.getPath.getName.stripPrefix("v=").toLong
+                  fs.listStatus(vd.getPath)
+                    .filter(s => s.isDirectory &&
+                      s.getPath.getName.startsWith("bucket="))
+                    .map(bd =>
+                      (bd.getPath.getName.stripPrefix("bucket=").toLong, v))
+                }.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+            def baseV(b: Long): Option[Long] =
+              vers.getOrElse(b, Seq.empty).filter(_ < batchId).maxOption
+            val basePaths = changed.flatMap(b =>
+              baseV(b).map(v => s"$stateDir/v=$v/bucket=$b"))
+            val base =
+              if (basePaths.isEmpty) delta.limit(0)
+              else spark.read.parquet(basePaths: _*)
+                .withColumn("bucket", bucketOf) // dir-addressed read: re-derive
+            // keep-latest WITHOUT the tombstone filter — see scaladoc: a
+            // changed bucket always writes >= 1 row, and deletes stay
+            // orderable against late-arriving older updates
+            graft.operators.Curate.keepLatest(base.unionByName(delta), keys,
+                orderDesc.map(col(_).desc))
+              .write.mode("overwrite").partitionBy("bucket")
+              .parquet(s"$stateDir/v=$batchId")
+            // retire versions strictly below the base just read (the base
+            // itself stays until a LATER batch supersedes it — a replay of
+            // THIS batch still needs it); then drop empty v= dirs
+            changed.foreach { b =>
+              for (bv <- baseV(b); v <- vers(b) if v < bv)
+                fs.delete(new Path(s"$stateDir/v=$v/bucket=$b"), true)
+            }
+            fs.listStatus(root)
+              .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+              .foreach { vd =>
+                if (!fs.listStatus(vd.getPath)
+                      .exists(_.getPath.getName.startsWith("bucket=")))
+                  fs.delete(vd.getPath, true)
+              }
+            ()
+          }
+        } finally { delta.unpersist(); () }
+      }
+
+  /** The live state written by [[incrementalScd1]]: per bucket the
+    * newest resident `v=` wins, and rows whose latest change is the
+    * `deleteOp` tombstone are filtered from the served state (they stay
+    * in storage to order against late data — see [[incrementalScd1]]).
+    * Returns the changelog-schema rows — directly re-enterable as a
+    * [[graft.operators.Cdc.merge]] base (e.g. to seed a backfill) or
+    * publishable via [[graft.sinks.Publish]]. */
+  def readScd1State(spark: org.apache.spark.sql.SparkSession,
+                    stateDir: String, opCol: String,
+                    deleteOp: String): DataFrame =
+    readScd1Raw(spark, stateDir).filter(col(opCol) =!= lit(deleteOp))
+
+  /** [[readScd1State]] without the tombstone filter — the raw retained
+    * state, tombstones included (what a backfill merge re-enters). */
+  def readScd1Raw(spark: org.apache.spark.sql.SparkSession,
+                  stateDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(stateDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val latest = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .flatMap { vd =>
+        val v = vd.getPath.getName.stripPrefix("v=").toLong
+        fs.listStatus(vd.getPath)
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+          .map(bd => (bd.getPath.getName.stripPrefix("bucket=").toLong, v))
+      }.groupBy(_._1).map { case (b, vs) =>
+        s"$stateDir/v=${vs.map(_._2).max}/bucket=$b"
+      }.toSeq
+    spark.read.parquet(latest: _*)
+  }
 }

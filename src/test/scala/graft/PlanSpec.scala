@@ -424,11 +424,13 @@ class PlanSpec extends SparkSpec {
       p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
   }
 
-  test("q83 edit distance: banded equi-join candidates — never all-pairs") {
+  test("q83 edit distance: LSH candidates feed the verifier — never all-pairs") {
     val p = plan("q83_edit_distance")
     assert(!p.contains("CartesianProduct") &&
       countOf(p, "BroadcastNestedLoopJoin") === 0,
-      "candidates must form via the (source, band) equi-join")
+      "candidates must come from the banded-LSH equi-join")
+    // the signature kernel stays scan-side: no aggregation builds it
+    assert(!p.contains("partial_min"), "signatures must be scan-side kernels")
   }
 
   test("q84 weighted sample: rank filter compiles to WindowGroupLimit") {
@@ -496,6 +498,22 @@ class PlanSpec extends SparkSpec {
       p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
     assert(countOf(p, "Sort \\[") <= 1,
       p.linesIterator.filter(_.contains("Sort")).mkString("\n"))
+  }
+
+  test("q91 grouping sets: one Expand pass over one scan, single aggregate shuffle") {
+    val p = plan("q91_grouping_sets")
+    assert(p.contains("Expand"), "grouping sets must plan via Expand")
+    assert(!p.contains("Join") && countOf(p, "Scan parquet") === 1,
+      "one scan of the fact table, no self-union")
+    assert(countOf(p, "Exchange hashpartitioning") <= 1,
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
+  test("q92 distribution windows: grouped counts then one partitioned window, no joins") {
+    val p = plan("q92_user_distribution")
+    assert(!p.contains("Join"))
+    assert(countOf(p, "Exchange hashpartitioning") <= 2,
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
   }
 
   test("k-means Lloyd update: no Generate, one fixed-width aggregate exchange") {

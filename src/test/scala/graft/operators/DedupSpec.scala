@@ -328,6 +328,20 @@ class DedupSpec extends SparkSpec {
     assert(!out.contains(5L))
   }
 
+  test("edit-distance verify: bounded kernel over explicit candidates only") {
+    val docs = Seq((1L, "kitten"), (2L, "sitting"), (3L, "kitchen"),
+      (4L, "completely different text"), (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val cand = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L))
+      .toDF("doc_a", "doc_b")
+    val out = Dedup.editDistanceVerify(docs, "doc_id", "text", cand, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // kitten-sitting = 3 (at the bound), kitten-kitchen = 2; 1-4 exceeds
+    // the bound (kernel returns -1), 1-5 has NULL text, and the in-reach
+    // pair (2,3) is NOT a candidate so it must not appear
+    assert(out === Map((1L, 2L) -> 3L, (1L, 3L) -> 2L))
+  }
+
   test("decontamination flags train docs sharing >= minHits shingles with eval") {
     // eval quotes doc 20's phrasing; doc 11 is an exact copy of eval text;
     // 30/31 share nothing; 50 is too short to shingle; 51 has NULL text

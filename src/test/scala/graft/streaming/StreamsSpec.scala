@@ -384,6 +384,68 @@ class StreamsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted.toSeq === Seq(0L, 1L, 2L, 3L))
   }
 
+  test("incremental SCD-1 state: bucket-partial rewrites equal the batch merge") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = Files.createTempDirectory("scd1_state").toString
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Long, Long, String)]
+    val stream = input.toDS().toDF("k", "state", "seq", "id", "op")
+    val dir = s"$base/state"
+    val q = Streams.incrementalScd1(stream, Seq("k"), Seq("seq", "id"),
+        dir, nBuckets = 8)
+      .option("checkpointLocation", s"$base/ckpt").start()
+    try {
+      val b1 = Seq((1L, "a", 1L, 1L, "U"), (2L, "x", 1L, 2L, "U"),
+        (3L, "m", 1L, 3L, "U"))
+      input.addData(b1: _*); q.processAllAvailable()
+      assert(Streams.readScd1State(spark, dir, "op", "D").select("k", "state")
+        .as[(Long, String)].collect().toMap ===
+        Map(1L -> "a", 2L -> "x", 3L -> "m"))
+
+      // batch 2 updates k=1, tombstones k=2, never mentions k=3
+      val b2 = Seq((1L, "b", 2L, 4L, "U"), (2L, "x", 2L, 5L, "D"))
+      input.addData(b2: _*); q.processAllAvailable()
+      val live = Streams.readScd1State(spark, dir, "op", "D")
+      assert(live.select("k", "state").as[(Long, String)].collect().toMap ===
+        Map(1L -> "b", 3L -> "m"))
+      // the tombstone is RETAINED in raw storage (it must order against
+      // late-arriving older updates), only filtered from the served state
+      assert(Streams.readScd1Raw(spark, dir).filter(col("k") === 2L)
+        .select("op").as[String].collect().toSeq === Seq("D"))
+
+      // state == one-shot Cdc.merge of the whole log (schema included)
+      val log = (b1 ++ b2).toDF("k", "state", "seq", "id", "op")
+      val oneShot = graft.operators.Cdc.merge(log, Seq("k"),
+        Seq(col("seq").desc, col("id").desc), "op", "D")
+      assert(live.drop("bucket").exceptAll(oneShot).isEmpty &&
+        oneShot.exceptAll(live.drop("bucket")).isEmpty)
+
+      // bucket-partial: a bucket batch 2 never touched is still served
+      // from batch 1's version dir (only touched buckets rewrote)
+      val bucketOf = Seq(1L, 2L, 3L).map(k => k ->
+        Seq(k).toDF("k").select(pmod(xxhash64(col("k")), lit(8L)))
+          .head().getLong(0)).toMap
+      if (!Set(bucketOf(1L), bucketOf(2L)).contains(bucketOf(3L)))
+        assert(new java.io.File(s"$dir/v=0/bucket=${bucketOf(3L)}").isDirectory,
+          "untouched bucket must remain in its original version dir")
+
+      // batch 3: re-touch k=1 (retires superseded versions) and send a
+      // LATE, OLDER update for deleted k=2 — the retained tombstone must
+      // win the merge, not resurrect the key
+      input.addData((1L, "c", 3L, 6L, "U"), (2L, "late", 1L, 7L, "U"))
+      q.processAllAvailable()
+      val vDirs = new java.io.File(dir).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("v="))
+        .flatMap(vd => vd.listFiles()
+          .filter(b => b.isDirectory && b.getName == s"bucket=${bucketOf(1L)}"))
+      assert(vDirs.length <= 2,
+        s"bucket of k=1 holds ${vDirs.length} versions")
+      assert(Streams.readScd1State(spark, dir, "op", "D").select("k", "state")
+        .as[(Long, String)].collect().toMap ===
+        Map(1L -> "c", 3L -> "m"))
+    } finally q.stop()
+  }
+
   test("stateful sessionize: in-batch close, timeout close, exact durations") {
     import StatefulSessionize.{Event, Session}
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
