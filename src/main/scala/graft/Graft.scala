@@ -19,11 +19,17 @@ import org.apache.spark.sql.SparkSession
  */
 object Graft {
 
-  /** Apply engine configs + function registration to an existing session. */
+  /** Apply engine configs + function registration to an existing session,
+    * and attach the engine's optimizer rules (idempotently) — the runtime
+    * twin of deploying with
+    * `spark.sql.extensions=graft.GraftSparkExtensions`. */
   def configure(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     GraftExpressions.register(spark)
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.BoundLevenshtein))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.BoundLevenshtein
     spark
   }
 

@@ -19,8 +19,15 @@ import org.apache.spark.sql.SparkSessionExtensions
  * [[graft.functions.expressions.GraftExpressions.register]] call the
  * operator entry points also perform defensively. Same builder list as
  * that imperative path — one source of truth.
+ *
+ * Also injects the engine's optimizer rules
+ * ([[graft.plans.BoundLevenshtein]]) into Catalyst's operator
+ * optimization batch; [[graft.Graft.configure]] attaches the same rules
+ * to an already-built session via `experimental.extraOptimizations`.
  */
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     graft.functions.expressions.GraftExpressions.all.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => graft.plans.BoundLevenshtein)
+  }
 }
