@@ -474,6 +474,45 @@ object Streams {
         centroids.select(col(idCol).as("cid"), col(vecCol).as("cv"))))
 
   /**
+   * Watermarked stream-stream interval join — the missing relational
+   * primitive between two live feeds (impression→click attribution, probe
+   * →response pairing, order→shipment latency): for each left event, match
+   * right events with the same key whose event time falls in
+   * `[leftTs, leftTs + within]`.
+   *
+   * Both sides carry watermarks, and the join condition bounds rightTs
+   * relative to leftTs from BOTH directions — together that is exactly
+   * what lets Spark compute a state eviction horizon for each side: a
+   * buffered left row is droppable once the right watermark passes
+   * `leftTs + within`; a buffered right row once the left watermark
+   * passes `rightTs`. Without the two-sided bound the state store grows
+   * without limit (Spark accepts the query but buffers forever — the
+   * classic stream-join OOM at 100 TB/day feeds). State is hash-
+   * partitioned by key: scale-out is by key cardinality, and a hot key
+   * is a real skew concern the caller addresses upstream (salt the key
+   * into sub-lanes and union, as [[graft.operators.Salt]] does for batch).
+   *
+   * `joinType` may be `inner`, `left_outer` (unmatched left emits once
+   * the watermark proves no match can arrive — the "impression with no
+   * click" lane), or `right_outer`.
+   */
+  def streamIntervalJoin(left: DataFrame, right: DataFrame,
+                         keyCols: Seq[String],
+                         leftTs: String, rightTs: String,
+                         within: String = "15 minutes",
+                         leftWatermark: String = "30 minutes",
+                         rightWatermark: String = "30 minutes",
+                         joinType: String = "inner"): DataFrame = {
+    val l = left.withWatermark(leftTs, leftWatermark).alias("l")
+    val r = right.withWatermark(rightTs, rightWatermark).alias("r")
+    val keyCond = keyCols.map(k => col(s"l.$k") === col(s"r.$k"))
+      .reduce(_ && _)
+    val timeCond = col(s"r.$rightTs") >= col(s"l.$leftTs") &&
+      col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $within")
+    l.join(r, keyCond && timeCond, joinType)
+  }
+
+  /**
    * Streaming SCD-1 state maintenance — the streaming MERGE INTO: fold a
    * CDC changelog stream into a persisted current-state table with
    * BUCKET-PARTIAL rewrites. The state lives hash-bucketed by key

@@ -586,4 +586,53 @@ class StreamsSpec extends SparkSpec {
     assert(out.count(_._1 == 1L) === 2)  // gap 4900s > 30min splits user 1
     assert(out.count(_._1 == 2L) === 1)
   }
+
+  test("stream-stream interval join: in-window matches, bound exclusion, outer nulls") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    def ts(offSec: Long) = new java.sql.Timestamp(t0 + offSec * 1000)
+
+    val imps = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val clicks = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val joined = Streams.streamIntervalJoin(
+      imps.toDF().toDF("user_id", "imp_id", "imp_ts"),
+      clicks.toDF().toDF("user_id", "click_id", "click_ts"),
+      keyCols = Seq("user_id"), leftTs = "imp_ts", rightTs = "click_ts",
+      within = "15 minutes", leftWatermark = "10 seconds",
+      rightWatermark = "10 seconds", joinType = "left_outer")
+      .select(col("l.imp_id"), col("r.click_id"))
+    val q = joined.writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    try {
+      // u1: click 60s after imp (in window) and another at 16min (out);
+      // u2: click BEFORE the imp (out — the bound is one-directional);
+      // u3: imp with no click at all (outer-null once watermark proves it)
+      imps.addData((1L, 10L, ts(0)), (2L, 20L, ts(0)), (3L, 30L, ts(0)))
+      clicks.addData((1L, 100L, ts(60)), (1L, 101L, ts(16 * 60)),
+        (2L, 200L, ts(-60)))
+      q.processAllAvailable()
+      val matched = spark.table("attrib")
+        .filter(col("click_id").isNotNull).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(matched === Set((10L, 100L)),
+        "only the in-window same-key click may match")
+
+      // advance BOTH watermarks far past imp_ts+within so the unmatched
+      // impressions' no-match proof completes, then nudge a batch through
+      imps.addData((9L, 90L, ts(4000)))
+      clicks.addData((9L, 900L, ts(4000)))
+      q.processAllAvailable()
+      imps.addData((9L, 91L, ts(4001)))
+      clicks.addData((9L, 901L, ts(4001)))
+      q.processAllAvailable()
+      val unmatched = spark.table("attrib")
+        .filter(col("click_id").isNull).collect()
+        .map(_.getLong(0)).toSet
+      assert(Set(20L, 30L).subsetOf(unmatched),
+        "watermark-expired impressions must emit outer nulls")
+      assert(!unmatched.contains(10L), "matched impression must not re-emit")
+    } finally q.stop()
+  }
 }
