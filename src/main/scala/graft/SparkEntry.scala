@@ -1124,6 +1124,22 @@ object SparkEntry {
       round(cume_dist().over(w), 6).as("cume"))
   }
 
+  /** Canonical dedup survivors (q93): the decision step AFTER pair
+    * finding (q15) and component labeling (q34) — per near-dup component
+    * keep the highest-quality doc (distinct-token count, ties to the
+    * smallest id) and count what it replaces
+    * ([[Dedup.canonicalize]] — one component-keyed shuffle feeds both
+    * the argmax window and the aggregate). */
+  private def canonicalDocsQ(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).filter(col("doc_id") < 1000)
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 2, threshold = 0.2)
+    val comps = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+    val qual = docs.select(col("doc_id"),
+      size(array_distinct(Text.tokens(col("text")))).cast("long").as("quality"))
+    Dedup.canonicalize(comps, qual, "doc_id", "quality")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"    -> (pricingSummary _),
     "q02_revenue_filter"     -> (revenueFilter _),
@@ -1217,6 +1233,7 @@ object SparkEntry {
     "q90_scd2_history"       -> (scd2Q _),
     "q91_grouping_sets"      -> (groupingSetsQ _),
     "q92_user_distribution"  -> (userDistributionQ _),
+    "q93_canonical_docs"     -> (canonicalDocsQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -1943,6 +1960,48 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
         |  (l_returnflag), (l_linestatus))""".stripMargin,
+
+    // q93: q34's recursive component CTE, then the same deterministic
+    // argmax (quality DESC, doc ASC) — rn arithmetic is engine-agnostic
+    "q93_canonical_docs" ->
+      """WITH RECURSIVE
+        |t AS (
+        |  SELECT doc_id, str_split(text, ' ') AS toks
+        |  FROM documents WHERE doc_id < 1000),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))])) AS sh
+        |  FROM t WHERE len(toks) >= 2),
+        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |p AS (
+        |  SELECT doc_a, doc_b FROM (
+        |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        |    FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |    GROUP BY 1, 2) i
+        |  JOIN cnt ca ON doc_a = ca.doc_id
+        |  JOIN cnt cb ON doc_b = cb.doc_id
+        |  WHERE n_inter / (ca.n_sh + cb.n_sh - n_inter) >= 0.2),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM p
+        |  UNION ALL SELECT doc_b, doc_a FROM p),
+        |verts AS (SELECT DISTINCT src AS doc FROM edges),
+        |reach(src, dst) AS (
+        |  SELECT doc, doc FROM verts
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |comp AS (SELECT src AS doc, min(dst) AS component FROM reach GROUP BY src),
+        |qual AS (
+        |  SELECT doc_id, CAST(len(list_distinct(str_split(text, ' '))) AS BIGINT)
+        |    AS quality
+        |  FROM documents WHERE doc_id < 1000),
+        |r AS (
+        |  SELECT component, doc, quality, row_number() OVER (
+        |    PARTITION BY component ORDER BY quality DESC, doc ASC) AS rn
+        |  FROM comp JOIN qual ON doc = doc_id)
+        |SELECT component, count(*)::BIGINT AS n_docs,
+        |  max(CASE WHEN rn = 1 THEN doc END) AS kept_doc,
+        |  max(CASE WHEN rn = 1 THEN quality END) AS kept_quality
+        |FROM r GROUP BY component""".stripMargin,
 
     // q92: ntile/percent_rank/cume_dist are rank-arithmetic on exact
     // integers in both engines, so the rounded doubles hash-match

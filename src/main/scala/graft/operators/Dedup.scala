@@ -844,6 +844,37 @@ object Dedup {
       .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"), col("dist"))
   }
 
+  /**
+   * Canonical-survivor selection — the decision step a dedup pipeline
+   * runs AFTER pair finding and component labeling: per near-dup
+   * component, keep the single best doc and count what it replaces.
+   * `components` is [[connectedComponents]] output `(doc, component)`;
+   * `quality` maps each doc id to a comparable score (tokens, a model
+   * score, …). The survivor is argmax quality, ties to the SMALLEST doc
+   * id — fully deterministic, so reruns and engines agree. Singleton
+   * docs (no near-dup pair) never reach the component graph and are
+   * trivially their own canonical upstream.
+   *
+   * Returns (component, n_docs, kept_doc, kept_quality).
+   *
+   * Scale shape: one hash shuffle on `component` feeds BOTH the
+   * row_number window and the aggregate (same key, exchange reused);
+   * the quality join is id-keyed — scores ride, payloads don't.
+   */
+  def canonicalize(components: DataFrame, quality: DataFrame,
+                   idCol: String, qualityCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component"))
+      .orderBy(col(qualityCol).desc, col("doc").asc)
+    components
+      .join(quality, col("doc") === col(idCol))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(when(col("rn") === 1, col("doc"))).as("kept_doc"),
+        max(when(col("rn") === 1, col(qualityCol))).as("kept_quality"))
+  }
+
   def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
                         groupCols: Seq[String], bandChars: Int,
                         maxDist: Int): DataFrame = {

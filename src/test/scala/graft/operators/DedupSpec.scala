@@ -364,4 +364,20 @@ class DedupSpec extends SparkSpec {
     // n_hit never exceeds n_shingles, and a doc's hits are distinct shingles
     rows.values.foreach { case (nSh, nHit, _) => assert(nHit <= nSh) }
   }
+
+  test("canonicalize keeps the argmax-quality doc per component, ties to min id") {
+    // components: {1,2,3} labeled 1, {7,8} labeled 7
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
+      .toDF("doc", "component")
+    // component 1: doc 2 wins on quality; component 7: tie → min id 7
+    val qual = Seq((1L, 5L), (2L, 9L), (3L, 9L), (7L, 4L), (8L, 4L),
+      (99L, 100L)) // unlabeled doc must not leak in
+      .toDF("doc_id", "quality")
+    val out = Dedup.canonicalize(comps, qual, "doc_id", "quality").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out === Map(
+      1L -> ((3L, 2L, 9L)),   // 3 docs, doc 2 (quality 9 beats 9@3 by id)
+      7L -> ((2L, 7L, 4L))))  // tie at 4 → smallest id
+  }
 }
