@@ -1140,6 +1140,15 @@ object SparkEntry {
     Dedup.canonicalize(comps, qual, "doc_id", "quality")
   }
 
+  /** Disproportionality signals (q94): PRR/ROR/χ² over the (source ×
+    * lang) report contingency — the pharmacovigilance association screen
+    * (Evans criteria) behind the reference's signal tier
+    * ([[EarlySignals.disproportionality]] — one shuffle over the report
+    * grain; margins and totals re-aggregate the tiny cell table through
+    * ReuseExchange, every join above it a broadcast). */
+  private def prrSignalsQ(s: SparkSession, d: String): DataFrame =
+    EarlySignals.disproportionality(documents(s, d), "source", "lang")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"    -> (pricingSummary _),
     "q02_revenue_filter"     -> (revenueFilter _),
@@ -1234,6 +1243,7 @@ object SparkEntry {
     "q91_grouping_sets"      -> (groupingSetsQ _),
     "q92_user_distribution"  -> (userDistributionQ _),
     "q93_canonical_docs"     -> (canonicalDocsQ _),
+    "q94_prr_signals"        -> (prrSignalsQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -2002,6 +2012,49 @@ object SparkEntry {
         |  max(CASE WHEN rn = 1 THEN doc END) AS kept_doc,
         |  max(CASE WHEN rn = 1 THEN quality END) AS kept_quality
         |FROM r GROUP BY component""".stripMargin,
+
+    // q94: every statistic is rational arithmetic over exact integer
+    // counts plus one sqrt (IEEE correctly-rounded in both engines) —
+    // expression trees mirror SparkEntry's left-associative order
+    // exactly, so the rounded doubles hash-match; ln/exp (CI bounds)
+    // are deliberately left to callers (last-ulp engine divergence)
+    "q94_prr_signals" ->
+      """WITH r AS (
+        |  SELECT source, lang FROM documents
+        |  WHERE source IS NOT NULL AND lang IS NOT NULL),
+        |cells AS (
+        |  SELECT source, lang, count(*)::BIGINT AS a FROM r GROUP BY 1, 2),
+        |et AS (SELECT source, sum(a)::BIGINT AS n_entity FROM cells GROUP BY 1),
+        |vt AS (SELECT lang, sum(a)::BIGINT AS n_event FROM cells GROUP BY 1),
+        |g AS (SELECT sum(a)::BIGINT AS n_total FROM cells),
+        |j AS (
+        |  SELECT source, lang, a, n_entity, n_event, n_total,
+        |    a::DOUBLE AS ad, (n_entity - a)::DOUBLE AS b,
+        |    (n_event - a)::DOUBLE AS c,
+        |    (n_total - n_entity - n_event + a)::DOUBLE AS dd,
+        |    n_total::DOUBLE AS nd
+        |  FROM cells JOIN et USING (source) JOIN vt USING (lang) CROSS JOIN g
+        |  WHERE a >= 3),
+        |s AS (
+        |  SELECT *, ad * dd - b * c AS chinum,
+        |    CASE WHEN c > 0 THEN (ad / n_entity) / (c / (nd - n_entity))
+        |         ELSE 'infinity'::DOUBLE END AS prr_raw,
+        |    nd * (ad * dd - b * c) * (ad * dd - b * c) /
+        |      (n_entity::DOUBLE * (nd - n_entity) * n_event * (nd - n_event))
+        |      AS chi2_raw
+        |  FROM j)
+        |SELECT source, lang, a AS n_reports, n_entity, n_event, n_total,
+        |  round(n_entity::DOUBLE * n_event / nd, 4) AS expected,
+        |  round(CASE WHEN c > 0
+        |    THEN (ad / n_entity) / (c / (nd - n_entity)) END, 4) AS prr,
+        |  round(CASE WHEN b > 0 AND c > 0 THEN ad * dd / (b * c) END, 4)
+        |    AS ror,
+        |  round(CASE WHEN b > 0 AND c > 0
+        |    THEN sqrt(1.0 / ad + 1.0 / b + 1.0 / c + 1.0 / dd) END, 4)
+        |    AS se_log_ror,
+        |  round(chi2_raw, 4) AS chi2,
+        |  (prr_raw >= 2.0 AND chi2_raw >= 4.0) AS is_signal
+        |FROM s""".stripMargin,
 
     // q92: ntile/percent_rank/cume_dist are rank-arithmetic on exact
     // integers in both engines, so the rounded doubles hash-match

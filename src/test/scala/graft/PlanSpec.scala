@@ -516,6 +516,30 @@ class PlanSpec extends SparkSpec {
       p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
   }
 
+  test("q94 disproportionality: one report shuffle, margins reuse it, joins broadcast") {
+    // AQE performs exchange reuse at stage materialization, not planning —
+    // execute first, then read the final adaptive plan
+    val df = SparkEntry.queries("q94_prr_signals")(spark, d)
+    df.collect()
+    // the adaptive plan string appends the pre-execution "Initial Plan" —
+    // assert against the final section only
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the report-grain table shuffles once into (entity, event) cells; the
+    // margins and the grand total re-aggregate that cell stage as
+    // ReusedExchange / reused stages, so report volume moves exactly once
+    assert(countOf(p, "ReusedExchange") >= 3,
+      p.linesIterator.filter(l => l.contains("Exchange") || l.contains("Scan"))
+        .mkString("\n"))
+    // the only hash exchanges materialized over report-DERIVED volume are
+    // the cell count itself plus the two tiny margin re-partitions (a
+    // ReusedExchange line cites its target, so count lines, not matches)
+    val hashExchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange"))
+    assert(hashExchanges <= 3,
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("k-means Lloyd update: no Generate, one fixed-width aggregate exchange") {
     // the r3 stretch item: training must never explode the corpus into
     // corpus x dim rows -- the vector-sum aggregate keeps per-group state

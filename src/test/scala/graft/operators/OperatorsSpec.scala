@@ -28,6 +28,42 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(z5 - (30.0 - 11.5) / 1.2909944487358056) < 1e-9)
   }
 
+  test("disproportionality: PRR/ROR/chi2/se against hand-computed 2x2 cells") {
+    val reports = (Seq.fill(8)(("X", "head")) ++ Seq.fill(2)(("X", "nausea")) ++
+      Seq.fill(4)(("Y", "head")) ++ Seq.fill(16)(("Y", "nausea")) ++
+      Seq.fill(1)(("Z", "head"))).toDF("drug", "reaction")
+    val out = EarlySignals.disproportionality(reports, "drug", "reaction")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+
+    // (Z,head) a=1 and (X,nausea) a=2 are screened (minCount=3), but their
+    // reports still count in every margin: n_head=13, n_nausea=18, N=31
+    assert(out.keySet === Set(("X", "head"), ("Y", "head"), ("Y", "nausea")))
+    val xh = out(("X", "head")) // a=8 b=2 c=5 d=16
+    assert(xh.getLong(5) === 31L && xh.getLong(4) === 13L)
+    assert(xh.getDouble(7) === 3.36)    // PRR (8/10)/(5/21)
+    assert(xh.getDouble(8) === 12.8)    // ROR 128/10
+    assert(xh.getDouble(9) === 0.9421)  // sqrt(1/8+1/2+1/5+1/16)
+    assert(xh.getDouble(10) === 8.784)  // 31*(128-10)^2/(10*21*13*18)
+    assert(xh.getBoolean(11))
+    val yh = out(("Y", "head"))  // a=4 b=16 c=9 d=2: protective, not a signal
+    assert(yh.getDouble(7) === 0.2444 && yh.getDouble(8) === 0.0556)
+    assert(yh.getDouble(10) === 11.1378 && !yh.getBoolean(11))
+    val yn = out(("Y", "nausea")) // a=16 b=4 c=2 d=9
+    assert(yn.getDouble(7) === 4.4 && yn.getDouble(8) === 18.0)
+    assert(yn.getBoolean(11))
+  }
+
+  test("disproportionality: fully-concentrated margins yield NULL ratios, signal from chi2+Inf") {
+    val reports = (Seq.fill(3)(("W", "solo")) ++ Seq.fill(5)(("V", "other")))
+      .toDF("drug", "reaction")
+    val out = EarlySignals.disproportionality(reports, "drug", "reaction")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val w = out("W") // a=3 b=0 c=0 d=5: PRR/ROR/se undefined, chi2=8
+    assert(w.isNullAt(7) && w.isNullAt(8) && w.isNullAt(9))
+    assert(w.getDouble(10) === 8.0)
+    assert(w.getBoolean(11)) // prr -> +Inf >= 2 and chi2 >= 4
+  }
+
   test("early signals guard: zero variance yields NULL z, not error") {
     val flat = Seq(("m", 1L, 10L), ("m", 2L, 10L), ("m", 3L, 10L), ("m", 4L, 10L))
       .toDF("k", "quarter_index", "n_events")
