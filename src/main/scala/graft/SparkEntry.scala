@@ -1149,6 +1149,28 @@ object SparkEntry {
   private def prrSignalsQ(s: SparkSession, d: String): DataFrame =
     EarlySignals.disproportionality(documents(s, d), "source", "lang")
 
+  /** PageRank centrality (q95): which customers/suppliers anchor the trade
+    * network — deterministic integer-scaled Pregel rounds over the
+    * undirected customer↔supplier order graph ([[Graph.pageRank]]; exact
+    * BIGINT mass units make the iteration bit-reproducible across engines
+    * and partitionings). Node encoding: customers even (2k), suppliers
+    * odd (2k+1), decoded in the projection. */
+  private def pageRankQ(s: SparkSession, d: String): DataFrame = {
+    val pairs = orders(s, d)
+      .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+    val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+      .unionByName(pairs.select(col("s").as("src"), col("c").as("dst")))
+    Graph.pageRank(edges, iterations = 6)
+      .select(
+        when(col("node") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
+          .as("node_type"),
+        when(col("node") % 2 === 0, expr("node div 2"))
+          .otherwise(expr("(node - 1) div 2")).as("entity_id"),
+        col("deg"), col("rank"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"    -> (pricingSummary _),
     "q02_revenue_filter"     -> (revenueFilter _),
@@ -1244,6 +1266,7 @@ object SparkEntry {
     "q92_user_distribution"  -> (userDistributionQ _),
     "q93_canonical_docs"     -> (canonicalDocsQ _),
     "q94_prr_signals"        -> (prrSignalsQ _),
+    "q95_pagerank"           -> (pageRankQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -2055,6 +2078,42 @@ object SparkEntry {
         |  round(chi2_raw, 4) AS chi2,
         |  (prr_raw >= 2.0 AND chi2_raw >= 4.0) AS is_signal
         |FROM s""".stripMargin,
+
+    // q95: every step is BIGINT arithmetic (integer division, associative
+    // integer sums), so six recursive PageRank rounds are bit-identical
+    // to Spark's loop under any evaluation order — no rounding needed
+    "q95_pagerank" ->
+      """WITH RECURSIVE
+        |pairs AS (
+        |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |edges AS (
+        |  SELECT c AS src, s AS dst FROM pairs
+        |  UNION ALL SELECT s, c FROM pairs),
+        |deg AS (SELECT src, count(*)::BIGINT AS deg FROM edges GROUP BY 1),
+        |nn AS (SELECT count(*)::BIGINT AS n FROM deg),
+        |tele AS (
+        |  SELECT (15000000000000 // (100 * n))::BIGINT AS t,
+        |         (1000000000000 // n)::BIGINT AS r0 FROM nn),
+        |pr(iter, node, rank) AS (
+        |  SELECT 0, src, r0 FROM deg CROSS JOIN tele
+        |  UNION ALL
+        |  SELECT p.iter + 1, e.dst,
+        |    (t.t + sum((85 * p.rank) // (100 * d.deg)))::BIGINT
+        |  FROM pr p
+        |  JOIN edges e ON p.node = e.src
+        |  JOIN deg d ON d.src = p.node
+        |  CROSS JOIN tele t
+        |  WHERE p.iter < 6
+        |  GROUP BY 1, 2, t.t)
+        |SELECT
+        |  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+        |    AS node_type,
+        |  (CASE WHEN node % 2 = 0 THEN node ELSE node - 1 END // 2)::BIGINT
+        |    AS entity_id,
+        |  d.deg, p.rank
+        |FROM pr p JOIN deg d ON d.src = p.node
+        |WHERE p.iter = 6""".stripMargin,
 
     // q92: ntile/percent_rank/cume_dist are rank-arithmetic on exact
     // integers in both engines, so the rounded doubles hash-match

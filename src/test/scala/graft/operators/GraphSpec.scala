@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Integer-scaled PageRank: hand-computed rounds, fixed points, totality. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val S = Graph.Scale
+
+  test("pageRank: one round on a 3-node path matches hand integer arithmetic") {
+    // 1 -> 2 -> 3 -> 1 (a directed cycle), plus 1 -> 3.
+    // deg: 1 -> 2, 2 -> 1, 3 -> 1.  N = 3.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val r0 = S / 3
+    val tele = (15L * S) / (100L * 3)
+    val out = Graph.pageRank(edges, 1).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // r1(1) = tele + (85*r0) div 100         (from 3, deg 1)
+    // r1(2) = tele + (85*r0) div 200         (from 1, deg 2)
+    // r1(3) = tele + (85*r0) div 200 + (85*r0) div 100
+    assert(out(1L) === ((2L, tele + (85 * r0) / 100)))
+    assert(out(2L) === ((1L, tele + (85 * r0) / 200)))
+    assert(out(3L) === ((1L, tele + (85 * r0) / 200 + (85 * r0) / 100)))
+  }
+
+  test("pageRank: uniform is the fixed point of a regular graph, mass conserved") {
+    // Undirected 4-cycle: every node has degree 2 -> rank stays SCALE/4
+    // (up to the deterministic integer-floor leak, identical per node).
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val out = Graph.pageRank(edges, 7).collect()
+    assert(out.length === 4)
+    val ranks = out.map(_.getLong(2)).distinct
+    assert(ranks.length === 1, s"regular graph must stay uniform: ${out.toSeq}")
+    assert(math.abs(ranks.head - S / 4) <= 7,
+      "leak is at most 1 unit per iteration per node")
+  }
+
+  test("pageRank: a source node with no in-edges keeps exactly the teleport share") {
+    // 1 -> 2, 2 -> 1 ... and 3 -> 1 with nothing pointing at 3.
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 1L)).toDF("src", "dst")
+    val tele = (15L * S) / (100L * 3)
+    val out = Graph.pageRank(edges, 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(3L) === tele)
+    // the 1<->2 cycle oscillates with decaying amplitude (damping 0.85) —
+    // at the fixed point node 1 (two in-edges) dominates; iterate enough
+    // for the oscillation term (0.85^k) to fall below the gap
+    val deep = Graph.pageRank(edges, 18).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(deep(1L) > deep(2L), "node 1 has two in-edges, node 2 one")
+    assert(out.values.sum <= S, "rank mass never exceeds the total")
+  }
+
+  test("pageRank: result is identical under different partitionings") {
+    val edges = (1L to 40L).flatMap { i =>
+      Seq((i, i % 40 + 1), (i % 40 + 1, i), (i, (i * 7) % 40 + 1), ((i * 7) % 40 + 1, i))
+    }.toDF("src", "dst")
+    val a = Graph.pageRank(edges.repartition(1), 5)
+      .orderBy("node").collect().toSeq
+    val b = Graph.pageRank(edges.repartition(17, col("dst")), 5)
+      .orderBy("node").collect().toSeq
+    assert(a === b)
+  }
+}
