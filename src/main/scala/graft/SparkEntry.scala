@@ -1171,6 +1171,17 @@ object SparkEntry {
         col("deg"), col("rank"))
   }
 
+  /** Prefix-filtered exact Jaccard pairs (q96): the SSJoin/PPJoin
+    * candidate generation — global rarest-first shingle order, only each
+    * doc's prefix enters the self-join, exact-Jaccard verify
+    * ([[Dedup.prefixFilteredJaccardPairs]]). Same answer as the q15
+    * inverted-index form (prefix filtering is lossless), asymptotically
+    * fewer candidates — the 100 TB exact-threshold path. */
+  private def prefixJaccardQ(s: SparkSession, d: String): DataFrame =
+    Dedup.prefixFilteredJaccardPairs(
+      documents(s, d).filter(col("doc_id") < 1500), "doc_id", "text",
+      n = 3, threshold = 0.3)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"    -> (pricingSummary _),
     "q02_revenue_filter"     -> (revenueFilter _),
@@ -1267,6 +1278,7 @@ object SparkEntry {
     "q93_canonical_docs"     -> (canonicalDocsQ _),
     "q94_prr_signals"        -> (prrSignalsQ _),
     "q95_pagerank"           -> (pageRankQ _),
+    "q96_prefix_jaccard"     -> (prefixJaccardQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -2078,6 +2090,30 @@ object SparkEntry {
         |  round(chi2_raw, 4) AS chi2,
         |  (prr_raw >= 2.0 AND chi2_raw >= 4.0) AS is_signal
         |FROM s""".stripMargin,
+
+    // q96: prefix filtering is lossless, so the oracle is the BRUTE
+    // inverted-index formulation (q15's shape at 3-gram/0.3) — the
+    // hash-compare proves the candidate pruning dropped nothing
+    "q96_prefix_jaccard" ->
+      """WITH t AS (
+        |  SELECT doc_id, str_split(text, ' ') AS toks
+        |  FROM documents WHERE doc_id < 1500),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |     for i in range(1, len(toks) - 1)])) AS sh
+        |  FROM t WHERE len(toks) >= 3),
+        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  round(n_inter / (ca.n_sh + cb.n_sh - n_inter), 6) AS jaccard
+        |FROM pairs
+        |JOIN cnt ca ON doc_a = ca.doc_id
+        |JOIN cnt cb ON doc_b = cb.doc_id
+        |WHERE n_inter / (ca.n_sh + cb.n_sh - n_inter) >= 0.3""".stripMargin,
 
     // q95: every step is BIGINT arithmetic (integer division, associative
     // integer sums), so six recursive PageRank rounds are bit-identical

@@ -32,6 +32,37 @@ class DedupSpec extends SparkSpec {
     assert(pairs === Set((10L, 11L), (20L, 21L)))
   }
 
+  test("prefix-filtered jaccard equals the brute inverted-index form") {
+    for (t <- Seq(0.2, 0.5, 0.8); n <- Seq(2, 3)) {
+      val brute = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val pref = Dedup.prefixFilteredJaccardPairs(docs, "doc_id", "text", n, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(pref === brute, s"n=$n t=$t")
+    }
+  }
+
+  test("prefix filtering prunes: fewer index rows than the full shingle index") {
+    // at t=0.8 each doc exposes ~20% of its shingles + slack; the brute
+    // index exposes all of them
+    val sh = docs.select(col("doc_id"),
+      explode(graft.functions.Text.shingles(
+        graft.functions.Text.tokens(col("text")), 2)).as("sh"))
+    val full = sh.count()
+    // reproduce the operator's prefix sizing to count the index it joins
+    val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val pref = sh.join(dfreq, "sh")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("ranked"))
+      .select(explode(slice(transform(col("ranked"), s => s.getField("sh")),
+        lit(1),
+        least(size(col("ranked")),
+          (size(col("ranked")) - ceil(size(col("ranked")) * lit(0.8)) + lit(2))
+            .cast("int")).cast("int"))))
+      .count()
+    assert(pref < full / 2, s"prefix index $pref of $full")
+  }
+
   test("minhash LSH surfaces duplicate candidates; exact dup has est 1.0") {
     val out = Dedup.minhashLshPairs(docs, "doc_id", "text",
       shingleN = 2, bands = 4, rowsPerBand = 4).collect()
