@@ -1182,6 +1182,16 @@ object SparkEntry {
       documents(s, d).filter(col("doc_id") < 1500), "doc_id", "text",
       n = 3, threshold = 0.3)
 
+  /** Exact heavy hitters (q97): tokens above the 1/(k+1) frequency bar,
+    * found by the mergeable Misra–Gries summary and re-counted exactly
+    * over a broadcast candidate set ([[Sketch.heavyHitters]]). The sketch
+    * prunes the search; integer arithmetic decides — so the output is
+    * exact and DuckDB-oracle-able even though a sketch drives the plan. */
+  private def heavyHittersQ(s: SparkSession, d: String): DataFrame =
+    Sketch.heavyHitters(
+      documents(s, d).select(explode(Text.tokens(col("text"))).as("tok")),
+      "tok", k = 60)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"    -> (pricingSummary _),
     "q02_revenue_filter"     -> (revenueFilter _),
@@ -1279,6 +1289,7 @@ object SparkEntry {
     "q94_prr_signals"        -> (prrSignalsQ _),
     "q95_pagerank"           -> (pageRankQ _),
     "q96_prefix_jaccard"     -> (prefixJaccardQ _),
+    "q97_heavy_hitters"      -> (heavyHittersQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -2090,6 +2101,18 @@ object SparkEntry {
         |  round(chi2_raw, 4) AS chi2,
         |  (prr_raw >= 2.0 AND chi2_raw >= 4.0) AS is_signal
         |FROM s""".stripMargin,
+
+    // q97: Misra-Gries guarantees no false negatives above N/(k+1) and
+    // the verify pass is exact integer counting, so the oracle is the
+    // direct exact formulation with the same integer threshold compare
+    "q97_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(str_split(text, ' ')) AS tok FROM documents),
+        |tot AS (SELECT count(*)::BIGINT AS n_total FROM toks)
+        |SELECT tok, count(*)::BIGINT AS cnt
+        |FROM toks CROSS JOIN tot
+        |GROUP BY tok, n_total
+        |HAVING count(*) * 61 > n_total""".stripMargin,
 
     // q96: prefix filtering is lossless, so the oracle is the BRUTE
     // inverted-index formulation (q15's shape at 3-gram/0.3) — the

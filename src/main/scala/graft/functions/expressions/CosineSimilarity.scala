@@ -224,6 +224,18 @@ object GraftExpressions {
     new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
     (children: Seq[Expression]) => NfcNormalize(children.head))
 
+  val misraGries: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_misra_gries"),
+    new ExpressionInfo(classOf[MisraGries].getName, "graft_misra_gries"),
+    (children: Seq[Expression]) => {
+      val k = children(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"graft_misra_gries(item, k): k must be an integer literal, got $other")
+      }
+      MisraGries(children.head, k)
+    })
+
   /** Decode a foldable array<array<float|double>> child into the centroid
     * matrix the nearest-centroid kernels carry as a constructor param. */
   private def matrixFromExpr(e: Expression, fn: String): Seq[Seq[Double]] = {
@@ -318,7 +330,7 @@ object GraftExpressions {
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(cosineSim, shingles, simhash64, minhash, lshSig, lshSigSha, kmv,
         cms, cmsSha, minhashSha, simhashSha, vectorSum, nearestCentroid,
-        nearestCentroids, pqEncode, bloomMightContain, nfc)
+        nearestCentroids, pqEncode, bloomMightContain, nfc, misraGries)
 
   /** Idempotently register on a session's function registry. */
   def register(spark: SparkSession): Unit =

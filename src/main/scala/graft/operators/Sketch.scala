@@ -168,4 +168,31 @@ object Sketch {
         round(percentile_approx(value, lit(p), lit(accuracy)), 4).as(nm) }
     df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
+
+  /**
+   * EXACT heavy hitters (items with count·(k+1) > N) via the two-pass
+   * Misra–Gries pattern: pass 1 streams every item through the mergeable
+   * [[graft.functions.expressions.MisraGries]] summary (O(k) state per
+   * partition, no false negatives above N/(k+1)) alongside the exact
+   * total; pass 2 re-counts ONLY the ≤ k surviving candidates through a
+   * broadcast semi-join, so the exact-count shuffle carries candidate
+   * rows instead of the full item universe — the 100 TB alternative to
+   * `groupBy(item)` over every distinct token ever seen. The threshold
+   * compare is integer arithmetic (`cnt·(k+1) > N`), so the final answer
+   * is exact and engine-independent despite the sketch in the plan.
+   */
+  def heavyHitters(items: DataFrame, itemCol: String, k: Int): DataFrame = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.expressions.GraftExpressions.register)
+    val summary = items.agg(
+      call_function("graft_misra_gries", col(itemCol), lit(k)).as("mg"),
+      count(col(itemCol)).as("n_total"))
+    val cands = summary.select(
+      explode(map_keys(col("mg"))).as(itemCol), col("n_total"))
+    items.join(broadcast(cands), itemCol)
+      .groupBy(col(itemCol), col("n_total"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * lit(k + 1L) > col("n_total"))
+      .select(col(itemCol), col("cnt"))
+  }
 }

@@ -20,6 +20,43 @@ class SketchSpec extends SparkSpec {
     assert(err < 0.15, s"estimate ${est("big")} off by ${err * 100}%")
   }
 
+  test("misra-gries: exact heavy hitters on a known distribution") {
+    // 1000 items: 'a' 300, 'b' 200, 'c' 100, 400 singletons.
+    // k=9 -> threshold N/(k+1) = 100: heavy = {a, b} (c is NOT > 100).
+    val items = (Seq.fill(300)("a") ++ Seq.fill(200)("b") ++ Seq.fill(100)("c") ++
+      (0 until 400).map(i => s"s$i")).toDF("tok")
+    val out = Sketch.heavyHitters(items, "tok", k = 9)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("a" -> 300L, "b" -> 200L))
+  }
+
+  test("misra-gries: result identical under different partitionings (mergeable)") {
+    val items = ((0 until 5000).map(i => s"t${i % 37}") ++
+      (0 until 3000).map(_ => "whale")).toDF("tok")
+    val a = Sketch.heavyHitters(items.repartition(1), "tok", k = 20)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val b = Sketch.heavyHitters(items.repartition(13), "tok", k = 20)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(a === b)
+    assert(a.contains(("whale", 3000L)))
+  }
+
+  test("misra-gries summary: weights are lower bounds, no false negatives above N/(k+1)") {
+    graft.functions.expressions.GraftExpressions.register(spark)
+    val rows = (0 until 2000).map(i => s"w${i % 97}") ++ Seq.fill(500)("big")
+    val items = rows.toDF("tok").repartition(7)
+    val mg = items.agg(call_function("graft_misra_gries", col("tok"), lit(15)))
+      .head().getMap[String, Long](0)
+    val truth = rows.groupBy(identity).map { case (kk, v) => kk -> v.size.toLong }
+    val n = rows.size.toLong
+    mg.foreach { case (item, w) =>
+      assert(w <= truth(item), s"$item weight $w exceeds truth ${truth(item)}")
+    }
+    truth.filter(_._2 * 16 > n).keys.foreach { hh =>
+      assert(mg.contains(hh), s"heavy item $hh missing from summary")
+    }
+  }
+
   test("kmv estimate is invariant to duplication and row order") {
     val base = (0 until 3000).map(i => ("g", s"w$i"))
     val dup = base ++ base ++ base.reverse
