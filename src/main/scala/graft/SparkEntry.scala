@@ -1192,6 +1192,25 @@ object SparkEntry {
       documents(s, d).select(explode(Text.tokens(col("text"))).as("tok")),
       "tok", k = 60)
 
+  /** Correlated scalar subqueries (q98): orders worth more than 2× their
+    * own customer's average order — the decorrelation planner surface
+    * (Catalyst rewrites each correlated aggregate into a join against a
+    * grouped aggregate; PlanSpec pins no per-row subquery remains). The
+    * threshold compare is integer cents arithmetic (`cents·n > 2·Σcents`)
+    * so the boundary is exact in both engines — an avg-of-doubles compare
+    * would be last-ulp flaky exactly at the rows that matter. */
+  private def correlatedSubqueryQ(s: SparkSession, d: String): DataFrame = {
+    orders(s, d).createOrReplaceTempView("orders_v")
+    s.sql("""
+      SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS totalprice
+      FROM orders_v o
+      WHERE CAST(round(o_totalprice * 100) AS BIGINT) *
+            (SELECT count(*) FROM orders_v o2
+             WHERE o2.o_custkey = o.o_custkey)
+          > 2 * (SELECT sum(CAST(round(o2.o_totalprice * 100) AS BIGINT))
+                 FROM orders_v o2 WHERE o2.o_custkey = o.o_custkey)""")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"    -> (pricingSummary _),
     "q02_revenue_filter"     -> (revenueFilter _),
@@ -1290,6 +1309,7 @@ object SparkEntry {
     "q95_pagerank"           -> (pageRankQ _),
     "q96_prefix_jaccard"     -> (prefixJaccardQ _),
     "q97_heavy_hitters"      -> (heavyHittersQ _),
+    "q98_correlated_premium" -> (correlatedSubqueryQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -2101,6 +2121,17 @@ object SparkEntry {
         |  round(chi2_raw, 4) AS chi2,
         |  (prr_raw >= 2.0 AND chi2_raw >= 4.0) AS is_signal
         |FROM s""".stripMargin,
+
+    // q98: identical correlated-subquery text — both engines decorrelate;
+    // the integer-cents compare makes the boundary engine-exact
+    "q98_correlated_premium" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS totalprice
+        |FROM orders o
+        |WHERE CAST(round(o_totalprice * 100) AS BIGINT) *
+        |      (SELECT count(*) FROM orders o2
+        |       WHERE o2.o_custkey = o.o_custkey)
+        |    > 2 * (SELECT sum(CAST(round(o2.o_totalprice * 100) AS BIGINT))
+        |           FROM orders o2 WHERE o2.o_custkey = o.o_custkey)""".stripMargin,
 
     // q97: Misra-Gries guarantees no false negatives above N/(k+1) and
     // the verify pass is exact integer counting, so the oracle is the

@@ -68,7 +68,11 @@ object Graph {
     val n = deg.count()
     require(n > 0, "pageRank needs a non-empty edge set")
     val teleport = (15L * Scale) / (100L * n)
-    val withDeg = e.join(deg, "src")
+    // Materialize (edge ⨝ degree) once and truncate its lineage — every
+    // iteration re-joins this table, and an iterative algorithm must not
+    // re-derive its input per round (the standard edge-cache of iterative
+    // graph processing; blocks are freed with the frame's reference).
+    val withDeg = e.join(deg, "src").localCheckpoint()
     val nodes = deg.select(col("src").as("node"), col("deg"))
     var ranks = nodes.select(col("node"), lit(Scale / n).as("rank"))
     for (_ <- 1 to iterations) {

@@ -540,6 +540,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("q98 correlated subqueries decorrelate to aggregate joins, no per-row subquery") {
+    val df = SparkEntry.queries("q98_correlated_premium")(spark, d)
+    // RewriteCorrelatedScalarSubquery must leave no subquery expression in
+    // the optimized tree — a surviving one would execute per outer row
+    val leftover = df.queryExecution.optimizedPlan.collect {
+      case p if p.expressions.exists(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression])) => p
+    }
+    assert(leftover.isEmpty, s"correlated subquery survived: $leftover")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"))
+    assert(countOf(p, "HashAggregate") >= 2, "both correlated aggregates became group-bys")
+  }
+
   test("k-means Lloyd update: no Generate, one fixed-width aggregate exchange") {
     // the r3 stretch item: training must never explode the corpus into
     // corpus x dim rows -- the vector-sum aggregate keeps per-group state
