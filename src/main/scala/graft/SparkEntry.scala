@@ -1211,6 +1211,25 @@ object SparkEntry {
                  FROM orders_v o2 WHERE o2.o_custkey = o.o_custkey)""")
   }
 
+  /** Calendar-spine daily volume (q99): the dbt_utils.date_spine pattern
+    * behind reporting marts — a generated complete day spine (sequence +
+    * explode over the corpus min/max), left-joined to per-day counts so
+    * quiet days appear as explicit zero rows with a gap flag instead of
+    * silently missing from the mart. The spine is calendar-sized (rows =
+    * days, not orders) so it broadcasts; the count side is one date-keyed
+    * aggregate of the fact table. */
+  private def dateSpineQ(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d).select(to_date(col("o_orderdate")).as("day"))
+    val spine = o.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val counts = o.groupBy(col("day")).agg(count(lit(1)).as("n"))
+    spine.join(counts, Seq("day"), "left")
+      .select(
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        coalesce(col("n"), lit(0L)).as("n_orders"),
+        col("n").isNull.as("is_gap"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"    -> (pricingSummary _),
     "q02_revenue_filter"     -> (revenueFilter _),
@@ -1310,6 +1329,7 @@ object SparkEntry {
     "q96_prefix_jaccard"     -> (prefixJaccardQ _),
     "q97_heavy_hitters"      -> (heavyHittersQ _),
     "q98_correlated_premium" -> (correlatedSubqueryQ _),
+    "q99_date_spine"         -> (dateSpineQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -2121,6 +2141,19 @@ object SparkEntry {
         |  round(chi2_raw, 4) AS chi2,
         |  (prr_raw >= 2.0 AND chi2_raw >= 4.0) AS is_signal
         |FROM s""".stripMargin,
+
+    // q99: day spine + zero-fill; counts and date truncation are exact in
+    // both engines (session timezone UTC)
+    "q99_date_spine" ->
+      """WITH o AS (SELECT o_orderdate::DATE AS day FROM orders),
+        |spine AS (
+        |  SELECT unnest(generate_series(
+        |    (SELECT min(day) FROM o), (SELECT max(day) FROM o),
+        |    INTERVAL 1 DAY))::DATE AS day),
+        |cnt AS (SELECT day, count(*)::BIGINT AS n FROM o GROUP BY 1)
+        |SELECT strftime(s.day, '%Y-%m-%d') AS day,
+        |  coalesce(n, 0)::BIGINT AS n_orders, (n IS NULL) AS is_gap
+        |FROM spine s LEFT JOIN cnt USING (day)""".stripMargin,
 
     // q98: identical correlated-subquery text — both engines decorrelate;
     // the integer-cents compare makes the boundary engine-exact

@@ -57,7 +57,8 @@ object Graph {
    * Output: `(node BIGINT, deg BIGINT, rank BIGINT)` — rank in units of
    * 10⁻¹² of total mass (divide by 1e12 for the conventional value).
    */
-  def pageRank(edges: DataFrame, iterations: Int): DataFrame = {
+  def pageRank(edges: DataFrame, iterations: Int,
+               cacheEdges: Boolean = false): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
@@ -68,11 +69,14 @@ object Graph {
     val n = deg.count()
     require(n > 0, "pageRank needs a non-empty edge set")
     val teleport = (15L * Scale) / (100L * n)
-    // Materialize (edge ⨝ degree) once and truncate its lineage — every
-    // iteration re-joins this table, and an iterative algorithm must not
-    // re-derive its input per round (the standard edge-cache of iterative
-    // graph processing; blocks are freed with the frame's reference).
-    val withDeg = e.join(deg, "src").localCheckpoint()
+    // All iterations run inside ONE action, so Catalyst's ReuseExchange
+    // computes the (edge ⨝ degree) subtree once per execution already —
+    // an eager cache measured strictly slower at bench scale. For deep
+    // iteration counts (lineage depth) or when the caller iterates across
+    // SEPARATE actions, `cacheEdges` materializes it once and truncates
+    // lineage (the classic edge-cache of iterative graph processing).
+    val joined = e.join(deg, "src")
+    val withDeg = if (cacheEdges) joined.localCheckpoint() else joined
     val nodes = deg.select(col("src").as("node"), col("deg"))
     var ranks = nodes.select(col("node"), lit(Scale / n).as("rank"))
     for (_ <- 1 to iterations) {

@@ -54,6 +54,15 @@ class GraphSpec extends SparkSpec {
     assert(out.values.sum <= S, "rank mass never exceeds the total")
   }
 
+  test("pageRank: cacheEdges changes the execution, never the answer") {
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val plain = Graph.pageRank(edges, 5).orderBy("node").collect().toSeq
+    val cached = Graph.pageRank(edges, 5, cacheEdges = true)
+      .orderBy("node").collect().toSeq
+    assert(plain === cached)
+  }
+
   test("pageRank: result is identical under different partitionings") {
     val edges = (1L to 40L).flatMap { i =>
       Seq((i, i % 40 + 1), (i % 40 + 1, i), (i, (i * 7) % 40 + 1), ((i * 7) % 40 + 1, i))
