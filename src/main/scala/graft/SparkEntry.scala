@@ -1230,6 +1230,27 @@ object SparkEntry {
         col("n").isNull.as("is_gap"))
   }
 
+  /** Interval RANGE frames (q100): 30-day trailing spend per customer —
+    * the value-based window frame family (RANGE over a time axis, frame
+    * membership by VALUE distance including peers) next to the ROWS
+    * frames of q08. The order key is integer epoch-days and the summed
+    * measure integer cents, so frame membership and the rolling sum are
+    * exact in any engine; one customer-keyed shuffle. */
+  private def rangeFrameQ(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("epoch_day"))
+      .rangeBetween(-30, Window.currentRow)
+    orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date"))
+          .cast("long").as("epoch_day"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .withColumn("rolling_30d_cents", sum(col("cents")).over(w))
+      .withColumn("n_in_window", count(lit(1)).over(w))
+      .select(col("o_orderkey"), col("o_custkey"), col("epoch_day"),
+        col("rolling_30d_cents"), col("n_in_window"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"    -> (pricingSummary _),
     "q02_revenue_filter"     -> (revenueFilter _),
@@ -1330,6 +1351,7 @@ object SparkEntry {
     "q97_heavy_hitters"      -> (heavyHittersQ _),
     "q98_correlated_premium" -> (correlatedSubqueryQ _),
     "q99_date_spine"         -> (dateSpineQ _),
+    "q100_range_frame"       -> (rangeFrameQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -2141,6 +2163,19 @@ object SparkEntry {
         |  round(chi2_raw, 4) AS chi2,
         |  (prr_raw >= 2.0 AND chi2_raw >= 4.0) AS is_signal
         |FROM s""".stripMargin,
+
+    // q100: RANGE frame membership is integer-day arithmetic and the sum
+    // integer cents — value-based frames with peer inclusion, engine-exact
+    "q100_range_frame" ->
+      """SELECT o_orderkey, o_custkey,
+        |  (o_orderdate::DATE - DATE '1970-01-01')::BIGINT AS epoch_day,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w
+        |    AS BIGINT) AS rolling_30d_cents,
+        |  count(*) OVER w AS n_in_window
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY (o_orderdate::DATE - DATE '1970-01-01')
+        |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     // q99: day spine + zero-fill; counts and date truncation are exact in
     // both engines (session timezone UTC)
