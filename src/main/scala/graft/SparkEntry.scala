@@ -1154,7 +1154,10 @@ object SparkEntry {
     * undirected customer↔supplier order graph ([[Graph.pageRank]]; exact
     * BIGINT mass units make the iteration bit-reproducible across engines
     * and partitionings). Node encoding: customers even (2k), suppliers
-    * odd (2k+1), decoded in the projection. */
+    * odd (2k+1), decoded in the projection. The edge list is SYMMETRIZED
+    * here and must stay so: the recursive oracle inner-joins the message
+    * flow, which only matches [[Graph.pageRank]]'s node-total update when
+    * every node has an in-edge (see the q95 oracle comment). */
   private def pageRankQ(s: SparkSession, d: String): DataFrame = {
     val pairs = orders(s, d)
       .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
@@ -2239,7 +2242,14 @@ object SparkEntry {
 
     // q95: every step is BIGINT arithmetic (integer division, associative
     // integer sums), so six recursive PageRank rounds are bit-identical
-    // to Spark's loop under any evaluation order — no rounding needed
+    // to Spark's loop under any evaluation order — no rounding needed.
+    // CONSTRAINT: this recursive form inner-joins the message flow, so it
+    // only matches Graph.pageRank (whose rank update is total over the
+    // node set) on graphs where every node has an in-edge — guaranteed
+    // here because the query symmetrizes the edge list. Re-pointing q95
+    // at a DIRECTED graph requires reworking the oracle, not just the
+    // query (an in-degree-0 node would drop out of the CTE's working
+    // table but keep its teleport share in Spark).
     "q95_pagerank" ->
       """WITH RECURSIVE
         |pairs AS (

@@ -104,24 +104,41 @@ object Dedup {
    * ⌈size−t·size⌉+1 so a last-ulp float ceil can never shorten a prefix
    * below the sound bound.
    */
-  def prefixFilteredJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                                 n: Int, threshold: Double): DataFrame = {
+  /** Prefix length sound for Jaccard ≥ `threshold` on a set of `nSh`
+    * elements: ⌈nSh − t·nSh⌉ + 1 per the prefix-filtering principle, plus
+    * one slack token so a last-ulp float `ceil` can never shorten the
+    * prefix below the sound bound. Shared by the operator and its prune
+    * spec so the sizing cannot drift between them. */
+  private[operators] def jaccardPrefixLen(nSh: Column, threshold: Double): Column =
+    least(nSh, nSh - ceil(nSh * lit(threshold)) + lit(2)).cast("int")
+
+  /** Docs with shingles in global canonical order (ascending document
+    * frequency, rarest first, ties by shingle): `(doc, toks, n_sh)`. */
+  private[operators] def canonicalShingleDocs(df: DataFrame, idCol: String,
+                                              textCol: String, n: Int): DataFrame = {
     val sh = shingleIndex(df, idCol, textCol, n)
     val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    val docs = sh
-      .join(dfreq, "sh")
+    sh.join(dfreq, "sh")
       .groupBy(col("doc"))
       .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("ranked"))
       .select(
         col("doc"),
         transform(col("ranked"), s => s.getField("sh")).as("toks"),
         size(col("ranked")).cast("long").as("n_sh"))
-    val prefix = docs.select(
+  }
+
+  /** The self-join index: only each doc's canonical-order prefix. */
+  private[operators] def jaccardPrefixIndex(docs: DataFrame,
+                                            threshold: Double): DataFrame =
+    docs.select(
       col("doc"), col("n_sh"),
       explode(slice(col("toks"), lit(1),
-        least(col("n_sh"),
-          col("n_sh") - ceil(col("n_sh") * lit(threshold)) + lit(2))
-          .cast("int"))).as("sh"))
+        jaccardPrefixLen(col("n_sh"), threshold))).as("sh"))
+
+  def prefixFilteredJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                                 n: Int, threshold: Double): DataFrame = {
+    val docs = canonicalShingleDocs(df, idCol, textCol, n)
+    val prefix = jaccardPrefixIndex(docs, threshold)
     val cands = prefix.as("a")
       .join(prefix.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc") &&

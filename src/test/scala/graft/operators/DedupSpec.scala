@@ -44,22 +44,11 @@ class DedupSpec extends SparkSpec {
 
   test("prefix filtering prunes: fewer index rows than the full shingle index") {
     // at t=0.8 each doc exposes ~20% of its shingles + slack; the brute
-    // index exposes all of them
-    val sh = docs.select(col("doc_id"),
-      explode(graft.functions.Text.shingles(
-        graft.functions.Text.tokens(col("text")), 2)).as("sh"))
-    val full = sh.count()
-    // reproduce the operator's prefix sizing to count the index it joins
-    val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    val pref = sh.join(dfreq, "sh")
-      .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("ranked"))
-      .select(explode(slice(transform(col("ranked"), s => s.getField("sh")),
-        lit(1),
-        least(size(col("ranked")),
-          (size(col("ranked")) - ceil(size(col("ranked")) * lit(0.8)) + lit(2))
-            .cast("int")).cast("int"))))
-      .count()
+    // index exposes all of them — counted through the operator's OWN
+    // prefix builder so the sizing cannot drift from what it joins
+    val canonical = Dedup.canonicalShingleDocs(docs, "doc_id", "text", 2)
+    val full = canonical.agg(sum(col("n_sh"))).head().getLong(0)
+    val pref = Dedup.jaccardPrefixIndex(canonical, 0.8).count()
     assert(pref < full / 2, s"prefix index $pref of $full")
   }
 
