@@ -1254,6 +1254,20 @@ object SparkEntry {
         col("rolling_30d_cents"), col("n_in_window"))
   }
 
+  /** Unpivot/melt (q101): the inverse of q87's pivot — the wide per-type
+    * count columns fold back to (day, event_type, n) long form via
+    * `Dataset.unpivot` (plans as a single Expand over the pivoted frame,
+    * no joins). Zero-filled cells from the dense pivot are dropped, so
+    * pivot→unpivot is exactly the direct `groupBy(day, type)` — which is
+    * what the oracle computes: the roundtrip is the proof. */
+  private def unpivotEventsQ(s: SparkSession, d: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    pivotEventsQ(s, d)
+      .unpivot(Array(col("day")), types.map(col).toArray,
+        "event_type", "n_events")
+      .filter(col("n_events") > 0)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"    -> (pricingSummary _),
     "q02_revenue_filter"     -> (revenueFilter _),
@@ -1355,6 +1369,7 @@ object SparkEntry {
     "q98_correlated_premium" -> (correlatedSubqueryQ _),
     "q99_date_spine"         -> (dateSpineQ _),
     "q100_range_frame"       -> (rangeFrameQ _),
+    "q101_unpivot"           -> (unpivotEventsQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -2166,6 +2181,15 @@ object SparkEntry {
         |  round(chi2_raw, 4) AS chi2,
         |  (prr_raw >= 2.0 AND chi2_raw >= 4.0) AS is_signal
         |FROM s""".stripMargin,
+
+    // q101: pivot -> unpivot (dropping dense zeros) == direct group-by;
+    // the oracle computes the direct form, proving the roundtrip lossless
+    "q101_unpivot" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+        |  count(*)::BIGINT AS n_events
+        |FROM events
+        |WHERE event_type IN ('click','error','purchase','signup','view')
+        |GROUP BY 1, 2""".stripMargin,
 
     // q100: RANGE frame membership is integer-day arithmetic and the sum
     // integer cents — value-based frames with peer inclusion, engine-exact
