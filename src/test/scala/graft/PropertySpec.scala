@@ -224,6 +224,59 @@ class PropertySpec extends SparkSpec {
     assert(perUser === 0)
   }
 
+  test("heavy hitters == exact computation on random zipf-ish streams") {
+    // the two-pass Misra-Gries query must equal the direct exact answer
+    // for ANY stream and any k — the sketch can only prune, never decide
+    import graft.operators.Sketch
+    val stream = sample(Gen.frequency(
+      (8, Gen.oneOf("alpha", "beta", "gamma")),
+      (3, word.map("mid_" + _)),
+      (2, word)), 3000)
+    for (k <- Seq(5, 17, 50)) {
+      val exact = stream.groupBy(identity).view.mapValues(_.size.toLong)
+        .filter { case (_, c) => c * (k + 1) > stream.size }.toMap
+      val got = Sketch.heavyHitters(stream.toDF("tok").repartition(9), "tok", k)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got === exact, s"k=$k")
+    }
+  }
+
+  test("prefix-filtered jaccard == brute on random near-dup corpora") {
+    import graft.operators.Dedup
+    val base = sample(Gen.listOfN(12, word), 40).map(_.mkString(" "))
+    // corpus = originals + perturbed copies (word swapped) + exact dups
+    val docs = base.zipWithIndex.flatMap { case (t, i) =>
+      val toks = t.split(" ")
+      val mut = toks.updated(i % toks.length, "zzz").mkString(" ")
+      Seq((i * 3L, t), (i * 3L + 1, mut), (i * 3L + 2, t))
+    }.toDF("doc_id", "text")
+    for (t <- Seq(0.3, 0.6, 0.9)) {
+      val brute = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 2, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val pref = Dedup.prefixFilteredJaccardPairs(docs, "doc_id", "text", 2, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(pref === brute, s"t=$t")
+    }
+  }
+
+  test("pageRank invariants: mass bounded, every rank >= teleport, permutation-proof") {
+    import graft.operators.Graph
+    val edges0 = sample(Gen.zip(Gen.choose(1L, 25L), Gen.choose(1L, 25L)), 120)
+      .filter { case (a, b) => a != b }.distinct
+    val und = (edges0 ++ edges0.map(_.swap)).distinct
+    val out = Graph.pageRank(und.toDF("src", "dst"), 6).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val n = out.length
+    val tele = (15L * Graph.Scale) / (100L * n)
+    assert(out.map(_._2).sum <= Graph.Scale, "mass cannot exceed the total")
+    out.foreach { case (node, rank) =>
+      assert(rank >= tele, s"node $node rank $rank below teleport $tele") }
+    val shuffled = new scala.util.Random(5).shuffle(und)
+    val again = Graph.pageRank(shuffled.toDF("src", "dst"), 6).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(out.toMap === again)
+  }
+
   test("vectorSum ≡ explode-sum for any grouping, order, and integer-valued data") {
     // the Lloyd-update aggregate's parity property: on integer-valued
     // doubles (order-exact addition) the fixed-width aggregate must match
