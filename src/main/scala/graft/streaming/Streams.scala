@@ -275,6 +275,59 @@ object Streams {
       .groupBy(col("j"), col("bucket"))
       .agg(sum(col("cnt")).as("cnt"))
 
+  /**
+   * Streaming heavy-hitters maintenance — the frequent-ITEMS twin of
+   * [[incrementalCmsCounters]]: each micro-batch reduces to its own
+   * Misra–Gries summary (≤ k `(item, w)` rows,
+   * [[graft.functions.expressions.MisraGries]]) under `batch_id=<id>`.
+   * MG summaries are mergeable (Agarwal et al., PODS 2012), and the
+   * union-SUM of all batch summaries followed by ONE subtraction of the
+   * (k+1)-th largest summed weight IS the m-way merge —
+   * [[readHeavyHitters]] performs that at read time, any time: the live
+   * summary keeps the whole-stream bound (every item with true count
+   * > N/(k+1) over everything ingested so far is present; weights are
+   * lower bounds at most N/(k+1) short). Compaction pre-sums committed
+   * summary rows through the compactor's fold hook — summing is the
+   * LOSSLESS half of the merge; the shrink stays at read so folding
+   * never tightens the summary early.
+   *
+   * Replay-safe by the standard contract here (a batch overwrites only
+   * its own partition; compaction folds committed ids only).
+   */
+  def incrementalHeavyHitters(stream: DataFrame,
+                              item: org.apache.spark.sql.Column,
+                              outDir: String, k: Int,
+                              compactEvery: Int = 0): DataStreamWriter[Row] =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.functions.expressions.GraftExpressions.register(batch.sparkSession)
+        batch
+          .agg(call_function("graft_misra_gries", item, lit(k)).as("mg"))
+          .select(explode(col("mg")).as(Seq("item", "w")))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        if (compactEvery > 0 && batchId % compactEvery == (compactEvery - 1).toLong)
+          compactBatchPartitions(batch.sparkSession, outDir, filesPer = 1,
+            belowId = batchId,
+            fold = df => df.groupBy(col("item")).agg(sum(col("w")).as("w")))
+      }
+
+  /** The live merged Misra–Gries summary: union-sum + one subtraction of
+    * the (k+1)-th largest summed weight (≤ batches×k tiny rows in, ≤ k
+    * out). The top-(k+1) probe collects ≤ k+1 rows — driver-light. */
+  def readHeavyHitters(spark: org.apache.spark.sql.SparkSession,
+                       outDir: String, k: Int): DataFrame = {
+    val summed = spark.read.parquet(outDir)
+      .groupBy(col("item")).agg(sum(col("w")).as("w"))
+    val top = summed.orderBy(col("w").desc).limit(k + 1).collect()
+    if (top.length <= k) summed
+    else {
+      val s = top.map(_.getLong(1)).min
+      summed.select(col("item"), (col("w") - lit(s)).as("w"))
+        .filter(col("w") > 0)
+    }
+  }
+
   /** Fold the vector index's committed `batch_id=` directories into one,
     * PRESERVING the `cid=` sublayout ([[compactBatchPartitions]] would
     * flatten it, and the list-pruned read is the table's whole point).

@@ -319,6 +319,46 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming heavy hitters: live merge keeps the whole-stream MG bound") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = Files.createTempDirectory("inc_mg").toString
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[String]
+    val k = 6
+    val q = Streams.incrementalHeavyHitters(input.toDS().toDF("tok"),
+        col("tok"), s"$base/mg", k = k, compactEvery = 2)
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    try {
+      // 'whale' dominates across batches; chaff rotates so no single
+      // batch summary alone proves the global answer
+      val batches = Seq(
+        Seq("whale", "a1", "a2", "whale", "a3", "whale"),
+        Seq("b1", "whale", "b2", "b3", "whale", "b4"),
+        Seq("whale", "c1", "c2", "c3", "whale", "c4"),
+        Seq("whale", "d1", "whale", "d2", "d3", "whale"))
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      val all = batches.flatten
+      val truth = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = all.size
+      val live = Streams.readHeavyHitters(spark, s"$base/mg", k)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(live.size <= k)
+      // no false negative above the whole-stream threshold...
+      truth.filter { case (_, c) => c * (k + 1) > n }.keys.foreach { hh =>
+        assert(live.contains(hh), s"heavy '$hh' missing from $live") }
+      // ...and weights are lower bounds within the merged deficit
+      live.foreach { case (item, w) =>
+        assert(w <= truth(item), s"$item weight $w above truth")
+        assert(w >= truth(item) - n / (k + 1), s"$item deficit too large") }
+      // the fold at batch 3 pre-summed batches 0-2 into one dir
+      val dirs = new java.io.File(s"$base/mg").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+        .map(_.getName).sorted
+      assert(dirs.toSeq === Seq("batch_id=2", "batch_id=3"), dirs.mkString(","))
+    } finally q.stop()
+  }
+
   test("streaming dedup admission: index grows by admitted docs only") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val base = Files.createTempDirectory("inc_admit").toString
