@@ -1268,6 +1268,21 @@ object SparkEntry {
       .filter(col("n_events") > 0)
   }
 
+  /** CUBE (q102): all four cross-tabulations of (mktsegment, orderpriority)
+    * — subtotals per segment, per priority, and the grand total — in ONE
+    * Expand-based aggregation pass over one scan, completing the
+    * Expand-family trio next to q86's ROLLUP chain and q91's explicit
+    * GROUPING SETS. `grouping()` flags distinguish rolled-up levels from
+    * genuine NULL keys. */
+  private def cubeRevenueQ(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .cube(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(grouping(col("c_mktsegment")).cast("long").as("g_seg"),
+        grouping(col("o_orderpriority")).cast("long").as("g_pri"),
+        count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"    -> (pricingSummary _),
     "q02_revenue_filter"     -> (revenueFilter _),
@@ -1370,6 +1385,7 @@ object SparkEntry {
     "q99_date_spine"         -> (dateSpineQ _),
     "q100_range_frame"       -> (rangeFrameQ _),
     "q101_unpivot"           -> (unpivotEventsQ _),
+    "q102_cube"              -> (cubeRevenueQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -2181,6 +2197,17 @@ object SparkEntry {
         |  round(chi2_raw, 4) AS chi2,
         |  (prr_raw >= 2.0 AND chi2_raw >= 4.0) AS is_signal
         |FROM s""".stripMargin,
+
+    // q102: identical CUBE — grouping flags disambiguate rolled-up levels
+    "q102_cube" ->
+      """SELECT c_mktsegment, o_orderpriority,
+        |  grouping(c_mktsegment)::BIGINT AS g_seg,
+        |  grouping(o_orderpriority)::BIGINT AS g_pri,
+        |  count(*)::BIGINT AS n_orders,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY CUBE (c_mktsegment, o_orderpriority)""".stripMargin,
 
     // q101: pivot -> unpivot (dropping dense zeros) == direct group-by;
     // the oracle computes the direct form, proving the roundtrip lossless
