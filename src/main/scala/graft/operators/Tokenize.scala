@@ -49,4 +49,82 @@ object Tokenize {
       .orderBy(col("cnt").desc, col("pair").asc)
       .limit(topK)
   }
+
+  /**
+   * Encode one word under a learned merge-rank table: repeatedly find the
+   * present pair with the LOWEST rank and merge ALL its occurrences in
+   * one left-to-right pass, until no mergeable pair remains — the
+   * standard greedy BPE encode loop (GPT-2's `bpe()` order: rank decides
+   * which pair merges next, position only breaks occurrence order within
+   * a pass). Pure function, shared by the operator and its specs.
+   */
+  private[operators] def encodeWord(w: String,
+                                    ranks: Map[(String, String), Int]): Array[String] = {
+    if (w.isEmpty) return Array.empty
+    var parts: Vector[String] = w.map(_.toString).toVector
+    var done = false
+    while (!done && parts.length >= 2) {
+      var bestRank = Int.MaxValue
+      var i = 0
+      while (i < parts.length - 1) {
+        val r = ranks.getOrElse((parts(i), parts(i + 1)), Int.MaxValue)
+        if (r < bestRank) bestRank = r
+        i += 1
+      }
+      if (bestRank == Int.MaxValue) done = true
+      else {
+        val out = Vector.newBuilder[String]
+        var j = 0
+        while (j < parts.length) {
+          if (j < parts.length - 1 &&
+              ranks.getOrElse((parts(j), parts(j + 1)), Int.MaxValue) == bestRank) {
+            out += parts(j) + parts(j + 1)
+            j += 2
+          } else {
+            out += parts(j)
+            j += 1
+          }
+        }
+        parts = out.result()
+      }
+    }
+    parts.toArray
+  }
+
+  /**
+   * Apply a learned BPE merge list to the corpus: every whitespace word
+   * of every document encodes to subword tokens under the merge ranks
+   * (list order = rank = training order, the argmax sequence
+   * [[bpePairCounts]] produces one step of). Output:
+   * `(id, tokens array<string>, n_tokens)`.
+   *
+   * This is a CODEC boundary, not relational logic — the per-word merge
+   * loop is inherently iterative (each merge changes what pairs exist),
+   * so it cannot be a Catalyst expression; like
+   * [[Enrich]]/[[Multimodal]], it runs as a typed map with the merge
+   * table BROADCAST (a vocabulary is ≤ ~100k pairs — dimension-sized),
+   * and the corpus is never shuffled: encoding is embarrassingly
+   * parallel over partitions. Not DuckDB-oracle-able (iterative), so its
+   * contract is spec-pinned instead: losslessness (token concatenation
+   * rebuilds the words), rank-priority order, determinism under
+   * repartitioning, and agreement with an independently-written
+   * reference encoder on random vocabularies (TokenizeDiffSpec).
+   */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+                merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ranks = merges.zipWithIndex.map { case (p, i) => p -> i }.toMap
+    val bc = spark.sparkContext.broadcast(ranks)
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .map { case (id, text) =>
+        val toks =
+          if (text == null) Array.empty[String]
+          else text.split(" ").iterator.filter(_.nonEmpty)
+            .flatMap(w => encodeWord(w, bc.value)).toArray
+        (id, toks)
+      }
+      .toDF(idCol, "tokens")
+      .withColumn("n_tokens", size(col("tokens")).cast("long"))
+  }
 }

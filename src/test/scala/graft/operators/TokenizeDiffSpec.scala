@@ -8,6 +8,78 @@ import org.apache.spark.sql.functions._
 class TokenizeDiffSpec extends SparkSpec {
   import spark.implicits._
 
+  // Independently-coded greedy BPE reference: recursive min-rank passes.
+  private def refEncode(w: String, ranks: Map[(String, String), Int]): List[String] = {
+    def pass(ps: List[String], best: Int): List[String] = ps match {
+      case x :: y :: rest if ranks.getOrElse((x, y), Int.MaxValue) == best =>
+        (x + y) :: pass(rest, best)
+      case x :: rest => x :: pass(rest, best)
+      case Nil => Nil
+    }
+    def loop(ps: List[String]): List[String] = {
+      val ranksPresent = ps.zip(ps.drop(1))
+        .map(p => ranks.getOrElse(p, Int.MaxValue))
+      val best = if (ranksPresent.isEmpty) Int.MaxValue else ranksPresent.min
+      if (best == Int.MaxValue) ps else loop(pass(ps, best))
+    }
+    loop(w.map(_.toString).toList)
+  }
+
+  test("bpeEncode: agrees with the recursive reference on random vocabularies") {
+    val rnd = new scala.util.Random(31)
+    val alphabet = "abcd"
+    val words = (0 until 60).map(_ =>
+      (0 until 1 + rnd.nextInt(9)).map(_ => alphabet(rnd.nextInt(4))).mkString)
+    // random merge list over symbols reachable by earlier merges
+    var symbols = alphabet.map(_.toString).toVector
+    val merges = (0 until 25).map { _ =>
+      val a = symbols(rnd.nextInt(symbols.length))
+      val b = symbols(rnd.nextInt(symbols.length))
+      symbols = symbols :+ (a + b)
+      (a, b)
+    }.distinct
+    val ranks = merges.zipWithIndex.map { case (p, i) => p -> i }.toMap
+    val docs = words.grouped(6).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+    val got = Tokenize.bpeEncode(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val ref = words.grouped(6).zipWithIndex.map { case (ws, i) =>
+      i.toLong -> ws.flatMap(w => refEncode(w, ranks)) }.toMap
+    got.foreach { case (id, toks) => assert(toks === ref(id), s"doc $id") }
+    // losslessness: concatenating a word's tokens rebuilds the word
+    got.values.flatten.foreach(t => assert(t.nonEmpty))
+    val rebuilt = got.toSeq.sortBy(_._1).map(_._2.mkString).mkString
+    assert(rebuilt === words.mkString)
+  }
+
+  test("bpeEncode: rank priority beats position; repartition-proof; null-safe") {
+    // merges: (b,c) rank 0, (a,bc) rank 1, (a,b) rank 2. 'abc' must go
+    // a|b|c -> a|bc (rank 0 first, not the leftmost (a,b)) -> abc
+    val merges = Seq(("b", "c"), ("a", "bc"), ("a", "b"))
+    val docs = Seq((1L, "abc ab"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Tokenize.bpeEncode(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(1L) === Seq("abc", "ab"))
+    assert(out(2L) === Seq.empty)
+    val repart = Tokenize.bpeEncode(docs.repartition(5), "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(repart === out)
+  }
+
+  test("bpeEncode: applying the induced top pair shrinks token counts by its frequency") {
+    val docs = Seq((1L, "low lower lowest"), (2L, "slow glow low")).toDF("doc_id", "text")
+    val top = Tokenize.bpePairCounts(docs, "text", topK = 1).head()
+    val pair = (top.getString(0).substring(0, 1), top.getString(0).substring(1))
+    assert(top.getString(0) === "lo" && top.getLong(1) === 6L)
+    val before = Tokenize.bpeEncode(docs, "doc_id", "text", Nil)
+      .agg(sum(col("n_tokens"))).head().getLong(0)
+    val after = Tokenize.bpeEncode(docs, "doc_id", "text", Seq(pair))
+      .agg(sum(col("n_tokens"))).head().getLong(0)
+    assert(before - after === 6L, "each occurrence of the merged pair saves one token")
+  }
+
   test("bpePairCounts matches the sliding-window reference model") {
     val texts = Seq("low lower lowest", "low low newest widest",
       "a ab low b", null)
