@@ -1283,6 +1283,27 @@ object SparkEntry {
         count(lit(1)).as("n_orders"),
         round(sum(col("o_totalprice")), 2).as("revenue"))
 
+  /** Window navigation (q103): per-segment quarterly revenue with lag
+    * (QoQ delta), first_value (vs first quarter) and last_value over the
+    * full frame (vs final quarter) — the navigation family (lag/lead/
+    * first/last/nth) completing the declared window surface. Revenue is
+    * integer cents, so every delta is engine-exact; one segment-keyed
+    * shuffle serves the aggregate and all three windows. */
+  private def windowNavQ(s: SparkSession, d: String): DataFrame = {
+    val q = orders(s, d)
+      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"),
+        (year(col("o_orderdate")) * 4 + quarter(col("o_orderdate")) - 1)
+          .cast("long").as("quarter_index"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+    val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("quarter_index"))
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    q.select(col("c_mktsegment"), col("quarter_index"), col("cents"),
+      (col("cents") - lag(col("cents"), 1).over(w)).as("qoq_delta"),
+      (col("cents") - first_value(col("cents")).over(w)).as("vs_first"),
+      (col("cents") - last_value(col("cents")).over(full)).as("vs_last"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"    -> (pricingSummary _),
     "q02_revenue_filter"     -> (revenueFilter _),
@@ -1386,6 +1407,7 @@ object SparkEntry {
     "q100_range_frame"       -> (rangeFrameQ _),
     "q101_unpivot"           -> (unpivotEventsQ _),
     "q102_cube"              -> (cubeRevenueQ _),
+    "q103_window_nav"        -> (windowNavQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -2197,6 +2219,27 @@ object SparkEntry {
         |  round(chi2_raw, 4) AS chi2,
         |  (prr_raw >= 2.0 AND chi2_raw >= 4.0) AS is_signal
         |FROM s""".stripMargin,
+
+    // q103: navigation windows over integer cents — deltas engine-exact;
+    // quarter() buckets identically from the same timestamps
+    "q103_window_nav" ->
+      """WITH q AS (
+        |  SELECT c_mktsegment,
+        |    (year(o_orderdate) * 4 + quarter(o_orderdate) - 1)::BIGINT
+        |      AS quarter_index,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2)
+        |SELECT c_mktsegment, quarter_index, cents,
+        |  CAST(cents - lag(cents, 1) OVER w AS BIGINT) AS qoq_delta,
+        |  CAST(cents - first_value(cents) OVER w AS BIGINT) AS vs_first,
+        |  CAST(cents - last_value(cents) OVER
+        |    (PARTITION BY c_mktsegment ORDER BY quarter_index
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS BIGINT) AS vs_last
+        |FROM q
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY quarter_index)""".stripMargin,
 
     // q102: identical CUBE — grouping flags disambiguate rolled-up levels
     "q102_cube" ->
