@@ -310,7 +310,10 @@ object Bench {
     // medians: at 58 queries the full names alone were ~1400 chars, which
     // with the 50-entry slo_call_ms array overflowed the 2000-char tail
     // capture; short keys leave ~700 chars of headroom for more queries
-    val qs = results.map { case (k, v) => s""""${k.take(3)}":${f"$v%.2f"}""" }
+    // key = the qNN prefix (NOT a fixed take(3): "q100_x".take(3) == "q10"
+    // would collide with q10's key and corrupt the JSON)
+    val qs = results.map { case (k, v) =>
+        s""""${k.takeWhile(_ != '_')}":${f"$v%.2f"}""" }
       .mkString("{", ",", "}")
     val failures = results.collect { case (k, v) if v < 0 => s"\"$k\"" }
       .mkString("[", ",", "]")
