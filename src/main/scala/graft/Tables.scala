@@ -2,16 +2,21 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /**
  * Loaders for the driver-generated benchmark tables
  * (`/root/testdata/sf*` — see TESTDATA.md). One parquet file per table.
  *
- * `events.parquet` carries an INT64 TIMESTAMP(NANOS) column which Spark's
- * parquet reader rejects by default ([PARQUET_TYPE_ILLEGAL]); we read it via
- * `spark.sql.legacy.parquet.nanosAsLong` and truncate to microseconds, which
- * is bit-identical to what DuckDB (the correctness oracle) does when it
- * reads the same file into its native microsecond TIMESTAMP.
+ * The driver has shipped `events.parquet` with two physical encodings of the
+ * `ts` column across rounds: INT64 TIMESTAMP(NANOS) (which Spark's parquet
+ * reader rejects by default — [PARQUET_TYPE_ILLEGAL] — and we read via
+ * `spark.sql.legacy.parquet.nanosAsLong` + truncate to micros) and plain
+ * TIMESTAMP(MICROS) without timezone (which Spark reads as TIMESTAMP_NTZ).
+ * `events()` normalizes both to the same session-TZ TimestampType column:
+ * every session in this repo pins `spark.sql.session.timeZone=UTC`, so the
+ * NTZ→LTZ cast is micros-bit-identical to what DuckDB (the correctness
+ * oracle) sees reading the same file into its native TIMESTAMP.
  */
 object Tables {
 
@@ -31,7 +36,11 @@ object Tables {
   /** `events` with `ts` as a microsecond TimestampType column (see scaladoc). */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val df = table(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
   }
 }
