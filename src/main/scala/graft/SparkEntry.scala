@@ -1304,6 +1304,50 @@ object SparkEntry {
       (col("cents") - last_value(col("cents")).over(full)).as("vs_last"))
   }
 
+  /** q104: HLL distinct-token estimate per language — the constant-space
+    * member of the distinct-count family (q40's KMV ships k longs per
+    * group; HLL ships exactly 2^p bytes). Declared over the native
+    * mergeable [[graft.functions.expressions.HllSketch]] aggregate; the
+    * oracle rebuilds the identical registers relationally in DuckDB
+    * (SHA lanes + `bin()` bit math — no floating log2). */
+  private def hllDistinctTokens(s: SparkSession, d: String): DataFrame =
+    Sketch.hllDistinctSketch(
+      documents(s, d).select(col("lang"),
+        explode(Text.tokens(col("text"))).as("token")),
+      Seq("lang"), Sketch.shaLane(col("token")), p = 6)
+
+  /** q105: pairwise token-overlap estimates (union / Jaccard /
+    * intersection) across the 20 document sources from composable KMV
+    * sketches — the corpus shuffles its bottom-k lanes ONCE per source,
+    * and all C(20,2) pair statistics are array math on (source × k)
+    * longs. Corpus-mix planning / cross-source contamination sizing
+    * without an O(n²) token join. */
+  private def kmvOverlapQ(s: SparkSession, d: String): DataFrame =
+    Sketch.kmvOverlap(
+      documents(s, d).select(col("source"),
+        explode(Text.tokens(col("text"))).as("token")),
+      "source", Sketch.shaLane(col("token")), k = 128)
+
+  /** q106: incremental aggregate maintenance — the mart is kept as
+    * per-key partial aggregates (integer cents; sum/min/max/count all
+    * decomposable) and a delta batch folds in by re-aggregating
+    * `mart ∪ agg(delta)`, never rescanning the base facts. The declared
+    * query materializes the mart pre-1997, folds the 1997+ delta in, and
+    * the oracle re-derives the SAME mart from ALL raw facts in DuckDB —
+    * the merge-vs-recompute equivalence IS the correctness statement. */
+  private def incrementalAggQ(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d).select(col("o_orderpriority").as("priority"),
+      date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val keys = Seq("priority", "month")
+    def part(f: DataFrame) = Incremental.aggregate(f, keys, Seq("cents"),
+      mins = Seq("cents"), maxs = Seq("cents"))
+    Incremental.mergeAggregates(
+      Seq(part(o.filter(col("month") < "1997-01")),
+          part(o.filter(col("month") >= "1997-01"))),
+      keys, Seq("cents"), mins = Seq("cents"), maxs = Seq("cents"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"    -> (pricingSummary _),
     "q02_revenue_filter"     -> (revenueFilter _),
@@ -1408,6 +1452,9 @@ object SparkEntry {
     "q101_unpivot"           -> (unpivotEventsQ _),
     "q102_cube"              -> (cubeRevenueQ _),
     "q103_window_nav"        -> (windowNavQ _),
+    "q104_hll_distinct"      -> (hllDistinctTokens _),
+    "q105_kmv_overlap"       -> (kmvOverlapQ _),
+    "q106_incremental_agg"   -> (incrementalAggQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -2222,6 +2269,81 @@ object SparkEntry {
 
     // q103: navigation windows over integer cents — deltas engine-exact;
     // quarter() buckets identically from the same timestamps
+    // q106: the oracle recomputes the mart from ALL raw facts — equality
+    // with the Spark-side base∪delta partial-aggregate merge is the
+    // incremental-maintenance correctness property (integer cents: exact)
+    "q106_incremental_agg" ->
+      """SELECT o_orderpriority AS priority,
+        |  strftime(o_orderdate, '%Y-%m') AS month,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(min(cents) AS BIGINT) AS min_cents,
+        |  CAST(max(cents) AS BIGINT) AS max_cents,
+        |  count(*) AS n
+        |FROM (SELECT *, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |      FROM orders)
+        |GROUP BY 1, 2""".stripMargin,
+
+    // q104: relational rebuild of the HLL registers — bucket = top 6 lane
+    // bits, rho = leading zeros of the remaining 54 bits + 1 (bin() gives
+    // the minimal binary string in both engines, so length(bin(w))-1 is
+    // floor(log2 w) EXACTLY; floating log2 rounds up just under powers of
+    // two at 50+ bits), then the classic estimator with the same alpha,
+    // double-op grouping, and small-range correction as HllSketch.eval.
+    "q104_hll_distinct" ->
+      s"""WITH toks AS (SELECT lang, unnest(str_split(text, ' ')) AS token FROM documents),
+         |h AS (SELECT DISTINCT lang, ${duckLane("token")} AS lane FROM toks),
+         |b AS (SELECT lang, lane >> 54 AS bucket,
+         |        lane & ${(1L << 54) - 1} AS w FROM h),
+         |regs AS (SELECT lang, bucket,
+         |    max(CASE WHEN w = 0 THEN 55
+         |             ELSE 54 - (length(bin(w)) - 1) END) AS r
+         |  FROM b GROUP BY lang, bucket),
+         |agg AS (SELECT lang, sum(pow(2.0, -r)) AS present, count(*) AS np
+         |  FROM regs GROUP BY lang),
+         |est AS (SELECT lang,
+         |    0.709 * 64.0 * 64.0 / (present + CAST(64 - np AS DOUBLE)) AS raw,
+         |    CAST(64 - np AS DOUBLE) AS v
+         |  FROM agg)
+         |SELECT lang, round(CASE WHEN raw <= 160.0 AND v > 0
+         |    THEN 64.0 * ln(64.0 / v) ELSE raw END, 4) AS est_distinct
+         |FROM est""".stripMargin,
+
+    // q105: relational mirror of the sketch-merge overlap — bottom-k lanes
+    // per source, pair universe = union of the two bottom-k sets, rank,
+    // keep k; the k-th union lane drives the KMV union estimate and the
+    // both-sides fraction the Jaccard; intersection = J x union (raw
+    // doubles multiplied BEFORE rounding, as in Sketch.kmvOverlap).
+    "q105_kmv_overlap" ->
+      s"""WITH toks AS (SELECT source, unnest(str_split(text, ' ')) AS token FROM documents),
+         |h AS (SELECT DISTINCT source, ${duckLane("token")} AS lane FROM toks),
+         |r AS (SELECT source, lane,
+         |    row_number() OVER (PARTITION BY source ORDER BY lane) AS rn FROM h),
+         |sk AS (SELECT source, lane FROM r WHERE rn <= 128),
+         |srcs AS (SELECT DISTINCT source FROM sk),
+         |prs AS (SELECT a.source AS sa, b.source AS sb
+         |  FROM srcs a JOIN srcs b ON a.source < b.source),
+         |ul AS (SELECT p.sa, p.sb, s.lane,
+         |    max(CASE WHEN s.source = p.sa THEN 1 ELSE 0 END) AS in_a,
+         |    max(CASE WHEN s.source = p.sb THEN 1 ELSE 0 END) AS in_b
+         |  FROM prs p JOIN sk s ON s.source IN (p.sa, p.sb)
+         |  GROUP BY p.sa, p.sb, s.lane),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY sa, sb ORDER BY lane) AS rn,
+         |    count(*) OVER (PARTITION BY sa, sb) AS nu FROM ul),
+         |kk AS (SELECT sa, sb, count(*) AS kcnt, max(lane) AS lane_k,
+         |    sum(in_a * in_b) AS matches, max(nu) AS nu
+         |  FROM rk WHERE rn <= 128 GROUP BY sa, sb),
+         |est AS (SELECT sa, sb,
+         |    CASE WHEN nu < 128 THEN CAST(nu AS DOUBLE)
+         |         ELSE 127.0 / ((CAST(lane_k AS DOUBLE) + 1.0)
+         |                        / 1152921504606846977.0) END AS u_est,
+         |    CAST(matches AS DOUBLE) / CAST(kcnt AS DOUBLE) AS jac
+         |  FROM kk)
+         |SELECT sa AS src_a, sb AS src_b,
+         |  round(u_est, 4) AS est_union,
+         |  round(jac, 4) AS est_jaccard,
+         |  round(jac * u_est, 4) AS est_intersection
+         |FROM est""".stripMargin,
+
     "q103_window_nav" ->
       """WITH q AS (
         |  SELECT c_mktsegment,

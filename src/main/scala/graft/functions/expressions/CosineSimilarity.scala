@@ -177,6 +177,30 @@ object GraftExpressions {
       KmvSketch(children.head, k)
     })
 
+  val kmvLanes: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_kmv_lanes"),
+    new ExpressionInfo(classOf[KmvLanes].getName, "graft_kmv_lanes"),
+    (children: Seq[Expression]) => {
+      val k = children(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"graft_kmv_lanes(lane, k): k must be an integer literal, got $other")
+      }
+      KmvLanes(children.head, k)
+    })
+
+  val hll: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_hll"),
+    new ExpressionInfo(classOf[HllSketch].getName, "graft_hll"),
+    (children: Seq[Expression]) => {
+      val p = children(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"graft_hll(lane, p): p must be an integer literal, got $other")
+      }
+      HllSketch(children.head, p)
+    })
+
   private def cmsBuilder(fn: String, sha: Boolean)
       : Seq[Expression] => Expression = { children =>
     def intLit(e: Expression, what: String): Int = e match {
@@ -329,8 +353,9 @@ object GraftExpressions {
     * shared by [[register]] and [[graft.GraftSparkExtensions]]. */
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(cosineSim, shingles, simhash64, minhash, lshSig, lshSigSha, kmv,
-        cms, cmsSha, minhashSha, simhashSha, vectorSum, nearestCentroid,
-        nearestCentroids, pqEncode, bloomMightContain, nfc, misraGries)
+        kmvLanes, hll, cms, cmsSha, minhashSha, simhashSha, vectorSum,
+        nearestCentroid, nearestCentroids, pqEncode, bloomMightContain,
+        nfc, misraGries)
 
   /** Idempotently register on a session's function registry. */
   def register(spark: SparkSession): Unit =

@@ -99,3 +99,88 @@ case class KmvSketch(child: Expression, k: Int,
 
   override def prettyName: String = "graft_kmv"
 }
+
+/**
+ * KMV sketch that evaluates to the bottom-k lane SET itself (ascending
+ * `array<bigint>`) rather than the distinct-count estimate — the
+ * composable form: two groups' arrays merge into the union's bottom-k
+ * with plain array functions (`array_union` → `array_sort` → `slice`),
+ * which is what powers the q105 source-overlap estimator (union /
+ * Jaccard / intersection across corpus pairs) without ever rescanning
+ * the corpus. Same state and update path as [[KmvSketch]]; identical
+ * space bound (≤ k longs per group per partition map-side).
+ */
+case class KmvLanes(child: Expression, k: Int,
+                    mutableAggBufferOffset: Int = 0,
+                    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
+
+  require(k >= 3, "KMV needs k >= 3")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_kmv_lanes expects a LongType hash lane, got ${other.catalogString}")
+  }
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  private def add(buf: java.util.TreeSet[java.lang.Long], v: Long): Unit =
+    if (buf.size < k) { buf.add(v); () }
+    else if (v < buf.last) {
+      if (buf.add(v) && buf.size > k) { buf.remove(buf.last); () }
+    }
+
+  override def update(buf: java.util.TreeSet[java.lang.Long],
+                      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) add(buf, v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: java.util.TreeSet[java.lang.Long],
+                     other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = other.iterator()
+    while (it.hasNext) add(buf, it.next())
+    buf
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val arr = new Array[Long](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 8 * buf.size)
+    bb.putInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) { buf.add(bb.getLong); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvLanes =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvLanes =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): KmvLanes =
+    copy(child = newChildren.head)
+
+  override def prettyName: String = "graft_kmv_lanes"
+}

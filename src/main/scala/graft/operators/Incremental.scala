@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Incremental aggregate maintenance — the dbt-incremental-model tier for
+ * aggregate marts (reference `dbt_project.yml` materializes its counts
+ * mart as a table rebuilt per run; at 100 TB the rebuild is the cost and
+ * this is the replacement): keep the mart as per-key PARTIAL aggregates
+ * of decomposable measures (sum / count / min / max — each merges by
+ * re-applying itself), and fold each new delta batch in by
+ * re-aggregating `mart ∪ agg(delta)`. The facts behind the mart are
+ * never rescanned: a nightly refresh shuffles the delta plus the
+ * mart's own key rows, not the history.
+ *
+ * Algebra (IncrementalSpec pins both, and q106's oracle re-derives the
+ * merged mart from the raw facts in DuckDB):
+ *  - associativity: `merge(agg(A), agg(B)) == agg(A ∪ B)` for any split,
+ *  - idempotent re-entry: the merged output has the same schema as its
+ *    inputs, so tonight's mart is tomorrow's base.
+ *
+ * Non-decomposable measures don't belong here: AVG is derivable
+ * (sum/count) at read; COUNT DISTINCT needs a mergeable sketch state —
+ * that is exactly what [[graft.functions.expressions.KmvSketch]] /
+ * [[graft.functions.expressions.HllSketch]] exist for.
+ */
+object Incremental {
+
+  /**
+   * Per-key partial aggregates of `facts`: `sums`/`counts` become
+   * `sum_<c>` / `n` (row count), `mins`/`maxs` become `min_<c>` /
+   * `max_<c>`. The output is a valid [[mergeAggregates]] input AND
+   * output — `aggregate` then repeated `mergeAggregates` is the
+   * incremental lifecycle.
+   */
+  def aggregate(facts: DataFrame, keys: Seq[String], sums: Seq[String],
+                mins: Seq[String] = Nil, maxs: Seq[String] = Nil): DataFrame = {
+    val aggs = sums.map(c => sum(col(c)).as(s"sum_$c")) ++
+      mins.map(c => min(col(c)).as(s"min_$c")) ++
+      maxs.map(c => max(col(c)).as(s"max_$c")) :+
+      count(lit(1)).as("n")
+    facts.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /**
+   * Fold partial-aggregate frames (the current mart and one or more
+   * delta aggregates, all in [[aggregate]]'s schema) into one: sums and
+   * counts re-sum, mins/maxs re-min/max. One aggregate shuffle over the
+   * UNION of the partials — each leg aggregates map-side first, so the
+   * exchange carries at most one row per key per input partition.
+   */
+  def mergeAggregates(parts: Seq[DataFrame], keys: Seq[String],
+                      sums: Seq[String], mins: Seq[String] = Nil,
+                      maxs: Seq[String] = Nil): DataFrame = {
+    require(parts.nonEmpty, "mergeAggregates needs at least one input")
+    val unioned = parts.reduce(_.unionByName(_))
+    val aggs = sums.map(c => sum(col(s"sum_$c")).as(s"sum_$c")) ++
+      mins.map(c => min(col(s"min_$c")).as(s"min_$c")) ++
+      maxs.map(c => max(col(s"max_$c")).as(s"max_$c")) :+
+      sum(col("n")).as("n")
+    unioned.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+}

@@ -139,6 +139,114 @@ object Sketch {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
   }
 
+  // ----------------------------------------------------------------- HLL
+
+  /** alpha_m for the HLL estimator — synchronized with
+    * [[graft.functions.expressions.HllSketch.eval]] and the q104 oracle
+    * SQL (SketchSpec cross-checks all three). */
+  private def hllAlpha(m: Int): Double = m match {
+    case 16 => 0.673
+    case 32 => 0.697
+    case 64 => 0.709
+    case _  => 0.7213 / (1.0 + 1.079 / m)
+  }
+
+  /** HLL distinct estimate from per-group `(bucket → max rho)` registers:
+    * shared tail of [[hllDistinct]] and the oracle SQL. `regs` has columns
+    * `keys :+ (bucket, r)`. */
+  private def hllEstimate(regs: DataFrame, keys: Seq[String], p: Int): DataFrame = {
+    val m = 1 << p
+    val raw = lit(hllAlpha(m)) * lit(m.toDouble) * lit(m.toDouble) /
+      (col("present") + col("v"))
+    val corrected = when(raw <= lit(2.5 * m) && col("v") > 0,
+        lit(m.toDouble) * log(lit(m.toDouble) / col("v")))
+      .otherwise(raw)
+    regs.groupBy(keys.map(col): _*)
+      .agg(sum(pow(lit(2.0), -col("r"))).as("present"),
+        count(lit(1)).as("np"))
+      .withColumn("v", (lit(m) - col("np")).cast("double"))
+      .select((keys.map(col) :+ round(corrected, 4).as("est_distinct")): _*)
+  }
+
+  /** Window/groupBy HLL (executable spec / oracle twin of
+    * [[hllDistinctSketch]]): derive `(bucket, rho)` per distinct lane,
+    * max-reduce to registers, estimate. Shuffles every distinct lane —
+    * the small-scale mirror, not the scale path. `bin()` (minimal binary
+    * string, identical in DuckDB) gives floor(log2 w) exactly; a floating
+    * `log2` would round UP just below powers of two at 50+ bits. */
+  def hllDistinct(df: DataFrame, keys: Seq[String], laneCol: Column,
+                  p: Int = 6): DataFrame = {
+    require(p >= 4 && p <= 16, "HLL needs 4 <= p <= 16")
+    val wBits = 60 - p
+    val regs = df.select((keys.map(col) :+ laneCol.as("lane")): _*)
+      .filter(col("lane").isNotNull).distinct()
+      .select((keys.map(col) :+
+        shiftrightunsigned(col("lane"), wBits).as("bucket") :+
+        col("lane").bitwiseAND(lit((1L << wBits) - 1)).as("w")): _*)
+      .withColumn("rho", when(col("w") === 0, lit(wBits + 1))
+        .otherwise(lit(wBits) - (length(bin(col("w"))) - lit(1))))
+      .groupBy((keys.map(col) :+ col("bucket")): _*)
+      .agg(max(col("rho")).as("r"))
+    hllEstimate(regs, keys, p)
+  }
+
+  /** Mergeable HLL (scale path): per-group state is exactly 2^p BYTES —
+    * constant in both cardinality and tuning, the smallest sketch in the
+    * family (KMV ships k longs) — merged by elementwise register max
+    * map-side. Identical estimates to [[hllDistinct]] by construction
+    * (same registers, same estimator). */
+  def hllDistinctSketch(df: DataFrame, keys: Seq[String], laneCol: Column,
+                        p: Int = 6): DataFrame = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.expressions.GraftExpressions.register)
+    df.groupBy(keys.map(col): _*)
+      .agg(round(call_function("graft_hll", laneCol, lit(p)), 4).as("est_distinct"))
+  }
+
+  // --------------------------------------------------------- KMV overlap
+
+  /**
+   * Pairwise set-overlap estimation across a partition column (union /
+   * Jaccard / intersection cardinalities between every pair of sources)
+   * from composable KMV sketches: each source reduces to its bottom-k
+   * lane array via [[graft.functions.expressions.KmvLanes]] (the corpus
+   * shuffles ≤ k longs per source, ONCE), and every pair statistic is
+   * array math on the sketches — `array_union`→sort→slice is the bottom-k
+   * of A∪B (a lane in it that belongs to A is necessarily in A's own
+   * bottom-k), the k-th smallest union lane gives |A∪B| by the KMV
+   * estimator, and the fraction of union-bottom-k lanes present in BOTH
+   * sketches estimates Jaccard; intersection = J·|A∪B|. Pairs with fewer
+   * than k union lanes are exact by construction. The corpus is never
+   * rescanned or re-shuffled per pair — the pair join touches only
+   * (#sources × k) longs. Training-data use: corpus-mix planning and
+   * cross-source contamination sizing without an O(n²) token join.
+   */
+  def kmvOverlap(df: DataFrame, sourceCol: String, laneCol: Column,
+                 k: Int = 128): DataFrame = {
+    require(k >= 3, "KMV needs k >= 3")
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.expressions.GraftExpressions.register)
+    val sk = df.groupBy(col(sourceCol).as("src"))
+      .agg(call_function("graft_kmv_lanes", laneCol, lit(k)).as("lanes"))
+    val a = sk.select(col("src").as("src_a"), col("lanes").as("la"))
+    val b = sk.select(col("src").as("src_b"), col("lanes").as("lb"))
+    val ub = array_sort(array_union(col("la"), col("lb")))
+    val nUnion = size(ub)
+    val kk = least(lit(k), nUnion)
+    val bot = slice(ub, lit(1), kk)
+    val uk = element_at(bot, kk)
+    val matches = size(array_intersect(array_intersect(bot, col("la")), col("lb")))
+    val unionEst = when(nUnion < k, nUnion.cast("double"))
+      .otherwise(lit((k - 1).toDouble) /
+        ((uk.cast("double") + lit(1.0)) / lit(ShaLanes.LaneSpace + 1.0)))
+    val jac = matches.cast("double") / kk.cast("double")
+    a.join(broadcast(b), col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        round(unionEst, 4).as("est_union"),
+        round(jac, 4).as("est_jaccard"),
+        round(jac * unionEst, 4).as("est_intersection"))
+  }
+
   /** Exact per-group quantiles (q37's oracle twin / executable spec).
     * `percentile` buffers EVERY group value in the aggregation buffer —
     * at 100 TB that is an OOM, not a slowdown, so this form is for

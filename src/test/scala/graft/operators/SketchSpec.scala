@@ -107,6 +107,101 @@ class SketchSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"no window shuffle expected, got:\n$plan")
   }
 
+  test("hll: sketch aggregate matches the relational mirror") {
+    val rows =
+      (0 until 40).map(i => ("small", s"v$i")) ++
+      (0 until 20000).map(i => ("big", s"tok_${i % 5000}")) ++
+      (0 until 100).map(i => ("dups", s"x${i % 7}"))
+    val df = rows.toDF("g", "v").repartition(7) // force multi-partition partials
+    def toMap(r: Array[org.apache.spark.sql.Row]) =
+      r.map(x => x.getString(0) -> x.getDouble(1)).toMap
+    val win = toMap(Sketch.hllDistinct(df, Seq("g"), Sketch.shaLane(col("v")), p = 6).collect())
+    val agg = toMap(Sketch.hllDistinctSketch(df, Seq("g"), Sketch.shaLane(col("v")), p = 6).collect())
+    assert(win.keySet === agg.keySet)
+    // both forms round(4); the double pipelines differ only in summation
+    // order, so rounded values can straddle a boundary by at most 1 ulp
+    win.keys.foreach(g =>
+      assert(math.abs(win(g) - agg(g)) <= 0.00011, s"group $g: ${win(g)} vs ${agg(g)}"))
+  }
+
+  test("hll: estimates within error bounds at p=8") {
+    val rows =
+      (0 until 20000).map(i => ("big", s"tok_${i % 5000}")) ++
+      (0 until 200).map(i => ("small", s"v${i % 40}"))
+    val est = Sketch.hllDistinctSketch(rows.toDF("g", "v"), Seq("g"),
+        Sketch.shaLane(col("v")), p = 8)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // m=256 -> RSE ~ 6.5%; assert well inside 4 sigma
+    assert(math.abs(est("big") - 5000.0) / 5000.0 < 0.25, s"big: ${est("big")}")
+    // 40 distinct hits the small-range (linear counting) correction
+    assert(math.abs(est("small") - 40.0) / 40.0 < 0.2, s"small: ${est("small")}")
+  }
+
+  test("hll: native aggregate is partition-invariant (mergeable registers)") {
+    val rows = (0 until 8000).map(i => ("g", s"t${i % 3000}"))
+    def run(parts: Int) = Sketch.hllDistinctSketch(
+      rows.toDF("g", "v").repartition(parts), Seq("g"),
+      Sketch.shaLane(col("v")), p = 6).head().getDouble(1)
+    assert(run(1) === run(13))
+  }
+
+  test("hll: both forms ignore NULL lanes") {
+    val df = ((0 until 100).map(i => ("g", s"v${i % 40}")) ++
+      (0 until 10).map(_ => ("g", "nope"))).toDF("g", "v")
+    val lane = when(col("v") =!= "nope", Sketch.shaLane(col("v")))
+    val win = Sketch.hllDistinct(df, Seq("g"), lane, p = 6).head().getDouble(1)
+    val agg = Sketch.hllDistinctSketch(df, Seq("g"), lane, p = 6).head().getDouble(1)
+    assert(math.abs(win - agg) <= 0.00011)
+    val noNull = Sketch.hllDistinctSketch(
+      df.filter(col("v") =!= "nope"), Seq("g"), Sketch.shaLane(col("v")), p = 6)
+      .head().getDouble(1)
+    assert(agg === noNull)
+  }
+
+  test("hll plan aggregates partially (map-side combine, 2^p-byte state)") {
+    val df = (0 until 1000).map(i => ("g" + (i % 3), s"v$i")).toDF("g", "v").repartition(4)
+    val plan = Sketch.hllDistinctSketch(df, Seq("g"), Sketch.shaLane(col("v")), p = 6)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_graft_hll"),
+      s"expected map-side partial HLL aggregation, got:\n$plan")
+    assert(!plan.contains("Window"), s"no window shuffle expected, got:\n$plan")
+  }
+
+  test("kmv overlap: exact on pairs whose union fits inside k") {
+    val rows = (0 until 100).map(i => ("A", s"w$i")) ++
+      (50 until 150).map(i => ("B", s"w$i"))
+    val out = Sketch.kmvOverlap(rows.toDF("src", "v"), "src",
+        Sketch.shaLane(col("v")), k = 256).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert((r.getString(0), r.getString(1)) === ("A", "B"))
+    assert(r.getDouble(2) === 150.0)                     // est_union
+    assert(r.getDouble(3) === math.rint(50.0 / 150.0 * 10000) / 10000) // est_jaccard
+    assert(r.getDouble(4) === 50.0)                      // est_intersection
+  }
+
+  test("kmv overlap: estimates within tolerance on large overlapping sources") {
+    val rows = (0 until 5000).map(i => ("A", s"t$i")) ++
+      (2500 until 7500).map(i => ("B", s"t$i"))
+    val r = Sketch.kmvOverlap(rows.toDF("src", "v").repartition(9), "src",
+        Sketch.shaLane(col("v")), k = 256).head()
+    val (union, jac, inter) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    assert(math.abs(union - 7500.0) / 7500.0 < 0.25, s"union $union")
+    assert(math.abs(jac - 1.0 / 3.0) < 0.12, s"jaccard $jac")
+    assert(math.abs(inter - 2500.0) / 2500.0 < 0.35, s"intersection $inter")
+  }
+
+  test("kmv overlap: one row per unordered source pair") {
+    val rows = (0 until 400).flatMap(i => Seq(
+      (s"s${i % 4}", s"tok${i % 97}")))
+    val out = Sketch.kmvOverlap(rows.toDF("src", "v"), "src",
+        Sketch.shaLane(col("v")), k = 64)
+      .select("src_a", "src_b").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(out.length === 6) // C(4,2)
+    out.foreach { case (a, b) => assert(a < b) }
+  }
+
   test("quantiles: approx scale path within rank-error bound of the exact twin") {
     // deterministic skewed fixture: uniform 0..999 plus a heavy tail group
     val rows = (0 until 50000).map(i => ("uni", ((i * 2654435761L) % 1000).toDouble)) ++
