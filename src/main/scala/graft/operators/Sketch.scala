@@ -151,10 +151,11 @@ object Sketch {
     case _  => 0.7213 / (1.0 + 1.079 / m)
   }
 
-  /** HLL distinct estimate from per-group `(bucket → max rho)` registers:
-    * shared tail of [[hllDistinct]] and the oracle SQL. `regs` has columns
-    * `keys :+ (bucket, r)`. */
-  private def hllEstimate(regs: DataFrame, keys: Seq[String], p: Int): DataFrame = {
+  /** HLL distinct estimate from per-group `(bucket → max rho)` registers
+    * (`keys :+ (bucket, r)` rows, [[hllRegisters]]'s shape): shared tail
+    * of [[hllDistinct]], the q104 oracle SQL, and the streaming
+    * merge-at-read path ([[graft.streaming.Streams.readDistinct]]). */
+  def hllEstimateFromRegisters(regs: DataFrame, keys: Seq[String], p: Int): DataFrame = {
     val m = 1 << p
     val raw = lit(hllAlpha(m)) * lit(m.toDouble) * lit(m.toDouble) /
       (col("present") + col("v"))
@@ -175,10 +176,20 @@ object Sketch {
     * string, identical in DuckDB) gives floor(log2 w) exactly; a floating
     * `log2` would round UP just below powers of two at 50+ bits. */
   def hllDistinct(df: DataFrame, keys: Seq[String], laneCol: Column,
-                  p: Int = 6): DataFrame = {
+                  p: Int = 6): DataFrame =
+    hllEstimateFromRegisters(hllRegisters(df, keys, laneCol, p), keys, p)
+
+  /** Per-group HLL registers as `(keys..., bucket, r)` rows — ≤ 2^p rows
+    * per group, r = max rho. Registers are the MERGEABLE form: registers
+    * of a union = elementwise (per-bucket) MAX of the parts' registers,
+    * and max is IDEMPOTENT — re-observing the same data cannot change
+    * them, which is what makes the streaming delta table replay-proof
+    * ([[graft.streaming.Streams.incrementalDistinct]]). */
+  def hllRegisters(df: DataFrame, keys: Seq[String], laneCol: Column,
+                   p: Int = 6): DataFrame = {
     require(p >= 4 && p <= 16, "HLL needs 4 <= p <= 16")
     val wBits = 60 - p
-    val regs = df.select((keys.map(col) :+ laneCol.as("lane")): _*)
+    df.select((keys.map(col) :+ laneCol.as("lane")): _*)
       .filter(col("lane").isNotNull).distinct()
       .select((keys.map(col) :+
         shiftrightunsigned(col("lane"), wBits).as("bucket") :+
@@ -187,7 +198,6 @@ object Sketch {
         .otherwise(lit(wBits) - (length(bin(col("w"))) - lit(1))))
       .groupBy((keys.map(col) :+ col("bucket")): _*)
       .agg(max(col("rho")).as("r"))
-    hllEstimate(regs, keys, p)
   }
 
   /** Mergeable HLL (scale path): per-group state is exactly 2^p BYTES —

@@ -276,6 +276,53 @@ object Streams {
       .agg(sum(col("cnt")).as("cnt"))
 
   /**
+   * Streaming distinct-count maintenance — the cardinality member of the
+   * incremental-sketch family ([[incrementalCmsCounters]] = frequency,
+   * [[incrementalHeavyHitters]] = frequent items): each micro-batch
+   * reduces to its HLL registers (≤ 2^p `(bucket, r)` rows,
+   * [[graft.operators.Sketch.hllRegisters]]) under `batch_id=<id>`; the
+   * live estimate at any time is per-bucket MAX over all persisted rows
+   * → the classic estimator ([[readDistinct]]). Where the CMS deltas
+   * rely on sum-linearity, registers merge by MAX — which is
+   * IDEMPOTENT: a replayed or re-ingested batch re-asserts the same
+   * register floors and the estimate cannot inflate. Distinct counting
+   * is the one streaming statistic that deduplicates by construction —
+   * no watermarking, no keyed dedup state, O(2^p) storage per batch.
+   * Compaction pre-MAXes committed deltas through the generic
+   * compactor's fold hook (max is also the lossless half of its own
+   * merge, so folding never changes a read).
+   *
+   * Replay-safe by the standard contract here (a batch overwrites only
+   * its own `batch_id=` partition; compaction folds committed ids only)
+   * — and doubly so by idempotence, see above.
+   */
+  def incrementalDistinct(stream: DataFrame, lane: org.apache.spark.sql.Column,
+                          outDir: String, p: Int = 12,
+                          compactEvery: Int = 0): DataStreamWriter[Row] =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Sketch.hllRegisters(batch.select(lane.as("lane")),
+            Nil, col("lane"), p)
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        if (compactEvery > 0 && batchId % compactEvery == (compactEvery - 1).toLong)
+          compactBatchPartitions(batch.sparkSession, outDir, filesPer = 1,
+            belowId = batchId,
+            fold = df => df.groupBy(col("bucket")).agg(max(col("r")).as("r")))
+      }
+
+  /** The live whole-stream distinct estimate from the persisted register
+    * deltas: per-bucket max (≤ batches × 2^p tiny rows in, one row out —
+    * identical registers, hence an IDENTICAL estimate, to a single HLL
+    * pass over everything ingested so far). */
+  def readDistinct(spark: org.apache.spark.sql.SparkSession,
+                   outDir: String, p: Int = 12): DataFrame =
+    graft.operators.Sketch.hllEstimateFromRegisters(
+      spark.read.parquet(outDir)
+        .groupBy(col("bucket")).agg(max(col("r")).as("r")),
+      Nil, p)
+
+  /**
    * Streaming heavy-hitters maintenance — the frequent-ITEMS twin of
    * [[incrementalCmsCounters]]: each micro-batch reduces to its own
    * Misra–Gries summary (≤ k `(item, w)` rows,

@@ -319,6 +319,49 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming HLL deltas: live read equals the one-pass estimate; max-merge is idempotent") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = Files.createTempDirectory("inc_hll").toString
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[String]
+    val lane = graft.operators.Sketch.shaLane(col("tok"))
+    val q = Streams.incrementalDistinct(input.toDS().toDF("tok"),
+        lane, s"$base/hll", p = 6, compactEvery = 2)
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    try {
+      val b0 = (0 until 300).map(i => s"t$i")
+      val b1 = (200 until 500).map(i => s"t$i") // overlaps b0
+      val b2 = b0                               // full re-ingestion of b0
+      val b3 = (500 until 600).map(i => s"t$i")
+      Seq(b0, b1, b2, b3).foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      }
+      val live = Streams.readDistinct(spark, s"$base/hll", p = 6)
+        .head().getDouble(0)
+      // register max-merge == one HLL pass over everything ingested:
+      // identical registers, hence an exactly identical estimate
+      val whole = graft.operators.Sketch.hllDistinct(
+          (b0 ++ b1 ++ b2 ++ b3).toDF("tok"), Nil, lane, p = 6)
+        .head().getDouble(0)
+      assert(live === whole)
+      // idempotence: b2 re-ingested b0 verbatim, so dropping it from the
+      // union changes nothing — re-observation cannot inflate the count
+      val withoutReplay = graft.operators.Sketch.hllDistinct(
+          (b0 ++ b1 ++ b3).toDF("tok"), Nil, lane, p = 6)
+        .head().getDouble(0)
+      assert(live === withoutReplay)
+      // the fold at batch 3 pre-maxed committed batches 0-2 into one dir
+      val dirs = new java.io.File(s"$base/hll").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+        .map(_.getName).sorted
+      assert(dirs.toSeq === Seq("batch_id=2", "batch_id=3"), dirs.mkString(","))
+      // and the estimate is in the right neighborhood (600 true distinct,
+      // m=64 -> RSE ~13%)
+      assert(math.abs(live - 600.0) / 600.0 < 0.5, s"estimate $live")
+    } finally q.stop()
+  }
+
   test("streaming heavy hitters: live merge keeps the whole-stream MG bound") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val base = Files.createTempDirectory("inc_mg").toString
