@@ -1348,6 +1348,18 @@ object SparkEntry {
       keys, Seq("cents"), mins = Seq("cents"), maxs = Seq("cents"))
   }
 
+  /** q107: zone-map statistics over the q51 z-value space — per z-range
+    * bucket (top 10 bits ≈ one clustered file) the row count and BOTH
+    * dimensions' min/max, i.e. the stats table a data-skipping reader
+    * prunes against. The declared query oracles the stats aggregation;
+    * the skipping EFFECT (tight rectangles vs a hash layout) is
+    * ZOrderSpec's quantified assertion. */
+  private def zoneMapQ(s: SparkSession, d: String): DataFrame =
+    graft.functions.ZOrder.zoneMap(
+      events(s, d).select(col("user_id"),
+        unix_timestamp(col("ts")).as("ts_sec")),
+      col("user_id"), col("ts_sec"), bucketBits = 10)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"    -> (pricingSummary _),
     "q02_revenue_filter"     -> (revenueFilter _),
@@ -1455,6 +1467,7 @@ object SparkEntry {
     "q104_hll_distinct"      -> (hllDistinctTokens _),
     "q105_kmv_overlap"       -> (kmvOverlapQ _),
     "q106_incremental_agg"   -> (incrementalAggQ _),
+    "q107_zone_map"          -> (zoneMapQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -1550,6 +1563,38 @@ object SparkEntry {
        |  FROM events),
        |$ctes
        |SELECT event_id, a | (b << 1) AS zvalue FROM z5""".stripMargin
+  }
+
+  /** q107 oracle: bounds pass → integer range-normalization onto the
+    * 31-bit interleave domain (`//` floors like Spark's DIV on the
+    * non-negative operands here) → the q51 bit-spread CTE chain carrying
+    * the ORIGINAL dims → per-z-bucket stats aggregate. */
+  private def zoneMapOracle: String = {
+    val steps = Seq(16 -> 0x0000FFFF0000FFFFL, 8 -> 0x00FF00FF00FF00FFL,
+      4 -> 0x0F0F0F0F0F0F0F0FL, 2 -> 0x3333333333333333L,
+      1 -> 0x5555555555555555L)
+    val ctes = steps.zipWithIndex.map { case ((s, m), i) =>
+      s"""z${i + 1} AS (SELECT a0, b0,
+         |  ((a | (a << $s)) & $m) AS a, ((b | (b << $s)) & $m) AS b FROM z$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT user_id AS a0,
+       |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS b0
+       |  FROM events),
+       |bd AS (SELECT min(a0) AS a_min, max(a0) AS a_max,
+       |              min(b0) AS b_min, max(b0) AS b_max FROM e),
+       |z0 AS (SELECT a0, b0,
+       |    ((a0 - a_min) * 2147483647 // greatest(a_max - a_min, 1))
+       |      & 2147483647 AS a,
+       |    ((b0 - b_min) * 2147483647 // greatest(b_max - b_min, 1))
+       |      & 2147483647 AS b
+       |  FROM e CROSS JOIN bd),
+       |$ctes,
+       |zv AS (SELECT a0, b0, (a | (b << 1)) >> 52 AS bucket FROM z5)
+       |SELECT bucket, count(*) AS n,
+       |  min(a0) AS min_a, max(a0) AS max_a,
+       |  min(b0) AS min_b, max(b0) AS max_b
+       |FROM zv GROUP BY bucket""".stripMargin
   }
 
   /** q21 oracle: 60-bit SHA-lane SimHash, mirroring [[Dedup.simhashPairsSha]]
@@ -1915,6 +1960,7 @@ object SparkEntry {
     "q20_minhash_lsh" -> minhashOracle,
     "q50_lsh_admit" -> lshAdmitOracle,
     "q51_zorder" -> zorderOracle,
+    "q107_zone_map" -> zoneMapOracle,
     "q52_cms_counts" ->
       s"""WITH toks AS (SELECT unnest(str_split(text, ' ')) AS v FROM documents),
          |r AS (SELECT unnest(range(4)) AS j),

@@ -59,4 +59,44 @@ object ZOrder {
       .repartitionByRange(numPartitions, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
+
+  /**
+   * Zone-map statistics over a z-bucketed layout — the table a
+   * data-skipping reader consults: rows bucket by the TOP `bucketBits`
+   * of their z-value (a z-range ≈ one file of a [[cluster]]ed write),
+   * and each bucket reports row count plus per-dimension min/max of the
+   * ORIGINAL values. Each dimension is range-normalized onto the full
+   * 31-bit interleave domain first (`(v - min) * (2^31-1) div range`,
+   * integer-exact in any engine) — raw bit interleaving is meaningless
+   * when a dimension doesn't fill its domain (a user-id column topping
+   * out at 2^11 leaves the top 20 z-bit pairs constant and every row in
+   * ONE bucket; this is why production z-ordering range-normalizes or
+   * ranks before interleaving). The bounds pass is one tiny aggregate
+   * cross-joined back as a broadcast single row.
+   *
+   * A bucket fixes the top `bucketBits/2` bits of BOTH normalized
+   * dimensions, so its rectangle is ≤ range/2^(bucketBits/2) wide on
+   * each side — the bound stats-based pruning on either predicate rests
+   * on (ZOrderSpec asserts it; q107 oracles the whole computation).
+   * Overflow note: ANSI multiplication guards the normalization — it
+   * requires per-dimension range < 2^32, loudly.
+   */
+  def zoneMap(df: DataFrame, a: Column, b: Column,
+              bucketBits: Int = 10): DataFrame = {
+    require(bucketBits >= 1 && bucketBits <= 62, "bucketBits in [1, 62]")
+    val bounds = df.select(a.as("a"), b.as("b")).agg(
+      min(col("a")).as("a_min"), max(col("a")).as("a_max"),
+      min(col("b")).as("b_min"), max(col("b")).as("b_max"))
+    def scaled(v: String, mn: String, mx: String): Column =
+      expr(s"($v - $mn) * 2147483647 DIV greatest($mx - $mn, 1)")
+    df.select(a.cast("long").as("a"), b.cast("long").as("b"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("bucket", shiftrightunsigned(
+        zvalue(scaled("a", "a_min", "a_max"), scaled("b", "b_min", "b_max")),
+        62 - bucketBits))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("a")).as("min_a"), max(col("a")).as("max_a"),
+        min(col("b")).as("min_b"), max(col("b")).as("max_b"))
+  }
 }

@@ -70,4 +70,44 @@ class ZOrderSpec extends SparkSpec {
     assert(out.count() > 0)
     assert(out.agg(min("zvalue")).head().getLong(0) >= 0L)
   }
+
+  test("zone map: every z-bucket fixes the top bits of BOTH normalized dimensions") {
+    // narrow native domains on purpose (a < 3000, b = epoch-like offsets):
+    // the normalization must spread them over the interleave domain — the
+    // raw top z-bits of values like these are constant and would land
+    // EVERY row in one bucket
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(5000)(
+      (rnd.nextInt(3000).toLong, 1700000000L + rnd.nextInt(30000000).toLong))
+    val zm = ZOrder.zoneMap(rows.toDF("a", "b"), col("a"), col("b"),
+      bucketBits = 10).collect()
+    assert(zm.length > 100, s"normalization should spread buckets, got ${zm.length}")
+    assert(zm.map(_.getLong(1)).sum === 5000L)
+    // subdivision property: 10 z-bits = 5 top bits per normalized dim, so
+    // each bucket's rectangle is <= range/32 (+1 rounding) per side — the
+    // bound stats-based pruning on EITHER predicate rests on
+    def rng(sel: ((Long, Long)) => Long) = sel(rows.maxBy(sel)) - sel(rows.minBy(sel))
+    val (ra, rb) = (rng(_._1), rng(_._2))
+    zm.foreach { r =>
+      assert(r.getLong(3) - r.getLong(2) <= ra / 32 + 1,
+        s"bucket ${r.getLong(0)} a-extent ${r.getLong(3) - r.getLong(2)}")
+      assert(r.getLong(5) - r.getLong(4) <= rb / 32 + 1,
+        s"bucket ${r.getLong(0)} b-extent ${r.getLong(5) - r.getLong(4)}")
+    }
+    // bit-agreement with a per-row reference: scale exactly as the
+    // operator does (truncating div on non-negative longs), then refZ
+    val (aMin, bMin) = (rows.map(_._1).min, rows.map(_._2).min)
+    def sc(v: Long, mn: Long, range: Long): Long =
+      (v - mn) * 2147483647L / math.max(range, 1L)
+    val ref = rows.map { case (a, b) =>
+        (refZ(sc(a, aMin, ra), sc(b, bMin, rb)) >>> 52, (a, b)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(zm.length === ref.size)
+    zm.foreach { r =>
+      val g = ref(r.getLong(0))
+      assert(r.getLong(1) === g.size.toLong)
+      assert(r.getLong(2) === g.map(_._1).min && r.getLong(3) === g.map(_._1).max)
+      assert(r.getLong(4) === g.map(_._2).min && r.getLong(5) === g.map(_._2).max)
+    }
+  }
 }
