@@ -1360,6 +1360,54 @@ object SparkEntry {
         unix_timestamp(col("ts")).as("ts_sec")),
       col("user_id"), col("ts_sec"), bucketBits = 10)
 
+  /** q108: EWMA smoothing of daily revenue per priority — the signal
+    * tier's recency-weighted companion to the q08 rolling z-score. α is
+    * 1/2 so every weight is a power of two: with integer-cent inputs
+    * the whole smoother is exact doubles and hash-matches the DuckDB
+    * lag-chain oracle bit-for-bit. One ordered window, scan-side array
+    * math ([[Trend.ewma]]). */
+  private def ewmaQ(s: SparkSession, d: String): DataFrame = {
+    val daily = orders(s, d).groupBy(
+        col("o_orderpriority").as("priority"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+    Trend.ewma(daily, Seq("priority"), col("day"), col("cents"), window = 8)
+  }
+
+  /** q109: k-anonymity / l-diversity audit over (event_type, day) as
+    * the quasi-identifier and user_id as the sensitive attribute — the
+    * governance-tier group-size screen ([[Privacy.kAnonymityAudit]]):
+    * one QI-keyed aggregate, no joins. */
+  private def kAnonQ(s: SparkSession, d: String): DataFrame =
+    Privacy.kAnonymityAudit(
+      events(s, d).select(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"), col("user_id")),
+      Seq("event_type", "day"), col("user_id"), k = 20, minL = 5)
+
+  /** q110: bounded-hop BFS distances over the customer↔supplier trade
+    * graph from a small customer seed set — the recursive-CTE
+    * capability (Spark has no WITH RECURSIVE) expressed as frontier
+    * iteration ([[Graph.bfsDistances]]: per-round work is frontier-
+    * adjacent edges only, anti-join prunes visited). The oracle IS
+    * DuckDB's `WITH RECURSIVE` over the same graph — two genuinely
+    * different fixpoint computations, one answer. */
+  private def bfsQ(s: SparkSession, d: String): DataFrame = {
+    val pairs = orders(s, d)
+      .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+    val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+      .unionByName(pairs.select(col("s").as("src"), col("c").as("dst")))
+    val seeds = pairs.filter(col("c") <= 40).select(col("c").as("node"))
+    Graph.bfsDistances(edges, seeds, maxHops = 3)
+      .select(
+        when(col("node") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
+          .as("node_type"),
+        when(col("node") % 2 === 0, expr("node div 2"))
+          .otherwise(expr("(node - 1) div 2")).as("entity_id"),
+        col("dist"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"    -> (pricingSummary _),
     "q02_revenue_filter"     -> (revenueFilter _),
@@ -1468,6 +1516,9 @@ object SparkEntry {
     "q105_kmv_overlap"       -> (kmvOverlapQ _),
     "q106_incremental_agg"   -> (incrementalAggQ _),
     "q107_zone_map"          -> (zoneMapQ _),
+    "q108_ewma"              -> (ewmaQ _),
+    "q109_k_anonymity"       -> (kAnonQ _),
+    "q110_bfs"               -> (bfsQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -1595,6 +1646,32 @@ object SparkEntry {
        |  min(a0) AS min_a, max(a0) AS max_a,
        |  min(b0) AS min_b, max(b0) AS max_b
        |FROM zv GROUP BY bucket""".stripMargin
+  }
+
+  /** q108 oracle: the EWMA numerator as an explicit 8-term lag chain
+    * (weights are 2^-k, written as exact decimal literals), denominator
+    * in the closed form `2 − 2^{1−n}` — identical exact-double terms to
+    * [[graft.operators.Trend.ewma]]'s array fold. */
+  private def ewmaOracle: String = {
+    val terms = (1 until 8).map { k =>
+      val wt = (BigDecimal(1) / BigDecimal(1L << k)).bigDecimal.toPlainString
+      s"coalesce(lag(cents, $k) OVER w, 0) * $wt"
+    }.mkString("\n    + ")
+    s"""WITH daily AS (
+       |  SELECT o_orderpriority AS priority,
+       |    strftime(o_orderdate, '%Y-%m-%d') AS day,
+       |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |      AS cents
+       |  FROM orders GROUP BY 1, 2)
+       |SELECT priority, day, cents,
+       |  round((CAST(cents AS DOUBLE)
+       |    + $terms)
+       |   / (2 - pow(2.0, -(CAST(count(*) OVER wf AS DOUBLE) - 1))), 4)
+       |   AS ewma
+       |FROM daily
+       |WINDOW w AS (PARTITION BY priority ORDER BY day),
+       |  wf AS (PARTITION BY priority ORDER BY day
+       |         ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)""".stripMargin
   }
 
   /** q21 oracle: 60-bit SHA-lane SimHash, mirroring [[Dedup.simhashPairsSha]]
@@ -1961,6 +2038,14 @@ object SparkEntry {
     "q50_lsh_admit" -> lshAdmitOracle,
     "q51_zorder" -> zorderOracle,
     "q107_zone_map" -> zoneMapOracle,
+    "q108_ewma" -> ewmaOracle,
+
+    "q109_k_anonymity" ->
+      """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |  count(*) AS n, count(DISTINCT user_id) AS l,
+        |  count(*) >= 20 AS k_anonymous,
+        |  count(DISTINCT user_id) >= 5 AS l_diverse
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "q52_cms_counts" ->
       s"""WITH toks AS (SELECT unnest(str_split(text, ' ')) AS v FROM documents),
          |r AS (SELECT unnest(range(4)) AS j),
@@ -2544,6 +2629,31 @@ object SparkEntry {
         |  d.deg, p.rank
         |FROM pr p JOIN deg d ON d.src = p.node
         |WHERE p.iter = 6""".stripMargin,
+
+    // q110: min(dist) over the recursive walk == first-visit distance of
+    // the frontier iteration (unit edge weights); integer-exact
+    "q110_bfs" ->
+      """WITH RECURSIVE
+        |pairs AS (
+        |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |edges AS (
+        |  SELECT c AS src, s AS dst FROM pairs
+        |  UNION ALL SELECT s, c FROM pairs),
+        |walk(node, dist) AS (
+        |  SELECT DISTINCT c AS node, CAST(0 AS BIGINT) AS dist
+        |  FROM pairs WHERE c <= 40
+        |  UNION
+        |  SELECT e.dst, w.dist + 1
+        |  FROM walk w JOIN edges e ON e.src = w.node
+        |  WHERE w.dist < 3)
+        |SELECT
+        |  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+        |    AS node_type,
+        |  (CASE WHEN node % 2 = 0 THEN node ELSE node - 1 END // 2)::BIGINT
+        |    AS entity_id,
+        |  min(dist) AS dist
+        |FROM walk GROUP BY 1, 2""".stripMargin,
 
     // q92: ntile/percent_rank/cume_dist are rank-arithmetic on exact
     // integers in both engines, so the rounded doubles hash-match

@@ -94,4 +94,44 @@ object Graph {
     }
     nodes.join(ranks, "node")
   }
+
+  /**
+   * Bounded-hop BFS shortest distances from a seed set — the recursive-
+   * CTE capability Spark SQL lacks (no `WITH RECURSIVE`), expressed as
+   * FRONTIER iteration: each round expands only the nodes discovered in
+   * the previous round (`frontier ⨝ edges`), anti-joins the already-
+   * visited set, and unions the survivors in at distance `i`. First
+   * visit is shortest path (all edges weigh 1), distances are exact
+   * BIGINTs, and the result is the fixpoint a recursive CTE computes —
+   * the q110 oracle IS DuckDB's `WITH RECURSIVE` over the same graph.
+   *
+   * Scale shape: per-round work is O(frontier-adjacent edges), not
+   * O(all edges) — on high-diameter graphs the anti-join keeps late
+   * rounds cheap, and on small-diameter graphs the frontier empties and
+   * later rounds are no-ops. The visited set (`node, dist`) is the only
+   * growing state. For deep `maxHops`, checkpoint it every few rounds
+   * as [[Dedup.connectedComponents]] does; declared queries keep the
+   * pure unrolled plan.
+   *
+   * Output: `(node, dist)` for every node reachable within `maxHops`
+   * (seeds at 0); unreachable nodes are absent.
+   */
+  def bfsDistances(edges: DataFrame, seeds: DataFrame,
+                   maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    var dist = seeds.select(col("node").cast("long").as("node")).distinct()
+      .select(col("node"), lit(0L).as("dist"))
+    var frontier = dist
+    for (i <- 1 to maxHops) {
+      val next = e.join(frontier, e("src") === frontier("node"))
+        .select(col("dst").as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .select(col("node"), lit(i.toLong).as("dist"))
+      frontier = next
+      dist = dist.unionByName(next)
+    }
+    dist
+  }
 }

@@ -73,4 +73,46 @@ class GraphSpec extends SparkSpec {
       .orderBy("node").collect().toSeq
     assert(a === b)
   }
+
+  private def bfsMap(edges: Seq[(Long, Long)], seeds: Seq[Long],
+                     hops: Int): Map[Long, Long] =
+    Graph.bfsDistances(edges.toDF("src", "dst"), seeds.toDF("node"), hops)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("bfs: known distances on a path with a shortcut, cycles safe") {
+    // 1→2→3→4→5 plus shortcut 1→4; cycle back-edge 5→1
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L), (5L, 1L))
+    val d = bfsMap(edges, Seq(1L), hops = 4)
+    assert(d === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 2L))
+    // hop bound respected: from node 3 only two hops reach 5
+    assert(bfsMap(edges, Seq(3L), hops = 1) === Map(3L -> 0L, 4L -> 1L))
+  }
+
+  test("bfs: multi-seed minimum and unreachable-node absence") {
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+    val d = bfsMap(edges, Seq(1L, 10L), hops = 3)
+    // 20/21 live in a component no seed touches
+    assert(d === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 10L -> 0L, 11L -> 1L))
+    // a seed that is also reachable from another seed stays at 0
+    val d2 = bfsMap(Seq((1L, 2L), (2L, 1L)), Seq(1L, 2L), hops = 2)
+    assert(d2 === Map(1L -> 0L, 2L -> 0L))
+  }
+
+  test("bfs: equals the naive min-over-walks fixpoint (frontier pruning is lossless)") {
+    val rnd = new scala.util.Random(3)
+    val edges = Seq.fill(300)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+    val seeds = Seq(0L, 7L)
+    val hops = 4
+    // reference: Floyd-ish BFS on the driver
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var ref = seeds.map(_ -> 0L).toMap
+    var frontier = seeds.toSet
+    for (i <- 1 to hops) {
+      val nxt = frontier.flatMap(n => adj.getOrElse(n, Nil))
+        .filterNot(ref.contains)
+      ref = ref ++ nxt.map(_ -> i.toLong)
+      frontier = nxt
+    }
+    assert(bfsMap(edges, seeds, hops) === ref)
+  }
 }

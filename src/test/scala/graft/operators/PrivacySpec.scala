@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PrivacySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("k-anonymity audit flags small QI groups and low sensitive diversity") {
+    // group (x,1): 3 rows, 3 users — fails k=5, passes l=2
+    // group (y,1): 6 rows, 1 user  — passes k=5, fails l=2
+    // group (z,1): 6 rows, 6 users — passes both
+    val rows =
+      (0 until 3).map(i => ("x", 1, s"u$i")) ++
+      (0 until 6).map(_ => ("y", 1, "u0")) ++
+      (0 until 6).map(i => ("z", 1, s"u$i"))
+    val out = Privacy.kAnonymityAudit(rows.toDF("qi1", "qi2", "user"),
+        Seq("qi1", "qi2"), col("user"), k = 5, minL = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4), r.getBoolean(5)))).toMap
+    assert(out("x") === ((3L, 3L, false, true)))
+    assert(out("y") === ((6L, 1L, true, false)))
+    assert(out("z") === ((6L, 6L, true, true)))
+  }
+
+  test("generalization banding coarsens failing groups into passing ones") {
+    // ages 30..34 one row each: every exact age fails k=3; width-5 bands pass
+    val rows = (30 to 34).map(a => (a.toLong, s"u$a"))
+    val exact = Privacy.kAnonymityAudit(rows.toDF("age", "user"),
+      Seq("age"), col("user"), k = 3)
+    assert(exact.filter(col("k_anonymous")).count() === 0)
+    val banded = rows.toDF("age", "user")
+      .withColumn("age_band", Privacy.generalize(col("age"), 5))
+    val audit = Privacy.kAnonymityAudit(banded, Seq("age_band"), col("user"), k = 3)
+    assert(audit.count() === 1 && audit.filter(col("k_anonymous")).count() === 1)
+    // floor semantics hold for negatives too
+    val neg = Seq((-3L, "a"), (-7L, "b")).toDF("v", "u")
+      .select(Privacy.generalize(col("v"), 5).as("b")).collect().map(_.getLong(0))
+    assert(neg.toSeq === Seq(-5L, -10L))
+  }
+
+  test("audit plan: one QI-keyed aggregate, no joins") {
+    val rows = (0 until 200).map(i => (s"t${i % 5}", i % 10, s"u${i % 17}"))
+    val plan = Privacy.kAnonymityAudit(rows.toDF("a", "b", "u").repartition(4),
+        Seq("a", "b"), col("u"), k = 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("join"), s"no join expected:\n$plan")
+  }
+}

@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TrendSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ewma matches the per-row reference on integer inputs, exactly") {
+    val rows = Seq(
+      ("a", 1, 100L), ("a", 2, 200L), ("a", 3, 50L), ("a", 4, 400L),
+      ("a", 5, 0L), ("b", 1, 10L), ("b", 2, 30L))
+    val out = Trend.ewma(rows.toDF("g", "t", "v"), Seq("g"), col("t"),
+        col("v"), window = 3)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    // reference: newest-first weights 1, 1/2, 1/4; denominator 2 - 2^(1-n)
+    def ref(xs: Seq[Long]): Double = {
+      val recent = xs.takeRight(3).reverse
+      val num = recent.zipWithIndex.map { case (x, k) => x / math.pow(2, k) }.sum
+      math.rint(num / (2.0 - math.pow(2.0, -(recent.size - 1))) * 10000) / 10000
+    }
+    val series = Map("a" -> Seq(100L, 200L, 50L, 400L, 0L), "b" -> Seq(10L, 30L))
+    for ((g, xs) <- series; t <- 1 to xs.size)
+      assert(out((g, t)) === ref(xs.take(t)), s"($g, $t)")
+  }
+
+  test("ewma of a constant series is the constant; single row is itself") {
+    val rows = (1 to 20).map(t => ("c", t, 7L))
+    val out = Trend.ewma(rows.toDF("g", "t", "v"), Seq("g"), col("t"),
+      col("v"), window = 8).select("ewma").collect().map(_.getDouble(0))
+    assert(out.forall(_ === 7.0))
+  }
+
+  test("ewma plan: one window over one shuffle, no joins") {
+    val rows = (1 to 100).map(t => (s"g${t % 4}", t, t.toLong))
+    val plan = Trend.ewma(rows.toDF("g", "t", "v").repartition(5), Seq("g"),
+        col("t"), col("v"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("join"), s"no join expected:\n$plan")
+    assert(plan.split("Exchange").length - 1 <= 2,
+      s"expected at most the repartition + one window exchange:\n$plan")
+  }
+}
