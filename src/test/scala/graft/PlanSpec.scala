@@ -554,6 +554,64 @@ class PlanSpec extends SparkSpec {
     assert(countOf(p, "HashAggregate") >= 2, "both correlated aggregates became group-bys")
   }
 
+  test("q104 hll: map-side partial sketch aggregation, no window, no join") {
+    val p = plan("q104_hll_distinct")
+    assert(p.contains("partial_graft_hll"), s"expected partial HLL agg:\n$p")
+    assert(!p.contains("Window") && !p.toLowerCase.contains("join"))
+    assert(countOf(p, "Exchange hashpartitioning") === 1,
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
+  test("q105 overlap: corpus shuffles once into sketches; pair join is broadcast over sketch rows") {
+    val p = plan("q105_kmv_overlap")
+    assert(p.contains("partial_graft_kmv_lanes"), s"expected partial lanes agg:\n$p")
+    // ONE corpus-keyed exchange builds the per-source sketches; the pair
+    // join (src_a < src_b, non-equi) broadcasts the tiny sketch table —
+    // the corpus itself is never re-shuffled or rescanned per pair
+    assert(countOf(p, "Exchange hashpartitioning") <= 2,
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    assert(p.contains("BroadcastNestedLoopJoin"), "pair join should broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q106 incremental merge: map-side partials on every leg, no join anywhere") {
+    val p = plan("q106_incremental_agg")
+    assert(p.contains("partial_sum"), s"expected map-side partial sums:\n$p")
+    assert(!p.toLowerCase.contains("join"))
+  }
+
+  test("q107 zone map: bounds broadcast back, one bucket-keyed aggregate exchange") {
+    val p = plan("q107_zone_map")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "1-row bounds should come back as a broadcast")
+    assert(!p.contains("SortMergeJoin"))
+    assert(countOf(p, "Exchange hashpartitioning") === 1,
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
+  test("q108 ewma: grouped days then ONE ordered window, no joins") {
+    val p = plan("q108_ewma")
+    assert(!p.toLowerCase.contains("join"))
+    assert(countOf(p, "Window") === 1, s"exactly one window exec:\n$p")
+    assert(countOf(p, "Exchange hashpartitioning") <= 2,
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
+  test("q109 k-anonymity: one QI-keyed aggregate pipeline, no joins, no window") {
+    val p = plan("q109_k_anonymity")
+    assert(!p.toLowerCase.contains("join") && !p.contains("Window"))
+    assert(countOf(p, "Exchange hashpartitioning") <= 2,
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
+  test("q110 bfs: equi-joins only — no cartesian, no nested-loop frontier expansion") {
+    val p = plan("q110_bfs")
+    assert(!p.contains("CartesianProduct"), s"no cartesian expected:\n$p")
+    // every frontier expansion and visited-set anti-join is key-equi;
+    // a BroadcastNestedLoopJoin would mean a non-equi condition leaked in
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"non-equi join leaked:\n$p")
+  }
+
   test("k-means Lloyd update: no Generate, one fixed-width aggregate exchange") {
     // the r3 stretch item: training must never explode the corpus into
     // corpus x dim rows -- the vector-sum aggregate keeps per-group state
