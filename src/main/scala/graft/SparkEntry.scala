@@ -1408,6 +1408,41 @@ object SparkEntry {
         col("dist"))
   }
 
+  /** q111: AQP revenue estimation — grouped COUNT/SUM estimated from a
+    * 25% deterministic hash sample with Horvitz-Thompson scale-up and a
+    * standard-error column ([[Aqp.sampledAggregate]]): the sample
+    * filter is scan-side, so the only exchange aggregates the SAMPLE;
+    * the full table is never shuffled. Dyadic rate ⇒ exact scale-ups;
+    * the oracle runs the identical estimator in DuckDB. */
+  private def aqpQ(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d).select(col("o_orderpriority").as("priority"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+      concat(lit("aqp|"), col("o_orderkey").cast("string")).as("tag"))
+    Aqp.sampledAggregate(o, Seq("priority"), col("cents"), 0.25, col("tag"))
+  }
+
+  /** q112: personalized PageRank from the same customer seed set as
+    * q110 — "entities related to these customers, ranked". Integer-
+    * scaled like q95 (bit-identical in any engine); the rank vector is
+    * SPARSE (mass only ever reaches nodes within k hops of the seeds),
+    * and the oracle unrolls the same four rounds as plain SQL layers. */
+  private def pprQ(s: SparkSession, d: String): DataFrame = {
+    val pairs = orders(s, d)
+      .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+    val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+      .unionByName(pairs.select(col("s").as("src"), col("c").as("dst")))
+    val seeds = pairs.filter(col("c") <= 40).select(col("c").as("node"))
+    Graph.personalizedPageRank(edges, seeds, iterations = 4)
+      .select(
+        when(col("node") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
+          .as("node_type"),
+        when(col("node") % 2 === 0, expr("node div 2"))
+          .otherwise(expr("(node - 1) div 2")).as("entity_id"),
+        col("rank"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"    -> (pricingSummary _),
     "q02_revenue_filter"     -> (revenueFilter _),
@@ -1519,6 +1554,8 @@ object SparkEntry {
     "q108_ewma"              -> (ewmaQ _),
     "q109_k_anonymity"       -> (kAnonQ _),
     "q110_bfs"               -> (bfsQ _),
+    "q111_aqp_revenue"       -> (aqpQ _),
+    "q112_ppr"               -> (pprQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -1672,6 +1709,44 @@ object SparkEntry {
        |WINDOW w AS (PARTITION BY priority ORDER BY day),
        |  wf AS (PARTITION BY priority ORDER BY day
        |         ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)""".stripMargin
+  }
+
+  /** q112 oracle: the four personalized-PageRank rounds unrolled as
+    * plain SQL layers (a recursive CTE cannot re-apply the seed teleport
+    * without referencing itself twice) — identical integer arithmetic
+    * to [[graft.operators.Graph.personalizedPageRank]]. */
+  private def pprOracle: String = {
+    val layers = (1 to 4).map { i =>
+      s"""pr$i AS (
+         |  SELECT node, CAST(sum(m) AS BIGINT) AS rank FROM (
+         |    SELECT e.dst AS node, (85 * p.rank) // (100 * d.deg) AS m
+         |    FROM pr${i - 1} p
+         |    JOIN edges e ON e.src = p.node
+         |    JOIN deg d ON d.src = p.node
+         |    UNION ALL
+         |    SELECT node, t AS m FROM seeds CROSS JOIN tele
+         |  ) GROUP BY node HAVING sum(m) > 0)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |edges AS (
+       |  SELECT c AS src, s AS dst FROM pairs
+       |  UNION ALL SELECT s, c FROM pairs),
+       |deg AS (SELECT src, count(*)::BIGINT AS deg FROM edges GROUP BY 1),
+       |seeds AS (SELECT DISTINCT c AS node FROM pairs WHERE c <= 40),
+       |nn AS (SELECT count(*)::BIGINT AS s FROM seeds),
+       |tele AS (SELECT (15000000000000 // (100 * s))::BIGINT AS t,
+       |                (1000000000000 // s)::BIGINT AS r0 FROM nn),
+       |pr0 AS (SELECT node, r0 AS rank FROM seeds CROSS JOIN tele),
+       |$layers
+       |SELECT
+       |  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+       |    AS node_type,
+       |  (CASE WHEN node % 2 = 0 THEN node ELSE node - 1 END // 2)::BIGINT
+       |    AS entity_id,
+       |  rank
+       |FROM pr4""".stripMargin
   }
 
   /** q21 oracle: 60-bit SHA-lane SimHash, mirroring [[Dedup.simhashPairsSha]]
@@ -2654,6 +2729,26 @@ object SparkEntry {
         |    AS entity_id,
         |  min(dist) AS dist
         |FROM walk GROUP BY 1, 2""".stripMargin,
+
+    // q111: the identical HT estimator over the identical deterministic
+    // sample — dyadic rate 1/4 makes every scale-up exact; the variance
+    // factor (1-p)/p^2 = 12 is exact in both engines
+    "q111_aqp_revenue" ->
+      s"""WITH o AS (
+         |  SELECT o_orderpriority AS priority,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         |    ${duckLane("'aqp|' || o_orderkey::VARCHAR")} AS lane
+         |  FROM orders),
+         |smp AS (SELECT * FROM o
+         |  WHERE CAST(lane AS DOUBLE) < 0.25 * 1152921504606846976.0)
+         |SELECT priority, count(*) AS n_s,
+         |  count(*) / 0.25 AS n_est,
+         |  sum(cents) / 0.25 AS sum_est,
+         |  round(sqrt(sum(pow(CAST(cents AS DOUBLE), 2.0))
+         |             * ((1 - 0.25) / (0.25 * 0.25))), 2) AS se_sum
+         |FROM smp GROUP BY priority""".stripMargin,
+
+    "q112_ppr" -> pprOracle,
 
     // q92: ntile/percent_rank/cume_dist are rank-arithmetic on exact
     // integers in both engines, so the rounded doubles hash-match

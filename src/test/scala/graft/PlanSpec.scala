@@ -612,6 +612,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"non-equi join leaked:\n$p")
   }
 
+  test("q111 aqp: sample filter below the aggregate, full table never shuffled") {
+    val p = plan("q111_aqp_revenue")
+    assert(!p.toLowerCase.contains("join"))
+    assert(p.contains("partial_count") && p.contains("partial_sum"))
+    // the only exchange aggregates the SAMPLE; the Bernoulli filter is a
+    // scan-side projection predicate (sha2 is not parquet-pushable, but it
+    // must evaluate before any exchange)
+    assert(countOf(p, "Exchange hashpartitioning") === 1,
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    assert(p.indexOf("Filter") > p.indexOf("Exchange hashpartitioning"),
+      "sample filter must evaluate below the aggregate exchange")
+  }
+
+  test("q112 ppr: equi-joins only; sparse rank vector never goes cartesian") {
+    val p = plan("q112_ppr")
+    assert(!p.contains("CartesianProduct"), s"no cartesian expected:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"non-equi join leaked:\n$p")
+  }
+
   test("k-means Lloyd update: no Generate, one fixed-width aggregate exchange") {
     // the r3 stretch item: training must never explode the corpus into
     // corpus x dim rows -- the vector-sum aggregate keeps per-group state

@@ -98,6 +98,33 @@ class GraphSpec extends SparkSpec {
     assert(d2 === Map(1L -> 0L, 2L -> 0L))
   }
 
+  test("ppr: support stays within k hops of the seeds; mass bounded by seed mass") {
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (10L, 11L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val out = Graph.personalizedPageRank(edges, Seq(1L).toDF("node"), iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // support ⊆ {seed} ∪ nodes within 3 hops — node 5 is 4 hops out, and
+    // the 10-11 component is unreachable
+    assert(out.keySet.subsetOf(Set(1L, 2L, 3L, 4L)))
+    assert(out.contains(1L) && out.contains(2L))
+    // floors only LOSE mass: total rank never exceeds the seed mass
+    assert(out.values.sum <= Graph.Scale)
+    // the seed retains its teleport share at minimum
+    assert(out(1L) >= (15L * Graph.Scale) / 100L)
+  }
+
+  test("ppr: deterministic under partitioning; multi-seed mass splits evenly at init") {
+    val edges = (1L to 30L).flatMap(i =>
+      Seq((i, i % 30 + 1), (i % 30 + 1, i))).toDF("src", "dst")
+    val seeds = Seq(1L, 15L).toDF("node")
+    val a = Graph.personalizedPageRank(edges.repartition(1), seeds, 4)
+      .orderBy("node").collect().toSeq
+    val b = Graph.personalizedPageRank(edges.repartition(13, col("dst")), seeds, 4)
+      .orderBy("node").collect().toSeq
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
   test("bfs: equals the naive min-over-walks fixpoint (frontier pruning is lossless)") {
     val rnd = new scala.util.Random(3)
     val edges = Seq.fill(300)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
