@@ -1443,6 +1443,38 @@ object SparkEntry {
         col("rank"))
   }
 
+  /** q113: HLL distinct-user estimates inside CUBE — the sketch tier
+    * composing with the OLAP Expand tier: one pass computes per-cell,
+    * per-row-slice, per-column-slice and grand-total distinct counts,
+    * each cell a 64-byte register set (count-distinct inside a cube is
+    * exactly where exact per-group distinct state explodes at 100 TB).
+    * The oracle rebuilds every grouping set relationally (UNION ALL
+    * mirror of Expand) and re-derives the registers per level. */
+  private def cubeDistinctQ(s: SparkSession, d: String): DataFrame = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.expressions.GraftExpressions.register)
+    events(s, d).select(col("event_type"),
+        date_format(col("ts"), "yyyy-MM").as("month"),
+        Sketch.shaLane(concat(lit("u|"), col("user_id").cast("string"))).as("lane"))
+      .cube(col("event_type"), col("month"))
+      .agg(grouping(col("event_type")).cast("long").as("g_et"),
+        grouping(col("month")).cast("long").as("g_m"),
+        count(lit(1)).as("n"),
+        round(call_function("graft_hll", col("lane"), lit(6)), 4).as("est_users"))
+  }
+
+  /** q114: robust daily-revenue outlier screen per priority — MAD-based
+    * modified z-scores ([[Trend.robustOutlierStats]]), the heavy-tail-
+    * safe companion to q08's rolling mean/stddev signal (an extreme day
+    * inflates a stddev and hides itself; it barely moves a median). */
+  private def robustSignalsQ(s: SparkSession, d: String): DataFrame = {
+    val daily = orders(s, d).groupBy(
+        col("o_orderpriority").as("priority"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+    Trend.robustOutlierStats(daily, Seq("priority"), col("cents"), z = 3.5)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"    -> (pricingSummary _),
     "q02_revenue_filter"     -> (revenueFilter _),
@@ -1556,6 +1588,8 @@ object SparkEntry {
     "q110_bfs"               -> (bfsQ _),
     "q111_aqp_revenue"       -> (aqpQ _),
     "q112_ppr"               -> (pprQ _),
+    "q113_cube_distinct"     -> (cubeDistinctQ _),
+    "q114_robust_signals"    -> (robustSignalsQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -2749,6 +2783,67 @@ object SparkEntry {
          |FROM smp GROUP BY priority""".stripMargin,
 
     "q112_ppr" -> pprOracle,
+
+    // q113: UNION ALL of the four grouping sets is the relational mirror
+    // of Expand; registers rebuild per level exactly as in the q104
+    // oracle, and grouping flags disambiguate rolled-up NULLs
+    "q113_cube_distinct" ->
+      s"""WITH base AS (
+         |  SELECT event_type, strftime(ts, '%Y-%m') AS month,
+         |    ${duckLane("'u|' || user_id::VARCHAR")} AS lane
+         |  FROM events),
+         |lvl AS (
+         |  SELECT event_type, month, 0 AS g_et, 0 AS g_m, lane FROM base
+         |  UNION ALL SELECT event_type, NULL, 0, 1, lane FROM base
+         |  UNION ALL SELECT NULL, month, 1, 0, lane FROM base
+         |  UNION ALL SELECT NULL, NULL, 1, 1, lane FROM base),
+         |cnt AS (SELECT event_type, month, g_et, g_m, count(*) AS n
+         |  FROM lvl GROUP BY 1, 2, 3, 4),
+         |h AS (SELECT DISTINCT event_type, month, g_et, g_m, lane FROM lvl),
+         |b AS (SELECT event_type, month, g_et, g_m, lane >> 54 AS bucket,
+         |        lane & ${(1L << 54) - 1} AS w FROM h),
+         |regs AS (SELECT event_type, month, g_et, g_m, bucket,
+         |    max(CASE WHEN w = 0 THEN 55
+         |             ELSE 54 - (length(bin(w)) - 1) END) AS r
+         |  FROM b GROUP BY 1, 2, 3, 4, 5),
+         |agg AS (SELECT event_type, month, g_et, g_m,
+         |    sum(pow(2.0, -r)) AS present, count(*) AS np
+         |  FROM regs GROUP BY 1, 2, 3, 4),
+         |est AS (SELECT event_type, month, g_et, g_m,
+         |    0.709 * 64.0 * 64.0 / (present + CAST(64 - np AS DOUBLE)) AS raw,
+         |    CAST(64 - np AS DOUBLE) AS v
+         |  FROM agg)
+         |SELECT c.event_type, c.month,
+         |  c.g_et::BIGINT AS g_et, c.g_m::BIGINT AS g_m, c.n,
+         |  round(CASE WHEN raw <= 160.0 AND v > 0
+         |      THEN 64.0 * ln(64.0 / v) ELSE raw END, 4) AS est_users
+         |FROM cnt c JOIN est e ON c.g_et = e.g_et AND c.g_m = e.g_m
+         |  AND c.event_type IS NOT DISTINCT FROM e.event_type
+         |  AND c.month IS NOT DISTINCT FROM e.month""".stripMargin,
+
+    // q114: med/mad interpolate exact integer-cent halves (double-exact),
+    // and the outlier compare is the multiplied form on identical doubles
+    "q114_robust_signals" ->
+      """WITH daily AS (
+        |  SELECT o_orderpriority AS priority,
+        |    strftime(o_orderdate, '%Y-%m-%d') AS day,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY 1, 2),
+        |med AS (SELECT priority,
+        |    quantile_cont(CAST(cents AS DOUBLE), 0.5) AS med
+        |  FROM daily GROUP BY 1),
+        |dev AS (SELECT d.priority, m.med,
+        |    abs(CAST(d.cents AS DOUBLE) - m.med) AS dev
+        |  FROM daily d JOIN med m ON d.priority = m.priority),
+        |mad AS (SELECT priority, quantile_cont(dev, 0.5) AS mad
+        |  FROM dev GROUP BY 1)
+        |SELECT v.priority, count(*) AS n,
+        |  round(max(v.med), 4) AS med, round(max(a.mad), 4) AS mad,
+        |  CAST(sum(CASE WHEN 0.6745 * v.dev > 3.5 * a.mad
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM dev v JOIN mad a ON v.priority = a.priority
+        |GROUP BY v.priority""".stripMargin,
 
     // q92: ntile/percent_rank/cume_dist are rank-arithmetic on exact
     // integers in both engines, so the rounded doubles hash-match

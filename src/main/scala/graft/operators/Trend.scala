@@ -30,6 +30,43 @@ import org.apache.spark.sql.functions._
  */
 object Trend {
 
+  /**
+   * Robust per-group outlier statistics via the median absolute
+   * deviation — the heavy-tail-safe companion to the rolling z-score
+   * (one extreme month inflates a stddev and hides itself; it barely
+   * moves a median): `med = median(x)`, `mad = median(|x − med|)`, and
+   * an observation is flagged when its modified z-score
+   * `0.6745·|x−med|/mad` exceeds `z` (Iglewicz–Hoberg convention;
+   * compared in multiplied form `0.6745·dev > z·mad` so a degenerate
+   * mad = 0 flags any nonzero deviation instead of dividing by zero).
+   *
+   * Three grouped passes by construction (MAD nests two medians), with
+   * the tiny per-group medians broadcast back between passes — the
+   * VALUE rows shuffle on the group key at most, never self-join.
+   * Exact `percentile` buffers each group's values (the q37 caveat);
+   * [[Sketch.quantilesApprox]] is the drop-in at unbounded group sizes.
+   *
+   * Output: keys, `n` (group size), `med`, `mad` (rounded 4),
+   * `n_outliers`.
+   */
+  def robustOutlierStats(df: DataFrame, keys: Seq[String], value: Column,
+                         z: Double = 3.5): DataFrame = {
+    val base = df.select((keys.map(col) :+ value.cast("double").as("x")): _*)
+    val med = base.groupBy(keys.map(col): _*)
+      .agg(percentile(col("x"), lit(0.5)).as("med"))
+    val dev = base.join(broadcast(med), keys)
+      .withColumn("dev", abs(col("x") - col("med")))
+    val mad = dev.groupBy(keys.map(col): _*)
+      .agg(percentile(col("dev"), lit(0.5)).as("mad"))
+    dev.join(broadcast(mad), keys)
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        round(max(col("med")), 4).as("med"),
+        round(max(col("mad")), 4).as("mad"),
+        sum(when(lit(0.6745) * col("dev") > lit(z) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+  }
+
   def ewma(df: DataFrame, keys: Seq[String], order: Column, value: Column,
            window: Int = 8): DataFrame = {
     require(window >= 1 && window <= 53, "window in [1, 53] (exactness bound)")

@@ -631,6 +631,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"non-equi join leaked:\n$p")
   }
 
+  test("q113 cube-distinct: sketches ride the Expand — partial HLL, no join") {
+    val p = plan("q113_cube_distinct")
+    assert(p.contains("Expand"), s"expected cube Expand:\n$p")
+    assert(p.contains("partial_graft_hll"), s"sketch must aggregate map-side:\n$p")
+    assert(!p.toLowerCase.contains("join"))
+  }
+
+  test("q114 robust stats: per-group medians broadcast back; values never self-join") {
+    val p = plan("q114_robust_signals")
+    assert(countOf(p, "BroadcastHashJoin") >= 2,
+      s"med and mad should come back as broadcasts:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("k-means Lloyd update: no Generate, one fixed-width aggregate exchange") {
     // the r3 stretch item: training must never explode the corpus into
     // corpus x dim rows -- the vector-sum aggregate keeps per-group state

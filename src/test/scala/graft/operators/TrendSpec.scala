@@ -31,6 +31,32 @@ class TrendSpec extends SparkSpec {
     assert(out.forall(_ === 7.0))
   }
 
+  test("robust stats: med/mad/outliers match hand-computed values; stddev would hide the spike") {
+    // 9 calm days at ~100 plus one 100x spike: med 100, dev median 2
+    val xs = Seq(98L, 99L, 99L, 100L, 100L, 100L, 101L, 102L, 104L, 10000L)
+    val rows = xs.zipWithIndex.map { case (v, i) => ("g", i, v) }
+    val r = Trend.robustOutlierStats(rows.toDF("g", "t", "v"), Seq("g"),
+      col("v"), z = 3.5).head()
+    assert(r.getLong(1) === 10L)             // n
+    assert(r.getDouble(2) === 100.0)         // med
+    // devs sorted: 0,0,0,1,1,1,2,2,4,9900 -> interpolated median 1.0
+    assert(r.getDouble(3) === 1.0)           // mad
+    // 0.6745*dev > 3.5*1.0 only for the spike's dev of 9900
+    assert(r.getLong(4) === 1L)
+    // classic stddev z-score on the same data: the spike inflates sigma so
+    // much that its own z stays tiny — the robust screen is the point
+    val mean = xs.sum.toDouble / xs.size
+    val sd = math.sqrt(xs.map(x => math.pow(x - mean, 2)).sum / (xs.size - 1))
+    assert(math.abs((10000 - mean) / sd) < 3.5, "stddev z-score misses the spike")
+  }
+
+  test("robust stats: zero-MAD group flags any nonzero deviation, no division blowup") {
+    val rows = (Seq.fill(9)(5L) :+ 6L).zipWithIndex.map { case (v, i) => ("c", i, v) }
+    val r = Trend.robustOutlierStats(rows.toDF("g", "t", "v"), Seq("g"), col("v")).head()
+    assert(r.getDouble(3) === 0.0)  // mad
+    assert(r.getLong(4) === 1L)     // the single deviating row flags
+  }
+
   test("ewma plan: one window over one shuffle, no joins") {
     val rows = (1 to 100).map(t => (s"g${t % 4}", t, t.toLong))
     val plan = Trend.ewma(rows.toDF("g", "t", "v").repartition(5), Seq("g"),
