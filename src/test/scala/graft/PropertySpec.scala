@@ -303,4 +303,79 @@ class PropertySpec extends SparkSpec {
     assert(viaAgg === viaExplode)
     assert(viaAgg === viaAggShuffled)
   }
+
+  test("hll estimate is invariant to duplication, order, and partitioning") {
+    import graft.operators.Sketch
+    val vals = sample(word, 500)
+    def est(rows: Seq[String], parts: Int) = Sketch.hllDistinctSketch(
+        rows.toDF("v").repartition(parts).withColumn("g", lit("g")),
+        Seq("g"), Sketch.shaLane($"v"), p = 7)
+      .head().getDouble(1)
+    val base = est(vals, 3)
+    assert(est(vals ++ vals ++ vals.reverse, 9) === base)
+    assert(est(new scala.util.Random(5).shuffle(vals), 1) === base)
+    // and the estimate tracks the true distinct count (m=128, RSE ~9%)
+    val truth = vals.distinct.size.toDouble
+    assert(math.abs(base - truth) / truth < 0.4, s"est $base truth $truth")
+  }
+
+  test("incremental aggregate merge == flat recompute for ANY random partition") {
+    import graft.operators.Incremental
+    val rows = sample(Gen.zip(Gen.choose(1L, 9L), Gen.choose(-1000L, 1000L)), 600)
+    def agg(rs: Seq[(Long, Long)]) = Incremental.aggregate(
+      rs.toDF("g", "v"), Seq("g"), Seq("v"), mins = Seq("v"), maxs = Seq("v"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("g", "sum_v", "min_v", "max_v", "n").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+    val flat = canon(agg(rows))
+    val rnd = new scala.util.Random(13)
+    (0 until 3).foreach { _ =>
+      // random number of parts with random membership — the property the
+      // fixed-split spec can't cover
+      val k = 2 + rnd.nextInt(5)
+      val parts = rows.groupBy(_ => rnd.nextInt(k)).values.toSeq
+      val merged = Incremental.mergeAggregates(parts.map(agg), Seq("g"),
+        Seq("v"), mins = Seq("v"), maxs = Seq("v"))
+      assert(canon(merged) === flat)
+    }
+  }
+
+  test("ewma scale-equivariance: scaling inputs by 2^k scales the output exactly") {
+    import graft.operators.Trend
+    val rows = sample(Gen.choose(0L, 100000L), 120).zipWithIndex
+      .map { case (v, i) => ("g", i, v) }
+    def run(scale: Long) = Trend.ewma(
+        rows.map { case (g, t, v) => (g, t, v * scale) }.toDF("g", "t", "v"),
+        Seq("g"), $"t", $"v", window = 8)
+      .orderBy("t").collect().map(_.getDouble(3)).toSeq
+    val base = run(1)
+    // power-of-two weights + power-of-two scaling = exact doubles up to
+    // the final round(4): scaled-then-rounded can differ from
+    // rounded-then-scaled by at most the scaled half-ulp of the rounding
+    def close(got: Seq[Double], want: Seq[Double], scale: Long): Unit =
+      got.zip(want).foreach { case (g, w) =>
+        assert(math.abs(g - w) <= 0.00005 * (scale + 1), s"$g vs $w") }
+    close(run(8), base.map(_ * 8), 8)
+    close(run(64), base.map(_ * 64), 64)
+  }
+
+  test("bfs distances: monotone in hop budget; fixpoint stable once diameter reached") {
+    import graft.operators.Graph
+    val edges = sample(Gen.zip(Gen.choose(0L, 40L), Gen.choose(0L, 40L)), 200)
+    val seeds = Seq(0L, 1L)
+    def run(h: Int) = Graph.bfsDistances(edges.toDF("src", "dst"),
+        seeds.toDF("node"), h)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byHops = (0 to 5).map(run)
+    byHops.sliding(2).foreach { case Seq(a, b) =>
+      // growing the budget never changes an existing distance, only adds
+      a.foreach { case (n, dist) => assert(b(n) === dist) }
+      assert(a.keySet.subsetOf(b.keySet))
+    }
+    // 41 nodes: distance values are always <= hop budget
+    byHops.zipWithIndex.foreach { case (m, h) =>
+      assert(m.values.forall(_ <= h))
+    }
+  }
 }
