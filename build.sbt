@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver captures the benchmark's stdout and parses the LAST
+// line as the metric JSON. sbt's default LoggedOutput wraps forked stdout
+// in "[info] " and then prints its own "[success] Total time: ..."
+// trailer AFTER the app's output — which left BENCH_r01..r05 unparseable
+// (`parsed: null` every round). Pass the forked process's streams through
+// verbatim and drop the success trailer so the app's final println IS the
+// last line sbt emits.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not by other settings,
+// so the unused-key lint false-positives on it.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
