@@ -26,6 +26,12 @@ object Graft {
   def configure(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The engine's overflow-safety arguments assume ANSI arithmetic (the
+    // Spark 4 default, but a host session may have turned it off):
+    // e.g. ZOrder.zoneMap's range normalization multiplies by 2^31-1 and
+    // relies on ANSI to fail loudly past a 2^32 dimension range instead
+    // of silently wrapping into garbage buckets.
+    spark.conf.set("spark.sql.ansi.enabled", "true")
     GraftExpressions.register(spark)
     if (!spark.experimental.extraOptimizations.contains(graft.plans.BoundLevenshtein))
       spark.experimental.extraOptimizations =

@@ -79,11 +79,18 @@ object ZOrder {
    * each side — the bound stats-based pruning on either predicate rests
    * on (ZOrderSpec asserts it; q107 oracles the whole computation).
    * Overflow note: ANSI multiplication guards the normalization — it
-   * requires per-dimension range < 2^32, loudly.
+   * requires per-dimension range < 2^32, loudly. `Graft.configure` /
+   * `Graft.session` pin `spark.sql.ansi.enabled=true` for exactly this
+   * reason; on a hand-built session with ANSI off the product would wrap
+   * silently, so run under a configured session.
    */
   def zoneMap(df: DataFrame, a: Column, b: Column,
               bucketBits: Int = 10): DataFrame = {
-    require(bucketBits >= 1 && bucketBits <= 62, "bucketBits in [1, 62]")
+    // even only: the per-dimension rectangle bound documented above
+    // (bucketBits/2 bits fixed on BOTH dims) holds only when the bucket
+    // prefix splits evenly across the two interleaved dimensions
+    require(bucketBits >= 2 && bucketBits <= 62 && bucketBits % 2 == 0,
+      "bucketBits even, in [2, 62]")
     val bounds = df.select(a.as("a"), b.as("b")).agg(
       min(col("a")).as("a_min"), max(col("a")).as("a_max"),
       min(col("b")).as("b_min"), max(col("b")).as("b_max"))

@@ -249,7 +249,12 @@ object Sketch {
     val unionEst = when(nUnion < k, nUnion.cast("double"))
       .otherwise(lit((k - 1).toDouble) /
         ((uk.cast("double") + lit(1.0)) / lit(ShaLanes.LaneSpace + 1.0)))
-    val jac = matches.cast("double") / kk.cast("double")
+    // kk = 0 ⇔ both sketches are empty (a source whose lane column is
+    // entirely NULL reduces to an empty lane array): the pair's union and
+    // intersection are exactly empty, so report 0s instead of the 0/0 NaN
+    // the estimator ratios would produce.
+    val jac = when(kk === 0, lit(0.0))
+      .otherwise(matches.cast("double") / kk.cast("double"))
     a.join(broadcast(b), col("src_a") < col("src_b"))
       .select(col("src_a"), col("src_b"),
         round(unionEst, 4).as("est_union"),

@@ -67,13 +67,18 @@ object Trend {
           .otherwise(0L)).as("n_outliers"))
   }
 
+  /** NULL policy: a NULL observation contributes 0 but KEEPS its lag slot
+    * (`coalesce` before the collect — `collect_list` alone would drop the
+    * NULL and silently shift every older lag one position newer). This is
+    * exactly the documented lag-chain semantics the q108 DuckDB oracle
+    * computes, which coalesces each missing lag to 0. */
   def ewma(df: DataFrame, keys: Seq[String], order: Column, value: Column,
            window: Int = 8): DataFrame = {
     require(window >= 1 && window <= 53, "window in [1, 53] (exactness bound)")
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order)
       .rowsBetween(-(window - 1), Window.currentRow)
     // frame order is oldest→newest; reverse so index k is the lag
-    val arr = reverse(collect_list(value.cast("double")).over(w))
+    val arr = reverse(collect_list(coalesce(value.cast("double"), lit(0.0))).over(w))
     val num = aggregate(
       transform(arr, (x, k) => x * pow(lit(2.0), -k)),
       lit(0.0), (acc, v) => acc + v)

@@ -71,6 +71,13 @@ class ZOrderSpec extends SparkSpec {
     assert(out.agg(min("zvalue")).head().getLong(0) >= 0L)
   }
 
+  test("zone map: odd bucketBits is rejected (per-dimension bound only holds for even splits)") {
+    val df = Seq((1L, 2L)).toDF("a", "b")
+    intercept[IllegalArgumentException] {
+      ZOrder.zoneMap(df, col("a"), col("b"), bucketBits = 9)
+    }
+  }
+
   test("zone map: every z-bucket fixes the top bits of BOTH normalized dimensions") {
     // narrow native domains on purpose (a < 3000, b = epoch-like offsets):
     // the normalization must spread them over the interleave domain — the

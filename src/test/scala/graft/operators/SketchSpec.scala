@@ -202,6 +202,23 @@ class SketchSpec extends SparkSpec {
     out.foreach { case (a, b) => assert(a < b) }
   }
 
+  test("kmv overlap: all-NULL-lane sources report exact zeros, never NaN") {
+    val rows = (0 until 50).map(i => ("A", s"w$i")) ++
+      Seq(("E", null: String), ("E", null: String), ("F", null: String))
+    val out = Sketch.kmvOverlap(rows.toDF("src", "v"), "src",
+        Sketch.shaLane(col("v")), k = 64).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out.size === 3)
+    // empty ∪ empty is exactly empty; empty vs non-empty overlaps nothing
+    assert(out(("E", "F")) === ((0.0, 0.0, 0.0)))
+    assert(out(("A", "E")) === ((50.0, 0.0, 0.0)))
+    assert(out(("A", "F")) === ((50.0, 0.0, 0.0)))
+    out.values.foreach { case (u, j, i) =>
+      assert(!u.isNaN && !j.isNaN && !i.isNaN)
+    }
+  }
+
   test("quantiles: approx scale path within rank-error bound of the exact twin") {
     // deterministic skewed fixture: uniform 0..999 plus a heavy tail group
     val rows = (0 until 50000).map(i => ("uni", ((i * 2654435761L) % 1000).toDouble)) ++

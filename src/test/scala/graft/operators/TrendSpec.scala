@@ -31,6 +31,18 @@ class TrendSpec extends SparkSpec {
     assert(out.forall(_ === 7.0))
   }
 
+  test("ewma NULL policy: a NULL observation contributes 0 but keeps its lag slot") {
+    val rows = Seq(("a", 1, Some(100L)), ("a", 2, None), ("a", 3, Some(400L)))
+    val out = Trend.ewma(rows.toDF("g", "t", "v"), Seq("g"), col("t"),
+        col("v"), window = 3)
+      .collect().map(r => r.getInt(1) -> r.getDouble(3)).toMap
+    // t3 lags newest-first: 400, NULL→0, 100 ⇒ (400 + 0/2 + 100/4) / (2 − 2^-2)
+    // a position-dropping collect would instead see [400, 100] ⇒ 450/1.5 = 300
+    assert(out(3) === math.rint(425.0 / 1.75 * 10000) / 10000)
+    // t2's own value is NULL: frame [100, NULL→0] ⇒ (0 + 100/2) / 1.5
+    assert(out(2) === math.rint(50.0 / 1.5 * 10000) / 10000)
+  }
+
   test("robust stats: med/mad/outliers match hand-computed values; stddev would hide the spike") {
     // 9 calm days at ~100 plus one 100x spike: med 100, dev median 2
     val xs = Seq(98L, 99L, 99L, 100L, 100L, 100L, 101L, 102L, 104L, 10000L)
