@@ -157,6 +157,39 @@ object SparkEntry {
       col("event_id"),
       expr("try_cast(get_json_object(props, '$.k') AS BIGINT)").as("k_value"))
 
+  /** q115: the Spark-4 `VariantType` late-binding twin of the staging
+    * extraction (reference stg_maude.sql:6-25; SURVEY §1.2 names
+    * `parse_json`/VariantType as the closest VARIANT analog). A JSON
+    * payload is built row-wise from orders (every 97th deliberately
+    * malformed), landed as a VARIANT via `try_parse_json` — bad payloads
+    * drop exactly like Snowflake COPY `ON_ERROR = CONTINUE` — and every
+    * field is then re-derived by late-bound `try_variant_get` path+cast
+    * ([[graft.sources.VariantIngest.path]]), including a nested array
+    * element (the `raw:"device"[0]:"brand_name"` shape) and a missing
+    * path, which must yield NULL and never an error. The oracle
+    * recomputes each extracted value straight from the base columns, so
+    * build→parse→extract round-trip equality IS the correctness
+    * statement. Scale: a pure scan-side projection — no shuffle, no
+    * join; VARIANT binary never leaves the scan stage. */
+  private def variantExtract(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.VariantIngest
+    val payload = when(pmod(col("o_orderkey"), lit(97)) === 0, lit("{not json"))
+      .otherwise(to_json(struct(
+        col("o_orderkey"), col("o_orderstatus"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        array(struct(col("o_orderpriority").as("p"),
+          col("o_custkey").as("c"))).as("items"))))
+    orders(s, d).select(try_parse_json(payload).as("raw"))
+      .filter(col("raw").isNotNull)
+      .select(
+        VariantIngest.path(col("raw"), "$.o_orderkey", "long").as("o_orderkey"),
+        VariantIngest.path(col("raw"), "$.o_orderstatus", "string").as("status"),
+        VariantIngest.path(col("raw"), "$.o_orderdate", "string").as("odate"),
+        VariantIngest.path(col("raw"), "$.items[0].p", "string").as("first_priority"),
+        VariantIngest.path(col("raw"), "$.items[0].c", "long").as("first_cust"),
+        VariantIngest.path(col("raw"), "$.missing.path", "string").as("missing_path"))
+  }
+
   /** try-parse of YYYYMMDD strings with injected malformed values (F17). */
   private def parseDates(s: SparkSession, d: String): DataFrame = {
     val raw = when(col("o_orderkey") % 97 === 0, lit("1999x101"))
@@ -1599,6 +1632,7 @@ object SparkEntry {
     "q112_ppr"               -> (pprQ _),
     "q113_cube_distinct"     -> (cubeDistinctQ _),
     "q114_robust_signals"    -> (robustSignalsQ _),
+    "q115_variant_extract"   -> (variantExtract _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -2853,6 +2887,18 @@ object SparkEntry {
         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM dev v JOIN mad a ON v.priority = a.priority
         |GROUP BY v.priority""".stripMargin,
+
+    // q115: the Spark side round-trips every value through a VARIANT
+    // (to_json → try_parse_json → try_variant_get); the oracle reads the
+    // same values straight off the base columns — round-trip equality is
+    // the correctness statement. Malformed payloads (o_orderkey % 97 = 0)
+    // must DROP, and the missing path must be NULL, never an error.
+    "q115_variant_extract" ->
+      """SELECT o_orderkey, o_orderstatus AS status,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS odate,
+        |  o_orderpriority AS first_priority, o_custkey AS first_cust,
+        |  CAST(NULL AS VARCHAR) AS missing_path
+        |FROM orders WHERE o_orderkey % 97 <> 0""".stripMargin,
 
     // q92: ntile/percent_rank/cume_dist are rank-arithmetic on exact
     // integers in both engines, so the rounded doubles hash-match

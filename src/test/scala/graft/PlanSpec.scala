@@ -386,6 +386,12 @@ class PlanSpec extends SparkSpec {
       s"PQ argmins must stay in the scan stage:\n$p")
   }
 
+  test("q115 variant extraction is a pure scan-side projection — VARIANT never leaves the scan stage") {
+    val p = plan("q115_variant_extract")
+    assert(!p.contains("Exchange") && !p.contains("Join") && !p.contains("Window"),
+      s"late-bound path extraction must not shuffle the VARIANT binary:\n$p")
+  }
+
   test("q64 corpus mix is a pure scan-side lane filter; q63 joins ids only") {
     // the totals aggregate runs at plan construction (driver, #sources
     // rows) — the REALIZED plan must be a bare filtered scan
