@@ -1114,6 +1114,74 @@ object SparkEntry {
         col("us").as("last_us"), col("event_id").as("last_event_id"))
   }
 
+  /** Deterministic scratch dir for batch-replayed streaming state
+    * (q116/q117), wiped before each invocation so a replay always starts
+    * from genesis — Verify and every bench repeat rebuild identical
+    * state. */
+  private def replayStateDir(s: SparkSession, tag: String, d: String): String = {
+    import org.apache.hadoop.fs.Path
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_replay_${tag}_${math.abs(d.hashCode.toLong)}").getAbsolutePath
+    val p = new Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    dir
+  }
+
+  /** q116: driver-gated evidence for the streaming SCD-1 tier — the user
+    * changelog, split into three time-sliced micro-batches, folds through
+    * the persisted BUCKET-PARTIAL rewrite machinery
+    * ([[graft.streaming.Streams.scd1MergeBatch]], the exact foreachBatch
+    * body of `incrementalScd1`), and the declared result is the final
+    * state table read back with tombstones filtered
+    * ([[graft.streaming.Streams.readScd1State]]). The oracle is the
+    * ONE-SHOT merge over the whole log (q89's SQL verbatim): replayed
+    * incremental fold == one-shot fold is precisely the streaming
+    * operator's correctness statement (Cdc.merge associativity +
+    * version/tombstone bookkeeping). Scale: each batch shuffles only its
+    * delta plus the touched state buckets — never the full state. */
+  private def scd1ReplayQ(s: SparkSession, d: String): DataFrame = {
+    import graft.streaming.Streams
+    val dir = replayStateDir(s, "q116", d)
+    val log = userChangelog(s, d)
+    val cuts = Seq("2024-01-11 00:00:00", "2024-01-21 00:00:00")
+      .map(c => unix_micros(lit(c).cast("timestamp")))
+    Seq(
+      log.filter(col("us") < cuts(0)),
+      log.filter(col("us") >= cuts(0) && col("us") < cuts(1)),
+      log.filter(col("us") >= cuts(1))
+    ).zipWithIndex.foreach { case (b, i) =>
+      Streams.scd1MergeBatch(b, i.toLong, Seq("user_id"),
+        Seq("us", "event_id"), dir, nBuckets = 16)
+    }
+    Streams.readScd1State(s, dir, "op", "D")
+      .select(col("user_id"), col("state").as("last_type"),
+        col("us").as("last_us"), col("event_id").as("last_event_id"))
+  }
+
+  /** q117: driver-gated evidence for the streaming distinct-count tier —
+    * events split into three hash micro-batches each persist their HLL
+    * register delta ([[graft.streaming.Streams.distinctRegistersBatch]],
+    * the exact foreachBatch body of `incrementalDistinct`; compaction
+    * folds the committed dirs mid-replay), and the declared result is the
+    * live merge-at-read estimate ([[graft.streaming.Streams.readDistinct]]).
+    * The oracle rebuilds the registers relationally from ALL events in one
+    * shot (q104's machinery, keyless): incremental per-batch register MAX
+    * == one-pass registers — exact, not approximate, equality, because HLL
+    * registers are a lattice (max-merge, idempotent). */
+  private def distinctReplayQ(s: SparkSession, d: String): DataFrame = {
+    import graft.streaming.Streams
+    val dir = replayStateDir(s, "q117", d)
+    val ev = events(s, d).select(col("event_id"), col("user_id"))
+    (0 until 3).foreach { i =>
+      Streams.distinctRegistersBatch(
+        ev.filter(pmod(col("event_id"), lit(3)) === i),
+        i.toLong, Sketch.shaLane(col("user_id")), dir,
+        p = 6, compactEvery = 2)
+    }
+    Streams.readDistinct(s, dir, p = 6)
+  }
+
   /** SCD-2 history (q90): the user changelog as validity intervals —
     * one row per run of equal states with valid_from/valid_to/version/
     * is_current ([[Cdc.scd2History]] — the dbt-snapshot surface; one
@@ -1633,6 +1701,8 @@ object SparkEntry {
     "q113_cube_distinct"     -> (cubeDistinctQ _),
     "q114_robust_signals"    -> (robustSignalsQ _),
     "q115_variant_extract"   -> (variantExtract _),
+    "q116_scd1_replay"       -> (scd1ReplayQ _),
+    "q117_distinct_replay"   -> (distinctReplayQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -2899,6 +2969,46 @@ object SparkEntry {
         |  o_orderpriority AS first_priority, o_custkey AS first_cust,
         |  CAST(NULL AS VARCHAR) AS missing_path
         |FROM orders WHERE o_orderkey % 97 <> 0""".stripMargin,
+
+    // q116: the Spark side replays the changelog through the persisted
+    // bucket-partial SCD-1 fold in three micro-batches; the oracle folds
+    // the WHOLE log once (q89's SQL) — incremental == one-shot is the
+    // streaming operator's correctness statement.
+    "q116_scd1_replay" ->
+      """WITH log AS (SELECT user_id, event_type AS state,
+        |    epoch_ns(ts) // 1000 AS us, event_id,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+        |  FROM events),
+        |r AS (SELECT *, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rk
+        |  FROM log)
+        |SELECT user_id, state AS last_type, us AS last_us,
+        |  event_id AS last_event_id
+        |FROM r WHERE rk = 1 AND op <> 'D'""".stripMargin,
+
+    // q117: the Spark side max-merges three persisted per-batch HLL
+    // register deltas (with a mid-replay compaction fold); the oracle
+    // rebuilds the registers from ALL events in one pass — equality is
+    // exact because registers form a max-lattice (q104's bin() machinery,
+    // keyless, p=6 ⇒ lane >> 54).
+    "q117_distinct_replay" ->
+      s"""WITH h AS (SELECT DISTINCT ${duckLane("user_id::VARCHAR")} AS lane
+         |  FROM events),
+         |b AS (SELECT lane >> 54 AS bucket,
+         |        lane & ${(1L << 54) - 1} AS w FROM h),
+         |regs AS (SELECT bucket,
+         |    max(CASE WHEN w = 0 THEN 55
+         |             ELSE 54 - (length(bin(w)) - 1) END) AS r
+         |  FROM b GROUP BY bucket),
+         |agg AS (SELECT sum(pow(2.0, -r)) AS present, count(*) AS np
+         |  FROM regs),
+         |est AS (SELECT
+         |    0.709 * 64.0 * 64.0 / (present + CAST(64 - np AS DOUBLE)) AS raw,
+         |    CAST(64 - np AS DOUBLE) AS v
+         |  FROM agg)
+         |SELECT round(CASE WHEN raw <= 160.0 AND v > 0
+         |    THEN 64.0 * ln(64.0 / v) ELSE raw END, 4) AS est_distinct
+         |FROM est""".stripMargin,
 
     // q92: ntile/percent_rank/cume_dist are rank-arithmetic on exact
     // integers in both engines, so the rounded doubles hash-match

@@ -301,15 +301,25 @@ object Streams {
                           compactEvery: Int = 0): DataStreamWriter[Row] =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.operators.Sketch.hllRegisters(batch.select(lane.as("lane")),
-            Nil, col("lane"), p)
-          .coalesce(1)
-          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
-        if (compactEvery > 0 && batchId % compactEvery == (compactEvery - 1).toLong)
-          compactBatchPartitions(batch.sparkSession, outDir, filesPer = 1,
-            belowId = batchId,
-            fold = df => df.groupBy(col("bucket")).agg(max(col("r")).as("r")))
+        distinctRegistersBatch(batch, batchId, lane, outDir, p, compactEvery)
       }
+
+  /** The batch-side body of [[incrementalDistinct]]'s foreachBatch —
+    * public so a batch replay (declared query q117) exercises the EXACT
+    * code path the stream runs, not a re-implementation. */
+  def distinctRegistersBatch(batch: DataFrame, batchId: Long,
+                             lane: org.apache.spark.sql.Column,
+                             outDir: String, p: Int = 12,
+                             compactEvery: Int = 0): Unit = {
+    graft.operators.Sketch.hllRegisters(batch.select(lane.as("lane")),
+        Nil, col("lane"), p)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+    if (compactEvery > 0 && batchId % compactEvery == (compactEvery - 1).toLong)
+      compactBatchPartitions(batch.sparkSession, outDir, filesPer = 1,
+        belowId = batchId,
+        fold = df => df.groupBy(col("bucket")).agg(max(col("r")).as("r")))
+  }
 
   /** The live whole-stream distinct estimate from the persisted register
     * deltas: per-bucket max (≤ batches × 2^p tiny rows in, one row out —
@@ -655,62 +665,71 @@ object Streams {
                       stateDir: String, nBuckets: Int = 64): DataStreamWriter[Row] =
     changeStream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        import org.apache.hadoop.fs.Path
-        val spark = batch.sparkSession
-        val root = new Path(stateDir)
-        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val bucketOf = pmod(xxhash64(keys.map(col): _*), lit(nBuckets.toLong))
-        val delta = batch.withColumn("bucket", bucketOf).cache()
-        try {
-          val changed = delta.select("bucket").distinct()
-            .collect().map(_.getLong(0)).toSeq
-          if (changed.nonEmpty) {
-            // (bucket -> resident versions) from one bounded listing
-            val vers: Map[Long, Seq[Long]] =
-              if (!fs.exists(root)) Map.empty
-              else fs.listStatus(root)
-                .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
-                .flatMap { vd =>
-                  val v = vd.getPath.getName.stripPrefix("v=").toLong
-                  fs.listStatus(vd.getPath)
-                    .filter(s => s.isDirectory &&
-                      s.getPath.getName.startsWith("bucket="))
-                    .map(bd =>
-                      (bd.getPath.getName.stripPrefix("bucket=").toLong, v))
-                }.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
-            def baseV(b: Long): Option[Long] =
-              vers.getOrElse(b, Seq.empty).filter(_ < batchId).maxOption
-            val basePaths = changed.flatMap(b =>
-              baseV(b).map(v => s"$stateDir/v=$v/bucket=$b"))
-            val base =
-              if (basePaths.isEmpty) delta.limit(0)
-              else spark.read.parquet(basePaths: _*)
-                .withColumn("bucket", bucketOf) // dir-addressed read: re-derive
-            // keep-latest WITHOUT the tombstone filter — see scaladoc: a
-            // changed bucket always writes >= 1 row, and deletes stay
-            // orderable against late-arriving older updates
-            graft.operators.Curate.keepLatest(base.unionByName(delta), keys,
-                orderDesc.map(col(_).desc))
-              .write.mode("overwrite").partitionBy("bucket")
-              .parquet(s"$stateDir/v=$batchId")
-            // retire versions strictly below the base just read (the base
-            // itself stays until a LATER batch supersedes it — a replay of
-            // THIS batch still needs it); then drop empty v= dirs
-            changed.foreach { b =>
-              for (bv <- baseV(b); v <- vers(b) if v < bv)
-                fs.delete(new Path(s"$stateDir/v=$v/bucket=$b"), true)
-            }
-            fs.listStatus(root)
-              .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
-              .foreach { vd =>
-                if (!fs.listStatus(vd.getPath)
-                      .exists(_.getPath.getName.startsWith("bucket=")))
-                  fs.delete(vd.getPath, true)
-              }
-            ()
-          }
-        } finally { delta.unpersist(); () }
+        scd1MergeBatch(batch, batchId, keys, orderDesc, stateDir, nBuckets)
       }
+
+  /** The batch-side body of [[incrementalScd1]]'s foreachBatch — public
+    * so a batch replay (declared query q116) exercises the EXACT
+    * bucket-partial rewrite the stream runs, not a re-implementation. */
+  def scd1MergeBatch(batch: DataFrame, batchId: Long, keys: Seq[String],
+                     orderDesc: Seq[String], stateDir: String,
+                     nBuckets: Int = 64): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = batch.sparkSession
+    val root = new Path(stateDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bucketOf = pmod(xxhash64(keys.map(col): _*), lit(nBuckets.toLong))
+    val delta = batch.withColumn("bucket", bucketOf).cache()
+    try {
+      val changed = delta.select("bucket").distinct()
+        .collect().map(_.getLong(0)).toSeq
+      if (changed.nonEmpty) {
+        // (bucket -> resident versions) from one bounded listing
+        val vers: Map[Long, Seq[Long]] =
+          if (!fs.exists(root)) Map.empty
+          else fs.listStatus(root)
+            .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+            .flatMap { vd =>
+              val v = vd.getPath.getName.stripPrefix("v=").toLong
+              fs.listStatus(vd.getPath)
+                .filter(s => s.isDirectory &&
+                  s.getPath.getName.startsWith("bucket="))
+                .map(bd =>
+                  (bd.getPath.getName.stripPrefix("bucket=").toLong, v))
+            }.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+        def baseV(b: Long): Option[Long] =
+          vers.getOrElse(b, Seq.empty).filter(_ < batchId).maxOption
+        val basePaths = changed.flatMap(b =>
+          baseV(b).map(v => s"$stateDir/v=$v/bucket=$b"))
+        val base =
+          if (basePaths.isEmpty) delta.limit(0)
+          else spark.read.parquet(basePaths: _*)
+            .withColumn("bucket", bucketOf) // dir-addressed read: re-derive
+        // keep-latest WITHOUT the tombstone filter — see scaladoc: a
+        // changed bucket always writes >= 1 row, and deletes stay
+        // orderable against late-arriving older updates
+        graft.operators.Curate.keepLatest(base.unionByName(delta), keys,
+            orderDesc.map(col(_).desc))
+          .write.mode("overwrite").partitionBy("bucket")
+          .parquet(s"$stateDir/v=$batchId")
+        // retire versions strictly below the base just read (the base
+        // itself stays until a LATER batch supersedes it — a replay of
+        // THIS batch still needs it); then drop empty v= dirs
+        changed.foreach { b =>
+          for (bv <- baseV(b); v <- vers(b) if v < bv)
+            fs.delete(new Path(s"$stateDir/v=$v/bucket=$b"), true)
+        }
+        fs.listStatus(root)
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+          .foreach { vd =>
+            if (!fs.listStatus(vd.getPath)
+                  .exists(_.getPath.getName.startsWith("bucket=")))
+              fs.delete(vd.getPath, true)
+          }
+        ()
+      }
+    } finally { delta.unpersist(); () }
+  }
 
   /** The live state written by [[incrementalScd1]]: per bucket the
     * newest resident `v=` wins, and rows whose latest change is the
