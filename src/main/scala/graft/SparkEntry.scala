@@ -634,6 +634,21 @@ object SparkEntry {
     Dedup.connectedComponents(pairs, "doc_a", "doc_b")
   }
 
+  /** q118: the DISTRIBUTED min-label-propagation path of
+    * [[Dedup.connectedComponents]], force-selected by a zero driver
+    * budget. The 64 MiB edge budget means every sf-scale run takes the
+    * driver union-find, so the 100 TB path (O(diameter) label-exchange
+    * rounds over the edge table — the shape that still works when the
+    * pair graph itself no longer fits one machine) was written but never
+    * driver-gated. Same pairs, same oracle as q34: both paths must
+    * produce the identical labeling. */
+  private def dedupComponentsDist(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairs(
+      documents(s, d).filter(col("doc_id") < 1000), "doc_id", "text",
+      n = 2, threshold = 0.2)
+    Dedup.connectedComponents(pairs, "doc_a", "doc_b", driverBudgetBytes = 0L)
+  }
+
   /** Z-order (Morton) clustering values over (user_id, second-resolution
     * event time) — the key [[graft.functions.ZOrder.cluster]] lays files
     * out by so parquet min/max stats prune on EITHER dimension. Declared
@@ -1703,6 +1718,7 @@ object SparkEntry {
     "q115_variant_extract"   -> (variantExtract _),
     "q116_scd1_replay"       -> (scd1ReplayQ _),
     "q117_distinct_replay"   -> (distinctReplayQ _),
+    "q118_components_dist"   -> (dedupComponentsDist _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -1779,6 +1795,39 @@ object SparkEntry {
        |  SELECT b.doc, b.dup_of, e.est_jaccard
        |  FROM best b JOIN est e ON e.doc = b.doc AND e.cand = b.dup_of) w
        |ON d.doc_id = w.doc""".stripMargin
+
+  /** q34/q118 shared oracle: near-dup pair edges + DuckDB's actual
+    * recursive reachability CTE, min-labeled. Two declared queries bind
+    * it: q34 (the byte-budgeted driver union-find path) and q118 (the
+    * distributed min-label-propagation loop, budget forced to 0) — both
+    * must produce the identical labeling. */
+  private def dedupComponentsOracle: String =
+    """WITH RECURSIVE
+      |t AS (
+      |  SELECT doc_id, str_split(text, ' ') AS toks
+      |  FROM documents WHERE doc_id < 1000),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))])) AS sh
+      |  FROM t WHERE len(toks) >= 2),
+      |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+      |p AS (
+      |  SELECT doc_a, doc_b FROM (
+      |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      |    FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |    GROUP BY 1, 2) i
+      |  JOIN cnt ca ON doc_a = ca.doc_id
+      |  JOIN cnt cb ON doc_b = cb.doc_id
+      |  WHERE n_inter / (ca.n_sh + cb.n_sh - n_inter) >= 0.2),
+      |edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM p
+      |  UNION ALL SELECT doc_b, doc_a FROM p),
+      |verts AS (SELECT DISTINCT src AS doc FROM edges),
+      |reach(src, dst) AS (
+      |  SELECT doc, doc FROM verts
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+      |SELECT src AS doc, min(dst) AS component FROM reach GROUP BY src""".stripMargin
 
   /** q51 oracle: the identical bit-spread chain as
     * [[graft.functions.ZOrder.zvalue]] — (shift, mask) steps applied to
@@ -3733,33 +3782,10 @@ object SparkEntry {
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |  AND l_shipdate <  TIMESTAMP '1996-03-01'""".stripMargin,
 
-    "q34_dedup_components" ->
-      """WITH RECURSIVE
-        |t AS (
-        |  SELECT doc_id, str_split(text, ' ') AS toks
-        |  FROM documents WHERE doc_id < 1000),
-        |sh AS (
-        |  SELECT doc_id, unnest(list_distinct(
-        |    [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))])) AS sh
-        |  FROM t WHERE len(toks) >= 2),
-        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-        |p AS (
-        |  SELECT doc_a, doc_b FROM (
-        |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-        |    FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        |    GROUP BY 1, 2) i
-        |  JOIN cnt ca ON doc_a = ca.doc_id
-        |  JOIN cnt cb ON doc_b = cb.doc_id
-        |  WHERE n_inter / (ca.n_sh + cb.n_sh - n_inter) >= 0.2),
-        |edges AS (
-        |  SELECT doc_a AS src, doc_b AS dst FROM p
-        |  UNION ALL SELECT doc_b, doc_a FROM p),
-        |verts AS (SELECT DISTINCT src AS doc FROM edges),
-        |reach(src, dst) AS (
-        |  SELECT doc, doc FROM verts
-        |  UNION
-        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
-        |SELECT src AS doc, min(dst) AS component FROM reach GROUP BY src""".stripMargin,
+    "q34_dedup_components" -> dedupComponentsOracle,
+    // q118: identical oracle — the distributed label-propagation loop and
+    // the driver union-find must produce the same labeling.
+    "q118_components_dist" -> dedupComponentsOracle,
 
     "q35_sequence_packing" ->
       """SELECT doc_id, n_tokens,
