@@ -1197,6 +1197,31 @@ object SparkEntry {
     Streams.readDistinct(s, dir, p = 6)
   }
 
+  /** q119: driver-gated evidence for the streaming CMS counter-delta
+    * tier — documents split into three hash micro-batches each persist
+    * their token-frequency counter delta
+    * ([[graft.streaming.Streams.cmsCountersBatch]], the exact
+    * foreachBatch body of `incrementalCmsCounters`; compaction pre-sums
+    * committed dirs mid-replay), and the declared result is the live
+    * merge-at-read sum ([[graft.streaming.Streams.readCmsCounters]]).
+    * CMS is a LINEAR sketch — counters of a union are the element-wise
+    * SUM of the parts' counters under any batching or partitioning — so
+    * the replayed deltas are bit-equal to the one-shot sketch the oracle
+    * rebuilds relationally (q52's SQL verbatim). */
+  private def cmsReplayQ(s: SparkSession, d: String): DataFrame = {
+    import graft.streaming.Streams
+    val dir = replayStateDir(s, "q119", d)
+    val toks = documents(s, d).select(col("doc_id"),
+      explode(Text.tokens(col("text"))).as("tok"))
+    (0 until 3).foreach { i =>
+      Streams.cmsCountersBatch(
+        toks.filter(pmod(col("doc_id"), lit(3)) === i),
+        i.toLong, col("tok"), dir, d = 4, w = 64, sha = true,
+        compactEvery = 2)
+    }
+    Streams.readCmsCounters(s, dir)
+  }
+
   /** SCD-2 history (q90): the user changelog as validity intervals —
     * one row per run of equal states with valid_from/valid_to/version/
     * is_current ([[Cdc.scd2History]] — the dbt-snapshot surface; one
@@ -1719,6 +1744,7 @@ object SparkEntry {
     "q116_scd1_replay"       -> (scd1ReplayQ _),
     "q117_distinct_replay"   -> (distinctReplayQ _),
     "q118_components_dist"   -> (dedupComponentsDist _),
+    "q119_cms_replay"        -> (cmsReplayQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -1795,6 +1821,18 @@ object SparkEntry {
        |  SELECT b.doc, b.dup_of, e.est_jaccard
        |  FROM best b JOIN est e ON e.doc = b.doc AND e.cand = b.dup_of) w
        |ON d.doc_id = w.doc""".stripMargin
+
+  /** q52/q119 shared oracle: exact CMS bucket counts rebuilt
+    * relationally over the SHA lanes (the sketch's counters ARE exact
+    * relational counts of (row, depth) bucket assignments). q52 binds it
+    * for the one-shot aggregate; q119 for the streaming counter-delta
+    * replay — CMS linearity makes the two bit-equal. */
+  private def cmsCountsOracle: String =
+    s"""WITH toks AS (SELECT unnest(str_split(text, ' ')) AS v FROM documents),
+       |r AS (SELECT unnest(range(4)) AS j),
+       |b AS (SELECT j, ${duckLane("j::VARCHAR || '|' || v")} % 64 AS bucket
+       |      FROM toks CROSS JOIN r)
+       |SELECT j, bucket, count(*) AS cnt FROM b GROUP BY 1, 2""".stripMargin
 
   /** q34/q118 shared oracle: near-dup pair edges + DuckDB's actual
     * recursive reachability CTE, min-labeled. Two declared queries bind
@@ -2317,12 +2355,11 @@ object SparkEntry {
         |  count(*) >= 20 AS k_anonymous,
         |  count(DISTINCT user_id) >= 5 AS l_diverse
         |FROM events GROUP BY 1, 2""".stripMargin,
-    "q52_cms_counts" ->
-      s"""WITH toks AS (SELECT unnest(str_split(text, ' ')) AS v FROM documents),
-         |r AS (SELECT unnest(range(4)) AS j),
-         |b AS (SELECT j, ${duckLane("j::VARCHAR || '|' || v")} % 64 AS bucket
-         |      FROM toks CROSS JOIN r)
-         |SELECT j, bucket, count(*) AS cnt FROM b GROUP BY 1, 2""".stripMargin,
+    "q52_cms_counts" -> cmsCountsOracle,
+    // q119: identical oracle — CMS is a LINEAR sketch, so the replayed
+    // per-batch counter deltas sum to counters bit-equal to the one-shot
+    // sketch over everything.
+    "q119_cms_replay" -> cmsCountsOracle,
     "q53_corpus_build" ->
       """WITH t AS (SELECT doc_id, source, text, str_split(text, ' ') AS toks FROM documents),
         |m AS (SELECT doc_id, source, text, toks,

@@ -256,15 +256,25 @@ object Streams {
                              compactEvery: Int = 0): DataStreamWriter[Row] =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.operators.Sketch.cmsCounters(batch, value, d, w, sha)
-          .coalesce(1)
-          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
-        if (compactEvery > 0 && batchId % compactEvery == (compactEvery - 1).toLong)
-          compactBatchPartitions(batch.sparkSession, outDir, filesPer = 1,
-            belowId = batchId,
-            fold = df => df.groupBy(col("j"), col("bucket"))
-              .agg(sum(col("cnt")).as("cnt")))
+        cmsCountersBatch(batch, batchId, value, outDir, d, w, sha, compactEvery)
       }
+
+  /** The batch-side body of [[incrementalCmsCounters]]'s foreachBatch —
+    * public so a batch replay (declared query q119) exercises the EXACT
+    * code path the stream runs, not a re-implementation. */
+  def cmsCountersBatch(batch: DataFrame, batchId: Long,
+                       value: org.apache.spark.sql.Column,
+                       outDir: String, d: Int = 4, w: Int = 64,
+                       sha: Boolean = false, compactEvery: Int = 0): Unit = {
+    graft.operators.Sketch.cmsCounters(batch, value, d, w, sha)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+    if (compactEvery > 0 && batchId % compactEvery == (compactEvery - 1).toLong)
+      compactBatchPartitions(batch.sparkSession, outDir, filesPer = 1,
+        belowId = batchId,
+        fold = df => df.groupBy(col("j"), col("bucket"))
+          .agg(sum(col("cnt")).as("cnt")))
+  }
 
   /** The live CMS from the persisted deltas: element-wise sum (linearity
     * makes this exact, not an approximation of the batch-computed
