@@ -1197,6 +1197,20 @@ object SparkEntry {
     Streams.readDistinct(s, dir, p = 6)
   }
 
+  /** q120: one-pass column profiling ([[Profile.profile]]) — the ANALYZE
+    * TABLE / data-quality tier over events: per column n / n_null /
+    * n_distinct / native-typed min/max from ONE aggregate pass (exact
+    * multi-distinct = Spark's Expand rewrite, the oracle-able form;
+    * `profileApprox` is the no-Expand HLL scale path, ProfileSpec
+    * cross-checks them). `k_value`'s nulls are genuine: the malformed
+    * JSON lanes q12 exercises. */
+  private def profileQ(s: SparkSession, d: String): DataFrame =
+    Profile.profile(
+      events(s, d).select(
+        col("user_id"), col("event_type"),
+        expr("try_cast(get_json_object(props, '$.k') AS BIGINT)").as("k_value")),
+      Seq("user_id", "event_type", "k_value"))
+
   /** q119: driver-gated evidence for the streaming CMS counter-delta
     * tier — documents split into three hash micro-batches each persist
     * their token-frequency counter delta
@@ -1745,6 +1759,7 @@ object SparkEntry {
     "q117_distinct_replay"   -> (distinctReplayQ _),
     "q118_components_dist"   -> (dedupComponentsDist _),
     "q119_cms_replay"        -> (cmsReplayQ _),
+    "q120_profile"           -> (profileQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -3055,6 +3070,27 @@ object SparkEntry {
         |  o_orderpriority AS first_priority, o_custkey AS first_cust,
         |  CAST(NULL AS VARCHAR) AS missing_path
         |FROM orders WHERE o_orderkey % 97 <> 0""".stripMargin,
+
+    // q120: per-column stats as UNION ALL branches; min/max computed on
+    // the native type then rendered (BIGINT/VARCHAR casts match Spark's
+    // long/string rendering exactly)
+    "q120_profile" ->
+      """WITH t AS (SELECT user_id, event_type,
+        |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+        |  FROM events)
+        |SELECT 'user_id' AS col_name, count(*) AS n,
+        |  count(*) - count(user_id) AS n_null,
+        |  count(DISTINCT user_id) AS n_distinct,
+        |  min(user_id)::VARCHAR AS min_v, max(user_id)::VARCHAR AS max_v
+        |FROM t
+        |UNION ALL
+        |SELECT 'event_type', count(*), count(*) - count(event_type),
+        |  count(DISTINCT event_type),
+        |  min(event_type), max(event_type) FROM t
+        |UNION ALL
+        |SELECT 'k_value', count(*), count(*) - count(k_value),
+        |  count(DISTINCT k_value),
+        |  min(k_value)::VARCHAR, max(k_value)::VARCHAR FROM t""".stripMargin,
 
     // q116: the Spark side replays the changelog through the persisted
     // bucket-partial SCD-1 fold in three micro-batches; the oracle folds
