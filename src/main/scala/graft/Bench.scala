@@ -339,13 +339,27 @@ object Bench {
     // 2000-char tail capture (see the format comment above)
     val winJson = windowP95s.map(t => math.round(t * 1000).toString)
       .mkString("[", ",", "]")
-    val line =
+    def assemble(calls: String): String =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,""" +
       s""""failures":$failures,"repeats":$repeats,""" +
       s""""p95_similar_cases_sec":${f"$p95%.3f"},"slo_window_p95_ms":$winJson,""" +
-      s""""slo_corpus_rows":$corpusRows,"slo_call_ms":$callsJson,""" +
+      s""""slo_corpus_rows":$corpusRows,"slo_call_ms":$calls,""" +
       s""""slo_gc_ms":$sloGcMs,"recall_at_20":${f"$recall20%.2f"},""" +
       s""""pipeline":$pipelineJson,"sf":"${new java.io.File(sfDir).getName}"}"""
+    // Line budget: the driver keeps only the LAST 2000 output chars and
+    // parses the last line. As queries accumulate (~12 chars each), the
+    // full 50-entry per-call array is the first thing to give: degrade it
+    // to its 11 deciles (p95/p50 stay fully reported) rather than let the
+    // head of the line be truncated into unparseable JSON.
+    val full = assemble(callsJson)
+    val line =
+      if (full.length <= 1980 || callTimes.isEmpty) full
+      else {
+        val s = callTimes.sorted
+        val deciles = (0 to 10).map(i =>
+          math.round(s(math.min(s.size - 1, i * s.size / 10)) * 1000))
+        assemble(deciles.mkString("[", ",", "]"))
+      }
     // Stop the session BEFORE printing: any stderr the shutdown emits must
     // land ahead of the metric line, because the round driver merges
     // stderr into the capture and parses the LAST line as JSON.

@@ -1211,6 +1211,40 @@ object SparkEntry {
         expr("try_cast(get_json_object(props, '$.k') AS BIGINT)").as("k_value")),
       Seq("user_id", "event_type", "k_value"))
 
+  /** q121: equi-width histogram ([[Profile.histogram]]) of order value in
+    * exact cents — the distribution half of profiling. Binning is integer
+    * arithmetic (`(v-min)*k DIV (range+1)`) so both engines bin
+    * identically; empty bins are absent by construction. One tiny bounds
+    * aggregate broadcast back + ONE grouped pass over the scan. */
+  private def histogramQ(s: SparkSession, d: String): DataFrame =
+    Profile.histogram(
+      orders(s, d).select(
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents")),
+      col("cents"), buckets = 20)
+
+  /** q122: event-sequence transition matrix — the Markov-chain companion
+    * to the funnel (q73) and retention (q74) analytics: for each user's
+    * time-ordered event stream, count (state → next state) transitions
+    * and their per-source-state probabilities. ONE user-keyed window
+    * shuffle derives the successor, then a tiny (|states|²-bounded)
+    * aggregate; probabilities are exact integer ratios rounded at the
+    * end, so the doubles hash-match any engine. */
+  private def transitionsQ(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val pairs = events(s, d)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .select(col("event_type").as("from_state"),
+        lead(col("event_type"), 1).over(w).as("to_state"))
+      .filter(col("to_state").isNotNull)
+    val counts = pairs.groupBy(col("from_state"), col("to_state"))
+      .agg(count(lit(1)).as("n"))
+    val wf = Window.partitionBy(col("from_state"))
+    counts.select(col("from_state"), col("to_state"), col("n"),
+      round(col("n") / sum(col("n")).over(wf), 6).as("prob"))
+  }
+
   /** q119: driver-gated evidence for the streaming CMS counter-delta
     * tier — documents split into three hash micro-batches each persist
     * their token-frequency counter delta
@@ -1760,6 +1794,8 @@ object SparkEntry {
     "q118_components_dist"   -> (dedupComponentsDist _),
     "q119_cms_replay"        -> (cmsReplayQ _),
     "q120_profile"           -> (profileQ _),
+    "q121_histogram"         -> (histogramQ _),
+    "q122_transitions"       -> (transitionsQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -3091,6 +3127,34 @@ object SparkEntry {
         |SELECT 'k_value', count(*), count(*) - count(k_value),
         |  count(DISTINCT k_value),
         |  min(k_value)::VARCHAR, max(k_value)::VARCHAR FROM t""".stripMargin,
+
+    // q121: identical integer bin arithmetic — BIGINT DIV on both sides,
+    // no floating-point boundary drift possible
+    "q121_histogram" ->
+      """WITH v AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v
+        |  FROM orders),
+        |b AS (SELECT min(v) AS v_min, max(v) AS v_max FROM v)
+        |SELECT (v - v_min) * 20 // (v_max - v_min + 1) AS bucket,
+        |  count(*) AS n, min(v) AS lo, max(v) AS hi
+        |FROM v CROSS JOIN b GROUP BY 1""".stripMargin,
+
+    // q122: successor via lead() under the same (us, event_id) tie-broken
+    // ordering both engines share; probabilities are exact integer ratios
+    // rounded once
+    "q122_transitions" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    epoch_ns(ts) // 1000 AS us, event_id
+        |  FROM events),
+        |p AS (SELECT event_type AS from_state,
+        |    lead(event_type, 1) OVER (
+        |      PARTITION BY user_id ORDER BY us, event_id) AS to_state
+        |  FROM e),
+        |c AS (SELECT from_state, to_state, count(*) AS n FROM p
+        |  WHERE to_state IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_state, to_state, n,
+        |  round(n / CAST(sum(n) OVER (PARTITION BY from_state) AS DOUBLE),
+        |    6) AS prob
+        |FROM c""".stripMargin,
 
     // q116: the Spark side replays the changelog through the persisted
     // bucket-partial SCD-1 fold in three micro-batches; the oracle folds

@@ -53,4 +53,34 @@ object Profile {
   def profileApprox(df: DataFrame, cols: Seq[String],
                     rsd: Double = 0.05): DataFrame =
     profiled(df, cols, c => approx_count_distinct(col(c), rsd))
+
+  /**
+   * Equi-width histogram of an integral column — the distribution half
+   * of profiling (and the same bounds-then-bucket shape as
+   * [[graft.functions.ZOrder.zoneMap]]): `buckets` equal-width bins over
+   * the observed [min, max], each reporting its count and its own
+   * min/max (so a reader can see intra-bin skew). Bin assignment is
+   * INTEGER arithmetic — `(v - min) * buckets DIV (max - min + 1)` — so
+   * any engine reproduces the exact same binning; a floating-point
+   * `floor` would disagree at bin boundaries. Empty bins are absent (a
+   * histogram of a 100 TB column must not materialize 0-rows for holes).
+   *
+   * Plan: one tiny bounds aggregate broadcast back, then ONE grouped
+   * aggregate over the scan — rows shuffle once, as (bucket, partials).
+   * NULLs are excluded (they carry no position on the value axis;
+   * [[profile]] counts them).
+   */
+  def histogram(df: DataFrame, value: Column, buckets: Int = 20): DataFrame = {
+    require(buckets >= 1 && buckets <= 100000, "buckets in [1, 100000]")
+    val v = df.select(value.cast("long").as("v")).filter(col("v").isNotNull)
+    val bounds = v.agg(min(col("v")).as("v_min"), max(col("v")).as("v_max"))
+    v.crossJoin(broadcast(bounds))
+      // DIV, not `/`: Spark's Column `/` is double division; DIV keeps
+      // the binning integer-exact (ANSI guards the product, zoneMap-style)
+      .withColumn("bucket",
+        expr(s"(v - v_min) * $buckets DIV (v_max - v_min + 1)"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("v")).as("lo"), max(col("v")).as("hi"))
+  }
 }

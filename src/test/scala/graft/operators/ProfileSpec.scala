@@ -50,6 +50,17 @@ class ProfileSpec extends SparkSpec {
       "exact multi-distinct is the documented Expand plan")
   }
 
+  test("histogram: integer-exact equi-width bins, empty bins absent, NULLs excluded") {
+    import org.apache.spark.sql.functions.col
+    // values 0..9 and 90..99 over 10 bins of width 10: bins 0 and 9 only
+    val vals = ((0L to 9L) ++ (90L to 99L)).map(Option(_)) :+ (None: Option[Long])
+    val h = Profile.histogram(vals.toDF("x"), col("x"), buckets = 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(h.keySet === Set(0L, 9L), s"empty bins must be absent: ${h.keySet}")
+    assert(h(0L) === ((10L, 0L, 9L)))
+    assert(h(9L) === ((10L, 90L, 99L)))
+  }
+
   test("one aggregate pass: no join, no window; explode input is one row") {
     val p = Profile.profile(df, Seq("id", "s"))
       .queryExecution.executedPlan.toString
