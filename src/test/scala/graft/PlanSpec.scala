@@ -392,6 +392,39 @@ class PlanSpec extends SparkSpec {
       s"late-bound path extraction must not shuffle the VARIANT binary:\n$p")
   }
 
+  test("q120 profile: one aggregate pass with the exact multi-distinct Expand, no join") {
+    val p = plan("q120_profile")
+    assert(p.contains("Expand"),
+      "exact multi-distinct is the documented Expand plan")
+    assert(!p.toLowerCase.contains("join") && !p.contains("Window"),
+      s"profiler must be a single aggregate pass:\n$p")
+  }
+
+  test("q121 histogram: bounds broadcast back, no shuffle join, no window") {
+    val p = plan("q121_histogram")
+    // the 1-row bounds frame crossJoins back as a broadcast nested loop —
+    // the only acceptable join here; the data side shuffles once, grouped
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"bounds must come back as a broadcast, got:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("CartesianProduct") && !p.contains("Window"),
+      s"no shuffled join or window expected:\n$p")
+  }
+
+  test("q122 transitions: successor from ONE user-keyed window, then a bounded aggregate, no join") {
+    val p = plan("q122_transitions")
+    assert(!p.toLowerCase.contains("join"), s"no join expected:\n$p")
+    assert(p.contains("Window"), "lead() must come from a window, not a self-join")
+  }
+
+  test("q117/q119 replayed-state reads are plain aggregates over the persisted deltas") {
+    Seq("q117_distinct_replay", "q119_cms_replay").foreach { q =>
+      val p = plan(q)
+      assert(!p.toLowerCase.contains("join") && !p.contains("Window"),
+        s"$q live read must be one aggregate over the delta scan:\n$p")
+    }
+  }
+
   test("q64 corpus mix is a pure scan-side lane filter; q63 joins ids only") {
     // the totals aggregate runs at plan construction (driver, #sources
     // rows) — the REALIZED plan must be a bare filtered scan
