@@ -1245,6 +1245,41 @@ object SparkEntry {
       round(col("n") / sum(col("n")).over(wf), 6).as("prob"))
   }
 
+  /** q123: driver-gated evidence for the streaming heavy-hitters tier —
+    * the fourth incremental-sketch member (q117 = cardinality, q119 =
+    * frequency, this = frequent items). Three document micro-batches each
+    * persist their Misra–Gries summary
+    * ([[graft.streaming.Streams.heavyHittersBatch]], the exact
+    * foreachBatch body of `incrementalHeavyHitters`; compaction pre-sums
+    * committed dirs mid-replay), the live merged summary comes from
+    * [[graft.streaming.Streams.readHeavyHitters]] (union-sum + one
+    * (k+1)-th-weight subtraction — the m-way MG merge). MG summaries are
+    * merge-order-dependent, so the SUMMARY is not oracle-able — but its
+    * guarantee is: every item with true count > N/(k+1) over the whole
+    * stream survives the merge. So the declared result re-counts the
+    * merged candidates exactly (q97's broadcast-recount shape) and keeps
+    * the integer-decided true heavy hitters — a deterministic output
+    * that q97's exact oracle binds verbatim. */
+  private def heavyHittersReplayQ(s: SparkSession, d: String): DataFrame = {
+    import graft.streaming.Streams
+    val dir = replayStateDir(s, "q123", d)
+    val toks = documents(s, d).select(col("doc_id"),
+      explode(Text.tokens(col("text"))).as("tok"))
+    (0 until 3).foreach { i =>
+      Streams.heavyHittersBatch(
+        toks.filter(pmod(col("doc_id"), lit(3)) === i).select(col("tok")),
+        i.toLong, col("tok"), dir, k = 60, compactEvery = 2)
+    }
+    val cands = Streams.readHeavyHitters(s, dir, k = 60)
+      .select(col("item").as("tok"))
+    val all = toks.select(col("tok"))
+    all.join(broadcast(cands), "tok")
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(all.agg(count(lit(1)).as("n_total"))))
+      .filter(col("cnt") * lit(61L) > col("n_total"))
+      .select(col("tok"), col("cnt"))
+  }
+
   /** q119: driver-gated evidence for the streaming CMS counter-delta
     * tier — documents split into three hash micro-batches each persist
     * their token-frequency counter delta
@@ -1796,6 +1831,7 @@ object SparkEntry {
     "q120_profile"           -> (profileQ _),
     "q121_histogram"         -> (histogramQ _),
     "q122_transitions"       -> (transitionsQ _),
+    "q123_hh_replay"         -> (heavyHittersReplayQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -1872,6 +1908,19 @@ object SparkEntry {
        |  SELECT b.doc, b.dup_of, e.est_jaccard
        |  FROM best b JOIN est e ON e.doc = b.doc AND e.cand = b.dup_of) w
        |ON d.doc_id = w.doc""".stripMargin
+
+  /** q97/q123 shared oracle: the EXACT heavy hitters (count·(k+1) > N
+    * over all document tokens, k = 60). Both the one-shot Misra–Gries
+    * plan (q97) and the streaming replay (q123) are sketch-DRIVEN but
+    * exact-DECIDED, so the relational answer binds both. */
+  private def heavyHittersOracle: String =
+    """WITH toks AS (
+      |  SELECT unnest(str_split(text, ' ')) AS tok FROM documents),
+      |tot AS (SELECT count(*)::BIGINT AS n_total FROM toks)
+      |SELECT tok, count(*)::BIGINT AS cnt
+      |FROM toks CROSS JOIN tot
+      |GROUP BY tok, n_total
+      |HAVING count(*) * 61 > n_total""".stripMargin
 
   /** q52/q119 shared oracle: exact CMS bucket counts rebuilt
     * relationally over the SHA lanes (the sketch's counters ARE exact
@@ -2913,14 +2962,12 @@ object SparkEntry {
     // q97: Misra-Gries guarantees no false negatives above N/(k+1) and
     // the verify pass is exact integer counting, so the oracle is the
     // direct exact formulation with the same integer threshold compare
-    "q97_heavy_hitters" ->
-      """WITH toks AS (
-        |  SELECT unnest(str_split(text, ' ')) AS tok FROM documents),
-        |tot AS (SELECT count(*)::BIGINT AS n_total FROM toks)
-        |SELECT tok, count(*)::BIGINT AS cnt
-        |FROM toks CROSS JOIN tot
-        |GROUP BY tok, n_total
-        |HAVING count(*) * 61 > n_total""".stripMargin,
+    "q97_heavy_hitters" -> heavyHittersOracle,
+    // q123: identical oracle — the replayed MG merge keeps every true
+    // heavy hitter (no-false-negative bound) and the exact recount +
+    // integer decision drops everything else, so the batch sketch (q97)
+    // and the streaming replay converge on the same exact answer.
+    "q123_hh_replay" -> heavyHittersOracle,
 
     // q96: prefix filtering is lossless, so the oracle is the BRUTE
     // inverted-index formulation (q15's shape at 3-gram/0.3) — the

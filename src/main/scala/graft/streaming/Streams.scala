@@ -367,17 +367,27 @@ object Streams {
                               compactEvery: Int = 0): DataStreamWriter[Row] =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.functions.expressions.GraftExpressions.register(batch.sparkSession)
-        batch
-          .agg(call_function("graft_misra_gries", item, lit(k)).as("mg"))
-          .select(explode(col("mg")).as(Seq("item", "w")))
-          .coalesce(1)
-          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
-        if (compactEvery > 0 && batchId % compactEvery == (compactEvery - 1).toLong)
-          compactBatchPartitions(batch.sparkSession, outDir, filesPer = 1,
-            belowId = batchId,
-            fold = df => df.groupBy(col("item")).agg(sum(col("w")).as("w")))
+        heavyHittersBatch(batch, batchId, item, outDir, k, compactEvery)
       }
+
+  /** The batch-side body of [[incrementalHeavyHitters]]'s foreachBatch —
+    * public so a batch replay (declared query q123) exercises the EXACT
+    * code path the stream runs, not a re-implementation. */
+  def heavyHittersBatch(batch: DataFrame, batchId: Long,
+                        item: org.apache.spark.sql.Column,
+                        outDir: String, k: Int,
+                        compactEvery: Int = 0): Unit = {
+    graft.functions.expressions.GraftExpressions.register(batch.sparkSession)
+    batch
+      .agg(call_function("graft_misra_gries", item, lit(k)).as("mg"))
+      .select(explode(col("mg")).as(Seq("item", "w")))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+    if (compactEvery > 0 && batchId % compactEvery == (compactEvery - 1).toLong)
+      compactBatchPartitions(batch.sparkSession, outDir, filesPer = 1,
+        belowId = batchId,
+        fold = df => df.groupBy(col("item")).agg(sum(col("w")).as("w")))
+  }
 
   /** The live merged Misra–Gries summary: union-sum + one subtraction of
     * the (k+1)-th largest summed weight (≤ batches×k tiny rows in, ≤ k
