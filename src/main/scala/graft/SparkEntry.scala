@@ -1318,6 +1318,32 @@ object SparkEntry {
         col("valid_to").as("valid_to_us"),
         col("version"), col("is_current"))
 
+  /** q124: SCD-2 point-in-time lookup — the textbook lakehouse temporal
+    * join the history table (q90) exists to serve: for a probe stream of
+    * (user, instant) pairs, find the dimension VERSION in effect at that
+    * instant (`valid_from <= t < valid_to`, open current interval).
+    * Probes are a deterministic event sample shifted +30 min so lookups
+    * land strictly inside intervals, not on their own change boundaries.
+    * Plan: equi-join on the user key with the interval predicate as a
+    * post-join filter — versions per key are few (runs collapse), so the
+    * interval filter multiplies nothing; at 100 TB both sides shuffle
+    * once on the key, or the probe side alone when the dimension is
+    * bucket-published ([[graft.sinks.Publish.bucketedTable]]). */
+  private def pointInTimeQ(s: SparkSession, d: String): DataFrame = {
+    val hist = Cdc.scd2History(userChangelog(s, d).drop("op"),
+      Seq("user_id"), "state",
+      Seq(col("us").asc, col("event_id").asc), col("us"))
+    val probes = events(s, d)
+      .filter(pmod(col("event_id"), lit(7)) === 0)
+      .select(col("event_id").as("probe_id"), col("user_id").as("p_user"),
+        (unix_micros(col("ts")) + lit(1800000000L)).as("p_us"))
+    probes.join(hist, col("p_user") === col("user_id") &&
+        col("valid_from") <= col("p_us") &&
+        (col("valid_to").isNull || col("p_us") < col("valid_to")))
+      .select(col("probe_id"), col("user_id"), col("p_us"),
+        col("state"), col("version"))
+  }
+
   /** GROUPING SETS (q91): the general form behind q86's rollup — an
     * explicit set list including a cross-cut ((rf,ls), (rf), (ls)) that
     * no single ROLLUP/CUBE chain expresses, still ONE Expand-based
@@ -1832,6 +1858,7 @@ object SparkEntry {
     "q121_histogram"         -> (histogramQ _),
     "q122_transitions"       -> (transitionsQ _),
     "q123_hh_replay"         -> (heavyHittersReplayQ _),
+    "q124_point_in_time"     -> (pointInTimeQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -3174,6 +3201,27 @@ object SparkEntry {
         |SELECT 'k_value', count(*), count(*) - count(k_value),
         |  count(DISTINCT k_value),
         |  min(k_value)::VARCHAR, max(k_value)::VARCHAR FROM t""".stripMargin,
+
+    // q124: q90's history rebuild + the same interval-predicate join —
+    // exactly one version matches each probe instant by construction
+    // (intervals partition each user's timeline)
+    "q124_point_in_time" ->
+      """WITH log AS (SELECT user_id, event_type AS state,
+        |    epoch_ns(ts) // 1000 AS us, event_id FROM events),
+        |x AS (SELECT *, lag(state) OVER w AS prev,
+        |    row_number() OVER w AS rn FROM log
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |c AS (SELECT * FROM x WHERE rn = 1 OR prev IS DISTINCT FROM state),
+        |h AS (SELECT user_id, state, us AS valid_from,
+        |    lead(us) OVER w2 AS valid_to,
+        |    row_number() OVER w2 AS version
+        |  FROM c WINDOW w2 AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |p AS (SELECT event_id AS probe_id, user_id AS p_user,
+        |    epoch_ns(ts) // 1000 + 1800000000 AS p_us
+        |  FROM events WHERE event_id % 7 = 0)
+        |SELECT probe_id, h.user_id, p_us, state, version
+        |FROM p JOIN h ON p_user = h.user_id AND valid_from <= p_us
+        |  AND (valid_to IS NULL OR p_us < valid_to)""".stripMargin,
 
     // q121: identical integer bin arithmetic — BIGINT DIV on both sides,
     // no floating-point boundary drift possible
