@@ -1318,6 +1318,40 @@ object SparkEntry {
         col("valid_to").as("valid_to_us"),
         col("version"), col("is_current"))
 
+  /** q125: forward-fill over the date spine — the gap-fill/interpolation
+    * time-series operator and the IGNORE NULLS window surface (the one
+    * W-family member no other declared query exercises): per priority,
+    * the complete day calendar (q99's spine shape) left-joined to actual
+    * daily revenue, quiet days carrying the LAST OBSERVED value forward
+    * (`last(col, ignoreNulls = true)` over an unbounded-preceding frame),
+    * plus the observation's age in days. ONE key-partitioned window over
+    * one exchange; the spine generate is driver-light (dates × priorities
+    * rows). */
+  private def forwardFillQ(s: SparkSession, d: String): DataFrame = {
+    val daily = orders(s, d).groupBy(
+        col("o_orderpriority").as("priority"),
+        to_date(col("o_orderdate")).as("day"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+    val bounds = orders(s, d).agg(
+      to_date(min(col("o_orderdate"))).as("d0"),
+      to_date(max(col("o_orderdate"))).as("d1"))
+    val spine = bounds
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .crossJoin(daily.select(col("priority")).distinct())
+    val w = Window.partitionBy(col("priority")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("priority", "day"), "left")
+      .select(col("priority"), col("day"), col("cents"),
+        last(col("cents"), ignoreNulls = true).over(w).as("filled_cents"),
+        last(when(col("cents").isNotNull, col("day")), ignoreNulls = true)
+          .over(w).as("obs_day"))
+      // day rendered as a string for engine-neutral hashing (q99's
+      // convention); staleness computed on the DATE values first
+      .select(col("priority"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("cents"), col("filled_cents"),
+        datediff(col("day"), col("obs_day")).cast("long").as("staleness_days"))
+  }
+
   /** q124: SCD-2 point-in-time lookup — the textbook lakehouse temporal
     * join the history table (q90) exists to serve: for a probe stream of
     * (user, instant) pairs, find the dimension VERSION in effect at that
@@ -1859,6 +1893,7 @@ object SparkEntry {
     "q122_transitions"       -> (transitionsQ _),
     "q123_hh_replay"         -> (heavyHittersReplayQ _),
     "q124_point_in_time"     -> (pointInTimeQ _),
+    "q125_forward_fill"      -> (forwardFillQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -3222,6 +3257,31 @@ object SparkEntry {
         |SELECT probe_id, h.user_id, p_us, state, version
         |FROM p JOIN h ON p_user = h.user_id AND valid_from <= p_us
         |  AND (valid_to IS NULL OR p_us < valid_to)""".stripMargin,
+
+    // q125: same spine idiom as q99; DuckDB's IGNORE NULLS window mirrors
+    // Spark's last(_, ignoreNulls=true) under the identical frame
+    "q125_forward_fill" ->
+      """WITH daily AS (SELECT o_orderpriority AS priority,
+        |    o_orderdate::DATE AS day,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT unnest(generate_series(
+        |    (SELECT min(o_orderdate)::DATE FROM orders),
+        |    (SELECT max(o_orderdate)::DATE FROM orders),
+        |    INTERVAL 1 DAY))::DATE AS day),
+        |grid AS (SELECT p.priority, s.day
+        |  FROM spine s CROSS JOIN (SELECT DISTINCT priority FROM daily) p),
+        |j AS (SELECT g.priority, g.day, d.cents
+        |  FROM grid g LEFT JOIN daily d USING (priority, day))
+        |SELECT priority, strftime(day, '%Y-%m-%d') AS day, cents,
+        |  last_value(cents IGNORE NULLS) OVER w AS filled_cents,
+        |  CAST(date_diff('day',
+        |    last_value(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS)
+        |      OVER w, day) AS BIGINT) AS staleness_days
+        |FROM j WINDOW w AS (PARTITION BY priority ORDER BY day
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
 
     // q121: identical integer bin arithmetic — BIGINT DIV on both sides,
     // no floating-point boundary drift possible

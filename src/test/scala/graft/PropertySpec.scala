@@ -341,6 +341,48 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("scd1 replay: final state is invariant to HOW the changelog is micro-batched") {
+    import graft.streaming.Streams
+    // a changelog of (key, state, seq, op): ~15 keys × several changes,
+    // occasional tombstones
+    val rows = sample(Gen.zip(Gen.choose(1L, 15L), Gen.choose(0, 9),
+        Gen.choose(0.0, 1.0)), 250)
+      .zipWithIndex.map { case ((k, st, del), i) =>
+        (k, s"s$st", i.toLong, if (del < 0.15) "D" else "U") }
+    def replay(splits: Seq[Seq[(Long, String, Long, String)]]): Set[(Long, String, Long)] = {
+      val dir = java.nio.file.Files.createTempDirectory("scd1_prop").toString
+      splits.zipWithIndex.foreach { case (batch, i) =>
+        Streams.scd1MergeBatch(batch.toDF("k", "state", "seq", "op"),
+          i.toLong, Seq("k"), Seq("seq"), dir, nBuckets = 8)
+      }
+      val out = Streams.readScd1State(spark, dir, "op", "D")
+        .select("k", "state", "seq").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      out
+    }
+    // batching must not matter — only the per-key latest change does.
+    // NOTE: batches must respect log order (a micro-batch stream delivers
+    // in order); membership within that constraint is free, so cut the
+    // log at random points into 1..6 consecutive slices.
+    val whole = replay(Seq(rows))
+    val rnd = new scala.util.Random(29)
+    (0 until 3).foreach { _ =>
+      val nCuts = 1 + rnd.nextInt(5)
+      val cuts = (Seq(0, rows.size) ++ Seq.fill(nCuts)(rnd.nextInt(rows.size)))
+        .distinct.sorted
+      val slices = cuts.zip(cuts.tail).map { case (a, b) => rows.slice(a, b) }
+        .filter(_.nonEmpty)
+      assert(replay(slices) === whole, s"cuts at $cuts diverged")
+    }
+    // and the one-shot Cdc.merge agrees (the q116 oracle's statement)
+    val oneShot = graft.operators.Cdc.merge(rows.toDF("k", "state", "seq", "op"),
+        Seq("k"), Seq(col("seq").desc), "op", "D")
+      .select("k", "state", "seq").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(whole === oneShot)
+  }
+
   test("ewma scale-equivariance: scaling inputs by 2^k scales the output exactly") {
     import graft.operators.Trend
     val rows = sample(Gen.choose(0L, 100000L), 120).zipWithIndex
