@@ -165,10 +165,14 @@ object Bench {
     * property of the SYSTEM, not of one wall-clock minute: a transient host
     * spike (the judged r2/r4/r5 runs all caught one; local re-runs of the
     * identical code never did) should not define the round's headline
-    * metric, so the window is measured `windows` times and the BEST window
-    * is reported, with every window's p95 kept alongside for honesty.
-    * Returns (p95, p50, corpusRows, bestWindowCallTimes, gcMs, recall@20,
-    * perWindowP95s). */
+    * metric — but best-of-N is biased low even on a quiet host (order
+    * statistics of repeated sampling), so the headline window is the
+    * MEDIAN window by p95: robust to one spiked window, unbiased when all
+    * windows are clean, and comparable to the r1-r5 single-window
+    * semantics (median of 1 window IS that window). Every window's p95 is
+    * kept alongside so the full distribution stays auditable.
+    * Returns (p95, p50, corpusRows, medianWindowCallTimes, gcMs,
+    * recall@20, perWindowP95s). */
   private def sloP95(spark: SparkSession, sfDir: String, nQueries: Int, windows: Int)
       : (Double, Double, Long, Seq[Double], Long, Double, Seq[Double]) = {
     import graft.operators.HybridSearch
@@ -236,7 +240,8 @@ object Bench {
         }
         (times, gcMillis() - gc0)
       }
-      val (times, gcMs) = measured.minBy(m => p95Of(m._1))
+      val (times, gcMs) = measured.sortBy(m => p95Of(m._1))(
+        Ordering.Double.TotalOrdering).apply((measured.size - 1) / 2)
       val corpusRows = nDocs * factor
       val recall = recallAt20(idx, corpus, nEval = 10, nProbe = 8)
       val sorted = times.sorted
@@ -276,10 +281,18 @@ object Bench {
     // (skips the 49-query loop and the pipeline bench) so SLO-path
     // experiments don't pay ~3 min of unrelated measurement per run.
     val sloOnly = sys.env.get("SPARK_GRAFT_SLO_ONLY").contains("true")
+    // Isolation protocol (SURVEY §8): SPARK_GRAFT_ONLY="q53,q62" times just
+    // the named queries (prefix match) and skips the SLO + pipeline
+    // measurements — the 3-warm-repeat re-evidence loop for a flagged
+    // query costs seconds instead of minutes.
+    val onlyPrefixes = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
 
     val results =
       if (sloOnly) Seq.empty
-      else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      else SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => onlyPrefixes.forall(_.exists(n.startsWith)) }
+        .map { case (name, fn) =>
         val first = timed(fn(spark, sfDir).count())
         val v =
           if (!first._2) -1.0
@@ -294,6 +307,9 @@ object Bench {
     // broken index build must not abort the run before the JSON prints.
     val sloWindows = sys.env.getOrElse("SPARK_GRAFT_SLO_WINDOWS", "3").toInt
     val (p95, p50, corpusRows, callTimes, sloGcMs, recall20, windowP95s) =
+      if (onlyPrefixes.isDefined)
+        (-1.0, -1.0, -1L, Seq.empty[Double], -1L, -1.0, Seq.empty[Double])
+      else
       try sloP95(spark, sfDir, sloQueries, sloWindows)
       catch { case e: Throwable =>
         System.err.println(s"[bench] SLO measurement FAILED: $e")
@@ -303,7 +319,7 @@ object Bench {
 
     val pipelineRows = sys.env.getOrElse("SPARK_GRAFT_PIPELINE_ROWS", "1000000").toLong
     val pipelineJson =
-      if (sloOnly) s"""{"rows":0}"""
+      if (sloOnly || onlyPrefixes.isDefined) s"""{"rows":0}"""
       else try {
         val ts = pipelineBench(spark, pipelineRows)
         val per = ts.map { case (k, v) => s""""${k}_sec":${f"$v%.3f"}""" }.mkString(",")
@@ -362,8 +378,11 @@ object Bench {
       }
     // Stop the session BEFORE printing: any stderr the shutdown emits must
     // land ahead of the metric line, because the round driver merges
-    // stderr into the capture and parses the LAST line as JSON.
-    spark.stop()
+    // stderr into the capture and parses the LAST line as JSON. A failing
+    // stop() must not eat the line — that would reproduce the exact
+    // parsed:null failure this ordering exists to eliminate.
+    try spark.stop()
+    catch { case e: Throwable => System.err.println(s"[bench] spark.stop failed: $e") }
     println(line)
   }
 }

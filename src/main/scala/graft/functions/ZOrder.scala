@@ -79,10 +79,17 @@ object ZOrder {
    * each side — the bound stats-based pruning on either predicate rests
    * on (ZOrderSpec asserts it; q107 oracles the whole computation).
    * Overflow note: ANSI multiplication guards the normalization — it
-   * requires per-dimension range < 2^32, loudly. `Graft.configure` /
-   * `Graft.session` pin `spark.sql.ansi.enabled=true` for exactly this
-   * reason; on a hand-built session with ANSI off the product would wrap
-   * silently, so run under a configured session.
+   * requires per-dimension range < 2^32, loudly. The guard is asserted
+   * HERE (not forced session-wide by `Graft.configure`): a session with
+   * `spark.sql.ansi.enabled=false` is refused up front, because with
+   * ANSI off the product would wrap silently into garbage buckets.
+   *
+   * Migration note (round 6): `bucketBits` tightened from any value in
+   * [1,62] to EVEN values in [2,62] — the per-dimension rectangle bound
+   * is unsound for odd widths. Callers holding layouts computed with odd
+   * bits must recompute with the adjacent even width; the throw is
+   * deliberate (no silent rounding) so a persisted-layout mismatch is
+   * caught at call time rather than read time.
    */
   def zoneMap(df: DataFrame, a: Column, b: Column,
               bucketBits: Int = 10): DataFrame = {
@@ -91,6 +98,11 @@ object ZOrder {
     // prefix splits evenly across the two interleaved dimensions
     require(bucketBits >= 2 && bucketBits <= 62 && bucketBits % 2 == 0,
       "bucketBits even, in [2, 62]")
+    require(df.sparkSession.conf.get("spark.sql.ansi.enabled", "true").toBoolean,
+      "zoneMap requires spark.sql.ansi.enabled=true: its range " +
+        "normalization relies on ANSI to fail loudly past a 2^32 " +
+        "dimension range instead of wrapping silently (Graft.configure " +
+        "scaladoc documents the contract)")
     val bounds = df.select(a.as("a"), b.as("b")).agg(
       min(col("a")).as("a_min"), max(col("a")).as("a_max"),
       min(col("b")).as("b_min"), max(col("b")).as("b_max"))

@@ -569,11 +569,17 @@ object Dedup {
     }
 
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))).cache()
-    // `cached` tracks the exact frame holding storage each iteration —
-    // unpersist must target the cached plan itself, not a projection of it
-    var cached = edges.select(col("src").as("doc")).distinct()
-      .select(col("doc"), col("doc").as("component")).cache()
-    var labels = cached
+    // Each round's labels are localCheckpoint'ed, not cached: caching
+    // materializes the data but leaves the LOGICAL plan growing — the
+    // round-N plan embeds round-N-1's twice (once through neighborMin,
+    // once through the left join), so lineage doubles per round and a
+    // diameter-8 component already pushes the analyzer past the 2 GiB
+    // plan-string cap. localCheckpoint truncates lineage each round:
+    // every round's plan is one join over a flat scan, regardless of
+    // depth, and the checkpoint blocks are GC-managed (ContextCleaner
+    // drops them when the frame is unreachable).
+    var labels = edges.select(col("src").as("doc")).distinct()
+      .select(col("doc"), col("doc").as("component")).localCheckpoint()
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -585,22 +591,25 @@ object Dedup {
         .select(col("doc"), col("component").as("old"),
           least(col("component"), coalesce(col("nmin"), col("component")))
             .as("component"))
-        .cache()
+        .localCheckpoint()
       converged = next.filter(col("component") < col("old")).isEmpty
-      cached.unpersist()
-      cached = next
       labels = next.select(col("doc"), col("component"))
       it += 1
     }
     fwd.unpersist()
     edges.unpersist()
-    // hand back a lineage-truncated frame: localCheckpoint materializes the
-    // converged labels into GC-managed blocks (cleaned when the frame is
-    // dropped), so no permanently-cached DataFrame leaks to the caller and
-    // downstream reuse doesn't replay O(iterations) of join lineage
-    val out = labels.localCheckpoint()
-    cached.unpersist()
-    out
+    // Fail loudly on non-convergence: returning partially-propagated
+    // labels would be a WRONG component labeling with no error signal —
+    // detectable only if an oracle happens to cover that input. A graph
+    // needing more than maxIters min-label rounds has a component of
+    // diameter > maxIters; the caller should raise maxIters (cost is
+    // O(diameter) shuffles, still bounded) rather than accept bad labels.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents: label propagation did not converge in " +
+          s"$maxIters rounds ($nEdges edges) — a component has diameter > " +
+          s"$maxIters; re-run with a larger maxIters")
+    labels
   }
 
   /** Keep-set after near-dup clustering: one representative (the min id)

@@ -400,4 +400,21 @@ class DedupSpec extends SparkSpec {
       1L -> ((3L, 2L, 9L)),   // 3 docs, doc 2 (quality 9 beats 9@3 by id)
       7L -> ((2L, 7L, 4L))))  // tie at 4 → smallest id
   }
+
+  test("connected components fail loudly when label propagation can't converge") {
+    // a path graph 0-1-2-...-8 has diameter 8: min-label propagation needs
+    // ~8 rounds, so maxIters=2 on the forced distributed path must throw
+    // rather than hand back partially-propagated (wrong) labels
+    val path = (0L until 8L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(path, "doc_a", "doc_b",
+        maxIters = 2, driverBudgetBytes = 0).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // the same graph converges fine with an adequate budget
+    val ok = Dedup.connectedComponents(path, "doc_a", "doc_b",
+      maxIters = 20, driverBudgetBytes = 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ok.values.toSet === Set(0L))
+  }
 }
