@@ -1313,6 +1313,100 @@ object SparkEntry {
     Streams.readCmsCounters(s, dir)
   }
 
+  /** q126: driver-gated evidence for the streaming vector-index tier —
+    * the reference's `target_lag` search-freshness analog for the vector
+    * leg (reference README.md:83,117). Embeddings split into three hash
+    * micro-batches replay the EXACT foreachBatch body of
+    * `incrementalVectorIndex`
+    * ([[graft.streaming.Streams.vectorIndexBatch]]: scan-side IVF
+    * assignment + PQ encode, written under `batch_id=/cid=`; compaction
+    * folds the committed batches mid-replay), and the declared result is
+    * a top-10 ADC probe through the maintained index
+    * ([[graft.streaming.Streams.readVectorIndex]] +
+    * [[Pq.ivfPqQuery]], nProbe 4, query = vec 0's embedding). The
+    * oracle rebuilds the ONE-SHOT index relationally (q27's assignment
+    * SQL + q60's codebook/code SQL) and probes it identically: the
+    * maintained index is exactly the one-shot index because each batch
+    * writes only its own partition and assignment/encode are per-row —
+    * replay == rebuild is precisely the freshness contract. Scale: per
+    * batch O(delta) scan-side work, zero shuffle; probes prune to the
+    * `cid=` partitions of the probed lists. */
+  private def vectorIndexReplayQ(s: SparkSession, d: String): DataFrame = {
+    import graft.streaming.Streams
+    val dir = replayStateDir(s, "q126", d)
+    val emb = embeddings(s, d)
+    val matrix = Knn.centroidMatrix(emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv")))
+    val codebook = Pq.shaCodebook(m = 8, k = 16, subDim = 8)
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0)
+    (0 until 3).foreach { i =>
+      Streams.vectorIndexBatch(
+        emb.filter(pmod(col("vec_id"), lit(3)) === i),
+        i.toLong, "vec_id", "embedding", matrix, codebook, dir,
+        compactEvery = 2)
+    }
+    val probed = Pq.ivfPqQuery(Streams.readVectorIndex(s, dir), matrix,
+      "vec_id", codebook, qv, k = 10, nProbe = 4)
+    probed
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("adc_dist").asc, col("vec_id").asc)).cast("long"))
+      .select(col("vec_id").as("neighbor_id"), col("rank"),
+        round(col("adc_dist"), 6).as("adc_dist"))
+  }
+
+  /** q127: driver-gated evidence for the stateful-streaming funnel — the
+    * events stream, split into three time-sliced micro-batches, replays
+    * the EXACT per-group automaton body of
+    * [[graft.streaming.StatefulFunnel]]'s flatMapGroupsWithState
+    * ([[graft.streaming.StatefulFunnel.transition]]: sort by (event-time
+    * millis, event_id), greedy earliest-match, O(1) carried state); only
+    * the state-store plumbing differs (a cogrouped state Dataset per
+    * batch instead of GroupState). Declared result = every stage-reach
+    * emission across the replay. The oracle computes the same greedy
+    * sequential match relationally (first 'view', first 'click' strictly
+    * after it, first 'purchase' after that, all under the stream's own
+    * (ms, event_id) order) — valid as a one-shot rebuild because the
+    * time-sliced batches preserve global event order, the in-order case
+    * StreamsSpec pins against the batch operator. Scale: one user-keyed
+    * cogroup shuffle per batch over (delta + state), state O(1) per
+    * user. */
+  private def funnelReplayQ(s: SparkSession, d: String): DataFrame = {
+    import graft.streaming.StatefulFunnel
+    import StatefulFunnel.{Event, FunnelState, StageReached}
+    import s.implicits._
+    val steps = Seq("view", "click", "purchase")
+    val ev = events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[Event]
+    val cuts = Seq("2024-01-11 00:00:00", "2024-01-21 00:00:00")
+      .map(c => lit(c).cast("timestamp"))
+    val batches = Seq(
+      ev.filter(col("ts") < cuts(0)),
+      ev.filter(col("ts") >= cuts(0) && col("ts") < cuts(1)),
+      ev.filter(col("ts") >= cuts(1)))
+    var state = s.emptyDataset[(Long, FunnelState)]
+    var emissions = s.emptyDataset[StageReached]
+    batches.foreach { b =>
+      // one pass computes both next-state and emissions; localCheckpoint
+      // materializes it so the two reads don't re-run the cogroup (and
+      // the per-batch lineage never stacks — same rationale as the
+      // connected-components rounds)
+      val stepped = b.groupByKey(_.user_id)
+        .cogroup(state.groupByKey(_._1)) { (u, evIt, stIt) =>
+          val (st, out, _) = StatefulFunnel.transition(u, evIt,
+            stIt.toSeq.headOption.map(_._2), steps)
+          Iterator((u, st, out))
+        }.localCheckpoint()
+      state = stepped.map { case (u, st, _) => (u, st) }
+      emissions = emissions.union(stepped.flatMap(_._3))
+    }
+    emissions.toDF()
+      .select(col("user_id"), col("stage"),
+        unix_millis(col("ts")).as("ts_ms"), col("converted"))
+  }
+
   /** SCD-2 history (q90): the user changelog as validity intervals —
     * one row per run of equal states with valid_from/valid_to/version/
     * is_current ([[Cdc.scd2History]] — the dbt-snapshot surface; one
@@ -1902,6 +1996,8 @@ object SparkEntry {
     "q123_hh_replay"         -> (heavyHittersReplayQ _),
     "q124_point_in_time"     -> (pointInTimeQ _),
     "q125_forward_fill"      -> (forwardFillQ _),
+    "q126_vec_index_replay"  -> (vectorIndexReplayQ _),
+    "q127_funnel_replay"     -> (funnelReplayQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -2237,6 +2333,44 @@ object SparkEntry {
     s"""WITH $pqCtes
        |SELECT vec_id, s AS sub, c AS code FROM r WHERE rn = 1""".stripMargin
 
+  /** q126 oracle: the ONE-SHOT IVF-PQ index + probe, rebuilt relationally
+    * — q27's nearest-centroid assignment SQL over the q60 codebook/code
+    * CTEs, probed with vec 0's embedding: top-4 lists by centroid cosine
+    * (index-asc tie-break, [[Pq.probeLists]]'s rule), ADC distance =
+    * per-subspace squared L2 between the query's subvector and each
+    * vector's CHOSEN codeword, summed per vector. Replayed maintained
+    * index == this one-shot build is the streaming operator's freshness
+    * contract. */
+  private def vecIndexReplayOracle: String = {
+    val qdist = (0 until 8).map(dd =>
+      s"(q.q[r.s*8+${dd + 1}] - cb.cv[${dd + 1}]) * " +
+        s"(q.q[r.s*8+${dd + 1}] - cb.cv[${dd + 1}])")
+      .mkString(" + ")
+    s"""WITH $pqCtes,
+       |cent AS (SELECT vec_id AS cid, v AS cv2 FROM e WHERE vec_id < 16),
+       |qv AS (SELECT v AS q FROM e WHERE vec_id = 0),
+       |assign AS (SELECT vec_id, cid FROM (
+       |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY list_dot_product(e.v, c.cv2) /
+       |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv2, c.cv2)))
+       |    DESC, c.cid) AS rk FROM e CROSS JOIN cent c) WHERE rk = 1),
+       |probe AS (SELECT cid FROM (
+       |  SELECT c.cid, row_number() OVER (ORDER BY
+       |    list_dot_product(q.q, c.cv2) /
+       |      (sqrt(list_dot_product(q.q, q.q)) * sqrt(list_dot_product(c.cv2, c.cv2)))
+       |    DESC, c.cid) AS rk FROM cent c CROSS JOIN qv q) WHERE rk <= 4),
+       |adcsub AS (SELECT r.vec_id, $qdist AS sd
+       |  FROM r JOIN cb ON r.s = cb.s AND r.c = cb.c CROSS JOIN qv q
+       |  WHERE r.rn = 1),
+       |adc AS (SELECT a.vec_id, sum(a.sd) AS adc_dist
+       |  FROM adcsub a JOIN assign USING (vec_id) JOIN probe USING (cid)
+       |  GROUP BY a.vec_id)
+       |SELECT vec_id AS neighbor_id, rank, round(adc_dist, 6) AS adc_dist FROM (
+       |  SELECT vec_id, adc_dist,
+       |    row_number() OVER (ORDER BY adc_dist, vec_id) AS rank FROM adc)
+       |WHERE rank <= 10""".stripMargin
+  }
+
   /** q80 oracle: decode the chosen codes back through the codebook
     * (flatten in subspace order) and compare to the original by round-4
     * cosine — [[Pq.encodeCol]]'s reconstruction-fidelity audit. */
@@ -2530,6 +2664,47 @@ object SparkEntry {
     // per-batch counter deltas sum to counters bit-equal to the one-shot
     // sketch over everything.
     "q119_cms_replay" -> cmsCountsOracle,
+
+    // q126: the one-shot IVF-PQ rebuild — replayed batch-partitioned
+    // index == one-shot index because writes are per-batch-partition and
+    // assignment/encode are per-row (no cross-batch state at all)
+    "q126_vec_index_replay" -> vecIndexReplayOracle,
+
+    // q127: greedy earliest-match funnel rebuilt relationally under the
+    // STREAM's own order key (event-time millis, event_id — Timestamp
+    // .getTime semantics, vs q73's micros): stage k+1 is the first
+    // step-event strictly after stage k's match in (ms, event_id) order.
+    // One row per stage actually reached; replay == one-shot because the
+    // time-sliced batches preserve that global order.
+    "q127_funnel_replay" ->
+      """WITH ev AS (SELECT user_id, epoch_ns(ts) // 1000000 AS ms,
+        |    event_id, event_type
+        |  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+        |s1 AS (SELECT user_id, ms, event_id FROM (
+        |  SELECT user_id, ms, event_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ms, event_id)
+        |      AS rk
+        |  FROM ev WHERE event_type = 'view') WHERE rk = 1),
+        |s2 AS (SELECT user_id, ms, event_id FROM (
+        |  SELECT e.user_id, e.ms, e.event_id,
+        |    row_number() OVER (PARTITION BY e.user_id
+        |      ORDER BY e.ms, e.event_id) AS rk
+        |  FROM ev e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click'
+        |    AND (e.ms > s1.ms OR (e.ms = s1.ms AND e.event_id > s1.event_id)))
+        |  WHERE rk = 1),
+        |s3 AS (SELECT user_id, ms, event_id FROM (
+        |  SELECT e.user_id, e.ms, e.event_id,
+        |    row_number() OVER (PARTITION BY e.user_id
+        |      ORDER BY e.ms, e.event_id) AS rk
+        |  FROM ev e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase'
+        |    AND (e.ms > s2.ms OR (e.ms = s2.ms AND e.event_id > s2.event_id)))
+        |  WHERE rk = 1)
+        |SELECT user_id, CAST(1 AS BIGINT) AS stage, ms AS ts_ms,
+        |  FALSE AS converted FROM s1
+        |UNION ALL SELECT user_id, CAST(2 AS BIGINT), ms, FALSE FROM s2
+        |UNION ALL SELECT user_id, CAST(3 AS BIGINT), ms, TRUE FROM s3""".stripMargin,
     "q53_corpus_build" ->
       """WITH t AS (SELECT doc_id, source, text, str_split(text, ' ') AS toks FROM documents),
         |m AS (SELECT doc_id, source, text, toks,

@@ -32,6 +32,31 @@ object StatefulFunnel {
   final case class StageReached(user_id: Long, stage: Long, ts: Timestamp,
                                 converted: Boolean)
 
+  /** The pure per-group automaton body of [[apply]]'s
+    * flatMapGroupsWithState closure — public so a batch replay (declared
+    * query q127) exercises the EXACT transition logic the stream runs
+    * (sort by (event-time millis, event_id), greedy earliest-match,
+    * O(1) carried state), not a re-implementation. Only the state-store
+    * plumbing (GroupState update/timeout vs a cogrouped state table)
+    * differs between stream and replay. */
+  def transition(user: Long, events: Iterator[Event],
+                 prev: Option[FunnelState],
+                 steps: Seq[String]): (FunnelState, Seq[StageReached], Long) = {
+    val sorted = events.toSeq
+      .filter(e => steps.contains(e.event_type))
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    var st = prev.getOrElse(FunnelState(0, Long.MinValue, 0L))
+    val out = Seq.newBuilder[StageReached]
+    sorted.foreach { e =>
+      if (st.stage < steps.size && e.event_type == steps(st.stage)) {
+        st = FunnelState(st.stage + 1, e.ts.getTime, e.event_id)
+        out += StageReached(user, st.stage.toLong,
+          new Timestamp(st.ms), st.stage == steps.size)
+      }
+    }
+    (st, out.result(), sorted.lastOption.map(_.ts.getTime).getOrElse(Long.MinValue))
+  }
+
   def apply(events: Dataset[Event], steps: Seq[String],
             watermark: String = "2 hours",
             idleMs: Long = 24L * 3600 * 1000): Dataset[StageReached] = {
@@ -45,23 +70,13 @@ object StatefulFunnel {
         (user: Long, it: Iterator[Event], state: GroupState[FunnelState]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            val sorted = it.toSeq
-              .filter(e => steps.contains(e.event_type))
-              .sortBy(e => (e.ts.getTime, e.event_id))
-            var st = state.getOption.getOrElse(FunnelState(0, Long.MinValue, 0L))
-            val out = Seq.newBuilder[StageReached]
-            sorted.foreach { e =>
-              if (st.stage < steps.size && e.event_type == steps(st.stage)) {
-                st = FunnelState(st.stage + 1, e.ts.getTime, e.event_id)
-                out += StageReached(user, st.stage.toLong,
-                  new Timestamp(st.ms), st.stage == steps.size)
-              }
-            }
+            val (st, out, lastMs) =
+              transition(user, it, state.getOption, steps)
             state.update(st)
             state.setTimeoutTimestamp(
-              sorted.lastOption.map(_.ts.getTime).getOrElse(
-                state.getCurrentWatermarkMs()) + idleMs)
-            out.result().iterator
+              (if (lastMs == Long.MinValue) state.getCurrentWatermarkMs()
+               else lastMs) + idleMs)
+            out.iterator
           }
       }
   }

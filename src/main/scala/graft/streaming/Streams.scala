@@ -218,18 +218,30 @@ object Streams {
                              compactEvery: Int = 0): DataStreamWriter[Row] =
     vecStream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.filter(col(vecCol).isNotNull)
-          .select(col(idCol),
-            graft.functions.Vec.nearestCentroid(col(vecCol), matrix).as("cid"),
-            graft.operators.Pq.encodeCol(col(vecCol), codebook).as("codes"))
-          .write.mode("overwrite").partitionBy("cid")
-          .parquet(s"$outDir/batch_id=$batchId")
-        // same in-line maintenance contract as incrementalSearchIndex:
-        // fold only checkpoint-committed batches (belowId = current), so a
-        // replayed in-flight batch can never overwrite the compacted dir
-        if (compactEvery > 0 && batchId % compactEvery == (compactEvery - 1).toLong)
-          compactVectorIndex(batch.sparkSession, outDir, belowId = batchId)
+        vectorIndexBatch(batch, batchId, idCol, vecCol, matrix, codebook,
+          outDir, compactEvery)
       }
+
+  /** The batch-side body of [[incrementalVectorIndex]]'s foreachBatch —
+    * public so a batch replay (declared query q126) exercises the EXACT
+    * code path the stream runs, not a re-implementation. */
+  def vectorIndexBatch(batch: DataFrame, batchId: Long,
+                       idCol: String, vecCol: String,
+                       matrix: Seq[Seq[Double]],
+                       codebook: Array[Array[Array[Double]]],
+                       outDir: String, compactEvery: Int = 0): Unit = {
+    batch.filter(col(vecCol).isNotNull)
+      .select(col(idCol),
+        graft.functions.Vec.nearestCentroid(col(vecCol), matrix).as("cid"),
+        graft.operators.Pq.encodeCol(col(vecCol), codebook).as("codes"))
+      .write.mode("overwrite").partitionBy("cid")
+      .parquet(s"$outDir/batch_id=$batchId")
+    // same in-line maintenance contract as incrementalSearchIndex:
+    // fold only checkpoint-committed batches (belowId = current), so a
+    // replayed in-flight batch can never overwrite the compacted dir
+    if (compactEvery > 0 && batchId % compactEvery == (compactEvery - 1).toLong)
+      compactVectorIndex(batch.sparkSession, outDir, belowId = batchId)
+  }
 
   /**
    * Streaming corpus-statistics maintenance: per-micro-batch CMS counter
