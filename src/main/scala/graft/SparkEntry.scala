@@ -1349,11 +1349,24 @@ object SparkEntry {
     }
     val probed = Pq.ivfPqQuery(Streams.readVectorIndex(s, dir), matrix,
       "vec_id", codebook, qv, k = 10, nProbe = 4)
+    // rank the ≤k probe results without a window: gather into one array,
+    // sort (dist asc, id asc), posexplode — the same bounded-gather idiom
+    // as HybridSearch.rankCandidates, so no partition-less WindowExec
+    // ever enters a declared plan
+    val byDistAscIdAsc = (l: Column, r: Column) =>
+      when(l.getField("s") < r.getField("s"), -1)
+        .when(l.getField("s") > r.getField("s"), 1)
+        .when(l.getField("id") < r.getField("id"), -1)
+        .when(l.getField("id") > r.getField("id"), 1)
+        .otherwise(0)
     probed
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("adc_dist").asc, col("vec_id").asc)).cast("long"))
-      .select(col("vec_id").as("neighbor_id"), col("rank"),
-        round(col("adc_dist"), 6).as("adc_dist"))
+      .agg(collect_list(struct(col("adc_dist").as("s"),
+        col("vec_id").as("id"))).as("cs"))
+      .select(posexplode(array_sort(col("cs"), byDistAscIdAsc))
+        .as(Seq("pos", "c")))
+      .select(col("c.id").as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rank"),
+        round(col("c.s"), 6).as("adc_dist"))
   }
 
   /** q127: driver-gated evidence for the stateful-streaming funnel — the

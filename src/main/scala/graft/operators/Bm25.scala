@@ -13,14 +13,22 @@ import org.apache.spark.sql.functions._
  *   s(d,q)  = Σ_{t∈q} idf(t) · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
  *
  * Index layout is built for the interactive P95 SLO (README.md:87,139):
- * `postings` carries (doc, term, tf, dl) — doc length baked into the
- * posting row — `docFreq` is the per-term document frequency (vocabulary-
- * sized), and the corpus constants (N, avgdl) are collected into plan
- * literals at assembly. A warm query therefore runs ONE scan of the
- * cached postings (pruned by the term filter) plus a vocabulary-row
- * broadcast: no per-call broadcast of a corpus-sized doc-length table,
- * no per-call corpus statistics job. At cluster scale persist `postings`
- * bucketed by term instead of caching.
+ * the SERVING layout `byTerm` is one row per TERM —
+ * (term, df, plist: array<(doc, tf, dl)>) — range-partitioned and
+ * sorted by term in the columnar cache, so a query's literal
+ * `term IN (...)` filter prunes whole cached batches by their min/max
+ * stats and the scan touches only the handful of batches covering the
+ * query terms. A warm call is therefore: pruned vocabulary scan →
+ * explode the ≤|terms| matched posting lists → per-doc sum. No join at
+ * all — df rides on the vocabulary row, dl is baked into each posting,
+ * and the corpus constants (N, avgdl) are plan literals collected at
+ * assembly. (The flat (doc, term, tf, dl) `postings` form scanned the
+ * WHOLE corpus's postings per call — the profiled warm path spent
+ * 10-30 s of task time per query on that scan at the 200k-doc SLO
+ * corpus; the grouped layout reads ~3 vocabulary batches instead.)
+ * At cluster scale persist `byTerm` bucketed by term instead of
+ * caching — the pruning story is then file-level instead of
+ * cache-batch-level, same shape.
  */
 object Bm25 {
 
@@ -40,54 +48,72 @@ object Bm25 {
       size(Text.tokens(col(textCol))).cast("double").as("dl"))
 
   /**
-   * Prebuilt index state. `close()` releases the cached frames — the
-   * caller owns the lifecycle (repeated interactive queries reuse the
-   * caches until then).
+   * Prebuilt index state. `byTerm` is the cached serving layout (see the
+   * object scaladoc); `postings` / `docFreq` remain available as LAZY
+   * flat views for interop and audits (never cached — the serving path
+   * doesn't touch them). `close()` releases the cache — the caller owns
+   * the lifecycle (repeated interactive queries reuse it until then).
    */
   final case class Index(postings: DataFrame, docFreq: DataFrame,
+                         byTerm: DataFrame,
                          nDocs: Long, avgdl: Double) {
-    def close(): Unit = { postings.unpersist(); docFreq.unpersist(); () }
+    def close(): Unit = { byTerm.unpersist(); () }
   }
 
   /** Assemble an [[Index]] from term-frequency and doc-length frames
     * (e.g. the incrementally-upserted state written by
     * [[graft.streaming.Streams.incrementalSearchIndex]]). Runs one tiny
-    * stats job eagerly; caching is the interactive-path option. */
+    * stats job eagerly; caching is the interactive-path option.
+    *
+    * `byTerm` is range-partitioned + sorted by term before caching so
+    * each in-memory columnar batch covers a TIGHT term range — the
+    * per-call `term IN (...)` literal filter then skips every
+    * non-overlapping batch via the cache's batch min/max stats. */
   def assemble(tf: DataFrame, dl: DataFrame, cache: Boolean = true): Index = {
-    val postings0 = tf.join(dl, "doc")
-    val postings = if (cache) postings0.cache() else postings0
-    val docFreq0 = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val docFreq = if (cache) docFreq0.cache() else docFreq0
+    val postings = tf.join(dl, "doc")
+    val byTerm0 = postings
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        collect_list(struct(col("doc"), col("tf"), col("dl"))).as("plist"))
+    // 8 range partitions: the vocabulary is tiny next to the corpus, so
+    // per-call scheduling (one task per cached partition, most pruned to
+    // a stats check) matters more than scan parallelism here
+    val byTerm =
+      if (cache)
+        byTerm0.repartitionByRange(8, col("term"))
+          .sortWithinPartitions(col("term")).cache()
+      else byTerm0
+    val docFreq = byTerm.select(col("term"), col("df"))
     val stats = dl.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl")).head()
-    Index(postings, docFreq,
+    Index(postings, docFreq, byTerm,
       stats.getLong(0), if (stats.isNullAt(1)) 0.0 else stats.getDouble(1))
   }
 
   def buildIndex(docs: DataFrame, idCol: String, textCol: String): Index =
     assemble(termStats(docs, idCol, textCol), docLengths(docs, idCol, textCol))
 
-  /** Score `queryTerms` against a prebuilt [[Index]]: one pruned scan of
-    * the postings + a vocabulary-row broadcast.
+  /** Score `queryTerms` against a prebuilt [[Index]]: one batch-pruned
+    * scan of the term-grouped vocabulary, explode the matched posting
+    * lists, sum per doc. No join anywhere in the call.
     *
-    * Query terms enter as broadcast DATA (a semi-join), not IN-list
-    * literals: repeated interactive calls then share byte-identical
-    * generated code, so whole-stage-codegen classes are compiled once and
-    * served from the Janino cache instead of recompiled per query — the
-    * difference between a ~1 s and a sub-second warm call. */
+    * Query terms enter as an IN-list of string literals: string literals
+    * are codegen REFERENCE objects (not inlined constants), so repeated
+    * calls with the same term COUNT share byte-identical generated code
+    * — Janino serves them from its cache — while the literal predicate
+    * (unlike the previous semi-join) is exactly what the in-memory
+    * columnar scan can prune batches with. */
   def scoreIndexed(index: Index, queryTerms: Seq[String],
                    k1: Double = K1, b: Double = B): DataFrame = {
-    val spark = index.postings.sparkSession
-    import spark.implicits._
-    val termsDf = broadcast(queryTerms.distinct.toDF("term"))
     val idf = log(
       (lit(index.nDocs).cast("double") - col("df") + lit(0.5)) /
         (col("df") + lit(0.5)) + lit(1.0))
-    val tfNorm = (col("tf").cast("double") * lit(k1 + 1.0)) /
-      (col("tf").cast("double") +
-        lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(index.avgdl)))
-    index.postings.join(termsDf, Seq("term"), "left_semi")
-      .join(broadcast(index.docFreq.join(termsDf, Seq("term"), "left_semi")), "term")
-      .select(col("doc"), col("term"), (idf * tfNorm).as("contrib"))
+    val tf = col("p.tf").cast("double")
+    val tfNorm = (tf * lit(k1 + 1.0)) /
+      (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("p.dl") / lit(index.avgdl)))
+    index.byTerm
+      .filter(col("term").isin(queryTerms.distinct: _*))
+      .select(col("df"), explode(col("plist")).as("p"))
+      .select(col("p.doc").as("doc"), (idf * tfNorm).as("contrib"))
       .groupBy(col("doc"))
       .agg(round(sum(col("contrib")), 4).as("bm25"))
   }

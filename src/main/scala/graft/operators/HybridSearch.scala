@@ -74,16 +74,15 @@ object HybridSearch {
       .filter(col("vec").isNotNull)
       .withColumn("cid", Vec.nearestCentroid(col("vec"), matrix))
 
-  /** The query vector as a one-row broadcast frame (column `q`). Shipping
-    * it as DATA rather than an inline literal array keeps the generated
-    * whole-stage code byte-identical across interactive calls, so Janino
-    * serves repeated queries from its codegen cache instead of
-    * recompiling per call (the dominant warm-latency cost otherwise). */
-  private def queryVecDf(spark: org.apache.spark.sql.SparkSession,
-                         queryVec: Seq[Double]): DataFrame = {
-    import spark.implicits._
-    broadcast(Seq(queryVec.toArray).toDF("q"))
-  }
+  /** The query vector as an ARRAY LITERAL column. A non-primitive
+    * literal is a codegen REFERENCE object (never inlined into the
+    * generated source), so repeated interactive calls still share
+    * byte-identical whole-stage code — Janino serves them from its
+    * cache — while the plan drops the one-row broadcast frame the r2-r6
+    * form shipped the vector in: one BroadcastExchange job + one
+    * nested-loop join fewer per warm call. */
+  private def queryVecLit(queryVec: Seq[Double]): Column =
+    typedlit(queryVec.toArray)
 
   /** Query-side IVF probe, computed ON THE DRIVER: the query is one
     * vector and the centroid matrix is already driver-resident (≤ k × dim
@@ -133,12 +132,12 @@ object HybridSearch {
       .limit(k)
   }
 
-  private def search(lexScores: DataFrame, vecPool: DataFrame, qvDf: DataFrame,
+  private def search(lexScores: DataFrame, vecPool: DataFrame, qv: Column,
                      k: Int, candidates: Int): DataFrame = {
     val lexCand = lexScores
       .orderBy(col("bm25").desc, col("doc").asc).limit(candidates)
-    val vecCand = vecPool.crossJoin(qvDf)
-      .select(col("doc"), Vec.cosine(col("vec"), col("q")).as("cos"))
+    val vecCand = vecPool
+      .select(col("doc"), Vec.cosine(col("vec"), qv).as("cos"))
       .orderBy(col("cos").desc, col("doc").asc).limit(candidates)
     fuse(rankCandidates(lexCand, "bm25", "r_lex"),
       rankCandidates(vecCand, "cos", "r_vec"), k)
@@ -167,7 +166,6 @@ object HybridSearch {
                    candidates: Int = 100,
                    centroids: Option[DataFrame] = None, nProbe: Int = 4): DataFrame = {
     val filtered = filters.foldLeft(corpus)((df, p) => df.filter(p))
-    val qvDf = queryVecDf(corpus.sparkSession, queryVec)
     val lexScores = Bm25.score(filtered, idCol, textCol, terms(queryText))
     val vecPool = centroids match {
       case Some(c) =>
@@ -178,7 +176,7 @@ object HybridSearch {
       case None =>
         filtered.select(col(idCol).as("doc"), col(vecCol).as("vec"))
     }
-    search(lexScores, vecPool, qvDf, k, candidates)
+    search(lexScores, vecPool, queryVecLit(queryVec), k, candidates)
   }
 
   /**
@@ -205,7 +203,12 @@ object HybridSearch {
                  centroids: DataFrame): SearchIndex = {
     val matrix = Knn.centroidMatrix(
       centroids.select(col(idCol).as("cid"), col(vecCol).as("cv")))
-    val assigned = assignOn(corpus, idCol, vecCol, matrix).cache()
+    // repartition by doc before caching: a corpus assembled from a few
+    // parquet files (or one broadcast-joined scan) otherwise caches as
+    // 1-2 partitions and the per-call cosine leg runs single-threaded —
+    // the serving scan should spread across the session's parallelism
+    val assigned = assignOn(corpus, idCol, vecCol, matrix)
+      .repartition(16, col("doc")).cache()
     SearchIndex(Bm25.buildIndex(corpus, idCol, textCol), assigned, matrix)
   }
 
@@ -217,9 +220,9 @@ object HybridSearch {
   def similarCasesIndexed(index: SearchIndex, queryText: String, queryVec: Seq[Double],
                           k: Int = 20, candidates: Int = 100,
                           nProbe: Int = 4): DataFrame = {
-    val qvDf = queryVecDf(index.assigned.sparkSession, queryVec)
     val vecPool = probedPool(index.assigned,
       probeDriver(index.matrix, queryVec, nProbe))
-    search(Bm25.scoreIndexed(index.bm25, terms(queryText)), vecPool, qvDf, k, candidates)
+    search(Bm25.scoreIndexed(index.bm25, terms(queryText)), vecPool,
+      queryVecLit(queryVec), k, candidates)
   }
 }

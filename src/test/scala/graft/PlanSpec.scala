@@ -139,10 +139,14 @@ class PlanSpec extends SparkSpec {
       "sha minhash signatures must not be computed via aggregation")
   }
 
-  test("q23 bm25: corpus statistics broadcast back, corpus shuffled once per agg") {
+  test("q23 bm25: dl broadcast, df on the vocabulary row — no second join") {
+    // the term-grouped index layout (Bm25 scaladoc) carries df on each
+    // vocabulary row, so the only join left in the one-shot plan is the
+    // broadcast tf ⋈ dl assembly; the r1-r6 per-call docFreq broadcast
+    // join is gone by construction
     val p = plan("q23_bm25")
-    assert(countOf(p, "BroadcastHashJoin") >= 2,
-      "dfreq and dl joins should broadcast")
+    assert(countOf(p, "BroadcastHashJoin") === 1,
+      "exactly the tf ⋈ dl assembly join should remain, broadcast")
     assert(!p.contains("SortMergeJoin"))
   }
 
