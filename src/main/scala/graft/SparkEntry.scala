@@ -1420,6 +1420,42 @@ object SparkEntry {
         unix_millis(col("ts")).as("ts_ms"), col("converted"))
   }
 
+  /** q128: driver-gated evidence for the streaming search-index tier —
+    * the BM25 half of the reference's `target_lag` freshness story
+    * (README.md:83,117; q126 evidences the vector half). Documents
+    * (joined to cycled embeddings for the assignment leg) split into
+    * three hash micro-batches replay the EXACT foreachBatch body of
+    * `incrementalSearchIndex`
+    * ([[graft.streaming.Streams.searchIndexBatch]]: per-batch term
+    * stats, doc lengths, and IVF assignments under `batch_id=`;
+    * compaction folds the committed batches mid-replay), and the
+    * declared result is a warm BM25 query through the assembled live
+    * index ([[graft.streaming.Streams.readSearchIndex]] +
+    * [[Bm25.scoreIndexed]], q23's terms). The oracle is q23's one-shot
+    * SQL verbatim: the maintained tf/dl tables union to exactly the
+    * corpus-wide statistics because term stats are per-doc-partitioned
+    * and N/avgdl are derived at read time from the unioned dl table —
+    * replay == rebuild is the freshness contract. */
+  private def searchIndexReplayQ(s: SparkSession, d: String): DataFrame = {
+    import graft.streaming.Streams
+    val dir = replayStateDir(s, "q128", d)
+    val emb = embeddings(s, d)
+    val nEmb = emb.count()
+    val cents = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val corpus = documents(s, d).select(col("doc_id"), col("text"))
+      .join(broadcast(emb), pmod(col("doc_id"), lit(nEmb)) === col("vec_id"))
+      .select(col("doc_id"), col("text"), col("embedding"))
+    (0 until 3).foreach { i =>
+      Streams.searchIndexBatch(
+        corpus.filter(pmod(col("doc_id"), lit(3)) === i),
+        i.toLong, "doc_id", "text", "embedding", cents, dir,
+        compactEvery = 2)
+    }
+    val idx = Streams.readSearchIndex(s, dir, cents, "doc_id", "embedding")
+    Bm25.scoreIndexed(idx.bm25, Seq("spark", "join", "fast"))
+  }
+
   /** SCD-2 history (q90): the user changelog as validity intervals —
     * one row per run of equal states with valid_from/valid_to/version/
     * is_current ([[Cdc.scd2History]] — the dbt-snapshot surface; one
@@ -2011,6 +2047,7 @@ object SparkEntry {
     "q125_forward_fill"      -> (forwardFillQ _),
     "q126_vec_index_replay"  -> (vectorIndexReplayQ _),
     "q127_funnel_replay"     -> (funnelReplayQ _),
+    "q128_search_index_replay" -> (searchIndexReplayQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -2345,6 +2382,25 @@ object SparkEntry {
   private def pqOracle: String =
     s"""WITH $pqCtes
        |SELECT vec_id, s AS sub, c AS code FROM r WHERE rn = 1""".stripMargin
+
+  /** Shared q23/q128 oracle: one-shot Okapi BM25 over the documents
+    * corpus for the fixed 3-term query — q128's replayed incremental
+    * index must serve exactly these corpus-wide statistics. */
+  private def bm25Oracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id AS doc, unnest(str_split(text, ' ')) AS term FROM documents),
+      |tf AS (
+      |  SELECT doc, term, count(*) AS tf FROM toks
+      |  WHERE term IN ('spark','join','fast') GROUP BY 1, 2),
+      |dl AS (SELECT doc_id AS doc, len(str_split(text, ' '))::DOUBLE AS dl FROM documents),
+      |corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+      |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+      |SELECT tf.doc, round(sum(
+      |  ln((n_docs::DOUBLE - df + 0.5) / (df + 0.5) + 1.0) *
+      |  (tf::DOUBLE * 2.2) / (tf::DOUBLE + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      |), 4) AS bm25
+      |FROM tf JOIN dfreq USING (term) JOIN dl USING (doc) CROSS JOIN corpus
+      |GROUP BY tf.doc""".stripMargin
 
   /** q126 oracle: the ONE-SHOT IVF-PQ index + probe, rebuilt relationally
     * — q27's nearest-centroid assignment SQL over the q60 codebook/code
@@ -4067,21 +4123,13 @@ object SparkEntry {
         |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
         |WHERE cosine >= 0.3""".stripMargin,
 
-    "q23_bm25" ->
-      """WITH toks AS (
-        |  SELECT doc_id AS doc, unnest(str_split(text, ' ')) AS term FROM documents),
-        |tf AS (
-        |  SELECT doc, term, count(*) AS tf FROM toks
-        |  WHERE term IN ('spark','join','fast') GROUP BY 1, 2),
-        |dl AS (SELECT doc_id AS doc, len(str_split(text, ' '))::DOUBLE AS dl FROM documents),
-        |corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
-        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
-        |SELECT tf.doc, round(sum(
-        |  ln((n_docs::DOUBLE - df + 0.5) / (df + 0.5) + 1.0) *
-        |  (tf::DOUBLE * 2.2) / (tf::DOUBLE + 1.2 * (0.25 + 0.75 * dl / avgdl))
-        |), 4) AS bm25
-        |FROM tf JOIN dfreq USING (term) JOIN dl USING (doc) CROSS JOIN corpus
-        |GROUP BY tf.doc""".stripMargin,
+    "q23_bm25" -> bm25Oracle,
+
+    // q128: the replayed incremental index serves EXACTLY the one-shot
+    // corpus statistics (tf/dl are per-doc rows partitioned by batch;
+    // N/avgdl derive at read time from the unioned dl table), so q23's
+    // one-shot oracle binds verbatim
+    "q128_search_index_replay" -> bm25Oracle,
 
     "q24_sessionize" ->
       """WITH base AS (

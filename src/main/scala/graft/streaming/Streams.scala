@@ -112,33 +112,44 @@ object Streams {
                              outDir: String, compactEvery: Int = 0): DataStreamWriter[Row] =
     docStream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val b = batch.cache()
-        try {
-          Bm25.termStats(b, idCol, textCol)
-            .write.mode("overwrite").parquet(s"$outDir/tf/batch_id=$batchId")
-          b.select(col(idCol).as("doc"),
-              size(graft.functions.Text.tokens(col(textCol))).cast("double").as("dl"))
-            .write.mode("overwrite").parquet(s"$outDir/dl/batch_id=$batchId")
-          HybridSearch.assignIvf(b, idCol, vecCol, centroids)
-            .write.mode("overwrite").parquet(s"$outDir/assigned/batch_id=$batchId")
-        } finally { b.unpersist(); () }
-        // In-line maintenance (opt-in): every `compactEvery` batches,
-        // fold the accumulated batch partitions into one. Running HERE —
-        // synchronously, between micro-batches — is the one place the
-        // non-transactional caveat of [[compactSearchIndex]] vanishes:
-        // the stream is the only writer and it is idle until this hook
-        // returns. A week of target_lag-style refreshes then never
-        // accumulates more than `compactEvery` directories per table.
-        // `belowId = batchId` keeps the CURRENT batch out of the fold: it
-        // is not checkpoint-committed yet, so a crash after this hook
-        // replays it — and its `mode("overwrite")` write to
-        // `batch_id=<batchId>` must never land on a compacted directory
-        // that holds every earlier batch's rows (that replay would be
-        // silent permanent data loss). Batches below the current id are
-        // committed and can never replay, so folding THEM is safe.
-        if (compactEvery > 0 && batchId % compactEvery == (compactEvery - 1).toLong)
-          compactSearchIndex(batch.sparkSession, outDir, belowId = batchId)
+        searchIndexBatch(batch, batchId, idCol, textCol, vecCol, centroids,
+          outDir, compactEvery)
       }
+
+  /** The batch-side body of [[incrementalSearchIndex]]'s foreachBatch —
+    * public so a batch replay (declared query q128) exercises the EXACT
+    * code path the stream runs, not a re-implementation. */
+  def searchIndexBatch(batch: DataFrame, batchId: Long,
+                       idCol: String, textCol: String, vecCol: String,
+                       centroids: DataFrame,
+                       outDir: String, compactEvery: Int = 0): Unit = {
+    val b = batch.cache()
+    try {
+      Bm25.termStats(b, idCol, textCol)
+        .write.mode("overwrite").parquet(s"$outDir/tf/batch_id=$batchId")
+      b.select(col(idCol).as("doc"),
+          size(graft.functions.Text.tokens(col(textCol))).cast("double").as("dl"))
+        .write.mode("overwrite").parquet(s"$outDir/dl/batch_id=$batchId")
+      HybridSearch.assignIvf(b, idCol, vecCol, centroids)
+        .write.mode("overwrite").parquet(s"$outDir/assigned/batch_id=$batchId")
+    } finally { b.unpersist(); () }
+    // In-line maintenance (opt-in): every `compactEvery` batches,
+    // fold the accumulated batch partitions into one. Running HERE —
+    // synchronously, between micro-batches — is the one place the
+    // non-transactional caveat of [[compactSearchIndex]] vanishes:
+    // the stream is the only writer and it is idle until this hook
+    // returns. A week of target_lag-style refreshes then never
+    // accumulates more than `compactEvery` directories per table.
+    // `belowId = batchId` keeps the CURRENT batch out of the fold: it
+    // is not checkpoint-committed yet, so a crash after this hook
+    // replays it — and its `mode("overwrite")` write to
+    // `batch_id=<batchId>` must never land on a compacted directory
+    // that holds every earlier batch's rows (that replay would be
+    // silent permanent data loss). Batches below the current id are
+    // committed and can never replay, so folding THEM is safe.
+    if (compactEvery > 0 && batchId % compactEvery == (compactEvery - 1).toLong)
+      compactSearchIndex(batch.sparkSession, outDir, belowId = batchId)
+  }
 
   /**
    * Streaming dedup admission (the corpus-growth counterpart of
