@@ -215,10 +215,14 @@ object Bench {
         ()
       }
       // untimed warmups: the first calls pay one-time codegen compilation
-      // and JIT (queries enter as data, not literals, so generated code
-      // is byte-identical across calls and the Janino cache serves every
-      // later call); the SLO is defined over WARM interactive queries
-      (0 until 10).foreach(call)
+      // and JIT (query terms/vector enter as reference objects, so
+      // generated code is byte-identical across calls and the Janino
+      // cache serves every later call); the SLO is defined over WARM
+      // interactive queries. 25 calls (was 10): the rehearsal's first
+      // measured window consistently absorbed a post-build settling tail
+      // (C2 recompilation + ContextCleaner drain) that 10 calls didn't
+      // cover — at ~0.3 s per call the larger warmup is ~5 s well spent.
+      (0 until 25).foreach(call)
       def p95Of(xs: Seq[Double]): Double =
         xs.sorted.apply(math.ceil(xs.size * 0.95).toInt - 1)
       val measured = (0 until windows).map { _ =>
