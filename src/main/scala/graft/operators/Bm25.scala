@@ -68,13 +68,34 @@ object Bm25 {
     * `byTerm` is range-partitioned + sorted by term before caching so
     * each in-memory columnar batch covers a TIGHT term range — the
     * per-call `term IN (...)` literal filter then skips every
-    * non-overlapping batch via the cache's batch min/max stats. */
-  def assemble(tf: DataFrame, dl: DataFrame, cache: Boolean = true): Index = {
+    * non-overlapping batch via the cache's batch min/max stats.
+    *
+    * `plistShards` bounds the posting-list row: a stop-word-class term
+    * appears in nearly every document, and ONE array row per term would
+    * put its whole corpus-wide posting list in a single row — fine at
+    * serving-cache scale, a 2 GiB-row hazard at 100 TB. With S > 1 the
+    * list splits into S `(term, shard)` rows (doc-hash sharded; `df` is
+    * the per-TERM total, window-summed at build time), the query plan is
+    * unchanged (the term filter matches all S rows, explode
+    * concatenates), and scoring is shard-count-invariant — the
+    * PropertySpec layout test pins S=1 ≡ S=4 ≡ flat one-shot. */
+  def assemble(tf: DataFrame, dl: DataFrame, cache: Boolean = true,
+               plistShards: Int = 1): Index = {
+    require(plistShards >= 1, "plistShards >= 1")
     val postings = tf.join(dl, "doc")
-    val byTerm0 = postings
-      .groupBy(col("term"))
-      .agg(count(lit(1)).as("df"),
-        collect_list(struct(col("doc"), col("tf"), col("dl"))).as("plist"))
+    val plist = collect_list(struct(col("doc"), col("tf"), col("dl"))).as("plist")
+    val byTerm0 =
+      if (plistShards == 1)
+        postings.groupBy(col("term"))
+          .agg(count(lit(1)).as("df"), plist)
+      else
+        postings
+          .groupBy(col("term"),
+            pmod(hash(col("doc")), lit(plistShards)).as("shard"))
+          .agg(count(lit(1)).as("df_part"), plist)
+          .withColumn("df", sum(col("df_part")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("term"))))
+          .select(col("term"), col("df"), col("plist"))
     // 8 range partitions: the vocabulary is tiny next to the corpus, so
     // per-call scheduling (one task per cached partition, most pruned to
     // a stats check) matters more than scan parallelism here
@@ -83,14 +104,16 @@ object Bm25 {
         byTerm0.repartitionByRange(8, col("term"))
           .sortWithinPartitions(col("term")).cache()
       else byTerm0
-    val docFreq = byTerm.select(col("term"), col("df"))
+    val docFreq = byTerm.groupBy(col("term")).agg(max(col("df")).as("df"))
     val stats = dl.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl")).head()
     Index(postings, docFreq, byTerm,
       stats.getLong(0), if (stats.isNullAt(1)) 0.0 else stats.getDouble(1))
   }
 
-  def buildIndex(docs: DataFrame, idCol: String, textCol: String): Index =
-    assemble(termStats(docs, idCol, textCol), docLengths(docs, idCol, textCol))
+  def buildIndex(docs: DataFrame, idCol: String, textCol: String,
+                 plistShards: Int = 1): Index =
+    assemble(termStats(docs, idCol, textCol), docLengths(docs, idCol, textCol),
+      cache = true, plistShards = plistShards)
 
   /** Score `queryTerms` against a prebuilt [[Index]]: one batch-pruned
     * scan of the term-grouped vocabulary, explode the matched posting

@@ -420,4 +420,28 @@ class PropertySpec extends SparkSpec {
       assert(m.values.forall(_ <= h))
     }
   }
+
+  test("bm25 serving layouts agree: one-shot == indexed == sharded posting lists") {
+    import graft.operators.Bm25
+    // random corpora over a small token pool so terms collide heavily
+    // (stop-word-like df spreads), including docs that miss every query
+    // term; query sets include a missing term and a duplicate
+    val pool = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val docGen = Gen.choose(3, 25).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(pool)).map(_.mkString(" ")))
+    val docs = sample(docGen, 80).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    for (terms <- Seq(Seq("alpha"), Seq("beta", "delta"),
+        Seq("alpha", "alpha", "nosuchterm"), Seq("nosuchterm"))) {
+      def toMap(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val oneShot = toMap(Bm25.score(docs, "doc_id", "text", terms))
+      val idx1 = Bm25.buildIndex(docs, "doc_id", "text")
+      val idx4 = Bm25.buildIndex(docs, "doc_id", "text", plistShards = 4)
+      try {
+        assert(toMap(Bm25.scoreIndexed(idx1, terms)) === oneShot, s"S=1 $terms")
+        assert(toMap(Bm25.scoreIndexed(idx4, terms)) === oneShot, s"S=4 $terms")
+      } finally { idx1.close(); idx4.close() }
+    }
+  }
 }
