@@ -153,16 +153,21 @@ object Graph {
    * O(all edges) — on high-diameter graphs the anti-join keeps late
    * rounds cheap, and on small-diameter graphs the frontier empties and
    * later rounds are no-ops. The visited set (`node, dist`) is the only
-   * growing state. For deep `maxHops`, checkpoint it every few rounds
-   * as [[Dedup.connectedComponents]] does; declared queries keep the
-   * pure unrolled plan.
+   * growing state — and its LOGICAL plan references itself twice per
+   * round (the union and the anti-join), so unchecked lineage DOUBLES
+   * per hop: the same exponential-plan failure
+   * [[Dedup.connectedComponents]] hit at diameter 8 against the 2 GiB
+   * plan-string cap. Past `checkpointEvery` rounds the visited set and
+   * frontier are localCheckpoint-ed (lineage truncated to a flat scan);
+   * shallow calls — every declared query — keep the pure unrolled plan.
    *
    * Output: `(node, dist)` for every node reachable within `maxHops`
    * (seeds at 0); unreachable nodes are absent.
    */
   def bfsDistances(edges: DataFrame, seeds: DataFrame,
-                   maxHops: Int): DataFrame = {
+                   maxHops: Int, checkpointEvery: Int = 6): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    require(checkpointEvery >= 1, s"checkpointEvery must be >= 1")
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
     var dist = seeds.select(col("node").cast("long").as("node")).distinct()
@@ -175,6 +180,10 @@ object Graph {
         .select(col("node"), lit(i.toLong).as("dist"))
       frontier = next
       dist = dist.unionByName(next)
+      if (i % checkpointEvery == 0 && i < maxHops) {
+        dist = dist.localCheckpoint()
+        frontier = frontier.localCheckpoint()
+      }
     }
     dist
   }

@@ -142,4 +142,15 @@ class GraphSpec extends SparkSpec {
     }
     assert(bfsMap(edges, seeds, hops) === ref)
   }
+
+  test("bfs: deep path survives past the lineage-doubling horizon") {
+    // a 20-edge path needs 20 rounds; the visited set references itself
+    // twice per round, so the pure unrolled plan doubles per hop — the
+    // periodic localCheckpoint (default every 6) must keep this cheap
+    // and exact (without it this shape is the 2 GiB plan-string failure
+    // connectedComponents hit at diameter 8)
+    val path = (0L until 20L).map(i => (i, i + 1))
+    val out = bfsMap(path, Seq(0L), 20)
+    assert(out === (0L to 20L).map(i => i -> i).toMap)
+  }
 }
