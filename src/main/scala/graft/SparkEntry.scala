@@ -1456,6 +1456,54 @@ object SparkEntry {
     Bm25.scoreIndexed(idx.bm25, Seq("spark", "join", "fast"))
   }
 
+  /** q129: driver-gated evidence for the stateful-streaming sessionizer
+    * — the custom-state tier's last member, closing the set with q127
+    * (every flatMapGroupsWithState operator now has a gate-evidenced
+    * replay). Three time-sliced event batches replay
+    * [[graft.streaming.StatefulSessionize.transition]] (the extracted
+    * automaton body: (event-time millis, event_id) sort, gap-close, O(1)
+    * open-session state) with state carried in a cogrouped Dataset;
+    * end-of-log open sessions are flushed via
+    * [[graft.streaming.StatefulSessionize.closeSession]] exactly as the
+    * stream's watermark timeout would. The oracle is the gaps-and-islands
+    * rebuild under the stream's own millisecond order key (q24's shape at
+    * second granularity; millis here because `Timestamp.getTime` is the
+    * operator's clock). */
+  private def sessionizeReplayQ(s: SparkSession, d: String): DataFrame = {
+    import graft.streaming.StatefulSessionize
+    import StatefulSessionize.{Event, OpenSession, Session}
+    import s.implicits._
+    val gapMs = 1800 * 1000L
+    val ev = events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id")).as[Event]
+    val cuts = Seq("2024-01-11 00:00:00", "2024-01-21 00:00:00")
+      .map(c => lit(c).cast("timestamp"))
+    val batches = Seq(
+      ev.filter(col("ts") < cuts(0)),
+      ev.filter(col("ts") >= cuts(0) && col("ts") < cuts(1)),
+      ev.filter(col("ts") >= cuts(1)))
+    var state = s.emptyDataset[(Long, OpenSession)]
+    var emissions = s.emptyDataset[Session]
+    batches.foreach { b =>
+      val stepped = b.groupByKey(_.user_id)
+        .cogroup(state.groupByKey(_._1)) { (u, evIt, stIt) =>
+          val (open, closed) = StatefulSessionize.transition(u, evIt,
+            stIt.toSeq.headOption.map(_._2), gapMs)
+          Iterator((u, open, closed))
+        }.localCheckpoint()
+      state = stepped.flatMap { case (u, open, _) => open.map(u -> _) }
+      emissions = emissions.union(stepped.flatMap(_._3))
+    }
+    val flushed = state.map { case (u, open) =>
+      StatefulSessionize.closeSession(u, open) }
+    emissions.union(flushed).toDF()
+      .select(col("user_id"),
+        unix_millis(col("start_ts")).as("start_ms"),
+        unix_millis(col("end_ts")).as("end_ms"),
+        col("n_events").cast("long").as("n_events"),
+        col("duration_sec"))
+  }
+
   /** SCD-2 history (q90): the user changelog as validity intervals —
     * one row per run of equal states with valid_from/valid_to/version/
     * is_current ([[Cdc.scd2History]] — the dbt-snapshot surface; one
@@ -2048,6 +2096,7 @@ object SparkEntry {
     "q126_vec_index_replay"  -> (vectorIndexReplayQ _),
     "q127_funnel_replay"     -> (funnelReplayQ _),
     "q128_search_index_replay" -> (searchIndexReplayQ _),
+    "q129_sessionize_replay"   -> (sessionizeReplayQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -4130,6 +4179,30 @@ object SparkEntry {
     // N/avgdl derive at read time from the unioned dl table), so q23's
     // one-shot oracle binds verbatim
     "q128_search_index_replay" -> bm25Oracle,
+
+    // q129: gaps-and-islands rebuilt under the STREAM's own clock
+    // (event-time millis, event_id — Timestamp.getTime semantics; q24's
+    // batch twin uses second truncation). Replay == one-shot because the
+    // time-sliced batches preserve that global order and the end-of-log
+    // flush closes exactly the sessions the watermark timeout would.
+    "q129_sessionize_replay" ->
+      """WITH base AS (SELECT user_id, epoch_ns(ts) // 1000000 AS ms,
+        |    event_id FROM events),
+        |flagged AS (
+        |  SELECT user_id, ms, event_id,
+        |    CASE WHEN lag(ms) OVER w IS NULL
+        |           OR ms - lag(ms) OVER w > 1800000 THEN 1 ELSE 0 END AS is_new
+        |  FROM base
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+        |sess AS (
+        |  SELECT user_id, ms,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged)
+        |SELECT user_id, min(ms) AS start_ms, max(ms) AS end_ms,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  (max(ms) - min(ms)) // 1000 AS duration_sec
+        |FROM sess GROUP BY user_id, sid""".stripMargin,
 
     "q24_sessionize" ->
       """WITH base AS (

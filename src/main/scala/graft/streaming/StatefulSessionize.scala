@@ -32,9 +32,40 @@ object StatefulSessionize {
   final case class Session(user_id: Long, start_ts: Timestamp, end_ts: Timestamp,
                            n_events: Int, duration_sec: Long)
 
-  private def close(user: Long, s: OpenSession): Session =
+  /** Close an open session into its emitted row — public so the q129
+    * batch replay can flush end-of-log state exactly as the stream's
+    * watermark timeout does. */
+  def closeSession(user: Long, s: OpenSession): Session =
     Session(user, new Timestamp(s.startMs), new Timestamp(s.lastMs), s.n,
       (s.lastMs - s.startMs) / 1000)
+
+  /** The pure per-group session automaton body of [[apply]]'s
+    * flatMapGroupsWithState closure — public so a batch replay (declared
+    * query q129) exercises the EXACT transition logic the stream runs
+    * (sort by (event-time millis, event_id), gap-close, O(1) carried
+    * state). Only the state-store plumbing (GroupState update/timeout vs
+    * a cogrouped state table) differs between stream and replay.
+    * Returns (still-open session, sessions closed by this batch). */
+  def transition(user: Long, events: Iterator[Event],
+                 prev: Option[OpenSession],
+                 gapMs: Long): (Option[OpenSession], Seq[Session]) = {
+    val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    val closed = Seq.newBuilder[Session]
+    var open = prev
+    sorted.foreach { e =>
+      val t = e.ts.getTime
+      open match {
+        case Some(s) if t - s.lastMs <= gapMs =>
+          open = Some(s.copy(lastMs = math.max(s.lastMs, t), n = s.n + 1))
+        case Some(s) =>
+          closed += closeSession(user, s)
+          open = Some(OpenSession(t, t, 1))
+        case None =>
+          open = Some(OpenSession(t, t, 1))
+      }
+    }
+    (open, closed.result())
+  }
 
   def apply(events: Dataset[Event], gapSeconds: Long,
             watermark: String = "2 hours"): Dataset[Session] = {
@@ -47,31 +78,17 @@ object StatefulSessionize {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user: Long, it: Iterator[Event], state: GroupState[OpenSession]) =>
           if (state.hasTimedOut) {
-            val out = state.getOption.map(close(user, _)).iterator
+            val out = state.getOption.map(closeSession(user, _)).iterator
             state.remove()
             out
           } else {
-            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-            val closed = Seq.newBuilder[Session]
-            var open = state.getOption
-            sorted.foreach { e =>
-              val t = e.ts.getTime
-              open match {
-                case Some(s) if t - s.lastMs <= gapMs =>
-                  open = Some(s.copy(lastMs = math.max(s.lastMs, t), n = s.n + 1))
-                case Some(s) =>
-                  closed += close(user, s)
-                  open = Some(OpenSession(t, t, 1))
-                case None =>
-                  open = Some(OpenSession(t, t, 1))
-              }
-            }
+            val (open, closed) = transition(user, it, state.getOption, gapMs)
             open.foreach { s =>
               state.update(s)
               // fire once the watermark passes the session's gap horizon
               state.setTimeoutTimestamp(s.lastMs + gapMs)
             }
-            closed.result().iterator
+            closed.iterator
           }
       }
   }
