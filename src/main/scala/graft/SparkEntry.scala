@@ -1504,6 +1504,33 @@ object SparkEntry {
         col("duration_sec"))
   }
 
+  /** q130: the stream-stream interval join run as a declared query — the
+    * last spec-only streaming member. Unlike the foreachBatch replays
+    * (q116–q128), [[graft.streaming.Streams.streamIntervalJoin]] is a
+    * declarative wrapper whose entire semantics live in its join
+    * condition, and `withWatermark` is a no-op on batch inputs — so the
+    * declared query calls the EXACT production function on batch frames
+    * (views ⋈ clicks per user within 15 minutes, the impression→click
+    * attribution shape) and the oracle recomputes the interval join
+    * relationally. What this evidences is the condition/alias logic the
+    * stream executes; the state-eviction behavior (watermark bounds) is
+    * StreamsSpec-pinned where it belongs. */
+  private def intervalJoinQ(s: SparkSession, d: String): DataFrame = {
+    import graft.streaming.Streams
+    val ev = events(s, d)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("l_ts"), col("event_id").as("view_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("r_ts"), col("event_id").as("click_id"))
+    Streams.streamIntervalJoin(views, clicks, Seq("user_id"),
+        "l_ts", "r_ts", within = "15 minutes")
+      .select(col("l.user_id").as("user_id"),
+        col("l.view_id").as("view_id"),
+        col("r.click_id").as("click_id"),
+        expr("(unix_micros(r_ts) - unix_micros(l_ts)) div 1000000")
+          .as("lag_sec"))
+  }
+
   /** SCD-2 history (q90): the user changelog as validity intervals —
     * one row per run of equal states with valid_from/valid_to/version/
     * is_current ([[Cdc.scd2History]] — the dbt-snapshot surface; one
@@ -2097,6 +2124,7 @@ object SparkEntry {
     "q127_funnel_replay"     -> (funnelReplayQ _),
     "q128_search_index_replay" -> (searchIndexReplayQ _),
     "q129_sessionize_replay"   -> (sessionizeReplayQ _),
+    "q130_interval_join"       -> (intervalJoinQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -4203,6 +4231,18 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_events,
         |  (max(ms) - min(ms)) // 1000 AS duration_sec
         |FROM sess GROUP BY user_id, sid""".stripMargin,
+
+    // q130: inclusive two-sided interval join in DuckDB microseconds —
+    // identical bounds to the production function's timestamp arithmetic
+    "q130_interval_join" ->
+      """WITH v AS (SELECT user_id, epoch_ns(ts) // 1000 AS us, event_id
+        |  FROM events WHERE event_type = 'view'),
+        |c AS (SELECT user_id, epoch_ns(ts) // 1000 AS us, event_id
+        |  FROM events WHERE event_type = 'click')
+        |SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+        |  (c.us - v.us) // 1000000 AS lag_sec
+        |FROM v JOIN c ON v.user_id = c.user_id
+        |  AND c.us >= v.us AND c.us <= v.us + 900000000""".stripMargin,
 
     "q24_sessionize" ->
       """WITH base AS (
