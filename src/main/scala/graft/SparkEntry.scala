@@ -1531,6 +1531,25 @@ object SparkEntry {
           .as("lag_sec"))
   }
 
+  /** q131: embedding-space eval-set decontamination
+    * ([[Dedup.semanticDecontaminate]]) — the semantic sibling of q55's
+    * n-gram screen: train vectors (vec_id % 17 ≠ 0) are flagged when an
+    * eval vector (vec_id % 17 = 0) in the SAME IVF list sits at cosine
+    * ≥ 0.35 — the paraphrase-leakage case lexical overlap misses.
+    * Candidates form through the cid equi-join only (q65's discipline —
+    * scan-side assignment, never train × eval); the oracle reproduces
+    * the same assignment (q27's SQL) and the same same-list candidate
+    * rule, so the approximation contract is part of the declared
+    * semantics, not a hidden error. */
+  private def semanticDecontaminateQ(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    Dedup.semanticDecontaminate(
+      emb.filter(col("vec_id") % 17 =!= 0),
+      emb.filter(col("vec_id") % 17 === 0),
+      emb.filter(col("vec_id") < 16),
+      "vec_id", "embedding", threshold = 0.35)
+  }
+
   /** SCD-2 history (q90): the user changelog as validity intervals —
     * one row per run of equal states with valid_from/valid_to/version/
     * is_current ([[Cdc.scd2History]] — the dbt-snapshot surface; one
@@ -2125,6 +2144,7 @@ object SparkEntry {
     "q128_search_index_replay" -> (searchIndexReplayQ _),
     "q129_sessionize_replay"   -> (sessionizeReplayQ _),
     "q130_interval_join"       -> (intervalJoinQ _),
+    "q131_semantic_decontam"   -> (semanticDecontaminateQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -3740,6 +3760,30 @@ object SparkEntry {
         |FROM f""".stripMargin,
     "q47_kmeans_train" -> kmeansOracle,
     "q65_semantic_dedup" -> semanticDedupOracle,
+
+    // q131: q27's assignment SQL + the same-list candidate rule + round-6
+    // cosine threshold — the IVF approximation is part of the declared
+    // semantics on both engines
+    "q131_semantic_decontam" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |  WHERE embedding IS NOT NULL),
+        |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+        |assign AS (SELECT vec_id, v, cid FROM (
+        |  SELECT e.vec_id, e.v, c.cid,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      list_dot_product(e.v, c.cv) /
+        |        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+        |      DESC, c.cid) AS rk
+        |  FROM e CROSS JOIN cent c) WHERE rk = 1),
+        |tr AS (SELECT * FROM assign WHERE vec_id % 17 <> 0),
+        |ev AS (SELECT * FROM assign WHERE vec_id % 17 = 0),
+        |hits AS (SELECT DISTINCT tr.vec_id FROM tr JOIN ev ON tr.cid = ev.cid
+        |  AND round(list_dot_product(tr.v, ev.v) /
+        |    (sqrt(list_dot_product(tr.v, tr.v)) * sqrt(list_dot_product(ev.v, ev.v))), 6)
+        |    >= 0.35)
+        |SELECT tr.vec_id, tr.cid::BIGINT AS cid,
+        |  (h.vec_id IS NOT NULL) AS contaminated
+        |FROM tr LEFT JOIN hits h ON tr.vec_id = h.vec_id""".stripMargin,
 
     // q66: the identical smoothed-unigram math — vocab = top-20 tokens by
     // (count desc, token asc), α = 0.5; round(avg, 4) absorbs sum-order fp

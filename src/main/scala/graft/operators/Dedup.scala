@@ -663,6 +663,48 @@ object Dedup {
   }
 
   /**
+   * Embedding-space eval-set decontamination — the SEMANTIC sibling of
+   * [[decontaminate]]'s n-gram screen: a train vector is contaminated
+   * when some eval vector in the SAME IVF list sits at cosine ≥
+   * `threshold` (a paraphrased or re-worded eval item shares no shingles
+   * but lands next to its source in embedding space — the leakage the
+   * lexical test misses).
+   *
+   * Scale shape — the [[semanticDedup]] discipline: both sides learn
+   * their list id scan-side (native nearest-centroid kernel, zero
+   * exchanges), candidates form through the cid equi-join only
+   * (O(Σ |train_c|·|eval_c|), never train × eval), and the flag is a
+   * left_semi probe so the pair relation is never materialized. Same
+   * approximation contract as every IVF member: a cross-list near-pair
+   * is missed by construction; raise the centroid count or probe width
+   * where that risk matters. Cosines compare at round-6 (the
+   * bit-reproducible oracle contract).
+   *
+   * Returns one row per train vector: (idCol, cid, contaminated).
+   */
+  def semanticDecontaminate(train: DataFrame, eval: DataFrame,
+                            centroids: DataFrame, idCol: String,
+                            vecCol: String, threshold: Double): DataFrame = {
+    val matrix = Knn.centroidMatrix(
+      centroids.select(col(idCol).as("cid"), col(vecCol).as("cv")))
+    def assign(df: DataFrame) = df
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
+      .filter(col("vec").isNotNull)
+      .withColumn("cid", Vec.nearestCentroid(col("vec"), matrix).cast("long"))
+    val t = assign(train)
+    val ev = assign(eval)
+    val hit = t.as("a").hint("shuffle_hash")
+      .join(ev.as("b").hint("shuffle_hash"),
+        col("a.cid") === col("b.cid") &&
+          round(Vec.cosine(col("a.vec"), col("b.vec")), 6) >= threshold,
+        "left_semi")
+      .select(col("id"))
+    t.join(hit.withColumn("hit", lit(true)), Seq("id"), "left")
+      .select(col("id").as(idCol), col("cid"),
+        coalesce(col("hit"), lit(false)).as("contaminated"))
+  }
+
+  /**
    * Memorization-risk / rarity stats: how much of each document is made
    * of n-grams that occur NOWHERE else in the corpus. Documents dominated
    * by globally-unique n-grams are the ones a model can only reproduce by

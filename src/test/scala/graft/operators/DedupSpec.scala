@@ -401,6 +401,27 @@ class DedupSpec extends SparkSpec {
       7L -> ((2L, 7L, 4L))))  // tie at 4 → smallest id
   }
 
+  test("semantic decontamination flags same-list near-eval vectors only") {
+    // centroids at the two axes; train 10 ~ eval 100 (same list, cos ~1),
+    // train 11 in the other list, train 12 same list but orthogonal-ish
+    val cents = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val train = Seq(
+      (10L, Array(0.9f, 0.1f)),   // near eval 100, list 0 -> contaminated
+      (11L, Array(0.1f, 0.9f)),   // list 1, no eval there -> clean
+      (12L, Array(0.7f, -0.7f))   // list 0 but cos to eval < threshold
+    ).toDF("vec_id", "embedding")
+    val eval = Seq((100L, Array(1.0f, 0.05f))).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDecontaminate(train, eval, cents,
+        "vec_id", "embedding", threshold = 0.8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    assert(out(10L) === ((0L, true)))
+    assert(out(11L) === ((1L, false)))
+    assert(out(12L)._2 === false)
+    assert(out.size === 3, "one row per train vector, eval never emitted")
+  }
+
   test("connected components fail loudly when label propagation can't converge") {
     // a path graph 0-1-2-...-8 has diameter 8: min-label propagation needs
     // ~8 rounds, so maxIters=2 on the forced distributed path must throw
