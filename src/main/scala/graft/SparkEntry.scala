@@ -1550,6 +1550,35 @@ object SparkEntry {
       "vec_id", "embedding", threshold = 0.35)
   }
 
+  /** q132: exact duplicated-span removal — the separator-free,
+    * suffix-array-style exact-substring dedup (Lee et al. 2022) as its
+    * sliding-window Spark form ([[Dedup.dupSpanDedup]]): every 5-token
+    * window digested scan-side, duplicate windows (corpus-wide, any
+    * alignment) keep only their first (doc, pos) occurrence, covered
+    * tokens drop, docs rebuilt. The q59/q85 passage operators need a
+    * separator to agree with the repeat; this one does not. */
+  private def dupSpanQ(s: SparkSession, d: String): DataFrame =
+    Dedup.dupSpanDedup(documents(s, d), "doc_id", "text", win = 5,
+      hashOf = sha2(_, 256))
+
+  /** q133: ranked-retrieval quality evaluation ([[RetrievalEval]]) — the
+    * reference's "recall@20 ≥ 0.7" SLO metric (README.md:87,139) as a
+    * first-class oracled operator: the q27 IVF ranking (top-20, nProbe=4)
+    * graded against q16's brute-force cosine truth (top-10) — per-query
+    * recall/precision@10, reciprocal rank, success flag. The eval joins
+    * are all (query, doc)-keyed; no stage is wider than the ranking. */
+  private def retrievalEvalQ(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val qs = emb.filter(col("vec_id") < 10)
+    val truth = Knn.bruteTopK(emb, qs, "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = Knn.ivfTopK(emb, qs, emb.filter(col("vec_id") < 16),
+        "vec_id", "embedding", k = 20, nProbe = 4)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    RetrievalEval.evaluate(approx, truth, "query_id", "neighbor_id",
+      "rank", k = 10)
+  }
+
   /** SCD-2 history (q90): the user changelog as validity intervals —
     * one row per run of equal states with valid_from/valid_to/version/
     * is_current ([[Cdc.scd2History]] — the dbt-snapshot surface; one
@@ -2145,6 +2174,8 @@ object SparkEntry {
     "q129_sessionize_replay"   -> (sessionizeReplayQ _),
     "q130_interval_join"       -> (intervalJoinQ _),
     "q131_semantic_decontam"   -> (semanticDecontaminateQ _),
+    "q132_dup_span_dedup"      -> (dupSpanQ _),
+    "q133_retrieval_eval"      -> (retrievalEvalQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -3784,6 +3815,93 @@ object SparkEntry {
         |SELECT tr.vec_id, tr.cid::BIGINT AS cid,
         |  (h.vec_id IS NOT NULL) AS contaminated
         |FROM tr LEFT JOIN hits h ON tr.vec_id = h.vec_id""".stripMargin,
+
+    // q132: duplicate detection re-derived on the raw window TEXT (the
+    // stronger statement — Spark groups by sha2(window), so hash equality
+    // here also certifies the digesting introduced no collisions on this
+    // corpus); coverage re-derived by exploding dup windows into removed
+    // token indices
+    "q132_dup_span_dedup" ->
+      """WITH b AS (SELECT doc_id AS doc, str_split(text, ' ') AS toks,
+        |    CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents WHERE text IS NOT NULL),
+        |w AS (SELECT doc, unnest(range(len(toks) - 4)) AS pos,
+        |    unnest([array_to_string(toks[i+1:i+5], ' ')
+        |            for i in range(0, len(toks) - 4)]) AS wt
+        |  FROM b WHERE n_tokens >= 5),
+        |r AS (SELECT doc, pos,
+        |    row_number() OVER (PARTITION BY wt ORDER BY doc, pos) AS rn FROM w),
+        |dw AS (SELECT doc, count(*)::BIGINT AS n_dup_windows
+        |  FROM r WHERE rn > 1 GROUP BY doc),
+        |rem AS (SELECT DISTINCT doc, unnest(range(pos, pos + 5)) AS i
+        |  FROM r WHERE rn > 1),
+        |tok AS (SELECT doc, unnest(toks) AS tk, unnest(range(len(toks))) AS i
+        |  FROM b),
+        |kept AS (SELECT t.doc, t.tk, t.i
+        |  FROM tok t LEFT JOIN rem ON t.doc = rem.doc AND t.i = rem.i
+        |  WHERE rem.i IS NULL),
+        |agg AS (SELECT doc, count(*)::BIGINT AS n_kept,
+        |    string_agg(tk, ' ' ORDER BY i) AS clean_text
+        |  FROM kept GROUP BY doc)
+        |SELECT b.doc, b.n_tokens,
+        |  coalesce(dw.n_dup_windows, 0)::BIGINT AS n_dup_windows,
+        |  (b.n_tokens - coalesce(agg.n_kept, 0))::BIGINT AS n_removed,
+        |  coalesce(agg.clean_text, '') AS clean_text
+        |FROM b LEFT JOIN dw ON b.doc = dw.doc
+        |  LEFT JOIN agg ON b.doc = agg.doc""".stripMargin,
+
+    // q133: the IVF top-20 (q27's SQL, rank bound raised) graded against
+    // brute-force top-10 truth (q16's SQL); metrics are exact integer
+    // ratios rounded 6dp, so the hash compare certifies the metric math,
+    // not just the rankings
+    "q133_retrieval_eval" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+        |assign AS (SELECT vec_id, v, cid FROM (
+        |  SELECT e.vec_id, e.v, c.cid,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      list_dot_product(e.v, c.cv) /
+        |        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+        |      DESC, c.cid) AS rk
+        |  FROM e CROSS JOIN cent c) WHERE rk = 1),
+        |probe AS (SELECT qid, cid FROM (
+        |  SELECT q.vec_id AS qid, c.cid,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |      list_dot_product(q.v, c.cv) /
+        |        (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+        |      DESC, c.cid) AS rk
+        |  FROM e q CROSS JOIN cent c WHERE q.vec_id < 10) WHERE rk <= 4),
+        |cand AS (SELECT p.qid AS query_id, a.vec_id AS neighbor_id,
+        |    list_dot_product(qe.v, a.v) /
+        |      (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(a.v, a.v))) AS cos
+        |  FROM probe p JOIN assign a ON p.cid = a.cid
+        |  JOIN e qe ON qe.vec_id = p.qid WHERE p.qid <> a.vec_id),
+        |approx AS (SELECT query_id, neighbor_id, rank FROM (
+        |    SELECT query_id, neighbor_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |    FROM cand) WHERE rank <= 20),
+        |truth AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_dot_product(q.v, c.v) /
+        |          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
+        |        DESC, c.vec_id) AS rank
+        |    FROM e q JOIN e c ON q.vec_id <> c.vec_id WHERE q.vec_id < 10)
+        |  WHERE rank <= 10),
+        |nrel AS (SELECT query_id, count(*)::BIGINT AS n_rel FROM truth GROUP BY 1),
+        |f AS (SELECT a.query_id, a.rank, (t.neighbor_id IS NOT NULL) AS rel
+        |  FROM approx a LEFT JOIN truth t ON a.query_id = t.query_id
+        |    AND a.neighbor_id = t.neighbor_id),
+        |pq AS (SELECT query_id,
+        |    sum(CASE WHEN rel AND rank <= 10 THEN 1 ELSE 0 END)::BIGINT AS hits_at_k,
+        |    min(CASE WHEN rel THEN rank END) AS first_rel_rank
+        |  FROM f GROUP BY 1)
+        |SELECT pq.query_id, coalesce(n.n_rel, 0)::BIGINT AS n_rel, pq.hits_at_k,
+        |  round(pq.hits_at_k / n.n_rel, 6) AS recall_at_k,
+        |  round(pq.hits_at_k / 10.0, 6) AS precision_at_k,
+        |  round(coalesce(1.0 / pq.first_rel_rank, 0.0), 6) AS rr,
+        |  (pq.hits_at_k > 0) AS success_at_k
+        |FROM pq LEFT JOIN nrel n ON pq.query_id = n.query_id""".stripMargin,
 
     // q66: the identical smoothed-unigram math — vocab = top-20 tokens by
     // (count desc, token asc), α = 0.5; round(avg, 4) absorbs sum-order fp

@@ -1030,4 +1030,74 @@ object Dedup {
       .filter(col("dist") >= 0)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("dist"))
   }
+
+  /**
+   * Exact duplicated-SPAN removal — the separator-free, alignment-blind
+   * exact-substring dedup of the suffix-array corpus-cleaning literature
+   * (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+   * Better"), in its sliding-window distributed form: every `win`-token
+   * window of every document is digested; a window whose token sequence
+   * occurs more than once corpus-wide is a duplicated span everywhere
+   * EXCEPT its first occurrence in (doc, pos) order, and a token survives
+   * iff NO duplicated window covers it (overlapping duplicated windows
+   * therefore merge into maximal removed spans for free). Contrast with
+   * [[passageDedup]], which only finds repeats that agree with a
+   * separator; this finds byte-identical repeats at ANY token alignment —
+   * quoted boilerplate mid-sentence, templated fragments, licence tails.
+   *
+   * Plan shape: window digests are a scan-side `transform` over
+   * `sequence(0, n-win)` (O(n·win) hash work, ZERO shuffle, inside
+   * whole-stage codegen); duplicate detection is ONE shuffle keyed by the
+   * 256-bit digest (`row_number` over (doc, pos) — the [[passageDedup]]
+   * idiom); the duplicated window STARTS — not token-level rows — return
+   * to their documents through one doc-keyed aggregate + join, so shuffle
+   * volume is O(#windows) digests out and O(#duplicated windows) ints
+   * back, never O(tokens × win). The rebuild (an exists-over-starts
+   * coverage test per token index) is again a pure scan-side projection.
+   *
+   * At 100 TB: #windows ≈ #tokens, so the digest shuffle is the same
+   * order as tokenizing the corpus once — the known lower bound for exact
+   * substring dedup without a global suffix array — and the only joins
+   * are doc-keyed (payloads move once). No all-pairs stage at any scale.
+   * Docs shorter than `win` tokens pass through untouched by definition.
+   *
+   * `hashOf` follows the house convention (see [[rareNgramsWith]]):
+   * xxhash64 is the scale primary (8-byte shuffle lanes, cheap to
+   * compute); the declared query passes `sha2(_, 256)` for DuckDB oracle
+   * parity — and because the oracle re-derives duplicates from the raw
+   * window TEXT, the hash-match also certifies the digesting introduced
+   * no collisions on the gated corpus.
+   */
+  def dupSpanDedup(df: DataFrame, idCol: String, textCol: String,
+                   win: Int = 5,
+                   hashOf: Column => Column = xxhash64(_)): DataFrame = {
+    require(win >= 2, "window must span at least 2 tokens")
+    val base = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc"), Text.tokens(col(textCol)).as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+    val wins = base.filter(col("n_tokens") >= win)
+      .select(col("doc"),
+        posexplode(transform(
+          sequence(lit(0), (col("n_tokens") - win).cast("int")),
+          i => hashOf(concat_ws(" ", slice(col("toks"), i + 1, lit(win))))))
+          .as(Seq("pos", "h")))
+    val firstW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("h")).orderBy(col("doc"), col("pos"))
+    val dupStarts = wins
+      .withColumn("rn", row_number().over(firstW))
+      .filter(col("rn") > 1)
+      .groupBy(col("doc"))
+      .agg(sort_array(collect_list(col("pos"))).as("dup_starts"))
+    val ds = coalesce(col("dup_starts"), array().cast("array<int>"))
+    val covered = (i: Column) =>
+      exists(ds, s => s <= i && i < s + win)
+    val kept = filter(sequence(lit(0), (col("n_tokens") - 1).cast("int")),
+      i => !covered(i))
+    base.join(dupStarts, Seq("doc"), "left")
+      .select(col("doc"), col("n_tokens"),
+        size(ds).cast("long").as("n_dup_windows"),
+        (col("n_tokens") - size(kept)).cast("long").as("n_removed"),
+        concat_ws(" ",
+          transform(kept, i => element_at(col("toks"), i + 1))).as("clean_text"))
+  }
 }

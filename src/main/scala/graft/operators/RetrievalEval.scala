@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Ranked-retrieval quality metrics — the evaluation harness for the
+ * engine's search tier ([[Knn]], [[Bm25]], [[HybridSearch]]): given a
+ * system's ranked lists and a ground-truth relevance set, compute the
+ * standard per-query metrics (recall@k, precision@k, reciprocal rank,
+ * success@k) that the reference's own retrieval SLO states as
+ * "recall@20 ≥ 0.7" (reference README.md:87,139). The Bench harness
+ * measures that SLO as a number; this operator makes the metric itself a
+ * first-class, oracle-checkable query over arbitrary (ranking, truth)
+ * pairs — e.g. grading an ANN index against brute-force truth, or a new
+ * ranker against editorial judgments.
+ *
+ * Metric definitions (per query):
+ *  - `n_rel`        — |relevant set| (0 for queries absent from qrels)
+ *  - `hits_at_k`    — |top-k ∩ relevant|
+ *  - `recall_at_k`  — hits_at_k / n_rel (NULL when n_rel = 0, the
+ *                     undefined case — not 0, which would conflate
+ *                     "nothing to find" with "found nothing")
+ *  - `precision_at_k` — hits_at_k / k
+ *  - `rr`           — 1 / rank of the FIRST relevant result anywhere in
+ *                     the ranked list (0.0 when none is retrieved)
+ *  - `success_at_k` — whether any relevant result landed in the top-k
+ *
+ * All ratios are exact integer divisions rounded to 6dp — engine-
+ * portable with no transcendental functions (nDCG's 1/log2(r+1) gains
+ * are deliberately omitted for the house last-ulp reason; callers who
+ * want DCG weights can apply them to the per-rank join this operator
+ * exposes).
+ *
+ * Plan shape: ONE left join of the ranked lists against the qrels on
+ * (query, doc) — broadcast when the truth set is small, hash otherwise —
+ * folded by ONE query-keyed aggregate, plus the n_rel side-aggregate
+ * joined back query-keyed. At 100 TB of ranked output (offline eval of
+ * a full query log) everything is keyed by query id: no stage is wider
+ * than the ranking itself.
+ */
+object RetrievalEval {
+
+  /**
+   * @param ranked ranked lists: (queryCol, docCol, rankCol) with rank
+   *               1-based and dense per query (ties already broken)
+   * @param qrels  ground truth: (queryCol, docCol) distinct relevant pairs
+   */
+  def evaluate(ranked: DataFrame, qrels: DataFrame, queryCol: String,
+               docCol: String, rankCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val q = col(queryCol)
+    val rel = qrels.select(q, col(docCol)).distinct()
+      .groupBy(q).agg(count(lit(1)).as("n_rel"))
+    val flagged = ranked.join(
+      qrels.select(q, col(docCol)).distinct().withColumn("rel", lit(1)),
+      Seq(queryCol, docCol), "left")
+    val perQuery = flagged.groupBy(q).agg(
+      sum(when(col("rel").isNotNull && col(rankCol) <= k, 1L).otherwise(0L))
+        .as("hits_at_k"),
+      min(when(col("rel").isNotNull, col(rankCol))).as("first_rel_rank"))
+    perQuery.join(rel, Seq(queryCol), "left")
+      .select(q,
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        col("hits_at_k"),
+        round(col("hits_at_k").cast("double") / col("n_rel"), 6)
+          .as("recall_at_k"),
+        round(col("hits_at_k").cast("double") / k, 6).as("precision_at_k"),
+        round(coalesce(lit(1.0) / col("first_rel_rank"), lit(0.0)), 6)
+          .as("rr"),
+        (col("hits_at_k") > 0).as("success_at_k"))
+  }
+}

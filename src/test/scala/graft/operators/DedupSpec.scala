@@ -438,4 +438,29 @@ class DedupSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(ok.values.toSet === Set(0L))
   }
+
+  test("dup-span dedup removes later occurrences, keeps the first, merges overlaps") {
+    // doc 1 holds the first occurrence of every duplicated window; doc 2
+    // repeats the 5-gram mid-doc; doc 3 is too short for any window;
+    // doc 4 IS the duplicated 5-gram (fully removed); doc 5 overlaps three
+    // duplicated windows, whose covers must merge into one maximal span
+    val spanDocs = Seq(
+      1L -> "alpha beta gamma delta epsilon zeta eta",
+      2L -> "x y alpha beta gamma delta epsilon",
+      3L -> "short doc here",
+      4L -> "alpha beta gamma delta epsilon",
+      5L -> "p q alpha beta gamma delta epsilon zeta eta r"
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupSpanDedup(spanDocs, "doc_id", "text", win = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(out(1L) === ((0L, 0L, "alpha beta gamma delta epsilon zeta eta")),
+      "first occurrence is never removed")
+    assert(out(2L) === ((1L, 5L, "x y")))
+    assert(out(3L) === ((0L, 0L, "short doc here")),
+      "docs shorter than the window pass through")
+    assert(out(4L) === ((1L, 5L, "")), "fully-duplicated doc empties")
+    assert(out(5L) === ((3L, 7L, "p q r")),
+      "overlapping duplicated windows merge into one removed span")
+  }
 }

@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+
+class RetrievalEvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  // q1: 4 results, relevant = {b, d, z} (z never retrieved)
+  // q2: retrieved but absent from qrels (n_rel = 0 — recall undefined)
+  // q3: retrieved, relevant exists, but never found
+  private lazy val ranked = Seq(
+    ("q1", "a", 1L), ("q1", "b", 2L), ("q1", "c", 3L), ("q1", "d", 4L),
+    ("q2", "a", 1L), ("q2", "b", 2L),
+    ("q3", "e", 1L), ("q3", "f", 2L)
+  ).toDF("qid", "doc", "rank")
+
+  private lazy val qrels = Seq(
+    ("q1", "b"), ("q1", "d"), ("q1", "z"), ("q3", "g")
+  ).toDF("qid", "doc")
+
+  private def byQid(k: Int): Map[String, Row] =
+    RetrievalEval.evaluate(ranked, qrels, "qid", "doc", "rank", k)
+      .collect().map(r => r.getString(0) -> r).toMap
+
+  test("hits, recall, precision, rr at k=2") {
+    val m = byQid(2)
+    val q1 = m("q1")
+    assert(q1.getAs[Long]("n_rel") === 3L)
+    assert(q1.getAs[Long]("hits_at_k") === 1L)      // only b in top-2
+    assert(q1.getAs[Double]("recall_at_k") === 0.333333)
+    assert(q1.getAs[Double]("precision_at_k") === 0.5)
+    assert(q1.getAs[Double]("rr") === 0.5)          // first relevant at rank 2
+    assert(q1.getAs[Boolean]("success_at_k"))
+  }
+
+  test("relevant result below k still counts for rr, not for hits") {
+    // d at rank 4 > k: excluded from hits/recall, but rr looks at the
+    // whole ranked list — first relevant is still b at rank 2
+    val m = byQid(3)
+    val q1 = m("q1")
+    assert(q1.getAs[Long]("hits_at_k") === 1L)
+    assert(q1.getAs[Double]("rr") === 0.5)
+    val m4 = byQid(4)
+    assert(m4("q1").getAs[Long]("hits_at_k") === 2L)
+    assert(m4("q1").getAs[Double]("recall_at_k") === 0.666667)
+  }
+
+  test("query with no qrels: n_rel 0, recall NULL (undefined), rr 0") {
+    val q2 = byQid(2)("q2")
+    assert(q2.getAs[Long]("n_rel") === 0L)
+    assert(q2.isNullAt(q2.fieldIndex("recall_at_k")))
+    assert(q2.getAs[Double]("rr") === 0.0)
+    assert(!q2.getAs[Boolean]("success_at_k"))
+  }
+
+  test("query that finds nothing relevant: zeros, rr 0, no success") {
+    val q3 = byQid(2)("q3")
+    assert(q3.getAs[Long]("n_rel") === 1L)
+    assert(q3.getAs[Long]("hits_at_k") === 0L)
+    assert(q3.getAs[Double]("recall_at_k") === 0.0)
+    assert(q3.getAs[Double]("rr") === 0.0)
+    assert(!q3.getAs[Boolean]("success_at_k"))
+  }
+}
