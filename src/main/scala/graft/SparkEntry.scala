@@ -1579,6 +1579,35 @@ object SparkEntry {
       "rank", k = 10)
   }
 
+  /** q134: batch small-file compaction ([[graft.sinks.Publish.compact]] —
+    * the lakehouse OPTIMIZE maintenance operator, the batch sibling of
+    * the streaming `batch_id=` compactor): a deliberately fragmented
+    * partitioned copy of lineitem (16-way shuffled write per returnflag
+    * partition) is bin-packed back to ceil(bytes/target) = 1 file per
+    * partition. The declared result reads the COMPACTED table — per-flag
+    * counts, exact cent sums, and orderkey extrema prove content
+    * preservation through the rewrite — joined with `files_after` from
+    * the compaction report, which the oracle pins to the bin-pack
+    * arithmetic's answer (1): if compaction ever failed to rewrite, the
+    * declared side would show the fragmented file count and hash-diverge. */
+  private def compactQ(s: SparkSession, d: String): DataFrame = {
+    val dir = replayStateDir(s, "q134", d)
+    lineitem(s, d).select(col("l_returnflag"), col("l_orderkey"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      .repartition(16)
+      .write.partitionBy("l_returnflag").mode("overwrite").parquet(dir)
+    val rep = graft.sinks.Publish.compact(s, dir, targetBytes = 1L << 30)
+      .select(regexp_extract(col("partition"), "^l_returnflag=(.+)$", 1)
+          .as("l_returnflag"),
+        col("files_after"))
+    s.read.parquet(dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"),
+        min(col("l_orderkey")).as("min_orderkey"),
+        max(col("l_orderkey")).as("max_orderkey"))
+      .join(rep, Seq("l_returnflag"))
+  }
+
   /** SCD-2 history (q90): the user changelog as validity intervals —
     * one row per run of equal states with valid_from/valid_to/version/
     * is_current ([[Cdc.scd2History]] — the dbt-snapshot surface; one
@@ -2176,6 +2205,7 @@ object SparkEntry {
     "q131_semantic_decontam"   -> (semanticDecontaminateQ _),
     "q132_dup_span_dedup"      -> (dupSpanQ _),
     "q133_retrieval_eval"      -> (retrievalEvalQ _),
+    "q134_compaction"          -> (compactQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -3902,6 +3932,18 @@ object SparkEntry {
         |  round(coalesce(1.0 / pq.first_rel_rank, 0.0), 6) AS rr,
         |  (pq.hits_at_k > 0) AS success_at_k
         |FROM pq LEFT JOIN nrel n ON pq.query_id = n.query_id""".stripMargin,
+
+    // q134: content preservation through the bin-pack rewrite, re-derived
+    // from the RAW lineitem table; files_after = 1 is the bin-pack
+    // arithmetic's deterministic answer at a 1 GiB target (the declared
+    // side measures it from the post-compaction filesystem — a failed or
+    // skipped rewrite would report the fragmented count and hash-diverge)
+    "q134_compaction" ->
+      """SELECT l_returnflag, count(*)::BIGINT AS n_rows,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS sum_cents,
+        |  min(l_orderkey) AS min_orderkey, max(l_orderkey) AS max_orderkey,
+        |  1::BIGINT AS files_after
+        |FROM lineitem GROUP BY 1""".stripMargin,
 
     // q66: the identical smoothed-unigram math — vocab = top-20 tokens by
     // (count desc, token asc), α = 0.5; round(avg, 4) absorbs sum-order fp

@@ -98,4 +98,107 @@ object Publish {
     val pw = if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w
     pw.save(path)
   }
+
+  /**
+   * Batch small-file compaction — the lakehouse OPTIMIZE / bin-packing
+   * maintenance operator for parquet directories (flat or hive-
+   * partitioned, any nesting): every leaf partition whose data sits in
+   * more files than `ceil(bytes / targetBytes)` is rewritten into exactly
+   * that many files; already-compact leaves are left untouched (their
+   * files are not rewritten, so repeated runs are idempotent and cheap).
+   * This is the batch-table sibling of
+   * [[graft.streaming.Streams.compactBatchPartitions]] (which compacts
+   * `batch_id=` micro-batch deltas): streaming ingest and low-cardinality
+   * partition writes both accrete small files, and at 100 TB the
+   * small-file problem is a first-order read-cost bug — every file is a
+   * scan task plus an object-store round trip, and a 1000-executor
+   * cluster reading 10⁶ 1 MB files spends its time on metadata, not data.
+   *
+   * Scale shape: leaf discovery and the per-leaf decision are pure file
+   * METADATA (O(#files) driver listing — the same order as planning any
+   * scan of the table); only OVERFRAGMENTED leaves are re-read, each as
+   * its own narrow job (one leaf's bytes in flight at a time, selective
+   * like Delta OPTIMIZE, never a full-table rewrite unless the whole
+   * table is fragmented). Data files never buffer on the driver.
+   *
+   * Crash safety (the [[graft.streaming.Streams]] swap contract): the
+   * compacted leaf is written to a sibling `.compact_tmp_<leaf>` dir and
+   * swapped in by rename; a crash leaves either (tmp + original leaf) —
+   * recovered by discarding the tmp — or (tmp only, leaf deleted) —
+   * recovered by completing the rename. [[compact]] runs recovery over
+   * the whole tree before compacting, so no crash point loses rows.
+   *
+   * Returns the compaction report — one row per leaf partition
+   * (`partition` relative to `dir`, "." for the root): files/bytes
+   * before, files after, whether it was rewritten. Driver-side by
+   * construction (it IS metadata, bounded by partition count).
+   */
+  def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
+              targetBytes: Long = 128L << 20, minFiles: Int = 2): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    require(targetBytes > 0 && minFiles >= 2,
+      "targetBytes must be positive; minFiles >= 2")
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    def isPart(s: org.apache.hadoop.fs.FileStatus): Boolean =
+      !s.isDirectory && s.getPath.getName.startsWith("part-")
+
+    // recovery BEFORE listing leaves: a recovered swap re-materializes
+    // its leaf, which must then be visible to this run's traversal
+    def recover(p: Path): Unit = {
+      val st = fs.listStatus(p)
+      st.filter(s => s.isDirectory && s.getPath.getName.startsWith(".compact_tmp_"))
+        .foreach { t =>
+          val leaf = new Path(p, t.getPath.getName.stripPrefix(".compact_tmp_"))
+          if (fs.exists(leaf)) fs.delete(t.getPath, true)
+          else if (!fs.rename(t.getPath, leaf))
+            throw new java.io.IOException(
+              s"recovery of a failed compaction swap failed: " +
+                s"rename(${t.getPath}, $leaf) returned false")
+        }
+      fs.listStatus(p)
+        .filter(s => s.isDirectory && !s.getPath.getName.startsWith("."))
+        .foreach(s => recover(s.getPath))
+    }
+    if (fs.exists(root.getParent)) recover(root.getParent)
+
+    def leaves(p: Path): Seq[Path] = {
+      val st = fs.listStatus(p)
+      val here = if (st.exists(isPart)) Seq(p) else Nil
+      here ++ st
+        .filter(s => s.isDirectory && !s.getPath.getName.startsWith(".") &&
+          !s.getPath.getName.startsWith("_"))
+        .flatMap(s => leaves(s.getPath))
+    }
+
+    // listStatus returns scheme-qualified paths; qualify both sides so
+    // the relative name is scheme-independent
+    val qRoot = fs.makeQualified(root).toString
+    val rel = { (leaf: Path) =>
+      val r = fs.makeQualified(leaf).toString.stripPrefix(qRoot).stripPrefix("/")
+      if (r.isEmpty) "." else r
+    }
+    val report = leaves(root).map { leaf =>
+      val parts = fs.listStatus(leaf).filter(isPart)
+      val bytes = parts.map(_.getLen).sum
+      val want = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+      if (parts.length >= minFiles && parts.length > want) {
+        val tmp = new Path(leaf.getParent, s".compact_tmp_${leaf.getName}")
+        spark.read.parquet(leaf.toString).repartition(want)
+          .write.mode("overwrite").parquet(tmp.toString)
+        fs.delete(new Path(tmp, "_SUCCESS"), false)
+        if (!fs.delete(leaf, true))
+          throw new java.io.IOException(s"compaction: delete($leaf) returned false")
+        if (!fs.rename(tmp, leaf))
+          throw new java.io.IOException(
+            s"compaction swap failed: rename($tmp, $leaf) returned false; " +
+              s"compacted rows are intact in $tmp")
+        (rel(leaf), parts.length.toLong, want.toLong, bytes, true)
+      } else (rel(leaf), parts.length.toLong, parts.length.toLong, bytes, false)
+    }
+    import spark.implicits._
+    report.toDF("partition", "files_before", "files_after",
+      "bytes_before", "rewritten")
+  }
 }

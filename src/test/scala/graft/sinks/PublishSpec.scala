@@ -90,4 +90,79 @@ class PublishSpec extends SparkSpec {
       .head().getLong(0) === 2)
     spark.sql("DROP TABLE fact_pub_test")
   }
+
+  private def partFiles(dir: String): Array[java.io.File] =
+    new java.io.File(dir).listFiles().filter(_.getName.startsWith("part-"))
+
+  private def fragmented(tag: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(s"compact_$tag")
+      .toString + "/t"
+    (0L until 2000L).map(i => (i, i % 4, s"row_$i"))
+      .toDF("id", "k", "payload")
+      .repartition(8)
+      .write.partitionBy("k").parquet(dir)
+    dir
+  }
+
+  test("compact: bin-packs fragmented partitions, preserves content, idempotent") {
+    val dir = fragmented("pack")
+    val before = spark.read.parquet(dir)
+      .groupBy("k").agg(count(lit(1)).as("n"), sum("id").as("s"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(partFiles(s"$dir/k=0").length === 8)
+
+    val report = Publish.compact(spark, dir, targetBytes = 1L << 30)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(4))).toMap
+    assert(report.keySet === Set("k=0", "k=1", "k=2", "k=3"))
+    assert(report("k=0") === ((8L, 1L, true)))
+    assert(partFiles(s"$dir/k=0").length === 1)
+
+    val after = spark.read.parquet(dir)
+      .groupBy("k").agg(count(lit(1)).as("n"), sum("id").as("s"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(after === before, "compaction must not change table content")
+
+    // second run: every leaf already compact — nothing rewritten
+    val again = Publish.compact(spark, dir, targetBytes = 1L << 30).collect()
+    assert(again.forall(!_.getBoolean(4)), "idempotent on compact tables")
+  }
+
+  test("compact: targetBytes bounds output files; compact leaves untouched") {
+    val dir = fragmented("target")
+    val bytes = partFiles(s"$dir/k=1").map(_.length).sum
+    // target = half the partition's bytes => 2 output files, not 1
+    val rep = Publish.compact(spark, dir, targetBytes = bytes / 2 + 1)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(rep("k=1") === 2L, s"expected 2 files for target ${bytes / 2 + 1}")
+    assert(partFiles(s"$dir/k=1").length === 2)
+    // a leaf that already satisfies the target keeps its exact files
+    val names = partFiles(s"$dir/k=1").map(_.getName).toSet
+    Publish.compact(spark, dir, targetBytes = bytes / 2 + 1)
+    assert(partFiles(s"$dir/k=1").map(_.getName).toSet === names,
+      "an in-budget leaf must not be rewritten")
+  }
+
+  test("compact: recovers both crash windows of a died swap") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = fragmented("crash")
+    val total = spark.read.parquet(dir).count()
+
+    // window 1: tmp written, original leaf still present -> tmp discarded
+    val leaf0 = Paths.get(dir, "k=0")
+    val tmp0 = Paths.get(dir, ".compact_tmp_k=0")
+    Files.createDirectory(tmp0)
+    Files.copy(partFiles(s"$dir/k=0").head.toPath,
+      tmp0.resolve("part-00000-stale.parquet"), StandardCopyOption.COPY_ATTRIBUTES)
+    // window 2: leaf deleted, only tmp remains -> tmp renamed into place
+    val leaf1 = Paths.get(dir, "k=1")
+    val tmp1 = Paths.get(dir, ".compact_tmp_k=1")
+    Files.move(leaf1, tmp1)
+
+    Publish.compact(spark, dir, targetBytes = 1L << 30)
+    assert(!Files.exists(tmp0) && !Files.exists(tmp1))
+    assert(Files.exists(leaf0) && Files.exists(leaf1))
+    assert(spark.read.parquet(dir).count() === total,
+      "no crash window may lose rows")
+  }
 }
