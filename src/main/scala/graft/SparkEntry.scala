@@ -1608,6 +1608,14 @@ object SparkEntry {
       .join(rep, Seq("l_returnflag"))
   }
 
+  /** q135: shuffle-skew diagnostics ([[Salt.skewReport]] — the decide
+    * half of the q31/q32 salting remedies): per-suppkey row counts of
+    * lineitem (the l_suppkey ⨝ supplier shuffle's key distribution),
+    * top-10 heaviest keys with share and the max/uniform skew ratio.
+    * Costs exactly one pass of the shuffle it diagnoses. */
+  private def skewReportQ(s: SparkSession, d: String): DataFrame =
+    Salt.skewReport(lineitem(s, d), Seq("l_suppkey"), topK = 10)
+
   /** SCD-2 history (q90): the user changelog as validity intervals —
     * one row per run of equal states with valid_from/valid_to/version/
     * is_current ([[Cdc.scd2History]] — the dbt-snapshot surface; one
@@ -2206,6 +2214,7 @@ object SparkEntry {
     "q132_dup_span_dedup"      -> (dupSpanQ _),
     "q133_retrieval_eval"      -> (retrievalEvalQ _),
     "q134_compaction"          -> (compactQ _),
+    "q135_skew_report"         -> (skewReportQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -3944,6 +3953,16 @@ object SparkEntry {
         |  min(l_orderkey) AS min_orderkey, max(l_orderkey) AS max_orderkey,
         |  1::BIGINT AS files_after
         |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q135_skew_report" ->
+      """WITH c AS (SELECT l_suppkey, count(*)::BIGINT AS cnt
+        |  FROM lineitem GROUP BY 1),
+        |g AS (SELECT sum(cnt)::BIGINT AS n_rows, count(*)::BIGINT AS n_keys,
+        |  max(cnt) AS max_cnt FROM c)
+        |SELECT c.l_suppkey, c.cnt, round(c.cnt / g.n_rows, 6) AS share,
+        |  g.n_rows, g.n_keys,
+        |  round(CAST(g.max_cnt * g.n_keys AS DOUBLE) / g.n_rows, 4) AS skew_ratio
+        |FROM c, g ORDER BY c.cnt DESC, c.l_suppkey LIMIT 10""".stripMargin,
 
     // q66: the identical smoothed-unigram math — vocab = top-20 tokens by
     // (count desc, token asc), α = 0.5; round(avg, 4) absorbs sum-order fp

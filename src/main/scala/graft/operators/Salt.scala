@@ -59,4 +59,40 @@ object Salt {
       .join(explodedRight, keys :+ "__salt", joinType)
       .drop("__salt")
   }
+
+  /**
+   * Skew diagnostics — the DECIDE half of the salting story
+   * ([[aggregate]]/[[join]] are the remedies, AQE skew-join the runtime
+   * fallback): per-key row counts summarized into the numbers that say
+   * whether a shuffle keyed by `keys` will hot-spot. One output row per
+   * top-`topK` heaviest key ((cnt desc, keys asc) — deterministic), each
+   * carrying the global diagnostics: `n_rows`, `n_keys`,
+   * `share` = cnt/n_rows (6dp), and `skew_ratio` = max_cnt·n_keys/n_rows
+   * (the heaviest reducer's load relative to a perfectly uniform spread,
+   * 4dp) — ratio ≈ 1 means salting buys nothing; ratio ≫ 1 is the hot
+   * key count [[join]]'s `buckets` should match.
+   *
+   * Plan shape: ONE count aggregate keyed by `keys` — deliberately the
+   * SAME shuffle the diagnosed operation would run, so the report costs
+   * what one pass of the real job costs; the count table is O(distinct
+   * keys) and never returns to the driver. Globals are a single-row
+   * re-aggregate broadcast back, and the top-K compiles to
+   * TakeOrderedAndProject (per-partition top-N, no global sort, no
+   * partition-less window). All ratios are exact integer arithmetic
+   * widened to double at the final division.
+   */
+  def skewReport(df: DataFrame, keys: Seq[String], topK: Int = 10): DataFrame = {
+    require(keys.nonEmpty && topK >= 1)
+    val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("cnt"))
+    val globals = counts.agg(sum(col("cnt")).as("n_rows"),
+      count(lit(1)).as("n_keys"), max(col("cnt")).as("max_cnt"))
+    counts.crossJoin(broadcast(globals))
+      .select((keys.map(col) :+ col("cnt") :+
+        round(col("cnt").cast("double") / col("n_rows"), 6).as("share") :+
+        col("n_rows") :+ col("n_keys") :+
+        round((col("max_cnt") * col("n_keys")).cast("double") / col("n_rows"), 4)
+          .as("skew_ratio")): _*)
+      .orderBy(col("cnt").desc +: keys.map(col(_).asc): _*)
+      .limit(topK)
+  }
 }

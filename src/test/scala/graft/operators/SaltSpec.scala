@@ -42,4 +42,25 @@ class SaltSpec extends SparkSpec {
       .select("__salt").distinct().count()
     assert(salts === 8, "hot key should spread across all 8 buckets")
   }
+
+  test("skew report surfaces the hot key with exact diagnostics") {
+    // 8 keys (hot + cold_0..6), 1000 rows, max 900:
+    // skew_ratio = 900 * 8 / 1000 = 7.2 — "the heaviest reducer carries
+    // 7.2x a uniform spread", i.e. salting with ~8 buckets levels it
+    val rows = Salt.skewReport(skewed, Seq("k"), topK = 3).collect()
+    assert(rows.length === 3)
+    val top = rows.head
+    assert(top.getAs[String]("k") === "hot")
+    assert(top.getAs[Long]("cnt") === 900L)
+    assert(top.getAs[Double]("share") === 0.9)
+    assert(top.getAs[Long]("n_rows") === 1000L)
+    assert(top.getAs[Long]("n_keys") === 8L)
+    assert(top.getAs[Double]("skew_ratio") === 7.2)
+    // ties among the cold keys break by key name ascending
+    assert(rows(1).getAs[String]("k") < rows(2).getAs[String]("k"))
+    // top-K compiles to distributed top-N, not a global sort or window
+    val plan = Salt.skewReport(skewed, Seq("k"), topK = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
 }
