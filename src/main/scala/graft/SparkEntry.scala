@@ -2595,10 +2595,17 @@ object SparkEntry {
        |    list_dot_product(q.q, c.cv2) /
        |      (sqrt(list_dot_product(q.q, q.q)) * sqrt(list_dot_product(c.cv2, c.cv2)))
        |    DESC, c.cid) AS rk FROM cent c CROSS JOIN qv q) WHERE rk <= 4),
-       |adcsub AS (SELECT r.vec_id, $qdist AS sd
+       |adcsub AS (SELECT r.vec_id, r.s, $qdist AS sd
        |  FROM r JOIN cb ON r.s = cb.s AND r.c = cb.c CROSS JOIN qv q
        |  WHERE r.rn = 1),
-       |adc AS (SELECT a.vec_id, sum(a.sd) AS adc_dist
+       |-- ordered sequential fold, NOT sum(): the rank below orders by the
+       |-- RAW double, and a parallel group-sum's accumulation order is
+       |-- nondeterministic — near-tied candidates would permute run to run
+       |-- (observed once at sf0.01: ranks 6..8 tie at 6dp). list(ORDER BY s)
+       |-- + list_aggregate reproduces Spark's left-to-right subspace fold
+       |-- bit-for-bit.
+       |adc AS (SELECT a.vec_id,
+       |  list_aggregate(list(a.sd ORDER BY a.s), 'sum') AS adc_dist
        |  FROM adcsub a JOIN assign USING (vec_id) JOIN probe USING (cid)
        |  GROUP BY a.vec_id)
        |SELECT vec_id AS neighbor_id, rank, round(adc_dist, 6) AS adc_dist FROM (
