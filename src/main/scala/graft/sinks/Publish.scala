@@ -145,23 +145,28 @@ object Publish {
       !s.isDirectory && s.getPath.getName.startsWith("part-")
 
     // recovery BEFORE listing leaves: a recovered swap re-materializes
-    // its leaf, which must then be visible to this run's traversal
-    def recover(p: Path): Unit = {
-      val st = fs.listStatus(p)
-      st.filter(s => s.isDirectory && s.getPath.getName.startsWith(".compact_tmp_"))
-        .foreach { t =>
-          val leaf = new Path(p, t.getPath.getName.stripPrefix(".compact_tmp_"))
-          if (fs.exists(leaf)) fs.delete(t.getPath, true)
-          else if (!fs.rename(t.getPath, leaf))
-            throw new java.io.IOException(
-              s"recovery of a failed compaction swap failed: " +
-                s"rename(${t.getPath}, $leaf) returned false")
-        }
+    // its leaf, which must then be visible to this run's traversal.
+    // Scope: the table tree itself, plus the ONE named sibling tmp the
+    // root-as-leaf case can leave (never a walk of unrelated siblings).
+    def completeSwap(tmp: Path, leaf: Path): Unit =
+      if (fs.exists(leaf)) fs.delete(tmp, true)
+      else if (!fs.rename(tmp, leaf))
+        throw new java.io.IOException(
+          s"recovery of a failed compaction swap failed: " +
+            s"rename($tmp, $leaf) returned false")
+    def recoverIn(p: Path): Unit = {
+      fs.listStatus(p)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(".compact_tmp_"))
+        .foreach(t => completeSwap(t.getPath,
+          new Path(p, t.getPath.getName.stripPrefix(".compact_tmp_"))))
       fs.listStatus(p)
         .filter(s => s.isDirectory && !s.getPath.getName.startsWith("."))
-        .foreach(s => recover(s.getPath))
+        .foreach(s => recoverIn(s.getPath))
     }
-    if (fs.exists(root.getParent)) recover(root.getParent)
+    val parent = root.getParent
+    if (parent != null && fs.exists(new Path(parent, s".compact_tmp_${root.getName}")))
+      completeSwap(new Path(parent, s".compact_tmp_${root.getName}"), root)
+    if (fs.exists(root)) recoverIn(root)
 
     def leaves(p: Path): Seq[Path] = {
       val st = fs.listStatus(p)

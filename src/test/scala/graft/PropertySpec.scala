@@ -136,6 +136,40 @@ class PropertySpec extends SparkSpec {
     assert(out === expected)
   }
 
+  test("dup-span dedup agrees with a reference implementation on random corpora") {
+    // 3-token alphabet + window 3 => dense window collisions, so overlap
+    // merging, first-occurrence-keeps, and full-removal all exercise
+    val tok: Gen[String] = Gen.oneOf("a", "b", "c")
+    val doc: Gen[String] = Gen.choose(1, 12)
+      .flatMap(n => Gen.listOfN(n, tok)).map(_.mkString(" "))
+    val docs = sample(doc, 120).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val win = 3
+    val out = graft.operators.Dedup
+      .dupSpanDedup(docs.toDF("doc_id", "text"), "doc_id", "text", win)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    // reference: global first-occurrence scan in (doc, pos) order, then
+    // per-doc coverage subtraction
+    val firsts = scala.collection.mutable.Set[String]()
+    val dupStarts = scala.collection.mutable.Map[Long, Vector[Int]]()
+      .withDefaultValue(Vector.empty)
+    for ((id, text) <- docs) {
+      val ts = text.split(" ", -1)
+      for (p <- 0 to ts.length - win) {
+        val key = ts.slice(p, p + win).mkString(" ")
+        if (!firsts.add(key)) dupStarts(id) = dupStarts(id) :+ p
+      }
+    }
+    val expected = docs.map { case (id, text) =>
+      val ts = text.split(" ", -1)
+      val ds = dupStarts(id)
+      val kept = ts.indices.filterNot(i => ds.exists(s => s <= i && i < s + win))
+      id -> ((ts.length.toLong, ds.length.toLong,
+        (ts.length - kept.length).toLong, kept.map(ts).mkString(" ")))
+    }.toMap
+    assert(out === expected)
+  }
+
   test("funnel agrees with a reference automaton on random event streams") {
     val steps = Seq("a", "b", "c")
     val evGen = Gen.zip(Gen.choose(1L, 25L), Gen.choose(0L, 50L),

@@ -136,9 +136,13 @@ class PublishSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(rep("k=1") === 2L, s"expected 2 files for target ${bytes / 2 + 1}")
     assert(partFiles(s"$dir/k=1").length === 2)
-    // a leaf that already satisfies the target keeps its exact files
+    // a leaf that already satisfies the target keeps its exact files.
+    // The target derives from the CURRENT (rewritten, possibly
+    // differently-compressed) bytes, not the pre-compaction bytes — the
+    // session codec can change between runs and sizes with it.
+    val bytes2 = partFiles(s"$dir/k=1").map(_.length).sum
     val names = partFiles(s"$dir/k=1").map(_.getName).toSet
-    Publish.compact(spark, dir, targetBytes = bytes / 2 + 1)
+    Publish.compact(spark, dir, targetBytes = bytes2 / 2 + 1)
     assert(partFiles(s"$dir/k=1").map(_.getName).toSet === names,
       "an in-budget leaf must not be rewritten")
   }
@@ -164,5 +168,26 @@ class PublishSpec extends SparkSpec {
     assert(Files.exists(leaf0) && Files.exists(leaf1))
     assert(spark.read.parquet(dir).count() === total,
       "no crash window may lose rows")
+  }
+
+  test("compact: unpartitioned root-as-leaf compacts and recovers its sibling tmp") {
+    import java.nio.file.{Files, Paths}
+    val base = Files.createTempDirectory("compact_flat").toString
+    val dir = s"$base/t"
+    (0L until 500L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartition(6).write.parquet(dir)
+    assert(partFiles(dir).length === 6)
+    val rep = Publish.compact(spark, dir, targetBytes = 1L << 30)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(rep === Map("." -> 1L))
+    assert(partFiles(dir).length === 1)
+    assert(spark.read.parquet(dir).count() === 500L)
+    // crash window 2 at the root: the whole table dir is gone, rows only
+    // in the sibling tmp — recovery must complete the rename
+    Files.move(Paths.get(dir), Paths.get(s"$base/.compact_tmp_t"))
+    Publish.compact(spark, dir, targetBytes = 1L << 30)
+    assert(Files.exists(Paths.get(dir)) &&
+      !Files.exists(Paths.get(s"$base/.compact_tmp_t")))
+    assert(spark.read.parquet(dir).count() === 500L)
   }
 }
