@@ -1579,6 +1579,14 @@ object SparkEntry {
       "rank", k = 10)
   }
 
+  /** q136: the corpus-level macro summary of q133
+    * ([[RetrievalEval.summarize]]): one row — n_queries, macro
+    * recall/precision@10, MRR, success rate — the exact shape of the
+    * reference's "recall@20 ≥ 0.7" SLO statement, computed by the engine
+    * instead of the bench harness. */
+  private def retrievalEvalMacroQ(s: SparkSession, d: String): DataFrame =
+    RetrievalEval.summarize(retrievalEvalQ(s, d))
+
   /** q134: batch small-file compaction ([[graft.sinks.Publish.compact]] —
     * the lakehouse OPTIMIZE maintenance operator, the batch sibling of
     * the streaming `batch_id=` compactor): a deliberately fragmented
@@ -2215,6 +2223,7 @@ object SparkEntry {
     "q133_retrieval_eval"      -> (retrievalEvalQ _),
     "q134_compaction"          -> (compactQ _),
     "q135_skew_report"         -> (skewReportQ _),
+    "q136_retrieval_macro"     -> (retrievalEvalMacroQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -2577,6 +2586,59 @@ object SparkEntry {
     * vector's CHOSEN codeword, summed per vector. Replayed maintained
     * index == this one-shot build is the streaming operator's freshness
     * contract. */
+  /** q133/q136 oracle core: the q27 IVF top-20 graded against q16's
+    * brute-force top-10 truth, folded to per-query retrieval metrics.
+    * Exact integer ratios rounded 6dp — the hash compare certifies the
+    * metric math, not just the rankings. */
+  private def retrievalEvalOracle: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+      |assign AS (SELECT vec_id, v, cid FROM (
+      |  SELECT e.vec_id, e.v, c.cid,
+      |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |      list_dot_product(e.v, c.cv) /
+      |        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+      |      DESC, c.cid) AS rk
+      |  FROM e CROSS JOIN cent c) WHERE rk = 1),
+      |probe AS (SELECT qid, cid FROM (
+      |  SELECT q.vec_id AS qid, c.cid,
+      |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |      list_dot_product(q.v, c.cv) /
+      |        (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+      |      DESC, c.cid) AS rk
+      |  FROM e q CROSS JOIN cent c WHERE q.vec_id < 10) WHERE rk <= 4),
+      |cand AS (SELECT p.qid AS query_id, a.vec_id AS neighbor_id,
+      |    list_dot_product(qe.v, a.v) /
+      |      (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(a.v, a.v))) AS cos
+      |  FROM probe p JOIN assign a ON p.cid = a.cid
+      |  JOIN e qe ON qe.vec_id = p.qid WHERE p.qid <> a.vec_id),
+      |approx AS (SELECT query_id, neighbor_id, rank FROM (
+      |    SELECT query_id, neighbor_id, row_number() OVER (
+      |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      |    FROM cand) WHERE rank <= 20),
+      |truth AS (SELECT query_id, neighbor_id FROM (
+      |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |        list_dot_product(q.v, c.v) /
+      |          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
+      |        DESC, c.vec_id) AS rank
+      |    FROM e q JOIN e c ON q.vec_id <> c.vec_id WHERE q.vec_id < 10)
+      |  WHERE rank <= 10),
+      |nrel AS (SELECT query_id, count(*)::BIGINT AS n_rel FROM truth GROUP BY 1),
+      |f AS (SELECT a.query_id, a.rank, (t.neighbor_id IS NOT NULL) AS rel
+      |  FROM approx a LEFT JOIN truth t ON a.query_id = t.query_id
+      |    AND a.neighbor_id = t.neighbor_id),
+      |pq AS (SELECT query_id,
+      |    sum(CASE WHEN rel AND rank <= 10 THEN 1 ELSE 0 END)::BIGINT AS hits_at_k,
+      |    min(CASE WHEN rel THEN rank END) AS first_rel_rank
+      |  FROM f GROUP BY 1)
+      |SELECT pq.query_id, coalesce(n.n_rel, 0)::BIGINT AS n_rel, pq.hits_at_k,
+      |  round(pq.hits_at_k / n.n_rel, 6) AS recall_at_k,
+      |  round(pq.hits_at_k / 10.0, 6) AS precision_at_k,
+      |  round(coalesce(1.0 / pq.first_rel_rank, 0.0), 6) AS rr,
+      |  (pq.hits_at_k > 0) AS success_at_k
+      |FROM pq LEFT JOIN nrel n ON pq.query_id = n.query_id""".stripMargin
+
   private def vecIndexReplayOracle: String = {
     val qdist = (0 until 8).map(dd =>
       s"(q.q[r.s*8+${dd + 1}] - cb.cv[${dd + 1}]) * " +
@@ -3900,54 +3962,19 @@ object SparkEntry {
     // brute-force top-10 truth (q16's SQL); metrics are exact integer
     // ratios rounded 6dp, so the hash compare certifies the metric math,
     // not just the rankings
-    "q133_retrieval_eval" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
-        |assign AS (SELECT vec_id, v, cid FROM (
-        |  SELECT e.vec_id, e.v, c.cid,
-        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |      list_dot_product(e.v, c.cv) /
-        |        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
-        |      DESC, c.cid) AS rk
-        |  FROM e CROSS JOIN cent c) WHERE rk = 1),
-        |probe AS (SELECT qid, cid FROM (
-        |  SELECT q.vec_id AS qid, c.cid,
-        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
-        |      list_dot_product(q.v, c.cv) /
-        |        (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.cv, c.cv)))
-        |      DESC, c.cid) AS rk
-        |  FROM e q CROSS JOIN cent c WHERE q.vec_id < 10) WHERE rk <= 4),
-        |cand AS (SELECT p.qid AS query_id, a.vec_id AS neighbor_id,
-        |    list_dot_product(qe.v, a.v) /
-        |      (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(a.v, a.v))) AS cos
-        |  FROM probe p JOIN assign a ON p.cid = a.cid
-        |  JOIN e qe ON qe.vec_id = p.qid WHERE p.qid <> a.vec_id),
-        |approx AS (SELECT query_id, neighbor_id, rank FROM (
-        |    SELECT query_id, neighbor_id, row_number() OVER (
-        |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
-        |    FROM cand) WHERE rank <= 20),
-        |truth AS (SELECT query_id, neighbor_id FROM (
-        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
-        |        list_dot_product(q.v, c.v) /
-        |          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
-        |        DESC, c.vec_id) AS rank
-        |    FROM e q JOIN e c ON q.vec_id <> c.vec_id WHERE q.vec_id < 10)
-        |  WHERE rank <= 10),
-        |nrel AS (SELECT query_id, count(*)::BIGINT AS n_rel FROM truth GROUP BY 1),
-        |f AS (SELECT a.query_id, a.rank, (t.neighbor_id IS NOT NULL) AS rel
-        |  FROM approx a LEFT JOIN truth t ON a.query_id = t.query_id
-        |    AND a.neighbor_id = t.neighbor_id),
-        |pq AS (SELECT query_id,
-        |    sum(CASE WHEN rel AND rank <= 10 THEN 1 ELSE 0 END)::BIGINT AS hits_at_k,
-        |    min(CASE WHEN rel THEN rank END) AS first_rel_rank
-        |  FROM f GROUP BY 1)
-        |SELECT pq.query_id, coalesce(n.n_rel, 0)::BIGINT AS n_rel, pq.hits_at_k,
-        |  round(pq.hits_at_k / n.n_rel, 6) AS recall_at_k,
-        |  round(pq.hits_at_k / 10.0, 6) AS precision_at_k,
-        |  round(coalesce(1.0 / pq.first_rel_rank, 0.0), 6) AS rr,
-        |  (pq.hits_at_k > 0) AS success_at_k
-        |FROM pq LEFT JOIN nrel n ON pq.query_id = n.query_id""".stripMargin,
+    "q133_retrieval_eval" -> retrievalEvalOracle,
+
+    // q136: q133's per-query table folded to the corpus-level macro row
+    // (avg skips NULL recalls on both engines by aggregate semantics)
+    "q136_retrieval_macro" ->
+      s"""WITH per AS ($retrievalEvalOracle)
+         |SELECT count(*)::BIGINT AS n_queries,
+         |  round(avg(recall_at_k), 6) AS mean_recall,
+         |  round(avg(precision_at_k), 6) AS mean_precision,
+         |  round(avg(rr), 6) AS mrr,
+         |  round(avg(CASE WHEN success_at_k THEN 1.0 ELSE 0.0 END), 6)
+         |    AS success_rate
+         |FROM per""".stripMargin,
 
     // q134: content preservation through the bin-pack rewrite, re-derived
     // from the RAW lineitem table; files_after = 1 is the bin-pack

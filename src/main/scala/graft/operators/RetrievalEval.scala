@@ -70,4 +70,24 @@ object RetrievalEval {
           .as("rr"),
         (col("hits_at_k") > 0).as("success_at_k"))
   }
+
+  /**
+   * Corpus-level (macro-averaged) retrieval quality — the single-row
+   * summary a regression gate or dashboard consumes (mean recall@k IS
+   * the reference's "recall@20 ≥ 0.7" number): per-query metrics from
+   * [[evaluate]] folded into n_queries, macro recall/precision, MRR,
+   * and success rate. Queries with n_rel = 0 (recall undefined) are
+   * excluded from mean_recall — Spark's avg and the oracle's AVG both
+   * skip NULLs, so the exclusion is the aggregate's own semantics —
+   * but still count toward precision/MRR/success (retrieving junk for
+   * an unanswerable query is still junk). One single-row aggregate
+   * over the per-query table; nothing wider than [[evaluate]] itself.
+   */
+  def summarize(perQuery: DataFrame): DataFrame =
+    perQuery.agg(
+      count(lit(1)).as("n_queries"),
+      round(avg(col("recall_at_k")), 6).as("mean_recall"),
+      round(avg(col("precision_at_k")), 6).as("mean_precision"),
+      round(avg(col("rr")), 6).as("mrr"),
+      round(avg(col("success_at_k").cast("double")), 6).as("success_rate"))
 }

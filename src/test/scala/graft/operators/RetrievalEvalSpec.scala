@@ -54,6 +54,21 @@ class RetrievalEvalSpec extends SparkSpec {
     assert(!q2.getAs[Boolean]("success_at_k"))
   }
 
+  test("summarize: macro row; undefined recalls excluded but still counted elsewhere") {
+    val per = RetrievalEval.evaluate(ranked, qrels, "qid", "doc", "rank", 2)
+    val s = RetrievalEval.summarize(per).head()
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(s.getAs[Long]("n_queries") === 3L)
+    // q1 recall 1/3, q2 NULL (excluded from the mean), q3 0.0
+    assert(s.getAs[Double]("mean_recall") === r6((0.333333 + 0.0) / 2))
+    // q2 contributes zeros to precision/mrr/success — junk for an
+    // unanswerable query still counts against the system
+    assert(s.getAs[Double]("mean_precision") === r6(0.5 / 3))
+    assert(s.getAs[Double]("mrr") === r6(0.5 / 3))
+    assert(s.getAs[Double]("success_rate") === r6(1.0 / 3))
+  }
+
   test("query that finds nothing relevant: zeros, rr 0, no success") {
     val q3 = byQid(2)("q3")
     assert(q3.getAs[Long]("n_rel") === 1L)
