@@ -1587,6 +1587,29 @@ object SparkEntry {
   private def retrievalEvalMacroQ(s: SparkSession, d: String): DataFrame =
     RetrievalEval.summarize(retrievalEvalQ(s, d))
 
+  /** q137: incremental JOIN view maintenance ([[Incremental.joinDelta]] —
+    * the delta-join identity ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB, the join sibling of
+    * q106's aggregate IVM): the orders⋈customer view split at a date
+    * cutoff (order deltas) and a key lane (customer deltas); declared =
+    * base-join ∪ joinDelta, oracle = the full join recomputed from ALL
+    * rows — merge-vs-recompute equivalence IS the correctness statement. */
+  private def joinDeltaQ(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d).select(col("o_custkey").as("custkey"),
+      col("o_orderkey"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+      col("o_orderdate"))
+    val c = customer(s, d).select(col("c_custkey").as("custkey"),
+      col("c_mktsegment"))
+    val cut = lit("1998-01-01").cast("timestamp")
+    val baseA = o.filter(col("o_orderdate") < cut).drop("o_orderdate")
+    val deltaA = o.filter(col("o_orderdate") >= cut).drop("o_orderdate")
+    val baseB = c.filter(col("custkey") % 7 =!= 0)
+    val deltaB = c.filter(col("custkey") % 7 === 0)
+    baseA.join(baseB, Seq("custkey"))
+      .unionByName(
+        Incremental.joinDelta(baseA, deltaA, baseB, deltaB, Seq("custkey")))
+  }
+
   /** q134: batch small-file compaction ([[graft.sinks.Publish.compact]] —
     * the lakehouse OPTIMIZE maintenance operator, the batch sibling of
     * the streaming `batch_id=` compactor): a deliberately fragmented
@@ -2224,6 +2247,7 @@ object SparkEntry {
     "q134_compaction"          -> (compactQ _),
     "q135_skew_report"         -> (skewReportQ _),
     "q136_retrieval_macro"     -> (retrievalEvalMacroQ _),
+    "q137_join_ivm"            -> (joinDeltaQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -3975,6 +3999,14 @@ object SparkEntry {
          |  round(avg(CASE WHEN success_at_k THEN 1.0 ELSE 0.0 END), 6)
          |    AS success_rate
          |FROM per""".stripMargin,
+
+    // q137: the view recomputed flat from ALL rows — equality against the
+    // base ∪ delta-join composition is the IVM identity itself
+    "q137_join_ivm" ->
+      """SELECT o.o_custkey AS custkey, o.o_orderkey,
+        |  CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents,
+        |  c.c_mktsegment
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin,
 
     // q134: content preservation through the bin-pack rewrite, re-derived
     // from the RAW lineitem table; files_after = 1 is the bin-pack

@@ -61,4 +61,37 @@ object Incremental {
       sum(col("n")).as("n")
     unioned.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
+
+  /**
+   * Incremental equi-JOIN maintenance — the delta-join identity for join
+   * materialized views, the join sibling of [[aggregate]]/
+   * [[mergeAggregates]]'s aggregate IVM: for a view V = A ⋈ B and
+   * append-only deltas,
+   *
+   *   ΔV = (ΔA ⋈ B_old) ∪ (A_old ⋈ ΔB) ∪ (ΔA ⋈ ΔB)
+   *   V_new = V_old ∪ ΔV
+   *
+   * — exact by distributivity of ⋈ over ∪ (the three legs partition the
+   * new pairs by which side contributed the new row; the ΔA ⋈ ΔB leg is
+   * the one naive formulations forget, and the spec's random-split
+   * property would catch its absence). Deletes/updates are upstream
+   * concerns: fold the changelog with [[Cdc.merge]] first, then treat the
+   * fold's row images as deltas.
+   *
+   * At 100 TB this is the reason join views are maintained rather than
+   * rebuilt: each leg's shuffle is O(delta + matched base rows) — with
+   * the base sides published bucketed on the join keys
+   * ([[graft.sinks.Publish.bucketedTable]]) the base never reshuffles,
+   * and a nightly refresh moves the day's delta, not the history. The
+   * delta legs broadcast when small; nothing in the identity requires a
+   * full A ⋈ B recompute ever again.
+   */
+  def joinDelta(baseA: DataFrame, deltaA: DataFrame,
+                baseB: DataFrame, deltaB: DataFrame,
+                keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "joinDelta needs at least one equi-join key")
+    deltaA.join(baseB, keys)
+      .unionByName(baseA.join(deltaB, keys))
+      .unionByName(deltaA.join(deltaB, keys))
+  }
 }

@@ -68,4 +68,33 @@ class IncrementalSpec extends SparkSpec {
     assert(plan.contains("partial_sum"), s"expected map-side partial sums, got:\n$plan")
     assert(!plan.toLowerCase.contains("join"), s"no join expected, got:\n$plan")
   }
+
+  test("joinDelta: base-join ∪ delta == full join for ANY random split") {
+    val as = (0 until 300).map(i => ((i * 13 % 40).toLong, i.toLong))
+    val bs = (0 until 60).map(i => ((i % 40).toLong, s"b$i"))
+    def dfA(s: Seq[(Long, Long)]) = s.toDF("k", "a")
+    def dfB(s: Seq[(Long, String)]) = s.toDF("k", "b")
+    val full = dfA(as).join(dfB(bs), Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val rnd = new scala.util.Random(7)
+    (1 to 5).foreach { trial =>
+      val (baseA, deltaA) = as.partition(_ => rnd.nextBoolean())
+      val (baseB, deltaB) = bs.partition(_ => rnd.nextBoolean())
+      val view = dfA(baseA).join(dfB(baseB), Seq("k"))
+        .unionByName(Incremental.joinDelta(
+          dfA(baseA), dfA(deltaA), dfB(baseB), dfB(deltaB), Seq("k")))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(view === full, s"trial $trial diverged")
+      // the ΔA ⋈ ΔB leg is load-bearing: dropping it loses exactly the
+      // pairs where BOTH sides arrived in the delta
+      val missingLeg = dfA(baseA).join(dfB(baseB), Seq("k"))
+        .unionByName(dfA(deltaA).join(dfB(baseB), Seq("k")))
+        .unionByName(dfA(baseA).join(dfB(deltaB), Seq("k")))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      val both = dfA(deltaA).join(dfB(deltaB), Seq("k"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(missingLeg === full -- both,
+        "naive two-leg maintenance must lose exactly the delta-delta pairs")
+    }
+  }
 }
