@@ -367,9 +367,13 @@ object Bench {
     // capture; short keys leave ~700 chars of headroom for more queries
     // key = the qNN prefix (NOT a fixed take(3): "q100_x".take(3) == "q10"
     // would collide with q10's key and corrupt the JSON)
-    val qs = results.map { case (k, v) =>
-        s""""${k.takeWhile(_ != '_')}":${f"$v%.2f"}""" }
-      .mkString("{", ",", "}")
+    def qsJson(entries: Seq[(String, Double)], omitted: Int): String = {
+      val m = entries.map { case (k, v) =>
+        s""""${k.takeWhile(_ != '_')}":${f"$v%.2f"}""" }.mkString("{", ",", "}")
+      s""""queries":$m""" +
+        (if (omitted == 0) "" else s""","queries_omitted":$omitted""")
+    }
+    val qs = qsJson(results, 0)
     val failures = results.collect { case (k, v) if v < 0 => s"\"$k\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -380,8 +384,8 @@ object Bench {
     // 2000-char tail capture (see the format comment above)
     val winJson = windowP95s.map(t => math.round(t * 1000).toString)
       .mkString("[", ",", "]")
-    def assemble(calls: String): String =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,""" +
+    def assemble(calls: String, qsPart: String = qs): String =
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",$qsPart,""" +
       s""""failures":$failures,"repeats":$repeats,""" +
       s""""p95_similar_cases_sec":${f"$p95%.3f"},"slo_window_p95_ms":$winJson,""" +
       s""""slo_corpus_rows":$corpusRows,"slo_call_ms":$calls,""" +
@@ -396,15 +400,29 @@ object Bench {
     // overflows, drop the array entirely — windows + p95 keep the SLO
     // fully auditable.
     val full = assemble(callsJson)
-    val line =
-      if (full.length <= 1980 || callTimes.isEmpty) full
+    val line = {
+      val afterCalls =
+        if (full.length <= 1980 || callTimes.isEmpty) full
+        else {
+          val s = callTimes.sorted
+          val deciles = (0 to 10).map(i =>
+            math.round(s(math.min(s.size - 1, i * s.size / 10)) * 1000))
+          val withDeciles = assemble(deciles.mkString("[", ",", "]"))
+          if (withDeciles.length <= 1980) withDeciles else assemble("[]")
+        }
+      if (afterCalls.length <= 1980) afterCalls
       else {
-        val s = callTimes.sorted
-        val deciles = (0 to 10).map(i =>
-          math.round(s(math.min(s.size - 1, i * s.size / 10)) * 1000))
-        val withDeciles = assemble(deciles.mkString("[", ",", "]"))
-        if (withDeciles.length <= 1980) withDeciles else assemble("[]")
+        // Final lever (reached once the query map ALONE overflows the
+        // budget, ~138+ queries): keep the SLOWEST K per-query entries —
+        // the ones plan audits read — and say how many fast ones were
+        // dropped. Totals/failures/SLO/pipelines always stay complete.
+        val slowestFirst = results.sortBy(-_._2)
+        Seq(110, 90, 70, 50, 30).iterator
+          .map(k => assemble("[]", qsJson(slowestFirst.take(k), results.size - k)))
+          .find(_.length <= 1980)
+          .getOrElse(assemble("[]", qsJson(Nil, results.size)))
       }
+    }
     // Stop the session BEFORE printing: any stderr the shutdown emits must
     // land ahead of the metric line, because the round driver merges
     // stderr into the capture and parses the LAST line as JSON. A failing
