@@ -1610,6 +1610,23 @@ object SparkEntry {
         Incremental.joinDelta(baseA, deltaA, baseB, deltaB, Seq("custkey")))
   }
 
+  /** q138: entity-resolution name matching ([[Dedup.nameMatchPairs]] +
+    * the native `graft_jaro_winkler` codegen kernel, DuckDB-semantics
+    * pinned): the DISTINCT part-name vocabulary plus a deterministic
+    * "dirty twin" per name (suffix char — the q56-style injected batch),
+    * blocked on the 2-char prefix, verified at jw ∈ [0.9, 1.0) — exact
+    * dups excluded (they belong to q14); the oracle recomputes every
+    * score with DuckDB's own jaro_winkler_similarity, so the hash match
+    * certifies the kernel's matching/transposition/prefix arithmetic. */
+  private def nameMatchQ(s: SparkSession, d: String): DataFrame = {
+    val names = part(s, d).select(col("p_name").as("nm")).distinct()
+    val entities = names.select(col("nm").as("id"), col("nm"))
+      .unionByName(names.select(concat(col("nm"), lit("x")).as("id"),
+        concat(col("nm"), lit("x")).as("nm")))
+    Dedup.nameMatchPairs(entities, "id", "nm", threshold = 0.9)
+      .select(col("id_a").as("name_a"), col("id_b").as("name_b"), col("jw"))
+  }
+
   /** q134: batch small-file compaction ([[graft.sinks.Publish.compact]] —
     * the lakehouse OPTIMIZE maintenance operator, the batch sibling of
     * the streaming `batch_id=` compactor): a deliberately fragmented
@@ -2248,6 +2265,7 @@ object SparkEntry {
     "q135_skew_report"         -> (skewReportQ _),
     "q136_retrieval_macro"     -> (retrievalEvalMacroQ _),
     "q137_join_ivm"            -> (joinDeltaQ _),
+    "q138_name_match"          -> (nameMatchQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -3999,6 +4017,20 @@ object SparkEntry {
          |  round(avg(CASE WHEN success_at_k THEN 1.0 ELSE 0.0 END), 6)
          |    AS success_rate
          |FROM per""".stripMargin,
+
+    // q138: every candidate score recomputed by DuckDB's own
+    // jaro_winkler_similarity — identical integer-derived double formula,
+    // so raw-threshold filtering agrees bit-for-bit
+    "q138_name_match" ->
+      """WITH names AS (SELECT DISTINCT p_name AS nm FROM part),
+        |ent AS (SELECT nm AS id, nm FROM names
+        |  UNION ALL SELECT nm || 'x', nm || 'x' FROM names),
+        |v AS (SELECT id, nm, substr(lower(nm), 1, 2) AS blk FROM ent),
+        |p AS (SELECT a.id AS name_a, b.id AS name_b,
+        |    jaro_winkler_similarity(a.nm, b.nm) AS jw
+        |  FROM v a JOIN v b ON a.blk = b.blk AND a.id < b.id)
+        |SELECT name_a, name_b, round(jw, 6) AS jw FROM p
+        |WHERE jw >= 0.9 AND jw < 1.0""".stripMargin,
 
     // q137: the view recomputed flat from ALL rows — equality against the
     // base ∪ delta-join composition is the IVM identity itself

@@ -25,6 +25,17 @@ object Text {
     call_function("graft_nfc", text)
   }
 
+  /** Jaro-Winkler similarity via the native
+    * [[graft.functions.expressions.JaroWinkler]] kernel — DuckDB
+    * `jaro_winkler_similarity` semantics (boost threshold 0.7, prefix ≤ 4,
+    * p = 0.1; empty → 0.0). Spark has no built-in; a UDF would break
+    * codegen on the candidate-verification scans this runs in. */
+  def jaroWinkler(a: Column, b: Column): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.expressions.GraftExpressions.register)
+    call_function("graft_jaro_winkler", a, b)
+  }
+
   /** CCNet-style cleaning: NFC → lowercase → collapse whitespace runs →
     * trim. Pure scan-side (kernel + codegen'd built-ins); the q76 oracle
     * is the same composition over DuckDB's `nfc_normalize`. */

@@ -349,13 +349,18 @@ object GraftExpressions {
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
         children.head, children(1)))
 
+  val jaroWinkler: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_jaro_winkler"),
+    new ExpressionInfo(classOf[JaroWinkler].getName, "graft_jaro_winkler"),
+    (children: Seq[Expression]) => JaroWinkler(children.head, children(1)))
+
   /** Every graft native expression, in `injectFunction` tuple shape —
     * shared by [[register]] and [[graft.GraftSparkExtensions]]. */
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(cosineSim, shingles, simhash64, minhash, lshSig, lshSigSha, kmv,
         kmvLanes, hll, cms, cmsSha, minhashSha, simhashSha, vectorSum,
         nearestCentroid, nearestCentroids, pqEncode, bloomMightContain,
-        nfc, misraGries)
+        nfc, misraGries, jaroWinkler)
 
   /** Idempotently register on a session's function registry. */
   def register(spark: SparkSession): Unit =
