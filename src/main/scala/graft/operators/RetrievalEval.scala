@@ -50,25 +50,29 @@ object RetrievalEval {
                docCol: String, rankCol: String, k: Int): DataFrame = {
     require(k >= 1, "k must be positive")
     val q = col(queryCol)
-    val rel = qrels.select(q, col(docCol)).distinct()
-      .groupBy(q).agg(count(lit(1)).as("n_rel"))
-    val flagged = ranked.join(
-      qrels.select(q, col(docCol)).distinct().withColumn("rel", lit(1)),
+    val qrelsD = qrels.select(q, col(docCol)).distinct()
+    val rel = qrelsD.groupBy(q).agg(count(lit(1)).as("n_rel"))
+    val flagged = ranked.join(qrelsD.withColumn("rel", lit(1)),
       Seq(queryCol, docCol), "left")
     val perQuery = flagged.groupBy(q).agg(
       sum(when(col("rel").isNotNull && col(rankCol) <= k, 1L).otherwise(0L))
         .as("hits_at_k"),
       min(when(col("rel").isNotNull, col(rankCol))).as("first_rel_rank"))
-    perQuery.join(rel, Seq(queryCol), "left")
+    // FULL outer against the truth side: a query the system returned NO
+    // results for must still appear, with recall 0 — driving the eval
+    // off `ranked` alone would silently drop exactly the failures a
+    // recall gate exists to catch (a system answering 1 of 10 truth
+    // queries perfectly would otherwise report mean_recall = 1.0).
+    val hits = coalesce(col("hits_at_k"), lit(0L))
+    perQuery.join(rel, Seq(queryCol), "full_outer")
       .select(q,
         coalesce(col("n_rel"), lit(0L)).as("n_rel"),
-        col("hits_at_k"),
-        round(col("hits_at_k").cast("double") / col("n_rel"), 6)
-          .as("recall_at_k"),
-        round(col("hits_at_k").cast("double") / k, 6).as("precision_at_k"),
+        hits.as("hits_at_k"),
+        round(hits.cast("double") / col("n_rel"), 6).as("recall_at_k"),
+        round(hits.cast("double") / k, 6).as("precision_at_k"),
         round(coalesce(lit(1.0) / col("first_rel_rank"), lit(0.0)), 6)
           .as("rr"),
-        (col("hits_at_k") > 0).as("success_at_k"))
+        (hits > 0).as("success_at_k"))
   }
 
   /**

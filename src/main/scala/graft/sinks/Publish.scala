@@ -146,26 +146,56 @@ object Publish {
 
     // recovery BEFORE listing leaves: a recovered swap re-materializes
     // its leaf, which must then be visible to this run's traversal.
-    // Scope: the table tree itself, plus the ONE named sibling tmp the
-    // root-as-leaf case can leave (never a walk of unrelated siblings).
-    def completeSwap(tmp: Path, leaf: Path): Unit =
-      if (fs.exists(leaf)) fs.delete(tmp, true)
-      else if (!fs.rename(tmp, leaf))
-        throw new java.io.IOException(
-          s"recovery of a failed compaction swap failed: " +
-            s"rename($tmp, $leaf) returned false")
+    // Scope: the table tree itself, plus the ONE named sibling tmp/old
+    // pair the root-as-leaf case can leave (never a walk of unrelated
+    // siblings).
+    //
+    // The swap is three renames (write tmp → rename leaf to old →
+    // rename tmp to leaf → delete old), each atomic on HDFS/local and
+    // single-object on stores, so every crash point leaves at least one
+    // COMPLETE copy of the rows and recovery can always tell which:
+    //  - old absent,  tmp + leaf  → pre-swap crash: leaf is the
+    //    complete original, discard tmp
+    //  - old + tmp, leaf absent   → crash between renames: tmp is the
+    //    complete compacted copy — install it, drop old
+    //  - old + leaf               → crash before the old-delete: swap
+    //    finished, drop old
+    //  - old only                 → tmp never finished: restore old
+    // (A plain delete-then-rename swap had an unrecoverable window: a
+    // crash MID-delete leaves a partial leaf that recovery would keep
+    // while discarding the only complete copy.)
+    def failRename(a: Path, b: Path): Nothing =
+      throw new java.io.IOException(
+        s"compaction recovery: rename($a, $b) returned false")
+    def recoverPair(p: Path, leafName: String): Unit = {
+      val leaf = new Path(p, leafName)
+      val tmp = new Path(p, s".compact_tmp_$leafName")
+      val old = new Path(p, s".compact_old_$leafName")
+      if (fs.exists(old)) {
+        if (fs.exists(leaf)) fs.delete(old, true)
+        else if (fs.exists(tmp)) {
+          if (!fs.rename(tmp, leaf)) failRename(tmp, leaf)
+          fs.delete(old, true)
+        } else if (!fs.rename(old, leaf)) failRename(old, leaf)
+      } else if (fs.exists(tmp)) {
+        if (fs.exists(leaf)) fs.delete(tmp, true)
+        else if (!fs.rename(tmp, leaf)) failRename(tmp, leaf)
+      }
+    }
     def recoverIn(p: Path): Unit = {
       fs.listStatus(p)
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith(".compact_tmp_"))
-        .foreach(t => completeSwap(t.getPath,
-          new Path(p, t.getPath.getName.stripPrefix(".compact_tmp_"))))
+        .filter(s => s.isDirectory && (
+          s.getPath.getName.startsWith(".compact_tmp_") ||
+            s.getPath.getName.startsWith(".compact_old_")))
+        .map(_.getPath.getName.replaceFirst("^\\.compact_(tmp|old)_", ""))
+        .distinct
+        .foreach(recoverPair(p, _))
       fs.listStatus(p)
         .filter(s => s.isDirectory && !s.getPath.getName.startsWith("."))
         .foreach(s => recoverIn(s.getPath))
     }
     val parent = root.getParent
-    if (parent != null && fs.exists(new Path(parent, s".compact_tmp_${root.getName}")))
-      completeSwap(new Path(parent, s".compact_tmp_${root.getName}"), root)
+    if (parent != null && fs.exists(parent)) recoverPair(parent, root.getName)
     if (fs.exists(root)) recoverIn(root)
 
     def leaves(p: Path): Seq[Path] = {
@@ -190,15 +220,15 @@ object Publish {
       val want = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
       if (parts.length >= minFiles && parts.length > want) {
         val tmp = new Path(leaf.getParent, s".compact_tmp_${leaf.getName}")
+        val old = new Path(leaf.getParent, s".compact_old_${leaf.getName}")
         spark.read.parquet(leaf.toString).repartition(want)
           .write.mode("overwrite").parquet(tmp.toString)
         fs.delete(new Path(tmp, "_SUCCESS"), false)
-        if (!fs.delete(leaf, true))
-          throw new java.io.IOException(s"compaction: delete($leaf) returned false")
-        if (!fs.rename(tmp, leaf))
-          throw new java.io.IOException(
-            s"compaction swap failed: rename($tmp, $leaf) returned false; " +
-              s"compacted rows are intact in $tmp")
+        // three-rename swap (see the recovery comment above): the
+        // original is parked atomically, never deleted in place
+        if (!fs.rename(leaf, old)) failRename(leaf, old)
+        if (!fs.rename(tmp, leaf)) failRename(tmp, leaf)
+        fs.delete(old, true)
         (rel(leaf), parts.length.toLong, want.toLong, bytes, true)
       } else (rel(leaf), parts.length.toLong, parts.length.toLong, bytes, false)
     }

@@ -20,6 +20,12 @@ class JaroWinklerSpec extends SparkSpec {
     ("ab", "axxxxxx", 0.5476190476190476),        // below boost threshold:
                                                   // prefix bonus NOT applied
     ("abcdxxxx", "abcdyyyy", 0.6666666666666666), // prefix 4 but jaro < 0.7
+    ("abcXYZ", "cabXYZ", 0.9444444444444445),     // ODD half-transposition
+                                                  // count: floored to 1,
+                                                  // not 1.5 (3-cycle)
+    ("café", "cafe", 0.8483333333333334),         // UTF-8 BYTE semantics:
+    ("naïve", "naive", 0.8577777777777779),       // é/ï count 2 bytes
+    ("ab", "ba", 0.0),                            // window 0: no matches
     ("abc", "abc", 1.0),
     ("", "abc", 0.0),
     ("a", "", 0.0),

@@ -9,6 +9,7 @@ class RetrievalEvalSpec extends SparkSpec {
   // q1: 4 results, relevant = {b, d, z} (z never retrieved)
   // q2: retrieved but absent from qrels (n_rel = 0 — recall undefined)
   // q3: retrieved, relevant exists, but never found
+  // q4: in the TRUTH set but the system returned NOTHING for it
   private lazy val ranked = Seq(
     ("q1", "a", 1L), ("q1", "b", 2L), ("q1", "c", 3L), ("q1", "d", 4L),
     ("q2", "a", 1L), ("q2", "b", 2L),
@@ -16,7 +17,7 @@ class RetrievalEvalSpec extends SparkSpec {
   ).toDF("qid", "doc", "rank")
 
   private lazy val qrels = Seq(
-    ("q1", "b"), ("q1", "d"), ("q1", "z"), ("q3", "g")
+    ("q1", "b"), ("q1", "d"), ("q1", "z"), ("q3", "g"), ("q4", "h")
   ).toDF("qid", "doc")
 
   private def byQid(k: Int): Map[String, Row] =
@@ -54,19 +55,29 @@ class RetrievalEvalSpec extends SparkSpec {
     assert(!q2.getAs[Boolean]("success_at_k"))
   }
 
+  test("unanswered truth query appears with recall 0, not silently dropped") {
+    val q4 = byQid(2)("q4")
+    assert(q4.getAs[Long]("n_rel") === 1L)
+    assert(q4.getAs[Long]("hits_at_k") === 0L)
+    assert(q4.getAs[Double]("recall_at_k") === 0.0)
+    assert(q4.getAs[Double]("rr") === 0.0)
+    assert(!q4.getAs[Boolean]("success_at_k"))
+  }
+
   test("summarize: macro row; undefined recalls excluded but still counted elsewhere") {
     val per = RetrievalEval.evaluate(ranked, qrels, "qid", "doc", "rank", 2)
     val s = RetrievalEval.summarize(per).head()
     def r6(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    assert(s.getAs[Long]("n_queries") === 3L)
-    // q1 recall 1/3, q2 NULL (excluded from the mean), q3 0.0
-    assert(s.getAs[Double]("mean_recall") === r6((0.333333 + 0.0) / 2))
+    assert(s.getAs[Long]("n_queries") === 4L)
+    // recalls: q1 1/3, q2 NULL (excluded from the mean), q3 0.0, q4 0.0
+    assert(s.getAs[Double]("mean_recall") === r6((0.333333 + 0.0 + 0.0) / 3))
     // q2 contributes zeros to precision/mrr/success — junk for an
-    // unanswerable query still counts against the system
-    assert(s.getAs[Double]("mean_precision") === r6(0.5 / 3))
-    assert(s.getAs[Double]("mrr") === r6(0.5 / 3))
-    assert(s.getAs[Double]("success_rate") === r6(1.0 / 3))
+    // unanswerable query still counts against the system — and the
+    // unanswered q4 drags every answered-rate metric down
+    assert(s.getAs[Double]("mean_precision") === r6(0.5 / 4))
+    assert(s.getAs[Double]("mrr") === r6(0.5 / 4))
+    assert(s.getAs[Double]("success_rate") === r6(1.0 / 4))
   }
 
   test("query that finds nothing relevant: zeros, rr 0, no success") {

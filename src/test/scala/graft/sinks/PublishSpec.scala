@@ -147,27 +147,51 @@ class PublishSpec extends SparkSpec {
       "an in-budget leaf must not be rewritten")
   }
 
-  test("compact: recovers both crash windows of a died swap") {
+  test("compact: recovers every crash window of a died three-rename swap") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val dir = fragmented("crash")
     val total = spark.read.parquet(dir).count()
+    val perK = spark.read.parquet(dir).groupBy("k").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
 
-    // window 1: tmp written, original leaf still present -> tmp discarded
+    // window 1 (pre-swap): tmp written, original leaf intact -> discard tmp
     val leaf0 = Paths.get(dir, "k=0")
     val tmp0 = Paths.get(dir, ".compact_tmp_k=0")
     Files.createDirectory(tmp0)
     Files.copy(partFiles(s"$dir/k=0").head.toPath,
       tmp0.resolve("part-00000-stale.parquet"), StandardCopyOption.COPY_ATTRIBUTES)
-    // window 2: leaf deleted, only tmp remains -> tmp renamed into place
+    // window 2 (between renames): leaf parked as old, tmp holds the
+    // compacted copy -> install tmp, drop old. Here "tmp" is k=1's real
+    // data and "old" is a decoy that must NOT come back.
     val leaf1 = Paths.get(dir, "k=1")
     val tmp1 = Paths.get(dir, ".compact_tmp_k=1")
+    val old1 = Paths.get(dir, ".compact_old_k=1")
     Files.move(leaf1, tmp1)
+    Files.createDirectory(old1)
+    Files.copy(Paths.get(s"$dir/k=2").resolve(
+        partFiles(s"$dir/k=2").head.getName),
+      old1.resolve("part-00000-old.parquet"), StandardCopyOption.COPY_ATTRIBUTES)
+    // window 3 (post-swap, pre-cleanup): leaf is final, old lingers -> drop old
+    val old2 = Paths.get(dir, ".compact_old_k=2")
+    Files.createDirectory(old2)
+    Files.copy(Paths.get(s"$dir/k=2").resolve(
+        partFiles(s"$dir/k=2").head.getName),
+      old2.resolve("part-00000-old.parquet"), StandardCopyOption.COPY_ATTRIBUTES)
+    // window 4 (old only — tmp never completed): restore the original
+    val leaf3 = Paths.get(dir, "k=3")
+    val old3 = Paths.get(dir, ".compact_old_k=3")
+    Files.move(leaf3, old3)
 
     Publish.compact(spark, dir, targetBytes = 1L << 30)
-    assert(!Files.exists(tmp0) && !Files.exists(tmp1))
-    assert(Files.exists(leaf0) && Files.exists(leaf1))
+    Seq(tmp0, tmp1, old1, old2, old3).foreach(p =>
+      assert(!Files.exists(p), s"$p must be cleaned up"))
+    Seq(leaf0, leaf1, leaf3).foreach(p =>
+      assert(Files.exists(p), s"$p must exist after recovery"))
     assert(spark.read.parquet(dir).count() === total,
       "no crash window may lose rows")
+    val perKAfter = spark.read.parquet(dir).groupBy("k").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(perKAfter === perK, "no decoy old-copy may resurrect rows")
   }
 
   test("compact: unpartitioned root-as-leaf compacts and recovers its sibling tmp") {
