@@ -526,29 +526,64 @@ object Streams {
     * stream's future batch ids are strictly greater than every folded id,
     * so new partitions never collide with the compacted one. */
   /** Complete or clean leftovers of a previously-FAILED compaction before
-    * a new fold runs. Tmp dirs are named `.compact_tmp_<table>_b<id>`
-    * where `<id>` is the fold's destination batch id, which makes
-    * recovery decidable: a leftover whose `batch_id=<id>` dir still
-    * exists came from a failed WRITE (its sources are intact — drop it);
-    * one whose dir is GONE came from a failed SWAP and holds the ONLY
-    * copy of the folded rows — finish the rename. Without this, the next
-    * fold's tmp cleanup would permanently destroy those rows. */
+    * a new fold runs. Decidability comes from a COMMIT MARKER (an empty
+    * `.compact_commit_<table>_b<id>` file created atomically after the
+    * tmp write, deleted after cleanup), not from the destination dir's
+    * existence: the source deletes are a file-by-file sequence, so "dest
+    * still exists" does NOT imply "sources are intact" — a crash
+    * mid-deletes with `batch_id=<maxId>` still present would have made
+    * the old existence test discard the tmp, permanently losing the
+    * rows of every source dir already deleted (the same delete-then-
+    * rename window closed in [[graft.sinks.Publish.compact]]).
+    *
+    *  - tmp, NO marker  → pre-commit crash: every source is intact —
+    *    drop the tmp.
+    *  - tmp + marker    → roll FORWARD: delete every remaining
+    *    `batch_id=<i>` with i ≤ id (streaming ids are monotone and the
+    *    `belowId` contract excludes replayable ids, so every surviving
+    *    id ≤ the fold's max is one of its sources), rename tmp → dest,
+    *    drop the marker.
+    *  - marker, no tmp  → crash after the rename: sweep any source
+    *    remnants below id (defensive) and drop the marker. */
   private def recoverCompactLeftovers(fs: org.apache.hadoop.fs.FileSystem,
                                       tablePath: org.apache.hadoop.fs.Path): Unit = {
     import org.apache.hadoop.fs.Path
-    val prefix = s".compact_tmp_${tablePath.getName}_b"
+    val tmpPrefix = s".compact_tmp_${tablePath.getName}_b"
+    val mkPrefix = s".compact_commit_${tablePath.getName}_b"
     val parent = tablePath.getParent
-    if (fs.exists(parent)) fs.listStatus(parent)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
-      .foreach { s =>
-        val id = s.getPath.getName.stripPrefix(prefix).toLong
-        val dest = new Path(tablePath, s"batch_id=$id")
-        if (fs.exists(dest)) fs.delete(s.getPath, true)
-        else if (!fs.rename(s.getPath, dest))
-          throw new java.io.IOException(
-            s"recovery of a failed compaction swap failed: " +
-              s"rename(${s.getPath}, $dest) returned false")
+    if (!fs.exists(parent)) return
+    val entries = fs.listStatus(parent)
+    val tmps = entries.filter(s =>
+        s.isDirectory && s.getPath.getName.startsWith(tmpPrefix))
+      .map(s => s.getPath.getName.stripPrefix(tmpPrefix).toLong -> s.getPath).toMap
+    val marks = entries.filter(s =>
+        !s.isDirectory && s.getPath.getName.startsWith(mkPrefix))
+      .map(s => s.getPath.getName.stripPrefix(mkPrefix).toLong -> s.getPath).toMap
+    def sweepSources(upTo: Long, inclusive: Boolean): Unit =
+      if (fs.exists(tablePath)) fs.listStatus(tablePath)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+        .filter { s =>
+          val i = s.getPath.getName.stripPrefix("batch_id=").toLong
+          if (inclusive) i <= upTo else i < upTo
+        }
+        .foreach(s => fs.delete(s.getPath, true))
+    (tmps.keySet ++ marks.keySet).foreach { id =>
+      (tmps.get(id), marks.get(id)) match {
+        case (Some(tmp), None) => fs.delete(tmp, true)
+        case (Some(tmp), Some(mark)) =>
+          sweepSources(id, inclusive = true)
+          val dest = new Path(tablePath, s"batch_id=$id")
+          if (!fs.rename(tmp, dest))
+            throw new java.io.IOException(
+              s"recovery of a failed compaction swap failed: " +
+                s"rename($tmp, $dest) returned false")
+          fs.delete(mark, false)
+        case (None, Some(mark)) =>
+          sweepSources(id, inclusive = false)
+          fs.delete(mark, false)
+        case (None, None) => ()
       }
+    }
   }
 
   def compactBatchPartitions(spark: org.apache.spark.sql.SparkSession,
@@ -576,16 +611,26 @@ object Streams {
         .repartition(filesPer)
         .write.mode("overwrite").parquet(tmp.toString)
       fs.delete(new Path(tmp, "_SUCCESS"), false)
+      // COMMIT POINT: once the marker exists, recovery rolls the swap
+      // FORWARD (tmp holds every folded row); before it, recovery rolls
+      // BACK by discarding the tmp (every source dir is still intact).
+      // The source deletes below are a non-atomic sequence, so without
+      // the marker a mid-delete crash would be undecidable — see
+      // recoverCompactLeftovers.
+      val mark = new Path(tablePath.getParent,
+        s".compact_commit_${tablePath.getName}_b$maxId")
+      fs.create(mark, false).close()
       batches.foreach(b => fs.delete(b.getPath, true))
       // Hadoop FileSystem.rename reports most failures by RETURNING false
       // (not throwing); swallowing that would leave the table empty with
-      // the rows stranded in the tmp dir — fail loudly; the id-suffixed
-      // tmp name makes the next run's recovery complete the swap.
+      // the rows stranded in the tmp dir — fail loudly; the marker makes
+      // the next run's recovery complete the swap.
       val dest = new Path(tablePath, s"batch_id=$maxId")
       if (!fs.rename(tmp, dest))
         throw new java.io.IOException(
           s"compaction swap failed: rename($tmp, $dest) returned false; " +
             s"compacted rows are intact in $tmp")
+      fs.delete(mark, false)
       ()
     }
   }

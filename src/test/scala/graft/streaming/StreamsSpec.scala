@@ -258,27 +258,38 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("compaction recovery: a failed swap's tmp is completed, a failed write's dropped") {
+  test("compaction recovery: commit marker decides roll-back vs roll-forward") {
     val base = Files.createTempDirectory("reco").toString
     val t = s"$base/tbl"
     // committed batch 2 on disk
     Seq((1L, "a")).toDF("id", "v").write.parquet(s"$t/batch_id=2")
-    // failed SWAP leftover: fold for dest batch_id=1 wrote tmp and deleted
-    // its sources, but the rename never happened — rows exist ONLY here
-    Seq((0L, "z")).toDF("id", "v").write.parquet(s"$base/.compact_tmp_tbl_b1")
-    // failed WRITE leftover: dest batch_id=2 still exists, so this tmp's
-    // sources are intact and its (bogus) content must be dropped
+    // pre-commit crash: tmp written but NO marker — every source is
+    // intact, so the (bogus) tmp content must be rolled BACK
     Seq((9L, "junk")).toDF("id", "v").write.parquet(s"$base/.compact_tmp_tbl_b2")
+    // mid-delete crash of an earlier fold (dest id 1): the marker exists,
+    // the tmp holds the COMPLETE fold of sources {0, 1}, source
+    // batch_id=0 was already deleted, and batch_id=1 — the dest id
+    // itself — still lingers. The old dest-exists heuristic would have
+    // dropped this tmp and permanently lost batch 0's rows; the marker
+    // rolls it FORWARD: delete the remnant, install the tmp.
+    Seq((0L, "z"), (5L, "w")).toDF("id", "v")
+      .write.parquet(s"$base/.compact_tmp_tbl_b1")
+    Seq((5L, "w")).toDF("id", "v").write.parquet(s"$t/batch_id=1")
+    assert(new java.io.File(s"$base/.compact_commit_tbl_b1").createNewFile())
+    // post-rename crash of an even earlier fold: marker only — swept
+    assert(new java.io.File(s"$base/.compact_commit_tbl_b0").createNewFile())
     Streams.compactBatchPartitions(spark, t)
     val rows = spark.read.parquet(t).drop("batch_id")
       .collect().map(_.toSeq).toSet
-    assert(rows === Set(Seq(0L, "z"), Seq(1L, "a")),
-      "swap-leftover rows recovered, write-leftover junk dropped")
+    assert(rows === Set(Seq(0L, "z"), Seq(5L, "w"), Seq(1L, "a")),
+      "rolled-forward rows recovered exactly once, rolled-back junk gone")
     val dirs = new java.io.File(t).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
     assert(dirs.length === 1, "recovered batch re-folds with the committed one")
     assert(!new java.io.File(base).listFiles()
-      .exists(_.getName.startsWith(".compact_tmp")), "no stranded tmp remains")
+      .exists(f => f.getName.startsWith(".compact_tmp") ||
+        f.getName.startsWith(".compact_commit")),
+      "no stranded tmp or marker remains")
   }
 
   test("streaming CMS deltas: live read equals the batch sketch; compaction pre-sums") {
