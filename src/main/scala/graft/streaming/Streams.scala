@@ -451,12 +451,18 @@ object Streams {
         .drop("batch_id")
         .write.mode("overwrite").partitionBy("cid").parquet(tmp.toString)
       fs.delete(new Path(tmp, "_SUCCESS"), false)
+      // commit marker before the non-atomic source deletes — the same
+      // roll-back/roll-forward contract as compactBatchPartitions
+      val mark = new Path(tablePath.getParent,
+        s".compact_commit_${tablePath.getName}_b$maxId")
+      fs.create(mark, false).close()
       batches.foreach(b => fs.delete(b.getPath, true))
       val dest = new Path(tablePath, s"batch_id=$maxId")
       if (!fs.rename(tmp, dest))
         throw new java.io.IOException(
           s"compaction swap failed: rename($tmp, $dest) returned false; " +
             s"compacted rows are intact in $tmp")
+      fs.delete(mark, false)
       ()
     }
   }
