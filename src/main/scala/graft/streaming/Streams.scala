@@ -434,11 +434,35 @@ object Streams {
     * Same tmp-write → delete → rename swap and replay contract as the
     * generic form. */
   def compactVectorIndex(spark: org.apache.spark.sql.SparkSession,
-                         outDir: String, belowId: Long = Long.MaxValue): Unit = {
+                         outDir: String, belowId: Long = Long.MaxValue): Unit =
+    compactWith(spark, outDir, belowId) { (tmp, _) =>
+      spark.read.parquet(outDir)
+        .filter(col("batch_id") < belowId)
+        .drop("batch_id")
+        .write.mode("overwrite").partitionBy("cid").parquet(tmp.toString)
+    }
+
+  /** The ONE copy of the compaction commit protocol (both public
+    * compactors delegate here — a protocol change cannot diverge between
+    * them): recover leftovers, list the fold set, run `write` into the
+    * tmp dir, then swap via COMMIT MARKER — create
+    * `.compact_commit_<table>_b<maxId>` atomically (the commit point:
+    * from here recovery rolls FORWARD), delete the source dirs CHECKING
+    * each delete's boolean (Hadoop reports most failures by returning
+    * false; a silently-surviving source would be double-counted forever
+    * once the marker is gone, so a failed delete throws WITH the marker
+    * left in place — recovery's sweep finishes the job), rename tmp →
+    * `batch_id=<maxId>`, drop the marker. */
+  private def compactWith(spark: org.apache.spark.sql.SparkSession,
+                          tableDir: String, belowId: Long)
+                         (write: (org.apache.hadoop.fs.Path,
+                                  Seq[org.apache.hadoop.fs.Path]) => Unit): Unit = {
     import org.apache.hadoop.fs.Path
-    val tablePath = new Path(outDir)
+    val tablePath = new Path(tableDir)
     val fs = tablePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    recoverCompactLeftovers(fs, tablePath) // see compactBatchPartitions
+    // a recovered swap re-materializes its batch dir, so recovery must run
+    // BEFORE the fold set is listed — the recovered rows then re-fold
+    recoverCompactLeftovers(fs, tablePath)
     val batches = fs.listStatus(tablePath)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
       .filter(_.getPath.getName.stripPrefix("batch_id=").toLong < belowId)
@@ -446,22 +470,23 @@ object Streams {
       val maxId = batches.map(_.getPath.getName.stripPrefix("batch_id=").toLong).max
       val tmp = new Path(tablePath.getParent,
         s".compact_tmp_${tablePath.getName}_b$maxId")
-      spark.read.parquet(outDir)
-        .filter(col("batch_id") < belowId)
-        .drop("batch_id")
-        .write.mode("overwrite").partitionBy("cid").parquet(tmp.toString)
+      write(tmp, batches.map(_.getPath).toSeq)
       fs.delete(new Path(tmp, "_SUCCESS"), false)
-      // commit marker before the non-atomic source deletes — the same
-      // roll-back/roll-forward contract as compactBatchPartitions
       val mark = new Path(tablePath.getParent,
         s".compact_commit_${tablePath.getName}_b$maxId")
       fs.create(mark, false).close()
-      batches.foreach(b => fs.delete(b.getPath, true))
+      batches.foreach { b =>
+        if (!fs.delete(b.getPath, true))
+          throw new java.io.IOException(
+            s"compaction: delete(${b.getPath}) returned false; marker " +
+              s"$mark left in place — recovery will finish the swap")
+      }
       val dest = new Path(tablePath, s"batch_id=$maxId")
       if (!fs.rename(tmp, dest))
         throw new java.io.IOException(
           s"compaction swap failed: rename($tmp, $dest) returned false; " +
-            s"compacted rows are intact in $tmp")
+            s"compacted rows are intact in $tmp and the marker makes " +
+            s"recovery complete the swap")
       fs.delete(mark, false)
       ()
     }
@@ -543,7 +568,10 @@ object Streams {
     * rename window closed in [[graft.sinks.Publish.compact]]).
     *
     *  - tmp, NO marker  → pre-commit crash: every source is intact —
-    *    drop the tmp.
+    *    drop the tmp. EXCEPT when the dest dir is gone, which the
+    *    marker protocol makes impossible: that leftover predates the
+    *    protocol and holds the only copy — complete the old swap
+    *    (upgrade-lossless).
     *  - tmp + marker    → roll FORWARD: delete every remaining
     *    `batch_id=<i>` with i ≤ id (streaming ids are monotone and the
     *    `belowId` contract excludes replayable ids, so every surviving
@@ -575,7 +603,19 @@ object Streams {
         .foreach(s => fs.delete(s.getPath, true))
     (tmps.keySet ++ marks.keySet).foreach { id =>
       (tmps.get(id), marks.get(id)) match {
-        case (Some(tmp), None) => fs.delete(tmp, true)
+        case (Some(tmp), None) =>
+          // Under the marker protocol a marker-less tmp always has every
+          // source intact (the dest id's dir included) — roll it back.
+          // But if the DEST is gone, this tmp predates the protocol (the
+          // old delete-then-rename code crashed post-deletes) and holds
+          // the ONLY copy of its folded rows: complete the old swap
+          // instead of destroying it (upgrade-lossless).
+          val dest = new Path(tablePath, s"batch_id=$id")
+          if (fs.exists(dest)) fs.delete(tmp, true)
+          else if (!fs.rename(tmp, dest))
+            throw new java.io.IOException(
+              s"recovery of a pre-marker failed swap failed: " +
+                s"rename($tmp, $dest) returned false")
         case (Some(tmp), Some(mark)) =>
           sweepSources(id, inclusive = true)
           val dest = new Path(tablePath, s"batch_id=$id")
@@ -595,51 +635,15 @@ object Streams {
   def compactBatchPartitions(spark: org.apache.spark.sql.SparkSession,
                              tableDir: String, filesPer: Int = 4,
                              belowId: Long = Long.MaxValue,
-                             fold: DataFrame => DataFrame = identity): Unit = {
-    import org.apache.hadoop.fs.Path
-    val tablePath = new Path(tableDir)
-    val fs = tablePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // a recovered swap re-materializes its batch dir, so recovery must run
-    // BEFORE the fold set is listed — the recovered rows then re-fold
-    recoverCompactLeftovers(fs, tablePath)
-    val batches = fs.listStatus(tablePath)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
-      .filter(_.getPath.getName.stripPrefix("batch_id=").toLong < belowId)
-    if (batches.length > 1) {
-      val maxId = batches.map(_.getPath.getName.stripPrefix("batch_id=").toLong).max
-      val tmp = new Path(tablePath.getParent,
-        s".compact_tmp_${tablePath.getName}_b$maxId")
+                             fold: DataFrame => DataFrame = identity): Unit =
+    compactWith(spark, tableDir, belowId) { (tmp, sources) =>
       // `fold` lets a table with mergeable rows (e.g. linear-sketch
       // deltas) PRE-AGGREGATE while compacting, not just re-bucket files
-      fold(spark.read.parquet(
-          batches.map(_.getPath.toString): _*)
+      fold(spark.read.parquet(sources.map(_.toString): _*)
         .drop("batch_id"))
         .repartition(filesPer)
         .write.mode("overwrite").parquet(tmp.toString)
-      fs.delete(new Path(tmp, "_SUCCESS"), false)
-      // COMMIT POINT: once the marker exists, recovery rolls the swap
-      // FORWARD (tmp holds every folded row); before it, recovery rolls
-      // BACK by discarding the tmp (every source dir is still intact).
-      // The source deletes below are a non-atomic sequence, so without
-      // the marker a mid-delete crash would be undecidable — see
-      // recoverCompactLeftovers.
-      val mark = new Path(tablePath.getParent,
-        s".compact_commit_${tablePath.getName}_b$maxId")
-      fs.create(mark, false).close()
-      batches.foreach(b => fs.delete(b.getPath, true))
-      // Hadoop FileSystem.rename reports most failures by RETURNING false
-      // (not throwing); swallowing that would leave the table empty with
-      // the rows stranded in the tmp dir — fail loudly; the marker makes
-      // the next run's recovery complete the swap.
-      val dest = new Path(tablePath, s"batch_id=$maxId")
-      if (!fs.rename(tmp, dest))
-        throw new java.io.IOException(
-          s"compaction swap failed: rename($tmp, $dest) returned false; " +
-            s"compacted rows are intact in $tmp")
-      fs.delete(mark, false)
-      ()
     }
-  }
 
   /**
    * Publish the incremental index state as BUCKETED catalog tables

@@ -278,11 +278,15 @@ class StreamsSpec extends SparkSpec {
     assert(new java.io.File(s"$base/.compact_commit_tbl_b1").createNewFile())
     // post-rename crash of an even earlier fold: marker only — swept
     assert(new java.io.File(s"$base/.compact_commit_tbl_b0").createNewFile())
+    // PRE-MARKER-ERA leftover (old delete-then-rename code crashed after
+    // its deletes): tmp with NO marker and dest batch_id=4 GONE — the
+    // upgrade path must complete the old swap, not destroy the only copy
+    Seq((7L, "old")).toDF("id", "v").write.parquet(s"$base/.compact_tmp_tbl_b4")
     Streams.compactBatchPartitions(spark, t)
     val rows = spark.read.parquet(t).drop("batch_id")
       .collect().map(_.toSeq).toSet
-    assert(rows === Set(Seq(0L, "z"), Seq(5L, "w"), Seq(1L, "a")),
-      "rolled-forward rows recovered exactly once, rolled-back junk gone")
+    assert(rows === Set(Seq(0L, "z"), Seq(5L, "w"), Seq(1L, "a"), Seq(7L, "old")),
+      "rolled-forward + legacy rows recovered exactly once, rolled-back junk gone")
     val dirs = new java.io.File(t).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
     assert(dirs.length === 1, "recovered batch re-folds with the committed one")
