@@ -1035,9 +1035,15 @@ object Dedup {
    * Prefix-blocked Jaro-Winkler name matching — the entity-resolution
    * stage next to [[editDistanceVerify]]'s Levenshtein tier: candidate
    * pairs form ONLY inside a blocking bucket (first `blockPrefix`
-   * lowercased chars — the classic ER blocking key; names that disagree
-   * there can't be high-JW matches for the prefix-weighted measure), and
-   * each candidate is verified by the native
+   * lowercased chars — the classic ER blocking key). Blocking is a
+   * RECALL-TRADING heuristic, not a completeness guarantee: JW's prefix
+   * bonus makes same-prefix pairs score higher, but long names differing
+   * only by a LEADING typo/substitution (prefix bonus 0) can still score
+   * above 0.9 and land in different buckets — that missed-match class is
+   * the price of the O(corpus) shuffle. When it matters, lengthen recall
+   * via multi-key blocking (add a phonetic code or length band as a
+   * second pass) rather than widening the prefix, which only grows
+   * buckets. Each candidate is verified by the native
    * [[graft.functions.expressions.JaroWinkler]] codegen kernel. Exact
    * duplicates (score 1.0) are excluded by default — they belong to
    * [[exact]]; this operator's yield is the NEAR matches an MDM/dedup

@@ -570,8 +570,16 @@ object Streams {
     *  - tmp, NO marker  → pre-commit crash: every source is intact —
     *    drop the tmp. EXCEPT when the dest dir is gone, which the
     *    marker protocol makes impossible: that leftover predates the
-    *    protocol and holds the only copy — complete the old swap
-    *    (upgrade-lossless).
+    *    protocol and holds the only copy — complete the old swap.
+    *    CAVEAT (upgrade is lossless only from a CLEAN state): an
+    *    old-protocol crash mid-delete with `batch_id=<maxId>` still
+    *    present is indistinguishable after the fact from a
+    *    new-protocol pre-commit state, and this branch drops the tmp —
+    *    the only complete copy of the sources the old code already
+    *    deleted. Before deploying the marker-protocol version, verify
+    *    no `.compact_tmp_*` leftovers exist (or resolve them by hand);
+    *    the ambiguity is undecidable once both protocols' leftovers
+    *    can coexist.
     *  - tmp + marker    → roll FORWARD: delete every remaining
     *    `batch_id=<i>` with i ≤ id (streaming ids are monotone and the
     *    `belowId` contract excludes replayable ids, so every surviving
@@ -593,6 +601,12 @@ object Streams {
     val marks = entries.filter(s =>
         !s.isDirectory && s.getPath.getName.startsWith(mkPrefix))
       .map(s => s.getPath.getName.stripPrefix(mkPrefix).toLong -> s.getPath).toMap
+    // Each delete's boolean return is CHECKED (Hadoop reports most
+    // failures by returning false, not throwing): a silent sweep failure
+    // followed by marker deletion would leave a stale batch_id dir that
+    // is double-counted forever. Throwing here leaves the marker in
+    // place, so a rerun of recovery finishes the sweep — the same
+    // contract as compactWith's main-path deletes.
     def sweepSources(upTo: Long, inclusive: Boolean): Unit =
       if (fs.exists(tablePath)) fs.listStatus(tablePath)
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
@@ -600,7 +614,12 @@ object Streams {
           val i = s.getPath.getName.stripPrefix("batch_id=").toLong
           if (inclusive) i <= upTo else i < upTo
         }
-        .foreach(s => fs.delete(s.getPath, true))
+        .foreach { s =>
+          if (!fs.delete(s.getPath, true))
+            throw new java.io.IOException(
+              s"recovery sweep failed: delete(${s.getPath}) returned " +
+                "false; commit marker left in place for a rerun")
+        }
     (tmps.keySet ++ marks.keySet).foreach { id =>
       (tmps.get(id), marks.get(id)) match {
         case (Some(tmp), None) =>
