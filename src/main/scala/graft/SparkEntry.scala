@@ -1627,6 +1627,102 @@ object SparkEntry {
       .select(col("id_a").as("name_a"), col("id_b").as("name_b"), col("jw"))
   }
 
+  /** q139: rational-gain nDCG@10 ([[RetrievalEval.ndcg]]) — the graded
+    * metric completing the q133/q136 eval set: the q27 IVF top-20 graded
+    * against q16's brute-force top-10 truth under the HARMONIC discount
+    * (1/rank — MRR's weight curve extended to all hits), with DCG and
+    * IDCG computed as exact integers at scale lcm(1..10) = 2520. The
+    * only floating-point step is the final correctly-rounded division of
+    * two exact integers, so the hash compare certifies the metric with
+    * zero accumulation-order risk — the house answer to nDCG's
+    * transcendental log2 discount (see RetrievalEval scaladoc). */
+  private def ndcgQ(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val qs = emb.filter(col("vec_id") < 10)
+    val truth = Knn.bruteTopK(emb, qs, "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = Knn.ivfTopK(emb, qs, emb.filter(col("vec_id") < 16),
+        "vec_id", "embedding", k = 20, nProbe = 4)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    RetrievalEval.ndcg(approx, truth, "query_id", "neighbor_id", "rank",
+      k = 10)
+  }
+
+  /** q140: streaming-ingest leg of the MAUDE pipeline itself — the
+    * reference's S3-stage → COPY ingest path (README.md:99-103) under
+    * its `target_lag` freshness concern (README.md:117), driver-gated
+    * end-to-end the way the search/vector indexes are (q126/q128):
+    * deterministic NDJSON built from orders lands as THREE time-sliced
+    * micro-batch file drops; each batch runs the EXACT production
+    * ingest+staging chain — [[graft.sources.MaudeIngest.batch]] (the
+    * same schema-first parse `MaudeIngest.stream` applies to new files)
+    * → [[graft.models.StgMaude.apply]] (the one-scan shuffle-free
+    * staging projection) — and upserts into the persisted bucket-partial
+    * SCD-1 state ([[graft.streaming.Streams.scd1MergeBatch]], the
+    * foreachBatch body of `incrementalScd1`) keyed by mdr_report_key
+    * with report-sequence recency. Report keys REPEAT across batches
+    * (o_orderkey mod 1000), so later micro-batches genuinely rewrite
+    * earlier state, and ~1% of date_received values are malformed to
+    * exercise the null-safe parse in the replayed path. The oracle
+    * computes the staging transform for the LATEST report per key
+    * straight from the base columns: replayed incremental ingest ==
+    * one-shot batch pipeline over the union — the ingest tier's
+    * freshness contract, exactly q116's statement applied to the
+    * reference's own feed. Scale: each batch shuffles its delta plus
+    * touched state buckets only; the parse/staging stage is the q08
+    * pipeline's scan-side projection, linear in the drop size. */
+  private def maudeIngestReplayQ(s: SparkSession, d: String): DataFrame = {
+    import graft.models.StgMaude
+    import graft.sources.MaudeIngest
+    import graft.streaming.Streams
+    val root = replayStateDir(s, "q140", d)
+    val stateDir = s"$root/state"
+    val evs = Seq("INJURY", "malfunction", "Death", "N/A", "Recall")
+    val mfrs = Seq("ACME CORP", "acme corp", "MedTech GmbH", "ZETA DEVICES",
+      "NoSuch Inc")
+    val kw = Seq("routine operation reported", "leak detected near valve",
+      "pump fracture and break observed", "thrombus noted on lead")
+    val okey = col("o_orderkey")
+    def cyc(xs: Seq[String]) =
+      element_at(typedlit(xs), (pmod(okey, lit(xs.size)) + 1).cast("int"))
+    val dateRecv = when(pmod(okey, lit(97)) === 0, lit("2020xx01"))
+      .otherwise(date_format(col("o_orderdate"), "yyyyMMdd"))
+    val payload = orders(s, d).select(okey, to_json(struct(
+      format_string("MDR%07d", pmod(okey, lit(1000))).as("mdr_report_key"),
+      format_string("RN-%d", okey).as("report_number"),
+      dateRecv.as("date_received"),
+      cyc(evs).as("event_type"),
+      format_string("P%02d", pmod(okey, lit(40))).as("device_report_product_code"),
+      array(struct(
+        cyc(mfrs).as("manufacturer_d_name"),
+        format_string("Brand%d", pmod(okey, lit(12))).as("brand_name"))).as("device"),
+      array(struct(cyc(kw).as("text")),
+        struct(format_string("detail fragment %d", okey).as("text"))).as("mdr_text")
+    )).as("value"))
+    (0 until 3).foreach { i =>
+      val landing = s"$root/landing$i"
+      payload.filter(pmod(okey, lit(3)) === i).select(col("value"))
+        .write.mode("overwrite").text(landing)
+      val stg = StgMaude(MaudeIngest.batch(s, landing))
+        .select(col("mdr_report_key"), col("report_number"),
+          col("date_received"), col("event_type"),
+          col("product_code"), col("manufacturer_name"), col("brand_name"),
+          col("narrative_len").cast("long").as("narrative_len"),
+          expr("try_cast(substring(report_number, 4) AS BIGINT)").as("seq"))
+      Streams.scd1MergeBatch(stg, i.toLong, Seq("mdr_report_key"),
+        Seq("seq"), stateDir, nBuckets = 16)
+    }
+    // date_received stays a DATE through parse/staging/state; the
+    // declared output formats it ISO for the cross-engine compare
+    // (q13's precedent — DuckDB DATE round-trips as datetime64)
+    Streams.readScd1Raw(s, stateDir)
+      .select(col("mdr_report_key"), col("report_number"),
+        date_format(col("date_received"), "yyyy-MM-dd").as("date_received"),
+        col("event_type"), col("product_code"),
+        col("manufacturer_name"), col("brand_name"), col("narrative_len"),
+        col("seq"))
+  }
+
   /** q134: batch small-file compaction ([[graft.sinks.Publish.compact]] —
     * the lakehouse OPTIMIZE maintenance operator, the batch sibling of
     * the streaming `batch_id=` compactor): a deliberately fragmented
@@ -2266,6 +2362,8 @@ object SparkEntry {
     "q136_retrieval_macro"     -> (retrievalEvalMacroQ _),
     "q137_join_ivm"            -> (joinDeltaQ _),
     "q138_name_match"          -> (nameMatchQ _),
+    "q139_ndcg"                -> (ndcgQ _),
+    "q140_maude_ingest_replay" -> (maudeIngestReplayQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -2628,12 +2726,12 @@ object SparkEntry {
     * vector's CHOSEN codeword, summed per vector. Replayed maintained
     * index == this one-shot build is the streaming operator's freshness
     * contract. */
-  /** q133/q136 oracle core: the q27 IVF top-20 graded against q16's
-    * brute-force top-10 truth, folded to per-query retrieval metrics.
-    * Exact integer ratios rounded 6dp — the hash compare certifies the
-    * metric math, not just the rankings. */
-  private def retrievalEvalOracle: String =
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  /** Shared CTE chain of the q133/q136/q139 oracles (the q27 IVF top-20
+    * graded against q16's brute-force top-10 truth): IVF ranking (approx),
+    * brute-force truth, per-query truth size (nrel) and the rank-flagged
+    * join (f) — everything up to the metric fold itself. */
+  private def retrievalCommonCtes: String =
+    """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
       |assign AS (SELECT vec_id, v, cid FROM (
       |  SELECT e.vec_id, e.v, c.cid,
@@ -2669,7 +2767,10 @@ object SparkEntry {
       |nrel AS (SELECT query_id, count(*)::BIGINT AS n_rel FROM truth GROUP BY 1),
       |f AS (SELECT a.query_id, a.rank, (t.neighbor_id IS NOT NULL) AS rel
       |  FROM approx a LEFT JOIN truth t ON a.query_id = t.query_id
-      |    AND a.neighbor_id = t.neighbor_id),
+      |    AND a.neighbor_id = t.neighbor_id)""".stripMargin
+
+  private def retrievalEvalOracle: String =
+    s"""WITH $retrievalCommonCtes,
       |pq AS (SELECT query_id,
       |    sum(CASE WHEN rel AND rank <= 10 THEN 1 ELSE 0 END)::BIGINT AS hits_at_k,
       |    min(CASE WHEN rel THEN rank END) AS first_rel_rank
@@ -4019,6 +4120,60 @@ object SparkEntry {
          |  round(avg(CASE WHEN success_at_k THEN 1.0 ELSE 0.0 END), 6)
          |    AS success_rate
          |FROM per""".stripMargin,
+
+    // q139: rational-gain nDCG@10 over the same ranked/truth CTEs —
+    // DCG/IDCG as exact integers at scale 2520 = lcm(1..10) (2520 // r
+    // is exact for every r <= 10), the ratio a single correctly-rounded
+    // division: bit-identical across engines by IEEE-754, no float sums
+    "q139_ndcg" ->
+      s"""WITH $retrievalCommonCtes,
+        |pq AS (SELECT query_id,
+        |    sum(CASE WHEN rel AND rank <= 10 THEN 2520 // rank ELSE 0 END)::BIGINT
+        |      AS dcg_num
+        |  FROM f GROUP BY 1),
+        |j AS (SELECT coalesce(pq.query_id, n.query_id) AS query_id,
+        |    coalesce(n.n_rel, 0)::BIGINT AS n_rel,
+        |    coalesce(pq.dcg_num, 0)::BIGINT AS dcg_num
+        |  FROM pq FULL OUTER JOIN nrel n ON pq.query_id = n.query_id),
+        |w AS (SELECT query_id, n_rel, dcg_num,
+        |    (CASE WHEN n_rel > 0 THEN list_sum(list_transform(
+        |        range(1, least(n_rel, 10) + 1), r -> 2520 // r))
+        |      ELSE 0 END)::BIGINT AS idcg_num
+        |  FROM j)
+        |SELECT query_id, n_rel, dcg_num, idcg_num,
+        |  CASE WHEN idcg_num > 0
+        |    THEN round(dcg_num / idcg_num, 6) END AS ndcg_at_k
+        |FROM w""".stripMargin,
+
+    // q140: the replayed incremental MAUDE ingest (NDJSON micro-batches →
+    // production parse → staging → SCD-1 upsert) must equal the one-shot
+    // staging transform of the LATEST report per key, recomputed straight
+    // from the base columns the payload was built from (the q115
+    // round-trip pattern + q116's replay-equals-batch statement)
+    "q140_maude_ingest_replay" ->
+      """WITH o AS (SELECT o_orderkey AS seq, o_orderkey % 1000 AS rk,
+        |    o_orderdate FROM orders),
+        |last AS (SELECT seq, rk, o_orderdate FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY rk ORDER BY seq DESC)
+        |      AS rn FROM o) WHERE rn = 1)
+        |SELECT printf('MDR%07d', rk) AS mdr_report_key,
+        |  'RN-' || seq AS report_number,
+        |  CASE WHEN seq % 97 = 0 THEN NULL
+        |    ELSE strftime(o_orderdate::DATE, '%Y-%m-%d') END AS date_received,
+        |  CASE seq % 5 WHEN 0 THEN 'Injury' WHEN 1 THEN 'Malfunction'
+        |    WHEN 2 THEN 'Death' WHEN 3 THEN 'No Answer Provided'
+        |    ELSE 'Other' END AS event_type,
+        |  printf('P%02d', seq % 40) AS product_code,
+        |  list_extract(['ACME CORP', 'acme corp', 'MedTech GmbH',
+        |    'ZETA DEVICES', 'NoSuch Inc'], seq % 5 + 1) AS manufacturer_name,
+        |  'Brand' || (seq % 12) AS brand_name,
+        |  length(list_extract(['routine operation reported',
+        |      'leak detected near valve',
+        |      'pump fracture and break observed',
+        |      'thrombus noted on lead'], seq % 4 + 1)
+        |    || chr(10) || 'detail fragment ' || seq)::BIGINT AS narrative_len,
+        |  seq::BIGINT AS seq
+        |FROM last""".stripMargin,
 
     // q138: every candidate score recomputed by DuckDB's own
     // jaro_winkler_similarity — identical integer-derived double formula,

@@ -76,6 +76,73 @@ object RetrievalEval {
   }
 
   /**
+   * Rational-gain nDCG@k — the graded-ranking metric that completes the
+   * standard eval set next to [[evaluate]]'s recall/precision/MRR. The
+   * classic nDCG discount is 1/log2(rank+1); logs are transcendental,
+   * and the house rule (last-ulp portability — libm vs StrictMath can
+   * differ in the final bit, flipping a 6dp hash) keeps them out of
+   * oracled outputs. This variant uses the HARMONIC discount 1/rank —
+   * the same monotone top-weighted family (it is exactly MRR's weight
+   * curve extended from "first hit" to "all hits") — because it makes
+   * the whole metric EXACT RATIONAL arithmetic (the q94 PRR precedent):
+   * with binary gains,
+   *
+   *   DCG@k  = Σ_{relevant hits at rank r ≤ k} 1/r
+   *   IDCG@k = Σ_{r = 1 .. min(n_rel, k)} 1/r
+   *   nDCG@k = DCG@k / IDCG@k           (NULL when n_rel = 0)
+   *
+   * Both sums are computed as INTEGERS scaled by L = lcm(1..k) — every
+   * L/r is exact, integer addition is order-insensitive, so the only
+   * floating-point step is the final correctly-rounded division of two
+   * exact integers. No accumulation-order nondeterminism exists anywhere
+   * in the plan, in either engine. k ≤ 40 keeps L inside a Long
+   * (lcm(1..40) ≈ 5.3e15 < 2^63; it also stays under 2^53, so the
+   * DOUBLE-typed division is exact on its inputs).
+   *
+   * The integer numerators are part of the output (`dcg_num`/`idcg_num`
+   * at scale L): they make the rational-arithmetic contract itself
+   * hash-checkable, not just the rounded ratio.
+   *
+   * Plan shape: identical to [[evaluate]] — one (query, doc)-keyed left
+   * join, one query-keyed aggregate, the truth-side count joined back
+   * full-outer (a query with no retrieved rows still appears, nDCG 0;
+   * a query with no truth appears with nDCG NULL). IDCG is a per-row
+   * array fold (`aggregate(sequence(...))`) — no extra shuffle.
+   */
+  def ndcg(ranked: DataFrame, qrels: DataFrame, queryCol: String,
+           docCol: String, rankCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 40, "k in [1, 40] (lcm(1..k) must fit a Long)")
+    val scale = (1 to k).foldLeft(1L)((l, r) => l / gcd(l, r) * r)
+    val q = col(queryCol)
+    val qrelsD = qrels.select(q, col(docCol)).distinct()
+    val rel = qrelsD.groupBy(q).agg(count(lit(1)).as("n_rel"))
+    val flagged = ranked.join(qrelsD.withColumn("rel", lit(1)),
+      Seq(queryCol, docCol), "left")
+    // L/r is an exact integer for r ≤ k by construction of L; the DOUBLE
+    // division is exact (both operands < 2^53), floor is a no-op cast
+    val perQuery = flagged.groupBy(q).agg(
+      sum(when(col("rel").isNotNull && col(rankCol) <= k,
+          floor(lit(scale.toDouble) / col(rankCol)).cast("long"))
+        .otherwise(0L)).as("dcg_num"))
+    val dcg = coalesce(col("dcg_num"), lit(0L))
+    val nRel = coalesce(col("n_rel"), lit(0L))
+    val idcg = when(nRel > 0,
+      aggregate(sequence(lit(1L), least(nRel, lit(k.toLong))), lit(0L),
+        (acc, r) => acc + floor(lit(scale.toDouble) / r).cast("long")))
+      .otherwise(lit(0L))
+    perQuery.join(rel, Seq(queryCol), "full_outer")
+      .select(q,
+        nRel.as("n_rel"),
+        dcg.as("dcg_num"),
+        idcg.as("idcg_num"),
+        when(idcg > 0, round(dcg.cast("double") / idcg.cast("double"), 6))
+          .as("ndcg_at_k"))
+  }
+
+  @annotation.tailrec
+  private def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+
+  /**
    * Corpus-level (macro-averaged) retrieval quality — the single-row
    * summary a regression gate or dashboard consumes (mean recall@k IS
    * the reference's "recall@20 ≥ 0.7" number): per-query metrics from

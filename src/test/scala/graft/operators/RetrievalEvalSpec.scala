@@ -80,6 +80,45 @@ class RetrievalEvalSpec extends SparkSpec {
     assert(s.getAs[Double]("success_rate") === r6(1.0 / 4))
   }
 
+  test("ndcg: exact rational harmonic-discount DCG at scale lcm(1..k)") {
+    val m = RetrievalEval.ndcg(ranked, qrels, "qid", "doc", "rank", 4)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // lcm(1..4) = 12. q1 hits at ranks 2 (b) and 4 (d):
+    // dcg_num = 12/2 + 12/4 = 9; n_rel = 3 → idcg_num = 12 + 6 + 4 = 22
+    val q1 = m("q1")
+    assert(q1.getAs[Long]("dcg_num") === 9L)
+    assert(q1.getAs[Long]("idcg_num") === 22L)
+    assert(q1.getAs[Double]("ndcg_at_k") ===
+      BigDecimal(9.0 / 22.0).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+    // q2: no truth → idcg 0, ndcg NULL (undefined, not 0)
+    val q2 = m("q2")
+    assert(q2.getAs[Long]("idcg_num") === 0L)
+    assert(q2.isNullAt(q2.fieldIndex("ndcg_at_k")))
+    // q3: truth exists, nothing found → ndcg 0.0; idcg = 12 (n_rel 1)
+    val q3 = m("q3")
+    assert(q3.getAs[Long]("dcg_num") === 0L)
+    assert(q3.getAs[Long]("idcg_num") === 12L)
+    assert(q3.getAs[Double]("ndcg_at_k") === 0.0)
+    // q4: unanswered truth query still appears (full-outer), ndcg 0
+    val q4 = m("q4")
+    assert(q4.getAs[Long]("n_rel") === 1L)
+    assert(q4.getAs[Double]("ndcg_at_k") === 0.0)
+  }
+
+  test("ndcg: ideal ranking scores exactly 1; IDCG truncates at k") {
+    // perfect system: the 3 relevant docs of qx at ranks 1..3, k=2 —
+    // only ranks <= k count in DCG, and IDCG uses min(n_rel, k) terms,
+    // so dcg_num = idcg_num = 2 + 1 = 3 at scale lcm(1..2) = 2
+    val r = Seq(("qx", "a", 1L), ("qx", "b", 2L), ("qx", "c", 3L))
+      .toDF("qid", "doc", "rank")
+    val t = Seq(("qx", "a"), ("qx", "b"), ("qx", "c")).toDF("qid", "doc")
+    val row = RetrievalEval.ndcg(r, t, "qid", "doc", "rank", 2).head()
+    assert(row.getAs[Long]("dcg_num") === 3L)
+    assert(row.getAs[Long]("idcg_num") === 3L)
+    assert(row.getAs[Double]("ndcg_at_k") === 1.0)
+  }
+
   test("query that finds nothing relevant: zeros, rr 0, no success") {
     val q3 = byQid(2)("q3")
     assert(q3.getAs[Long]("n_rel") === 1L)
