@@ -1723,6 +1723,27 @@ object SparkEntry {
         col("seq"))
   }
 
+  /** q141: exact-rational average precision @10
+    * ([[RetrievalEval.averagePrecision]]) — the last member of the
+    * standard retrieval-eval set (macro mean of this column IS MAP):
+    * every P(r) term carries denominator ≤ k, so at scale
+    * lcm(1..10) = 2520 the AP numerator is an order-insensitive integer
+    * sum (running-hits window × exact integer weights) and the only
+    * float op is the final correctly-rounded division — q139's
+    * discipline applied to the precision-averaging metric. Same
+    * ranked/truth pair as q133/q139. */
+  private def apQ(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val qs = emb.filter(col("vec_id") < 10)
+    val truth = Knn.bruteTopK(emb, qs, "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = Knn.ivfTopK(emb, qs, emb.filter(col("vec_id") < 16),
+        "vec_id", "embedding", k = 20, nProbe = 4)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    RetrievalEval.averagePrecision(approx, truth, "query_id",
+      "neighbor_id", "rank", k = 10)
+  }
+
   /** q134: batch small-file compaction ([[graft.sinks.Publish.compact]] —
     * the lakehouse OPTIMIZE maintenance operator, the batch sibling of
     * the streaming `batch_id=` compactor): a deliberately fragmented
@@ -2364,6 +2385,7 @@ object SparkEntry {
     "q138_name_match"          -> (nameMatchQ _),
     "q139_ndcg"                -> (ndcgQ _),
     "q140_maude_ingest_replay" -> (maudeIngestReplayQ _),
+    "q141_avg_precision"       -> (apQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -4174,6 +4196,31 @@ object SparkEntry {
         |    || chr(10) || 'detail fragment ' || seq)::BIGINT AS narrative_len,
         |  seq::BIGINT AS seq
         |FROM last""".stripMargin,
+
+    // q141: average precision over the same ranked/truth CTEs — the
+    // running relevant count is an integer window, each AP term is
+    // cumhits * (2520 // rank) exact, denominator 2520 * min(n_rel, 10);
+    // one correctly-rounded division, no float sums (q139's discipline)
+    "q141_avg_precision" ->
+      s"""WITH $retrievalCommonCtes,
+        |c AS (SELECT query_id, rank, rel,
+        |    sum(CASE WHEN rel THEN 1 ELSE 0 END) OVER (
+        |      PARTITION BY query_id ORDER BY rank) AS cumhits
+        |  FROM f),
+        |pq AS (SELECT query_id,
+        |    sum(CASE WHEN rel AND rank <= 10
+        |      THEN cumhits * (2520 // rank) ELSE 0 END)::BIGINT AS ap_num
+        |  FROM c GROUP BY 1),
+        |j AS (SELECT coalesce(pq.query_id, n.query_id) AS query_id,
+        |    coalesce(n.n_rel, 0)::BIGINT AS n_rel,
+        |    coalesce(pq.ap_num, 0)::BIGINT AS ap_num
+        |  FROM pq FULL OUTER JOIN nrel n ON pq.query_id = n.query_id)
+        |SELECT query_id, n_rel, ap_num,
+        |  (2520 * least(n_rel, 10))::BIGINT AS ap_den,
+        |  CASE WHEN n_rel > 0
+        |    THEN round(ap_num / (2520 * least(n_rel, 10)), 6)
+        |  END AS ap_at_k
+        |FROM j""".stripMargin,
 
     // q138: every candidate score recomputed by DuckDB's own
     // jaro_winkler_similarity — identical integer-derived double formula,

@@ -139,6 +139,60 @@ object RetrievalEval {
           .as("ndcg_at_k"))
   }
 
+  /**
+   * Exact-rational average precision @k — the last member of the
+   * standard eval set (recall/precision/MRR/success from [[evaluate]],
+   * nDCG from [[ndcg]], AP here; the macro mean of this column IS MAP).
+   * With binary relevance,
+   *
+   *   AP@k = Σ_{relevant ranks r ≤ k} P(r) / min(n_rel, k),
+   *   P(r) = |relevant in top r| / r
+   *
+   * Every P(r) has denominator ≤ k, so at scale L = lcm(1..k) each term
+   * `cumhits(r) · L/r` is an exact integer (cumhits ≤ k, so terms are
+   * tiny); `ap_num` is their order-insensitive integer sum and the
+   * denominator is `L · min(n_rel, k)`. As in [[ndcg]], the only
+   * floating-point step is the final correctly-rounded division — no
+   * accumulation-order nondeterminism in either engine. NULL when
+   * n_rel = 0 (undefined), 0 when truth exists but nothing relevant was
+   * retrieved; unanswered truth queries appear via the full-outer.
+   *
+   * Plan shape: [[evaluate]]'s join plus ONE query-partitioned window
+   * (running relevant count in rank order — never partition-less), one
+   * query-keyed aggregate, truth count joined back. Nothing wider than
+   * the ranking.
+   */
+  def averagePrecision(ranked: DataFrame, qrels: DataFrame, queryCol: String,
+                       docCol: String, rankCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && k <= 40, "k in [1, 40] (lcm(1..k) must fit a Long)")
+    val scale = (1 to k).foldLeft(1L)((l, r) => l / gcd(l, r) * r)
+    val q = col(queryCol)
+    val qrelsD = qrels.select(q, col(docCol)).distinct()
+    val rel = qrelsD.groupBy(q).agg(count(lit(1)).as("n_rel"))
+    val flagged = ranked.join(qrelsD.withColumn("rel", lit(1)),
+      Seq(queryCol, docCol), "left")
+    val w = Window.partitionBy(q).orderBy(col(rankCol))
+    val cum = flagged.withColumn("cumhits",
+      sum(when(col("rel").isNotNull, 1L).otherwise(0L)).over(w))
+    val perQuery = cum.groupBy(q).agg(
+      sum(when(col("rel").isNotNull && col(rankCol) <= k,
+          col("cumhits") *
+            floor(lit(scale.toDouble) / col(rankCol)).cast("long"))
+        .otherwise(0L)).as("ap_num"))
+    val apNum = coalesce(col("ap_num"), lit(0L))
+    val nRel = coalesce(col("n_rel"), lit(0L))
+    val apDen = lit(scale) * least(nRel, lit(k.toLong))
+    perQuery.join(rel, Seq(queryCol), "full_outer")
+      .select(q,
+        nRel.as("n_rel"),
+        apNum.as("ap_num"),
+        apDen.as("ap_den"),
+        when(nRel > 0,
+          round(apNum.cast("double") / apDen.cast("double"), 6))
+          .as("ap_at_k"))
+  }
+
   @annotation.tailrec
   private def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
 

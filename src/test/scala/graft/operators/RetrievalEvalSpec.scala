@@ -119,6 +119,41 @@ class RetrievalEvalSpec extends SparkSpec {
     assert(row.getAs[Double]("ndcg_at_k") === 1.0)
   }
 
+  test("averagePrecision: exact integer AP terms at scale lcm(1..k)") {
+    val m = RetrievalEval
+      .averagePrecision(ranked, qrels, "qid", "doc", "rank", 4)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // lcm(1..4) = 12. q1 relevant hits: b at rank 2 (cumhits 1) and d at
+    // rank 4 (cumhits 2): ap_num = 1*(12/2) + 2*(12/4) = 12;
+    // ap_den = 12 * min(3, 4) = 36 → AP = 1/3
+    val q1 = m("q1")
+    assert(q1.getAs[Long]("ap_num") === 12L)
+    assert(q1.getAs[Long]("ap_den") === 36L)
+    assert(q1.getAs[Double]("ap_at_k") === 0.333333)
+    // q2: no truth → AP NULL (undefined), den 0
+    val q2 = m("q2")
+    assert(q2.getAs[Long]("ap_den") === 0L)
+    assert(q2.isNullAt(q2.fieldIndex("ap_at_k")))
+    // q3: truth exists, nothing relevant retrieved → AP 0.0
+    assert(m("q3").getAs[Double]("ap_at_k") === 0.0)
+    // q4: unanswered truth query appears with AP 0
+    assert(m("q4").getAs[Long]("n_rel") === 1L)
+    assert(m("q4").getAs[Double]("ap_at_k") === 0.0)
+  }
+
+  test("averagePrecision: perfect prefix ranking scores exactly 1") {
+    // both relevant docs at ranks 1..2, k=3: P(1)=1, P(2)=1 →
+    // ap_num = 1*6 + 2*3 = 12 = ap_den = 6 * min(2,3) ... at L=lcm(1..3)=6
+    val r = Seq(("qx", "a", 1L), ("qx", "b", 2L), ("qx", "c", 3L))
+      .toDF("qid", "doc", "rank")
+    val t = Seq(("qx", "a"), ("qx", "b")).toDF("qid", "doc")
+    val row = RetrievalEval.averagePrecision(r, t, "qid", "doc", "rank", 3)
+      .head()
+    assert(row.getAs[Long]("ap_num") === 12L)
+    assert(row.getAs[Long]("ap_den") === 12L)
+    assert(row.getAs[Double]("ap_at_k") === 1.0)
+  }
+
   test("query that finds nothing relevant: zeros, rr 0, no success") {
     val q3 = byQid(2)("q3")
     assert(q3.getAs[Long]("n_rel") === 1L)
