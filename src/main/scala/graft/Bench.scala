@@ -230,10 +230,12 @@ object Bench {
         models.factAdverseEvents.withColumn("yyyy", year(col("date_received")))
           .write.mode("overwrite").partitionBy("yyyy").parquet(factDir)
       }
-      val factBytes = Files.walk(base.resolve("fact")).iterator()
       val bytesWritten = {
         import scala.jdk.CollectionConverters._
-        factBytes.asScala.filter(Files.isRegularFile(_)).map(Files.size).sum
+        val walk = Files.walk(base.resolve("fact"))
+        try walk.iterator().asScala
+          .filter(Files.isRegularFile(_)).map(Files.size).sum
+        finally walk.close()
       }
       val factBack = spark.read.parquet(factDir)
       step("ae_counts_q") {
@@ -244,8 +246,10 @@ object Bench {
       (t.toSeq, bytesWritten)
     } finally {
       import scala.jdk.CollectionConverters._
-      Files.walk(base).iterator().asScala.toSeq.reverse
+      val walk = Files.walk(base)
+      try walk.iterator().asScala.toSeq.reverse
         .foreach(p => Files.deleteIfExists(p))
+      finally walk.close()
     }
   }
 
@@ -353,6 +357,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt
     val sloQueries = sys.env.getOrElse("SPARK_GRAFT_SLO_QUERIES", "50").toInt
+    val fullOut = sys.env.getOrElse("SPARK_GRAFT_FULL_OUT", "BENCH_full.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -436,8 +441,12 @@ object Bench {
         val (ts, bytesWritten) = pipelineBench(spark, rows)
         val per = ts.map { case (k, v) =>
           s""""${stageKey.getOrElse(k, k)}":${f"$v%.2f"}""" }.mkString(",")
+        // tot excludes the fact_compute diagnostic leg (it re-executes
+        // the same plan the write leg runs): tot stays the DAG's actual
+        // wall time, comparable with rounds 1-7
+        val tot = ts.filterNot(_._1 == "fact_compute").map(_._2).sum
         s"""{"rows":$rows,$per,"fact_mb":${bytesWritten >> 20},""" +
-          s""""tot":${f"${ts.map(_._2).sum}%.2f"}}"""
+          s""""tot":${f"$tot%.2f"}}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] pipeline bench ($rows rows) FAILED: $e")
         e.printStackTrace()
@@ -454,13 +463,14 @@ object Bench {
       if (skipPipeline || pipelineRows >= 10000000L) s"""{"rows":0}"""
       else pipelineAt(10000000L)
 
-    // END-of-run CPU probe: the start probe alone cannot see a load
-    // window that ARRIVES mid-run (observed this round: start calib
+    // END-of-run probes, BOTH axes: the start probes alone cannot see a
+    // load window that ARRIVES mid-run (observed this round: start calib
     // 1.66 s/467 MB/s — clean — yet a contiguous alphabetical span of
     // the query loop ran 5-40x while isolation re-runs at identical code
-    // returned to class; the judged artifact needs both ends bracketed
-    // to make that call without re-running).
+    // returned to class). The r7 incident itself was on the STORAGE axis
+    // (351 s vs 34 s fact write), so the disk probe brackets too.
     val cpuSecEnd = calibCpuSec()
+    val writeMbpsEnd = calibWriteMbps()
 
     // The whole result is ONE JSON line, and the round driver keeps only
     // the last 2000 characters of output (rounds 1-4 all show a
@@ -500,8 +510,9 @@ object Bench {
       s""""calib_cpu_sec":${f"$cpuSec%.2f"},""" +
       s""""calib_cpu_end_sec":${f"$cpuSecEnd%.2f"},""" +
       s""""calib_write_mbps":${math.round(writeMbps)},""" +
+      s""""calib_write_end_mbps":${math.round(writeMbpsEnd)},""" +
       s""""pipeline":$pipelineJson,"pipeline10m":$pipeline10mJson,""" +
-      s""""full":"BENCH_full.json",""" +
+      s""""full":"$fullOut",""" +
       s""""sf":"${new java.io.File(sfDir).getName}"}"""
     // Line budget: the driver keeps only the LAST 2000 output chars and
     // parses the last line. As queries accumulate (~12 chars each), the
@@ -543,15 +554,19 @@ object Bench {
     // per-query history). The 2000-char driver line is the SUMMARY; the
     // complete map — full query names, every per-call ms, every window —
     // is written to BENCH_full.json (repo-committed, overwritten per
-    // run) and the line's "full" field points at it.
+    // run) and the line's "full" field points at it. An escape-hatch
+    // iteration run (SLO_ONLY / ONLY / PIPELINE_ONLY) must NOT clobber
+    // the committed record of the last full run with a degraded
+    // artifact — it only writes when SPARK_GRAFT_FULL_OUT is explicit.
     val fullNames = results.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }
       .mkString("{", ",", "}")
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_FULL_OUT",
-        "BENCH_full.json")),
-      assemble(callsJson, s""""queries":$fullNames""") + "\n")
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] BENCH_full.json write failed: $e") }
+    val isPartialRun = sloOnly || pipelineOnly || onlyPrefixes.isDefined
+    if (!isPartialRun || sys.env.contains("SPARK_GRAFT_FULL_OUT"))
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(fullOut),
+        assemble(callsJson, s""""queries":$fullNames""") + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $fullOut write failed: $e") }
     // Stop the session BEFORE printing: any stderr the shutdown emits must
     // land ahead of the metric line, because the round driver merges
     // stderr into the capture and parses the LAST line as JSON. A failing

@@ -1568,6 +1568,19 @@ object SparkEntry {
     * recall/precision@10, reciprocal rank, success flag. The eval joins
     * are all (query, doc)-keyed; no stage is wider than the ranking. */
   private def retrievalEvalQ(s: SparkSession, d: String): DataFrame = {
+    val (approx, truth) = rankedTruthPair(s, d)
+    RetrievalEval.evaluate(approx, truth, "query_id", "neighbor_id",
+      "rank", k = 10)
+  }
+
+  /** The one graded (ranking, truth) pair every eval query
+    * (q133/q136/q139/q141) shares — the Scala twin of the SQL side's
+    * `retrievalCommonCtes`: the q27 IVF top-20 (nProbe 4) as the system
+    * under test, q16's brute-force top-10 as ground truth. A parameter
+    * tweak here (k, nProbe) changes all four queries together, exactly
+    * like the shared CTE string changes all four oracles. */
+  private def rankedTruthPair(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
     val emb = embeddings(s, d)
     val qs = emb.filter(col("vec_id") < 10)
     val truth = Knn.bruteTopK(emb, qs, "vec_id", "embedding", k = 10)
@@ -1575,8 +1588,7 @@ object SparkEntry {
     val approx = Knn.ivfTopK(emb, qs, emb.filter(col("vec_id") < 16),
         "vec_id", "embedding", k = 20, nProbe = 4)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
-    RetrievalEval.evaluate(approx, truth, "query_id", "neighbor_id",
-      "rank", k = 10)
+    (approx, truth)
   }
 
   /** q136: the corpus-level macro summary of q133
@@ -1637,13 +1649,7 @@ object SparkEntry {
     * zero accumulation-order risk — the house answer to nDCG's
     * transcendental log2 discount (see RetrievalEval scaladoc). */
   private def ndcgQ(s: SparkSession, d: String): DataFrame = {
-    val emb = embeddings(s, d)
-    val qs = emb.filter(col("vec_id") < 10)
-    val truth = Knn.bruteTopK(emb, qs, "vec_id", "embedding", k = 10)
-      .select(col("query_id"), col("neighbor_id"))
-    val approx = Knn.ivfTopK(emb, qs, emb.filter(col("vec_id") < 16),
-        "vec_id", "embedding", k = 20, nProbe = 4)
-      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    val (approx, truth) = rankedTruthPair(s, d)
     RetrievalEval.ndcg(approx, truth, "query_id", "neighbor_id", "rank",
       k = 10)
   }
@@ -1733,15 +1739,25 @@ object SparkEntry {
     * discipline applied to the precision-averaging metric. Same
     * ranked/truth pair as q133/q139. */
   private def apQ(s: SparkSession, d: String): DataFrame = {
-    val emb = embeddings(s, d)
-    val qs = emb.filter(col("vec_id") < 10)
-    val truth = Knn.bruteTopK(emb, qs, "vec_id", "embedding", k = 10)
-      .select(col("query_id"), col("neighbor_id"))
-    val approx = Knn.ivfTopK(emb, qs, emb.filter(col("vec_id") < 16),
-        "vec_id", "embedding", k = 20, nProbe = 4)
-      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    val (approx, truth) = rankedTruthPair(s, d)
     RetrievalEval.averagePrecision(approx, truth, "query_id",
       "neighbor_id", "rank", k = 10)
+  }
+
+  /** q142: corpus-level graded-metric summary
+    * ([[RetrievalEval.summarizeGraded]]) — the q136 analog for the
+    * graded tier: one row of n_queries, mean nDCG@10 and MAP@10 over
+    * the shared ranked/truth pair. Undefined per-query values (no
+    * truth) drop out of the means by avg's NULL semantics on both
+    * engines, exactly q136's mean_recall rule. */
+  private def gradedMacroQ(s: SparkSession, d: String): DataFrame = {
+    val (approx, truth) = rankedTruthPair(s, d)
+    RetrievalEval.summarizeGraded(
+      RetrievalEval.ndcg(approx, truth, "query_id", "neighbor_id",
+        "rank", k = 10),
+      RetrievalEval.averagePrecision(approx, truth, "query_id",
+        "neighbor_id", "rank", k = 10),
+      "query_id")
   }
 
   /** q134: batch small-file compaction ([[graft.sinks.Publish.compact]] —
@@ -2386,6 +2402,7 @@ object SparkEntry {
     "q139_ndcg"                -> (ndcgQ _),
     "q140_maude_ingest_replay" -> (maudeIngestReplayQ _),
     "q141_avg_precision"       -> (apQ _),
+    "q142_graded_macro"        -> (gradedMacroQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -4221,6 +4238,42 @@ object SparkEntry {
         |    THEN round(ap_num / (2520 * least(n_rel, 10)), 6)
         |  END AS ap_at_k
         |FROM j""".stripMargin,
+
+    // q142: the q139/q141 per-query folds (same exact-integer
+    // arithmetic) averaged to the corpus-level graded row — avg skips
+    // the NULL undefined values on both engines (q136's rule), and the
+    // averaged inputs are already 6dp-rounded exact ratios
+    "q142_graded_macro" ->
+      s"""WITH $retrievalCommonCtes,
+        |npq AS (SELECT query_id,
+        |    sum(CASE WHEN rel AND rank <= 10 THEN 2520 // rank ELSE 0 END)::BIGINT
+        |      AS dcg_num
+        |  FROM f GROUP BY 1),
+        |nj AS (SELECT coalesce(npq.query_id, n.query_id) AS query_id,
+        |    coalesce(n.n_rel, 0) AS n_rel, coalesce(npq.dcg_num, 0) AS dcg_num
+        |  FROM npq FULL OUTER JOIN nrel n ON npq.query_id = n.query_id),
+        |nd AS (SELECT query_id, CASE WHEN n_rel > 0
+        |    THEN round(dcg_num / list_sum(list_transform(
+        |      range(1, least(n_rel, 10) + 1), r -> 2520 // r)), 6)
+        |  END AS ndcg_at_k FROM nj),
+        |cc AS (SELECT query_id, rank, rel,
+        |    sum(CASE WHEN rel THEN 1 ELSE 0 END) OVER (
+        |      PARTITION BY query_id ORDER BY rank) AS cumhits
+        |  FROM f),
+        |apq AS (SELECT query_id,
+        |    sum(CASE WHEN rel AND rank <= 10
+        |      THEN cumhits * (2520 // rank) ELSE 0 END)::BIGINT AS ap_num
+        |  FROM cc GROUP BY 1),
+        |aj AS (SELECT coalesce(apq.query_id, n.query_id) AS query_id,
+        |    coalesce(n.n_rel, 0) AS n_rel, coalesce(apq.ap_num, 0) AS ap_num
+        |  FROM apq FULL OUTER JOIN nrel n ON apq.query_id = n.query_id),
+        |ap AS (SELECT query_id, CASE WHEN n_rel > 0
+        |    THEN round(ap_num / (2520 * least(n_rel, 10)), 6)
+        |  END AS ap_at_k FROM aj)
+        |SELECT count(*)::BIGINT AS n_queries,
+        |  round(avg(ndcg_at_k), 6) AS mean_ndcg,
+        |  round(avg(ap_at_k), 6) AS map
+        |FROM nd FULL OUTER JOIN ap USING (query_id)""".stripMargin,
 
     // q138: every candidate score recomputed by DuckDB's own
     // jaro_winkler_similarity — identical integer-derived double formula,

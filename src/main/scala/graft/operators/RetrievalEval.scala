@@ -46,14 +46,35 @@ object RetrievalEval {
    *               1-based and dense per query (ties already broken)
    * @param qrels  ground truth: (queryCol, docCol) distinct relevant pairs
    */
-  def evaluate(ranked: DataFrame, qrels: DataFrame, queryCol: String,
-               docCol: String, rankCol: String, k: Int): DataFrame = {
-    require(k >= 1, "k must be positive")
+  /** Shared skeleton of every metric here: distinct qrels, per-query
+    * truth size (`rel`: n_rel), and the ranked list left-joined against
+    * the truth pairs (`flagged`: a non-NULL `rel` column marks a
+    * relevant retrieved row). One (query, doc)-keyed join + one
+    * query-keyed aggregate — the only shuffles any metric pays. */
+  private def flagAgainstTruth(ranked: DataFrame, qrels: DataFrame,
+                               queryCol: String, docCol: String)
+      : (DataFrame, DataFrame) = {
     val q = col(queryCol)
     val qrelsD = qrels.select(q, col(docCol)).distinct()
     val rel = qrelsD.groupBy(q).agg(count(lit(1)).as("n_rel"))
     val flagged = ranked.join(qrelsD.withColumn("rel", lit(1)),
       Seq(queryCol, docCol), "left")
+    (flagged, rel)
+  }
+
+  /** lcm(1..k) — the integer scale making every 1/r (r ≤ k) term exact;
+    * k ≤ 40 keeps it inside a Long (and under 2^53 for exact DOUBLE
+    * division). */
+  private def lcmScale(k: Int): Long = {
+    require(k >= 1 && k <= 40, "k in [1, 40] (lcm(1..k) must fit a Long)")
+    (1 to k).foldLeft(1L)((l, r) => l / gcd(l, r) * r)
+  }
+
+  def evaluate(ranked: DataFrame, qrels: DataFrame, queryCol: String,
+               docCol: String, rankCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val q = col(queryCol)
+    val (flagged, rel) = flagAgainstTruth(ranked, qrels, queryCol, docCol)
     val perQuery = flagged.groupBy(q).agg(
       sum(when(col("rel").isNotNull && col(rankCol) <= k, 1L).otherwise(0L))
         .as("hits_at_k"),
@@ -111,13 +132,9 @@ object RetrievalEval {
    */
   def ndcg(ranked: DataFrame, qrels: DataFrame, queryCol: String,
            docCol: String, rankCol: String, k: Int): DataFrame = {
-    require(k >= 1 && k <= 40, "k in [1, 40] (lcm(1..k) must fit a Long)")
-    val scale = (1 to k).foldLeft(1L)((l, r) => l / gcd(l, r) * r)
+    val scale = lcmScale(k)
     val q = col(queryCol)
-    val qrelsD = qrels.select(q, col(docCol)).distinct()
-    val rel = qrelsD.groupBy(q).agg(count(lit(1)).as("n_rel"))
-    val flagged = ranked.join(qrelsD.withColumn("rel", lit(1)),
-      Seq(queryCol, docCol), "left")
+    val (flagged, rel) = flagAgainstTruth(ranked, qrels, queryCol, docCol)
     // L/r is an exact integer for r ≤ k by construction of L; the DOUBLE
     // division is exact (both operands < 2^53), floor is a no-op cast
     val perQuery = flagged.groupBy(q).agg(
@@ -165,13 +182,9 @@ object RetrievalEval {
   def averagePrecision(ranked: DataFrame, qrels: DataFrame, queryCol: String,
                        docCol: String, rankCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(k >= 1 && k <= 40, "k in [1, 40] (lcm(1..k) must fit a Long)")
-    val scale = (1 to k).foldLeft(1L)((l, r) => l / gcd(l, r) * r)
+    val scale = lcmScale(k)
     val q = col(queryCol)
-    val qrelsD = qrels.select(q, col(docCol)).distinct()
-    val rel = qrelsD.groupBy(q).agg(count(lit(1)).as("n_rel"))
-    val flagged = ranked.join(qrelsD.withColumn("rel", lit(1)),
-      Seq(queryCol, docCol), "left")
+    val (flagged, rel) = flagAgainstTruth(ranked, qrels, queryCol, docCol)
     val w = Window.partitionBy(q).orderBy(col(rankCol))
     val cum = flagged.withColumn("cumhits",
       sum(when(col("rel").isNotNull, 1L).otherwise(0L)).over(w))
@@ -192,6 +205,25 @@ object RetrievalEval {
           round(apNum.cast("double") / apDen.cast("double"), 6))
           .as("ap_at_k"))
   }
+
+  /**
+   * Corpus-level summary of the graded metrics — the q136 analog for
+   * [[ndcg]] and [[averagePrecision]]: one row of n_queries, mean nDCG
+   * and MAP (the macro mean of AP IS the textbook MAP). Undefined
+   * per-query values (n_rel = 0 → NULL) are excluded by avg's own
+   * NULL-skipping semantics on both engines, mirroring
+   * [[summarize]]'s mean_recall rule. Join is query-keyed; one
+   * single-row fold.
+   */
+  def summarizeGraded(perNdcg: DataFrame, perAp: DataFrame,
+                      queryCol: String): DataFrame =
+    perNdcg.select(col(queryCol), col("ndcg_at_k"))
+      .join(perAp.select(col(queryCol), col("ap_at_k")), Seq(queryCol),
+        "full_outer")
+      .agg(
+        count(lit(1)).as("n_queries"),
+        round(avg(col("ndcg_at_k")), 6).as("mean_ndcg"),
+        round(avg(col("ap_at_k")), 6).as("map"))
 
   @annotation.tailrec
   private def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)

@@ -154,6 +154,20 @@ class RetrievalEvalSpec extends SparkSpec {
     assert(row.getAs[Double]("ap_at_k") === 1.0)
   }
 
+  test("summarizeGraded: macro nDCG/MAP, undefined queries excluded from means") {
+    val nd = RetrievalEval.ndcg(ranked, qrels, "qid", "doc", "rank", 4)
+    val ap = RetrievalEval.averagePrecision(ranked, qrels, "qid", "doc",
+      "rank", 4)
+    val s = RetrievalEval.summarizeGraded(nd, ap, "qid").head()
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(s.getAs[Long]("n_queries") === 4L)
+    // per-query ndcg: q1 = 9/22, q2 NULL (excluded), q3 0, q4 0
+    assert(s.getAs[Double]("mean_ndcg") === r6((r6(9.0 / 22) + 0.0 + 0.0) / 3))
+    // per-query ap: q1 = 12/36, q2 NULL, q3 0, q4 0
+    assert(s.getAs[Double]("map") === r6((r6(12.0 / 36) + 0.0 + 0.0) / 3))
+  }
+
   test("query that finds nothing relevant: zeros, rr 0, no success") {
     val q3 = byQid(2)("q3")
     assert(q3.getAs[Long]("n_rel") === 1L)
