@@ -27,10 +27,11 @@ import org.apache.spark.sql.functions._
  *  - `success_at_k` — whether any relevant result landed in the top-k
  *
  * All ratios are exact integer divisions rounded to 6dp — engine-
- * portable with no transcendental functions (nDCG's 1/log2(r+1) gains
- * are deliberately omitted for the house last-ulp reason; callers who
- * want DCG weights can apply them to the per-rank join this operator
- * exposes).
+ * portable with no transcendental functions. The graded tier lives in
+ * [[ndcg]] (harmonic-discount rational-gain nDCG; the classic
+ * 1/log2(r+1) discount is transcendental and stays out of oracled
+ * outputs for the house last-ulp reason) and [[averagePrecision]]
+ * (exact-rational AP; its macro mean is MAP via [[summarizeGraded]]).
  *
  * Plan shape: ONE left join of the ranked lists against the qrels on
  * (query, doc) — broadcast when the truth set is small, hash otherwise —

@@ -688,6 +688,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("q139/q141 graded eval: bounded top-k ranking, broadcast centroid probe") {
+    // the eval tier must stay no wider than the ranking it grades: the
+    // IVF candidate ranking compiles to WindowGroupLimit (each input
+    // partition forwards <= k rows into the rank shuffle) and the
+    // centroid probe joins broadcast; the truth-side join is left to
+    // AQE deliberately (offline qrels can be arbitrarily large)
+    Seq("q139_ndcg", "q141_avg_precision").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("WindowGroupLimit"), s"$q: rank-limit not bounded:\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"$q: centroid probe not broadcast")
+      assert(!p.contains("CartesianProduct"), s"$q: all-pairs stage crept in")
+    }
+  }
+
   test("k-means Lloyd update: no Generate, one fixed-width aggregate exchange") {
     // the r3 stretch item: training must never explode the corpus into
     // corpus x dim rows -- the vector-sum aggregate keeps per-group state

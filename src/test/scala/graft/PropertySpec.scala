@@ -478,4 +478,55 @@ class PropertySpec extends SparkSpec {
       } finally { idx1.close(); idx4.close() }
     }
   }
+
+  test("ndcg/averagePrecision agree with an independent exact-rational reference") {
+    import graft.operators.RetrievalEval
+    // randomized ranked lists + qrels over a small id space, the exact
+    // integer numerators recomputed independently with BigInt rationals
+    val k = 7
+    val scale = (1 to k).foldLeft(BigInt(1))((l, r) => l / l.gcd(r) * r).toLong
+    val rnd = new scala.util.Random(1234)
+    val ranked = (0 until 40).flatMap { q =>
+      val docs = rnd.shuffle((0 until 30).toList).take(rnd.nextInt(15))
+      docs.zipWithIndex.map { case (d, i) => (q.toLong, d.toLong, (i + 1).toLong) }
+    }
+    val qrels = (0 until 40).flatMap { q =>
+      (0 until 30).filter(_ => rnd.nextInt(5) == 0)
+        .map(d => (q.toLong, d.toLong))
+    }.distinct
+    val rankedDf = ranked.toDF("qid", "doc", "rank")
+    val qrelsDf = qrels.toDF("qid", "doc")
+    val truth = qrels.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // independent reference, plain Scala
+    def ref(q: Long): (Long, Long, Long, Long) = {
+      val rel = truth.getOrElse(q, Set.empty)
+      val rows = ranked.filter(_._1 == q).sortBy(_._3)
+      val nRel = rel.size.toLong
+      val dcg = rows.collect {
+        case (_, d, r) if rel(d) && r <= k => scale / r }.sum
+      val idcg = (1L to math.min(nRel, k.toLong)).map(scale / _).sum
+      var hits = 0L
+      val ap = rows.sortBy(_._3).map { case (_, d, r) =>
+        if (rel(d)) { hits += 1; if (r <= k) hits * (scale / r) else 0L }
+        else 0L
+      }.sum
+      (nRel, dcg, idcg, ap)
+    }
+    val nd = RetrievalEval.ndcg(rankedDf, qrelsDf, "qid", "doc", "rank", k)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val ap = RetrievalEval
+      .averagePrecision(rankedDf, qrelsDf, "qid", "doc", "rank", k)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val allQs = (ranked.map(_._1) ++ qrels.map(_._1)).distinct
+    assert(nd.keySet === allQs.toSet && ap.keySet === allQs.toSet)
+    allQs.foreach { q =>
+      val (nRel, dcg, idcg, apNum) = ref(q)
+      assert(nd(q).getAs[Long]("n_rel") === nRel, s"q$q n_rel")
+      assert(nd(q).getAs[Long]("dcg_num") === dcg, s"q$q dcg")
+      assert(nd(q).getAs[Long]("idcg_num") === idcg, s"q$q idcg")
+      assert(ap(q).getAs[Long]("ap_num") === apNum, s"q$q ap_num")
+      assert(ap(q).getAs[Long]("ap_den") ===
+        scale * math.min(nRel, k.toLong), s"q$q ap_den")
+    }
+  }
 }
