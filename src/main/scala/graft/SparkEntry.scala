@@ -1760,6 +1760,57 @@ object SparkEntry {
       "query_id")
   }
 
+  /** q143: column-masking policy ([[Privacy.applyMaskingPolicies]] — the
+    * reference's `MASKING POLICY` governance item, README.md:63,132, as
+    * a plan-time projection): the customer table viewed as role
+    * 'analyst' — name partial-masked to its last 3 chars, segment fully
+    * redacted, the join key tokenized via SHA-256 (referential
+    * integrity preserved: equal keys mask to equal tokens), and acctbal
+    * untouched because its policy ALLOWS the analyst role. The
+    * unprivileged branches fold at plan time, so the governed view is a
+    * pure scan-side projection — zero cost at 100 TB. The oracle
+    * recomputes every mask relationally (RE2-safe repeat/right form +
+    * DuckDB's own sha256). */
+  private def maskingPolicyQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Privacy
+    import Privacy.MaskPolicy
+    val base = customer(s, d).select(
+      col("c_custkey"), col("c_name"),
+      col("c_custkey").cast("string").as("cust_token"),
+      col("c_mktsegment"), col("c_acctbal"))
+    Privacy.applyMaskingPolicies(base, role = "analyst", Seq(
+      MaskPolicy("c_name", Set("compliance"), Privacy.maskTail(_, 3)),
+      MaskPolicy("cust_token", Set("compliance"), Privacy.maskHash),
+      MaskPolicy("c_mktsegment", Set("compliance"), Privacy.maskFull),
+      MaskPolicy("c_acctbal", Set("compliance", "analyst"), Privacy.maskFull)))
+  }
+
+  /** q144: row-access policy ([[Privacy.rowAccessFilter]] — the
+    * reference's `ROW ACCESS POLICY` item, README.md:63,132, "per
+    * manufacturer/region"): an entitlement table derived from
+    * region/nation grants 'analyst_emea' the EUROPE nations and
+    * 'analyst_amer' the AMERICA ones; the customer table filtered for
+    * 'analyst_emea' folds to per-nation counts + exact cent balances.
+    * The entitlement side is roles × keys small → broadcast LEFT SEMI:
+    * the policy costs one scan-side hash probe per row at any fact
+    * size. Oracle = the same entitlement set as an IN-subquery. */
+  private def rowAccessQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Privacy
+    val ent = nation(s, d)
+      .join(region(s, d), col("n_regionkey") === col("r_regionkey"))
+      .select(
+        when(col("r_name") === "EUROPE", lit("analyst_emea"))
+          .when(col("r_name") === "AMERICA", lit("analyst_amer"))
+          .as("role"),
+        col("n_nationkey").as("c_nationkey"))
+      .filter(col("role").isNotNull)
+    Privacy.rowAccessFilter(customer(s, d), "c_nationkey", ent, "role",
+        role = "analyst_emea")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(expr("CAST(round(c_acctbal * 100) AS BIGINT)")).as("cents"))
+  }
+
   /** q134: batch small-file compaction ([[graft.sinks.Publish.compact]] —
     * the lakehouse OPTIMIZE maintenance operator, the batch sibling of
     * the streaming `batch_id=` compactor): a deliberately fragmented
@@ -2403,6 +2454,8 @@ object SparkEntry {
     "q140_maude_ingest_replay" -> (maudeIngestReplayQ _),
     "q141_avg_precision"       -> (apQ _),
     "q142_graded_macro"        -> (gradedMacroQ _),
+    "q143_masking_policy"      -> (maskingPolicyQ _),
+    "q144_row_access_policy"   -> (rowAccessQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -4274,6 +4327,37 @@ object SparkEntry {
         |  round(avg(ndcg_at_k), 6) AS mean_ndcg,
         |  round(avg(ap_at_k), 6) AS map
         |FROM nd FULL OUTER JOIN ap USING (query_id)""".stripMargin,
+
+    // q143: every mask recomputed relationally — the RE2-safe
+    // repeat/right twin of the lookahead-regex partial mask, DuckDB's
+    // own sha256 for the token lane, CASE for the redaction; the
+    // allowed-role column (c_acctbal) must arrive RAW or the hash
+    // diverges — the pass-through is part of the gated contract
+    "q143_masking_policy" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_name IS NULL THEN NULL
+        |    WHEN length(c_name) <= 3 THEN c_name
+        |    ELSE repeat('*', length(c_name) - 3) || right(c_name, 3)
+        |  END AS c_name,
+        |  CASE WHEN c_custkey IS NOT NULL
+        |    THEN sha256(c_custkey::VARCHAR) END AS cust_token,
+        |  CASE WHEN c_mktsegment IS NOT NULL
+        |    THEN '***MASKED***' END AS c_mktsegment,
+        |  c_acctbal
+        |FROM customer""".stripMargin,
+
+    // q144: the entitlement set as an IN-subquery over the same
+    // region/nation derivation; sum cast back to BIGINT (DuckDB sums
+    // BIGINT into HUGEINT)
+    "q144_row_access_policy" ->
+      """WITH ent AS (SELECT n_nationkey FROM nation
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE')
+        |SELECT c_nationkey, count(*)::BIGINT AS n_customers,
+        |  sum(CAST(round(c_acctbal * 100) AS BIGINT))::BIGINT AS cents
+        |FROM customer
+        |WHERE c_nationkey IN (SELECT n_nationkey FROM ent)
+        |GROUP BY 1""".stripMargin,
 
     // q138: every candidate score recomputed by DuckDB's own
     // jaro_winkler_similarity — identical integer-derived double formula,

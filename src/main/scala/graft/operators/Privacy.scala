@@ -44,4 +44,70 @@ object Privacy {
     require(w >= 1, "band width >= 1")
     v.cast("long") - pmod(v.cast("long"), lit(w))
   }
+
+  // ------------------------------------------------------------ policies
+
+  /** One column's masking policy: `allowedRoles` see the raw value,
+    * everyone else sees `mask(col)` — the Snowflake `MASKING POLICY`
+    * shape (a function of (value, CURRENT_ROLE()) bound to a column,
+    * reference README.md:63,132) with the role resolved at plan time,
+    * which is exactly when Snowflake's policy conditions on
+    * CURRENT_ROLE() constant-fold too. */
+  final case class MaskPolicy(column: String, allowedRoles: Set[String],
+                              mask: Column => Column)
+
+  /** Apply column-masking policies for `role`: a PURE PROJECTION — the
+    * unprivileged branches are folded at plan time (role is a literal),
+    * so the governed view costs zero over the base scan and the masked
+    * plan never materializes raw values for unprivileged readers.
+    * Scale: scan-side, codegen'd, no shuffle — governance that is free
+    * at 100 TB. */
+  def applyMaskingPolicies(df: DataFrame, role: String,
+                           policies: Seq[MaskPolicy]): DataFrame = {
+    val byCol = policies.map(p => p.column -> p).toMap
+    require(byCol.size == policies.size, "one policy per column")
+    df.select(df.columns.toSeq.map { c =>
+      byCol.get(c) match {
+        case Some(p) if !p.allowedRoles.contains(role) =>
+          p.mask(col(c)).as(c)
+        case _ => col(c)
+      }
+    }: _*)
+  }
+
+  /** Partial mask: keep the last `keep` chars, star the rest (the usual
+    * last-4 rule); values at or under `keep` chars pass through whole
+    * (nothing left to hide that the length doesn't already reveal).
+    * One scan-side regexp — every char with ≥ `keep` chars after it
+    * becomes '*'; NULL stays NULL. Equivalent to
+    * `repeat('*', greatest(length-keep, 0)) || right(c, keep)`, which
+    * is the RE2-safe formulation a DuckDB oracle uses (RE2 has no
+    * lookahead). */
+  def maskTail(c: Column, keep: Int): Column = {
+    require(keep >= 0, "keep >= 0")
+    regexp_replace(c, s"(?s).(?=(?s:.){$keep,})", "*")
+  }
+
+  /** Full redaction to a fixed token — type-preserving for strings. */
+  def maskFull(c: Column): Column = when(c.isNotNull, lit("***MASKED***"))
+
+  /** Deterministic tokenization: SHA-256 of the value — referential
+    * integrity preserved (equal values mask to equal tokens, so joins
+    * and GROUP BYs on the masked column still work), raw value
+    * unrecoverable. The classic masking policy for join keys. */
+  def maskHash(c: Column): Column = when(c.isNotNull, sha2(c, 256))
+
+  /** Row-access policy: an entitlement table (role, key) decides row
+    * visibility — the Snowflake `ROW ACCESS POLICY` shape (reference
+    * README.md:63,132, "per manufacturer/region"). A LEFT SEMI join
+    * against the role's entitlement rows; entitlement tables are
+    * role-count × key-count small, so the semi-join broadcasts and the
+    * policy costs one scan-side hash probe per row at any fact size. */
+  def rowAccessFilter(df: DataFrame, keyCol: String,
+                      entitlements: DataFrame, roleCol: String,
+                      role: String): DataFrame =
+    df.join(
+      broadcast(entitlements.filter(col(roleCol) === role)
+        .select(col(keyCol)).distinct()),
+      Seq(keyCol), "left_semi")
 }

@@ -46,4 +46,49 @@ class PrivacySpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.toLowerCase.contains("join"), s"no join expected:\n$plan")
   }
+
+  test("masking policies: role-gated per column, NULL-safe masks") {
+    import Privacy.MaskPolicy
+    val df = Seq(("Alice Smith", "555-0147", 1L),
+        ("Bo", null.asInstanceOf[String], 2L))
+      .toDF("name", "phone", "id")
+    val policies = Seq(
+      MaskPolicy("name", Set("admin"), Privacy.maskTail(_, 3)),
+      MaskPolicy("phone", Set("admin"), Privacy.maskFull),
+      MaskPolicy("id", Set("admin", "analyst"), Privacy.maskFull))
+    val analyst = Privacy.applyMaskingPolicies(df, "analyst", policies)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // partial mask keeps last 3; short values pass whole; NULL stays NULL;
+    // the allowed role sees id raw
+    assert(analyst.toSet === Set(
+      ("********ith", "***MASKED***", 1L), ("Bo", null, 2L)))
+    val admin = Privacy.applyMaskingPolicies(df, "admin", policies)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(admin.toSet === Set(("Alice Smith", "555-0147"), ("Bo", null)))
+    // deterministic tokenization preserves equality, hides the value
+    val toks = Seq("k1", "k1", "k2").toDF("k")
+      .select(Privacy.maskHash(col("k")).as("t")).collect().map(_.getString(0))
+    assert(toks(0) === toks(1) && toks(0) != toks(2) && toks(0).length == 64)
+  }
+
+  test("masking is a pure projection; row access is a broadcast semi-join") {
+    import Privacy.MaskPolicy
+    val df = (0 until 50).map(i => (s"n$i", i.toLong)).toDF("name", "key")
+      .repartition(4)
+    val maskedPlan = Privacy.applyMaskingPolicies(df, "analyst",
+        Seq(MaskPolicy("name", Set("admin"), Privacy.maskTail(_, 2))))
+      .queryExecution.executedPlan.toString
+    assert(!maskedPlan.toLowerCase.contains("join") &&
+      !maskedPlan.contains("Exchange hashpartitioning"),
+      s"masking must stay scan-side:\n$maskedPlan")
+    val ent = Seq(("analyst_emea", 1L), ("analyst_emea", 3L),
+      ("analyst_amer", 2L)).toDF("role", "key")
+    val filtered = Privacy.rowAccessFilter(df, "key", ent, "role",
+      "analyst_emea")
+    assert(filtered.select("key").collect().map(_.getLong(0)).toSet ===
+      Set(1L, 3L))
+    val p = filtered.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"entitlements must broadcast:\n$p")
+  }
 }
