@@ -30,6 +30,23 @@ object Metrics {
                                 spillBytes: Long, inputBytes: Long,
                                 outputRows: Long)
 
+  /** A consumption budget for [[resourceMonitor]] — the Spark analog of
+    * a Snowflake Resource Monitor's credit quota: axes default to
+    * unlimited, set the ones the workload must stay under. */
+  final case class ResourceBudget(maxTaskTimeMs: Long = Long.MaxValue,
+                                  maxShuffleBytes: Long = Long.MaxValue,
+                                  maxSpillBytes: Long = Long.MaxValue,
+                                  maxInputBytes: Long = Long.MaxValue)
+
+  /** What [[resourceMonitor]] observed: the consumption, which budget
+    * axis (if any) was crossed, and whether the workload was actually
+    * suspended mid-flight (a breach detected exactly as the last job
+    * finished reports `exceeded` with `suspended = false` — consumed,
+    * but nothing left to cancel; the caller still sees the breach). */
+  final case class MonitorReport(metrics: QueryMetrics,
+                                 exceeded: Option[String],
+                                 suspended: Boolean)
+
   private final class Capture(group: String) extends SparkListener {
     val stages = ConcurrentHashMap.newKeySet[Int]()
     val jobsStarted = new LongAdder; val jobsEnded = new LongAdder
@@ -38,12 +55,23 @@ object Metrics {
     val shufRead = new LongAdder; val shufWrite = new LongAdder
     val spill = new LongAdder; val input = new LongAdder
     val outRows = new LongAdder
+    // budget enforcement (resourceMonitor only): checked on the
+    // single-threaded listener bus after each task lands, so the
+    // first-crossing write is race-free
+    @volatile var exceededAxis: Option[String] = None
+    var budget: Option[ResourceBudget] = None
+    var onExceed: () => Unit = () => ()
 
     override def onJobStart(e: SparkListenerJobStart): Unit =
       if (Option(e.properties).exists(p =>
           group == p.getProperty("spark.jobGroup.id"))) {
         jobsStarted.increment()
         e.stageIds.foreach(stages.add(_))
+        // sticky suspension: a breach detected BETWEEN jobs (the first
+        // cancel found nothing active) still kills every job the group
+        // submits afterwards — Resource Monitor semantics, where a
+        // tripped quota refuses future statements too
+        if (exceededAxis.isDefined) onExceed()
       }
 
     override def onJobEnd(e: SparkListenerJobEnd): Unit = jobsEnded.increment()
@@ -59,8 +87,43 @@ object Metrics {
         spill.add(m.memoryBytesSpilled + m.diskBytesSpilled)
         input.add(m.inputMetrics.bytesRead)
         outRows.add(m.outputMetrics.recordsWritten)
+        for (b <- budget) {
+          if (exceededAxis.isEmpty) {
+            val axis =
+              if (taskTime.sum > b.maxTaskTimeMs) Some("task_time_ms")
+              else if (shufRead.sum + shufWrite.sum > b.maxShuffleBytes)
+                Some("shuffle_bytes")
+              else if (spill.sum > b.maxSpillBytes) Some("spill_bytes")
+              else if (input.sum > b.maxInputBytes) Some("input_bytes")
+              else None
+            exceededAxis = axis
+          }
+          // re-issue while breached (cancel is idempotent): closes the
+          // window where the first cancel raced a job boundary
+          if (exceededAxis.isDefined) onExceed()
+        }
       }
   }
+
+  /** Bounded wait for asynchronous listener delivery: job-end events
+    * are not group-filtered, so stability of (tasks + job ends) over a
+    * short window is the conservative settle signal. */
+  private def settle(cap: Capture, settleMs: Long): Unit = {
+    val deadline = System.nanoTime() + settleMs * 1000000L
+    var last = -1L
+    var stable = 0
+    while (System.nanoTime() < deadline && stable < 3) {
+      val now = cap.tasks.sum() + cap.jobsEnded.sum()
+      if (now == last) stable += 1 else { stable = 0; last = now }
+      Thread.sleep(50)
+    }
+  }
+
+  private def snapshot(cap: Capture, tag: String): QueryMetrics =
+    QueryMetrics(tag, cap.jobsStarted.sum(), cap.tasks.sum(),
+      cap.taskTime.sum(), cap.cpuTime.sum(), cap.shufRead.sum(),
+      cap.shufWrite.sum(), cap.spill.sum(), cap.input.sum(),
+      cap.outRows.sum())
 
   /** Run `body` under job group `tag` and return (result, metrics).
     * `settleMs` bounds the wait for asynchronous listener delivery after
@@ -74,22 +137,49 @@ object Metrics {
       sc.setJobGroup(tag, s"graft:$tag", interruptOnCancel = false)
       val out = body
       sc.clearJobGroup()
-      // listener events are asynchronous: wait until every job this
-      // group started has ended (job-end events are not group-filtered,
-      // so compare against the global end count conservatively via a
-      // stability window), bounded by settleMs
-      val deadline = System.nanoTime() + settleMs * 1000000L
-      var last = -1L
-      var stable = 0
-      while (System.nanoTime() < deadline && stable < 3) {
-        val now = cap.tasks.sum() + cap.jobsEnded.sum()
-        if (now == last) stable += 1 else { stable = 0; last = now }
-        Thread.sleep(50)
-      }
-      (out, QueryMetrics(tag, cap.jobsStarted.sum(), cap.tasks.sum(),
-        cap.taskTime.sum(), cap.cpuTime.sum(), cap.shufRead.sum(),
-        cap.shufWrite.sum(), cap.spill.sum(), cap.input.sum(),
-        cap.outRows.sum()))
+      settle(cap, settleMs)
+      (out, snapshot(cap, tag))
+    } finally sc.removeSparkListener(cap)
+  }
+
+  /**
+   * Budget-capped execution — the Spark analog of the reference's
+   * Resource Monitor (README.md:63,128-133: suspend the warehouse when
+   * the credit quota is hit): run `body` under a job group with a live
+   * [[ResourceBudget]]; consumption is checked on the listener bus as
+   * each task lands, and the FIRST crossing cancels the job group
+   * (`interruptOnCancel = true`), killing the active jobs of exactly
+   * this workload — nothing else on the session is touched.
+   *
+   * Returns `(Some(result), report)` when the workload finished under
+   * budget, `(None, report(suspended = true))` when it was cancelled
+   * mid-flight. Granularity is per task completion — the same "checked
+   * at intervals, may slightly overshoot" contract the reference's
+   * monitor documents; a breach landing exactly with the final job's
+   * last task reports `exceeded` with `suspended = false` (consumed,
+   * but nothing left to cancel — the caller still sees the breach).
+   */
+  def resourceMonitor[T](spark: SparkSession, tag: String,
+                         budget: ResourceBudget, settleMs: Long = 10000L)
+                        (body: => T): (Option[T], MonitorReport) = {
+    val sc = spark.sparkContext
+    val cap = new Capture(tag)
+    cap.budget = Some(budget)
+    cap.onExceed = () => sc.cancelJobGroup(tag)
+    sc.addSparkListener(cap)
+    try {
+      sc.setJobGroup(tag, s"graft:monitor:$tag", interruptOnCancel = true)
+      val outcome =
+        try Right(body)
+        catch {
+          // only swallow the failure this monitor itself caused
+          case e: Throwable if cap.exceededAxis.isDefined => Left(e)
+        }
+      sc.clearJobGroup()
+      settle(cap, settleMs)
+      val report = MonitorReport(snapshot(cap, tag), cap.exceededAxis,
+        suspended = outcome.isLeft)
+      (outcome.toOption, report)
     } finally sc.removeSparkListener(cap)
   }
 }

@@ -19,6 +19,44 @@ class MetricsSpec extends SparkSpec {
     assert(m.taskTimeMs > 0L)
   }
 
+  test("resourceMonitor: under-budget workload completes with a clean report") {
+    val (result, report) = Metrics.resourceMonitor(spark, "rm-under",
+      Metrics.ResourceBudget(maxShuffleBytes = 1L << 30)) {
+      (1 to 10000).toDF("x").groupBy(col("x") % 10).count().collect().length
+    }
+    assert(result === Some(10))
+    assert(report.exceeded.isEmpty && !report.suspended)
+    assert(report.metrics.shuffleWriteBytes > 0L)
+  }
+
+  test("resourceMonitor: budget breach is detected and suspends the workload") {
+    // a 1-byte shuffle budget must be crossed by the first shuffling
+    // job; the monitor cancels the group, so the multi-job loop cannot
+    // run to completion. The breach axis is always reported; whether
+    // cancellation caught a job mid-flight (suspended) or the breach
+    // landed with a job's final task decides Some/None — the contract
+    // ties them together.
+    val (result, report) = Metrics.resourceMonitor(spark, "rm-over",
+      Metrics.ResourceBudget(maxShuffleBytes = 1L)) {
+      (0 until 30).map { i =>
+        (1 to 20000).toDF("x").groupBy(col("x") % 50).count().count()
+      }.sum
+    }
+    assert(report.exceeded === Some("shuffle_bytes"))
+    assert(report.suspended === result.isEmpty)
+    assert(report.suspended, "a 30-job loop must be caught mid-flight")
+  }
+
+  test("resourceMonitor: a cancelled group does not poison later work") {
+    Metrics.resourceMonitor(spark, "rm-poison",
+      Metrics.ResourceBudget(maxShuffleBytes = 1L)) {
+      (0 until 10).foreach(_ =>
+        (1 to 20000).toDF("x").groupBy(col("x") % 50).count().count())
+    }
+    // the session must be fully usable afterwards
+    assert(spark.range(100).count() === 100L)
+  }
+
   test("measure isolates concurrent untagged work from the group's metrics") {
     // run an untagged shuffle FIRST; its stages must not leak into the
     // next capture (stage filtering is by the group's own job starts)
