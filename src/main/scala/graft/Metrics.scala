@@ -159,6 +159,30 @@ object Metrics {
    * last task reports `exceeded` with `suspended = false` (consumed,
    * but nothing left to cancel — the caller still sees the breach).
    */
+  /** ACCOUNT_USAGE-style cost report (the reference's "reports by
+    * warehouse/tag", README.md:133): fold the [[QueryMetrics]] of
+    * measured blocks into a per-tag usage table — runs, jobs, tasks,
+    * task/cpu time, shuffle/spill/input bytes, output rows — as a
+    * DataFrame, so the report itself is queryable and publishable like
+    * any mart. Driver-side input is one row per measured block;
+    * aggregation is Spark's. */
+  def usageReport(spark: SparkSession, runs: Seq[QueryMetrics])
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    runs.toDF()
+      .groupBy(col("tag"))
+      .agg(count(lit(1)).as("runs"),
+        sum(col("jobs")).as("jobs"), sum(col("tasks")).as("tasks"),
+        sum(col("taskTimeMs")).as("task_time_ms"),
+        sum(col("cpuTimeMs")).as("cpu_time_ms"),
+        sum(col("shuffleReadBytes")).as("shuffle_read_bytes"),
+        sum(col("shuffleWriteBytes")).as("shuffle_write_bytes"),
+        sum(col("spillBytes")).as("spill_bytes"),
+        sum(col("inputBytes")).as("input_bytes"),
+        sum(col("outputRows")).as("output_rows"))
+  }
+
   def resourceMonitor[T](spark: SparkSession, tag: String,
                          budget: ResourceBudget, settleMs: Long = 10000L)
                         (body: => T): (Option[T], MonitorReport) = {

@@ -57,6 +57,23 @@ class MetricsSpec extends SparkSpec {
     assert(spark.range(100).count() === 100L)
   }
 
+  test("usageReport folds measured blocks into a per-tag cost table") {
+    val (_, a1) = Metrics.measure(spark, "ingest") {
+      spark.range(20000).groupBy(col("id") % 7).count().collect() }
+    val (_, a2) = Metrics.measure(spark, "ingest") {
+      spark.range(20000).groupBy(col("id") % 5).count().collect() }
+    val (_, b) = Metrics.measure(spark, "search") {
+      spark.range(1000).select(sum(col("id"))).collect() }
+    val rep = Metrics.usageReport(spark, Seq(a1, a2, b))
+      .collect().map(r => r.getAs[String]("tag") -> r).toMap
+    assert(rep.keySet === Set("ingest", "search"))
+    assert(rep("ingest").getAs[Long]("runs") === 2L)
+    assert(rep("ingest").getAs[Long]("jobs") === a1.jobs + a2.jobs)
+    assert(rep("ingest").getAs[Long]("shuffle_write_bytes") ===
+      a1.shuffleWriteBytes + a2.shuffleWriteBytes)
+    assert(rep("search").getAs[Long]("runs") === 1L)
+  }
+
   test("measure isolates concurrent untagged work from the group's metrics") {
     // run an untagged shuffle FIRST; its stages must not leak into the
     // next capture (stage filtering is by the group's own job starts)
