@@ -135,30 +135,32 @@ object Metrics {
     sc.addSparkListener(cap)
     try {
       sc.setJobGroup(tag, s"graft:$tag", interruptOnCancel = false)
-      val out = body
-      sc.clearJobGroup()
+      // clearJobGroup in a finally: a throwing body must not leave the
+      // calling thread tagged into a dead group (every later action on
+      // the thread would silently join it)
+      val out = try body finally sc.clearJobGroup()
       settle(cap, settleMs)
       (out, snapshot(cap, tag))
     } finally sc.removeSparkListener(cap)
   }
 
-  /**
-   * Budget-capped execution — the Spark analog of the reference's
-   * Resource Monitor (README.md:63,128-133: suspend the warehouse when
-   * the credit quota is hit): run `body` under a job group with a live
-   * [[ResourceBudget]]; consumption is checked on the listener bus as
-   * each task lands, and the FIRST crossing cancels the job group
-   * (`interruptOnCancel = true`), killing the active jobs of exactly
-   * this workload — nothing else on the session is touched.
-   *
-   * Returns `(Some(result), report)` when the workload finished under
-   * budget, `(None, report(suspended = true))` when it was cancelled
-   * mid-flight. Granularity is per task completion — the same "checked
-   * at intervals, may slightly overshoot" contract the reference's
-   * monitor documents; a breach landing exactly with the final job's
-   * last task reports `exceeded` with `suspended = false` (consumed,
-   * but nothing left to cancel — the caller still sees the breach).
-   */
+  /** Does this failure chain contain Spark's job-cancellation signal?
+    * Distinguishes "the monitor suspended the workload" from an
+    * unrelated body failure that happens to race a breach flag. */
+  private def isCancellation(t: Throwable): Boolean = {
+    var cur = t
+    while (cur != null) {
+      cur match {
+        case s: org.apache.spark.SparkException
+            if Option(s.getMessage).exists(_.toLowerCase.contains("cancel")) =>
+          return true
+        case _ => ()
+      }
+      cur = cur.getCause
+    }
+    false
+  }
+
   /** ACCOUNT_USAGE-style cost report (the reference's "reports by
     * warehouse/tag", README.md:133): fold the [[QueryMetrics]] of
     * measured blocks into a per-tag usage table — runs, jobs, tasks,
@@ -183,6 +185,23 @@ object Metrics {
         sum(col("outputRows")).as("output_rows"))
   }
 
+  /**
+   * Budget-capped execution — the Spark analog of the reference's
+   * Resource Monitor (README.md:63,128-133: suspend the warehouse when
+   * the credit quota is hit): run `body` under a job group with a live
+   * [[ResourceBudget]]; consumption is checked on the listener bus as
+   * each task lands, and the FIRST crossing cancels the job group
+   * (`interruptOnCancel = true`), killing the active jobs of exactly
+   * this workload — nothing else on the session is touched.
+   *
+   * Returns `(Some(result), report)` when the workload finished under
+   * budget, `(None, report(suspended = true))` when it was cancelled
+   * mid-flight. Granularity is per task completion — the same "checked
+   * at intervals, may slightly overshoot" contract the reference's
+   * monitor documents; a breach landing exactly with the final job's
+   * last task reports `exceeded` with `suspended = false` (consumed,
+   * but nothing left to cancel — the caller still sees the breach).
+   */
   def resourceMonitor[T](spark: SparkSession, tag: String,
                          budget: ResourceBudget, settleMs: Long = 10000L)
                         (body: => T): (Option[T], MonitorReport) = {
@@ -194,12 +213,20 @@ object Metrics {
     try {
       sc.setJobGroup(tag, s"graft:monitor:$tag", interruptOnCancel = true)
       val outcome =
-        try Right(body)
-        catch {
-          // only swallow the failure this monitor itself caused
-          case e: Throwable if cap.exceededAxis.isDefined => Left(e)
-        }
-      sc.clearJobGroup()
+        try {
+          try Right(body)
+          catch {
+            // only swallow the failure this monitor itself caused: a
+            // NON-fatal error whose chain carries Spark's cancellation
+            // signal while the breach flag is set. An unrelated body
+            // failure (or a fatal VM error) racing a breach rethrows —
+            // losing a real defect behind "suspended" would be worse
+            // than a spurious failure.
+            case scala.util.control.NonFatal(e)
+                if cap.exceededAxis.isDefined && isCancellation(e) =>
+              Left(e)
+          }
+        } finally sc.clearJobGroup()
       settle(cap, settleMs)
       val report = MonitorReport(snapshot(cap, tag), cap.exceededAxis,
         suspended = outcome.isLeft)

@@ -1782,7 +1782,12 @@ object SparkEntry {
       MaskPolicy("c_name", Set("compliance"), Privacy.maskTail(_, 3)),
       MaskPolicy("cust_token", Set("compliance"), Privacy.maskHash),
       MaskPolicy("c_mktsegment", Set("compliance"), Privacy.maskFull),
-      MaskPolicy("c_acctbal", Set("compliance", "analyst"), Privacy.maskFull)))
+      // type-preserving NULL-out for the numeric column (maskFull would
+      // fail applyMaskingPolicies' schema-invariance check): the
+      // analyst role is ALLOWED here, so the declared output carries
+      // the RAW balances — the pass-through is part of the contract
+      MaskPolicy("c_acctbal", Set("compliance", "analyst"),
+        Privacy.maskNull("double"))))
   }
 
   /** q144: row-access policy ([[Privacy.rowAccessFilter]] — the

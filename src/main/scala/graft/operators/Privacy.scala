@@ -66,6 +66,27 @@ object Privacy {
                            policies: Seq[MaskPolicy]): DataFrame = {
     val byCol = policies.map(p => p.column -> p).toMap
     require(byCol.size == policies.size, "one policy per column")
+    // fail fast on misconfiguration — for a governance operator a
+    // silently unapplied policy is a security failure, not a no-op:
+    // (1) every policy must name a real column (a case/typo mismatch
+    // would return raw PII to every role);
+    val missing = policies.map(_.column).filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"masking policies name absent columns: ${missing.mkString(", ")}")
+    // (2) every mask must preserve its column's type — checked against
+    // a probe that applies ALL masks regardless of the caller's role,
+    // so a type-changing mask fails at policy-definition time, not on
+    // the first unprivileged read (Snowflake masking policies carry
+    // the same returns-same-type contract)
+    val probe = df.select(df.columns.toSeq.map { c =>
+      byCol.get(c).map(p => p.mask(col(c)).as(c)).getOrElse(col(c)) }: _*)
+    probe.schema.fields.zip(df.schema.fields).foreach { case (m, o) =>
+      require(m.dataType == o.dataType,
+        s"mask for '${o.name}' changes its type " +
+          s"${o.dataType.simpleString} -> ${m.dataType.simpleString}; " +
+          "the governed view's schema must not depend on the reader's " +
+          "role (use maskNull(dt) for non-string columns)")
+    }
     df.select(df.columns.toSeq.map { c =>
       byCol.get(c) match {
         case Some(p) if !p.allowedRoles.contains(role) =>
@@ -88,8 +109,15 @@ object Privacy {
     regexp_replace(c, s"(?s).(?=(?s:.){$keep,})", "*")
   }
 
-  /** Full redaction to a fixed token — type-preserving for strings. */
+  /** Full redaction to a fixed token — STRING columns only (the
+    * type-preservation check in [[applyMaskingPolicies]] rejects it
+    * elsewhere; use [[maskNull]] for non-string columns). */
   def maskFull(c: Column): Column = when(c.isNotNull, lit("***MASKED***"))
+
+  /** Type-preserving redaction for non-string columns: NULL of the
+    * column's own type (`dt` is a Spark SQL type name, e.g. "double") —
+    * the standard numeric/date masking policy shape. */
+  def maskNull(dt: String): Column => Column = _ => lit(null).cast(dt)
 
   /** Deterministic tokenization: SHA-256 of the value — referential
     * integrity preserved (equal values mask to equal tokens, so joins

@@ -55,7 +55,7 @@ class PrivacySpec extends SparkSpec {
     val policies = Seq(
       MaskPolicy("name", Set("admin"), Privacy.maskTail(_, 3)),
       MaskPolicy("phone", Set("admin"), Privacy.maskFull),
-      MaskPolicy("id", Set("admin", "analyst"), Privacy.maskFull))
+      MaskPolicy("id", Set("admin", "analyst"), Privacy.maskNull("long")))
     val analyst = Privacy.applyMaskingPolicies(df, "analyst", policies)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     // partial mask keeps last 3; short values pass whole; NULL stays NULL;
@@ -69,6 +69,29 @@ class PrivacySpec extends SparkSpec {
     val toks = Seq("k1", "k1", "k2").toDF("k")
       .select(Privacy.maskHash(col("k")).as("t")).collect().map(_.getString(0))
     assert(toks(0) === toks(1) && toks(0) != toks(2) && toks(0).length == 64)
+  }
+
+  test("masking misconfiguration fails fast: absent column, type change") {
+    import Privacy.MaskPolicy
+    val df = Seq(("a", 1L)).toDF("name", "bal")
+    // a typo'd column would silently return raw PII — must throw
+    val e1 = intercept[IllegalArgumentException] {
+      Privacy.applyMaskingPolicies(df, "x",
+        Seq(MaskPolicy("Name", Set("admin"), Privacy.maskFull)))
+    }
+    assert(e1.getMessage.contains("absent columns"))
+    // a type-changing mask makes the schema role-dependent — must throw
+    // even when the CALLER's role is allowed (probe applies all masks)
+    val e2 = intercept[IllegalArgumentException] {
+      Privacy.applyMaskingPolicies(df, "admin",
+        Seq(MaskPolicy("bal", Set("admin"), Privacy.maskFull)))
+    }
+    assert(e2.getMessage.contains("changes its type"))
+    // the type-preserving form passes and NULLs the value out
+    val ok = Privacy.applyMaskingPolicies(df, "x",
+      Seq(MaskPolicy("bal", Set("admin"), Privacy.maskNull("long"))))
+    assert(ok.schema("bal").dataType === org.apache.spark.sql.types.LongType)
+    assert(ok.select("bal").head().isNullAt(0))
   }
 
   test("masking is a pure projection; row access is a broadcast semi-join") {
