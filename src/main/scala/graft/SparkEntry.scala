@@ -1705,10 +1705,15 @@ object SparkEntry {
       array(struct(cyc(kw).as("text")),
         struct(format_string("detail fragment %d", okey).as("text"))).as("mdr_text")
     )).as("value"))
+    // all three micro-batch drops land in ONE pass over orders
+    // (partitioned text write -> landing/b=0..2); each batch then
+    // ingests its own directory exactly as a stream discovers a new
+    // file drop. One scan instead of three — the fixture synthesis is
+    // not what q140 measures, but it is a third of its wall time.
+    payload.select(pmod(okey, lit(3)).as("b"), col("value"))
+      .write.partitionBy("b").mode("overwrite").text(s"$root/landing")
     (0 until 3).foreach { i =>
-      val landing = s"$root/landing$i"
-      payload.filter(pmod(okey, lit(3)) === i).select(col("value"))
-        .write.mode("overwrite").text(landing)
+      val landing = s"$root/landing/b=$i"
       val stg = StgMaude(MaudeIngest.batch(s, landing))
         .select(col("mdr_report_key"), col("report_number"),
           col("date_received"), col("event_type"),
