@@ -68,9 +68,15 @@ object Metrics {
         jobsStarted.increment()
         e.stageIds.foreach(stages.add(_))
         // sticky suspension: a breach detected BETWEEN jobs (the first
-        // cancel found nothing active) still kills every job the group
-        // submits afterwards — Resource Monitor semantics, where a
-        // tripped quota refuses future statements too
+        // cancel found nothing active) re-issues the cancel as later
+        // jobs in the group start — Resource Monitor semantics, where a
+        // tripped quota refuses future statements too. Best-effort, not
+        // a hard gate: onJobStart runs asynchronously on the listener
+        // bus, so a very short job submitted after the breach can
+        // complete before the cancel lands — the documented "checked at
+        // intervals, may slightly overshoot" contract. Callers needing
+        // hard enforcement check `exceededAxis` synchronously between
+        // jobs.
         if (exceededAxis.isDefined) onExceed()
       }
 
@@ -146,16 +152,23 @@ object Metrics {
 
   /** Does this failure chain contain Spark's job-cancellation signal?
     * Distinguishes "the monitor suspended the workload" from an
-    * unrelated body failure that happens to race a breach flag. */
+    * unrelated body failure that happens to race a breach flag.
+    * Primary signal: the structured error condition on any
+    * [[org.apache.spark.SparkThrowable]] in the chain (e.g.
+    * `SPARK_JOB_CANCELLED`) — stable across message rewording. The
+    * message-substring check stays as fallback for legacy
+    * SparkExceptions raised without a condition. */
   private def isCancellation(t: Throwable): Boolean = {
     var cur = t
     while (cur != null) {
-      cur match {
-        case s: org.apache.spark.SparkException
-            if Option(s.getMessage).exists(_.toLowerCase.contains("cancel")) =>
-          return true
-        case _ => ()
+      val byCondition = cur match {
+        case st: org.apache.spark.SparkThrowable =>
+          Option(st.getCondition).exists(_.toUpperCase.contains("CANCEL"))
+        case _ => false
       }
+      val byMessage = cur.isInstanceOf[org.apache.spark.SparkException] &&
+        Option(cur.getMessage).exists(_.toLowerCase.contains("cancel"))
+      if (byCondition || byMessage) return true
       cur = cur.getCause
     }
     false

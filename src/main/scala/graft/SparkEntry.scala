@@ -1806,7 +1806,20 @@ object SparkEntry {
     * size. Oracle = the same entitlement set as an IN-subquery. */
   private def rowAccessQ(s: SparkSession, d: String): DataFrame = {
     import graft.operators.Privacy
-    val ent = nation(s, d)
+    val ent = regionEntitlements(s, d)
+    Privacy.rowAccessFilter(customer(s, d), "c_nationkey", ent, "role",
+        role = "analyst_emea")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(expr("CAST(round(c_acctbal * 100) AS BIGINT)")).as("cents"))
+  }
+
+  /** The role→nation entitlement table q144/q145 share: region
+    * membership as grants — 'analyst_emea' holds the EUROPE nations,
+    * 'analyst_amer' the AMERICA ones (the reference's "per
+    * manufacturer/region" row-policy statement, README.md:63,132). */
+  private def regionEntitlements(s: SparkSession, d: String): DataFrame =
+    nation(s, d)
       .join(region(s, d), col("n_regionkey") === col("r_regionkey"))
       .select(
         when(col("r_name") === "EUROPE", lit("analyst_emea"))
@@ -1814,11 +1827,43 @@ object SparkEntry {
           .as("role"),
         col("n_nationkey").as("c_nationkey"))
       .filter(col("role").isNotNull)
-    Privacy.rowAccessFilter(customer(s, d), "c_nationkey", ent, "role",
-        role = "analyst_emea")
-      .groupBy(col("c_nationkey"))
-      .agg(count(lit(1)).as("n_customers"),
-        sum(expr("CAST(round(c_acctbal * 100) AS BIGINT)")).as("cents"))
+
+  /** q145: declarative policy binding ([[Privacy.governedView]] — the
+    * `ALTER TABLE … SET MASKING/ROW ACCESS POLICY` attachment analog,
+    * reference README.md:63,132, completing q143/q144's call-time
+    * enforcement with governance-as-data): the policy set is a
+    * PERSISTED seed-style catalog table — written as CSV, read back
+    * like any seed, five rows binding q143's masks plus a row-access
+    * key to `customer` (and one decoy row bound to another table,
+    * proving selection is by table name) — and the governed view is
+    * composed entirely from what the catalog says. Role 'analyst_emea'
+    * sees c_name tail-masked, the token lane SHA-256'd, the segment
+    * redacted, acctbal RAW (its policy allows the role), and ONLY the
+    * EUROPE-entitled rows. Misconfiguration fails fast at
+    * view-construction (unknown kind, absent column, missing
+    * entitlements — PrivacySpec); plan cost is identical to q143+q144:
+    * a scan-side folded projection plus one broadcast semi probe. */
+  private def policyCatalogQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Privacy
+    val dir = replayStateDir(s, "q145", d)
+    import s.implicits._
+    Seq(
+      ("customer", "c_name", "mask_tail", "3", "compliance"),
+      ("customer", "cust_token", "mask_hash", "", "compliance"),
+      ("customer", "c_mktsegment", "mask_full", "", "compliance"),
+      ("customer", "c_acctbal", "mask_null", "double",
+        "compliance,analyst_emea"),
+      ("customer", "c_nationkey", "row_access", "", ""),
+      ("orders", "o_totalprice", "mask_null", "double", "compliance"))
+      .toDF(Privacy.CatalogColumns: _*)
+      .coalesce(1).write.option("header", "true").mode("overwrite").csv(dir)
+    val catalog = s.read.option("header", "true").csv(dir)
+    val base = customer(s, d).select(
+      col("c_custkey"), col("c_name"),
+      col("c_custkey").cast("string").as("cust_token"),
+      col("c_mktsegment"), col("c_acctbal"), col("c_nationkey"))
+    Privacy.governedView(base, "customer", "analyst_emea", catalog,
+      Some(regionEntitlements(s, d)))
   }
 
   /** q134: batch small-file compaction ([[graft.sinks.Publish.compact]] —
@@ -2466,6 +2511,7 @@ object SparkEntry {
     "q142_graded_macro"        -> (gradedMacroQ _),
     "q143_masking_policy"      -> (maskingPolicyQ _),
     "q144_row_access_policy"   -> (rowAccessQ _),
+    "q145_policy_catalog"      -> (policyCatalogQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -4368,6 +4414,29 @@ object SparkEntry {
         |FROM customer
         |WHERE c_nationkey IN (SELECT n_nationkey FROM ent)
         |GROUP BY 1""".stripMargin,
+
+    // q145: the catalog-composed governed view recomputed relationally —
+    // q143's mask arithmetic (repeat/right + sha256 + CASE redaction,
+    // acctbal raw because its policy allows the role) intersected with
+    // q144's entitlement IN-subquery; the catalog itself lives only on
+    // the declared side (what's being certified is that reading policies
+    // from the persisted table composes to exactly this relational form)
+    "q145_policy_catalog" ->
+      """WITH ent AS (SELECT n_nationkey FROM nation
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE')
+        |SELECT c_nationkey, c_custkey,
+        |  CASE WHEN c_name IS NULL THEN NULL
+        |    WHEN length(c_name) <= 3 THEN c_name
+        |    ELSE repeat('*', length(c_name) - 3) || right(c_name, 3)
+        |  END AS c_name,
+        |  CASE WHEN c_custkey IS NOT NULL
+        |    THEN sha256(c_custkey::VARCHAR) END AS cust_token,
+        |  CASE WHEN c_mktsegment IS NOT NULL
+        |    THEN '***MASKED***' END AS c_mktsegment,
+        |  c_acctbal
+        |FROM customer
+        |WHERE c_nationkey IN (SELECT n_nationkey FROM ent)""".stripMargin,
 
     // q138: every candidate score recomputed by DuckDB's own
     // jaro_winkler_similarity — identical integer-derived double formula,

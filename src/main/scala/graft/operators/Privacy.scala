@@ -78,8 +78,20 @@ object Privacy {
     // so a type-changing mask fails at policy-definition time, not on
     // the first unprivileged read (Snowflake masking policies carry
     // the same returns-same-type contract)
-    val probe = df.select(df.columns.toSeq.map { c =>
-      byCol.get(c).map(p => p.mask(col(c)).as(c)).getOrElse(col(c)) }: _*)
+    val probe =
+      try df.select(df.columns.toSeq.map { c =>
+        byCol.get(c).map(p => p.mask(col(c)).as(c)).getOrElse(col(c)) }: _*)
+      catch {
+        // a mask that doesn't even RESOLVE against its column's type
+        // (e.g. maskHash on a numeric column) is the same
+        // misconfiguration class as a type-changing one — surface it as
+        // such, not as a raw analysis error from the probe internals
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            "masking policy misconfiguration: a mask does not apply to " +
+              s"its column's type (use maskNull(dt) for non-string " +
+              s"columns): ${e.getMessage}", e)
+      }
     probe.schema.fields.zip(df.schema.fields).foreach { case (m, o) =>
       require(m.dataType == o.dataType,
         s"mask for '${o.name}' changes its type " +
@@ -99,14 +111,21 @@ object Privacy {
   /** Partial mask: keep the last `keep` chars, star the rest (the usual
     * last-4 rule); values at or under `keep` chars pass through whole
     * (nothing left to hide that the length doesn't already reveal).
-    * One scan-side regexp — every char with ≥ `keep` chars after it
-    * becomes '*'; NULL stays NULL. Equivalent to
-    * `repeat('*', greatest(length-keep, 0)) || right(c, keep)`, which
-    * is the RE2-safe formulation a DuckDB oracle uses (RE2 has no
-    * lookahead). */
+    * Linear scan-side string ops — `repeat('*', length-keep) ||
+    * substr(c, -keep)` — the same formulation a DuckDB oracle states as
+    * `repeat('*', greatest(length-keep, 0)) || right(c, keep)`. (An
+    * earlier per-position lookahead regexp was semantically identical
+    * but O(len²) worst case per value; fine for short PII columns,
+    * strictly worse on long text.) NULL stays NULL (the length
+    * comparison is NULL → otherwise-branch → concat over NULL). The
+    * explicit short-value guard covers Spark's substring semantics,
+    * where `substr(c, -keep)` yields '' (not the whole value) when
+    * |c| < keep. */
   def maskTail(c: Column, keep: Int): Column = {
     require(keep >= 0, "keep >= 0")
-    regexp_replace(c, s"(?s).(?=(?s:.){$keep,})", "*")
+    when(length(c) <= keep, c)
+      .otherwise(concat(repeat(lit("*"), length(c) - keep),
+        substring(c, -keep, keep)))
   }
 
   /** Full redaction to a fixed token — STRING columns only (the
@@ -129,13 +148,131 @@ object Privacy {
     * visibility — the Snowflake `ROW ACCESS POLICY` shape (reference
     * README.md:63,132, "per manufacturer/region"). A LEFT SEMI join
     * against the role's entitlement rows; entitlement tables are
-    * role-count × key-count small, so the semi-join broadcasts and the
-    * policy costs one scan-side hash probe per row at any fact size. */
+    * role-count × key-count small BY CONSTRUCTION (grants are written
+    * by administrators, not generated by pipelines), so the semi-join
+    * broadcasts and the policy costs one scan-side hash probe per row
+    * at any fact size. The assumption is guarded, not assumed: the
+    * role's distinct key count is probed first (one tiny bounded job),
+    * and past `maxBroadcastKeys` the semi-join degrades to a shuffle
+    * instead of OOMing the driver with a pathological "entitlement"
+    * table. */
   def rowAccessFilter(df: DataFrame, keyCol: String,
                       entitlements: DataFrame, roleCol: String,
-                      role: String): DataFrame =
-    df.join(
-      broadcast(entitlements.filter(col(roleCol) === role)
-        .select(col(keyCol)).distinct()),
-      Seq(keyCol), "left_semi")
+                      role: String, maxBroadcastKeys: Int = 1 << 22): DataFrame = {
+    val keys = entitlements.filter(col(roleCol) === role)
+      .select(col(keyCol)).distinct()
+    val oversized =
+      keys.limit(maxBroadcastKeys + 1).count() > maxBroadcastKeys
+    df.join(if (oversized) keys else broadcast(keys), Seq(keyCol), "left_semi")
+  }
+
+  // --------------------------------------------------- policy catalog
+
+  /** Catalog column contract for [[governedView]] — one row per bound
+    * policy, seed-CSV friendly (all STRING):
+    *
+    *   table_name   — the governed table this row binds to
+    *   column_name  — masked column, or the entitlement KEY column for
+    *                  `row_access`
+    *   policy_kind  — mask_tail | mask_full | mask_null | mask_hash |
+    *                  row_access
+    *   policy_param — mask_tail: chars kept; mask_null: Spark SQL type
+    *                  name; otherwise empty
+    *   allowed_roles — comma-separated roles that see RAW values
+    *                  (ignored for row_access: visibility comes from the
+    *                  entitlement table)
+    */
+  val CatalogColumns: Seq[String] =
+    Seq("table_name", "column_name", "policy_kind", "policy_param",
+      "allowed_roles")
+
+  /**
+   * Declarative policy binding — the `ALTER TABLE … SET MASKING/ROW
+   * ACCESS POLICY` analog (reference README.md:63,132): instead of
+   * call-site [[MaskPolicy]] arguments, the policy set is DATA — a
+   * persisted catalog table in the [[CatalogColumns]] shape — and the
+   * governed view is composed from whatever the catalog says about
+   * `tableName`. Governance-as-data is what makes policies auditable
+   * (the catalog is itself queryable/publishable like any mart) and
+   * centrally administered (one catalog row change re-governs every
+   * reader).
+   *
+   * The catalog is governance METADATA — a handful of rows per table by
+   * construction — so the driver-side collect here is bounded the same
+   * way [[graft.operators.Knn]]'s k centroids are. Misconfiguration
+   * fails fast, never fails open: an unparseable catalog (missing
+   * columns, unknown kind, malformed param, a `row_access` row without
+   * an entitlement table) and every [[applyMaskingPolicies]] guard
+   * (absent column, type-changing mask) throw at view-construction
+   * time; a table with NO catalog rows also throws — for a governance
+   * operator, "ungoverned" must be an explicit caller decision
+   * (`requirePolicies = false`), not the silent result of a typo'd
+   * table name.
+   *
+   * Plan shape: identical to the call-site forms — masks fold to a
+   * scan-side projection, row access is one broadcast semi probe — the
+   * catalog only changes WHERE the policy comes from, not what it
+   * costs.
+   */
+  def governedView(df: DataFrame, tableName: String, role: String,
+                   catalog: DataFrame,
+                   entitlements: Option[DataFrame] = None,
+                   entitlementRoleCol: String = "role",
+                   requirePolicies: Boolean = true): DataFrame = {
+    val missingCat = CatalogColumns.filterNot(catalog.columns.contains)
+    require(missingCat.isEmpty,
+      s"policy catalog lacks columns: ${missingCat.mkString(", ")} " +
+        s"(expected ${CatalogColumns.mkString(", ")})")
+    val rows = catalog.filter(col("table_name") === tableName)
+      .select(CatalogColumns.map(col): _*).collect()
+    require(!requirePolicies || rows.nonEmpty,
+      s"no policies bound to table '$tableName' — a typo'd table name " +
+        "would silently return raw data; pass requirePolicies = false " +
+        "to read a deliberately ungoverned table through this API")
+    def cell(r: org.apache.spark.sql.Row, i: Int): Option[String] =
+      Option(r.getString(i)).map(_.trim).filter(_.nonEmpty)
+    val (accessRows, maskRows) =
+      rows.toSeq.partition(r => cell(r, 2).contains("row_access"))
+    val policies = maskRows.map { r =>
+      val column = cell(r, 1).getOrElse(
+        throw new IllegalArgumentException(
+          s"catalog row for '$tableName' has an empty column_name"))
+      val kind = cell(r, 2).getOrElse("")
+      val param = cell(r, 3)
+      val roles = cell(r, 4)
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+        .getOrElse(Set.empty[String])
+      def intParam: Int = param.flatMap(_.toIntOption).getOrElse(
+        throw new IllegalArgumentException(
+          s"$kind('$column') needs an integer policy_param, " +
+            s"got '${param.getOrElse("")}'"))
+      val mask: Column => Column = kind match {
+        case "mask_tail" => maskTail(_, intParam)
+        case "mask_full" => maskFull
+        case "mask_hash" => maskHash
+        case "mask_null" => maskNull(param.getOrElse(
+          throw new IllegalArgumentException(
+            s"mask_null('$column') needs a type name in policy_param")))
+        case other => throw new IllegalArgumentException(
+          s"unknown policy_kind '$other' for column '$column' of " +
+            s"'$tableName' (known: mask_tail, mask_full, mask_null, " +
+            "mask_hash, row_access)")
+      }
+      MaskPolicy(column, roles, mask)
+    }
+    val masked = applyMaskingPolicies(df, role, policies)
+    accessRows.foldLeft(masked) { (acc, r) =>
+      val keyCol = cell(r, 1).getOrElse(
+        throw new IllegalArgumentException(
+          s"row_access row for '$tableName' has an empty column_name"))
+      require(acc.columns.contains(keyCol),
+        s"row_access policy on '$tableName' names absent key column " +
+          s"'$keyCol'")
+      val ent = entitlements.getOrElse(
+        throw new IllegalArgumentException(
+          s"catalog binds a row_access policy to '$tableName' but no " +
+            "entitlement table was provided"))
+      rowAccessFilter(acc, keyCol, ent, entitlementRoleCol, role)
+    }
+  }
 }

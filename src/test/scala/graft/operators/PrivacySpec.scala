@@ -94,6 +94,93 @@ class PrivacySpec extends SparkSpec {
     assert(ok.select("bal").head().isNullAt(0))
   }
 
+  test("maskTail edges: keep=0, short and equal-length values, NULL, empty") {
+    val df = Seq("Alice", "Bo", "abc", null.asInstanceOf[String], "")
+      .toDF("v")
+    def masked(keep: Int): Seq[String] =
+      df.select(Privacy.maskTail(col("v"), keep).as("m"))
+        .collect().map(_.getString(0)).toSeq
+    // len > keep → starred head; len <= keep → whole value; NULL → NULL
+    assert(masked(3) === Seq("**ice", "Bo", "abc", null, ""))
+    // keep=0 is full redaction preserving only length
+    assert(masked(0) === Seq("*****", "**", "***", null, ""))
+  }
+
+  test("governed view composes masks + row access from a catalog table") {
+    val df = Seq(("Alice", "AUTO", 10L, 1L), ("Brian", "BIKE", 20L, 2L),
+        ("Clara", "AUTO", 30L, 3L))
+      .toDF("name", "seg", "bal", "key")
+    val catalog = Seq(
+      ("t", "name", "mask_tail", "2", "admin"),
+      ("t", "seg", "mask_full", "", "admin"),
+      ("t", "bal", "mask_null", "long", "admin,analyst"),
+      ("t", "key", "row_access", "", ""),
+      ("other", "name", "mask_full", "", ""))
+      .toDF("table_name", "column_name", "policy_kind", "policy_param",
+        "allowed_roles")
+    val ent = Seq(("analyst", 1L), ("analyst", 3L), ("admin", 2L))
+      .toDF("role", "key")
+    // the semi-join lifts the join key to the front: (key, name, seg, bal)
+    val analyst = Privacy.governedView(df, "t", "analyst", catalog, Some(ent))
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3),
+        r.getLong(0))).toSet
+    // masked name/seg, RAW bal (analyst allowed), rows 1 and 3 only
+    assert(analyst === Set(("***ce", "***MASKED***", 10L, 1L),
+      ("***ra", "***MASKED***", 30L, 3L)))
+    val admin = Privacy.governedView(df, "t", "admin", catalog, Some(ent))
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    // admin sees raw values but STILL only its entitled rows
+    assert(admin === Set(("Brian", 2L)))
+  }
+
+  test("governed view fails fast, never fails open, on catalog problems") {
+    val df = Seq(("a", 1L)).toDF("name", "key")
+    val ent = Seq(("r", 1L)).toDF("role", "key")
+    def cat(rows: (String, String, String, String, String)*) =
+      rows.toSeq.toDF("table_name", "column_name", "policy_kind",
+        "policy_param", "allowed_roles")
+    // unknown kind
+    val e1 = intercept[IllegalArgumentException] {
+      Privacy.governedView(df, "t", "r",
+        cat(("t", "name", "mask_rot13", "", "")), Some(ent))
+    }
+    assert(e1.getMessage.contains("unknown policy_kind"))
+    // catalog names an absent column (the applyMaskingPolicies guard)
+    val e2 = intercept[IllegalArgumentException] {
+      Privacy.governedView(df, "t", "r",
+        cat(("t", "ghost", "mask_full", "", "")), Some(ent))
+    }
+    assert(e2.getMessage.contains("absent columns"))
+    // a table with no bound policies must not silently read ungoverned
+    val e3 = intercept[IllegalArgumentException] {
+      Privacy.governedView(df, "typo", "r",
+        cat(("t", "name", "mask_full", "", "")), Some(ent))
+    }
+    assert(e3.getMessage.contains("no policies bound"))
+    assert(Privacy.governedView(df, "typo", "r",
+      cat(("t", "name", "mask_full", "", "")), Some(ent),
+      requirePolicies = false).count() === 1)
+    // row_access bound but no entitlement table provided
+    val e4 = intercept[IllegalArgumentException] {
+      Privacy.governedView(df, "t", "r",
+        cat(("t", "key", "row_access", "", "")), None)
+    }
+    assert(e4.getMessage.contains("entitlement"))
+    // malformed mask_tail param
+    val e5 = intercept[IllegalArgumentException] {
+      Privacy.governedView(df, "t", "r",
+        cat(("t", "name", "mask_tail", "three", "")), Some(ent))
+    }
+    assert(e5.getMessage.contains("integer policy_param"))
+    // a mask that cannot resolve against the column's type surfaces as
+    // the policy-misconfiguration message, not a raw AnalysisException
+    val e6 = intercept[IllegalArgumentException] {
+      Privacy.governedView(df, "t", "r",
+        cat(("t", "key", "mask_hash", "", "")), Some(ent))
+    }
+    assert(e6.getMessage.contains("masking policy misconfiguration"))
+  }
+
   test("masking is a pure projection; row access is a broadcast semi-join") {
     import Privacy.MaskPolicy
     val df = (0 until 50).map(i => (s"n$i", i.toLong)).toDF("name", "key")
