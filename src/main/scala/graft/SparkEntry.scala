@@ -1677,12 +1677,15 @@ object SparkEntry {
     * reference's own feed. Scale: each batch shuffles its delta plus
     * touched state buckets only; the parse/staging stage is the q08
     * pipeline's scan-side projection, linear in the drop size. */
-  private def maudeIngestReplayQ(s: SparkSession, d: String): DataFrame = {
-    import graft.models.StgMaude
-    import graft.sources.MaudeIngest
-    import graft.streaming.Streams
-    val root = replayStateDir(s, "q140", d)
-    val stateDir = s"$root/state"
+  /** The shared MAUDE landing fixture of q140/q146: deterministic NDJSON
+    * reports built from orders (report keys repeat across drops —
+    * `o_orderkey mod 1000` — so later micro-batches genuinely rewrite
+    * earlier state; ~1% malformed `date_received` exercises the
+    * null-safe parse), written as THREE time-sliced micro-batch file
+    * drops in ONE pass over orders (partitioned text write →
+    * `landing/b=0..2`; the fixture synthesis is not what the queries
+    * measure, but single-pass it is a third of their wall time). */
+  private def writeMaudeLanding(s: SparkSession, d: String, root: String): Unit = {
     val evs = Seq("INJURY", "malfunction", "Death", "N/A", "Recall")
     val mfrs = Seq("ACME CORP", "acme corp", "MedTech GmbH", "ZETA DEVICES",
       "NoSuch Inc")
@@ -1705,13 +1708,17 @@ object SparkEntry {
       array(struct(cyc(kw).as("text")),
         struct(format_string("detail fragment %d", okey).as("text"))).as("mdr_text")
     )).as("value"))
-    // all three micro-batch drops land in ONE pass over orders
-    // (partitioned text write -> landing/b=0..2); each batch then
-    // ingests its own directory exactly as a stream discovers a new
-    // file drop. One scan instead of three — the fixture synthesis is
-    // not what q140 measures, but it is a third of its wall time.
     payload.select(pmod(okey, lit(3)).as("b"), col("value"))
       .write.partitionBy("b").mode("overwrite").text(s"$root/landing")
+  }
+
+  private def maudeIngestReplayQ(s: SparkSession, d: String): DataFrame = {
+    import graft.models.StgMaude
+    import graft.sources.MaudeIngest
+    import graft.streaming.Streams
+    val root = replayStateDir(s, "q140", d)
+    val stateDir = s"$root/state"
+    writeMaudeLanding(s, d, root)
     (0 until 3).foreach { i =>
       val landing = s"$root/landing/b=$i"
       val stg = StgMaude(MaudeIngest.batch(s, landing))
@@ -1864,6 +1871,118 @@ object SparkEntry {
       col("c_mktsegment"), col("c_acctbal"), col("c_nationkey"))
     Privacy.governedView(base, "customer", "analyst_emea", catalog,
       Some(regionEntitlements(s, d)))
+  }
+
+  /** q146: incremental maintenance of the reference's OWN mart DAG under
+    * its streaming ingest — the capstone the freshness tier builds to:
+    * the reference rebuilds `ae_counts_q` and `v_ae_early_signals` fully
+    * per `dbt run` (dbt_project.yml:13-15, ae_counts_q.sql,
+    * v_ae_early_signals.sql); here the SAME models stay fresh under
+    * q140's 3-drop MAUDE micro-batch replay without ever rescanning
+    * history. Per batch: (1) the production parse→stage→fact chain
+    * ([[graft.sources.MaudeIngest.batch]] → [[graft.models.StgMaude]] →
+    * [[graft.models.FactAdverseEvents]]) runs on the drop only; (2) the
+    * fact state upserts SCD-1 by mdr_report_key
+    * ([[graft.streaming.Streams.scd1MergeBatch]]), bracketed by
+    * pre-/post-image reads of ONLY the touched buckets
+    * ([[graft.streaming.Streams.readScd1RawBuckets]]) — an upsert that
+    * MOVES a report between (mfr, mode, quarter) groups must retract
+    * from the old group, which append-only IVM (q106) cannot express;
+    * (3) the counts mart folds the signed images
+    * ([[Incremental.maintainCounts]] — `ae_counts_q` maintained, zero
+    * history rescans); (4) the window tier recomputes ONLY the touched
+    * (canonical_mfr, failure_mode) partitions and carries every other
+    * partition forward ([[Incremental.patchPartitions]] — sound because
+    * [[graft.models.VAeEarlySignals]] is partition-local by
+    * construction). The declared result is the maintained signals mart
+    * after the last drop; the oracle recomputes the whole
+    * stg→fact→counts→signals DAG flat from the latest report per key —
+    * maintained == rebuilt is the IVM identity, stated on the
+    * reference's flagship analytic itself. Scale: each batch shuffles
+    * O(delta + touched buckets + touched partitions); the 100 TB fact
+    * history is never read again. */
+  private def signalsIvmQ(s: SparkSession, d: String): DataFrame = {
+    import graft.models.{FactAdverseEvents, StgMaude, VAeEarlySignals}
+    import graft.sources.MaudeIngest
+    import graft.streaming.Streams
+    import s.implicits._
+    val root = replayStateDir(s, "q146", d)
+    val stateDir = s"$root/state"
+    writeMaudeLanding(s, d, root)
+    val nBuckets = 16
+    // the q140 fixture's manufacturer seed slice: both ACME case
+    // variants canonicalize via UPPER(TRIM(..)); 'NoSuch Inc' is absent
+    // so canonical_mfr falls back to the raw name
+    // (fact_adverse_events.sql:58)
+    val mfrDim = Seq(
+      ("ACME CORP", "ACME", 1L),
+      ("MedTech GmbH", "MEDTECH", 2L),
+      ("ZETA DEVICES", "ZETA", 3L))
+      .toDF("raw_name", "canonical_name", "manufacturer_id")
+    val groupCols = Seq("canonical_mfr", "failure_mode", "yyyy", "q",
+      "quarter_index", "year_quarter")
+    val pairCols = Seq("canonical_mfr", "failure_mode")
+    // AeCountsQ's row-grain group derivation (its '(unknown)' defaults,
+    // NULL-date filter, quarter keys) applied to fact-state row images
+    def grouped(rows: DataFrame): DataFrame =
+      rows.filter(col("date_received").isNotNull)
+        .select(
+          coalesce(col("canonical_mfr"), lit("(unknown)")).as("canonical_mfr"),
+          coalesce(col("failure_mode"), lit("(unknown)")).as("failure_mode"),
+          year(col("date_received")).as("yyyy"),
+          quarter(col("date_received")).as("q"),
+          F.quarterIndex(col("date_received")).as("quarter_index"),
+          F.yearQuarterLabel(col("date_received")).as("year_quarter"))
+    (0 until 3).foreach { i =>
+      val landing = s"$root/landing/b=$i"
+      val fact = FactAdverseEvents(StgMaude(MaudeIngest.batch(s, landing)),
+          mfrDim)
+        .select(col("mdr_report_key"), col("canonical_mfr"),
+          col("failure_mode"), col("date_received"),
+          expr("try_cast(substring(report_number, 4) AS BIGINT)").as("seq"))
+        .cache()
+      val deltaKeys = fact.select(col("mdr_report_key")).distinct()
+      val touchedBuckets = deltaKeys
+        .select(pmod(xxhash64(col("mdr_report_key")), lit(nBuckets.toLong))
+          .as("b"))
+        .distinct().collect().map(_.getLong(0)).toSet
+      def images(state: Option[DataFrame]): DataFrame = state match {
+        case Some(st) =>
+          grouped(st.join(deltaKeys, Seq("mdr_report_key"), "left_semi"))
+        case None => grouped(fact).limit(0)
+      }
+      // pre-image BEFORE the merge, post-image after — both reads touch
+      // only the delta's buckets, and the merge retains its base version
+      // until a later batch supersedes it, so the lazy pre-image paths
+      // stay readable through this batch's downstream writes
+      val removed = images(Streams.readScd1RawBuckets(s, stateDir, touchedBuckets))
+      Streams.scd1MergeBatch(fact, i.toLong, Seq("mdr_report_key"),
+        Seq("seq"), stateDir, nBuckets)
+      val added = images(Streams.readScd1RawBuckets(s, stateDir, touchedBuckets))
+      val prevCounts =
+        if (i == 0) grouped(fact).limit(0).withColumn("n_events", lit(0L))
+        else s.read.parquet(s"$root/counts/v=${i - 1}")
+      Incremental.maintainCounts(prevCounts, removed, added, groupCols)
+        .write.mode("overwrite").parquet(s"$root/counts/v=$i")
+      val countsNow = s.read.parquet(s"$root/counts/v=$i")
+      val touchedPairs = removed.select(pairCols.map(col): _*)
+        .unionByName(added.select(pairCols.map(col): _*)).distinct()
+      val fresh = VAeEarlySignals(
+        countsNow.join(touchedPairs, pairCols, "left_semi"))
+      val prevSignals =
+        if (i == 0) fresh.limit(0)
+        else s.read.parquet(s"$root/signals/v=${i - 1}")
+      Incremental.patchPartitions(prevSignals, fresh, touchedPairs, pairCols)
+        .write.mode("overwrite").parquet(s"$root/signals/v=$i")
+      fact.unpersist()
+      ()
+    }
+    s.read.parquet(s"$root/signals/v=2")
+      .select(col("canonical_mfr"), col("failure_mode"), col("year_quarter"),
+        col("quarter_index"), col("n_events"),
+        round(col("mean_4"), 4).as("mean_4"),
+        round(col("std_4"), 4).as("std_4"),
+        round(col("z_score"), 4).as("z_score"))
   }
 
   /** q134: batch small-file compaction ([[graft.sinks.Publish.compact]] —
@@ -2512,6 +2631,7 @@ object SparkEntry {
     "q143_masking_policy"      -> (maskingPolicyQ _),
     "q144_row_access_policy"   -> (rowAccessQ _),
     "q145_policy_catalog"      -> (policyCatalogQ _),
+    "q146_signals_ivm"         -> (signalsIvmQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -4437,6 +4557,48 @@ object SparkEntry {
         |  c_acctbal
         |FROM customer
         |WHERE c_nationkey IN (SELECT n_nationkey FROM ent)""".stripMargin,
+
+    // q146: the maintained counts+signals marts must equal the WHOLE DAG
+    // recomputed flat — latest report per key (q140's fixture CTE), the
+    // fact derivations (canonicalization collapses both ACME case
+    // variants, the ILIKE ladder over the narrative, the '(unknown)'
+    // defaults, the NULL-date filter), ae_counts_q's grouping, then
+    // v_ae_early_signals' windows verbatim from the q08 oracle shape —
+    // maintained == rebuilt is the IVM identity on the reference's
+    // flagship analytic
+    "q146_signals_ivm" ->
+      """WITH o AS (SELECT o_orderkey AS seq, o_orderkey % 1000 AS rk,
+        |    o_orderdate FROM orders),
+        |last AS (SELECT seq, rk, o_orderdate FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY rk ORDER BY seq DESC)
+        |      AS rn FROM o) WHERE rn = 1),
+        |fact AS (SELECT
+        |    CASE seq % 5 WHEN 0 THEN 'ACME' WHEN 1 THEN 'ACME'
+        |      WHEN 2 THEN 'MEDTECH' WHEN 3 THEN 'ZETA'
+        |      ELSE 'NoSuch Inc' END AS canonical_mfr,
+        |    CASE seq % 4 WHEN 0 THEN '(unknown)' WHEN 1 THEN 'LEAK'
+        |      WHEN 2 THEN 'FRACTURE' ELSE 'THROMBUS/CLOT'
+        |    END AS failure_mode,
+        |    o_orderdate::DATE AS date_received
+        |  FROM last WHERE seq % 97 <> 0),
+        |c AS (SELECT canonical_mfr, failure_mode,
+        |    year(date_received)*4 + quarter(date_received) AS quarter_index,
+        |    year(date_received)::VARCHAR || '-Q' ||
+        |      quarter(date_received)::VARCHAR AS year_quarter,
+        |    count(*) AS n_events
+        |  FROM fact GROUP BY 1, 2, 3, 4)
+        |SELECT canonical_mfr, failure_mode, year_quarter, quarter_index,
+        |  n_events,
+        |  round(avg(n_events) OVER w, 4) AS mean_4,
+        |  round(stddev_samp(n_events) OVER w, 4) AS std_4,
+        |  round(CASE WHEN (stddev_samp(n_events) OVER w) IS NULL
+        |               OR (stddev_samp(n_events) OVER w) = 0 THEN NULL
+        |        ELSE (n_events - (avg(n_events) OVER w))
+        |             / (stddev_samp(n_events) OVER w) END, 4) AS z_score
+        |FROM c
+        |WINDOW w AS (PARTITION BY canonical_mfr, failure_mode
+        |  ORDER BY quarter_index
+        |  ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING)""".stripMargin,
 
     // q138: every candidate score recomputed by DuckDB's own
     // jaro_winkler_similarity — identical integer-derived double formula,

@@ -63,6 +63,59 @@ object Incremental {
   }
 
   /**
+   * UPSERT-aware incremental count maintenance — [[aggregate]]/
+   * [[mergeAggregates]] handle append-only deltas; this handles the
+   * grouped-count mart over a keyed UPSERTING base (an SCD-1 state,
+   * where a new version of a key can MOVE its row between groups): fold
+   * the touched keys' pre-images (`removed`) and post-images (`added`)
+   * into the mart as signed ±1 rows and re-sum. A key whose new image
+   * lands in the same group contributes +1 and −1 to it — a no-op by
+   * arithmetic, no special-casing — and a group whose count reaches
+   * zero leaves the mart (a mart row "n_events = 0" and "absent" must
+   * mean the same thing for the maintained mart to equal the
+   * recomputed one).
+   *
+   * ONE aggregate shuffle over `mart ∪ ±images` — O(mart keys + touched
+   * rows), the facts behind the mart are never rescanned. The caller
+   * supplies images at the mart's ROW grain (one per affected base row,
+   * already restricted to the touched keys and filtered the way the
+   * mart's own derivation filters).
+   */
+  def maintainCounts(mart: DataFrame, removed: DataFrame, added: DataFrame,
+                     keys: Seq[String], countCol: String = "n_events"): DataFrame = {
+    val sel = keys.map(col)
+    val deltas = added.select(sel: _*).withColumn(countCol, lit(1L))
+      .unionByName(removed.select(sel: _*).withColumn(countCol, lit(-1L)))
+    mart.select((sel :+ col(countCol)): _*).unionByName(deltas)
+      .groupBy(sel: _*).agg(sum(col(countCol)).as(countCol))
+      .filter(col(countCol) =!= 0L)
+  }
+
+  /**
+   * Partition-local view maintenance — the window-tier analog of
+   * [[maintainCounts]]: a view whose every output row depends only on
+   * its own key partition (any `Window.partitionBy(keys)` computation,
+   * e.g. the rolling z-score tier over a counts mart) is maintained by
+   * recomputing ONLY the partitions a delta touched and carrying every
+   * other partition forward untouched:
+   *
+   *   view' = view ⟍ touched  ∪  recompute(base' ⋉ touched)
+   *
+   * `fresh` is the recomputation already restricted to the touched
+   * partitions (the caller semi-joins the maintained base to `touched`
+   * and reapplies the view's own derivation — correct BECAUSE the view
+   * is partition-local: rows of untouched partitions cannot change).
+   * Cost is O(view + touched partitions' base rows) with no wide stage:
+   * the anti-join is key-partitioned, and at 100 TB the carried-forward
+   * leg is a file copy the writer can even skip by partition-aligned
+   * storage.
+   */
+  def patchPartitions(view: DataFrame, fresh: DataFrame, touched: DataFrame,
+                      keys: Seq[String]): DataFrame =
+    view.join(touched.select(keys.map(col): _*).distinct(), keys, "left_anti")
+      .unionByName(fresh)
+
+  /**
    * Incremental equi-JOIN maintenance — the delta-join identity for join
    * materialized views, the join sibling of [[aggregate]]/
    * [[mergeAggregates]]'s aggregate IVM: for a view V = A ⋈ B and

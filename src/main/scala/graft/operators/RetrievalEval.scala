@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -155,6 +155,55 @@ object RetrievalEval {
         idcg.as("idcg_num"),
         when(idcg > 0, round(dcg.cast("double") / idcg.cast("double"), 6))
           .as("ndcg_at_k"))
+  }
+
+  /**
+   * Textbook log2-discount nDCG@k — the 1/log2(rank+1) metric users of
+   * the standard literature expect, provided NEXT TO [[ndcg]]'s exact-
+   * rational harmonic variant rather than instead of it. The discount is
+   * transcendental, so this column lives in the TOLERANCE LANE (SURVEY
+   * §8): it is epsilon-compared in specs against an independent
+   * StrictMath reference, and deliberately NOT part of any
+   * hash-compared declared query (libm vs StrictMath can differ in the
+   * final ulp; the house rule keeps transcendentals out of oracled
+   * outputs — [[ndcg]]'s scaladoc carries the full argument).
+   *
+   * Determinism WITHIN the engine is still by construction, not luck:
+   * each query's relevant ranks are collected, SORTED, and folded
+   * SEQUENTIALLY by an array `aggregate` — the float additions happen in
+   * rank order every run, never in shuffle-arrival order — so repeated
+   * runs of the same input are bit-identical even though the value
+   * itself is lane-restricted. IDCG folds `sequence(1, min(n_rel, k))`
+   * the same way.
+   *
+   * Plan shape: identical to [[ndcg]] — one (query, doc)-keyed join, one
+   * query-keyed aggregate (collect_list is bounded by the ranking's
+   * per-query row count, which a top-k ranking caps at k' rows), the
+   * truth count joined back full-outer. NULL when n_rel = 0; 0.0 when
+   * truth exists but nothing relevant was retrieved.
+   */
+  def ndcgLog2(ranked: DataFrame, qrels: DataFrame, queryCol: String,
+               docCol: String, rankCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val q = col(queryCol)
+    val (flagged, rel) = flagAgainstTruth(ranked, qrels, queryCol, docCol)
+    def disc(r: Column): Column = lit(1.0) / log2(r.cast("double") + lit(1.0))
+    // when() without otherwise yields NULL for non-relevant rows, and
+    // collect_list drops NULLs: the array is exactly the relevant ranks
+    val perQuery = flagged.groupBy(q).agg(
+      sort_array(collect_list(
+        when(col("rel").isNotNull && col(rankCol) <= k, col(rankCol))))
+        .as("rel_ranks"))
+    val dcg = coalesce(
+      aggregate(col("rel_ranks"), lit(0.0), (acc, r) => acc + disc(r)),
+      lit(0.0))
+    val nRel = coalesce(col("n_rel"), lit(0L))
+    val idcg = aggregate(sequence(lit(1L), least(nRel, lit(k.toLong))),
+      lit(0.0), (acc, r) => acc + disc(r))
+    perQuery.join(rel, Seq(queryCol), "full_outer")
+      .select(q,
+        nRel.as("n_rel"),
+        when(nRel > 0, round(dcg / idcg, 6)).as("ndcg_log2_at_k"))
   }
 
   /**

@@ -860,14 +860,15 @@ object Streams {
                     deleteOp: String): DataFrame =
     readScd1Raw(spark, stateDir).filter(col(opCol) =!= lit(deleteOp))
 
-  /** [[readScd1State]] without the tombstone filter — the raw retained
-    * state, tombstones included (what a backfill merge re-enters). */
-  def readScd1Raw(spark: org.apache.spark.sql.SparkSession,
-                  stateDir: String): DataFrame = {
+  /** (bucket, newest resident path) pairs of the state's live version —
+    * the one bounded listing every state read shares. */
+  private def latestBucketPaths(spark: org.apache.spark.sql.SparkSession,
+                                stateDir: String): Seq[(Long, String)] = {
     import org.apache.hadoop.fs.Path
     val root = new Path(stateDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val latest = fs.listStatus(root)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
       .flatMap { vd =>
         val v = vd.getPath.getName.stripPrefix("v=").toLong
@@ -875,8 +876,28 @@ object Streams {
           .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
           .map(bd => (bd.getPath.getName.stripPrefix("bucket=").toLong, v))
       }.groupBy(_._1).map { case (b, vs) =>
-        s"$stateDir/v=${vs.map(_._2).max}/bucket=$b"
+        (b, s"$stateDir/v=${vs.map(_._2).max}/bucket=$b")
       }.toSeq
-    spark.read.parquet(latest: _*)
+  }
+
+  /** [[readScd1State]] without the tombstone filter — the raw retained
+    * state, tombstones included (what a backfill merge re-enters). */
+  def readScd1Raw(spark: org.apache.spark.sql.SparkSession,
+                  stateDir: String): DataFrame =
+    spark.read.parquet(latestBucketPaths(spark, stateDir).map(_._2): _*)
+
+  /** [[readScd1Raw]] restricted to a bucket subset — the pre-/post-image
+    * read an incremental DOWNSTREAM maintenance step pays around a
+    * [[scd1MergeBatch]] call (read the touched keys' old images, merge,
+    * read their new images): O(touched buckets) of I/O, never the full
+    * state — the same pruning the merge itself does. `None` when none of
+    * the requested buckets exist yet (the first batch against an empty
+    * state has no pre-image). */
+  def readScd1RawBuckets(spark: org.apache.spark.sql.SparkSession,
+                         stateDir: String,
+                         buckets: Set[Long]): Option[DataFrame] = {
+    val paths = latestBucketPaths(spark, stateDir)
+      .filter(p => buckets.contains(p._1)).map(_._2)
+    if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
   }
 }

@@ -69,6 +69,58 @@ class IncrementalSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("join"), s"no join expected, got:\n$plan")
   }
 
+  test("maintainCounts: upsert retractions keep the mart == recompute; zeros leave") {
+    val rnd = new scala.util.Random(11)
+    var state = Map.empty[Long, String] // key -> current group
+    var mart = Seq.empty[(String, Long)].toDF("g", "n_events")
+    def recompute: Map[String, Long] =
+      state.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def martMap: Map[String, Long] =
+      mart.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    (1 to 4).foreach { b =>
+      // random upserts, last-wins within the batch (SCD-1 semantics);
+      // a rewritten key MOVES between groups — the retraction case
+      val batch = (0 until 120)
+        .map(_ => (rnd.nextInt(60).toLong, s"grp${rnd.nextInt(5)}"))
+        .groupBy(_._1).map { case (k, vs) => (k, vs.last._2) }.toSeq
+      val removed = batch.flatMap { case (k, _) => state.get(k) }
+      val added = batch.map(_._2)
+      state = state ++ batch
+      mart = Incremental.maintainCounts(mart,
+        removed.toDF("g"), added.toDF("g"), Seq("g"))
+      assert(martMap === recompute, s"batch $b diverged from recompute")
+    }
+    // drive every key into ONE group: all other groups hit zero and must
+    // LEAVE the mart (absent == zero, or maintained != recomputed)
+    val removedAll = state.values.toSeq
+    val addedAll = Seq.fill(state.size)("grpX")
+    state = state.map { case (k, _) => k -> "grpX" }
+    mart = Incremental.maintainCounts(mart,
+      removedAll.toDF("g"), addedAll.toDF("g"), Seq("g"))
+    assert(martMap === Map("grpX" -> state.size.toLong))
+  }
+
+  test("patchPartitions: touched-partition recompute == full window recompute") {
+    import org.apache.spark.sql.expressions.Window
+    def view(base: DataFrame): DataFrame = base.withColumn("cum",
+      sum(col("v")).over(Window.partitionBy("k").orderBy("t")))
+    val base0 = (0 until 30).map(i => (s"k${i % 3}", i.toLong, (i * 7).toLong))
+      .toDF("k", "t", "v")
+    // the delta rewrites/extends ONLY partition k1
+    val base1rows = (0 until 30).map { i =>
+      val k = s"k${i % 3}"
+      (k, i.toLong, if (k == "k1") (i * 11).toLong else (i * 7).toLong)
+    } ++ Seq(("k1", 100L, 5L))
+    val base1 = base1rows.toDF("k", "t", "v")
+    val touched = Seq("k1").toDF("k")
+    def canon(df: DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val patched = canon(Incremental.patchPartitions(view(base0),
+      view(base1.join(touched, Seq("k"), "left_semi")), touched, Seq("k")))
+    assert(patched === canon(view(base1)))
+  }
+
   test("joinDelta: base-join ∪ delta == full join for ANY random split") {
     val as = (0 until 300).map(i => ((i * 13 % 40).toLong, i.toLong))
     val bs = (0 until 60).map(i => ((i % 40).toLong, s"b$i"))

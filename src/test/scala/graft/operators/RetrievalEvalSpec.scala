@@ -168,6 +168,45 @@ class RetrievalEvalSpec extends SparkSpec {
     assert(s.getAs[Double]("map") === r6((r6(12.0 / 36) + 0.0 + 0.0) / 3))
   }
 
+  test("ndcgLog2: tolerance lane agrees with an independent StrictMath reference") {
+    // independent computation: relevant ranks derived by hand from the
+    // fixture, folded with StrictMath — NOT Spark's log — so agreement
+    // within epsilon certifies the operator, and any engine-side libm
+    // ulp drift stays inside the documented lane (SURVEY §8)
+    def disc(r: Long): Double = 1.0 / (StrictMath.log(r + 1.0) / StrictMath.log(2.0))
+    def ref(relRanks: Seq[Long], nRel: Long, k: Int): Double = {
+      val dcg = relRanks.filter(_ <= k).map(disc).sum
+      val idcg = (1L to math.min(nRel, k.toLong)).map(disc).sum
+      dcg / idcg
+    }
+    val m = RetrievalEval.ndcgLog2(ranked, qrels, "qid", "doc", "rank", 4)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val eps = 2e-6 // 6dp rounding + one lane's worth of ulp headroom
+    // q1: relevant at ranks 2 and 4, n_rel 3
+    assert(math.abs(m("q1").getAs[Double]("ndcg_log2_at_k") -
+      ref(Seq(2L, 4L), 3L, 4)) < eps)
+    // q2: no truth → undefined, NULL (same contract as the rational lane)
+    assert(m("q2").isNullAt(m("q2").fieldIndex("ndcg_log2_at_k")))
+    // q3: truth exists, nothing found → 0.0 exactly
+    assert(m("q3").getAs[Double]("ndcg_log2_at_k") === 0.0)
+    // q4: unanswered truth query still appears (full-outer), 0.0
+    assert(m("q4").getAs[Long]("n_rel") === 1L)
+    assert(m("q4").getAs[Double]("ndcg_log2_at_k") === 0.0)
+    // ideal ranking is exactly 1 (dcg and idcg are the SAME sequential
+    // fold, so equality here is exact, not epsilon)
+    val r = Seq(("qx", "a", 1L), ("qx", "b", 2L), ("qx", "c", 3L))
+      .toDF("qid", "doc", "rank")
+    val t = Seq(("qx", "a"), ("qx", "b"), ("qx", "c")).toDF("qid", "doc")
+    assert(RetrievalEval.ndcgLog2(r, t, "qid", "doc", "rank", 3)
+      .head().getAs[Double]("ndcg_log2_at_k") === 1.0)
+    // run-to-run determinism by construction: the sorted sequential fold
+    // makes repeated evaluation bit-identical
+    val again = RetrievalEval.ndcgLog2(ranked, qrels, "qid", "doc", "rank", 4)
+      .collect().map(r2 => r2.getString(0) -> r2).toMap
+    assert(again("q1").getAs[Double]("ndcg_log2_at_k") ===
+      m("q1").getAs[Double]("ndcg_log2_at_k"))
+  }
+
   test("query that finds nothing relevant: zeros, rr 0, no success") {
     val q3 = byQid(2)("q3")
     assert(q3.getAs[Long]("n_rel") === 1L)
