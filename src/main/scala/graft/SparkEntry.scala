@@ -1954,11 +1954,17 @@ object SparkEntry {
       // pre-image BEFORE the merge, post-image after — both reads touch
       // only the delta's buckets, and the merge retains its base version
       // until a later batch supersedes it, so the lazy pre-image paths
-      // stay readable through this batch's downstream writes
+      // stay readable through this batch's downstream writes. Both
+      // images are CACHED: the counts fold, the touched-pair derivation,
+      // and the signals patch all reuse them, and without the cache each
+      // downstream action would re-list and re-read the state buckets
+      // (measured 15.6 s → the replayed-state class without it)
       val removed = images(Streams.readScd1RawBuckets(s, stateDir, touchedBuckets))
+        .cache()
       Streams.scd1MergeBatch(fact, i.toLong, Seq("mdr_report_key"),
         Seq("seq"), stateDir, nBuckets)
       val added = images(Streams.readScd1RawBuckets(s, stateDir, touchedBuckets))
+        .cache()
       val prevCounts =
         if (i == 0) grouped(fact).limit(0).withColumn("n_events", lit(0L))
         else s.read.parquet(s"$root/counts/v=${i - 1}")
@@ -1974,7 +1980,7 @@ object SparkEntry {
         else s.read.parquet(s"$root/signals/v=${i - 1}")
       Incremental.patchPartitions(prevSignals, fresh, touchedPairs, pairCols)
         .write.mode("overwrite").parquet(s"$root/signals/v=$i")
-      fact.unpersist()
+      removed.unpersist(); added.unpersist(); fact.unpersist()
       ()
     }
     s.read.parquet(s"$root/signals/v=2")
@@ -1984,6 +1990,23 @@ object SparkEntry {
         round(col("std_4"), 4).as("std_4"),
         round(col("z_score"), 4).as("z_score"))
   }
+
+  /** q147: table-level lineage report ([[graft.operators.Lineage]] — the
+    * third leg of the governance pillar, reference README.md:127-133:
+    * access audits q109, policies q143–q145, LINEAGE here; Snowflake's
+    * ACCESS_HISTORY/OBJECT_DEPENDENCIES shape): the (model, source)
+    * edge table of three declared models, extracted by ANALYZED-PLAN
+    * inspection — the DataFrame's own provenance record, no listener,
+    * no execution. The oracle pins the expected edge set as constants,
+    * which makes the gate a lineage REGRESSION check: a model silently
+    * gaining or losing a source table (the governance event lineage
+    * exists to catch) hash-diverges this query. Driver cost is plan
+    * traversal; the report is #models × #sources rows. */
+  private def lineageQ(s: SparkSession, d: String): DataFrame =
+    graft.operators.Lineage.report(s, Seq(
+      "q01_pricing_summary" -> pricingSummary(s, d),
+      "q04_region_nation_revenue" -> regionNationRevenue(s, d),
+      "q14_dedup_exact" -> dedupExact(s, d)))
 
   /** q134: batch small-file compaction ([[graft.sinks.Publish.compact]] —
     * the lakehouse OPTIMIZE maintenance operator, the batch sibling of
@@ -2632,6 +2655,7 @@ object SparkEntry {
     "q144_row_access_policy"   -> (rowAccessQ _),
     "q145_policy_catalog"      -> (policyCatalogQ _),
     "q146_signals_ivm"         -> (signalsIvmQ _),
+    "q147_lineage"             -> (lineageQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -4599,6 +4623,22 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY canonical_mfr, failure_mode
         |  ORDER BY quarter_index
         |  ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING)""".stripMargin,
+
+    // q147: the expected lineage edges as constants — deliberately
+    // static truth: the declared side EXTRACTS the edges from the
+    // analyzed plans, so the compare is a lineage regression gate (a
+    // model gaining/losing a source table hash-diverges here)
+    "q147_lineage" ->
+      """SELECT * FROM (VALUES
+        |  ('q01_pricing_summary', 'lineitem.parquet'),
+        |  ('q04_region_nation_revenue', 'nation.parquet'),
+        |  ('q04_region_nation_revenue', 'region.parquet'),
+        |  ('q04_region_nation_revenue', 'lineitem.parquet'),
+        |  ('q04_region_nation_revenue', 'orders.parquet'),
+        |  ('q04_region_nation_revenue', 'customer.parquet'),
+        |  ('q04_region_nation_revenue', 'supplier.parquet'),
+        |  ('q14_dedup_exact', 'documents.parquet'))
+        |  AS t(model, source)""".stripMargin,
 
     // q138: every candidate score recomputed by DuckDB's own
     // jaro_winkler_similarity — identical integer-derived double formula,

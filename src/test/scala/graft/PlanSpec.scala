@@ -702,6 +702,30 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q145 governed view: masks fold scan-side, one broadcast semi probe") {
+    // the catalog only changes WHERE policies come from, not what they
+    // cost: the composed view must keep q143's pure-projection masking
+    // and q144's broadcast LEFT SEMI row probe — no wide join anywhere
+    val p = plan("q145_policy_catalog")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"entitlement probe must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"governance must stay scan-side:\n$p")
+  }
+
+  test("maintainCounts: one aggregate over mart ∪ signed images, no join") {
+    import spark.implicits._
+    val mart = Seq(("a", 5L), ("b", 2L)).toDF("g", "n_events").repartition(2)
+    val rem = Seq("a", "a").toDF("g").repartition(2)
+    val add = Seq("b", "c").toDF("g").repartition(2)
+    val p = graft.operators.Incremental.maintainCounts(mart, rem, add, Seq("g"))
+      .queryExecution.executedPlan.toString
+    assert(!p.toLowerCase.contains("join"),
+      s"count maintenance must not join:\n$p")
+    assert(countOf(p, "Exchange hashpartitioning") === 1,
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
   test("k-means Lloyd update: no Generate, one fixed-width aggregate exchange") {
     // the r3 stretch item: training must never explode the corpus into
     // corpus x dim rows -- the vector-sum aggregate keeps per-group state

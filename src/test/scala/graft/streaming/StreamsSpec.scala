@@ -544,6 +544,32 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bucket-restricted state read: only requested buckets, None before state exists") {
+    val dir = s"${Files.createTempDirectory("scd1_buckets")}/state"
+    // no state yet: the pre-image of a first batch is None, not a throw
+    assert(Streams.readScd1RawBuckets(spark, dir, Set(0L, 1L)).isEmpty)
+    val rows = (0 until 40).map(i => (i.toLong, s"s$i", 1L))
+      .toDF("k", "state", "seq")
+    Streams.scd1MergeBatch(rows, 0L, Seq("k"), Seq("seq"), dir, nBuckets = 8)
+    val bucketOf = (0 until 40).map { k =>
+      k.toLong -> Seq(k.toLong).toDF("k")
+        .select(pmod(xxhash64(col("k")), lit(8L))).head().getLong(0)
+    }.toMap
+    val want = Set(0L, 3L)
+    val got = Streams.readScd1RawBuckets(spark, dir, want).get
+      .select("k").as[Long].collect().toSet
+    assert(got === bucketOf.collect { case (k, b) if want(b) => k }.toSet,
+      "exactly the requested buckets' keys")
+    // buckets that do not exist resolve to None rather than a read error
+    assert(Streams.readScd1RawBuckets(spark, dir, Set(99L)).isEmpty)
+    // agreement with the full read restricted the expensive way (the
+    // dir-addressed read carries no bucket column; re-derive it)
+    val full = Streams.readScd1Raw(spark, dir)
+      .filter(pmod(xxhash64(col("k")), lit(8L)).isin(want.toSeq: _*))
+      .select("k").as[Long].collect().toSet
+    assert(got === full)
+  }
+
   test("stateful sessionize: in-batch close, timeout close, exact durations") {
     import StatefulSessionize.{Event, Session}
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
