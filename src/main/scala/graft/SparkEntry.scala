@@ -2008,6 +2008,21 @@ object SparkEntry {
       "q04_region_nation_revenue" -> regionNationRevenue(s, d),
       "q14_dedup_exact" -> dedupExact(s, d)))
 
+  /** q148: COLUMN-level lineage ([[graft.operators.Lineage.columnReport]]
+    * — ACCESS_HISTORY's `baseSources` granularity, q147's table edges
+    * refined to (model, column, source_table, source_column)). Same
+    * constants-oracle regression-gate design as q147, now sensitive to
+    * a column silently changing its DERIVATION (e.g. revenue dropping
+    * the discount term) even when the table set is unchanged. Join keys
+    * and filters deliberately contribute nothing — value derivation
+    * only — so the q04 edge set is exactly {n_name←nation.n_name,
+    * revenue←lineitem.{l_extendedprice,l_discount}} despite the
+    * five-table join; q01's count_order (literal-only) emits no row. */
+  private def lineageColumnsQ(s: SparkSession, d: String): DataFrame =
+    graft.operators.Lineage.columnReport(s, Seq(
+      "q01_pricing_summary" -> pricingSummary(s, d),
+      "q04_region_nation_revenue" -> regionNationRevenue(s, d)))
+
   /** q134: batch small-file compaction ([[graft.sinks.Publish.compact]] —
     * the lakehouse OPTIMIZE maintenance operator, the batch sibling of
     * the streaming `batch_id=` compactor): a deliberately fragmented
@@ -2656,6 +2671,7 @@ object SparkEntry {
     "q145_policy_catalog"      -> (policyCatalogQ _),
     "q146_signals_ivm"         -> (signalsIvmQ _),
     "q147_lineage"             -> (lineageQ _),
+    "q148_column_lineage"      -> (lineageColumnsQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -4639,6 +4655,29 @@ object SparkEntry {
         |  ('q04_region_nation_revenue', 'supplier.parquet'),
         |  ('q14_dedup_exact', 'documents.parquet'))
         |  AS t(model, source)""".stripMargin,
+
+    // q148: expected column-derivation edges as constants (the q147
+    // design one level deeper): the declared side EXTRACTS these from
+    // the analyzed plans, so a column changing its derivation — e.g.
+    // revenue losing the discount term — hash-diverges even when the
+    // table-level edge set is unchanged
+    "q148_column_lineage" ->
+      """SELECT * FROM (VALUES
+        |  ('q01_pricing_summary', 'l_returnflag',   'lineitem.parquet', 'l_returnflag'),
+        |  ('q01_pricing_summary', 'l_linestatus',   'lineitem.parquet', 'l_linestatus'),
+        |  ('q01_pricing_summary', 'sum_qty',        'lineitem.parquet', 'l_quantity'),
+        |  ('q01_pricing_summary', 'sum_base_price', 'lineitem.parquet', 'l_extendedprice'),
+        |  ('q01_pricing_summary', 'sum_disc_price', 'lineitem.parquet', 'l_extendedprice'),
+        |  ('q01_pricing_summary', 'sum_disc_price', 'lineitem.parquet', 'l_discount'),
+        |  ('q01_pricing_summary', 'sum_charge',     'lineitem.parquet', 'l_extendedprice'),
+        |  ('q01_pricing_summary', 'sum_charge',     'lineitem.parquet', 'l_discount'),
+        |  ('q01_pricing_summary', 'sum_charge',     'lineitem.parquet', 'l_tax'),
+        |  ('q01_pricing_summary', 'avg_qty',        'lineitem.parquet', 'l_quantity'),
+        |  ('q01_pricing_summary', 'avg_disc',       'lineitem.parquet', 'l_discount'),
+        |  ('q04_region_nation_revenue', 'n_name',   'nation.parquet',   'n_name'),
+        |  ('q04_region_nation_revenue', 'revenue',  'lineitem.parquet', 'l_extendedprice'),
+        |  ('q04_region_nation_revenue', 'revenue',  'lineitem.parquet', 'l_discount'))
+        |  AS t(model, "column", source_table, source_column)""".stripMargin,
 
     // q138: every candidate score recomputed by DuckDB's own
     // jaro_winkler_similarity — identical integer-derived double formula,

@@ -45,4 +45,54 @@ class LineageSpec extends SparkSpec {
     assert(edges === Set(("m1", "t1.parquet"),
       ("m2", "t1.parquet"), ("m2", "t2.parquet")))
   }
+
+  test("columnSources: alias chains, joins, aggregates resolve to leaf columns") {
+    val base = Files.createTempDirectory("col_lineage").toString
+    (0 until 8).map(i => (i.toLong, i * 2.0, i * 0.1)).toDF("k", "price", "disc")
+      .write.parquet(s"$base/fact.parquet")
+    (0 until 8).map(i => (i.toLong, s"n$i")).toDF("k", "name")
+      .write.parquet(s"$base/dim.parquet")
+    val df = spark.read.parquet(s"$base/fact.parquet")
+      .join(spark.read.parquet(s"$base/dim.parquet"), Seq("k"))
+      .filter(col("price") > 0) // filter predicates must NOT leak into lineage
+      .groupBy(col("name"))
+      .agg(
+        sum(col("price") * (lit(1.0) - col("disc"))).as("rev"),
+        count(lit(1)).as("n"))
+    val cs = Lineage.columnSources(df)
+    assert(cs("name") === Set("dim.parquet" -> "name"))
+    assert(cs("rev") ===
+      Set("fact.parquet" -> "price", "fact.parquet" -> "disc"))
+    // literal-only column: no base source (join key k stays out of all)
+    assert(cs("n") === Set.empty)
+  }
+
+  test("columnSources: union merges positionally; window keeps its keys") {
+    val base = Files.createTempDirectory("col_lineage_u").toString
+    Seq((1L, 10.0)).toDF("k", "a").write.parquet(s"$base/u1.parquet")
+    Seq((2L, 20.0)).toDF("k", "b").write.parquet(s"$base/u2.parquet")
+    val u = spark.read.parquet(s"$base/u1.parquet").select(col("a").as("v"))
+      .union(spark.read.parquet(s"$base/u2.parquet").select(col("b").as("v")))
+    assert(Lineage.columnSources(u)("v") ===
+      Set("u1.parquet" -> "a", "u2.parquet" -> "b"))
+    // window value derivation includes partition/order keys (the frame
+    // changes the value); the un-windowed passthrough does not
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy("a")
+    val df = spark.read.parquet(s"$base/u1.parquet")
+      .select(col("a"), sum(col("a")).over(w).as("run"))
+    val cs = Lineage.columnSources(df)
+    assert(cs("run") === Set("u1.parquet" -> "a", "u1.parquet" -> "k"))
+    assert(cs("a") === Set("u1.parquet" -> "a"))
+  }
+
+  test("columnSources: exploded columns derive from the generator input") {
+    val base = Files.createTempDirectory("col_lineage_g").toString
+    Seq((1L, Seq("x", "y"))).toDF("k", "arr").write.parquet(s"$base/g.parquet")
+    val df = spark.read.parquet(s"$base/g.parquet")
+      .select(col("k"), explode(col("arr")).as("item"))
+    val cs = Lineage.columnSources(df)
+    assert(cs("item") === Set("g.parquet" -> "arr"))
+    assert(cs("k") === Set("g.parquet" -> "k"))
+  }
 }
