@@ -477,6 +477,17 @@ object Bench {
     // the query loop ran 5-40x while isolation re-runs at identical code
     // returned to class). The r7 incident itself was on the STORAGE axis
     // (351 s vs 34 s fact write), so the disk probe brackets too.
+    // QUIESCE first: the probes land right after pipeline10m's ~380 MB
+    // fact write, and on this VM the page-cache writeback tail of OUR
+    // OWN bytes depressed the end bracket for tens of seconds (r9: end
+    // write 69/304 MB/s on an otherwise idle box, while a standalone
+    // probe minutes later read in band). The bracket exists to detect
+    // EXTERNAL load, so drain self-inflicted writeback before probing:
+    // fsync everything (portable best-effort via `sync`) and give the
+    // flusher a settle window.
+    try { new ProcessBuilder("sync").start().waitFor() }
+    catch { case _: Throwable => () }
+    Thread.sleep(8000)
     val cpuSecEnd = calibCpuSec()
     val writeMbpsEnd = calibWriteMbps()
 

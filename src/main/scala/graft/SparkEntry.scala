@@ -1968,7 +1968,12 @@ object SparkEntry {
       val prevCounts =
         if (i == 0) grouped(fact).limit(0).withColumn("n_events", lit(0L))
         else s.read.parquet(s"$root/counts/v=${i - 1}")
+      // the marts are aggregate-sized (groups, not events): coalesce the
+      // versioned writes so each version is a few right-sized files, not
+      // 32 shuffle-partition shards — the same small-file discipline
+      // q134's compactor enforces after the fact, applied at write time
       Incremental.maintainCounts(prevCounts, removed, added, groupCols)
+        .coalesce(4)
         .write.mode("overwrite").parquet(s"$root/counts/v=$i")
       val countsNow = s.read.parquet(s"$root/counts/v=$i")
       val touchedPairs = removed.select(pairCols.map(col): _*)
@@ -1979,6 +1984,7 @@ object SparkEntry {
         if (i == 0) fresh.limit(0)
         else s.read.parquet(s"$root/signals/v=${i - 1}")
       Incremental.patchPartitions(prevSignals, fresh, touchedPairs, pairCols)
+        .coalesce(4)
         .write.mode("overwrite").parquet(s"$root/signals/v=$i")
       removed.unpersist(); added.unpersist(); fact.unpersist()
       ()
