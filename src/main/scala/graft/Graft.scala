@@ -52,9 +52,11 @@ object Graft {
           "your setting, but ANSI-guarded operators (ZOrder.zoneMap) will " +
           "refuse to run — see Graft.configure scaladoc")
     GraftExpressions.register(spark)
-    if (!spark.experimental.extraOptimizations.contains(graft.plans.BoundLevenshtein))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ graft.plans.BoundLevenshtein
+    Seq(graft.plans.BoundLevenshtein, graft.plans.MvRewrite).foreach { r =>
+      if (!spark.experimental.extraOptimizations.contains(r))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ r
+    }
     spark
   }
 

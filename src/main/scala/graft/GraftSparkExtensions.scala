@@ -29,5 +29,6 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     graft.functions.expressions.GraftExpressions.all.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => graft.plans.BoundLevenshtein)
+    ext.injectOptimizerRule(_ => graft.plans.MvRewrite)
   }
 }

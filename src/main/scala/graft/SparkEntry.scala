@@ -2029,6 +2029,50 @@ object SparkEntry {
       "q01_pricing_summary" -> pricingSummary(s, d),
       "q04_region_nation_revenue" -> regionNationRevenue(s, d)))
 
+  /** q149: transparent materialized-view rewrite
+    * ([[graft.plans.MvRewrite]] — Snowflake's MV auto-rewrite; the
+    * reference's marts are dbt materializations queried by name,
+    * dbt_project.yml:13-15, and this closes the remaining gap: an
+    * AD-HOC query equivalent to a maintained mart silently USES it).
+    * The order-priority rollup is materialized and registered; the
+    * SAME aggregate re-issued against the base table is then REQUIRED
+    * to have been rewritten onto the mart scan — the require makes the
+    * green gate row rewrite evidence, not just result evidence — and
+    * an enclosing filter + derived column on top prove the preserved
+    * attribute ids keep downstream operators binding. Oracle recomputes
+    * flat from orders, so the mart's contents are themselves gated.
+    * Scale: the rewrite replaces the fact scan + shuffle with an
+    * aggregate-sized mart scan at plan time — the entire point of the
+    * feature at 100 TB. Registry cleared in finally: rewrite scope must
+    * not leak into other declared queries' plans. */
+  private def mvRewriteQ(s: SparkSession, d: String): DataFrame = {
+    import graft.plans.MvCatalog
+    Graft.configure(s)
+    val root = replayStateDir(s, "q149", d)
+    def rollup() = orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"))
+    try {
+      MvCatalog.materialize(s, "mv_priority_rollup", rollup(),
+        s"$root/mv_priority_rollup.parquet")
+      val reissued = rollup()
+        .filter(col("n_orders") > 0)
+        .withColumn("avg_order_value",
+          round(col("revenue") / col("n_orders"), 2))
+      val physical = reissued.queryExecution.executedPlan.toString
+      require(physical.contains("mv_priority_rollup.parquet"),
+        s"MV rewrite did not fire; plan:\n$physical")
+      // bounded collect (≤ #priorities = 5 rows): pins the gate rows to
+      // the REWRITTEN execution — returning the lazy frame would let
+      // Verify's coalesce().write recompile after the finally clears
+      // the registry and silently fall back to the base tables
+      val out = reissued.collect()
+      s.createDataFrame(s.sparkContext.parallelize(out.toList, 1),
+        reissued.schema)
+    } finally MvCatalog.clear()
+  }
+
   /** q134: batch small-file compaction ([[graft.sinks.Publish.compact]] —
     * the lakehouse OPTIMIZE maintenance operator, the batch sibling of
     * the streaming `batch_id=` compactor): a deliberately fragmented
@@ -2678,6 +2722,7 @@ object SparkEntry {
     "q146_signals_ivm"         -> (signalsIvmQ _),
     "q147_lineage"             -> (lineageQ _),
     "q148_column_lineage"      -> (lineageColumnsQ _),
+    "q149_mv_rewrite"          -> (mvRewriteQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -4661,6 +4706,19 @@ object SparkEntry {
         |  ('q04_region_nation_revenue', 'supplier.parquet'),
         |  ('q14_dedup_exact', 'documents.parquet'))
         |  AS t(model, source)""".stripMargin,
+
+    // q149: flat recompute from orders — the declared side materialized
+    // the rollup, re-issued the query, REQUIRED the plan to scan the
+    // mart, and returned the mart-derived rows; equality here gates the
+    // whole materialize->rewrite->serve path
+    "q149_mv_rewrite" ->
+      """SELECT o_orderpriority,
+        |       count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS revenue,
+        |       round(round(sum(o_totalprice), 2) / count(*), 2) AS avg_order_value
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |HAVING count(*) > 0""".stripMargin,
 
     // q148: expected column-derivation edges as constants (the q147
     // design one level deeper): the declared side EXTRACTS these from

@@ -1,0 +1,101 @@
+package graft.plans
+
+import java.nio.file.Files
+
+import graft.{Graft, SparkSpec}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class MvRewriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  Graft.configure(spark) // attaches MvRewrite (idempotent)
+
+  private def scans(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("exact-match aggregate rewrites to the mart scan; clear() restores base") {
+    val base = Files.createTempDirectory("mv").toString
+    (0 until 1000).map(i => (i % 7L, i.toDouble))
+      .toDF("g", "x").write.parquet(s"$base/fact.parquet")
+    def q() = spark.read.parquet(s"$base/fact.parquet")
+      .groupBy("g").agg(sum($"x").as("sx"), count(lit(1)).as("n"))
+    val expected = q().collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    try {
+      MvCatalog.materialize(spark, "mv_agg", q(), s"$base/mv_agg_mart.parquet")
+      val rewritten = q()
+      assert(scans(rewritten).contains("mv_agg_mart.parquet"),
+        s"expected mart scan:\n${scans(rewritten)}")
+      assert(!scans(rewritten).contains("fact.parquet"),
+        "base table must not be scanned after rewrite")
+      val got = rewritten.collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+      assert(got === expected)
+    } finally MvCatalog.clear()
+    // catalog cleared: same query reads the base again
+    assert(scans(q()).contains("fact.parquet"))
+  }
+
+  test("subtree match under enclosing operators keeps attribute ids resolving") {
+    val base = Files.createTempDirectory("mv_sub").toString
+    (0 until 500).map(i => (i % 5L, i.toLong)).toDF("k", "v")
+      .write.parquet(s"$base/t.parquet")
+    def agg() = spark.read.parquet(s"$base/t.parquet")
+      .groupBy("k").agg(sum($"v").as("sv"))
+    try {
+      MvCatalog.materialize(spark, "mv_sub", agg(), s"$base/mv_sub_mart.parquet")
+      // the MV shape sits UNDER a filter + projection the MV knows
+      // nothing about: rewrite must fire on the inner subtree and the
+      // outer operators must still bind (exprIds preserved)
+      val outer = agg().filter($"sv" > 100).select($"k", ($"sv" * 2).as("sv2"))
+      assert(scans(outer).contains("mv_sub_mart.parquet"), scans(outer))
+      val direct = spark.read.parquet(s"$base/t.parquet")
+        .groupBy("k").agg(sum($"v").as("sv"))
+        .filter($"sv" > 100).select($"k", ($"sv" * 2).as("sv2"))
+      // compare against the un-rewritten result computed pre-registration
+      assert(outer.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+        direct.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    } finally MvCatalog.clear()
+  }
+
+  test("non-matching plans are left alone; schema drift falls back to base") {
+    val base = Files.createTempDirectory("mv_miss").toString
+    (0 until 100).map(i => (i % 3L, i.toDouble)).toDF("g", "x")
+      .write.parquet(s"$base/t.parquet")
+    def q(lo: Double) = spark.read.parquet(s"$base/t.parquet")
+      .filter($"x" >= lo).groupBy("g").agg(sum($"x").as("sx"))
+    try {
+      MvCatalog.materialize(spark, "mv_f", q(10.0), s"$base/mv_f_mart.parquet")
+      // different filter constant: NOT an exact match, no rewrite
+      assert(!scans(q(20.0)).contains("mv_f_mart.parquet"))
+      assert(scans(q(10.0)).contains("mv_f_mart.parquet"))
+      // schema drift: re-point the registration at a mart whose column
+      // names no longer line up -> match aborts, base plan survives
+      q(10.0).withColumnRenamed("sx", "other")
+        .write.mode("overwrite").parquet(s"$base/mv_drift.parquet")
+      MvCatalog.register(spark, "mv_f", q(10.0), s"$base/mv_drift.parquet")
+      val fallback = q(10.0)
+      assert(!scans(fallback).contains("mv_drift.parquet"))
+      assert(fallback.count() === 3)
+    } finally MvCatalog.clear()
+  }
+
+  test("refresh: an overwritten mart is seen without re-registration") {
+    val base = Files.createTempDirectory("mv_fresh").toString
+    def writeBase(n: Int): Unit = (0 until n).map(i => (i % 2L, 1.0))
+      .toDF("g", "x").write.mode("overwrite").parquet(s"$base/t.parquet")
+    writeBase(100)
+    def q() = spark.read.parquet(s"$base/t.parquet")
+      .groupBy("g").agg(sum($"x").as("sx"))
+    try {
+      MvCatalog.materialize(spark, "mv_r", q(), s"$base/mv_r_mart.parquet")
+      assert(q().agg(sum($"sx")).head().getDouble(0) === 100.0)
+      // base grows; refresh = materialize again with a fresh definition
+      // DataFrame — the name is removed before the write compiles, so
+      // the refresh computes from the BASE, never from its own stale
+      // mart (the self-referential refresh trap)
+      writeBase(200)
+      MvCatalog.materialize(spark, "mv_r", q(), s"$base/mv_r_mart.parquet")
+      assert(q().agg(sum($"sx")).head().getDouble(0) === 200.0)
+    } finally MvCatalog.clear()
+  }
+}
