@@ -2073,6 +2073,54 @@ object SparkEntry {
     } finally MvCatalog.clear()
   }
 
+  /** q150: MV ROLLUP subsumption ([[graft.plans.MvRewrite]]'s data-cube
+    * leg — q149 is the exact-match rewrite; this is the classic "one
+    * finest-grain mart serves every coarser rollup": the registered
+    * mart groups by (priority, status), and a query grouping by STATUS
+    * alone is re-aggregated OVER the mart — sum→sum of sums, count→sum
+    * of counts, min/max→min/max of mins/maxes — with the scalar shells
+    * (round, a hand-written mean ratio) riding over substituted
+    * aggregate leaves. REQUIRED to scan the mart; oracle recomputes
+    * flat from orders. round(…,2) on the float outputs absorbs the
+    * sum-of-group-sums vs flat-sum accumulation difference per house
+    * determinism rules; counts are exact. Scale: the cube property is
+    * THE mart-economics feature — one maintained fine-grain mart
+    * answers the whole rollup lattice without touching the fact. */
+  private def mvRollupQ(s: SparkSession, d: String): DataFrame = {
+    import graft.plans.MvCatalog
+    Graft.configure(s)
+    val root = replayStateDir(s, "q150", d)
+    def fine() = orders(s, d)
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice")).as("total"),
+        min(col("o_totalprice")).as("min_total"),
+        max(col("o_totalprice")).as("max_total"))
+    try {
+      MvCatalog.materialize(s, "mv_priority_status", fine(),
+        s"$root/mv_priority_status.parquet")
+      val coarse = orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("revenue"),
+          round(sum(col("o_totalprice")) / count(lit(1)), 2)
+            .as("avg_order_value"),
+          round(min(col("o_totalprice")), 2).as("min_total"),
+          round(max(col("o_totalprice")), 2).as("max_total"))
+      val physical = coarse.queryExecution.executedPlan.toString
+      require(physical.contains("mv_priority_status.parquet"),
+        s"MV rollup rewrite did not fire; plan:\n$physical")
+      require(!physical.contains("orders.parquet"),
+        "rollup must not touch the base fact")
+      // bounded collect (≤ #statuses = 3 rows): pins the gate rows to
+      // the rewritten execution, as in q149
+      val out = coarse.collect()
+      s.createDataFrame(s.sparkContext.parallelize(out.toList, 1),
+        coarse.schema)
+    } finally MvCatalog.clear()
+  }
+
   /** q134: batch small-file compaction ([[graft.sinks.Publish.compact]] —
     * the lakehouse OPTIMIZE maintenance operator, the batch sibling of
     * the streaming `batch_id=` compactor): a deliberately fragmented
@@ -2723,6 +2771,7 @@ object SparkEntry {
     "q147_lineage"             -> (lineageQ _),
     "q148_column_lineage"      -> (lineageColumnsQ _),
     "q149_mv_rewrite"          -> (mvRewriteQ _),
+    "q150_mv_rollup"           -> (mvRollupQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -4719,6 +4768,21 @@ object SparkEntry {
         |FROM orders
         |GROUP BY o_orderpriority
         |HAVING count(*) > 0""".stripMargin,
+
+    // q150: flat recompute from orders — the declared side served the
+    // rollup FROM the (priority, status) mart (plan-required), so
+    // equality proves sum/count/min/max re-aggregation over group
+    // partials matches the flat computation; round(…,2) absorbs
+    // double accumulation-order drift per house rules
+    "q150_mv_rollup" ->
+      """SELECT o_orderstatus,
+        |       count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS revenue,
+        |       round(sum(o_totalprice) / count(*), 2) AS avg_order_value,
+        |       round(min(o_totalprice), 2) AS min_total,
+        |       round(max(o_totalprice), 2) AS max_total
+        |FROM orders
+        |GROUP BY o_orderstatus""".stripMargin,
 
     // q148: expected column-derivation edges as constants (the q147
     // design one level deeper): the declared side EXTRACTS these from

@@ -79,6 +79,84 @@ class MvRewriteSpec extends SparkSpec {
     } finally MvCatalog.clear()
   }
 
+  test("rollup subsumption: subset keys and the grand total re-aggregate over the mart") {
+    val base = Files.createTempDirectory("mv_cube").toString
+    (0 until 2000).map(i => (i % 4L, i % 3L, i.toDouble))
+      .toDF("k1", "k2", "x").write.parquet(s"$base/fact.parquet")
+    def fact() = spark.read.parquet(s"$base/fact.parquet")
+    def fine() = fact().groupBy("k1", "k2")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+        min($"x").as("mn"), max($"x").as("mx"))
+    def byK1() = fact().groupBy("k1")
+      .agg(sum($"x").as("sx"), count(lit(1)).as("n"),
+        min($"x").as("mn"), max($"x").as("mx"))
+    def total() = fact().agg(sum($"x").as("sx"), count(lit(1)).as("n"))
+    // ground truth computed BEFORE registration (no rewrite active)
+    val wantK1 = byK1().collect().map(r =>
+      (r.getLong(0), r.getDouble(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toSet
+    val wantTot = total().head()
+    try {
+      MvCatalog.materialize(spark, "mv_cube", fine(), s"$base/mv_cube_mart.parquet")
+      val k1 = byK1()
+      assert(scans(k1).contains("mv_cube_mart.parquet"),
+        s"subset-key rollup must come from the mart:\n${scans(k1)}")
+      assert(!scans(k1).contains("fact.parquet"))
+      assert(k1.collect().map(r =>
+        (r.getLong(0), r.getDouble(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toSet === wantK1)
+      val tot = total()
+      assert(scans(tot).contains("mv_cube_mart.parquet"),
+        s"grand total must come from the mart:\n${scans(tot)}")
+      assert(tot.head().getDouble(0) === wantTot.getDouble(0))
+      assert(tot.head().getLong(1) === wantTot.getLong(1))
+    } finally MvCatalog.clear()
+  }
+
+  test("rollup subsumption: scalar shells over aggregates rewrite too") {
+    val base = Files.createTempDirectory("mv_cube_sc").toString
+    (0 until 1200).map(i => (i % 4L, i % 3L, i.toDouble))
+      .toDF("k1", "k2", "x").write.parquet(s"$base/fact.parquet")
+    def fact() = spark.read.parquet(s"$base/fact.parquet")
+    def fine() = fact().groupBy("k1", "k2")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"))
+    // round() and a hand-written mean collapse INTO the aggregate during
+    // optimization; only the aggregate leaves are substituted, so the
+    // scalar shell rides along
+    def q() = fact().groupBy("k1")
+      .agg(round(sum($"x"), 2).as("rx"),
+        (sum($"x") / count(lit(1))).as("mean_via_ratio"))
+    val want = q().collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    try {
+      MvCatalog.materialize(spark, "mv_sc", fine(), s"$base/mv_sc_mart.parquet")
+      val rq = q()
+      assert(scans(rq).contains("mv_sc_mart.parquet"), scans(rq))
+      assert(rq.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet === want)
+    } finally MvCatalog.clear()
+  }
+
+  test("rollup subsumption: non-derivable shapes keep the base plan") {
+    val base = Files.createTempDirectory("mv_cube_no").toString
+    (0 until 300).map(i => (i % 4L, i % 3L, i.toDouble))
+      .toDF("k1", "k2", "x").write.parquet(s"$base/fact.parquet")
+    def fact() = spark.read.parquet(s"$base/fact.parquet")
+    def fine() = fact().groupBy("k1", "k2")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"))
+    try {
+      MvCatalog.materialize(spark, "mv_no", fine(), s"$base/mv_no_mart.parquet")
+      // avg does not re-aggregate from (n, sx) blindly — not exposed
+      val avgQ = fact().groupBy("k1").agg(avg($"x").as("ax"))
+      assert(!scans(avgQ).contains("mv_no_mart.parquet"))
+      // distinct count is not derivable from a coarser mart
+      val dQ = fact().groupBy("k1").agg(countDistinct($"x").as("d"))
+      assert(!scans(dQ).contains("mv_no_mart.parquet"))
+      // an extra base-side filter changes the child: no match
+      val fQ = fact().filter($"x" > 100).groupBy("k1").agg(sum($"x").as("sx"))
+      assert(!scans(fQ).contains("mv_no_mart.parquet"))
+      // a key OUTSIDE the mart's group set: no match
+      val xQ = fact().groupBy("x").agg(count(lit(1)).as("n"))
+      assert(!scans(xQ).contains("mv_no_mart.parquet"))
+    } finally MvCatalog.clear()
+  }
+
   test("refresh: an overwritten mart is seen without re-registration") {
     val base = Files.createTempDirectory("mv_fresh").toString
     def writeBase(n: Int): Unit = (0 until n).map(i => (i % 2L, 1.0))
