@@ -2121,6 +2121,133 @@ object SparkEntry {
     } finally MvCatalog.clear()
   }
 
+  /** q151: aggregation policy ([[graft.operators.Privacy
+    * .aggregationPolicy]] — Snowflake's aggregation-policy semantics,
+    * the ENFORCED sibling of the q109 k-anonymity AUDIT): orders may
+    * only be served aggregated over ≥15 orders per customer; the 1376
+    * under-floor customers (sf0.01) fold into one NULL-key remainder
+    * row, the 124 at/above the floor surface as themselves, and totals
+    * are preserved either way. count re-aggregates as the sum of
+    * partial counts, sum/max directly — the same distributivity the MV
+    * rollup leg (q150) relies on. Oracle states the two-level
+    * CASE-then-regroup relationally; round(…,2) absorbs the
+    * remainder's float accumulation-order drift per house rules. */
+  private def aggPolicyQ(s: SparkSession, d: String): DataFrame =
+    graft.operators.Privacy.aggregationPolicy(orders(s, d),
+        Seq("o_custkey"),
+        Seq(("o_totalprice", "count", "n_orders"),
+          ("o_totalprice", "sum", "revenue_raw"),
+          ("o_totalprice", "max", "max_total_raw")),
+        minGroupSize = 15)
+      .select(col("o_custkey"), col("n_orders"),
+        round(col("revenue_raw"), 2).as("revenue"),
+        round(col("max_total_raw"), 2).as("max_total"))
+
+  /** q152: conditional (two-argument) masking policy
+    * ([[graft.operators.Privacy.conditionalMask]] — Snowflake's
+    * `CREATE MASKING POLICY … AS (val, visible BOOLEAN)` shape,
+    * catalog-bound via the `mask_tail unless consent_ok` kind): the
+    * row's own consent flag (here derived: positive account balance)
+    * grants per-row visibility to unprivileged roles; a NULL flag
+    * masks (fail-closed); the plain mask_full on c_mktsegment rides
+    * alongside to show composition. Still a pure scan-side projection
+    * — per-row governance at zero plan cost. Oracle restates both
+    * masks as CASE ladders. */
+  private def conditionalMaskQ(s: SparkSession, d: String): DataFrame = {
+    val base = customer(s, d)
+      .withColumn("consent_ok", col("c_acctbal") > lit(0.0))
+    val catalog = s.createDataFrame(Seq(
+      ("customer", "c_name", "mask_tail unless consent_ok", "6", "admin"),
+      ("customer", "c_mktsegment", "mask_full", "", "admin")))
+      .toDF("table_name", "column_name", "policy_kind", "policy_param",
+        "allowed_roles")
+    graft.operators.Privacy.governedView(base, "customer", "analyst_emea",
+        catalog)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        col("c_acctbal"))
+  }
+
+  /** q153: projection policy ([[graft.operators.Privacy
+    * .enforceProjectionPolicies]] — Snowflake's PROJECTION POLICY: the
+    * protected column may be filtered/joined on but never projected),
+    * enforced through the q148 column-lineage walk, whose "join keys and
+    * filter predicates contribute nothing to value derivation" contract
+    * IS the projection-policy semantics. The query filters customers by
+    * account balance (allowed use of the protected column) and serves a
+    * segment rollup that derives only from unprotected columns; the
+    * serve gate inspects the analyzed plan and returns the result
+    * UNCHANGED — governance at zero plan cost. PrivacySpec pins the
+    * deny side (projecting, aliasing, wrapping, or aggregating the
+    * protected column all throw; privileged roles bypass). Oracle
+    * restates the allowed query flat — all-integer outputs, nothing for
+    * a hash to drift on. */
+  private def projectionPolicyQ(s: SparkSession, d: String): DataFrame = {
+    val catalog = s.createDataFrame(Seq(
+      ("customer", "c_acctbal", "no_project", "", "admin")))
+      .toDF("table_name", "column_name", "policy_kind", "policy_param",
+        "allowed_roles")
+    val base = graft.operators.Privacy.governedView(customer(s, d),
+      "customer", "analyst_emea", catalog)
+    val served = base.filter(col("c_acctbal") > lit(5000.0))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        count_distinct(col("c_nationkey")).as("n_nations"))
+    graft.operators.Privacy.enforceProjectionPolicies(served,
+      "analyst_emea", catalog)
+  }
+
+  /** The value-shape registry the testdata corpus actually exhibits
+    * (the operator's default registry stays the PII set — phone, email,
+    * ISO date — spec-evidenced; a registry is deployment config):
+    * TPC-H entity ids (`Customer#000000001`), 2-letter language codes,
+    * and JSON object payloads. */
+  private val corpusCategories = Seq(
+    "entity_id"   -> "^[A-Za-z]+#[0-9]+$",
+    "lang_code"   -> "^[a-z]{2}$",
+    "json_object" -> "^\\{.*\\}$")
+
+  /** q154: data classification ([[graft.operators.Privacy.classify]] —
+    * Snowflake's EXTRACT_SEMANTIC_CATEGORIES, run as the account-wide
+    * sweep the feature exists for): each table costs ONE scan-side
+    * aggregate computing every (column × category) anchored-regex match
+    * count, a stack + window picks the best candidate per column, and
+    * the decision compares integer counts (never a float). Swept here:
+    * customer, documents, events under the corpus registry —
+    * c_name → entity_id, lang → lang_code, props → json_object,
+    * free-text columns fall back to `text` with the best candidate's
+    * count shown. Oracle restates each table's sweep as an
+    * UNPIVOT × registry CTE with the same integer-space decision. */
+  private def classifyQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Privacy
+    Seq("customer" -> customer(s, d), "documents" -> documents(s, d),
+        "events" -> events(s, d))
+      .map { case (t, df) =>
+        Privacy.classify(df, categories = corpusCategories)
+          .select(lit(t).as("table_name"), col("column_name"),
+            col("semantic_category"), col("n_values"), col("n_match"))
+      }.reduce(_ union _)
+  }
+
+  /** q155: tag-based auto-masking ([[graft.operators.Privacy
+    * .autoMaskCatalog]] — Snowflake's tag-based masking policies:
+    * classification assigns the tag, the policy binds to the tag, every
+    * tagged column is governed without anyone naming it): q154's
+    * classifier output maps through `entity_id → mask_tail(4)` into
+    * catalog rows, and the governed view is composed from that
+    * GENERATED catalog — the full classify → bind → serve loop, closing
+    * the governance tier end-to-end. Unprivileged read: c_name masked
+    * to its last 4 digits, unclassified columns untouched. Oracle
+    * restates the resulting mask as the usual CASE ladder. */
+  private def autoMaskQ(s: SparkSession, d: String): DataFrame = {
+    val cust = customer(s, d)
+    val catalog = graft.operators.Privacy.autoMaskCatalog(
+      graft.operators.Privacy.classify(cust, categories = corpusCategories),
+      "customer", Map("entity_id" -> ("mask_tail", "4")))
+    graft.operators.Privacy.governedView(cust, "customer", "analyst_emea",
+        catalog)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+  }
+
   /** q134: batch small-file compaction ([[graft.sinks.Publish.compact]] —
     * the lakehouse OPTIMIZE maintenance operator, the batch sibling of
     * the streaming `batch_id=` compactor): a deliberately fragmented
@@ -2772,6 +2899,11 @@ object SparkEntry {
     "q148_column_lineage"      -> (lineageColumnsQ _),
     "q149_mv_rewrite"          -> (mvRewriteQ _),
     "q150_mv_rollup"           -> (mvRollupQ _),
+    "q151_agg_policy"          -> (aggPolicyQ _),
+    "q152_conditional_mask"    -> (conditionalMaskQ _),
+    "q153_projection_policy"   -> (projectionPolicyQ _),
+    "q154_classify"            -> (classifyQ _),
+    "q155_auto_mask"           -> (autoMaskQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -4783,6 +4915,107 @@ object SparkEntry {
         |       round(max(o_totalprice), 2) AS max_total
         |FROM orders
         |GROUP BY o_orderstatus""".stripMargin,
+
+    // q151: the aggregation policy stated relationally — group, NULL
+    // the under-floor keys, regroup; counts re-aggregate as sums (cast
+    // back to BIGINT: DuckDB's sum-of-BIGINT widens to HUGEINT)
+    "q151_agg_policy" ->
+      """WITH g AS (
+        |  SELECT o_custkey, count(o_totalprice) AS n,
+        |         sum(o_totalprice) AS s, max(o_totalprice) AS m
+        |  FROM orders GROUP BY o_custkey
+        |), r AS (
+        |  SELECT CASE WHEN n >= 15 THEN o_custkey END AS o_custkey,
+        |         n, s, m
+        |  FROM g
+        |)
+        |SELECT o_custkey,
+        |       CAST(sum(n) AS BIGINT) AS n_orders,
+        |       round(sum(s), 2) AS revenue,
+        |       round(max(m), 2) AS max_total
+        |FROM r GROUP BY o_custkey""".stripMargin,
+
+    // q152: both masks as CASE ladders — the conditional tail mask
+    // opens per row on the derived consent flag (positive balance),
+    // stays closed on NULL, and the unconditional full mask composes
+    "q152_conditional_mask" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_acctbal > 0 THEN c_name
+        |       WHEN c_name IS NULL THEN NULL
+        |       WHEN length(c_name) <= 6 THEN c_name
+        |       ELSE repeat('*', length(c_name) - 6) || right(c_name, 6)
+        |  END AS c_name,
+        |  CASE WHEN c_mktsegment IS NULL THEN NULL
+        |       ELSE '***MASKED***' END AS c_mktsegment,
+        |  c_acctbal
+        |FROM customer""".stripMargin,
+
+    // q153: the projection-policy ALLOWED query stated flat — the
+    // protected c_acctbal appears only in the predicate, the served
+    // columns derive from unprotected inputs (the deny side is
+    // spec-pinned: it throws, so no SQL can state it)
+    "q153_projection_policy" ->
+      """SELECT c_mktsegment, count(*) AS n_customers,
+        |       count(DISTINCT c_nationkey) AS n_nations
+        |FROM customer
+        |WHERE c_acctbal > 5000
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    // q154: the classifier sweep restated relationally — UNPIVOT each
+    // table to long form, cross the category registry, count
+    // anchored-regex matches, pick the best candidate per column
+    // (count desc, precedence), and decide in INTEGER space
+    // (n_match * 1e6 >= 9e5 * n_values), so no float ever reaches the
+    // hash. DuckDB's UNPIVOT drops NULL values; Spark counts non-nulls
+    // — same denominator either way.
+    "q154_classify" ->
+      """WITH cats(category, prec, re) AS (VALUES
+        |  ('entity_id', 0, '^[A-Za-z]+#[0-9]+$'),
+        |  ('lang_code', 1, '^[a-z]{2}$'),
+        |  ('json_object', 2, '^\{.*\}$')
+        |), long AS (
+        |  SELECT 'customer' AS table_name, column_name, v FROM (
+        |    UNPIVOT (SELECT c_name, c_mktsegment FROM customer)
+        |    ON c_name, c_mktsegment INTO NAME column_name VALUE v)
+        |  UNION ALL
+        |  SELECT 'documents', column_name, v FROM (
+        |    UNPIVOT (SELECT "text", lang, source FROM documents)
+        |    ON "text", lang, source INTO NAME column_name VALUE v)
+        |  UNION ALL
+        |  SELECT 'events', column_name, v FROM (
+        |    UNPIVOT (SELECT event_type, props FROM events)
+        |    ON event_type, props INTO NAME column_name VALUE v)
+        |), m AS (
+        |  SELECT table_name, column_name, category, prec,
+        |         count(v) AS n_values,
+        |         sum(CASE WHEN regexp_matches(v, re) THEN 1 ELSE 0 END)
+        |           AS n_match
+        |  FROM long CROSS JOIN cats
+        |  GROUP BY table_name, column_name, category, prec
+        |), best AS (
+        |  SELECT *, row_number() OVER (PARTITION BY table_name, column_name
+        |    ORDER BY n_match DESC, prec) AS rn FROM m
+        |)
+        |SELECT table_name, column_name,
+        |       CASE WHEN n_values > 0
+        |                 AND n_match * 1000000 >= 900000 * n_values
+        |            THEN category ELSE 'text' END AS semantic_category,
+        |       CAST(n_values AS BIGINT) AS n_values,
+        |       CAST(n_match AS BIGINT) AS n_match
+        |FROM best WHERE rn = 1""".stripMargin,
+
+    // q155: the auto-bound mask restated — the classifier decides
+    // c_name is an entity id (the oracle trusts q154's gate for that),
+    // the entity_id rule binds mask_tail(4), so the served view is the
+    // usual last-4 CASE ladder; unclassified columns ride through raw
+    "q155_auto_mask" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_name IS NULL THEN NULL
+        |       WHEN length(c_name) <= 4 THEN c_name
+        |       ELSE repeat('*', length(c_name) - 4) || right(c_name, 4)
+        |  END AS c_name,
+        |  c_mktsegment
+        |FROM customer""".stripMargin,
 
     // q148: expected column-derivation edges as constants (the q147
     // design one level deeper): the declared side EXTRACTS these from

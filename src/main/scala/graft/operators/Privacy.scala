@@ -144,6 +144,258 @@ object Privacy {
     * unrecoverable. The classic masking policy for join keys. */
   def maskHash(c: Column): Column = when(c.isNotNull, sha2(c, 256))
 
+  /** CONDITIONAL masking — Snowflake's two-argument masking policy
+    * (`CREATE MASKING POLICY … AS (val, visible BOOLEAN) …`): the row's
+    * own `conditionColumn` decides per row whether the raw value shows
+    * (consent flags, ownership columns). Fail-closed on NULL: a NULL
+    * condition masks (`when` falls through to otherwise). The condition
+    * column must be BOOLEAN — anything else fails the
+    * [[applyMaskingPolicies]] probe as a policy misconfiguration, and a
+    * nonexistent condition column fails the same way; both at
+    * view-construction time, never as silent raw data. Composes with
+    * role gating exactly like any mask: allowed roles bypass it
+    * entirely, everyone else gets the per-row decision. Still a pure
+    * scan-side projection. */
+  def conditionalMask(conditionColumn: String,
+                      mask: Column => Column): Column => Column =
+    c => when(col(conditionColumn), c).otherwise(mask(c))
+
+  /** Aggregation policy — Snowflake's aggregation-policy semantics:
+    * the table may only be served AS AGGREGATES over at least
+    * `minGroupSize` rows. One grouped pass computes the requested
+    * aggregates plus the group size; groups under the floor have their
+    * keys NULLed (Snowflake's remainder-row convention) and fold into
+    * ONE remainder row by re-aggregation — sum/min/max re-aggregate
+    * directly, counts re-aggregate as the SUM of partial counts (the
+    * same distributivity [[graft.plans.MvRewrite]]'s rollup leg uses).
+    * Every group therefore surfaces: either as itself (size ≥ floor)
+    * or inside the remainder — totals are preserved, small groups are
+    * not individually identifiable.
+    *
+    * Documented caveats (both are Snowflake's too): rows whose group
+    * key is genuinely NULL merge into the remainder row, and the
+    * remainder row itself may represent fewer than `minGroupSize` rows
+    * when almost everything passed the floor — it cannot be subdivided
+    * further, only suppressed by the caller if that residue matters.
+    *
+    * Scale: first shuffle is the ordinary grouped aggregate; the
+    * second re-aggregation runs over GROUP-COUNT-sized data, not rows.
+    * `aggs` entries are `(inputCol, fn, outName)` with fn one of
+    * count | sum | min | max — the re-aggregable set; avg decomposes
+    * into sum/count at the call site. */
+  def aggregationPolicy(df: DataFrame, groupCols: Seq[String],
+      aggs: Seq[(String, String, String)], minGroupSize: Long): DataFrame = {
+    require(groupCols.nonEmpty, "aggregation policy needs group columns")
+    require(aggs.nonEmpty, "aggregation policy needs aggregates")
+    require(minGroupSize >= 1, "minGroupSize >= 1")
+    val fns = Set("count", "sum", "min", "max")
+    aggs.foreach { case (_, fn, _) =>
+      require(fns(fn), s"aggregation policy fn '$fn' not re-aggregable " +
+        s"(known: ${fns.mkString(", ")})")
+    }
+    val outs = aggs.map(_._3)
+    require(outs.distinct.size == outs.size, "duplicate output names")
+    val cnt = "__agg_policy_n"
+    val firstPass = {
+      val exprs = (count(lit(1)).as(cnt) +: aggs.map { case (c, fn, out) =>
+        (fn match {
+          case "count" => count(col(c))
+          case "sum"   => sum(col(c))
+          case "min"   => min(col(c))
+          case "max"   => max(col(c))
+        }).as(out)
+      }).toList
+      df.groupBy(groupCols.map(col): _*).agg(exprs.head, exprs.tail: _*)
+    }
+    // NULL the keys of under-floor groups (type-preserving: `when`
+    // without otherwise yields NULL of the key's own type)
+    val relabeled = groupCols.foldLeft(firstPass) { (acc, k) =>
+      acc.withColumn(k, when(col(cnt) >= minGroupSize, col(k)))
+    }
+    val reaggs = aggs.map { case (_, fn, out) =>
+      (fn match {
+        case "count" | "sum" => sum(col(out)) // counts re-agg as sums
+        case "min"           => min(col(out))
+        case "max"           => max(col(out))
+      }).as(out)
+    }.toList
+    relabeled.groupBy(groupCols.map(col): _*)
+      .agg(reaggs.head, reaggs.tail: _*)
+  }
+
+  /** PROJECTION policy — Snowflake's `PROJECTION POLICY` semantics: an
+    * unprivileged role may USE the protected column (filter on it, join
+    * on it) but may not PROJECT it — no served output column may carry
+    * its values. Enforcement is the serve-time gate over a FINISHED
+    * query, and the mechanism is column-level lineage
+    * ([[graft.operators.Lineage.columnSources]]): an output column
+    * violates the policy iff its value-derivation set contains the
+    * protected `(table, column)`. That lineage walk's documented
+    * scoping — join keys and filter predicates contribute NOTHING to an
+    * output's sources (they select rows, they don't build values) — is
+    * exactly the projection-policy contract, so "filter allowed /
+    * project denied" falls out of one definition instead of two
+    * mechanisms. Aliasing, wrapping (`substring(c, …)`), or aggregating
+    * (`max(c)`) the protected column all still derive from it and all
+    * still throw; renaming cannot launder a projection.
+    *
+    * Catalog rows with `policy_kind = 'no_project'` declare the
+    * protected columns ([[CatalogColumns]] shape; `allowed_roles` may
+    * project). Plan inspection only — the query never executes before
+    * the gate decides, and a compliant result is returned UNCHANGED
+    * (zero plan cost). Like Snowflake's, the policy governs projection,
+    * not inference: a predicate can still leak membership bits — that
+    * residual channel is the aggregation policy's job
+    * ([[aggregationPolicy]]), not this one's.
+    *
+    * Fail-closed posture matches the rest of the catalog layer: the
+    * violation is an exception at serve time, never a silently dropped
+    * or masked column (dropping would change the schema contract the
+    * caller declared). */
+  def enforceProjectionPolicies(result: DataFrame, role: String,
+                                catalog: DataFrame): DataFrame = {
+    val missingCat = CatalogColumns.filterNot(catalog.columns.contains)
+    require(missingCat.isEmpty,
+      s"policy catalog lacks columns: ${missingCat.mkString(", ")} " +
+        s"(expected ${CatalogColumns.mkString(", ")})")
+    val rows = catalog.filter(col("policy_kind") === "no_project")
+      .select(col("table_name"), col("column_name"), col("allowed_roles"))
+      .collect() // governance metadata — a handful of rows by construction
+    val protectedCols: Set[(String, String)] = rows.iterator.flatMap { r =>
+      val roles = Option(r.getString(2)).toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).toSet
+      if (roles.contains(role)) None
+      else for {
+        t <- Option(r.getString(0)).map(_.trim).filter(_.nonEmpty)
+        c <- Option(r.getString(1)).map(_.trim).filter(_.nonEmpty)
+      } yield (t, c)
+    }.toSet
+    if (protectedCols.isEmpty) result
+    else {
+      // lineage identifies file tables by root-path last segment
+      // ("customer.parquet"); the catalog names the logical table
+      // ("customer") — strip the format extension to compare
+      def tableId(s: String): String =
+        s.replaceAll("(?i)\\.(parquet|orc|json|csv)$", "")
+      val violations = Lineage.columnSources(result).toSeq.flatMap {
+        case (out, srcs) =>
+          srcs.collect { case (t, c) if protectedCols((tableId(t), c)) =>
+            s"$out (derives from ${tableId(t)}.$c)" }
+      }.sorted
+      require(violations.isEmpty,
+        s"projection policy violation for role '$role': output " +
+          s"column(s) ${violations.mkString("; ")} — the column may be " +
+          "filtered or joined on, but not projected (directly, aliased, " +
+          "wrapped, or aggregated)")
+      result
+    }
+  }
+
+  // ----------------------------------------------------- classification
+
+  /** Semantic-category registry for [[classify]], in PRECEDENCE order
+    * (earlier wins count ties). Anchored regexes kept to portable
+    * syntax (character classes + bounded repetition) so an external
+    * auditor can restate them verbatim. `phone` is the NANP-ish
+    * `NN-NNN-NNN-NNNN` shape the TPC-H generator emits. */
+  val SemanticCategories: Seq[(String, String)] = Seq(
+    "phone"    -> "^[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}$",
+    "email"    -> "^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$",
+    "date_iso" -> "^[0-9]{4}-[0-9]{2}-[0-9]{2}$")
+
+  /** Data classification — Snowflake's `EXTRACT_SEMANTIC_CATEGORIES`
+    * shape: scan a table's string columns ONCE and decide, per column,
+    * which semantic category its values match. One row per classified
+    * column: `(column_name, semantic_category, n_values, n_match)` —
+    * the decided category when the best candidate matches at least
+    * `minRatio` of the non-null values, `'text'` otherwise (`n_match`
+    * still reports the best candidate's count, so the report shows HOW
+    * undecided a 'text' column was).
+    *
+    * Plan shape: one scan-side aggregate computes every
+    * (column × category) match count plus per-column non-null counts —
+    * a single job, no shuffle beyond the global fold — then the
+    * single-row result is unpivoted with `stack` and the best candidate
+    * picked by a window over #cols×#cats rows. Integer counts
+    * throughout: the decision compares `n_match * 1e6 >= minRatio*1e6 *
+    * n_values` in integer space, so the gate never hashes a float and
+    * ties cannot flip between engines. At 100 TB this is one pass over
+    * the sampled (or full) table with O(cols × cats) state. */
+  def classify(df: DataFrame, minRatio: Double = 0.9,
+               columns: Seq[String] = Seq.empty,
+               categories: Seq[(String, String)] = SemanticCategories): DataFrame = {
+    require(minRatio > 0 && minRatio <= 1, "minRatio in (0, 1]")
+    require(categories.nonEmpty, "empty category registry")
+    val strCols =
+      if (columns.nonEmpty) columns
+      else df.schema.fields.collect {
+        case f if f.dataType == org.apache.spark.sql.types.StringType => f.name
+      }.toSeq
+    val missing = strCols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"classify: absent columns ${missing.mkString(", ")}")
+    require(strCols.nonEmpty, "classify: no string columns to classify")
+    val aggExprs = strCols.flatMap { c =>
+      count(col(c)).as(s"__n_$c") +:
+        categories.map { case (g, re) =>
+          sum(when(col(c).rlike(re), 1L).otherwise(0L)).as(s"__m_${c}_$g")
+        }
+    }
+    val oneRow = df.agg(aggExprs.head, aggExprs.tail: _*)
+    // unpivot the single row to (column, category, precedence, counts)
+    val legs = strCols.flatMap { c =>
+      categories.zipWithIndex.map { case ((g, _), i) =>
+        s"'$c', '$g', $i, `__n_$c`, `__m_${c}_$g`"
+      }
+    }
+    val long = oneRow.selectExpr(
+      s"stack(${legs.size}, ${legs.mkString(", ")}) AS " +
+        "(column_name, category, prec, n_values, n_match)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("column_name"))
+      .orderBy(col("n_match").desc, col("prec").asc)
+    val scaled = math.round(minRatio * 1000000L)
+    long.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("column_name"),
+        when(col("n_values") > 0 &&
+            col("n_match") * 1000000L >= lit(scaled) * col("n_values"),
+          col("category")).otherwise(lit("text")).as("semantic_category"),
+        col("n_values"), col("n_match"))
+  }
+
+  /** Tag-based policy binding — the loop that makes classification
+    * actionable (Snowflake's tag-based masking: classification assigns
+    * tags, policies bind to tags, every tagged column is governed
+    * automatically): map [[classify]]'s decided categories through
+    * `rules` (category → (mask kind, param)) into [[CatalogColumns]]
+    * catalog rows for `tableName`, ready for [[governedView]]. Columns
+    * that classified as an unruled category (or 'text') emit no row —
+    * they are not PII by the classifier's judgment. Pure DataFrame
+    * transform (no driver collect here; [[governedView]] collects the
+    * resulting handful of catalog rows as it does any catalog). */
+  def autoMaskCatalog(classified: DataFrame, tableName: String,
+                      rules: Map[String, (String, String)],
+                      rawRoles: String = "admin"): DataFrame = {
+    require(rules.nonEmpty, "autoMaskCatalog: empty rule set")
+    val ruleSeq = rules.toSeq.sortBy(_._1)
+    val kindExpr = ruleSeq.tail.foldLeft(
+      when(col("semantic_category") === ruleSeq.head._1, lit(ruleSeq.head._2._1))) {
+      case (acc, (cat, (kind, _))) =>
+        acc.when(col("semantic_category") === cat, lit(kind))
+    }
+    val paramExpr = ruleSeq.tail.foldLeft(
+      when(col("semantic_category") === ruleSeq.head._1, lit(ruleSeq.head._2._2))) {
+      case (acc, (cat, (_, param))) =>
+        acc.when(col("semantic_category") === cat, lit(param))
+    }
+    classified.filter(col("semantic_category").isin(rules.keys.toSeq: _*))
+      .select(lit(tableName).as("table_name"),
+        col("column_name"),
+        kindExpr.as("policy_kind"),
+        paramExpr.as("policy_param"),
+        lit(rawRoles).as("allowed_roles"))
+  }
+
   /** Row-access policy: an entitlement table (role, key) decides row
     * visibility — the Snowflake `ROW ACCESS POLICY` shape (reference
     * README.md:63,132, "per manufacturer/region"). A LEFT SEMI join
@@ -231,8 +483,14 @@ object Privacy {
         "to read a deliberately ungoverned table through this API")
     def cell(r: org.apache.spark.sql.Row, i: Int): Option[String] =
       Option(r.getString(i)).map(_.trim).filter(_.nonEmpty)
+    // `no_project` rows are PROJECTION policies — they govern the SERVED
+    // query result, not the base view (the column stays readable here so
+    // it can be filtered/joined on), and are enforced by
+    // [[enforceProjectionPolicies]] at serve time. They still count as
+    // "this table is governed" for the requirePolicies guard above.
     val (accessRows, maskRows) =
-      rows.toSeq.partition(r => cell(r, 2).contains("row_access"))
+      rows.toSeq.filterNot(r => cell(r, 2).contains("no_project"))
+        .partition(r => cell(r, 2).contains("row_access"))
     val policies = maskRows.map { r =>
       val column = cell(r, 1).getOrElse(
         throw new IllegalArgumentException(
@@ -246,7 +504,17 @@ object Privacy {
         throw new IllegalArgumentException(
           s"$kind('$column') needs an integer policy_param, " +
             s"got '${param.getOrElse("")}'"))
-      val mask: Column => Column = kind match {
+      // `<kind> unless <boolean_col>` = Snowflake's conditional
+      // (two-argument) masking policy: the named BOOLEAN column grants
+      // per-row visibility to unprivileged roles. Parsed here; the
+      // condition column's existence and type are enforced by the
+      // applyMaskingPolicies probe (absent or non-boolean → the
+      // policy-misconfiguration error, at view-construction time).
+      val (baseKind, condCol) = kind.split(" unless ", 2) match {
+        case Array(k, c) if c.trim.nonEmpty => (k.trim, Some(c.trim))
+        case _ => (kind, None)
+      }
+      val baseMask: Column => Column = baseKind match {
         case "mask_tail" => maskTail(_, intParam)
         case "mask_full" => maskFull
         case "mask_hash" => maskHash
@@ -256,8 +524,11 @@ object Privacy {
         case other => throw new IllegalArgumentException(
           s"unknown policy_kind '$other' for column '$column' of " +
             s"'$tableName' (known: mask_tail, mask_full, mask_null, " +
-            "mask_hash, row_access)")
+            "mask_hash, row_access, no_project; any mask kind may " +
+            "append ' unless <boolean_col>' for per-row conditional " +
+            "masking)")
       }
+      val mask = condCol.fold(baseMask)(conditionalMask(_, baseMask))
       MaskPolicy(column, roles, mask)
     }
     val masked = applyMaskingPolicies(df, role, policies)

@@ -181,6 +181,165 @@ class PrivacySpec extends SparkSpec {
     assert(e6.getMessage.contains("masking policy misconfiguration"))
   }
 
+  test("conditional mask: per-row consent, fail-closed NULL, role bypass, misconfig") {
+    val df = Seq(("Alice", Some(true)), ("Brian", Some(false)),
+        ("Clara", None: Option[Boolean]))
+      .toDF("name", "consent")
+    val catalog = Seq(("t", "name", "mask_tail unless consent", "2", "admin"))
+      .toDF("table_name", "column_name", "policy_kind", "policy_param",
+        "allowed_roles")
+    val analyst = Privacy.governedView(df, "t", "analyst", catalog)
+      .collect().map(r => r.getString(0)).toSet
+    // consent=true raw; false masked; NULL masked (fail-closed)
+    assert(analyst === Set("Alice", "***an", "***ra"))
+    val admin = Privacy.governedView(df, "t", "admin", catalog)
+      .collect().map(r => r.getString(0)).toSet
+    assert(admin === Set("Alice", "Brian", "Clara"), "allowed role bypasses")
+    // a non-boolean condition column is a misconfiguration, not raw data
+    val bad = Seq(("Alice", "yes")).toDF("name", "consent")
+    val e = intercept[IllegalArgumentException] {
+      Privacy.governedView(bad, "t", "analyst", catalog)
+    }
+    assert(e.getMessage.contains("masking policy misconfiguration"))
+    // an absent condition column fails the same way
+    val e2 = intercept[IllegalArgumentException] {
+      Privacy.governedView(df.drop("consent").withColumn("x", lit(1)),
+        "t", "analyst", catalog)
+    }
+    assert(e2.getMessage.contains("masking policy misconfiguration"))
+  }
+
+  test("aggregation policy: small groups fold into a NULL-key remainder") {
+    // groups: a=5 rows, b=2, c=1, NULL key=2 -> floor 4: a survives,
+    // b+c+NULL fold to one remainder row (5 rows total)
+    val rows = (0 until 5).map(i => (Some("a"), i.toDouble)) ++
+      Seq((Some("b"), 10.0), (Some("b"), 20.0), (Some("c"), 7.0),
+        (None: Option[String], 1.0), (None: Option[String], 2.0))
+    val df = rows.toDF("g", "x")
+    val out = Privacy.aggregationPolicy(df, Seq("g"),
+        Seq(("x", "count", "n"), ("x", "sum", "sx"),
+          ("x", "min", "mn"), ("x", "max", "mx")), minGroupSize = 4)
+      .collect().map(r => (Option(r.getString(0)),
+        r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toSet
+    assert(out === Set(
+      (Some("a"), 5L, 10.0, 0.0, 4.0),
+      (None, 5L, 40.0, 1.0, 20.0)))
+    // all groups at/above the floor: identical to the plain aggregate
+    val big = Privacy.aggregationPolicy(df.filter($"g" === "a"), Seq("g"),
+        Seq(("x", "sum", "sx")), minGroupSize = 4)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(big === Set(("a", 10.0)))
+    // non-re-aggregable fn is rejected up front
+    val e = intercept[IllegalArgumentException] {
+      Privacy.aggregationPolicy(df, Seq("g"), Seq(("x", "avg", "ax")), 4)
+    }
+    assert(e.getMessage.contains("not re-aggregable"))
+  }
+
+  test("projection policy: filter/join allowed, any projection shape denied") {
+    val base = java.nio.file.Files.createTempDirectory("proj_pol").toString
+    (0 until 10).map(i => (i.toLong, s"$i$i-555-000-000$i", s"S${i % 2}", i * 1.5))
+      .toDF("k", "phone", "seg", "bal")
+      .write.parquet(s"$base/cust.parquet")
+    (0 until 10).map(i => (s"$i$i-555-000-000$i", s"carrier${i % 3}"))
+      .toDF("phone", "carrier")
+      .write.parquet(s"$base/dim.parquet")
+    val cust = spark.read.parquet(s"$base/cust.parquet")
+    val dim = spark.read.parquet(s"$base/dim.parquet")
+    val catalog = Seq(("cust", "phone", "no_project", "", "admin"))
+      .toDF("table_name", "column_name", "policy_kind", "policy_param",
+        "allowed_roles")
+    // ALLOWED: the protected column selects rows (filter + join key) but
+    // builds no served value — returned unchanged
+    val served = cust.filter(col("phone").startsWith("1"))
+      .join(dim, Seq("phone"))
+      .groupBy(col("seg")).agg(sum(col("bal")).as("b"),
+        count(col("carrier")).as("n"))
+    assert(Privacy.enforceProjectionPolicies(served, "analyst", catalog)
+      .collect().length === 1)
+    // DENIED: direct, aliased, wrapped, and aggregated projections all
+    // derive from the protected column — renaming cannot launder it
+    val denied = Seq[org.apache.spark.sql.DataFrame](
+      cust.select(col("k"), col("phone")),
+      cust.select(col("phone").as("contact")),
+      cust.select(substring(col("phone"), -4, 4).as("tail4")),
+      cust.groupBy(col("seg")).agg(max(col("phone")).as("top")))
+    denied.foreach { q =>
+      val e = intercept[IllegalArgumentException] {
+        Privacy.enforceProjectionPolicies(q, "analyst", catalog)
+      }
+      assert(e.getMessage.contains("projection policy violation"),
+        e.getMessage)
+    }
+    // an allowed role projects freely; a catalog without no_project rows
+    // gates nothing; a same-named column from ANOTHER table is untouched
+    assert(Privacy.enforceProjectionPolicies(
+      cust.select(col("phone")), "admin", catalog).count() === 10)
+    assert(Privacy.enforceProjectionPolicies(cust.select(col("phone")),
+      "analyst", catalog.filter(col("policy_kind") =!= "no_project"))
+      .count() === 10)
+    assert(Privacy.enforceProjectionPolicies(dim.select(col("phone")),
+      "analyst", catalog).count() === 10)
+  }
+
+  test("classify: decision threshold, precedence, all-null and absent columns") {
+    // 10 rows: phone 100% phone-shaped; mixed 9/10 date-shaped (exactly
+    // at the 0.9 floor -> classified); weak 5/10 (under -> text, best
+    // count still reported); blank all-NULL (n_values=0 -> text)
+    val rows = (0 until 10).map { i =>
+      (f"$i%02d-123-456-7890",
+        if (i < 9) "2024-01-05" else "n/a",
+        if (i < 5) "2024-01-05" else "words",
+        null.asInstanceOf[String], i.toLong)
+    }
+    val df = rows.toDF("phone", "mixed", "weak", "blank", "id")
+    val out = Privacy.classify(df)
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("phone") === (("phone", 10L, 10L)))
+    assert(out("mixed") === (("date_iso", 10L, 9L)))
+    assert(out("weak") === (("text", 10L, 5L)))
+    assert(out("blank") === (("text", 0L, 0L)))
+    assert(!out.contains("id"), "non-string columns are not classified")
+    val e = intercept[IllegalArgumentException] {
+      Privacy.classify(df, columns = Seq("ghost"))
+    }
+    assert(e.getMessage.contains("absent columns"))
+    // zero-match nonempty column: ties across categories resolve by
+    // registry precedence, label is text either way
+    val none = Privacy.classify(Seq("plain words").toDF("c"))
+      .collect().map(r => (r.getString(1), r.getLong(3))).head
+    assert(none === (("text", 0L)))
+  }
+
+  test("auto-mask: classifier output binds catalog rows end-to-end") {
+    val df = Seq(("11-123-456-7890", "free text", 1L),
+        ("22-987-654-3210", "more text", 2L))
+      .toDF("phone", "note", "k")
+    val catalog = Privacy.autoMaskCatalog(Privacy.classify(df), "t",
+      Map("phone" -> ("mask_tail", "4"), "email" -> ("mask_hash", "")))
+    val rows = catalog.collect().map(r => (r.getString(0), r.getString(1),
+      r.getString(2), r.getString(3), r.getString(4)))
+    // only the detected phone column binds; 'text' categories emit no row
+    assert(rows.toSeq === Seq(("t", "phone", "mask_tail", "4", "admin")))
+    val governed = Privacy.governedView(df, "t", "analyst", catalog)
+      .select("phone").collect().map(_.getString(0)).toSet
+    assert(governed === Set("***********7890", "***********3210"))
+    // the classifier found nothing to rule -> empty catalog -> the
+    // governedView typo guard refuses to serve it as "governed"
+    val noPii = Privacy.autoMaskCatalog(
+      Privacy.classify(Seq(("words", 1L)).toDF("note", "k")), "t",
+      Map("phone" -> ("mask_tail", "4")))
+    val e = intercept[IllegalArgumentException] {
+      Privacy.governedView(df, "t", "analyst", noPii)
+    }
+    assert(e.getMessage.contains("no policies bound"))
+    val e2 = intercept[IllegalArgumentException] {
+      Privacy.autoMaskCatalog(Privacy.classify(df), "t", Map.empty)
+    }
+    assert(e2.getMessage.contains("empty rule set"))
+  }
+
   test("masking is a pure projection; row access is a broadcast semi-join") {
     import Privacy.MaskPolicy
     val df = (0 until 50).map(i => (s"n$i", i.toLong)).toDF("name", "key")
