@@ -2248,6 +2248,36 @@ object SparkEntry {
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
   }
 
+  /** q156: MATCH_RECOGNIZE ([[graft.operators.Patterns.matchRecognize]]
+    * — Snowflake's row-pattern matching, run-aligned subset): per user,
+    * find every V-shape in the event value series — a maximal run of
+    * strictly-falling values followed immediately by a maximal run of
+    * strictly-rising ones (`PATTERN (DOWN+ UP+)`, greedy, AFTER MATCH
+    * SKIP PAST LAST ROW) — and emit the match's bounds, per-leg row
+    * counts, and edge/bottom values. The PREV navigation the DEFINEs
+    * need (`value < PREV(value)`) is precomputed as a lag delta, which
+    * is what MATCH_RECOGNIZE compiles it to anyway. All-distinct
+    * pattern symbols → the overlap-free fast path: symbol ladder +
+    * run window + run collapse + lead chain, ONE exchange end to end
+    * (PatternsSpec pins it). Measures are picked values and integer
+    * counts — nothing accumulates, nothing for a hash to drift on.
+    * Oracle restates the same runs-and-leads pipeline relationally. */
+  private def matchRecognizeQ(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pre = events(s, d)
+      .withColumn("dv", col("value") - lag(col("value"), 1).over(w))
+    graft.operators.Patterns.matchRecognize(pre, col("user_id"),
+        col("ts"), col("event_id"),
+        Seq("down" -> (col("dv") < 0), "up" -> (col("dv") > 0)),
+        Seq("down", "up"), col("value"))
+      .select(col("key").as("user_id"), col("match_num"),
+        date_format(col("o_start"), "yyyy-MM-dd HH:mm:ss").as("t_start"),
+        date_format(col("o_end"), "yyyy-MM-dd HH:mm:ss").as("t_end"),
+        col("rows_1").as("down_rows"), col("rows_2").as("up_rows"),
+        col("v_start"), col("v_min").as("v_bottom"), col("v_end"))
+  }
+
   /** q134: batch small-file compaction ([[graft.sinks.Publish.compact]] —
     * the lakehouse OPTIMIZE maintenance operator, the batch sibling of
     * the streaming `batch_id=` compactor): a deliberately fragmented
@@ -2904,6 +2934,7 @@ object SparkEntry {
     "q153_projection_policy"   -> (projectionPolicyQ _),
     "q154_classify"            -> (classifyQ _),
     "q155_auto_mask"           -> (autoMaskQ _),
+    "q156_match_recognize"     -> (matchRecognizeQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -5016,6 +5047,64 @@ object SparkEntry {
         |  END AS c_name,
         |  c_mktsegment
         |FROM customer""".stripMargin,
+
+    // q156: the V-pattern MATCH_RECOGNIZE stated relationally — lag
+    // delta → symbol ladder → run numbering (null-safe lag compare) →
+    // run collapse (first/last values via unbounded-frame windows) →
+    // lead chain → down-then-up candidates. With distinct pattern
+    // symbols overlap is impossible, so the candidate set IS the match
+    // set and no greedy de-overlap appears (the engine takes the same
+    // fast path; the repeated-symbol W case is spec-pinned instead).
+    "q156_match_recognize" ->
+      """WITH pre AS (
+        |  SELECT user_id, ts, event_id, value,
+        |         value - lag(value) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS dv
+        |  FROM events
+        |), c AS (
+        |  SELECT user_id, ts, event_id, value,
+        |         CASE WHEN dv < 0 THEN 'down'
+        |              WHEN dv > 0 THEN 'up' END AS sym
+        |  FROM pre
+        |), nr AS (
+        |  SELECT *, CASE WHEN sym IS NOT DISTINCT FROM
+        |      lag(sym) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      THEN 0 ELSE 1 END AS new_run
+        |  FROM c
+        |), r AS (
+        |  SELECT *, sum(new_run)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS run_id
+        |  FROM nr
+        |), rv AS (
+        |  SELECT *, first_value(value) OVER pr AS vf,
+        |         last_value(value) OVER pr AS vl
+        |  FROM r
+        |  WINDOW pr AS (PARTITION BY user_id, run_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |), runs AS (
+        |  SELECT user_id, run_id, min(sym) AS sym, count(*) AS n,
+        |         min(ts) AS o_first, max(ts) AS o_last,
+        |         min(vf) AS v_first, min(vl) AS v_last,
+        |         min(value) AS v_min
+        |  FROM rv GROUP BY user_id, run_id
+        |), cand AS (
+        |  SELECT user_id, run_id, sym, n, o_first, v_first, v_min,
+        |         lead(sym) OVER rw AS sym2, lead(n) OVER rw AS n2,
+        |         lead(o_last) OVER rw AS o_last2,
+        |         lead(v_last) OVER rw AS v_last2,
+        |         lead(v_min) OVER rw AS v_min2
+        |  FROM runs WINDOW rw AS (PARTITION BY user_id ORDER BY run_id)
+        |)
+        |SELECT user_id,
+        |       CAST(row_number() OVER (PARTITION BY user_id
+        |         ORDER BY run_id) AS BIGINT) AS match_num,
+        |       strftime(o_first, '%Y-%m-%d %H:%M:%S') AS t_start,
+        |       strftime(o_last2, '%Y-%m-%d %H:%M:%S') AS t_end,
+        |       CAST(n AS BIGINT) AS down_rows,
+        |       CAST(n2 AS BIGINT) AS up_rows,
+        |       v_first AS v_start, least(v_min, v_min2) AS v_bottom,
+        |       v_last2 AS v_end
+        |FROM cand WHERE sym = 'down' AND sym2 = 'up'""".stripMargin,
 
     // q148: expected column-derivation edges as constants (the q147
     // design one level deeper): the declared side EXTRACTS these from
