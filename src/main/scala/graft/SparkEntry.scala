@@ -2278,6 +2278,36 @@ object SparkEntry {
         col("v_start"), col("v_min").as("v_bottom"), col("v_end"))
   }
 
+  /** q157: reproducible epoch shuffle ([[graft.operators.Curate
+    * .epochShuffle]] — the training loader's per-epoch permutation):
+    * epoch-seeded SHA lanes place every doc in a shard (lane mod 16)
+    * and order it within the shard (row_number over lane, id-tiebroken)
+    * — a fresh exact permutation per epoch with zero RNG state, one
+    * shuffle by shard, per-shard local sorts, NEVER a global sort.
+    * Oracle computes the identical lanes ([[graft.functions.ShaLanes]]
+    * cross-engine contract) and the same per-shard ranking. */
+  private def epochShuffleQ(s: SparkSession, d: String): DataFrame =
+    graft.operators.Curate.epochShuffle(documents(s, d), col("doc_id"),
+        epoch = 7, nShards = 16)
+      .select(col("shard"), col("pos"), col("doc_id"))
+
+  /** q158: hopping (sliding) event-time windows — Spark's `window(ts,
+    * size, hop)` generator (size 2 days, hop 1 day: every event lands
+    * in exactly two windows), grouped per (window, event_type) with
+    * count + rounded sum. The streaming-native aggregation shape (the
+    * same expression under `readStream` + watermark is the production
+    * form); batch here so the oracle can restate it: each event
+    * contributes to the day-aligned window starting at its UTC day and
+    * the one before — a two-leg UNION, then the same group. Window
+    * bounds serialized as UTC date strings per house dtype rules. */
+  private def hoppingWindowQ(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(window(col("ts"), "2 days", "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v_sum"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("w_start"),
+        date_format(col("window.end"), "yyyy-MM-dd").as("w_end"),
+        col("event_type"), col("n"), col("v_sum"))
+
   /** q134: batch small-file compaction ([[graft.sinks.Publish.compact]] —
     * the lakehouse OPTIMIZE maintenance operator, the batch sibling of
     * the streaming `batch_id=` compactor): a deliberately fragmented
@@ -2935,6 +2965,8 @@ object SparkEntry {
     "q154_classify"            -> (classifyQ _),
     "q155_auto_mask"           -> (autoMaskQ _),
     "q156_match_recognize"     -> (matchRecognizeQ _),
+    "q157_epoch_shuffle"       -> (epochShuffleQ _),
+    "q158_hopping_window"      -> (hoppingWindowQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -5105,6 +5137,40 @@ object SparkEntry {
         |       v_first AS v_start, least(v_min, v_min2) AS v_bottom,
         |       v_last2 AS v_end
         |FROM cand WHERE sym = 'down' AND sym2 = 'up'""".stripMargin,
+
+    // q157: the epoch-7 permutation restated — identical SHA lanes
+    // (the ShaLanes cross-engine contract), shard = lane mod 16, pos =
+    // per-shard rank over (lane, doc_id)
+    "q157_epoch_shuffle" ->
+      s"""SELECT CAST(lane % 16 AS BIGINT) AS shard,
+         |       CAST(row_number() OVER (PARTITION BY lane % 16
+         |         ORDER BY lane, doc_id) AS BIGINT) AS pos,
+         |       doc_id
+         |FROM (SELECT doc_id,
+         |  ${graft.functions.ShaLanes.duckLane("'epoch7|' || doc_id::VARCHAR")} AS lane
+         |  FROM documents)""".stripMargin,
+
+    // q158: hopping windows restated — every event lands in the
+    // day-aligned 2-day window starting at its UTC day and the one
+    // before (two UNION legs), then the same (window, type) group;
+    // window bounds as UTC date strings (session tz is UTC on both
+    // engines), sums rounded per house float rules
+    "q158_hopping_window" ->
+      """WITH e AS (
+        |  SELECT event_type, value,
+        |         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day0
+        |  FROM events
+        |), x AS (
+        |  SELECT event_type, value, day0 AS w FROM e
+        |  UNION ALL
+        |  SELECT event_type, value, day0 - 1 FROM e
+        |)
+        |SELECT strftime(DATE '1970-01-01' + CAST(w AS INTEGER),
+        |         '%Y-%m-%d') AS w_start,
+        |       strftime(DATE '1970-01-01' + CAST(w + 2 AS INTEGER),
+        |         '%Y-%m-%d') AS w_end,
+        |       event_type, count(*) AS n, round(sum(value), 2) AS v_sum
+        |FROM x GROUP BY 1, 2, 3""".stripMargin,
 
     // q148: expected column-derivation edges as constants (the q147
     // design one level deeper): the declared side EXTRACTS these from

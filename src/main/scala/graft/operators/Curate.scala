@@ -61,6 +61,34 @@ object Curate {
    * snapshots of the same URL). One shuffle on the keys; ties must be
    * broken by a unique column for determinism.
    */
+  /**
+   * Reproducible epoch shuffle + shard assignment — the training-data
+   * LOADER primitive: each epoch needs a different but EXACTLY
+   * reproducible global permutation of the corpus, served as shards a
+   * data-parallel trainer can stream independently. Seeding the SHA lane
+   * with the epoch number gives a fresh permutation per epoch with zero
+   * RNG state; `shard = lane mod nShards` places each doc, and the
+   * within-shard position is a per-shard `row_number` over the lane —
+   * so the "global shuffle" costs ONE shuffle by shard and per-shard
+   * local sorts, never a global sort. Stable across runs, engines and
+   * cluster sizes (the [[hashSample]] argument); a 60-bit lane makes
+   * position collisions vanishing, and the id tiebreak makes order total
+   * regardless. At 100 TB, `nShards` should be ≥ a few × the executor
+   * count so the per-shard sorts stay in memory — the shard count is the
+   * parallelism knob, not a correctness one.
+   */
+  def epochShuffle(df: DataFrame, idCol: Column, epoch: Int,
+                   nShards: Int): DataFrame = {
+    require(nShards >= 1, "nShards >= 1")
+    val lane = ShaLanes.lane(
+      concat(lit(s"epoch$epoch|"), idCol.cast("string")))
+    val w = Window.partitionBy(col("shard")).orderBy(col("__lane"), idCol)
+    df.withColumn("__lane", lane)
+      .withColumn("shard", pmod(col("__lane"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__lane")
+  }
+
   def keepLatest(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
     df.withColumn("__rn", row_number().over(w))

@@ -212,4 +212,32 @@ class CurateSpec extends SparkSpec {
     assert(out(1) === "serial <NUM> shipped 99 units")
     assert(out(2) === "no pii here at all")
   }
+
+  test("epochShuffle: exact permutation per shard, epoch-seeded, deterministic") {
+    val docs = (0 until 500).map(i => (i.toLong, s"d$i")).toDF("id", "t")
+    val e7 = Curate.epochShuffle(docs, col("id"), epoch = 7, nShards = 8)
+      .select("shard", "pos", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // a permutation: every id exactly once
+    assert(e7.map(_._3).toSet === (0 until 500).map(_.toLong).toSet)
+    // shards in range; positions contiguous 1..n within each shard
+    assert(e7.forall(x => x._1 >= 0 && x._1 < 8))
+    e7.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.toSeq === (1 to rows.size).map(_.toLong)) }
+    // deterministic across invocations
+    val again = Curate.epochShuffle(docs, col("id"), 7, 8)
+      .select("shard", "pos", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.sorted.toSeq === e7.sorted.toSeq)
+    // a different epoch is a different permutation (same id set)
+    val e8 = Curate.epochShuffle(docs, col("id"), 8, 8)
+      .select("shard", "pos", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(e8.sorted.toSeq !== e7.sorted.toSeq)
+    assert(e8.map(_._3).toSet === e7.map(_._3).toSet)
+    // no global sort in the plan: the only ordering is per-shard
+    val plan = Curate.epochShuffle(docs, col("id"), 7, 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("rangepartitioning"), s"global sort found:\n$plan")
+  }
 }
