@@ -2308,6 +2308,27 @@ object SparkEntry {
         date_format(col("window.end"), "yyyy-MM-dd").as("w_end"),
         col("event_type"), col("n"), col("v_sum"))
 
+  /** q159: seasonal-trend decomposition ([[graft.operators.Trend
+    * .seasonalDecompose]] — the classical guard against weekly
+    * periodicity tripping the q08 early-signal z-score): daily event
+    * counts per type decompose into centered-MA trend, mean-detrended
+    * weekday seasonal, and residual. Bit-exact on raw doubles by the
+    * lcm-scaling argument in the operator scaladoc (integer frame sums,
+    * one division per output, the seasonal group sum made
+    * order-independent by scaling to integer-valued doubles) — the
+    * hash gate runs on UNROUNDED floats, like q108's EWMA. */
+  private def seasonalDecomposeQ(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .groupBy(col("event_type"),
+        expr("CAST(ts AS LONG) DIV 86400").as("day"))
+      .agg(count(lit(1)).as("n"))
+    graft.operators.Trend.seasonalDecompose(daily, Seq("event_type"),
+        col("day"), col("n"))
+      .select(col("event_type"),
+        date_format(to_timestamp(col("day") * 86400), "yyyy-MM-dd").as("d"),
+        col("n"), col("trend"), col("seasonal"), col("residual"))
+  }
+
   /** q134: batch small-file compaction ([[graft.sinks.Publish.compact]] —
     * the lakehouse OPTIMIZE maintenance operator, the batch sibling of
     * the streaming `batch_id=` compactor): a deliberately fragmented
@@ -2967,6 +2988,7 @@ object SparkEntry {
     "q156_match_recognize"     -> (matchRecognizeQ _),
     "q157_epoch_shuffle"       -> (epochShuffleQ _),
     "q158_hopping_window"      -> (hoppingWindowQ _),
+    "q159_seasonal_decompose"  -> (seasonalDecomposeQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -5171,6 +5193,43 @@ object SparkEntry {
         |         '%Y-%m-%d') AS w_end,
         |       event_type, count(*) AS n, round(sum(value), 2) AS v_sum
         |FROM x GROUP BY 1, 2, 3""".stripMargin,
+
+    // q159: the decomposition restated with the SAME exact arithmetic —
+    // integer frame sums cast to double, trend as one division, the
+    // detrended value scaled by lcm(1..7)=420 so the seasonal group sum
+    // adds integer-valued doubles (order-independent), seasonal and
+    // residual as single divisions/subtractions on identical operands;
+    // raw doubles hash-match with NO rounding
+    "q159_seasonal_decompose" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+        |         count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), t AS (
+        |  SELECT event_type, day, n,
+        |         CAST(sum(n) OVER f AS DOUBLE) AS s,
+        |         CAST(count(n) OVER f AS DOUBLE) AS k
+        |  FROM daily
+        |  WINDOW f AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        |), d2 AS (
+        |  SELECT *, s / k AS trend,
+        |         420.0 * n - (420.0 / k) * s AS det420,
+        |         day % 7 AS pos
+        |  FROM t
+        |), s2 AS (
+        |  SELECT *, sum(det420) OVER (PARTITION BY event_type, pos) AS sdet,
+        |            count(*) OVER (PARTITION BY event_type, pos) AS cdet
+        |  FROM d2
+        |)
+        |SELECT event_type,
+        |       strftime(DATE '1970-01-01' + CAST(day AS INTEGER),
+        |         '%Y-%m-%d') AS d,
+        |       CAST(n AS BIGINT) AS n, trend,
+        |       sdet / (cdet * 420.0) AS seasonal,
+        |       n - trend - (sdet / (cdet * 420.0)) AS residual
+        |FROM s2""".stripMargin,
 
     // q148: expected column-derivation edges as constants (the q147
     // design one level deeper): the declared side EXTRACTS these from

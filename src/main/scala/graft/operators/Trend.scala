@@ -67,6 +67,63 @@ object Trend {
           .otherwise(0L)).as("n_outliers"))
   }
 
+  /**
+   * Seasonal-trend decomposition (STL-lite) for the signal tier: the
+   * early-warning z-score (q08) flags deviations against a trailing
+   * window, but a weekly-periodic series trips it every cycle — the
+   * classical fix decomposes `n = trend + seasonal + residual` and
+   * alarms on the residual. Trend is the centered moving average over
+   * ±`halfWindow` observed points; seasonal is the mean detrended value
+   * at each position-in-period; residual is what's left.
+   *
+   * Bit-exact across engines BY CONSTRUCTION (the [[ewma]] discipline,
+   * extended): inputs are integer counts, so the frame sum is exact;
+   * `trend = s/k` is ONE correctly-rounded division. The detrended
+   * value is scaled by `L = lcm(1 .. 2·halfWindow+1)`: `L·n − (L/k)·s`
+   * — `L/k` is an exact integer (k is a frame size, a divisor of L),
+   * every term is an integer-valued double < 2^53, so the seasonal
+   * GROUP SUM is exact in ANY accumulation order — the one place a
+   * parallel engine normally loses float determinism. Seasonal and
+   * residual then cost one division and two subtractions each, all
+   * correctly rounded on identical operands. No round() crutch needed:
+   * q159 hash-matches DuckDB on raw doubles.
+   *
+   * Plan shape: input is the already-aggregated (keys, day) series —
+   * the 100 TB work happened in that upstream grouped count; here both
+   * windows partition by the series keys (and key+position), so state
+   * per task is one series' days. Day gaps: the frame is ROWS-based
+   * over OBSERVED points (documented semantics; densify upstream with
+   * the q99 date spine when calendar frames are wanted).
+   */
+  def seasonalDecompose(daily: DataFrame, keys: Seq[String], day: Column,
+                        value: Column, period: Int = 7,
+                        halfWindow: Int = 3): DataFrame = {
+    require(period >= 2, "period >= 2")
+    require(halfWindow >= 1 && halfWindow <= 10, "halfWindow in [1, 10]")
+    @annotation.tailrec def gcd(a: Long, b: Long): Long =
+      if (b == 0) a else gcd(b, a % b)
+    val L = (1 to 2 * halfWindow + 1)
+      .foldLeft(1L)((acc, i) => acc / gcd(acc, i) * i)
+    val base = daily.select((keys.map(col) :+ day.cast("long").as("day") :+
+      value.cast("long").as("n")): _*)
+    val wf = Window.partitionBy(keys.map(col): _*).orderBy(col("day"))
+      .rowsBetween(-halfWindow, halfWindow)
+    val withTrend = base
+      .withColumn("__s", sum(col("n")).over(wf).cast("double"))
+      .withColumn("__k", count(col("n")).over(wf).cast("double"))
+      .withColumn("trend", col("__s") / col("__k"))
+      .withColumn("__det",
+        lit(L.toDouble) * col("n") - (lit(L.toDouble) / col("__k")) * col("__s"))
+      .withColumn("pos", pmod(col("day"), lit(period.toLong)))
+    val ws = Window.partitionBy((keys :+ "pos").map(col): _*)
+    withTrend
+      .withColumn("seasonal",
+        sum(col("__det")).over(ws) /
+          (count(lit(1)).over(ws) * lit(L.toDouble)))
+      .withColumn("residual", col("n") - col("trend") - col("seasonal"))
+      .drop("__s", "__k", "__det")
+  }
+
   /** NULL policy: a NULL observation contributes 0 but KEEPS its lag slot
     * (`coalesce` before the collect — `collect_list` alone would drop the
     * NULL and silently shift every older lag one position newer). This is

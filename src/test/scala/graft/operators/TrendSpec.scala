@@ -78,4 +78,45 @@ class TrendSpec extends SparkSpec {
     assert(plan.split("Exchange").length - 1 <= 2,
       s"expected at most the repartition + one window exchange:\n$plan")
   }
+
+  test("seasonalDecompose: hand-checked trend/seasonal, exact identity, partition-invariant bits") {
+    // key A: 14 consecutive days, counts 10,20,...,140 (pos = day % 7)
+    val rows = (0 until 14).map(i => ("A", i.toLong, (10L * (i + 1))))
+    val df = rows.toDF("k", "day", "n")
+    val out = Trend.seasonalDecompose(df, Seq("k"), col("day"), col("n"))
+      .select("day", "n", "trend", "seasonal", "residual")
+      .collect().map(r => (r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))).toMap
+    // interior trend = plain 7-point centered mean: day 3 -> mean(10..70)=40
+    assert(out(3)._2 === 40.0)
+    assert(out(6)._2 === 70.0)
+    // edge trend uses the observed frame: day 0 -> mean(10,20,30,40)=25
+    assert(out(0)._2 === 25.0)
+    // identity holds exactly: n == trend + seasonal + residual
+    out.values.foreach { case (n, t, se, re) => assert(n.toDouble === t + se + re) }
+    // same position-in-period -> same seasonal (day 1 and day 8)
+    assert(out(1)._3 === out(8)._3)
+    // linear series: detrended interior points are 0; day 3 and 10 share
+    // pos 3, one interior (det 0) and one right-edge: seasonal = mean of
+    // the two exact detrended values
+    val det = (d: Long) => out(d)._1.toDouble - out(d)._2
+    assert(out(3)._3 === (det(3) + det(10)) / 2.0)
+    // partition-layout invariance, BITWISE (the lcm-scaling argument):
+    val a = Trend.seasonalDecompose(df.repartition(7), Seq("k"), col("day"), col("n"))
+      .select("day", "trend", "seasonal", "residual").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    val b = Trend.seasonalDecompose(df.coalesce(1), Seq("k"), col("day"), col("n"))
+      .select("day", "trend", "seasonal", "residual").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(a.toSeq === b.toSeq)
+    // keys are isolated: a second series does not bleed into A's frames
+    val two = rows ++ (0 until 14).map(i => ("B", i.toLong, 1000L))
+    val outA = Trend.seasonalDecompose(two.toDF("k", "day", "n"),
+        Seq("k"), col("day"), col("n"))
+      .filter(col("k") === "A").select("day", "trend").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(outA(3) === 40.0)
+  }
 }
