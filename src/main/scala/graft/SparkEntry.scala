@@ -2329,6 +2329,35 @@ object SparkEntry {
         col("n"), col("trend"), col("seasonal"), col("residual"))
   }
 
+  /** q160: CUSUM changepoint detection ([[graft.operators.Trend.cusum]]
+    * — the slow-drift sequential detector beside q159's decomposition
+    * and q08's point z-score): per event type, the in-control mean is
+    * the floor of the first-14-observed-days average (floor of one
+    * exact division — deterministic), deviations use dyadic slack 0.5,
+    * and the recursion C_t = max(0, C_{t-1}+d_t) runs as its closed
+    * form S_t − min(0, S_0..S_t) — two ordered windows, no recursion.
+    * All-exact doubles (operator scaladoc), gate on raw values; alarm
+    * emitted as 0/1 per house no-boolean rule. */
+  private def cusumQ(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .groupBy(col("event_type"), expr("CAST(ts AS LONG) DIV 86400").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("day"))
+    val target = daily.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= 14)
+      .groupBy(col("event_type"))
+      .agg(floor(avg(col("n"))).cast("double").as("mu0"))
+    graft.operators.Trend.cusum(
+        daily.join(broadcast(target), Seq("event_type")),
+        Seq("event_type"), col("day"), col("n"), col("mu0"),
+        slack = 0.5, threshold = 24.0)
+      .select(col("event_type"),
+        date_format(to_timestamp(col("day") * 86400), "yyyy-MM-dd").as("d"),
+        col("n"), col("mu0"), col("s"), col("cusum"),
+        col("alarm").cast("long").as("alarm"))
+  }
+
   /** q134: batch small-file compaction ([[graft.sinks.Publish.compact]] —
     * the lakehouse OPTIMIZE maintenance operator, the batch sibling of
     * the streaming `batch_id=` compactor): a deliberately fragmented
@@ -2989,6 +3018,7 @@ object SparkEntry {
     "q157_epoch_shuffle"       -> (epochShuffleQ _),
     "q158_hopping_window"      -> (hoppingWindowQ _),
     "q159_seasonal_decompose"  -> (seasonalDecomposeQ _),
+    "q160_cusum"               -> (cusumQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -5230,6 +5260,43 @@ object SparkEntry {
         |       sdet / (cdet * 420.0) AS seasonal,
         |       n - trend - (sdet / (cdet * 420.0)) AS residual
         |FROM s2""".stripMargin,
+
+    // q160: CUSUM restated — same prefix mean (floor of one exact
+    // division), same dyadic deviations, running sum then running min
+    // in SEPARATE CTEs (DuckDB rejects nested window calls); day is
+    // unique per series so the default RANGE frame equals Spark's ROWS
+    "q160_cusum" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+        |         count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY day) AS rn
+        |  FROM daily
+        |), mu AS (
+        |  SELECT event_type, CAST(floor(avg(n)) AS DOUBLE) AS mu0
+        |  FROM rk WHERE rn <= 14 GROUP BY event_type
+        |), d2 AS (
+        |  SELECT d.event_type, d.day, d.n, mu.mu0,
+        |         d.n - mu.mu0 - 0.5 AS dev
+        |  FROM daily d JOIN mu USING (event_type)
+        |), s2 AS (
+        |  SELECT *, sum(dev) OVER (PARTITION BY event_type
+        |    ORDER BY day) AS s
+        |  FROM d2
+        |), c2 AS (
+        |  SELECT *, s - least(min(s) OVER (PARTITION BY event_type
+        |    ORDER BY day), 0.0) AS cusum
+        |  FROM s2
+        |)
+        |SELECT event_type,
+        |       strftime(DATE '1970-01-01' + CAST(day AS INTEGER),
+        |         '%Y-%m-%d') AS d,
+        |       CAST(n AS BIGINT) AS n, mu0, s, cusum,
+        |       CAST(cusum > 24.0 AS BIGINT) AS alarm
+        |FROM c2""".stripMargin,
 
     // q148: expected column-derivation edges as constants (the q147
     // design one level deeper): the declared side EXTRACTS these from

@@ -124,6 +124,47 @@ object Trend {
       .drop("__s", "__k", "__det")
   }
 
+  /**
+   * One-sided upper CUSUM changepoint detection — the sequential
+   * complement to [[seasonalDecompose]] in the alarm tier: the q08
+   * z-score asks "is today extreme?", CUSUM asks "has a small persistent
+   * shift accumulated?" (the canonical detector for slow-onset signal
+   * drift). The textbook recursion `C_t = max(0, C_{t-1} + x_t − μ0 − k)`
+   * is not a window function, but its closed form is:
+   * `C_t = S_t − min(S_0..S_t)` where `S_t` is the running sum of
+   * deviations — so the whole detector is two ordered running windows
+   * per series, fully declarative, no recursion anywhere.
+   *
+   * Exactness (the [[seasonalDecompose]] discipline): with integer
+   * observations and a DYADIC target+slack (multiples of 1/16 —
+   * enforced), every deviation is an exactly-representable double and
+   * running sums add exactly in ANY order — immune even to an engine
+   * that computes window sums with a segment tree instead of a
+   * left-to-right scan. Outputs hash-match raw, unrounded.
+   *
+   * `target` is a per-row Column so callers choose the in-control mean
+   * (a calibration-prefix mean, a seasonal baseline from
+   * [[seasonalDecompose]], a constant); it must itself be dyadic-exact
+   * for the exactness claim to carry (e.g. `floor(avg)` over a prefix —
+   * one exact division, then floor).
+   */
+  def cusum(daily: DataFrame, keys: Seq[String], order: Column,
+            value: Column, target: Column, slack: Double,
+            threshold: Double): DataFrame = {
+    require((slack * 16).isWhole, "slack must be a multiple of 1/16 " +
+      "(dyadic — keeps every deviation an exact double)")
+    require((threshold * 16).isWhole, "threshold must be a multiple of 1/16")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("__d", value.cast("double") - target - lit(slack))
+      .withColumn("s", sum(col("__d")).over(w))
+      // S_0 = 0 precedes every prefix: the running min is capped at 0
+      .withColumn("cusum", col("s") - least(min(col("s")).over(w), lit(0.0)))
+      .withColumn("alarm", col("cusum") > lit(threshold))
+      .drop("__d")
+  }
+
   /** NULL policy: a NULL observation contributes 0 but KEEPS its lag slot
     * (`coalesce` before the collect — `collect_list` alone would drop the
     * NULL and silently shift every older lag one position newer). This is

@@ -119,4 +119,30 @@ class TrendSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getDouble(1))).toMap
     assert(outA(3) === 40.0)
   }
+
+  test("cusum: closed form equals the textbook recursion; dyadic guard") {
+    // per-key series with a level shift midway; target 10, slack 0.5
+    val xs = Seq(9L, 11L, 10L, 8L, 12L, 15L, 16L, 14L, 17L, 13L)
+    val df = xs.zipWithIndex.map { case (x, i) => ("A", i.toLong, x) }
+      .toDF("k", "day", "n")
+    val out = Trend.cusum(df, Seq("k"), col("day"), col("n"),
+        lit(10.0), slack = 0.5, threshold = 8.0)
+      .select("day", "s", "cusum", "alarm").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getBoolean(3))).sortBy(_._1)
+    // reference: the literal recursion C_t = max(0, C_{t-1} + x - 10.5)
+    var c = 0.0
+    val expected = xs.map { x => c = math.max(0.0, c + x - 10.5); c }
+    assert(out.map(_._3).toSeq === expected)
+    // running sum is the plain prefix sum of deviations
+    assert(out.head._2 === (9 - 10.5))
+    // alarms exactly where the reference crosses the threshold
+    assert(out.map(_._4).toSeq === expected.map(_ > 8.0))
+    // the detector resets: after the dip at day 3 the min caps at 0
+    assert(out(0)._3 === 0.0 && out(1)._3 === 0.5)
+    // non-dyadic slack is rejected (exactness contract)
+    intercept[IllegalArgumentException] {
+      Trend.cusum(df, Seq("k"), col("day"), col("n"), lit(10.0), 0.3, 8.0)
+    }
+  }
 }
