@@ -2358,6 +2358,23 @@ object SparkEntry {
         col("alarm").cast("long").as("alarm"))
   }
 
+  /** q161: regression trend test (the LINEAR companion to q160's CUSUM:
+    * "is this series drifting, and how fast?") — per event type over
+    * the daily counts, the bivariate aggregate family: regr_slope /
+    * regr_intercept (events/day drift), corr (direction strength), and
+    * n. Pure two-pass-free built-in aggregates (one grouped pass,
+    * moment accumulation); outputs rounded 6dp per house float rules
+    * (moment sums are accumulation-ordered). */
+  private def regressionTrendQ(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("event_type"), expr("CAST(ts AS LONG) DIV 86400").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        round(regr_slope(col("n"), col("day")), 6).as("slope"),
+        round(regr_intercept(col("n"), col("day")), 6).as("intercept"),
+        round(corr(col("n"), col("day")), 6).as("r"))
+
   /** q134: batch small-file compaction ([[graft.sinks.Publish.compact]] —
     * the lakehouse OPTIMIZE maintenance operator, the batch sibling of
     * the streaming `batch_id=` compactor): a deliberately fragmented
@@ -3019,6 +3036,7 @@ object SparkEntry {
     "q158_hopping_window"      -> (hoppingWindowQ _),
     "q159_seasonal_decompose"  -> (seasonalDecomposeQ _),
     "q160_cusum"               -> (cusumQ _),
+    "q161_regression_trend"    -> (regressionTrendQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -5297,6 +5315,21 @@ object SparkEntry {
         |       CAST(n AS BIGINT) AS n, mu0, s, cusum,
         |       CAST(cusum > 24.0 AS BIGINT) AS alarm
         |FROM c2""".stripMargin,
+
+    // q161: the same daily series through DuckDB's regr_*/corr family;
+    // both engines accumulate moments, round(6) absorbs order drift
+    "q161_regression_trend" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+        |         count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT event_type, count(*) AS n_days,
+        |       round(regr_slope(n, day), 6) AS slope,
+        |       round(regr_intercept(n, day), 6) AS intercept,
+        |       round(corr(n, day), 6) AS r
+        |FROM daily GROUP BY event_type""".stripMargin,
 
     // q148: expected column-derivation edges as constants (the q147
     // design one level deeper): the declared side EXTRACTS these from

@@ -529,4 +529,58 @@ class PropertySpec extends SparkSpec {
         scale * math.min(nRel, k.toLong), s"q$q ap_den")
     }
   }
+
+  test("matchRecognize agrees with a reference run matcher on random series") {
+    // values in {0..3} so flats (no-symbol rows) and repeated shapes are
+    // common; order = global index (unique per key)
+    val raw = sample(Gen.zip(Gen.choose(1L, 8L), Gen.choose(0, 3)), 600)
+      .zipWithIndex.map { case ((k, v), i) => (s"k$k", i.toLong, v.toDouble) }
+    def refMatches(rows: Seq[(Long, Double)], pat: Seq[String]): Seq[(Long, Long, Double)] = {
+      val sorted = rows.sortBy(_._1)
+      val syms: Seq[Option[String]] = sorted.indices.map { i =>
+        if (i == 0) None
+        else {
+          val d = sorted(i)._2 - sorted(i - 1)._2
+          if (d < 0) Some("down") else if (d > 0) Some("up") else None
+        }
+      }
+      var runs = Vector.empty[(Option[String], Vector[Int])]
+      sorted.indices.foreach { i =>
+        if (runs.nonEmpty && runs.last._1 == syms(i))
+          runs = runs.init :+ ((syms(i), runs.last._2 :+ i))
+        else runs = runs :+ ((syms(i), Vector(i)))
+      }
+      val k = pat.size
+      val out = Vector.newBuilder[(Long, Long, Double)]
+      var i = 0
+      while (i + k <= runs.size) {
+        val w = runs.slice(i, i + k)
+        if (w.map(_._1) == pat.map(Option(_))) {
+          val idxs = w.flatMap(_._2)
+          out += ((sorted(idxs.head)._1, sorted(idxs.last)._1,
+            idxs.map(sorted(_)._2).min))
+          i += k // AFTER MATCH SKIP PAST LAST ROW
+        } else i += 1
+      }
+      out.result()
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("o"))
+    val pre = raw.toDF("k", "o", "v")
+      .withColumn("dv", col("v") - lag(col("v"), 1).over(w))
+    for (pattern <- Seq(Seq("down", "up"), Seq("down", "up", "down", "up"))) {
+      val got = graft.operators.Patterns.matchRecognize(pre, col("k"),
+          col("o"), col("o"),
+          Seq("down" -> (col("dv") < 0), "up" -> (col("dv") > 0)),
+          pattern, col("v"))
+        .select(col("key"), col("o_start"), col("o_end"), col("v_min"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      val expected = raw.groupBy(_._1).flatMap { case (k, rows) =>
+        refMatches(rows.map(r => (r._2, r._3)), pattern)
+          .map(m => (k, m._1, m._2, m._3))
+      }.toSet
+      assert(got === expected, s"pattern $pattern")
+    }
+  }
 }
