@@ -2375,6 +2375,49 @@ object SparkEntry {
         round(regr_intercept(col("n"), col("day")), 6).as("intercept"),
         round(corr(col("n"), col("day")), 6).as("r"))
 
+  /** q162: alarm-tier freshness replay (q106's agg-IVM lifecycle feeding
+    * q160's detector): three event micro-batches (event_id mod 3)
+    * maintain the per-(type, day) counts mart through on-disk parquet
+    * state round-trips — `Incremental.aggregate` per drop,
+    * `mergeAggregates` against the persisted prior state, O(mart +
+    * delta) per batch, facts never rescanned — then CUSUM runs over the
+    * MAINTAINED state. Oracle is q160's batch pipeline verbatim:
+    * maintained-under-replay == recomputed-from-scratch is exactly the
+    * freshness claim (the reference's `target_lag` posture for the
+    * alarm view). */
+  private def alarmReplayQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Incremental
+    val dir = replayStateDir(s, "q162", d)
+    val keys = Seq("event_type", "day")
+    val ev = events(s, d).select(col("event_type"),
+      expr("CAST(ts AS LONG) DIV 86400").as("day"), col("event_id"))
+    (0 until 3).foreach { i =>
+      val part = Incremental.aggregate(
+        ev.filter(pmod(col("event_id"), lit(3)) === i), keys, Nil)
+      val merged =
+        if (i == 0) part
+        else Incremental.mergeAggregates(
+          Seq(s.read.parquet(s"$dir/state_${i - 1}"), part), keys, Nil)
+      merged.write.mode("overwrite").parquet(s"$dir/state_$i")
+    }
+    val daily = s.read.parquet(s"$dir/state_2")
+      .select(col("event_type"), col("day"), col("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("day"))
+    val target = daily.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= 14)
+      .groupBy(col("event_type"))
+      .agg(floor(avg(col("n"))).cast("double").as("mu0"))
+    graft.operators.Trend.cusum(
+        daily.join(broadcast(target), Seq("event_type")),
+        Seq("event_type"), col("day"), col("n"), col("mu0"),
+        slack = 0.5, threshold = 24.0)
+      .select(col("event_type"),
+        date_format(to_timestamp(col("day") * 86400), "yyyy-MM-dd").as("d"),
+        col("n"), col("mu0"), col("s"), col("cusum"),
+        col("alarm").cast("long").as("alarm"))
+  }
+
   /** q134: batch small-file compaction ([[graft.sinks.Publish.compact]] —
     * the lakehouse OPTIMIZE maintenance operator, the batch sibling of
     * the streaming `batch_id=` compactor): a deliberately fragmented
@@ -3037,6 +3080,7 @@ object SparkEntry {
     "q159_seasonal_decompose"  -> (seasonalDecomposeQ _),
     "q160_cusum"               -> (cusumQ _),
     "q161_regression_trend"    -> (regressionTrendQ _),
+    "q162_alarm_replay"        -> (alarmReplayQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -3718,6 +3762,41 @@ object SparkEntry {
        |SELECT lang, round(CASE WHEN n_kept < 256 THEN CAST(n_kept AS DOUBLE)
        |  ELSE 255.0 / ((CAST(lane_k AS DOUBLE) + 1.0) / 1152921504606846977.0) END, 4) AS est_distinct
        |FROM kk""".stripMargin
+
+  /** q160/q162 shared oracle: the batch CUSUM pipeline — q162 gates
+    * its incrementally-maintained replay against this exact text. */
+  private val cusumOracle: String =
+        """WITH daily AS (
+          |  SELECT event_type,
+          |         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+          |         count(*) AS n
+          |  FROM events GROUP BY 1, 2
+          |), rk AS (
+          |  SELECT *, row_number() OVER (PARTITION BY event_type
+          |    ORDER BY day) AS rn
+          |  FROM daily
+          |), mu AS (
+          |  SELECT event_type, CAST(floor(avg(n)) AS DOUBLE) AS mu0
+          |  FROM rk WHERE rn <= 14 GROUP BY event_type
+          |), d2 AS (
+          |  SELECT d.event_type, d.day, d.n, mu.mu0,
+          |         d.n - mu.mu0 - 0.5 AS dev
+          |  FROM daily d JOIN mu USING (event_type)
+          |), s2 AS (
+          |  SELECT *, sum(dev) OVER (PARTITION BY event_type
+          |    ORDER BY day) AS s
+          |  FROM d2
+          |), c2 AS (
+          |  SELECT *, s - least(min(s) OVER (PARTITION BY event_type
+          |    ORDER BY day), 0.0) AS cusum
+          |  FROM s2
+          |)
+          |SELECT event_type,
+          |       strftime(DATE '1970-01-01' + CAST(day AS INTEGER),
+          |         '%Y-%m-%d') AS d,
+          |       CAST(n AS BIGINT) AS n, mu0, s, cusum,
+          |       CAST(cusum > 24.0 AS BIGINT) AS alarm
+          |FROM c2""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q41_stratified_sample" ->
@@ -5283,38 +5362,12 @@ object SparkEntry {
     // division), same dyadic deviations, running sum then running min
     // in SEPARATE CTEs (DuckDB rejects nested window calls); day is
     // unique per series so the default RANGE frame equals Spark's ROWS
-    "q160_cusum" ->
-      """WITH daily AS (
-        |  SELECT event_type,
-        |         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
-        |         count(*) AS n
-        |  FROM events GROUP BY 1, 2
-        |), rk AS (
-        |  SELECT *, row_number() OVER (PARTITION BY event_type
-        |    ORDER BY day) AS rn
-        |  FROM daily
-        |), mu AS (
-        |  SELECT event_type, CAST(floor(avg(n)) AS DOUBLE) AS mu0
-        |  FROM rk WHERE rn <= 14 GROUP BY event_type
-        |), d2 AS (
-        |  SELECT d.event_type, d.day, d.n, mu.mu0,
-        |         d.n - mu.mu0 - 0.5 AS dev
-        |  FROM daily d JOIN mu USING (event_type)
-        |), s2 AS (
-        |  SELECT *, sum(dev) OVER (PARTITION BY event_type
-        |    ORDER BY day) AS s
-        |  FROM d2
-        |), c2 AS (
-        |  SELECT *, s - least(min(s) OVER (PARTITION BY event_type
-        |    ORDER BY day), 0.0) AS cusum
-        |  FROM s2
-        |)
-        |SELECT event_type,
-        |       strftime(DATE '1970-01-01' + CAST(day AS INTEGER),
-        |         '%Y-%m-%d') AS d,
-        |       CAST(n AS BIGINT) AS n, mu0, s, cusum,
-        |       CAST(cusum > 24.0 AS BIGINT) AS alarm
-        |FROM c2""".stripMargin,
+    "q160_cusum" -> cusumOracle,
+
+    // q162: the SAME batch pipeline is the oracle for the replayed
+    // (incrementally maintained, disk-state) counts feeding CUSUM —
+    // maintained == recomputed IS the freshness claim
+    "q162_alarm_replay" -> cusumOracle,
 
     // q161: the same daily series through DuckDB's regr_*/corr family;
     // both engines accumulate moments, round(6) absorbs order drift
