@@ -583,4 +583,30 @@ class PropertySpec extends SparkSpec {
       assert(got === expected, s"pattern $pattern")
     }
   }
+
+  test("aggregation policy invariants on random data: floor, totals, remainder") {
+    val raw = sample(Gen.zip(Gen.choose(1L, 30L), Gen.choose(0L, 100L)), 500)
+      .map { case (g, v) => (s"g$g", v) }
+    val df = raw.toDF("g", "v")
+    for (floor <- Seq(1L, 5L, 25L, 1000L)) {
+      val out = graft.operators.Privacy.aggregationPolicy(df, Seq("g"),
+          Seq(("v", "count", "n"), ("v", "sum", "sv")), minGroupSize = floor)
+        .collect().map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2)))
+      // every surfaced (non-remainder) group meets the floor
+      out.filter(_._1.isDefined).foreach { case (g, n, _) =>
+        assert(n >= floor, s"group $g under floor $floor surfaced with n=$n") }
+      // totals preserved exactly (integer sums)
+      assert(out.map(_._2).sum === raw.size.toLong, s"floor $floor rows")
+      assert(out.map(_._3).sum === raw.map(_._2).sum, s"floor $floor sum")
+      // remainder present iff some group is under the floor
+      val under = raw.groupBy(_._1).count(_._2.size < floor)
+      assert(out.exists(_._1.isEmpty) === (under > 0), s"floor $floor remainder")
+      // surfaced groups match the plain aggregate exactly
+      val byG = raw.groupBy(_._1)
+      out.filter(_._1.isDefined).foreach { case (Some(g), n, sv) =>
+        assert(n === byG(g).size.toLong && sv === byG(g).map(_._2).sum)
+      case _ => ()
+      }
+    }
+  }
 }
