@@ -2418,6 +2418,45 @@ object SparkEntry {
         col("alarm").cast("long").as("alarm"))
   }
 
+  /** Benford first-digit probabilities log10(1+1/d), pinned as DECIMAL
+    * LITERALS (not computed — libm log10 may differ by an ulp across
+    * engines; identical literals parse to identical doubles). */
+  private val benfordP: Seq[(String, Double)] = Seq(
+    "1" -> 0.3010299956639812, "2" -> 0.17609125905568124,
+    "3" -> 0.12493873660829992, "4" -> 0.09691001300805642,
+    "5" -> 0.07918124604762482, "6" -> 0.06694678963061322,
+    "7" -> 0.05799194697768673, "8" -> 0.05115252244738129,
+    "9" -> 0.04575749056067514)
+
+  /** q163: Benford first-digit audit — the classic data-forensics /
+    * quality screen (a fabricated or truncated monetary column drifts
+    * from the log distribution): order totals in exact cents, first
+    * digit counted per bucket, expected = n·log10(1+1/d) with the nine
+    * probabilities pinned as identical decimal literals in both engines
+    * (never computed via libm), chi-square contribution per digit.
+    * Integer counts; expected and chi2 are single correctly-rounded ops
+    * on identical operands — bit-exact raw doubles at the gate, the
+    * q159/q160 discipline. */
+  private def benfordQ(s: SparkSession, d: String): DataFrame = {
+    val digit = substring(
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").cast("string"), 1, 1)
+    val obs = orders(s, d).groupBy(digit.as("digit"))
+      .agg(count(lit(1)).as("n_obs"))
+    val total = org.apache.spark.sql.expressions.Window
+      .partitionBy()
+    val p = benfordP.tail.foldLeft(
+      when(col("digit") === benfordP.head._1, lit(benfordP.head._2))) {
+      case (acc, (dg, pv)) => acc.when(col("digit") === dg, lit(pv))
+    }
+    obs.withColumn("n_total", sum(col("n_obs")).over(total))
+      .withColumn("expected", col("n_total") * p)
+      .withColumn("chi2_term",
+        (col("n_obs") - col("expected")) * (col("n_obs") - col("expected")) /
+          col("expected"))
+      .select(col("digit"), col("n_obs"), col("n_total"),
+        col("expected"), col("chi2_term"))
+  }
+
   /** q134: batch small-file compaction ([[graft.sinks.Publish.compact]] —
     * the lakehouse OPTIMIZE maintenance operator, the batch sibling of
     * the streaming `batch_id=` compactor): a deliberately fragmented
@@ -3081,6 +3120,7 @@ object SparkEntry {
     "q160_cusum"               -> (cusumQ _),
     "q161_regression_trend"    -> (regressionTrendQ _),
     "q162_alarm_replay"        -> (alarmReplayQ _),
+    "q163_benford"             -> (benfordQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -5368,6 +5408,37 @@ object SparkEntry {
     // (incrementally maintained, disk-state) counts feeding CUSUM —
     // maintained == recomputed IS the freshness claim
     "q162_alarm_replay" -> cusumOracle,
+
+    // q163: Benford restated — exact cents, first digit, the same nine
+    // decimal-literal probabilities (cast to DOUBLE: DuckDB parses bare
+    // decimals as DECIMAL), expected/chi2 as single ops on identical
+    // operands — raw doubles hash-match
+    "q163_benford" ->
+      """WITH c AS (
+        |  SELECT substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+        |           AS VARCHAR), 1, 1) AS digit
+        |  FROM orders
+        |), o AS (
+        |  SELECT digit, count(*) AS n_obs FROM c GROUP BY digit
+        |), t AS (
+        |  SELECT *, sum(n_obs) OVER () AS n_total FROM o
+        |), p(digit, pr) AS (VALUES
+        |  ('1', CAST(0.3010299956639812 AS DOUBLE)),
+        |  ('2', CAST(0.17609125905568124 AS DOUBLE)),
+        |  ('3', CAST(0.12493873660829992 AS DOUBLE)),
+        |  ('4', CAST(0.09691001300805642 AS DOUBLE)),
+        |  ('5', CAST(0.07918124604762482 AS DOUBLE)),
+        |  ('6', CAST(0.06694678963061322 AS DOUBLE)),
+        |  ('7', CAST(0.05799194697768673 AS DOUBLE)),
+        |  ('8', CAST(0.05115252244738129 AS DOUBLE)),
+        |  ('9', CAST(0.04575749056067514 AS DOUBLE))
+        |)
+        |SELECT t.digit, CAST(n_obs AS BIGINT) AS n_obs,
+        |       CAST(n_total AS BIGINT) AS n_total,
+        |       n_total * pr AS expected,
+        |       (n_obs - n_total * pr) * (n_obs - n_total * pr)
+        |         / (n_total * pr) AS chi2_term
+        |FROM t JOIN p USING (digit)""".stripMargin,
 
     // q161: the same daily series through DuckDB's regr_*/corr family;
     // both engines accumulate moments, round(6) absorbs order drift
