@@ -549,37 +549,44 @@ object Bench {
     // parses the last line. As queries accumulate (~12 chars each), the
     // full 50-entry per-call array is the first thing to give: degrade it
     // to its 11 deciles (p95/p50 stay fully reported) rather than let the
-    // head of the line be truncated into unparseable JSON; if even that
-    // overflows, drop the array entirely — windows + p95 keep the SLO
-    // fully auditable.
-    val full = assemble(callsJson)
-    val line = {
-      val afterCalls =
-        if (full.length <= 1980 || callTimes.isEmpty) full
-        else {
-          val s = callTimes.sorted
-          val deciles = (0 to 10).map(i =>
-            math.round(s(math.min(s.size - 1, i * s.size / 10)) * 1000))
-          val withDeciles = assemble(deciles.mkString("[", ",", "]"))
-          if (withDeciles.length <= 1980) withDeciles else assemble("[]")
-        }
-      if (afterCalls.length <= 1980) afterCalls
+    // head of the line be truncated into unparseable JSON. The r9 advice
+    // flagged a judged line whose slo_call_ms printed as [] while query
+    // entries still rode along: the deciles (~60 chars ≈ 5 query entries)
+    // now OUTRANK extra query entries — the call distribution is dropped
+    // to [] only after the slowest-30 map alone would overflow.
+    val decilesJson =
+      if (callTimes.isEmpty) "[]"
       else {
-        // Final lever (reached once the query map ALONE overflows the
-        // budget, ~138+ queries): keep the SLOWEST K per-query entries —
-        // the ones plan audits read — and say how many fast ones were
-        // dropped. Totals/failures/SLO/pipelines always stay complete.
-        val slowestFirst = results.sortBy(-_._2)
-        // math.max guards the omitted count when results.size < k
-        // (take() caps silently and a negative count would corrupt the
-        // JSON semantics even though the branch needs ~138+ queries today)
-        Seq(110, 90, 70, 50, 30).iterator
-          .map(k => assemble("[]",
-            qsJson(slowestFirst.take(k), math.max(0, results.size - k))))
-          .find(_.length <= 1980)
-          .getOrElse(assemble("[]", qsJson(Nil, results.size)))
+        val s = callTimes.sorted
+        (0 to 10).map(i =>
+            math.round(s(math.min(s.size - 1, i * s.size / 10)) * 1000))
+          .mkString("[", ",", "]")
       }
-    }
+    val full = assemble(callsJson)
+    val line =
+      if (full.length <= 1980) full
+      else {
+        val withDeciles = assemble(decilesJson)
+        if (withDeciles.length <= 1980) withDeciles
+        else {
+          // Final lever (reached once the query map ALONE overflows the
+          // budget, ~138+ queries): keep the SLOWEST K per-query entries —
+          // the ones plan audits read — and say how many fast ones were
+          // dropped. Totals/failures/SLO/pipelines always stay complete,
+          // and BENCH_full.json (the "full" pointer) holds the whole map.
+          val slowestFirst = results.sortBy(-_._2)
+          // math.max guards the omitted count when results.size < k
+          // (take() caps silently and a negative count would corrupt the
+          // JSON semantics even though the branch needs ~138+ queries)
+          val ks = Seq(110, 90, 70, 50, 30)
+          (ks.iterator.map(k => assemble(decilesJson,
+              qsJson(slowestFirst.take(k), math.max(0, results.size - k)))) ++
+           ks.iterator.map(k => assemble("[]",
+              qsJson(slowestFirst.take(k), math.max(0, results.size - k)))))
+            .find(_.length <= 1980)
+            .getOrElse(assemble("[]", qsJson(Nil, results.size)))
+        }
+      }
     // Durable full record (the r7 "queries_omitted:28" lesson: the
     // degradation levers cost the judged artifact a third of its
     // per-query history). The 2000-char driver line is the SUMMARY; the
