@@ -216,6 +216,63 @@ object Curate {
   }
 
   /**
+   * Fixed-BUDGET stratified sample with exact largest-remainder
+   * allocation: exactly `total` rows overall, each stratum receiving
+   * floor(total·n_h/N) rows plus one of the `total − Σfloor` leftover
+   * units, assigned to the strata with the largest allocation
+   * remainders (ties: stratum key ascending) — Hamilton apportionment.
+   * The within-stratum pick is the `alloc_h` smallest SHA lanes (prefix
+   * `"strat|"`), reproducible across runs, engines and cluster sizes
+   * like every lane-based operator in this file. Contrast the file's
+   * other samplers: [[hashSample]]'s Bernoulli rate makes the sample
+   * SIZE binomially distributed and [[weightedSample]] takes a constant
+   * k per group — the budget here is exact end-to-end, the eval-set
+   * construction contract ("exactly 10k docs, proportional by
+   * language").
+   *
+   * Scale shape: one grouped count whose result is #strata rows —
+   * governance-metadata-sized, collected to the driver for the
+   * apportionment (the bounded-collect class of the centroid/offset
+   * collects; BigInt there, so no product overflow at any population ×
+   * budget); allocations broadcast back; membership is one
+   * stratum-keyed window whose per-group retention is ≤ its allocation,
+   * so at most `total` rows survive the single shuffle.
+   *
+   * The stratum key is compared AS ITS STRING FORM (`cast string`) so
+   * the driver-side sort, the broadcast join and the oracle's ORDER BY
+   * agree on one collation. Emits the input columns plus `rk` (1-based
+   * lane rank within the stratum, ≤ the stratum's allocation).
+   */
+  def stratifiedExact(df: DataFrame, strataCol: String, idCol: Column,
+                      total: Long): DataFrame = {
+    require(total >= 0, s"budget must be non-negative, got $total")
+    val sdf = df.withColumn("__stratum", col(strataCol).cast("string"))
+    val counts = sdf.groupBy(col("__stratum"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val pop = counts.map(_._2).sum
+    require(total <= pop, s"budget $total exceeds population $pop")
+    val bt = BigInt(total)
+    val base = counts.map { case (k, nh) =>
+      (k, (bt * nh / pop).toLong, bt * nh % pop) }
+    val deficit = total - base.map(_._2).sum
+    val alloc = base
+      .sortWith { case ((ka, _, ra), (kb, _, rb)) =>
+        ra > rb || (ra == rb && ka < kb) }
+      .zipWithIndex
+      .map { case ((k, b, _), i) => (k, if (i < deficit) b + 1L else b) }
+    import sdf.sparkSession.implicits._
+    val allocDf = alloc.toSeq.toDF("__stratum", "__alloc")
+    val w = Window.partitionBy(col("__stratum")).orderBy(col("__lane"), idCol)
+    sdf.join(broadcast(allocDf), "__stratum")
+      .withColumn("__lane",
+        ShaLanes.lane(concat(lit("strat|"), idCol.cast("string"))))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= col("__alloc"))
+      .drop("__stratum", "__alloc", "__lane")
+  }
+
+  /**
    * DSIR-style importance weighting (Data Selection via Importance
    * Resampling, Xie et al. 2023): score each document by how much more
    * likely its hashed n-gram features are under a TARGET slice of the

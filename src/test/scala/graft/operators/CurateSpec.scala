@@ -240,4 +240,54 @@ class CurateSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("rangepartitioning"), s"global sort found:\n$plan")
   }
+
+  test("stratifiedExact: exact budget, Hamilton allocation, hand-checked") {
+    // counts a=5, b=3, c=2 (N=10), budget 7: quotas 3.5/2.1/1.4 ->
+    // base 3/2/1 (sum 6), the single leftover goes to the largest
+    // remainder (a, .5) -> alloc 4/2/1
+    val rows = (0 until 5).map(i => (s"a$i", "a")) ++
+      (0 until 3).map(i => (s"b$i", "b")) ++ (0 until 2).map(i => (s"c$i", "c"))
+    val df = rows.toDF("id", "g")
+    val got = Curate.stratifiedExact(df, "g", col("id"), 7L)
+      .groupBy("g").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a" -> 4L, "b" -> 2L, "c" -> 1L))
+  }
+
+  test("stratifiedExact: budget met exactly, deterministic, order-invariant") {
+    val df = (0 until 3000)
+      .map(i => (i.toLong, Seq("en", "de", "fr", "zh")(i % 7 % 4)))
+      .toDF("id", "lang")
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      Curate.stratifiedExact(d, "lang", col("id"), 250L)
+        .collect().map(_.getLong(0)).toSet
+    val a = ids(df)
+    assert(a.size === 250, "budget must be met exactly")
+    assert(ids(df.orderBy(col("id").desc)) === a, "order-invariant")
+    // proportional within one unit of the exact quota
+    val perStratum = Curate.stratifiedExact(df, "lang", col("id"), 250L)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val pop = df.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    perStratum.foreach { case (k, n) =>
+      val quota = 250.0 * pop(k) / 3000.0
+      assert(n == math.floor(quota).toLong || n == math.ceil(quota).toLong,
+        s"$k: alloc $n vs quota $quota")
+    }
+    // rk is a contiguous 1-based rank within each stratum
+    val rks = Curate.stratifiedExact(df, "lang", col("id"), 250L)
+      .select("lang", "rk").collect()
+      .map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
+    rks.foreach { case (_, xs) =>
+      assert(xs.map(_._2).sorted.toSeq === (1 to xs.size).map(_.toLong)) }
+  }
+
+  test("stratifiedExact: edge budgets — full population, zero, overdraw") {
+    val df = (0 until 60).map(i => (i.toLong, s"g${i % 3}")).toDF("id", "g")
+    assert(Curate.stratifiedExact(df, "g", col("id"), 60L).count() === 60)
+    assert(Curate.stratifiedExact(df, "g", col("id"), 0L).count() === 0)
+    intercept[IllegalArgumentException] {
+      Curate.stratifiedExact(df, "g", col("id"), 61L)
+    }
+  }
 }
