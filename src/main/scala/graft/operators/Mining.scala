@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Market-basket mining: frequent item PAIRS and the association rules
+ * over them (support / confidence / lift) — the classic co-occurrence
+ * operator (Agrawal & Srikant 1994's Apriori, restricted to 2-itemsets,
+ * which is the overwhelmingly common production ask: "what co-occurs
+ * with what", for related-products, co-failure analysis, or co-topic
+ * structure over document tags).
+ *
+ * Plan shape, in Apriori order:
+ *  1. distinct (basket, item) — one shuffle; duplicates inside a basket
+ *     carry no co-occurrence information;
+ *  2. frequent-1 prune: item supports in one grouped pass; only items
+ *     meeting the threshold may appear in a frequent pair (the Apriori
+ *     monotonicity), applied as a broadcast semi-join BEFORE any pair is
+ *     generated — this is the step that keeps the pair space bounded at
+ *     corpus scale;
+ *  3. pair generation: the pruned (basket, item) table self-joined on
+ *     the basket key with `itemA < itemB` — co-partitioned on the
+ *     basket, so pairs materialize only within a partition; per-basket
+ *     fan-out is quadratic in the basket's DISTINCT FREQUENT items,
+ *     which the frequent-1 prune bounds by the (dimension-sized) item
+ *     vocabulary, not by basket size;
+ *  4. pair counts ≥ threshold, then each direction emitted as a rule.
+ *
+ * The support threshold is a RATE (fraction of baskets), so the same
+ * query is meaningful at any scale factor; the absolute threshold is
+ * `ceil(rate · n_baskets)` — one correctly-rounded double product and
+ * ceil, identical in any engine. Rule metrics are single divisions of
+ * exact integer counts (support, confidence) and of exact integer
+ * products (lift = n·n_ab / (n_a·n_b), products double-exact below
+ * 2^53): bit-identical cross-engine with no rounding lane.
+ *
+ * Emits one row per DIRECTED rule (both directions of each frequent
+ * pair): (antecedent, consequent, n_baskets, n_ante, n_cons, n_both,
+ * support, confidence, lift).
+ */
+object Mining {
+
+  def associationRules(baskets: DataFrame, basketCol: Column, itemCol: Column,
+                       minSupportRate: Double): DataFrame = {
+    require(minSupportRate > 0.0 && minSupportRate <= 1.0,
+      s"support rate in (0, 1], got $minSupportRate")
+    val bi = baskets.select(basketCol.as("__b"), itemCol.as("__i")).distinct()
+    // one scalar action: the basket universe size (drives the threshold)
+    val nBaskets = bi.select(col("__b")).distinct().count()
+    val minSup = math.ceil(minSupportRate * nBaskets).toLong
+    val counts1 = bi.groupBy(col("__i")).agg(count(lit(1)).as("__ni"))
+    val freq1 = counts1.filter(col("__ni") >= minSup)
+    // Apriori prune before pair generation (broadcast: the frequent-item
+    // table is vocabulary-sized by construction)
+    val pruned = bi.join(broadcast(freq1.select(col("__i"))), Seq("__i"),
+      "left_semi")
+    val a = pruned.select(col("__b"), col("__i").as("__ia"))
+    val b = pruned.select(col("__b"), col("__i").as("__ib"))
+    val pairs = a.join(b, Seq("__b"))
+      .filter(col("__ia") < col("__ib"))
+      .groupBy(col("__ia"), col("__ib")).agg(count(lit(1)).as("__nab"))
+      .filter(col("__nab") >= minSup)
+    val withCounts = pairs
+      .join(broadcast(freq1.select(col("__i").as("__ia"),
+        col("__ni").as("__na"))), Seq("__ia"))
+      .join(broadcast(freq1.select(col("__i").as("__ib"),
+        col("__ni").as("__nb"))), Seq("__ib"))
+    def rules(ante: Column, cons: Column, nA: Column, nC: Column) =
+      withCounts.select(
+        ante.as("antecedent"), cons.as("consequent"),
+        lit(nBaskets).as("n_baskets"),
+        nA.as("n_ante"), nC.as("n_cons"), col("__nab").as("n_both"),
+        (col("__nab").cast("double") / lit(nBaskets.toDouble)).as("support"),
+        (col("__nab").cast("double") / nA.cast("double")).as("confidence"),
+        (lit(nBaskets.toDouble) * col("__nab").cast("double") /
+          (nA.cast("double") * nC.cast("double"))).as("lift"))
+    rules(col("__ia"), col("__ib"), col("__na"), col("__nb"))
+      .unionAll(rules(col("__ib"), col("__ia"), col("__nb"), col("__na")))
+  }
+}
