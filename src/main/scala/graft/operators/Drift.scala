@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Distribution-drift screens between two cohorts of one table — the
+ * data-quality gate a training pipeline runs between corpus versions,
+ * ingest epochs, or serving windows before trusting a refresh:
+ *
+ *  - PSI (population stability index), the industry-standard monitoring
+ *    score: `Σ_bins (p_a − p_b) · ln(p_a / p_b)`; rule-of-thumb bands
+ *    <0.1 stable, 0.1–0.25 shifting, >0.25 drifted;
+ *  - the chi-square test of homogeneity on the same 2×K contingency
+ *    table: `Σ (obs − exp)² / exp` over both cohorts, with
+ *    `exp = row_total · cohort_total / N`.
+ *
+ * One grouped aggregate computes the whole contingency table (cohort
+ * membership rides as a conditional count inside the bin's shuffle —
+ * never two scans), cohort totals come back as a broadcast single-row
+ * aggregate over the BIN-sized result (the declared surface bans
+ * partition-less windows), and every derived number is arithmetic on
+ * exact integer counts: shares and expectations are single or chained
+ * correctly-rounded float ops on identical operands (deterministic
+ * cross-engine, the q163 discipline), so chi2 terms hash raw. The PSI
+ * term alone passes through `ln` — a transcendental, so libm may differ
+ * by an ulp across engines — and is therefore rounded (6dp), the same
+ * lane every ln/exp-bearing query in the gate uses.
+ *
+ * Bins empty in EITHER cohort get a NULL psi_term (ln undefined /
+ * infinite — the caller chooses a smoothing policy; silently inventing
+ * an epsilon would corrupt the score) while chi2_term stays defined
+ * whenever the expectation is positive.
+ *
+ * Scale shape: one shuffle (bin-keyed aggregate), one window over
+ * #bins rows, zero joins. The bin column is caller-derived (a category,
+ * a `floor(value/width)` band, a quantile id), so the operator never
+ * touches row-level width.
+ */
+object Drift {
+
+  /** Per-bin drift terms between the `inA` cohort and its complement.
+    * Emits (bin, n_a, n_b, p_a, p_b, psi_term, chi2_term). */
+  def stability(df: DataFrame, binCol: Column, inA: Column): DataFrame = {
+    val table = df.groupBy(binCol.as("bin")).agg(
+      sum(when(inA, 1L).otherwise(0L)).as("n_a"),
+      sum(when(inA, 0L).otherwise(1L)).as("n_b"))
+    // cohort totals as a broadcast 1-row aggregate over the BIN-sized
+    // table (the q121 bounds idiom) — never a partition-less window
+    val totals = table.agg(sum(col("n_a")).as("__ta"),
+      sum(col("n_b")).as("__tb"))
+    val withTotals = table.crossJoin(broadcast(totals))
+    val ta = col("__ta")
+    val tb = col("__tb")
+    val pa = col("n_a").cast("double") / ta.cast("double")
+    val pb = col("n_b").cast("double") / tb.cast("double")
+    val psi = when(col("n_a") > 0 && col("n_b") > 0,
+      round((pa - pb) * log(pa / pb), 6))
+    val n = (ta + tb).cast("double")
+    val ea = (col("n_a") + col("n_b")).cast("double") * ta.cast("double") / n
+    val eb = (col("n_a") + col("n_b")).cast("double") * tb.cast("double") / n
+    val chi2 = (col("n_a").cast("double") - ea) * (col("n_a").cast("double") - ea) / ea +
+      (col("n_b").cast("double") - eb) * (col("n_b").cast("double") - eb) / eb
+    withTotals.select(col("bin"), col("n_a"), col("n_b"),
+      pa.as("p_a"), pb.as("p_b"),
+      psi.as("psi_term"), chi2.as("chi2_term"))
+  }
+
+  /**
+   * Term keyness between two sub-corpora — "which terms over-represent
+   * in cohort A vs B" (Dunning 1993's log-likelihood ratio G², the
+   * corpus-linguistics standard; in a training pipeline this is the
+   * shard/source vocabulary-drift screen that [[stability]]'s
+   * fixed-bin PSI can't express):
+   *
+   *   G² = 2 · [ a·ln(a/E_a) + b·ln(b/E_b) ],
+   *   E_x = (a + b) · N_x / (N_a + N_b)
+   *
+   * with the usual convention that a zero observed count contributes 0
+   * (the x·ln x limit). `leans` marks the over-representing cohort by
+   * the exact INTEGER cross-product comparison a·N_b vs b·N_a — no
+   * float ever decides a label. G² passes through `ln`, so it is
+   * rounded 6dp (the engine's transcendental lane).
+   *
+   * One shuffle: the (cohort-conditional) term counts; corpus token
+   * totals come back as a broadcast single-row aggregate over the
+   * VOCABULARY-sized result. The `minCount` floor bounds the output
+   * without touching the totals (rare terms still weigh in N_a/N_b).
+   */
+  def keyness(df: DataFrame, tokensCol: Column, inA: Column,
+              minCount: Long = 5L): DataFrame = {
+    val counts = df.select(inA.as("__a"), explode(tokensCol).as("term"))
+      .groupBy(col("term")).agg(
+        sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("__a"), 0L).otherwise(1L)).as("n_b"))
+    val withTotals = counts
+      .crossJoin(broadcast(counts.agg(sum(col("n_a")).as("__ta"),
+        sum(col("n_b")).as("__tb"))))
+      .filter(col("n_a") + col("n_b") >= minCount)
+    val n = (col("__ta") + col("__tb")).cast("double")
+    val ea = (col("n_a") + col("n_b")).cast("double") *
+      col("__ta").cast("double") / n
+    val eb = (col("n_a") + col("n_b")).cast("double") *
+      col("__tb").cast("double") / n
+    val g2 = lit(2.0) * (
+      when(col("n_a") > 0,
+        col("n_a").cast("double") * log(col("n_a").cast("double") / ea))
+        .otherwise(lit(0.0)) +
+      when(col("n_b") > 0,
+        col("n_b").cast("double") * log(col("n_b").cast("double") / eb))
+        .otherwise(lit(0.0)))
+    val leans = when(col("n_a") * col("__tb") > col("n_b") * col("__ta"), "A")
+      .when(col("n_a") * col("__tb") < col("n_b") * col("__ta"), "B")
+      .otherwise("=")
+    withTotals.select(col("term"), col("n_a"), col("n_b"),
+      leans.as("leans"), round(g2, 6).as("g2"))
+  }
+}

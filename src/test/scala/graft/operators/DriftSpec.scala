@@ -1,0 +1,105 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def table(rows: (String, Boolean, Int)*) =
+    rows.flatMap { case (bin, a, n) => Seq.fill(n)((bin, a)) }
+      .toDF("bin", "ina")
+
+  test("stability: hand-checked PSI and chi-square terms") {
+    // A: x=60 y=40 (total 100); B: x=30 y=70 (total 100)
+    val df = table(("x", true, 60), ("y", true, 40),
+      ("x", false, 30), ("y", false, 70))
+    val got = Drift.stability(df, col("bin"), col("ina"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6))).toMap
+    val (na, nb, pa, pb, psi, chi2) = got("x")
+    assert((na, nb) === ((60L, 30L)))
+    assert(pa === 0.6 && pb === 0.3)
+    val wantPsi = BigDecimal((0.6 - 0.3) * math.log(0.6 / 0.3))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(psi === wantPsi)
+    // expected_a = 90*100/200 = 45; term = 15²/45 both sides
+    assert(chi2 === (15.0 * 15.0 / 45.0) * 2)
+    val y = got("y")
+    assert((y._1, y._2) === ((40L, 70L)))
+  }
+
+  test("stability: identical distributions score zero") {
+    val df = table(("x", true, 50), ("y", true, 25),
+      ("x", false, 100), ("y", false, 50))
+    Drift.stability(df, col("bin"), col("ina")).collect().foreach { r =>
+      assert(r.getDouble(5) === 0.0, "psi")
+      assert(r.getDouble(6) === 0.0, "chi2")
+    }
+  }
+
+  test("stability: a bin absent from one cohort gets NULL psi, real chi2") {
+    val df = table(("x", true, 10), ("y", true, 10), ("x", false, 20))
+    val y = Drift.stability(df, col("bin"), col("ina"))
+      .filter(col("bin") === "y").collect().head
+    assert(y.isNullAt(5), "psi undefined without both cohorts")
+    assert(!y.isNullAt(6) && y.getDouble(6) > 0.0)
+  }
+
+  test("stability: row order does not change any emitted double") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 2000).map(i =>
+      (s"b${rnd.nextInt(6)}", rnd.nextBoolean()))
+    val a = Drift.stability(rows.toDF("bin", "ina"), col("bin"), col("ina"))
+      .collect().map(_.toString).sorted
+    val b = Drift.stability(rnd.shuffle(rows).toDF("bin", "ina"),
+        col("bin"), col("ina"))
+      .collect().map(_.toString).sorted
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("keyness: hand-checked G2 and integer-decided leans") {
+    // A tokens: x x x y (Na=4); B tokens: x y y y (Nb=4)
+    val df = Seq((Seq("x", "x", "x", "y"), true), (Seq("x", "y", "y", "y"), false))
+      .toDF("toks", "ina")
+    val got = Drift.keyness(df, col("toks"), col("ina"), minCount = 1L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4))).toMap
+    val (na, nb, leans, g2) = got("x")
+    assert((na, nb, leans) === ((3L, 1L, "A")))
+    val ea = 4.0 * 4.0 / 8.0
+    val want = BigDecimal(2.0 * (3.0 * math.log(3.0 / ea) + 1.0 * math.log(1.0 / ea)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(g2 === want)
+    assert(got("y")._3 === "B")
+    // symmetric counts score identically
+    assert(got("y")._4 === g2)
+  }
+
+  test("keyness: zero-count side contributes zero, balanced terms lean '='") {
+    val df = Seq((Seq("only_a", "both"), true), (Seq("both"), false))
+      .toDF("toks", "ina")
+    val got = Drift.keyness(df, col("toks"), col("ina"), minCount = 1L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4))).toMap
+    assert(got("only_a")._3 === "A")
+    assert(!got("only_a")._4.isNaN && !got("only_a")._4.isInfinite)
+    // "both": a=1 b=1, Na=2 Nb=1 -> a*tb=1 < b*ta=2 -> leans B
+    assert(got("both")._3 === "B")
+  }
+
+  test("keyness: minCount bounds output but not the corpus totals") {
+    val df = Seq((Seq("big", "big", "big", "rare"), true),
+      (Seq("big", "big", "big"), false)).toDF("toks", "ina")
+    val out = Drift.keyness(df, col("toks"), col("ina"), minCount = 2L)
+    assert(out.select("term").collect().map(_.getString(0)).toSeq === Seq("big"))
+    // totals include "rare": Na=4, Nb=3 -> expected_a for big = 6*4/7
+    val g2 = out.collect().head.getDouble(4)
+    val ea = 6.0 * 4.0 / 7.0
+    val eb = 6.0 * 3.0 / 7.0
+    val want = BigDecimal(2.0 * (3.0 * math.log(3.0 / ea) + 3.0 * math.log(3.0 / eb)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(g2 === want)
+  }
+}
