@@ -183,4 +183,108 @@ object Trend {
     val den = lit(2.0) - pow(lit(2.0), -(size(arr) - lit(1)).cast("double"))
     df.withColumn("ewma", round(num / den, 4))
   }
+
+  /**
+   * Two-sided linear interpolation over a per-key integer time spine —
+   * the gap-FILL sibling of the q125 forward-fill (which repeats the
+   * last observation; this one draws the line between the bracketing
+   * observations, the standard treatment for missing sensor/metric
+   * points feeding a model):
+   *
+   *   v(t) = v_prev + (v_next − v_prev) · (t − t_prev) / (t_next − t_prev)
+   *
+   * Leading/trailing gaps (no observation on one side) carry the
+   * nearest observation flat. `t` is an integer index (epoch day, epoch
+   * hour…); `v` integer-valued. Exactness: the numerator products are
+   * Long-exact, the single division and the final addition are
+   * correctly-rounded ops on identical operands — deterministic
+   * cross-engine with NO rounding lane (the q159/q160 discipline).
+   *
+   * Plan shape: one per-key min/max aggregate, a per-key `sequence`
+   * explode for the spine (rows ∝ key count × range — the q99/q125
+   * spine class), a co-keyed left join, and ONE key-partitioned window
+   * evaluated in both frame directions (IGNORE NULLS last/first). At
+   * 100 TB the spine is still |keys| × |days| — calendar-sized, never
+   * fact-sized.
+   *
+   * Emits (keys…, `t`, observed, n, v_interp): `observed` ∈ {0,1},
+   * `n` the raw observation (NULL on gap rows).
+   */
+  def interpolateLinear(observed: DataFrame, keys: Seq[String], t: Column,
+                        v: Column): DataFrame = {
+    val obs = observed.select(
+      keys.map(col) :+ t.cast("long").as("__t") :+ v.cast("long").as("__v"): _*)
+    val spine = obs.groupBy(keys.map(col): _*)
+      .agg(min(col("__t")).as("__t0"), max(col("__t")).as("__t1"))
+      .select(keys.map(col) :+
+        explode(sequence(col("__t0"), col("__t1"))).as("__t"): _*)
+    val joined = spine.join(obs, keys :+ "__t", "left")
+    val back = Window.partitionBy(keys.map(col): _*).orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(keys.map(col): _*).orderBy(col("__t"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val pv = last(col("__v"), ignoreNulls = true).over(back)
+    val pt = last(when(col("__v").isNotNull, col("__t")), ignoreNulls = true)
+      .over(back)
+    val nv = first(col("__v"), ignoreNulls = true).over(fwd)
+    val nt = first(when(col("__v").isNotNull, col("__t")), ignoreNulls = true)
+      .over(fwd)
+    val interp = when(col("__v").isNotNull, col("__v").cast("double"))
+      .when(pv.isNull, nv.cast("double"))
+      .when(nv.isNull, pv.cast("double"))
+      .otherwise(pv.cast("double") +
+        ((nv - pv) * (col("__t") - pt)).cast("double") /
+          (nt - pt).cast("double"))
+    joined.select(keys.map(col) :+ col("__t").as("t") :+
+      col("__v").isNotNull.cast("long").as("observed") :+
+      col("__v").as("n") :+ interp.as("v_interp"): _*)
+  }
+
+  /**
+   * Sample autocorrelation function per key: Pearson correlation of the
+   * series with itself at lags 1…`maxLag` — the seasonality/persistence
+   * diagnostic read before trusting [[seasonalDecompose]]'s period or
+   * [[ewma]]'s smoothing constant (a weekly-periodic series spikes at
+   * lag 7; white noise shows nothing).
+   *
+   * One ordered window pass materializes ALL lag columns together (the
+   * frame is just `maxLag` rows), a scan-side `stack` unpivots them to
+   * (lag, value, lagged) rows, and one grouped `corr` per (key, lag)
+   * finishes — `corr` drops pairs whose lagged side is NULL (the first
+   * k rows), so every lag sees exactly its n−k aligned pairs. Like
+   * q161's regression family the correlation accumulates moments, so it
+   * is rounded 6dp. Assumes the series is regular (one row per tick) —
+   * gap-bearing series go through [[interpolateLinear]] first.
+   *
+   * Emits (keys…, lag, n_pairs, acf).
+   */
+  def acf(df: DataFrame, keys: Seq[String], t: Column, v: Column,
+          maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 64, s"maxLag in [1, 64], got $maxLag")
+    val base = df.select(keys.map(col) :+ t.as("__t") :+
+      v.cast("double").as("__v"): _*)
+    val lagged = (1 to maxLag).foldLeft(base) { (acc, k) =>
+      acc.withColumn(s"__l$k",
+        lag(col("__v"), k).over(Window.partitionBy(keys.map(col): _*)
+          .orderBy(col("__t"))))
+    }
+    val pairs = (1 to maxLag).map(k => s"${k}L, __l$k").mkString(", ")
+    // Pearson assembled from covar/stddev aggregates instead of corr():
+    // ANSI-mode corr() throws DIVIDE_BY_ZERO on a zero-variance series,
+    // where the statistic is undefined and NULL is the right answer.
+    // The sample-(n−1) factors cancel, so this IS Pearson r; the
+    // conditional stddev restricts the v side to the aligned pairs
+    // exactly as corr() would.
+    lagged
+      .select(keys.map(col) :+ col("__v") :+
+        expr(s"stack($maxLag, $pairs)").as(Seq("lag", "lagged")): _*)
+      .groupBy(keys.map(col) :+ col("lag"): _*)
+      .agg(count(col("lagged")).as("n_pairs"),
+        covar_samp(col("__v"), col("lagged")).as("__cov"),
+        stddev_samp(when(col("lagged").isNotNull, col("__v"))).as("__sv"),
+        stddev_samp(col("lagged")).as("__sl"))
+      .select(keys.map(col) :+ col("lag") :+ col("n_pairs") :+
+        when(col("__sv") > 0 && col("__sl") > 0,
+          round(col("__cov") / (col("__sv") * col("__sl")), 6)).as("acf"): _*)
+  }
 }

@@ -145,4 +145,74 @@ class TrendSpec extends SparkSpec {
       Trend.cusum(df, Seq("k"), col("day"), col("n"), lit(10.0), 0.3, 8.0)
     }
   }
+
+  test("interpolateLinear: hand-checked line between bracketing points") {
+    // series: t=0 v=10, t=4 v=2 (gap 1..3), t=5 v=7
+    val df = Seq(("k", 0L, 10L), ("k", 4L, 2L), ("k", 5L, 7L))
+      .toDF("g", "t", "v")
+    val got = Trend.interpolateLinear(df, Seq("g"), col("t"), col("v"))
+      .orderBy("t").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(4)))
+    assert(got.toSeq === Seq(
+      (0L, 1L, 10.0), (1L, 0L, 8.0), (2L, 0L, 6.0), (3L, 0L, 4.0),
+      (4L, 1L, 2.0), (5L, 1L, 7.0)))
+  }
+
+  test("interpolateLinear: non-integer slopes are the exact single division") {
+    // t=0 v=0, t=3 v=1: interior points 1/3, 2/3 as correctly-rounded
+    // doubles of the Long-exact numerators
+    val df = Seq(("k", 0L, 0L), ("k", 3L, 1L)).toDF("g", "t", "v")
+    val got = Trend.interpolateLinear(df, Seq("g"), col("t"), col("v"))
+      .orderBy("t").collect().map(_.getDouble(4))
+    assert(got.toSeq === Seq(0.0, 0.0 + 1.0 * 1 / 3.0, 0.0 + 1.0 * 2 / 3.0, 1.0))
+  }
+
+  test("interpolateLinear: per-key spines are independent; no cross-key bleed") {
+    val df = Seq(("a", 0L, 1L), ("a", 2L, 3L), ("b", 10L, 100L), ("b", 12L, 0L))
+      .toDF("g", "t", "v")
+    val got = Trend.interpolateLinear(df, Seq("g"), col("t"), col("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(4))).toSet
+    assert(got === Set(("a", 0L, 1.0), ("a", 1L, 2.0), ("a", 2L, 3.0),
+      ("b", 10L, 100.0), ("b", 11L, 50.0), ("b", 12L, 0.0)))
+  }
+
+  test("acf: alternating series shows -1 at lag 1, +1 at lag 2; exact pair counts") {
+    val df = (0 until 20).map(i => ("k", i.toLong, if (i % 2 == 0) 1L else 2L))
+      .toDF("g", "t", "v")
+    val got = Trend.acf(df, Seq("g"), col("t"), col("v"), maxLag = 3)
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L) === ((19L, -1.0)))
+    assert(got(2L) === ((18L, 1.0)))
+    assert(got(3L) === ((17L, -1.0)))
+  }
+
+  test("acf: constant series has undefined correlation (NULL), pairs still counted") {
+    val df = (0 until 10).map(i => ("k", i.toLong, 5L)).toDF("g", "t", "v")
+    val rows = Trend.acf(df, Seq("g"), col("t"), col("v"), maxLag = 2).collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(3), "corr of a constant is undefined")
+      assert(r.getLong(2) === 10L - r.getLong(1))
+    }
+  }
+
+  test("acf: matches a driver-side Pearson reference on random series") {
+    val rnd = new scala.util.Random(11)
+    val xs = (0 until 50).map(_ => rnd.nextInt(100).toLong)
+    val df = xs.zipWithIndex.map { case (v, i) => ("k", i.toLong, v) }
+      .toDF("g", "t", "v")
+    def ref(k: Int): Double = {
+      val a = xs.drop(k).map(_.toDouble)
+      val b = xs.dropRight(k).map(_.toDouble)
+      val n = a.size
+      val (ma, mb) = (a.sum / n, b.sum / n)
+      val cov = a.zip(b).map { case (x, y) => (x - ma) * (y - mb) }.sum
+      val sa = math.sqrt(a.map(x => (x - ma) * (x - ma)).sum)
+      val sb = math.sqrt(b.map(x => (x - mb) * (x - mb)).sum)
+      cov / (sa * sb)
+    }
+    val got = Trend.acf(df, Seq("g"), col("t"), col("v"), maxLag = 5)
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    (1 to 5).foreach { k =>
+      assert(math.abs(got(k.toLong) - ref(k)) < 1e-6, s"lag $k") }
+  }
 }
