@@ -1,7 +1,8 @@
 package graft.operators
 
 import graft.functions.Text
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -126,5 +127,69 @@ object Tokenize {
       }
       .toDF(idCol, "tokens")
       .withColumn("n_tokens", size(col("tokens")).cast("long"))
+  }
+
+  /**
+   * Nucleus (top-p) vocabulary coverage cutoff: the smallest
+   * frequency-ranked vocabulary prefix whose cumulative token count
+   * reaches `pctTimes100`% of the corpus — the tokenizer-sizing /
+   * OOV-budget question ("how many types cover 95% of tokens?") asked
+   * before fixing a vocab size, and the data-side dual of
+   * [[graft.operators.LangModel]]'s fixed-`vocabSize` head.
+   *
+   * A term is IN the cutoff iff coverage was still short of the target
+   * before it: `100·(cum − cnt) < pct·total` under (count DESC, term
+   * ASC) order — minimal by construction, and decided entirely in
+   * Long arithmetic (counts, cumulative sums, cross-multiplied
+   * percentages), so both engines agree bit-exactly with no rounding
+   * lane.
+   *
+   * The global rank/running-sum is a TWO-PHASE distributed prefix (the
+   * declared surface bans partition-less windows): terms bucket by
+   * `bit_length(cnt)` — an integer-exact, monotone function of the sort
+   * key, so every bucket holds a contiguous rank range and equal counts
+   * never split; per-bucket row/mass totals (≤ 64 rows — bounded driver
+   * metadata, the centroid/offset-collect class) fold into prefix
+   * offsets on the driver, broadcast back, and each bucket's window
+   * ranks only its own rows (the [[graft.operators.Pack]] shard-offset
+   * idiom applied to a sort order).
+   *
+   * Plan: one token-count aggregate (the only fact-sized shuffle), a
+   * ≤64-row collect, then one BUCKET-partitioned window over the
+   * vocabulary. Emits (term, cnt, rk, cum_cnt, total_cnt).
+   */
+  def coverageCutoff(docs: DataFrame, tokensCol: Column,
+                     pctTimes100: Long = 95L): DataFrame = {
+    require(pctTimes100 >= 1 && pctTimes100 <= 100,
+      s"pct in [1, 100], got $pctTimes100")
+    val counts = docs.select(explode(tokensCol).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      // bit_length: bucket 63 = largest counts; conv() is codegen'd
+      .withColumn("__bk", length(conv(col("cnt"), 10, 2)).cast("int"))
+    val stats = counts.groupBy(col("__bk"))
+      .agg(count(lit(1)).as("n"), sum(col("cnt")).as("w"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(-_._1) // rank order: larger counts (higher buckets) first
+    val total = stats.map(_._3).sum
+    var accN = 0L
+    var accW = 0L
+    val offsets = stats.map { case (bk, n, w) =>
+      val row = (bk, accN, accW)
+      accN += n; accW += w
+      row
+    }
+    import docs.sparkSession.implicits._
+    val offDf = offsets.toSeq.toDF("__bk", "__offn", "__offw")
+    val order = Window.partitionBy(col("__bk"))
+      .orderBy(col("cnt").desc, col("term"))
+    val run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts.join(broadcast(offDf), Seq("__bk"))
+      .withColumn("rk",
+        (col("__offn") + row_number().over(order)).cast("long"))
+      .withColumn("cum_cnt", col("__offw") + sum(col("cnt")).over(run))
+      .withColumn("total_cnt", lit(total))
+      .filter(lit(100L) * (col("cum_cnt") - col("cnt")) <
+        lit(pctTimes100) * col("total_cnt"))
+      .drop("__bk", "__offn", "__offw")
   }
 }
