@@ -83,4 +83,81 @@ object Profile {
       .agg(count(lit(1)).as("n"),
         min(col("v")).as("lo"), max(col("v")).as("hi"))
   }
+
+  /**
+   * Exact WEIGHTED median (lower) per group: the smallest value whose
+   * cumulative weight reaches half the group's total — "the quantity at
+   * which half the money sits", the mass-weighted sibling of q37's
+   * row-weighted quantiles. The decision is pure integer arithmetic
+   * (`2·cum ≥ total` crossing with `2·(cum − w) < total`), so any
+   * engine lands on the identical row with no float anywhere.
+   *
+   * Plan: one (group, value)-grouped weight sum (the only fact-sized
+   * shuffle — ties collapse BEFORE the window), then a cumulative
+   * window over the DISTINCT-value curve (bounded-domain class) and a
+   * crossing-row filter. Weights must be non-negative integers (cents,
+   * counts); NULL-weight rows carry no mass and are dropped.
+   *
+   * Emits (keys…, median, w_at, cum_w, total_w) — one row per group.
+   */
+  def weightedMedian(df: DataFrame, keys: Seq[String], value: Column,
+                     weight: Column): DataFrame = {
+    val g = df.filter(weight.isNotNull && value.isNotNull)
+      .groupBy(keys.map(col) :+ value.as("__v"): _*)
+      .agg(sum(weight.cast("long")).as("__w"))
+    import org.apache.spark.sql.expressions.Window
+    val cumW = Window.partitionBy(keys.map(col): _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val allW = Window.partitionBy(keys.map(col): _*)
+    g.withColumn("cum_w", sum(col("__w")).over(cumW))
+      .withColumn("total_w", sum(col("__w")).over(allW))
+      .filter(lit(2) * col("cum_w") >= col("total_w") &&
+        lit(2) * (col("cum_w") - col("__w")) < col("total_w"))
+      .select(keys.map(col) :+ col("__v").as("median") :+
+        col("__w").as("w_at") :+ col("cum_w") :+ col("total_w"): _*)
+  }
+
+  /**
+   * Concentration profile per group: the Gini coefficient and the
+   * Herfindahl–Hirschman index over member masses — the "is this
+   * source/supplier/shard dominating" audit a curation pipeline runs on
+   * its mixture ([[graft.operators.Curate.mixByTokenBudget]] decides
+   * the mixture; this measures how concentrated it came out).
+   *
+   *   Gini = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n   (xᵢ ascending, i = 1…n)
+   *   HHI  = Σᵢ (xᵢ / Σx)²
+   *
+   * Masses are exact integers (cents, tokens): `Σ i·x` and `n·Σx` stay
+   * Long-exact, so the Gini is two correctly-rounded divisions and a
+   * subtraction on identical operands — hash-raw deterministic (the
+   * q163 discipline). The HHI sums SQUARED doubles — accumulation-order
+   * territory — and is rounded 6dp like every such aggregate. (At
+   * populations where `Σ i·x` would overflow 2^63, lift the two sums to
+   * DECIMAL(38,0); the gate's scales stay far below.)
+   *
+   * Plan: one (group, member) mass aggregate, one group-keyed
+   * rank window over the member curve, one grouped reduction. Emits
+   * (keys…, n_members, total_mass, gini, hhi).
+   */
+  def concentration(df: DataFrame, keys: Seq[String], memberCol: Column,
+                    mass: Column): DataFrame = {
+    val g = df.groupBy(keys.map(col) :+ memberCol.as("__m"): _*)
+      .agg(sum(mass.cast("long")).as("__x"))
+    import org.apache.spark.sql.expressions.Window
+    val rank = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__x").asc, col("__m").asc)
+    val ranked = g.withColumn("__i", row_number().over(rank).cast("long"))
+    val agg = ranked.groupBy(keys.map(col): _*).agg(
+      count(lit(1)).as("n_members"),
+      sum(col("__x")).as("total_mass"),
+      sum(col("__i") * col("__x")).as("__s"),
+      sum(col("__x").cast("double") * col("__x").cast("double")).as("__sq"))
+    agg.select(keys.map(col) :+ col("n_members") :+ col("total_mass") :+
+      ((lit(2.0) * col("__s").cast("double")) /
+        (col("n_members") * col("total_mass")).cast("double") -
+        (col("n_members") + lit(1)).cast("double") /
+          col("n_members").cast("double")).as("gini") :+
+      round(col("__sq") / (col("total_mass").cast("double") *
+        col("total_mass").cast("double")), 6).as("hhi"): _*)
+  }
 }

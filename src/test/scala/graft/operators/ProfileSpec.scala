@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 class ProfileSpec extends SparkSpec {
   import spark.implicits._
@@ -66,5 +67,53 @@ class ProfileSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!p.toLowerCase.contains("join") && !p.contains("Window"),
       s"profiler must be a single aggregate pass:\n$p")
+  }
+
+  test("weightedMedian: crossing row is the mass midpoint, hand-checked") {
+    val df = Seq(("g", 1L, 1L), ("g", 2L, 1L), ("g", 3L, 10L))
+      .toDF("k", "v", "w")
+    val r = Profile.weightedMedian(df, Seq("k"), col("v"), col("w"))
+      .collect()
+    assert(r.length === 1)
+    assert((r.head.getLong(1), r.head.getLong(2), r.head.getLong(3),
+      r.head.getLong(4)) === ((3L, 10L, 12L, 12L)))
+    // lower-median convention at an exact half split
+    val even = Profile.weightedMedian(
+      Seq(("g", 1L, 5L), ("g", 2L, 5L)).toDF("k", "v", "w"),
+      Seq("k"), col("v"), col("w")).collect()
+    assert(even.head.getLong(1) === 1L)
+  }
+
+  test("weightedMedian: duplicate values merge weights; groups independent") {
+    val df = Seq(("a", 2L, 3L), ("a", 2L, 3L), ("a", 1L, 2L),
+      ("b", 9L, 1L)).toDF("k", "v", "w")
+    val got = Profile.weightedMedian(df, Seq("k"), col("v"), col("w"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got("a") === ((2L, 6L)), "ties collapse before the window")
+    assert(got("b") === ((9L, 1L)))
+  }
+
+  test("concentration: equal masses score gini 0 and hhi 1/n; hand-checked skew") {
+    val eq = Seq(("g", 1L, 25L), ("g", 2L, 25L), ("g", 3L, 25L), ("g", 4L, 25L))
+      .toDF("k", "m", "x")
+    val r0 = Profile.concentration(eq, Seq("k"), col("m"), col("x")).collect().head
+    assert(r0.getDouble(3) === 0.0)
+    assert(r0.getDouble(4) === 0.25, "hhi of n equal members is 1/n")
+    // masses 1,1,1,97: gini = 2*394/(4*100) - 5/4 = 0.72; hhi = 0.9412
+    val skew = Seq(("g", 1L, 1L), ("g", 2L, 1L), ("g", 3L, 1L), ("g", 4L, 97L))
+      .toDF("k", "m", "x")
+    val r1 = Profile.concentration(skew, Seq("k"), col("m"), col("x"))
+      .collect().head
+    assert((r1.getLong(1), r1.getLong(2)) === ((4L, 100L)))
+    assert(r1.getDouble(3) === 2.0 * 394 / (4.0 * 100) - 5.0 / 4.0)
+    assert(r1.getDouble(4) === 0.9412)
+  }
+
+  test("concentration: a single member is perfectly concentrated") {
+    val df = Seq(("g", 7L, 42L)).toDF("k", "m", "x")
+    val r = Profile.concentration(df, Seq("k"), col("m"), col("x"))
+      .collect().head
+    assert(r.getDouble(3) === 0.0, "gini of one member is 0 by the formula")
+    assert(r.getDouble(4) === 1.0)
   }
 }
