@@ -187,4 +187,66 @@ object Graph {
     }
     dist
   }
+
+  /**
+   * Triangle counting + local clustering coefficients — the
+   * community-structure screen next to the file's path-based members
+   * (how CLUSTERED is each node's neighborhood, vs [[pageRank]]'s "how
+   * central"). Non-iterative, so unlike the Pregel-class members it is
+   * one fixed three-join plan.
+   *
+   * Scale design is the degree-ordered orientation (the classic
+   * node-iterator+ bound): each undirected edge is directed from its
+   * (degree, id)-smaller endpoint to the larger, which makes the
+   * orientation acyclic with out-degree O(√m) regardless of how skewed
+   * the raw degree distribution is — the celebrity node never fans out.
+   * Wedges are then out-neighbor PAIRS of one node (co-partitioned
+   * self-join on the source), and a triangle is a wedge whose far pair
+   * closes in the canonical edge set (equi-join on the pair key). Every
+   * triangle has exactly ONE node with two out-edges into it under an
+   * acyclic orientation, so each is counted once, no /3 or /6 fixups.
+   *
+   * Everything is integer; the local coefficient `2·t / (deg·(deg−1))`
+   * is a single correctly-rounded division of exact Longs — hash-raw
+   * deterministic (q163 discipline).
+   *
+   * Emits one row per node of degree ≥ 2 (degree-1 nodes close no
+   * wedge; they carry cc = 0 trivially and are left out):
+   * (node, degree, n_tri, local_cc).
+   */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val e = edges.toDF("__s", "__d")
+      .select(least(col("__s"), col("__d")).as("a"),
+        greatest(col("__s"), col("__d")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = e.select(col("a").as("n"))
+      .unionAll(e.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("degree"))
+    val withDeg = e
+      .join(deg.select(col("n").as("a"), col("degree").as("__da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("degree").as("__db")), Seq("b"))
+    // orient low (degree, id) → high; ties cannot happen on id (a ≠ b)
+    val oriented = withDeg.select(
+      when(col("__da") < col("__db") ||
+        (col("__da") === col("__db") && col("a") < col("b")),
+        struct(col("a").as("u"), col("b").as("v")))
+        .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("o"))
+      .select(col("o.u").as("u"), col("o.v").as("v"))
+    val o1 = oriented.select(col("u"), col("v").as("v1"))
+    val o2 = oriented.select(col("u"), col("v").as("v2"))
+    // wedge far-pair in canonical (a < b) order matches e's key directly
+    val tri = o1.join(o2, Seq("u")).filter(col("v1") < col("v2"))
+      .join(e, col("v1") === col("a") && col("v2") === col("b"))
+      .select(col("u"), col("v1"), col("v2"))
+    val perNode = tri
+      .select(explode(array(col("u"), col("v1"), col("v2"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("n_tri"))
+    deg.filter(col("degree") >= 2)
+      .join(perNode, Seq("n"), "left")
+      .select(col("n").as("node"), col("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        ((lit(2L) * coalesce(col("n_tri"), lit(0L))).cast("double") /
+          (col("degree") * (col("degree") - lit(1L))).cast("double"))
+          .as("local_cc"))
+  }
 }

@@ -153,4 +153,53 @@ class GraphSpec extends SparkSpec {
     val out = bfsMap(path, Seq(0L), 20)
     assert(out === (0L to 20L).map(i => i -> i).toMap)
   }
+
+  test("triangleStats: hand-checked K3 + pendant; K4; triangle-free square") {
+    def stats(edges: Seq[(Long, Long)]) =
+      Graph.triangleStats(edges.toDF("s", "d")).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toMap
+    // K3 on {1,2,3} plus pendant 4-1
+    val k3 = stats(Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 1L)))
+    assert(k3.keySet === Set(1L, 2L, 3L), "degree-1 nodes are left out")
+    assert(k3(1L) === ((3L, 1L, 2.0 * 1 / (3.0 * 2))))
+    assert(k3(2L) === ((2L, 1L, 1.0)))
+    assert(k3(3L) === ((2L, 1L, 1.0)))
+    // K4: every node in 3 triangles, cc 1
+    val k4 = stats(Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)))
+    assert(k4.values.toSet === Set((3L, 3L, 1.0)))
+    // C4 (square): wedges but no closures
+    val c4 = stats(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)))
+    assert(c4.values.forall(v => v._2 === 0L && v._3 === 0.0))
+  }
+
+  test("triangleStats: reversed duplicates and self-loops are ignored") {
+    val noisy = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (1L, 3L),
+      (1L, 1L), (3L, 3L)).toDF("s", "d")
+    val got = Graph.triangleStats(noisy).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("triangleStats: matches a brute-force reference on a random graph") {
+    val rnd = new scala.util.Random(13)
+    val n = 40
+    val edges = (for {
+      i <- 0 until n; j <- i + 1 until n if rnd.nextDouble() < 0.2
+    } yield (i.toLong, j.toLong)).toSeq
+    val adj = edges.toSet
+    def conn(x: Long, y: Long) = adj.contains((math.min(x, y), math.max(x, y)))
+    val want = (for {
+      i <- 0L until n; j <- i + 1 until n; k <- j + 1 until n
+      if conn(i, j) && conn(j, k) && conn(i, k)
+    } yield Seq(i, j, k)).flatten.groupBy(identity).map { case (k, v) =>
+      k -> v.size.toLong }
+    val got = Graph.triangleStats(edges.toDF("s", "d")).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // every deg>=2 node's count matches; nodes missing from `want` have 0
+    got.foreach { case (node, t) =>
+      assert(t === want.getOrElse(node, 0L), s"node $node") }
+    assert(want.keys.forall(got.contains), "no triangle participant dropped")
+  }
 }
