@@ -2442,19 +2442,186 @@ object SparkEntry {
       expr("CAST(round(o_totalprice * 100) AS BIGINT)").cast("string"), 1, 1)
     val obs = orders(s, d).groupBy(digit.as("digit"))
       .agg(count(lit(1)).as("n_obs"))
-    val total = org.apache.spark.sql.expressions.Window
-      .partitionBy()
     val p = benfordP.tail.foldLeft(
       when(col("digit") === benfordP.head._1, lit(benfordP.head._2))) {
       case (acc, (dg, pv)) => acc.when(col("digit") === dg, lit(pv))
     }
-    obs.withColumn("n_total", sum(col("n_obs")).over(total))
+    // total via a broadcast 1-row aggregate (q121's bounds idiom), NOT a
+    // partition-less window — the digit table is 9 rows, but the
+    // declared surface pins "no global window" as a plan invariant
+    obs.crossJoin(broadcast(obs.agg(sum(col("n_obs")).as("n_total"))))
       .withColumn("expected", col("n_total") * p)
       .withColumn("chi2_term",
         (col("n_obs") - col("expected")) * (col("n_obs") - col("expected")) /
           col("expected"))
       .select(col("digit"), col("n_obs"), col("n_total"),
         col("expected"), col("chi2_term"))
+  }
+
+  /** q164: fixed-budget stratified sample — exactly 100 documents,
+    * allocated across languages by Hamilton largest-remainder
+    * apportionment ([[graft.operators.Curate.stratifiedExact]]), members
+    * picked as each stratum's smallest SHA lanes. Everything the gate
+    * hashes is integer: the allocation is driver-side BigInt arithmetic
+    * over a #strata-row collect, membership is a lane-rank filter — the
+    * oracle restates both relationally (floor-div + remainder rank) and
+    * must land on the identical 100 rows. Contrast q41, whose Bernoulli
+    * rate only EXPECTS its budget; this is the exact-N eval-set cut. */
+  private def stratifiedExactQ(s: SparkSession, d: String): DataFrame =
+    Curate.stratifiedExact(
+        documents(s, d).select(col("doc_id"), col("lang")),
+        "lang", col("doc_id"), total = 100L)
+      .select(col("doc_id"), col("lang"), col("rk"))
+
+  /** q165: 2-D skyline (Pareto frontier) over part — the cheapest part
+    * at every size tier no cheaper-or-equal part beats
+    * ([[graft.operators.Skyline.skyline2]]: minimize p_retailprice,
+    * maximize p_size). No dominance self-join: one grouped max per
+    * distinct price + a strict running max over the distinct-price
+    * curve. Doubles pass through untouched from the shared parquet
+    * (comparisons on identical bits), sizes cast to LONG for the
+    * dtype-strict gate. */
+  private def skylineQ(s: SparkSession, d: String): DataFrame =
+    Skyline.skyline2(part(s, d), col("p_retailprice"), col("p_size"))
+      .select(col("p_partkey"), col("p_name"), col("p_retailprice"),
+        col("p_size").cast("long").as("p_size"))
+
+  /** q166: association rules over order baskets — which part brands
+    * co-occur in an order beyond chance
+    * ([[graft.operators.Mining.associationRules]]): distinct
+    * (order, brand) pairs via the broadcast part dim, Apriori
+    * frequent-1 prune, basket-co-partitioned pair self-join, 2%-of-
+    * baskets support. Metrics are single divisions of exact integer
+    * counts/products — no rounding lane. */
+  private def associationRulesQ(s: SparkSession, d: String): DataFrame = {
+    val items = lineitem(s, d)
+      .join(broadcast(part(s, d).select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("basket"), col("p_brand").as("brand"))
+    Mining.associationRules(items, col("basket"), col("brand"),
+      minSupportRate = 0.02)
+  }
+
+  /** q167: distribution drift between event epochs (first vs second half
+    * of January) across two binnings — the raw category and a 50-unit
+    * value band ([[graft.operators.Drift.stability]]): PSI terms
+    * (rounded 6dp — the ln lane) and chi-square homogeneity terms (raw
+    * doubles, q163 discipline) per bin, one contingency aggregate per
+    * dimension. */
+  private def driftQ(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val inA = col("ts") < to_timestamp(lit("2024-01-16"))
+    val cols = Seq("dim", "bin", "n_a", "n_b", "p_a", "p_b",
+      "psi_term", "chi2_term").map(col)
+    Drift.stability(ev, col("event_type"), inA)
+      .withColumn("dim", lit("event_type")).select(cols: _*)
+      .unionAll(
+        Drift.stability(ev,
+            floor(col("value") / lit(50.0)).cast("long").cast("string"), inA)
+          .withColumn("dim", lit("value_band")).select(cols: _*))
+  }
+
+  /** q168: term keyness between source cohorts (src0–9 vs src10–19) —
+    * Dunning G² log-likelihood per term ([[graft.operators.Drift
+    * .keyness]]), the vocabulary-drift screen over document shards.
+    * Integer cross-products decide `leans`; G² rides the round-6 ln
+    * lane. Tokenization is the q45 contract (single-space split). */
+  private def keynessQ(s: SparkSession, d: String): DataFrame =
+    Drift.keyness(documents(s, d), split(col("text"), " "),
+      substring(col("source"), 4, 10).cast("int") < 10, minCount = 20L)
+
+  /** q169: two-sided linear interpolation of the per-priority daily
+    * order-count series over its gap-bearing day spine
+    * ([[graft.operators.Trend.interpolateLinear]]) — the line-drawing
+    * sibling of q125's forward-fill. Numerators are Long-exact; the one
+    * division and final addition are correctly-rounded on identical
+    * operands, so v_interp hashes RAW (q159/q160 discipline). */
+  private def interpolateQ(s: SparkSession, d: String): DataFrame = {
+    // o_orderdate reads as TIMESTAMP_NTZ; the session pins UTC, so the
+    // NTZ→LTZ cast is micros-identical to DuckDB's epoch() of the file
+    val daily = orders(s, d).groupBy(col("o_orderpriority").as("priority"),
+        expr("CAST(CAST(o_orderdate AS TIMESTAMP) AS LONG) DIV 86400")
+          .as("day"))
+      .agg(count(lit(1)).as("n"))
+    Trend.interpolateLinear(daily, Seq("priority"), col("day"), col("n"))
+  }
+
+  /** q170: nucleus (top-p) vocabulary coverage — the minimal
+    * frequency-ranked term prefix covering 95% of corpus tokens
+    * ([[graft.operators.Tokenize.coverageCutoff]]); membership decided
+    * entirely in Long arithmetic (cross-multiplied percentages), the
+    * tokenizer-sizing question asked before fixing a vocab. */
+  private def vocabCoverageQ(s: SparkSession, d: String): DataFrame =
+    Tokenize.coverageCutoff(documents(s, d), split(col("text"), " "), 95L)
+
+  /** q171: multi-touch conversion attribution
+    * ([[graft.operators.Attribution.credits]]): purchases distribute
+    * credit over the same user's click/view touchpoints in a 7-day
+    * lookback under first/last/linear models at once; declared as the
+    * per-(model, channel) roll-up — credit sums ride the round-4
+    * aggregate lane, pair and credited-conversion counts stay exact. */
+  private def attributionQ(s: SparkSession, d: String): DataFrame =
+    Attribution.credits(events(s, d), col("user_id"), col("ts"),
+        col("event_id"), col("event_type") === "purchase",
+        col("event_type").isin("click", "view"), col("event_type"),
+        expr("INTERVAL 7 DAYS"))
+      .groupBy(col("model"), col("channel"))
+      .agg(round(sum(col("credit")), 4).as("credit"),
+        count(lit(1)).as("n_pairs"),
+        countDistinct(when(col("credit") > 0, col("conversion_id")))
+          .as("n_credited"))
+
+  /** q172: autocorrelation function of the per-type daily event series
+    * at lags 1–7 ([[graft.operators.Trend.acf]]) — the seasonality
+    * diagnostic ahead of q159's decomposition. One window materializes
+    * all lags, `stack` unpivots scan-side, one grouped `corr` per
+    * (type, lag); moments accumulate → round-6 lane (q161's). */
+  private def acfQ(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .groupBy(col("event_type"), expr("CAST(ts AS LONG) DIV 86400").as("day"))
+      .agg(count(lit(1)).as("n"))
+    Trend.acf(daily, Seq("event_type"), col("day"), col("n"), maxLag = 7)
+  }
+
+  /** q173: exact weighted median per return flag — the quantity below
+    * which half the extended-price MONEY sits
+    * ([[graft.operators.Profile.weightedMedian]], cents weights): the
+    * crossing row is decided entirely in Long arithmetic, no float. */
+  private def weightedMedianQ(s: SparkSession, d: String): DataFrame =
+    Profile.weightedMedian(lineitem(s, d), Seq("l_returnflag"),
+      col("l_quantity"),
+      expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+
+  /** q174: revenue-concentration audit per region — Gini (raw doubles:
+    * Long-exact rank/mass sums, two divisions, q163 discipline) and HHI
+    * (squared-share sum → round-6 lane) over supplier revenue cents
+    * ([[graft.operators.Profile.concentration]]); dims broadcast. */
+  private def concentrationQ(s: SparkSession, d: String): DataFrame = {
+    val df = lineitem(s, d)
+      .select(col("l_suppkey"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      .join(broadcast(supplier(s, d).select(col("s_suppkey"),
+        col("s_nationkey"))), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation(s, d).select(col("n_nationkey"),
+        col("n_regionkey"))), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+    Profile.concentration(df, Seq("r_name"), col("l_suppkey"), col("cents"))
+  }
+
+  /** q175: triangle counting + local clustering coefficients over the
+    * part co-purchase graph (parts sharing an order, the q166 basket
+    * projection) — [[graft.operators.Graph.triangleStats]], the
+    * degree-ordered-orientation bound: out-degree O(√m) even under
+    * skew, each triangle closed exactly once, cc as a single division
+    * of exact Longs (raw). */
+  private def trianglesQ(s: SparkSession, d: String): DataFrame = {
+    val bi = lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val edges = bi.select(col("o"), col("p").as("p1"))
+      .join(bi.select(col("o"), col("p").as("p2")), Seq("o"))
+      .filter(col("p1") < col("p2"))
+      .select(col("p1"), col("p2"))
+    Graph.triangleStats(edges)
   }
 
   /** q134: batch small-file compaction ([[graft.sinks.Publish.compact]] —
@@ -3121,6 +3288,18 @@ object SparkEntry {
     "q161_regression_trend"    -> (regressionTrendQ _),
     "q162_alarm_replay"        -> (alarmReplayQ _),
     "q163_benford"             -> (benfordQ _),
+    "q164_stratified_exact"    -> (stratifiedExactQ _),
+    "q165_skyline"             -> (skylineQ _),
+    "q166_association_rules"   -> (associationRulesQ _),
+    "q167_drift"               -> (driftQ _),
+    "q168_keyness"             -> (keynessQ _),
+    "q169_interpolate"         -> (interpolateQ _),
+    "q170_vocab_coverage"      -> (vocabCoverageQ _),
+    "q171_attribution"         -> (attributionQ _),
+    "q172_acf"                 -> (acfQ _),
+    "q173_weighted_median"     -> (weightedMedianQ _),
+    "q174_concentration"       -> (concentrationQ _),
+    "q175_triangles"           -> (trianglesQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -5439,6 +5618,318 @@ object SparkEntry {
         |       (n_obs - n_total * pr) * (n_obs - n_total * pr)
         |         / (n_total * pr) AS chi2_term
         |FROM t JOIN p USING (digit)""".stripMargin,
+
+    // q164: Hamilton apportionment restated relationally — floor-div
+    // base + row_number over (remainder DESC, lang) hands out the
+    // leftover units; stratum membership is the identical SHA-lane rank
+    // the Spark side computes. All integer: the 100 sampled rows must
+    // match exactly.
+    "q164_stratified_exact" ->
+      s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |t AS (SELECT sum(n) AS pop FROM c),
+        |a0 AS (SELECT lang, n, (100 * n) // pop AS base,
+        |              (100 * n) % pop AS rem FROM c CROSS JOIN t),
+        |d AS (SELECT 100 - sum(base) AS deficit FROM a0),
+        |a AS (SELECT lang,
+        |        base + CASE WHEN row_number() OVER (ORDER BY rem DESC, lang)
+        |                         <= deficit THEN 1 ELSE 0 END AS alloc
+        |      FROM a0 CROSS JOIN d),
+        |r AS (SELECT doc_id, lang,
+        |        row_number() OVER (PARTITION BY lang ORDER BY
+        |          ${graft.functions.ShaLanes.duckLane("'strat|' || CAST(doc_id AS VARCHAR)")},
+        |          doc_id) AS rk
+        |      FROM documents)
+        |SELECT r.doc_id, r.lang, CAST(r.rk AS BIGINT) AS rk
+        |FROM r JOIN a USING (lang) WHERE r.rk <= a.alloc""".stripMargin,
+
+    // q165: the same sort-free 2-D skyline — per-price best size, strict
+    // running max over the distinct-price curve (ROWS ... 1 PRECEDING on
+    // the grouped table = all strictly cheaper prices), frontier join
+    // back. Doubles compared on identical parquet bits, never computed.
+    "q165_skyline" ->
+      """WITH g AS (SELECT p_retailprice AS pr, max(p_size) AS best
+        |           FROM part GROUP BY 1),
+        |f AS (SELECT pr, best, max(best) OVER (ORDER BY pr
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS strict
+        |      FROM g)
+        |SELECT p_partkey, p_name, p_retailprice,
+        |       CAST(p_size AS BIGINT) AS p_size
+        |FROM part JOIN f ON p_retailprice = pr
+        |WHERE p_size = best AND (strict IS NULL OR strict < p_size)""".stripMargin,
+
+    // q166: the Apriori pipeline restated — distinct baskets, ceil-rate
+    // threshold, frequent-1 prune inside the pair join's WHERE, both
+    // rule directions. Metrics are the identical single divisions of
+    // integer counts/products; no rounding.
+    "q166_association_rules" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS b, p_brand AS i
+        |            FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |n AS (SELECT count(DISTINCT b) AS nbk FROM bi),
+        |th AS (SELECT CAST(ceil(0.02 * nbk) AS BIGINT) AS t, nbk FROM n),
+        |c1 AS (SELECT i, count(*) AS ni FROM bi GROUP BY 1),
+        |f1 AS (SELECT i, ni FROM c1 CROSS JOIN th WHERE ni >= t),
+        |p AS (SELECT a.i AS ia, bb.i AS ib, count(*) AS nab
+        |      FROM bi a JOIN bi bb ON a.b = bb.b AND a.i < bb.i
+        |      WHERE a.i IN (SELECT i FROM f1)
+        |        AND bb.i IN (SELECT i FROM f1)
+        |      GROUP BY 1, 2),
+        |fp AS (SELECT ia, ib, nab, fa.ni AS na, fb.ni AS nc, th.nbk
+        |       FROM p JOIN f1 fa ON p.ia = fa.i
+        |              JOIN f1 fb ON p.ib = fb.i
+        |       CROSS JOIN th WHERE nab >= t)
+        |SELECT ia AS antecedent, ib AS consequent,
+        |       CAST(nbk AS BIGINT) AS n_baskets, CAST(na AS BIGINT) AS n_ante,
+        |       CAST(nc AS BIGINT) AS n_cons, CAST(nab AS BIGINT) AS n_both,
+        |       CAST(nab AS DOUBLE) / CAST(nbk AS DOUBLE) AS support,
+        |       CAST(nab AS DOUBLE) / CAST(na AS DOUBLE) AS confidence,
+        |       CAST(nbk AS DOUBLE) * CAST(nab AS DOUBLE)
+        |         / (CAST(na AS DOUBLE) * CAST(nc AS DOUBLE)) AS lift
+        |FROM fp
+        |UNION ALL
+        |SELECT ib, ia, CAST(nbk AS BIGINT), CAST(nc AS BIGINT),
+        |       CAST(na AS BIGINT), CAST(nab AS BIGINT),
+        |       CAST(nab AS DOUBLE) / CAST(nbk AS DOUBLE),
+        |       CAST(nab AS DOUBLE) / CAST(nc AS DOUBLE),
+        |       CAST(nbk AS DOUBLE) * CAST(nab AS DOUBLE)
+        |         / (CAST(na AS DOUBLE) * CAST(nc AS DOUBLE))
+        |FROM fp""".stripMargin,
+
+    // q167: the same 2×K contingency tables (per dim), shares and
+    // expectations as the identical chained correctly-rounded float ops
+    // on integer counts (chi2 raw), PSI through round-6 (the ln lane).
+    "q167_drift" ->
+      """WITH e AS (SELECT event_type, value,
+        |             (ts < TIMESTAMP '2024-01-16') AS ina FROM events),
+        |u AS (SELECT 'event_type' AS dim, event_type AS bin, ina FROM e
+        |      UNION ALL
+        |      SELECT 'value_band',
+        |             CAST(CAST(floor(value / 50) AS BIGINT) AS VARCHAR), ina
+        |      FROM e),
+        |t AS (SELECT dim, bin,
+        |        sum(CASE WHEN ina THEN 1 ELSE 0 END) AS n_a,
+        |        sum(CASE WHEN ina THEN 0 ELSE 1 END) AS n_b
+        |      FROM u GROUP BY 1, 2),
+        |w AS (SELECT dim, bin, n_a, n_b,
+        |        sum(n_a) OVER (PARTITION BY dim) AS ta,
+        |        sum(n_b) OVER (PARTITION BY dim) AS tb
+        |      FROM t),
+        |s AS (SELECT dim, bin, n_a, n_b, ta, tb,
+        |        CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE) AS p_a,
+        |        CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE) AS p_b,
+        |        CAST(n_a + n_b AS DOUBLE) * CAST(ta AS DOUBLE)
+        |          / CAST(ta + tb AS DOUBLE) AS ea,
+        |        CAST(n_a + n_b AS DOUBLE) * CAST(tb AS DOUBLE)
+        |          / CAST(ta + tb AS DOUBLE) AS eb
+        |      FROM w)
+        |SELECT dim, bin, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |       p_a, p_b,
+        |       CASE WHEN n_a > 0 AND n_b > 0
+        |            THEN round((p_a - p_b) * ln(p_a / p_b), 6) END AS psi_term,
+        |       (CAST(n_a AS DOUBLE) - ea) * (CAST(n_a AS DOUBLE) - ea) / ea
+        |         + (CAST(n_b AS DOUBLE) - eb) * (CAST(n_b AS DOUBLE) - eb) / eb
+        |         AS chi2_term
+        |FROM s""".stripMargin,
+
+    // q168: the same G² pipeline — cohort-conditional term counts, one
+    // vocabulary window for totals, integer cross-products for `leans`,
+    // expectations as the identical chained float ops, G² through
+    // round-6 (the ln lane)
+    "q168_keyness" ->
+      """WITH toks AS (SELECT (CAST(substr(source, 4) AS INT) < 10) AS a,
+        |                unnest(str_split(text, ' ')) AS term
+        |              FROM documents),
+        |t AS (SELECT term, sum(CASE WHEN a THEN 1 ELSE 0 END) AS n_a,
+        |             sum(CASE WHEN a THEN 0 ELSE 1 END) AS n_b
+        |      FROM toks GROUP BY 1),
+        |w AS (SELECT *, sum(n_a) OVER () AS ta, sum(n_b) OVER () AS tb
+        |      FROM t),
+        |f AS (SELECT * FROM w WHERE n_a + n_b >= 20),
+        |s AS (SELECT term, n_a, n_b, ta, tb,
+        |        CAST(n_a + n_b AS DOUBLE) * CAST(ta AS DOUBLE)
+        |          / CAST(ta + tb AS DOUBLE) AS ea,
+        |        CAST(n_a + n_b AS DOUBLE) * CAST(tb AS DOUBLE)
+        |          / CAST(ta + tb AS DOUBLE) AS eb
+        |      FROM f)
+        |SELECT term, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |       CASE WHEN n_a * tb > n_b * ta THEN 'A'
+        |            WHEN n_a * tb < n_b * ta THEN 'B' ELSE '=' END AS leans,
+        |       round(2 * (CASE WHEN n_a > 0 THEN CAST(n_a AS DOUBLE)
+        |                    * ln(CAST(n_a AS DOUBLE) / ea) ELSE 0 END
+        |                + CASE WHEN n_b > 0 THEN CAST(n_b AS DOUBLE)
+        |                    * ln(CAST(n_b AS DOUBLE) / eb) ELSE 0 END), 6)
+        |         AS g2
+        |FROM s""".stripMargin,
+
+    // q169: the identical spine + bracketing-observation windows (the
+    // q125 IGNORE NULLS idiom, both frame directions); the interpolation
+    // numerator is BIGINT-exact, one division + one addition — raw
+    // doubles hash-match
+    "q169_interpolate" ->
+      """WITH daily AS (SELECT o_orderpriority AS priority,
+        |        CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS t,
+        |        count(*) AS n FROM orders GROUP BY 1, 2),
+        |r AS (SELECT priority, min(t) AS t0, max(t) AS t1
+        |      FROM daily GROUP BY 1),
+        |spine AS (SELECT priority, unnest(generate_series(t0, t1)) AS t
+        |          FROM r),
+        |j AS (SELECT s.priority, s.t, d.n FROM spine s
+        |      LEFT JOIN daily d ON s.priority = d.priority AND s.t = d.t),
+        |w AS (SELECT priority, t, n,
+        |        last_value(n IGNORE NULLS) OVER wb AS pv,
+        |        last_value(CASE WHEN n IS NOT NULL THEN t END IGNORE NULLS)
+        |          OVER wb AS pt,
+        |        first_value(n IGNORE NULLS) OVER wf AS nv,
+        |        first_value(CASE WHEN n IS NOT NULL THEN t END IGNORE NULLS)
+        |          OVER wf AS nt
+        |      FROM j
+        |      WINDOW wb AS (PARTITION BY priority ORDER BY t
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |             wf AS (PARTITION BY priority ORDER BY t
+        |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT priority, t, CAST(n IS NOT NULL AS BIGINT) AS observed,
+        |       CAST(n AS BIGINT) AS n,
+        |       CASE WHEN n IS NOT NULL THEN CAST(n AS DOUBLE)
+        |            WHEN pv IS NULL THEN CAST(nv AS DOUBLE)
+        |            WHEN nv IS NULL THEN CAST(pv AS DOUBLE)
+        |            ELSE CAST(pv AS DOUBLE)
+        |              + CAST((nv - pv) * (t - pt) AS DOUBLE)
+        |                / CAST(nt - pt AS DOUBLE)
+        |       END AS v_interp
+        |FROM w""".stripMargin,
+
+    // q170: same rank + running-sum over the vocabulary, the minimal-
+    // prefix membership as the identical cross-multiplied integer
+    // comparison
+    "q170_vocab_coverage" ->
+      """WITH toks AS (SELECT unnest(str_split(text, ' ')) AS term
+        |              FROM documents),
+        |c AS (SELECT term, count(*) AS cnt FROM toks GROUP BY 1),
+        |w AS (SELECT term, CAST(cnt AS BIGINT) AS cnt,
+        |        CAST(row_number() OVER (ORDER BY cnt DESC, term) AS BIGINT)
+        |          AS rk,
+        |        CAST(sum(cnt) OVER (ORDER BY cnt DESC, term
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS BIGINT) AS cum_cnt,
+        |        CAST(sum(cnt) OVER () AS BIGINT) AS total_cnt
+        |      FROM c)
+        |SELECT term, cnt, rk, cum_cnt, total_cnt
+        |FROM w WHERE 100 * (cum_cnt - cnt) < 95 * total_cnt""".stripMargin,
+
+    // q171: the same join + three-model credit table, rolled up — the
+    // per-pair credits are exact (integer flags, one division 1/n), the
+    // grouped sum rides round-4 like every aggregated double
+    "q171_attribution" ->
+      """WITH c AS (SELECT user_id AS u, ts AS cts, event_id AS cid
+        |           FROM events WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id AS u, ts AS tts, event_id AS tid,
+        |             event_type AS channel
+        |      FROM events WHERE event_type IN ('click', 'view')),
+        |j AS (SELECT c.u, cid, tid, channel, tts, cts
+        |      FROM c JOIN t USING (u)
+        |      WHERE tts <= cts AND tts > cts - INTERVAL 7 DAY
+        |        AND tid <> cid),
+        |r AS (SELECT *,
+        |        row_number() OVER (PARTITION BY cid ORDER BY tts, tid) AS rf,
+        |        row_number() OVER (PARTITION BY cid
+        |          ORDER BY tts DESC, tid DESC) AS rl,
+        |        count(*) OVER (PARTITION BY cid) AS n
+        |      FROM j),
+        |p AS (SELECT cid, channel, 'first_touch' AS model,
+        |        CASE WHEN rf = 1 THEN 1.0 ELSE 0.0 END AS credit FROM r
+        |      UNION ALL
+        |      SELECT cid, channel, 'last_touch',
+        |        CASE WHEN rl = 1 THEN 1.0 ELSE 0.0 END FROM r
+        |      UNION ALL
+        |      SELECT cid, channel, 'linear', 1.0 / CAST(n AS DOUBLE) FROM r)
+        |SELECT model, channel, round(sum(credit), 4) AS credit,
+        |       CAST(count(*) AS BIGINT) AS n_pairs,
+        |       CAST(count(DISTINCT CASE WHEN credit > 0 THEN cid END)
+        |         AS BIGINT) AS n_credited
+        |FROM p GROUP BY 1, 2""".stripMargin,
+
+    // q172: the same lag columns unpivoted by UNION (DuckDB's stack),
+    // corr dropping NULL-lagged pairs on both sides, round-6 moments
+    "q172_acf" -> {
+      val legs = (1 to 7).map(k =>
+        s"""SELECT event_type, CAST($k AS BIGINT) AS lag,
+           |        CAST(n AS DOUBLE) AS v, CAST(l$k AS DOUBLE) AS lv FROM l"""
+          .stripMargin).mkString("\n      UNION ALL\n      ")
+      s"""WITH daily AS (SELECT event_type,
+        |        CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+        |        count(*) AS n FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type, n,
+        |        ${(1 to 7).map(k => s"lag(n, $k) OVER w AS l$k").mkString(", ")}
+        |      FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |u AS ($legs)
+        |SELECT event_type, lag, CAST(count(lv) AS BIGINT) AS n_pairs,
+        |       round(corr(v, lv), 6) AS acf
+        |FROM u GROUP BY 1, 2""".stripMargin
+    },
+
+    // q173: identical distinct-value weight curve and integer crossing
+    // test — both engines land on the same row with no float anywhere
+    "q173_weighted_median" ->
+      """WITH g AS (SELECT l_returnflag, l_quantity AS v,
+        |             sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS w
+        |           FROM lineitem GROUP BY 1, 2),
+        |c AS (SELECT *, sum(w) OVER (PARTITION BY l_returnflag ORDER BY v
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_w,
+        |        sum(w) OVER (PARTITION BY l_returnflag) AS total_w
+        |      FROM g)
+        |SELECT l_returnflag, v AS median, CAST(w AS BIGINT) AS w_at,
+        |       CAST(cum_w AS BIGINT) AS cum_w,
+        |       CAST(total_w AS BIGINT) AS total_w
+        |FROM c WHERE 2 * cum_w >= total_w AND 2 * (cum_w - w) < total_w"""
+        .stripMargin,
+
+    // q174: same member-mass curve; Gini from Long-exact Σi·x / n·Σx
+    // (raw), HHI through round-6 (squared-share accumulation)
+    "q174_concentration" ->
+      """WITH rev AS (SELECT r_name, l_suppkey AS m,
+        |               sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS x
+        |             FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |               JOIN nation ON s_nationkey = n_nationkey
+        |               JOIN region ON n_regionkey = r_regionkey
+        |             GROUP BY 1, 2),
+        |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY r_name
+        |         ORDER BY x, m) AS BIGINT) AS i FROM rev),
+        |a AS (SELECT r_name, CAST(count(*) AS BIGINT) AS n_members,
+        |        CAST(sum(x) AS BIGINT) AS total_mass,
+        |        CAST(sum(i * x) AS BIGINT) AS s,
+        |        sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS sq
+        |      FROM rk GROUP BY 1)
+        |SELECT r_name, n_members, total_mass,
+        |       2.0 * CAST(s AS DOUBLE) / CAST(n_members * total_mass AS DOUBLE)
+        |         - CAST(n_members + 1 AS DOUBLE) / CAST(n_members AS DOUBLE)
+        |         AS gini,
+        |       round(sq / (CAST(total_mass AS DOUBLE)
+        |         * CAST(total_mass AS DOUBLE)), 6) AS hhi
+        |FROM a""".stripMargin,
+
+    // q175: unoriented 3-way closure under a < b < c (each triangle
+    // once, matching the orientation argument), same degree table and
+    // the identical exact-Long cc division
+    "q175_triangles" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |            FROM lineitem),
+        |e AS (SELECT DISTINCT x.p AS a, y.p AS b
+        |      FROM bi x JOIN bi y ON x.o = y.o AND x.p < y.p),
+        |deg AS (SELECT n, count(*) AS degree FROM (
+        |          SELECT a AS n FROM e UNION ALL SELECT b FROM e)
+        |        GROUP BY 1),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |        FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+        |                  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |pn AS (SELECT n, count(*) AS n_tri FROM (
+        |         SELECT x AS n FROM tri UNION ALL SELECT y FROM tri
+        |         UNION ALL SELECT z FROM tri)
+        |       GROUP BY 1)
+        |SELECT deg.n AS node, CAST(degree AS BIGINT) AS degree,
+        |       CAST(coalesce(n_tri, 0) AS BIGINT) AS n_tri,
+        |       CAST(2 * coalesce(n_tri, 0) AS DOUBLE)
+        |         / CAST(degree * (degree - 1) AS DOUBLE) AS local_cc
+        |FROM deg LEFT JOIN pn ON deg.n = pn.n
+        |WHERE degree >= 2""".stripMargin,
 
     // q161: the same daily series through DuckDB's regr_*/corr family;
     // both engines accumulate moments, round(6) absorbs order drift
