@@ -287,4 +287,35 @@ object Trend {
         when(col("__sv") > 0 && col("__sl") > 0,
           round(col("__cov") / (col("__sv") * col("__sl")), 6)).as("acf"): _*)
   }
+
+  /**
+   * Time-weighted average per key — the irregular-sampling mean: each
+   * observation carries its value until the NEXT observation, so
+   *
+   *   twap = Σ vᵢ·Δtᵢ / Σ Δtᵢ ,  Δtᵢ = tᵢ₊₁ − tᵢ
+   *
+   * (the metric a row-weighted `avg` silently gets wrong whenever
+   * sampling density correlates with the value — the standard
+   * finance/telemetry correction). The last observation per key has no
+   * duration and carries no weight.
+   *
+   * One key-partitioned ordered window (`lead`) and one grouped
+   * reduction. `t` must be an integer clock (epoch micros/seconds);
+   * ties order by `tieBreak` so Δt is well-defined on simultaneous
+   * rows. The products v·Δt are single correctly-rounded ops, but
+   * their SUM accumulates — round-6 lane like every such aggregate.
+   * Emits (keys…, n_intervals, total_dt, twap).
+   */
+  def timeWeightedAvg(df: DataFrame, keys: Seq[String], t: Column, v: Column,
+                      tieBreak: Column): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(t, tieBreak)
+    val dt = (lead(t, 1).over(w) - t).cast("long")
+    df.select(keys.map(col) :+ v.cast("double").as("__v") :+ dt.as("__dt"): _*)
+      .filter(col("__dt").isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("__dt")).as("total_dt"),
+        round(sum(col("__v") * col("__dt").cast("double")) /
+          sum(col("__dt")).cast("double"), 6).as("twap"))
+  }
 }

@@ -215,4 +215,36 @@ class TrendSpec extends SparkSpec {
     (1 to 5).foreach { k =>
       assert(math.abs(got(k.toLong) - ref(k)) < 1e-6, s"lag $k") }
   }
+
+  test("timeWeightedAvg: hand-checked hold-until-next weighting") {
+    // (0,10) held 10s, (10,20) held 20s, (30,0) terminal (no weight)
+    val df = Seq(("k", 0L, 10.0, 1L), ("k", 10L, 20.0, 2L), ("k", 30L, 0.0, 3L))
+      .toDF("g", "t", "v", "id")
+    val r = Trend.timeWeightedAvg(df, Seq("g"), col("t"), col("v"), col("id"))
+      .collect().head
+    assert((r.getLong(1), r.getLong(2)) === ((2L, 30L)))
+    val want = BigDecimal((10.0 * 10 + 20.0 * 20) / 30.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(3) === want)
+    // a row-weighted mean would say 10 — the bias twap corrects
+    assert(math.abs(r.getDouble(3) - 10.0) > 5.0)
+  }
+
+  test("timeWeightedAvg: single-observation keys have no intervals and are absent") {
+    val df = Seq(("a", 0L, 5.0, 1L), ("b", 0L, 1.0, 1L), ("b", 4L, 9.0, 2L))
+      .toDF("g", "t", "v", "id")
+    val got = Trend.timeWeightedAvg(df, Seq("g"), col("t"), col("v"), col("id"))
+      .collect().map(r => r.getString(0)).toSet
+    assert(got === Set("b"))
+  }
+
+  test("timeWeightedAvg: simultaneous rows are ordered by the tie-break") {
+    // two rows at t=0: id order decides which value holds the interval
+    val df = Seq(("k", 0L, 100.0, 2L), ("k", 0L, 1.0, 1L), ("k", 10L, 0.0, 3L))
+      .toDF("g", "t", "v", "id")
+    val r = Trend.timeWeightedAvg(df, Seq("g"), col("t"), col("v"), col("id"))
+      .collect().head
+    // id=1 (v=1) holds 0s to id=2; id=2 (v=100) holds the full 10s
+    assert(r.getDouble(3) === 100.0)
+  }
 }
