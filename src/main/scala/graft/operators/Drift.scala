@@ -41,10 +41,18 @@ object Drift {
 
   /** Per-bin drift terms between the `inA` cohort and its complement.
     * Emits (bin, n_a, n_b, p_a, p_b, psi_term, chi2_term). */
-  def stability(df: DataFrame, binCol: Column, inA: Column): DataFrame = {
-    val table = df.groupBy(binCol.as("bin")).agg(
+  def stability(df: DataFrame, binCol: Column, inA: Column): DataFrame =
+    stabilityFromCounts(df.groupBy(binCol.as("bin")).agg(
       sum(when(inA, 1L).otherwise(0L)).as("n_a"),
-      sum(when(inA, 0L).otherwise(1L)).as("n_b"))
+      sum(when(inA, 0L).otherwise(1L)).as("n_b")))
+
+  /** The derived-metric tail over an ALREADY-AGGREGATED contingency
+    * table `(bin, n_a, n_b)` — the serving half an incrementally
+    * maintained drift monitor reads: the counts mart lives under the
+    * [[graft.operators.Incremental]] aggregate/merge lifecycle and only
+    * this bin-sized projection runs per refresh (q180's shape; the
+    * batch [[stability]] is exactly contingency-aggregate ∘ this). */
+  def stabilityFromCounts(table: DataFrame): DataFrame = {
     // cohort totals as a broadcast 1-row aggregate over the BIN-sized
     // table (the q121 bounds idiom) — never a partition-less window
     val totals = table.agg(sum(col("n_a")).as("__ta"),
@@ -114,5 +122,54 @@ object Drift {
       .otherwise("=")
     withTotals.select(col("term"), col("n_a"), col("n_b"),
       leans.as("leans"), round(g2, 6).as("g2"))
+  }
+
+  /**
+   * Association strength between two categorical columns: the full R×C
+   * chi-square with Cramér's V effect size — the general-contingency
+   * sibling of [[stability]]'s 2×K cohort screen ("are event type and
+   * weekday independent", "does source predict language"). V ∈ [0, 1]
+   * normalizes χ² by table size, so it is comparable across tables:
+   *
+   *   V = √( χ² / (n · min(R−1, C−1)) )
+   *
+   * One (r, c) cell aggregate; marginals come back as broadcast
+   * aggregates over the CELL-sized table (dimension-sized by
+   * construction — no partition-less window); expectations are chained
+   * correctly-rounded ops on integer counts. The χ² SUM accumulates
+   * across cells, so it is rounded 6dp — and V is computed FROM the
+   * rounded χ² (sqrt and division are correctly rounded), keeping V
+   * deterministic without a second lane. Emits one row:
+   * (n, r_levels, c_levels, chi2, cramers_v).
+   */
+  def cramersV(df: DataFrame, rowCol: Column, colCol: Column): DataFrame = {
+    val cells = df.filter(rowCol.isNotNull && colCol.isNotNull)
+      .groupBy(rowCol.as("__r"), colCol.as("__c"))
+      .agg(count(lit(1)).as("__n"))
+    val rTot = cells.groupBy(col("__r")).agg(sum(col("__n")).as("__rt"))
+    val cTot = cells.groupBy(col("__c")).agg(sum(col("__n")).as("__ct"))
+    val tot = cells.agg(sum(col("__n")).as("__t"),
+      count_distinct(col("__r")).as("__rl"),
+      count_distinct(col("__c")).as("__cl"))
+    val exp = col("__rt").cast("double") * col("__ct").cast("double") /
+      col("__t").cast("double")
+    val term = (col("__n").cast("double") - exp) *
+      (col("__n").cast("double") - exp) / exp
+    val chi2 = round(sum(term), 6)
+    // the FULL R×C grid, not just observed cells: a zero-observed cell
+    // still contributes (0 − exp)²/exp — dropping it understates χ²
+    // exactly when association is strongest (both marginals positive ⇒
+    // exp > 0, so the term is always defined)
+    rTot.crossJoin(broadcast(cTot))
+      .join(cells, Seq("__r", "__c"), "left")
+      .withColumn("__n", coalesce(col("__n"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("__t"), col("__rl"), col("__cl"))
+      .agg(chi2.as("chi2"))
+      .select(col("__t").as("n"), col("__rl").as("r_levels"),
+        col("__cl").as("c_levels"), col("chi2"),
+        sqrt(col("chi2") / (col("__t") *
+          least(col("__rl") - lit(1), col("__cl") - lit(1))).cast("double"))
+          .as("cramers_v"))
   }
 }

@@ -102,4 +102,25 @@ class DriftSpec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(g2 === want)
   }
+
+  test("cramersV: perfect association scores 1, independence scores 0") {
+    val perfect = (Seq.fill(10)(("a", "x")) ++ Seq.fill(10)(("b", "y")))
+      .toDF("r", "c")
+    val p = Drift.cramersV(perfect, col("r"), col("c")).collect().head
+    assert((p.getLong(0), p.getLong(1), p.getLong(2)) === ((20L, 2L, 2L)))
+    assert(p.getDouble(3) === 20.0, "chi2 of a perfect 2x2 split is n")
+    assert(p.getDouble(4) === 1.0)
+    val indep = (for { r <- Seq("a", "b"); c <- Seq("x", "y"); _ <- 1 to 5 }
+      yield (r, c)).toDF("r", "c")
+    val i = Drift.cramersV(indep, col("r"), col("c")).collect().head
+    assert(i.getDouble(3) === 0.0 && i.getDouble(4) === 0.0)
+  }
+
+  test("cramersV: NULL categories are excluded from the table") {
+    val df = Seq((Some("a"), Some("x")), (Some("a"), Some("x")),
+      (None, Some("x")), (Some("b"), None), (Some("b"), Some("y")),
+      (Some("b"), Some("y"))).toDF("r", "c")
+    val r = Drift.cramersV(df, col("r"), col("c")).collect().head
+    assert(r.getLong(0) === 4L, "only fully-categorized rows count")
+  }
 }
