@@ -2624,6 +2624,118 @@ object SparkEntry {
     Graph.triangleStats(edges)
   }
 
+  /** q176: RFM customer segmentation — recency/frequency/monetary
+    * quintiles over per-customer order aggregates, bucket boundaries
+    * from ONE exact-percentile aggregate broadcast back (the q121
+    * bounds idiom — no global ranking window anywhere), segment
+    * assignment as scan-side boundary comparisons on identical
+    * interpolated doubles. Output is the segment cube: counts and exact
+    * cent totals, avg as one division (raw). */
+  private def rfmQ(s: SparkSession, d: String): DataFrame = {
+    val day = expr("CAST(CAST(o_orderdate AS TIMESTAMP) AS LONG) DIV 86400")
+    val cents = expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    val cust = orders(s, d).groupBy(col("o_custkey"))
+      .agg(max(day).as("last_day"), count(lit(1)).as("freq"),
+        sum(cents).as("monetary"))
+    val qs = array(lit(0.2), lit(0.4), lit(0.6), lit(0.8))
+    val bounds = cust.agg(
+      percentile(col("last_day"), qs).as("rb"),
+      percentile(col("freq"), qs).as("fb"),
+      percentile(col("monetary"), qs).as("mb"))
+    def quintile(v: Column, b: Column): Column =
+      (1 to 4).map(i => (v.cast("double") > element_at(b, i)).cast("long"))
+        .foldLeft(lit(1L))(_ + _)
+    cust.crossJoin(broadcast(bounds))
+      .select(quintile(col("last_day"), col("rb")).as("r_q"),
+        quintile(col("freq"), col("fb")).as("f_q"),
+        quintile(col("monetary"), col("mb")).as("m_q"),
+        col("monetary"))
+      .groupBy(col("r_q"), col("f_q"), col("m_q"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("monetary")).as("total_cents"),
+        (sum(col("monetary")).cast("double") /
+          count(lit(1)).cast("double")).as("avg_cents"))
+  }
+
+  /** q177: gaps-and-islands — maximal runs of consecutive active days
+    * per priority via the classic `day − row_number` constant-per-run
+    * key: one key-partitioned window + one grouped collapse, all
+    * integer. The calendar-run sibling of q156's value-pattern runs. */
+  private def islandsQ(s: SparkSession, d: String): DataFrame = {
+    val day = expr("CAST(CAST(o_orderdate AS TIMESTAMP) AS LONG) DIV 86400")
+    val daily = orders(s, d)
+      .groupBy(col("o_orderpriority").as("priority"), day.as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("priority")).orderBy(col("day"))
+    daily.withColumn("__grp", col("day") - row_number().over(w))
+      .groupBy(col("priority"), col("__grp"))
+      .agg(min(col("day")).as("start_day"), max(col("day")).as("end_day"),
+        count(lit(1)).as("len_days"), sum(col("n")).as("n_orders"))
+      .drop("__grp")
+  }
+
+  /** q178: time-weighted average event value per type
+    * ([[graft.operators.Trend.timeWeightedAvg]]) — each observation
+    * holds until the next, so irregular sampling can't bias the mean;
+    * micros clock, (ts, event_id) tie-break, round-6 product sums. */
+  private def twapQ(s: SparkSession, d: String): DataFrame =
+    Trend.timeWeightedAvg(events(s, d), Seq("event_type"),
+      unix_micros(col("ts")), col("value"), col("event_id"))
+
+  /** q179: Cramér's V between event type and weekday
+    * ([[graft.operators.Drift.cramersV]]) — the R×C independence screen
+    * over the 35-cell contingency table; χ² rides the round-6 lane, V
+    * derives from the ROUNDED χ² via correctly-rounded sqrt/division
+    * (deterministic, no second lane). */
+  private def cramersQ(s: SparkSession, d: String): DataFrame =
+    Drift.cramersV(events(s, d), col("event_type"),
+      expr("(CAST(ts AS LONG) DIV 86400) % 7"))
+
+  /** q180: the drift monitor under freshness replay — three event
+    * micro-batches (event_id mod 3) maintain the per-(dim, bin)
+    * contingency mart through on-disk parquet state round-trips
+    * (q106's [[graft.operators.Incremental]] aggregate/merge lifecycle,
+    * O(mart + delta) per batch, facts never rescanned), then q167's
+    * derived metrics run over the MAINTAINED counts
+    * ([[graft.operators.Drift.stabilityFromCounts]]). The oracle is
+    * q167's batch SQL verbatim — maintained-under-replay == recomputed
+    * IS the freshness claim (the q162 posture, extended to the
+    * data-quality tier). */
+  private def driftReplayQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Incremental
+    val dir = replayStateDir(s, "q180", d)
+    val inA = col("ts") < to_timestamp(lit("2024-01-16"))
+    val facts = events(s, d).select(col("event_id"),
+        explode(array(
+          struct(lit("event_type").as("dim"), col("event_type").as("bin")),
+          struct(lit("value_band").as("dim"),
+            floor(col("value") / lit(50.0)).cast("long").cast("string")
+              .as("bin")))).as("db"),
+        when(inA, 1L).otherwise(0L).as("a"))
+      .select(col("event_id"), col("db.dim").as("dim"),
+        col("db.bin").as("bin"), col("a"), (lit(1L) - col("a")).as("b"))
+    val keys = Seq("dim", "bin")
+    (0 until 3).foreach { i =>
+      val part = Incremental.aggregate(
+        facts.filter(pmod(col("event_id"), lit(3)) === i), keys,
+        Seq("a", "b"))
+      val merged =
+        if (i == 0) part
+        else Incremental.mergeAggregates(
+          Seq(s.read.parquet(s"$dir/state_${i - 1}"), part), keys,
+          Seq("a", "b"))
+      merged.write.mode("overwrite").parquet(s"$dir/state_$i")
+    }
+    val state = s.read.parquet(s"$dir/state_2")
+    val cols = Seq("dim", "bin", "n_a", "n_b", "p_a", "p_b",
+      "psi_term", "chi2_term").map(col)
+    def forDim(dim: String) = Drift.stabilityFromCounts(
+        state.filter(col("dim") === dim)
+          .select(col("bin"), col("sum_a").as("n_a"), col("sum_b").as("n_b")))
+      .withColumn("dim", lit(dim)).select(cols: _*)
+    forDim("event_type").unionAll(forDim("value_band"))
+  }
+
   /** q134: batch small-file compaction ([[graft.sinks.Publish.compact]] —
     * the lakehouse OPTIMIZE maintenance operator, the batch sibling of
     * the streaming `batch_id=` compactor): a deliberately fragmented
@@ -3300,6 +3412,11 @@ object SparkEntry {
     "q173_weighted_median"     -> (weightedMedianQ _),
     "q174_concentration"       -> (concentrationQ _),
     "q175_triangles"           -> (trianglesQ _),
+    "q176_rfm"                 -> (rfmQ _),
+    "q177_islands"             -> (islandsQ _),
+    "q178_twap"                -> (twapQ _),
+    "q179_cramers_v"           -> (cramersQ _),
+    "q180_drift_replay"        -> (driftReplayQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -4016,6 +4133,40 @@ object SparkEntry {
           |       CAST(n AS BIGINT) AS n, mu0, s, cusum,
           |       CAST(cusum > 24.0 AS BIGINT) AS alarm
           |FROM c2""".stripMargin
+
+  /** Shared by q167 (batch) and q180 (replay-maintained). */
+  private def driftOracle: String =
+    """WITH e AS (SELECT event_type, value,
+        |             (ts < TIMESTAMP '2024-01-16') AS ina FROM events),
+        |u AS (SELECT 'event_type' AS dim, event_type AS bin, ina FROM e
+        |      UNION ALL
+        |      SELECT 'value_band',
+        |             CAST(CAST(floor(value / 50) AS BIGINT) AS VARCHAR), ina
+        |      FROM e),
+        |t AS (SELECT dim, bin,
+        |        sum(CASE WHEN ina THEN 1 ELSE 0 END) AS n_a,
+        |        sum(CASE WHEN ina THEN 0 ELSE 1 END) AS n_b
+        |      FROM u GROUP BY 1, 2),
+        |w AS (SELECT dim, bin, n_a, n_b,
+        |        sum(n_a) OVER (PARTITION BY dim) AS ta,
+        |        sum(n_b) OVER (PARTITION BY dim) AS tb
+        |      FROM t),
+        |s AS (SELECT dim, bin, n_a, n_b, ta, tb,
+        |        CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE) AS p_a,
+        |        CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE) AS p_b,
+        |        CAST(n_a + n_b AS DOUBLE) * CAST(ta AS DOUBLE)
+        |          / CAST(ta + tb AS DOUBLE) AS ea,
+        |        CAST(n_a + n_b AS DOUBLE) * CAST(tb AS DOUBLE)
+        |          / CAST(ta + tb AS DOUBLE) AS eb
+        |      FROM w)
+        |SELECT dim, bin, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |       p_a, p_b,
+        |       CASE WHEN n_a > 0 AND n_b > 0
+        |            THEN round((p_a - p_b) * ln(p_a / p_b), 6) END AS psi_term,
+        |       (CAST(n_a AS DOUBLE) - ea) * (CAST(n_a AS DOUBLE) - ea) / ea
+        |         + (CAST(n_b AS DOUBLE) - eb) * (CAST(n_b AS DOUBLE) - eb) / eb
+        |         AS chi2_term
+        |FROM s""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q41_stratified_sample" ->
@@ -5697,38 +5848,12 @@ object SparkEntry {
     // q167: the same 2×K contingency tables (per dim), shares and
     // expectations as the identical chained correctly-rounded float ops
     // on integer counts (chi2 raw), PSI through round-6 (the ln lane).
-    "q167_drift" ->
-      """WITH e AS (SELECT event_type, value,
-        |             (ts < TIMESTAMP '2024-01-16') AS ina FROM events),
-        |u AS (SELECT 'event_type' AS dim, event_type AS bin, ina FROM e
-        |      UNION ALL
-        |      SELECT 'value_band',
-        |             CAST(CAST(floor(value / 50) AS BIGINT) AS VARCHAR), ina
-        |      FROM e),
-        |t AS (SELECT dim, bin,
-        |        sum(CASE WHEN ina THEN 1 ELSE 0 END) AS n_a,
-        |        sum(CASE WHEN ina THEN 0 ELSE 1 END) AS n_b
-        |      FROM u GROUP BY 1, 2),
-        |w AS (SELECT dim, bin, n_a, n_b,
-        |        sum(n_a) OVER (PARTITION BY dim) AS ta,
-        |        sum(n_b) OVER (PARTITION BY dim) AS tb
-        |      FROM t),
-        |s AS (SELECT dim, bin, n_a, n_b, ta, tb,
-        |        CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE) AS p_a,
-        |        CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE) AS p_b,
-        |        CAST(n_a + n_b AS DOUBLE) * CAST(ta AS DOUBLE)
-        |          / CAST(ta + tb AS DOUBLE) AS ea,
-        |        CAST(n_a + n_b AS DOUBLE) * CAST(tb AS DOUBLE)
-        |          / CAST(ta + tb AS DOUBLE) AS eb
-        |      FROM w)
-        |SELECT dim, bin, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
-        |       p_a, p_b,
-        |       CASE WHEN n_a > 0 AND n_b > 0
-        |            THEN round((p_a - p_b) * ln(p_a / p_b), 6) END AS psi_term,
-        |       (CAST(n_a AS DOUBLE) - ea) * (CAST(n_a AS DOUBLE) - ea) / ea
-        |         + (CAST(n_b AS DOUBLE) - eb) * (CAST(n_b AS DOUBLE) - eb) / eb
-        |         AS chi2_term
-        |FROM s""".stripMargin,
+    "q167_drift" -> driftOracle,
+
+    // q180: identical oracle — the incrementally maintained contingency
+    // mart must serve the SAME metrics the batch recompute yields
+    // (maintained == recomputed IS the freshness claim, q162's posture)
+    "q180_drift_replay" -> driftOracle,
 
     // q168: the same G² pipeline — cohort-conditional term counts, one
     // vocabulary window for totals, integer cross-products for `leans`,
@@ -5930,6 +6055,101 @@ object SparkEntry {
         |         / CAST(degree * (degree - 1) AS DOUBLE) AS local_cc
         |FROM deg LEFT JOIN pn ON deg.n = pn.n
         |WHERE degree >= 2""".stripMargin,
+
+    // q176: same per-customer aggregates, quantile_cont boundaries (the
+    // interpolated-percentile twin of Spark's percentile), identical
+    // scan-side boundary comparisons, exact segment-cube counts
+    "q176_rfm" ->
+      """WITH cust AS (SELECT o_custkey,
+        |    max(CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT))
+        |      AS last_day,
+        |    count(*) AS freq,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS monetary
+        |  FROM orders GROUP BY 1),
+        |b AS (SELECT quantile_cont(last_day, [0.2, 0.4, 0.6, 0.8]) AS rb,
+        |             quantile_cont(freq, [0.2, 0.4, 0.6, 0.8]) AS fb,
+        |             quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS mb
+        |      FROM cust),
+        |q AS (SELECT monetary,
+        |    1 + CAST(CAST(last_day AS DOUBLE) > rb[1] AS BIGINT)
+        |      + CAST(CAST(last_day AS DOUBLE) > rb[2] AS BIGINT)
+        |      + CAST(CAST(last_day AS DOUBLE) > rb[3] AS BIGINT)
+        |      + CAST(CAST(last_day AS DOUBLE) > rb[4] AS BIGINT) AS r_q,
+        |    1 + CAST(CAST(freq AS DOUBLE) > fb[1] AS BIGINT)
+        |      + CAST(CAST(freq AS DOUBLE) > fb[2] AS BIGINT)
+        |      + CAST(CAST(freq AS DOUBLE) > fb[3] AS BIGINT)
+        |      + CAST(CAST(freq AS DOUBLE) > fb[4] AS BIGINT) AS f_q,
+        |    1 + CAST(CAST(monetary AS DOUBLE) > mb[1] AS BIGINT)
+        |      + CAST(CAST(monetary AS DOUBLE) > mb[2] AS BIGINT)
+        |      + CAST(CAST(monetary AS DOUBLE) > mb[3] AS BIGINT)
+        |      + CAST(CAST(monetary AS DOUBLE) > mb[4] AS BIGINT) AS m_q
+        |  FROM cust CROSS JOIN b)
+        |SELECT r_q, f_q, m_q, CAST(count(*) AS BIGINT) AS n_customers,
+        |       CAST(sum(monetary) AS BIGINT) AS total_cents,
+        |       CAST(sum(monetary) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |         AS avg_cents
+        |FROM q GROUP BY 1, 2, 3""".stripMargin,
+
+    // q177: the identical day − row_number run key and grouped collapse
+    "q177_islands" ->
+      """WITH daily AS (SELECT o_orderpriority AS priority,
+        |        CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS day,
+        |        count(*) AS n
+        |      FROM orders GROUP BY 1, 2),
+        |g AS (SELECT *, day - row_number() OVER (PARTITION BY priority
+        |        ORDER BY day) AS grp FROM daily)
+        |SELECT priority, CAST(min(day) AS BIGINT) AS start_day,
+        |       CAST(max(day) AS BIGINT) AS end_day,
+        |       CAST(count(*) AS BIGINT) AS len_days,
+        |       CAST(sum(n) AS BIGINT) AS n_orders
+        |FROM g GROUP BY priority, grp""".stripMargin,
+
+    // q178: same micros lead() durations under the same tie-break; the
+    // product sum rides round-6
+    "q178_twap" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS t, value AS v,
+        |             event_id FROM events),
+        |l AS (SELECT event_type, v,
+        |        lead(t) OVER (PARTITION BY event_type
+        |          ORDER BY t, event_id) - t AS dt
+        |      FROM e)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_intervals,
+        |       CAST(sum(dt) AS BIGINT) AS total_dt,
+        |       round(sum(v * CAST(dt AS DOUBLE)) / CAST(sum(dt) AS DOUBLE), 6)
+        |         AS twap
+        |FROM l WHERE dt IS NOT NULL GROUP BY 1""".stripMargin,
+
+    // q179: the same cells/marginals over the FULL R×C grid (a
+    // zero-observed cell still contributes exp to chi2); chi2 rounded
+    // 6, V from the ROUNDED chi2 via correctly-rounded sqrt/division
+    "q179_cramers_v" ->
+      """WITH cells AS (SELECT event_type AS r,
+        |        (CAST(floor(epoch(ts) / 86400) AS BIGINT) % 7) AS c,
+        |        count(*) AS n FROM events GROUP BY 1, 2),
+        |rt AS (SELECT r, sum(n) AS rt FROM cells GROUP BY 1),
+        |ct AS (SELECT c, sum(n) AS ct FROM cells GROUP BY 1),
+        |t AS (SELECT sum(n) AS t, count(DISTINCT r) AS rl,
+        |             count(DISTINCT c) AS cl FROM cells),
+        |j AS (SELECT coalesce(cells.n, 0) AS n, rt.rt, ct.ct,
+        |             t.t, t.rl, t.cl
+        |      FROM rt CROSS JOIN ct
+        |      LEFT JOIN cells ON cells.r = rt.r AND cells.c = ct.c
+        |      CROSS JOIN t),
+        |a AS (SELECT t, rl, cl,
+        |        round(sum((CAST(n AS DOUBLE)
+        |            - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+        |              / CAST(t AS DOUBLE))
+        |          * (CAST(n AS DOUBLE)
+        |            - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+        |              / CAST(t AS DOUBLE))
+        |          / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+        |              / CAST(t AS DOUBLE))), 6) AS chi2
+        |      FROM j GROUP BY 1, 2, 3)
+        |SELECT CAST(t AS BIGINT) AS n, CAST(rl AS BIGINT) AS r_levels,
+        |       CAST(cl AS BIGINT) AS c_levels, chi2,
+        |       sqrt(chi2 / CAST(t * least(rl - 1, cl - 1) AS DOUBLE))
+        |         AS cramers_v
+        |FROM a""".stripMargin,
 
     // q161: the same daily series through DuckDB's regr_*/corr family;
     // both engines accumulate moments, round(6) absorbs order drift

@@ -744,4 +744,48 @@ class PlanSpec extends SparkSpec {
     assert(countOf(p, "Exchange hashpartitioning") === 1,
       p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
   }
+
+  test("q164-q179 tier: no cartesian/NLJ beyond broadcast scalars; pair joins equi") {
+    // the round-10 tier's shared scale contract: candidate generation is
+    // always an equi-join (basket pairs, wedge closure, frontier join),
+    // and the only nested-loop joins are broadcast SINGLE-ROW scalar
+    // folds (bounds, totals, thresholds — the q121 idiom)
+    Seq("q164_stratified_exact", "q165_skyline", "q166_association_rules",
+      "q167_drift", "q168_keyness", "q170_vocab_coverage",
+      "q171_attribution", "q173_weighted_median", "q174_concentration",
+      "q175_triangles", "q176_rfm", "q179_cramers_v").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+    }
+  }
+
+  test("q166 apriori: frequent-item prune is a broadcast semi-join before pairs") {
+    val p = plan("q166_association_rules")
+    assert(p.contains("LeftSemi"),
+      "frequent-1 prune must run before pair generation")
+    assert(countOf(p, "LeftSemi") >= 1 && p.contains("BroadcastHashJoin"))
+    // the pair self-join itself is basket-co-partitioned (sort-merge or
+    // shuffled-hash are both fine shapes); what must NOT appear is a
+    // pair space built without the basket key
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q175 triangles: wedge closure is an equi hash join, part dim never NLJ") {
+    val p = plan("q175_triangles")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "triangle closing must be the canonical-pair equi-join")
+  }
+
+  test("q174/q163 scalar folds: single-row aggregates broadcast, not windowed") {
+    // the broadcast-bounds idiom replaced every global total window in
+    // the declared surface; these two pin the shape stays
+    Seq("q163_benford", "q174_concentration").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin")
+        || p.contains("BroadcastNestedLoopJoin"),
+        s"$q: scalar fold should ride a broadcast")
+    }
+  }
 }
