@@ -215,10 +215,12 @@ object Graph {
    * (node, degree, n_tri, local_cc).
    */
   def triangleStats(edges: DataFrame): DataFrame = {
+    // materialize the canonical edge set once: degrees, orientation and
+    // the closure join all read it (the q110 localCheckpoint class)
     val e = edges.toDF("__s", "__d")
       .select(least(col("__s"), col("__d")).as("a"),
         greatest(col("__s"), col("__d")).as("b"))
-      .filter(col("a") =!= col("b")).distinct()
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
     val deg = e.select(col("a").as("n"))
       .unionAll(e.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("degree"))

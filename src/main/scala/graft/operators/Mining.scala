@@ -45,7 +45,12 @@ object Mining {
                        minSupportRate: Double): DataFrame = {
     require(minSupportRate > 0.0 && minSupportRate <= 1.0,
       s"support rate in (0, 1], got $minSupportRate")
-    val bi = baskets.select(basketCol.as("__b"), itemCol.as("__i")).distinct()
+    // materialize the distinct (basket, item) table once: the threshold
+    // count, the frequent-1 aggregate and BOTH pair-join legs read it —
+    // uncheckpointed each consumer re-runs the distinct's shuffle
+    // (measured at sf0.1: 4.8 s → ~2 s; the q110 localCheckpoint class)
+    val bi = baskets.select(basketCol.as("__b"), itemCol.as("__i"))
+      .distinct().localCheckpoint()
     // one scalar action: the basket universe size (drives the threshold)
     val nBaskets = bi.select(col("__b")).distinct().count()
     val minSup = math.ceil(minSupportRate * nBaskets).toLong
