@@ -2736,6 +2736,108 @@ object SparkEntry {
     forDim("event_type").unionAll(forDim("value_band"))
   }
 
+  /** The q110 customer–supplier trade graph: distinct (customer, supplier)
+    * order links on disjoint doubled ids (customer even, supplier odd) —
+    * shared by the bounded-peel/SSSP/assortativity tier. */
+  private def tradePairs(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("sp"))
+      .distinct()
+
+  private def decodeNode(node: Column): Seq[Column] = Seq(
+    when(node % 2 === 0, lit("customer")).otherwise(lit("supplier"))
+      .as("node_type"),
+    when(node % 2 === 0, node / lit(2L)).otherwise((node - lit(1L)) / lit(2L))
+      .cast("long").as("entity_id"))
+
+  /** q181: bounded 4-round 20-core peel over the trade graph
+    * ([[graft.operators.Graph.kCore]]) — who remains when every thinly
+    * connected entity is recursively stripped; the recursive-deletion
+    * capability Spark SQL can't state, as explicit synchronous rounds
+    * (the q110 bounded-iteration posture), oracle = the same 4 rounds
+    * unrolled as SQL layers. All-integer degrees. */
+  private def kcoreQ(s: SparkSession, d: String): DataFrame = {
+    val pairs = tradePairs(s, d)
+    val core = Graph.kCore(pairs, k = 20, rounds = 4)
+    core.select(decodeNode(col("node")) :+ col("degree"): _*)
+  }
+
+  /** q182: bounded-hop weighted shortest paths over the trade graph
+    * ([[graft.operators.Graph.ssspWeighted]]) — edge cost
+    * `greatest(1, 10 − n_shared_orders)` (strong relationships are
+    * cheap), Bellman-Ford rounds keeping exact BIGINT minima; 4 rounds
+    * == the oracle's bounded recursive-CTE walk minimum by the
+    * non-negative-weights argument in the scaladoc. */
+  private def ssspQ(s: SparkSession, d: String): DataFrame = {
+    val weighted = orders(s, d)
+      .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .groupBy((col("o_custkey") * 2).as("c"),
+        (col("l_suppkey") * 2 + 1).as("sp"))
+      .agg(countDistinct(col("o_orderkey")).as("n"))
+      .withColumn("w", greatest(lit(1L), lit(10L) - col("n")))
+    val edges = weighted.select(col("c").as("src"), col("sp").as("dst"), col("w"))
+      .unionByName(weighted.select(col("sp").as("src"), col("c").as("dst"),
+        col("w")))
+      .localCheckpoint()
+    val seeds = weighted.filter(col("c") <= 40).select(col("c").as("node"))
+    Graph.ssspWeighted(edges, seeds, maxHops = 4)
+      .select(decodeNode(col("node")) :+ col("cost"): _*)
+  }
+
+  /** q183: sequential next-event rules over per-user timelines
+    * ([[graft.operators.Mining.sequentialRules]]) — what immediately
+    * follows what, the order-aware sibling of q166's basket rules: one
+    * (ts, event_id)-ordered lead per user, vocabulary-sized antecedent
+    * totals broadcast back, confidence one exact-Long division (raw). */
+  private def seqRulesQ(s: SparkSession, d: String): DataFrame =
+    Mining.sequentialRules(events(s, d), col("user_id"), col("ts"),
+      col("event_id"), col("event_type"), minPairs = 5L)
+
+  /** q184: A/B conversion readout with Wilson score intervals
+    * ([[graft.operators.Experiment.abTest]]) — units are users (a user
+    * converts once no matter how many purchases), variant from user-id
+    * parity, z = 1.96; the oracle writes the identical expression dag
+    * (z² spelled `1.96*1.96` so both engines square the same double),
+    * bounds ride the round-6 lane. */
+  private def abTestQ(s: SparkSession, d: String): DataFrame =
+    Experiment.abTest(events(s, d), col("user_id"),
+      when(pmod(col("user_id"), lit(2)) === 0, lit("control"))
+        .otherwise(lit("treatment")),
+      (col("event_type") === "purchase").cast("long"))
+
+  /** q185: Theil–Sen robust trend of monthly order volume per priority
+    * ([[graft.operators.Trend.theilSen]]) — the median pairwise slope
+    * in integer micro-units via an explicit pmod floor division (so
+    * Spark's truncating `div` and DuckDB's floor `//` agree on negative
+    * slopes), lower-median VALUE selection: no float anywhere. Pairs
+    * are month×month per priority — series-sized, partition-local. */
+  private def theilSenQ(s: SparkSession, d: String): DataFrame = {
+    val monthly = orders(s, d)
+      .groupBy(col("o_orderpriority").as("priority"),
+        expr("CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)")
+          .as("t"))
+      .agg(count(lit(1)).as("v"))
+    Trend.theilSen(monthly, Seq("priority"), col("t"), col("v"))
+  }
+
+  /** q186: degree assortativity of the trade graph
+    * ([[graft.operators.Graph.degreeAssortativity]]) — do high-degree
+    * entities link to each other or to the periphery (bipartite trade
+    * graphs mix disassortatively); exact-Long moment sums, r as ONE
+    * division of exact operands (raw, q163 discipline). */
+  private def assortativityQ(s: SparkSession, d: String): DataFrame =
+    Graph.degreeAssortativity(tradePairs(s, d))
+
+  /** q187: exact phrase search over positional postings
+    * ([[graft.operators.Bm25.phraseSearch]]) — "slow hash batch" as an
+    * ADJACENT trigram, not a bag of terms: scan-side term-selective
+    * postings, then k−1 co-keyed (doc, pos−i) probes; the oracle counts
+    * the same trigram positions from DuckDB's list comprehension. */
+  private def phraseSearchQ(s: SparkSession, d: String): DataFrame =
+    Bm25.phraseSearch(documents(s, d), "doc_id", "text",
+      Seq("slow", "hash", "batch"))
+
   /** q134: batch small-file compaction ([[graft.sinks.Publish.compact]] —
     * the lakehouse OPTIMIZE maintenance operator, the batch sibling of
     * the streaming `batch_id=` compactor): a deliberately fragmented
@@ -3417,6 +3519,13 @@ object SparkEntry {
     "q178_twap"                -> (twapQ _),
     "q179_cramers_v"           -> (cramersQ _),
     "q180_drift_replay"        -> (driftReplayQ _),
+    "q181_kcore"               -> (kcoreQ _),
+    "q182_sssp"                -> (ssspQ _),
+    "q183_seq_rules"           -> (seqRulesQ _),
+    "q184_ab_test"             -> (abTestQ _),
+    "q185_theil_sen"           -> (theilSenQ _),
+    "q186_assortativity"       -> (assortativityQ _),
+    "q187_phrase_search"       -> (phraseSearchQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -4167,6 +4276,33 @@ object SparkEntry {
         |         + (CAST(n_b AS DOUBLE) - eb) * (CAST(n_b AS DOUBLE) - eb) / eb
         |         AS chi2_term
         |FROM s""".stripMargin
+
+  /** q181: the same 4 peel rounds unrolled as chained SQL layers —
+    * bounded-round semantics make "unrolled" exact, not approximate. */
+  private def kcoreOracle: String = {
+    val rounds = (1 to 4).map { i =>
+      s"""d$i AS (SELECT n, count(*) AS deg FROM (
+         |        SELECT a AS n FROM e${i - 1}
+         |        UNION ALL SELECT b FROM e${i - 1}) GROUP BY 1),
+         |k$i AS (SELECT n FROM d$i WHERE deg >= 20),
+         |e$i AS (SELECT e.a, e.b FROM e${i - 1} e
+         |        JOIN k$i x ON e.a = x.n JOIN k$i y ON e.b = y.n),"""
+        .stripMargin
+    }.mkString("\n")
+    s"""WITH pairs AS (SELECT DISTINCT o_custkey * 2 AS c,
+       |                 l_suppkey * 2 + 1 AS s
+       |               FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |e0 AS (SELECT least(c, s) AS a, greatest(c, s) AS b FROM pairs),
+       |$rounds
+       |fin AS (SELECT n, count(*) AS deg FROM (
+       |          SELECT a AS n FROM e4 UNION ALL SELECT b FROM e4) GROUP BY 1)
+       |SELECT CASE WHEN n % 2 = 0 THEN 'customer' ELSE 'supplier' END
+       |         AS node_type,
+       |       ((CASE WHEN n % 2 = 0 THEN n ELSE n - 1 END) // 2)::BIGINT
+       |         AS entity_id,
+       |       CAST(deg AS BIGINT) AS degree
+       |FROM fin""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q41_stratified_sample" ->
@@ -6150,6 +6286,138 @@ object SparkEntry {
         |       sqrt(chi2 / CAST(t * least(rl - 1, cl - 1) AS DOUBLE))
         |         AS cramers_v
         |FROM a""".stripMargin,
+
+    "q181_kcore" -> kcoreOracle,
+
+    // q182: bounded recursive-CTE walk enumeration; min over ≤4-hop
+    // walks == 4 Bellman-Ford rounds under non-negative weights
+    "q182_sssp" ->
+      """WITH RECURSIVE
+        |pairs AS (SELECT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s,
+        |            count(DISTINCT o_orderkey) AS n
+        |          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |          GROUP BY 1, 2),
+        |edges AS (SELECT c AS src, s AS dst, greatest(1, 10 - n) AS w
+        |          FROM pairs
+        |          UNION ALL
+        |          SELECT s, c, greatest(1, 10 - n) FROM pairs),
+        |walk(node, cost, hops) AS (
+        |  SELECT DISTINCT c AS node, CAST(0 AS BIGINT) AS cost, 0 AS hops
+        |  FROM pairs WHERE c <= 40
+        |  UNION
+        |  SELECT e.dst, w.cost + e.w, w.hops + 1
+        |  FROM walk w JOIN edges e ON e.src = w.node
+        |  WHERE w.hops < 4)
+        |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+        |         AS node_type,
+        |       ((CASE WHEN node % 2 = 0 THEN node ELSE node - 1 END) // 2)
+        |         ::BIGINT AS entity_id,
+        |       CAST(min(cost) AS BIGINT) AS cost
+        |FROM walk GROUP BY 1, 2""".stripMargin,
+
+    // q183: the identical (ts, event_id)-ordered lead chain; confidence
+    // one exact-Long division (raw)
+    "q183_seq_rules" ->
+      """WITH seq AS (SELECT event_type AS antecedent,
+        |        lead(event_type) OVER (PARTITION BY user_id
+        |          ORDER BY ts, event_id) AS consequent
+        |      FROM events),
+        |p AS (SELECT antecedent, consequent FROM seq
+        |      WHERE consequent IS NOT NULL),
+        |na AS (SELECT antecedent, count(*) AS n_ante FROM p GROUP BY 1),
+        |pc AS (SELECT antecedent, consequent, count(*) AS n_pair
+        |       FROM p GROUP BY 1, 2)
+        |SELECT antecedent, consequent, CAST(n_pair AS BIGINT) AS n_pair,
+        |       CAST(n_ante AS BIGINT) AS n_ante,
+        |       CAST(n_pair AS DOUBLE) / CAST(n_ante AS DOUBLE) AS confidence
+        |FROM pc JOIN na USING (antecedent)
+        |WHERE n_pair >= 5""".stripMargin,
+
+    // q184: identical unit collapse and Wilson dag; z² written 1.96*1.96
+    // so both engines square the same double; bounds round-6
+    "q184_ab_test" ->
+      """WITH u AS (SELECT user_id,
+        |        CASE WHEN user_id % 2 = 0 THEN 'control'
+        |             ELSE 'treatment' END AS variant,
+        |        max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |          AS conv
+        |      FROM events GROUP BY 1, 2),
+        |c AS (SELECT variant, count(*) AS n_units, sum(conv) AS n_conv
+        |      FROM u GROUP BY 1),
+        |s AS (SELECT variant, n_units, n_conv,
+        |        CAST(n_units AS DOUBLE) AS n,
+        |        CAST(n_conv AS DOUBLE) / CAST(n_units AS DOUBLE) AS p
+        |      FROM c)
+        |SELECT variant, CAST(n_units AS BIGINT) AS n_units,
+        |       CAST(n_conv AS BIGINT) AS n_conv, p AS rate,
+        |       round((p + 1.96 * 1.96 / (2.0 * n)
+        |           - 1.96 * sqrt(p * (1.0 - p) / n
+        |               + 1.96 * 1.96 / (4.0 * n * n)))
+        |         / (1.0 + 1.96 * 1.96 / n), 6) AS wilson_lo,
+        |       round((p + 1.96 * 1.96 / (2.0 * n)
+        |           + 1.96 * sqrt(p * (1.0 - p) / n
+        |               + 1.96 * 1.96 / (4.0 * n * n)))
+        |         / (1.0 + 1.96 * 1.96 / n), 6) AS wilson_hi
+        |FROM s""".stripMargin,
+
+    // q185: same pair slopes in integer micro-units under the same
+    // explicit pmod floor division, same lower-median rank — no float
+    "q185_theil_sen" ->
+      """WITH m AS (SELECT o_orderpriority AS priority,
+        |        CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+        |          AS BIGINT) AS t,
+        |        CAST(count(*) AS BIGINT) AS v
+        |      FROM orders GROUP BY 1, 2),
+        |p AS (SELECT a.priority, 1000000 * (b.v - a.v) AS dy,
+        |        b.t - a.t AS dx
+        |      FROM m a JOIN m b ON a.priority = b.priority AND a.t < b.t),
+        |s AS (SELECT priority,
+        |        (dy - ((dy % dx) + dx) % dx) // dx AS slope FROM p),
+        |r AS (SELECT priority, slope,
+        |        row_number() OVER (PARTITION BY priority ORDER BY slope)
+        |          AS rk,
+        |        count(*) OVER (PARTITION BY priority) AS np FROM s),
+        |n AS (SELECT priority, count(*) AS n_points FROM m GROUP BY 1)
+        |SELECT r.priority, CAST(n_points AS BIGINT) AS n_points,
+        |       CAST(np AS BIGINT) AS n_pairs,
+        |       CAST(slope AS BIGINT) AS slope_micro
+        |FROM r JOIN n USING (priority)
+        |WHERE rk = (np + 1) // 2""".stripMargin,
+
+    // q186: same canonical edges/degrees, same exact-BIGINT moment sums,
+    // r one division of identical exact operands (raw)
+    "q186_assortativity" ->
+      """WITH pairs AS (SELECT DISTINCT o_custkey * 2 AS c,
+        |                 l_suppkey * 2 + 1 AS s
+        |               FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT least(c, s) AS a, greatest(c, s) AS b FROM pairs),
+        |deg AS (SELECT n, count(*) AS deg FROM (
+        |          SELECT a AS n FROM e UNION ALL SELECT b FROM e)
+        |        GROUP BY 1),
+        |wd AS (SELECT da.deg AS x, db.deg AS y
+        |       FROM e JOIN deg da ON e.a = da.n JOIN deg db ON e.b = db.n),
+        |b AS (SELECT x, y FROM wd UNION ALL SELECT y, x FROM wd),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(x) AS BIGINT) AS sx,
+        |        CAST(sum(x * y) AS BIGINT) AS sxy,
+        |        CAST(sum(x * x) AS BIGINT) AS sxx FROM b)
+        |SELECT (n // 2)::BIGINT AS n_edges,
+        |       (SELECT count(*)::BIGINT FROM deg) AS n_nodes,
+        |       CASE WHEN n * sxx - sx * sx <> 0
+        |            THEN CAST(n * sxy - sx * sx AS DOUBLE)
+        |                 / CAST(n * sxx - sx * sx AS DOUBLE) END AS r
+        |FROM s""".stripMargin,
+
+    // q187: the same adjacent-trigram start positions from DuckDB's list
+    // comprehension (1-indexed); exact integer hit counts
+    "q187_phrase_search" ->
+      """WITH t AS (SELECT doc_id AS doc, str_split(text, ' ') AS a
+        |           FROM documents),
+        |g AS (SELECT doc, unnest(
+        |        [a[i] || ' ' || a[i+1] || ' ' || a[i+2]
+        |         for i in range(1, len(a) - 1)]) AS tri FROM t)
+        |SELECT doc, CAST(count(*) AS BIGINT) AS n_hits
+        |FROM g WHERE tri = 'slow hash batch' GROUP BY 1""".stripMargin,
 
     // q161: the same daily series through DuckDB's regr_*/corr family;
     // both engines accumulate moments, round(6) absorbs order drift

@@ -173,4 +173,41 @@ object Bm25 {
       assemble(termStats(docs, idCol, textCol), docLengths(docs, idCol, textCol),
         cache = false),
       queryTerms, k1, b)
+
+  /**
+   * Exact PHRASE search over positional postings — the adjacency
+   * capability bag-of-words BM25 cannot state ("slow hash batch" as a
+   * phrase, not three independent terms): the standard positional-
+   * inverted-index query every production search engine serves next to
+   * term scoring.
+   *
+   * Plan shape: one `posexplode` builds (doc, pos, tok) postings with
+   * the scan-side filter `tok IN phrase` — only the phrase's terms ever
+   * leave the scan, so the postings table is term-selective exactly the
+   * way a real index probe is. The phrase then folds left: term i's
+   * postings are shifted to `pos − i` and equi-joined on (doc, pos) —
+   * every join is co-keyed on the same (doc, pos) pair, so after the
+   * first shuffle the whole chain is partition-local; a k-word phrase
+   * is k−1 such probes regardless of corpus size. Counts are exact
+   * integers (occurrences may overlap; each start position counts once).
+   *
+   * Emits (doc, n_hits) for documents containing the full phrase at
+   * least once.
+   */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+                   phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val postings = docs
+      .select(col(idCol).as("doc"),
+        posexplode(Text.tokens(col(textCol))).as(Seq("pos", "tok")))
+      .filter(col("tok").isin(phrase.distinct: _*))
+    val first = postings.filter(col("tok") === phrase.head)
+      .select(col("doc"), col("pos"))
+    val matched = phrase.zipWithIndex.drop(1).foldLeft(first) {
+      case (acc, (term, i)) =>
+        acc.join(postings.filter(col("tok") === term)
+          .select(col("doc"), (col("pos") - i).as("pos")), Seq("doc", "pos"))
+    }
+    matched.groupBy(col("doc")).agg(count(lit(1)).as("n_hits"))
+  }
 }

@@ -251,4 +251,142 @@ object Graph {
           (col("degree") * (col("degree") - lit(1L))).cast("double"))
           .as("local_cc"))
   }
+
+  /**
+   * Bounded k-core peel — the dense-subgraph filter of the tier (which
+   * nodes survive when everything of degree < k is repeatedly stripped):
+   * the standard spam/periphery screen before community analytics like
+   * [[triangleStats]], and the recursive-deletion capability Spark SQL
+   * cannot state (no `WITH RECURSIVE`), expressed as synchronous
+   * rounds exactly like [[bfsDistances]]'s frontier loop.
+   *
+   * Each round recomputes degrees over the SURVIVING undirected edge
+   * set, drops every node below `k`, and restricts edges to surviving
+   * endpoints (two LEFT SEMI probes — the edge table is never widened).
+   * Semantics are bounded-round by contract: after `rounds` full peels
+   * the result is the surviving subgraph's degree table, whether or not
+   * the peel has reached its fixpoint — the same explicit-bound
+   * determinism [[bfsDistances]] gives `maxHops`, and what lets the
+   * q181 oracle be the identical rounds unrolled as plain SQL layers.
+   * (Run with `rounds` ≥ graph diameter to guarantee the true k-core.)
+   *
+   * Scale shape: per-round work is one groupBy + two semi-joins over
+   * the CURRENT edge set, which only ever shrinks; state between rounds
+   * is the edge list alone. Each round reads that state FOUR times (the
+   * two degree-union legs and both probes), so the surviving edge set
+   * is localCheckpoint-ed EVERY round — uncheckpointed, each consumer
+   * re-runs the previous round's whole plan and the work multiplies
+   * ~4× per round (measured at sf0.1: 51 s unrolled → 1.4 s
+   * materialized; the q110/q166 class, at its most extreme).
+   *
+   * Output: `(node, degree)` over the subgraph remaining after
+   * `rounds` peels (nodes that lost every edge are absent).
+   */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("degree"))
+    var e = edges.toDF("__s", "__d")
+      .select(least(col("__s"), col("__d")).as("a"),
+        greatest(col("__s"), col("__d")).as("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = degrees(e).filter(col("degree") >= k).select(col("n"))
+      e = e.join(keep.select(col("n").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("n").as("b")), Seq("b"), "left_semi")
+        .localCheckpoint()
+    }
+    degrees(e).select(col("n").as("node"), col("degree"))
+  }
+
+  /**
+   * Bounded-hop single-source shortest paths over NON-NEGATIVE integer
+   * edge weights — [[bfsDistances]]'s weighted sibling, as synchronous
+   * Bellman-Ford relaxation rounds: each round offers every neighbor of
+   * a reached node `cost + w` and keeps the per-node MIN. After `h`
+   * rounds the cost table holds the exact minimum over all paths of at
+   * most `h` edges — with non-negative weights that equals the minimum
+   * over all WALKS of ≤ h hops, which is precisely what the q182
+   * oracle's bounded recursive CTE enumerates, so the two engines agree
+   * by construction, not by convergence luck. All-integer costs: exact
+   * BIGINTs, no float accumulation anywhere.
+   *
+   * Scale shape: per-round work is edges ⨝ reached-nodes (the Pregel
+   * message round of [[pageRank]]) followed by one min-groupBy; state
+   * between rounds is (reached node, best cost) only. The cost table
+   * references itself twice per round (union + group), so lineage is
+   * flattened every `checkpointEvery` rounds like [[bfsDistances]].
+   *
+   * Output: `(node, cost)` for every node reachable within `maxHops`
+   * (seeds at 0); unreachable nodes are absent.
+   */
+  def ssspWeighted(edges: DataFrame, seeds: DataFrame, maxHops: Int,
+                   checkpointEvery: Int = 4): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+    var dist = seeds.select(col("node").cast("long").as("node")).distinct()
+      .select(col("node"), lit(0L).as("cost"))
+    for (i <- 1 to maxHops) {
+      val relaxed = e.join(dist, e("src") === dist("node"))
+        .select(col("dst").as("node"), (col("cost") + col("w")).as("cost"))
+      dist = dist.unionByName(relaxed)
+        .groupBy(col("node")).agg(min(col("cost")).as("cost"))
+      if (i % checkpointEvery == 0 && i < maxHops)
+        dist = dist.localCheckpoint()
+    }
+    dist
+  }
+
+  /**
+   * Degree assortativity — the one-number mixing summary of the tier:
+   * Pearson correlation between the degrees at the two ends of an edge
+   * (positive: hubs attach to hubs — social; negative: hubs attach to
+   * leaves — technological/bipartite projections). Read next to
+   * [[triangleStats]]'s clustering to characterize a graph before
+   * trusting community or centrality results on it.
+   *
+   * Exactness (q163 discipline): over the canonical undirected edge set
+   * each edge contributes BOTH orientations, making the x- and y-
+   * marginals identical, so
+   *
+   *   r = (n·Σxy − (Σx)²) / (n·Σx² − (Σx)²) ,  n = 2·|E|
+   *
+   * with every Σ an associative BIGINT sum of exact degree products —
+   * order-independent in any engine — and r ONE correctly-rounded
+   * division of two exactly-representable operands (numerator and
+   * denominator stay well under 2⁶³ for any graph whose n·Σxy fits a
+   * Long: with max degree d and m edges that is 2m·(2m·d²) — checked by
+   * ANSI overflow rather than silently wrapped). Output is one row:
+   * `(n_edges, n_nodes, r)`; r is NULL on a degree-regular graph
+   * (zero variance — the statistic is undefined).
+   */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val e = edges.toDF("__s", "__d")
+      .select(least(col("__s"), col("__d")).as("a"),
+        greatest(col("__s"), col("__d")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = e.select(col("a").as("n"))
+      .unionAll(e.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val withDeg = e
+      .join(deg.select(col("n").as("a"), col("deg").as("__da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("deg").as("__db")), Seq("b"))
+    val both = withDeg.select(col("__da").as("x"), col("__db").as("y"))
+      .unionAll(withDeg.select(col("__db").as("x"), col("__da").as("y")))
+    both.agg(count(lit(1)).as("__n"), sum(col("x")).as("__sx"),
+        sum(col("x") * col("y")).as("__sxy"),
+        sum(col("x") * col("x")).as("__sxx"))
+      .select((col("__n") / lit(2L)).cast("long").as("n_edges"),
+        (col("__n") * col("__sxy") - col("__sx") * col("__sx")).as("__num"),
+        (col("__n") * col("__sxx") - col("__sx") * col("__sx")).as("__den"))
+      .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nodes"))))
+      .select(col("n_edges"), col("n_nodes"),
+        when(col("__den") =!= 0L,
+          col("__num").cast("double") / col("__den").cast("double"))
+          .as("r"))
+  }
 }

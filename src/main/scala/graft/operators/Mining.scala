@@ -83,4 +83,49 @@ object Mining {
     rules(col("__ia"), col("__ib"), col("__na"), col("__nb"))
       .unionAll(rules(col("__ib"), col("__ia"), col("__nb"), col("__na")))
   }
+
+  /**
+   * Sequential (order-aware) rules over per-key event streams —
+   * [[associationRules]]'s temporal sibling: where Apriori asks "what
+   * co-occurs in a basket", this asks "what IMMEDIATELY FOLLOWS what"
+   * (the next-action mining behind navigation analysis, failure-cascade
+   * screens, and Markov-model feature tables). A rule `A → B` here means
+   * B was the very next event after A in the same key's timeline.
+   *
+   * Plan shape: ONE key-partitioned ordered window (`lead`) turns each
+   * event into its (symbol, next-symbol) adjacent pair — no self-join,
+   * no fan-out; the per-key state is a single lookahead row. Antecedent
+   * totals (rows that HAVE a successor — the correct denominator: the
+   * last event per key predicts nothing) come from one vocabulary-sized
+   * grouped pass broadcast back onto the pair counts. Ordering must be
+   * total for the lag chain to be deterministic, so ties on `order`
+   * break on `tie` — the q108/q178 contract.
+   *
+   * Exactness: counts are integers; confidence is ONE correctly-rounded
+   * division of exact Longs — hash-raw deterministic (q163 discipline).
+   *
+   * Emits one row per observed adjacent pair with `n_pair >= minPairs`:
+   * (antecedent, consequent, n_pair, n_ante, confidence).
+   */
+  def sequentialRules(events: DataFrame, key: Column, order: Column,
+                      tie: Column, symbol: Column,
+                      minPairs: Long = 1L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("__k")).orderBy(col("__o"), col("__t"))
+    val adj = events
+      .select(key.as("__k"), order.as("__o"), tie.as("__t"),
+        symbol.as("antecedent"))
+      .withColumn("consequent", lead(col("antecedent"), 1).over(w))
+      .filter(col("consequent").isNotNull)
+    val nAnte = adj.groupBy(col("antecedent"))
+      .agg(count(lit(1)).as("n_ante"))
+    adj.groupBy(col("antecedent"), col("consequent"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minPairs)
+      .join(broadcast(nAnte), Seq("antecedent"))
+      .select(col("antecedent"), col("consequent"), col("n_pair"),
+        col("n_ante"),
+        (col("n_pair").cast("double") / col("n_ante").cast("double"))
+          .as("confidence"))
+  }
 }

@@ -318,4 +318,55 @@ object Trend {
         round(sum(col("__v") * col("__dt").cast("double")) /
           sum(col("__dt")).cast("double"), 6).as("twap"))
   }
+
+  /**
+   * Theil–Sen robust slope per key — the median of all pairwise slopes
+   * `(v_j − v_i)/(t_j − t_i)`, the outlier-immune companion to q161's
+   * least-squares trend (one corrupted month swings an OLS slope; it
+   * cannot move a median until 29% of the data is bad — the classic
+   * breakdown-point argument for monitoring data).
+   *
+   * Exactness end to end, with NO float division anywhere:
+   *  - each pair's slope is kept in integer MICRO-units via a
+   *    sign-correct FLOOR division `(a − pmod(a, dx)) div dx` with
+   *    `a = 10⁶·dv` — pmod makes the floor explicit, so Spark's
+   *    truncating `div` and an oracle's floor `//` agree on negative
+   *    slopes (dx > 0 always: pairs are generated with t_i < t_j);
+   *  - the median is the LOWER median (rank ⌈n/2⌉ of the sorted slopes)
+   *    — a VALUE SELECTION, not an average, so it stays an exact Long.
+   *
+   * Plan shape: pairs come from a key-co-partitioned self-join with
+   * `t_i < t_j` — O(n²) in each SERIES' length (documented bound: feed
+   * pre-aggregated series — monthly/weekly points — not raw facts; 120
+   * months is 7k pairs, trivially partition-local), never in the table
+   * size; the median is one ordered rank per key over those pairs.
+   *
+   * Emits (keys…, n_points, n_pairs, slope_micro) — slope in units of
+   * 10⁻⁶ value per time tick, floor-rounded.
+   */
+  def theilSen(series: DataFrame, keys: Seq[String], t: Column,
+               v: Column): DataFrame = {
+    val base = series.select(keys.map(col) :+ t.cast("long").as("__t") :+
+      v.cast("long").as("__v"): _*)
+    val l = base.select(keys.map(col) :+ col("__t").as("__t1") :+
+      col("__v").as("__v1"): _*)
+    val r = base.select(keys.map(col) :+ col("__t").as("__t2") :+
+      col("__v").as("__v2"): _*)
+    val pairs = l.join(r, keys).filter(col("__t1") < col("__t2"))
+      .withColumn("__a", lit(1000000L) * (col("__v2") - col("__v1")))
+      .withColumn("__dx", col("__t2") - col("__t1"))
+      .withColumn("__slope",
+        expr("(__a - pmod(__a, __dx)) div __dx"))
+    val wr = Window.partitionBy(keys.map(col): _*).orderBy(col("__slope"))
+    val wc = Window.partitionBy(keys.map(col): _*)
+    val nPts = base.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_points"))
+    pairs
+      .withColumn("__rk", row_number().over(wr))
+      .withColumn("__np", count(lit(1)).over(wc))
+      .filter(col("__rk") === expr("(__np + 1) div 2"))
+      .join(broadcast(nPts), keys)
+      .select(keys.map(col) :+ col("n_points") :+
+        col("__np").as("n_pairs") :+ col("__slope").as("slope_micro"): _*)
+  }
 }

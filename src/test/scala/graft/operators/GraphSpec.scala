@@ -202,4 +202,115 @@ class GraphSpec extends SparkSpec {
       assert(t === want.getOrElse(node, 0L), s"node $node") }
     assert(want.keys.forall(got.contains), "no triangle participant dropped")
   }
+
+  private def coreMap(edges: Seq[(Long, Long)], k: Int,
+                      rounds: Int): Map[Long, Long] =
+    Graph.kCore(edges.toDF("s", "d"), k, rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("kCore: K4 with pendant chain — cascade strips the chain, keeps K4") {
+    // K4 on {1,2,3,4}; chain 4-5-6. k=2: 6 goes round 1, 5 (now deg 1)
+    // goes round 2 — the recursive cascade a single degree filter misses.
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L))
+    assert(coreMap(edges, k = 2, rounds = 1) ===
+      Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 4L, 5L -> 1L),
+      "one round strips only node 6; node 5 still holds its stale edge")
+    assert(coreMap(edges, k = 2, rounds = 3) ===
+      Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+      "fixpoint: the 2-core is exactly K4")
+    // k above the max degree empties the graph
+    assert(coreMap(edges, k = 5, rounds = 2) === Map.empty)
+  }
+
+  test("kCore: duplicate/reversed/self-loop edges are canonicalized first") {
+    val noisy = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 1L))
+    assert(coreMap(noisy, k = 2, rounds = 2) ===
+      Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kCore: deep cascade respects the bounded-round contract") {
+    // path 1-2-...-8 hanging off K3 {10,11,12} at 1: with k=2 each round
+    // peels exactly one path node from the far end
+    val path = (1L to 7L).map(i => (i, i + 1))
+    val edges = path ++ Seq((10L, 11L), (11L, 12L), (10L, 12L), (1L, 10L))
+    val r2 = coreMap(edges, k = 2, rounds = 2)
+    assert(r2.keySet === Set(1L, 2L, 3L, 4L, 5L, 6L, 10L, 11L, 12L),
+      "two rounds peel nodes 8 then 7 — no further")
+    val r10 = coreMap(edges, k = 2, rounds = 10)
+    assert(r10.keySet === Set(10L, 11L, 12L),
+      s"fixpoint 2-core is the K3 (node 1's path support peels away): $r10")
+  }
+
+  private def ssspMap(edges: Seq[(Long, Long, Long)], seeds: Seq[Long],
+                      hops: Int): Map[Long, Long] =
+    Graph.ssspWeighted(edges.toDF("src", "dst", "w"), seeds.toDF("node"), hops)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("sssp: cheap long path beats expensive direct edge; hop bound bites") {
+    // 1→4 direct costs 10; 1→2→3→4 costs 3
+    val edges = Seq((1L, 4L, 10L), (1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L))
+    assert(ssspMap(edges, Seq(1L), hops = 3) ===
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    // with only 1 hop the direct edge is the best ≤1-edge path
+    assert(ssspMap(edges, Seq(1L), hops = 1) ===
+      Map(1L -> 0L, 2L -> 1L, 4L -> 10L))
+  }
+
+  test("sssp: multi-seed min, zero-weight edges, cycles safe") {
+    val edges = Seq((1L, 2L, 0L), (2L, 1L, 0L), (2L, 3L, 5L), (9L, 3L, 1L))
+    val d = ssspMap(edges, Seq(1L, 9L), hops = 4)
+    assert(d === Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 9L -> 0L),
+      "node 3 takes the cheaper seed (9) and the 0-cycle never loops costs")
+  }
+
+  test("sssp: matches driver Bellman-Ford on a random weighted graph") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(200)(
+      (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong, rnd.nextInt(9).toLong + 1))
+    val seeds = Seq(0L, 5L)
+    val hops = 5
+    var ref = seeds.map(_ -> 0L).toMap
+    for (_ <- 1 to hops) {
+      val relaxed = edges.flatMap { case (s, d, w) =>
+        ref.get(s).map(c => d -> (c + w)) }
+      ref = (ref.toSeq ++ relaxed).groupBy(_._1)
+        .map { case (n, cs) => n -> cs.map(_._2).min }
+    }
+    assert(ssspMap(edges, seeds, hops) === ref)
+  }
+
+  test("degreeAssortativity: star is maximally disassortative (r = -1)") {
+    // star K1,4: every edge joins deg-4 to deg-1 → r = −1 exactly
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L))
+    val row = Graph.degreeAssortativity(star.toDF("s", "d")).collect().head
+    assert(row.getLong(0) === 4L && row.getLong(1) === 5L)
+    assert(row.getDouble(2) === -1.0)
+  }
+
+  test("degreeAssortativity: regular graph has zero variance → NULL r") {
+    val c4 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    val row = Graph.degreeAssortativity(c4.toDF("s", "d")).collect().head
+    assert(row.getLong(0) === 4L && row.isNullAt(2),
+      "every degree equal: the statistic is undefined, not 0/0")
+  }
+
+  test("degreeAssortativity: matches the exact-moment formula on a random graph") {
+    val rnd = new scala.util.Random(11)
+    val edges = (for {
+      i <- 0 until 30; j <- i + 1 until 30 if rnd.nextDouble() < 0.15
+    } yield (i.toLong, j.toLong)).toSeq
+    val deg = edges.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+      .map { case (n, v) => n -> v.size.toLong }
+    val xy = edges.flatMap(e => Seq((deg(e._1), deg(e._2)),
+      (deg(e._2), deg(e._1))))
+    val n = xy.size.toLong
+    val sx = xy.map(_._1).sum
+    val sxy = xy.map(p => p._1 * p._2).sum
+    val sxx = xy.map(p => p._1 * p._1).sum
+    val want = (n * sxy - sx * sx).toDouble / (n * sxx - sx * sx).toDouble
+    val row = Graph.degreeAssortativity(edges.toDF("s", "d")).collect().head
+    assert(row.getLong(0) === edges.size.toLong)
+    assert(row.getDouble(2) === want, "bit-identical: same exact integer moments")
+  }
 }

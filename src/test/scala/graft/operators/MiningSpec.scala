@@ -55,4 +55,43 @@ class MiningSpec extends SparkSpec {
       Mining.associationRules(baskets, col("basket"), col("item"), 1.5)
     }
   }
+
+  private def seqRules(rows: Seq[(Int, Long, Long, String)],
+                       minPairs: Long = 1L) =
+    Mining.sequentialRules(rows.toDF("k", "o", "tie", "sym"),
+        col("k"), col("o"), col("tie"), col("sym"), minPairs)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+
+  test("sequentialRules: adjacency is order-aware, last event predicts nothing") {
+    // key 1: a b a c ; key 2: a b
+    val rows = Seq((1, 1L, 1L, "a"), (1, 2L, 2L, "b"), (1, 3L, 3L, "a"),
+      (1, 4L, 4L, "c"), (2, 1L, 1L, "a"), (2, 2L, 2L, "b"))
+    val got = seqRules(rows)
+    // antecedent totals: a has 3 successor slots (two in key1, one in key2);
+    // b has ONE — key 2's b is last and predicts nothing; c none
+    assert(got === Map(
+      ("a", "b") -> ((2L, 3L, 2.0 / 3.0)),
+      ("a", "c") -> ((1L, 3L, 1.0 / 3.0)),
+      ("b", "a") -> ((1L, 1L, 1.0))))
+    assert(!got.keySet.exists(_._1 == "c"), "a final event is no antecedent")
+  }
+
+  test("sequentialRules: ties on order resolve by the tie-break column") {
+    // both at o=1: tie decides a→b (not b→a)
+    val rows = Seq((1, 1L, 1L, "a"), (1, 1L, 2L, "b"), (1, 2L, 3L, "c"))
+    val got = seqRules(rows)
+    assert(got.contains(("a", "b")) && got.contains(("b", "c")))
+    assert(!got.contains(("b", "a")))
+  }
+
+  test("sequentialRules: minPairs filters pairs but denominators keep all slots") {
+    val rows = Seq((1, 1L, 1L, "a"), (1, 2L, 2L, "b"), (1, 3L, 3L, "a"),
+      (1, 4L, 4L, "b"), (1, 5L, 5L, "a"), (1, 6L, 6L, "c"))
+    val got = seqRules(rows, minPairs = 2L)
+    // a→b twice (kept), a→c once and b→a twice... b→a occurs twice: kept
+    assert(got(("a", "b")) === ((2L, 3L, 2.0 / 3.0)),
+      "n_ante counts ALL of a's successor slots, including the filtered a→c")
+    assert(!got.contains(("a", "c")))
+  }
 }

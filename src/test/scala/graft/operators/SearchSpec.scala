@@ -97,4 +97,33 @@ class SearchSpec extends SparkSpec {
     val recall = Set(1L, 2L, 3L).intersect(top20).size / 3.0
     assert(recall === 1.0)
   }
+
+  private def phrase(corpus: Seq[(Long, String)], terms: String*) =
+    Bm25.phraseSearch(corpus.toDF("doc_id", "text"), "doc_id", "text",
+        terms.toSeq)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("phraseSearch: adjacency, not bag-of-words; overlaps each start counted") {
+    val corpus = Seq(
+      (1L, "pump leak detected pump leak confirmed"), // phrase twice
+      (2L, "leak pump detected"),                     // terms present, reversed
+      (3L, "pump seal leak"),                         // terms present, gap
+      (4L, "nothing here"))
+    assert(phrase(corpus, "pump", "leak") === Map(1L -> 2L))
+  }
+
+  test("phraseSearch: trigram needs all three in order; repeated-word phrases work") {
+    val corpus = Seq(
+      (1L, "a b c a b c"),     // "a b c" twice
+      (2L, "a b x c"),         // broken adjacency
+      (3L, "b b b"))           // self-overlapping repeated phrase
+    assert(phrase(corpus, "a", "b", "c") === Map(1L -> 2L))
+    // "b b": starts at positions 0 and 1 — both count
+    assert(phrase(corpus, "b", "b") === Map(3L -> 2L))
+  }
+
+  test("phraseSearch: single-term phrase degenerates to term frequency") {
+    val corpus = Seq((1L, "x y x"), (2L, "y"))
+    assert(phrase(corpus, "x") === Map(1L -> 2L))
+  }
 }

@@ -247,4 +247,42 @@ class TrendSpec extends SparkSpec {
     // id=1 (v=1) holds 0s to id=2; id=2 (v=100) holds the full 10s
     assert(r.getDouble(3) === 100.0)
   }
+
+  private def tsMap(rows: Seq[(String, Long, Long)]) =
+    Trend.theilSen(rows.toDF("g", "t", "v"), Seq("g"), col("t"), col("v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+
+  test("theilSen: exact line recovers its slope; one outlier cannot move it") {
+    // clean: v = 3t + 1 → every pairwise slope is exactly 3_000_000 micro
+    val clean = (0L to 5L).map(t => ("a", t, 3 * t + 1))
+    assert(tsMap(clean)("a") === ((6L, 15L, 3000000L)))
+    // corrupt one point hard: the MEDIAN of 15 slopes still sits on a
+    // clean-pair slope (OLS would be dragged far off)
+    val dirty = clean.map { case (g, t, v) => if (t == 3L) (g, t, 1000L)
+      else (g, t, v) }
+    val got = tsMap(dirty)("a")
+    assert(got._3 === 3000000L, s"breakdown resistance: $got")
+  }
+
+  test("theilSen: negative slopes floor toward -inf identically to the oracle") {
+    // v = -t/2-ish: slopes dy/dx = -1/2 → floor(-500000.) in micro-units
+    val rows = Seq(("d", 0L, 10L), ("d", 2L, 9L), ("d", 4L, 8L))
+    // pairs: (0,2): -1/2 → -500000; (0,4): -2/4 → -500000; (2,4): -500000
+    assert(tsMap(rows)("d") === ((3L, 3L, -500000L)))
+    // a truly fractional negative slope floors DOWN, not toward zero
+    val r2 = Seq(("e", 0L, 1L), ("e", 3L, 0L)) // slope -1/3
+    assert(tsMap(r2)("e")._3 === -333334L,
+      "floor(-333333.33) = -333334 — the pmod form, not truncation")
+  }
+
+  test("theilSen: lower median on even pair counts; single-point keys absent") {
+    // 4 points, 6 pairs, slopes sorted: rank (6+1) div 2 = 3
+    val rows = Seq(("m", 0L, 0L), ("m", 1L, 1L), ("m", 2L, 4L), ("m", 3L, 9L),
+      ("solo", 5L, 5L))
+    val got = tsMap(rows)
+    // slopes: 0-1:1, 0-2:2, 0-3:3, 1-2:3, 1-3:4, 2-3:5 → rank-3 value = 3
+    assert(got("m") === ((4L, 6L, 3000000L)))
+    assert(!got.contains("solo"))
+  }
 }
