@@ -96,10 +96,13 @@ object Mining {
    * event into its (symbol, next-symbol) adjacent pair — no self-join,
    * no fan-out; the per-key state is a single lookahead row. Antecedent
    * totals (rows that HAVE a successor — the correct denominator: the
-   * last event per key predicts nothing) come from one vocabulary-sized
-   * grouped pass broadcast back onto the pair counts. Ordering must be
-   * total for the lag chain to be deterministic, so ties on `order`
-   * break on `tie` — the q108/q178 contract.
+   * last event per key predicts nothing) are the row-sums of the
+   * UNFILTERED pair-count table, so they cost one grouped pass over a
+   * vocabulary²-sized frame and the event-scale window runs exactly
+   * once (deriving them from the adjacency table directly would execute
+   * the window a second time — PlanSpec pins the single pass). Ordering
+   * must be total for the lag chain to be deterministic, so ties on
+   * `order` break on `tie` — the q108/q178 contract.
    *
    * Exactness: counts are integers; confidence is ONE correctly-rounded
    * division of exact Longs — hash-raw deterministic (q163 discipline).
@@ -117,10 +120,14 @@ object Mining {
         symbol.as("antecedent"))
       .withColumn("consequent", lead(col("antecedent"), 1).over(w))
       .filter(col("consequent").isNotNull)
-    val nAnte = adj.groupBy(col("antecedent"))
-      .agg(count(lit(1)).as("n_ante"))
-    adj.groupBy(col("antecedent"), col("consequent"))
-      .agg(count(lit(1)).as("n_pair"))
+    // materialized: vocabulary²-sized, and BOTH the rule filter and the
+    // antecedent roll-up read it — uncheckpointed each consumer re-runs
+    // the event-scale window (the q166 localCheckpoint class)
+    val pairCounts = adj.groupBy(col("antecedent"), col("consequent"))
+      .agg(count(lit(1)).as("n_pair")).localCheckpoint()
+    val nAnte = pairCounts.groupBy(col("antecedent"))
+      .agg(sum(col("n_pair")).as("n_ante"))
+    pairCounts
       .filter(col("n_pair") >= minPairs)
       .join(broadcast(nAnte), Seq("antecedent"))
       .select(col("antecedent"), col("consequent"), col("n_pair"),

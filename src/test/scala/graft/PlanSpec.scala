@@ -788,4 +788,40 @@ class PlanSpec extends SparkSpec {
         s"$q: scalar fold should ride a broadcast")
     }
   }
+
+  test("q181-q187 tier: every join equi; no cartesian anywhere") {
+    // q186's single-row node-count fold is the accepted broadcast-scalar
+    // NLJ (the q121 idiom); everywhere else even NLJ is banned
+    Seq("q181_kcore", "q182_sssp", "q183_seq_rules", "q184_ab_test",
+      "q185_theil_sen", "q186_assortativity", "q187_phrase_search")
+      .foreach { q =>
+        val p = plan(q)
+        assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+        if (q != "q186_assortativity")
+          assert(!p.contains("BroadcastNestedLoopJoin"),
+            s"$q has a nested-loop join")
+      }
+  }
+
+  test("q183 sequential rules: one window, antecedent totals broadcast back") {
+    val p = plan("q183_seq_rules")
+    // the pair-count table is checkpointed (both consumers read it), so
+    // the single lead() window sits BEHIND the checkpoint scan; what the
+    // serving plan must never show is a SECOND window re-deriving it
+    assert(countOf(p, "Window") <= 1,
+      "at most one lead() pass — the adjacency table is computed once")
+    assert(p.contains("BroadcastHashJoin"),
+      "the vocabulary-sized antecedent totals must broadcast")
+  }
+
+  test("q187 phrase search: postings term filter is scan-side, probes equi") {
+    val p = plan("q187_phrase_search")
+    // the tok IN (phrase terms) prune must sit under the generate, not
+    // after a shuffle — postings for absent terms never leave the scan
+    assert(p.contains("Generate"), "posexplode builds the postings")
+    assert(p.contains("LeftSemi") || p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin"),
+      "phrase probes are (doc, pos)-keyed equi joins")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
