@@ -2838,6 +2838,70 @@ object SparkEntry {
     Bm25.phraseSearch(documents(s, d), "doc_id", "text",
       Seq("slow", "hash", "batch"))
 
+  /** q188: the rank-transform window surface — percent_rank, cume_dist,
+    * ntile over a TOTAL order (value then key): ntile is row-number-
+    * based and nondeterministic under ties, so the tie-break is part of
+    * the declared semantics; percent_rank/cume_dist are then exact
+    * integer-rank divisions (raw). One window, one shuffle. */
+  private def rankSurfaceQ(s: SparkSession, d: String): DataFrame = {
+    val base = orders(s, d).select(col("o_orderpriority").as("priority"),
+      col("o_orderkey"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val w = Window.partitionBy(col("priority"))
+      .orderBy(col("cents"), col("o_orderkey"))
+    base.withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .withColumn("tile", ntile(4).over(w).cast("long"))
+  }
+
+  /** q189: M4 downsampling of the per-type event-value series
+    * ([[graft.operators.Trend.m4Downsample]]) — the error-free chart
+    * reducer: 16 equal time bins × (first, last, min, max) in integer
+    * cents; duplicate ticks pre-collapsed so first/last selection is
+    * tie-free in both engines. */
+  private def m4Q(s: SparkSession, d: String): DataFrame =
+    Trend.m4Downsample(events(s, d), Seq("event_type"),
+      expr("CAST(ts AS LONG)"),
+      expr("CAST(round(value * 100) AS BIGINT)"), buckets = 16)
+
+  /** q190: leave-one-out target encoding of event type against the
+    * high-value label ([[graft.operators.Features.targetEncodeLoo]]) —
+    * each row gets the OTHER rows' label mean (no self-leakage);
+    * category stats broadcast back, facts never shuffled; one exact-
+    * Long division per row (raw). */
+  private def targetEncodeQ(s: SparkSession, d: String): DataFrame =
+    Features.targetEncodeLoo(events(s, d), Seq("event_id"),
+      col("event_type"), (col("value") > 100.0).cast("long"))
+
+  /** q191: weight-of-evidence / information-value screen of the event
+    * value band against conversion ([[graft.operators.Features.woeIv]])
+    * — ½-smoothed cells, one grouped pass + one scalar fold; WOE and
+    * IV terms ride the round-6 lane. */
+  private def woeIvQ(s: SparkSession, d: String): DataFrame =
+    Features.woeIv(events(s, d),
+      floor(col("value") / lit(50.0)).cast("long").as("band"),
+      (col("event_type") === "purchase").cast("long"))
+
+  /** q192: Kaplan–Meier time-to-first-purchase per user-parity cohort
+    * ([[graft.operators.Survival.kaplanMeier]]) — censoring-aware
+    * survival: users without a purchase leave the risk set at their
+    * last observed day instead of polluting a mean; the curve steps
+    * ride an ordered log-sum window over the DAY GRID (round-6), risk
+    * counts exact Longs. */
+  private def kaplanMeierQ(s: SparkSession, d: String): DataFrame = {
+    val day = expr("CAST(CAST(ts AS LONG) DIV 86400 AS BIGINT)")
+    val perUser = events(s, d)
+      .groupBy(col("user_id"),
+        when(pmod(col("user_id"), lit(2)) === 0, lit("even"))
+          .otherwise(lit("odd")).as("cohort"))
+      .agg(min(day).as("d0"), max(day).as("d1"),
+        min(when(col("event_type") === "purchase", day)).as("dp"))
+    val subjects = perUser.select(col("cohort"),
+      (coalesce(col("dp"), col("d1")) - col("d0")).as("dur"),
+      col("dp").isNotNull.cast("long").as("ev"))
+    Survival.kaplanMeier(subjects, Seq("cohort"), col("dur"), col("ev"))
+  }
+
   /** q134: batch small-file compaction ([[graft.sinks.Publish.compact]] —
     * the lakehouse OPTIMIZE maintenance operator, the batch sibling of
     * the streaming `batch_id=` compactor): a deliberately fragmented
@@ -3526,6 +3590,11 @@ object SparkEntry {
     "q185_theil_sen"           -> (theilSenQ _),
     "q186_assortativity"       -> (assortativityQ _),
     "q187_phrase_search"       -> (phraseSearchQ _),
+    "q188_rank_surface"        -> (rankSurfaceQ _),
+    "q189_m4_downsample"       -> (m4Q _),
+    "q190_target_encode"       -> (targetEncodeQ _),
+    "q191_woe_iv"              -> (woeIvQ _),
+    "q192_kaplan_meier"        -> (kaplanMeierQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -6418,6 +6487,114 @@ object SparkEntry {
         |         for i in range(1, len(a) - 1)]) AS tri FROM t)
         |SELECT doc, CAST(count(*) AS BIGINT) AS n_hits
         |FROM g WHERE tri = 'slow hash batch' GROUP BY 1""".stripMargin,
+
+    // q188: same total order (cents, key) so rank == row_number and the
+    // rank transforms are exact integer divisions; ntile BIGINT-cast
+    "q188_rank_surface" ->
+      """WITH o AS (SELECT o_orderpriority AS priority, o_orderkey,
+        |             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |           FROM orders)
+        |SELECT priority, o_orderkey, cents,
+        |       percent_rank() OVER w AS pct_rank,
+        |       cume_dist() OVER w AS cume,
+        |       CAST(ntile(4) OVER w AS BIGINT) AS tile
+        |FROM o WINDOW w AS (PARTITION BY priority
+        |  ORDER BY cents, o_orderkey)""".stripMargin,
+
+    // q189: identical integer bin arithmetic; arg_min/arg_max are
+    // tie-free because the (type, bin, t) grid is pre-collapsed
+    "q189_m4_downsample" ->
+      """WITH e AS (SELECT event_type,
+        |        CAST(floor(epoch(ts)) AS BIGINT) AS t,
+        |        CAST(round(value * 100) AS BIGINT) AS v FROM events),
+        |b AS (SELECT event_type, min(t) AS t0, max(t) AS t1
+        |      FROM e GROUP BY 1),
+        |x AS (SELECT e.event_type, ((t - t0) * 16) // (t1 - t0 + 1) AS bin,
+        |        t, v
+        |      FROM e JOIN b ON e.event_type = b.event_type),
+        |g1 AS (SELECT event_type, bin, t, count(*) AS c,
+        |         min(v) AS lo, max(v) AS hi
+        |       FROM x GROUP BY 1, 2, 3)
+        |SELECT event_type, CAST(bin AS BIGINT) AS bin,
+        |       CAST(sum(c) AS BIGINT) AS n,
+        |       CAST(arg_min(t, t) AS BIGINT) AS t_first,
+        |       CAST(arg_min(lo, t) AS BIGINT) AS v_first,
+        |       CAST(arg_max(t, t) AS BIGINT) AS t_last,
+        |       CAST(arg_max(hi, t) AS BIGINT) AS v_last,
+        |       CAST(min(lo) AS BIGINT) AS v_min,
+        |       CAST(max(hi) AS BIGINT) AS v_max
+        |FROM g1 GROUP BY 1, 2""".stripMargin,
+
+    // q190: same category sums; each row's encoding one exact-Long
+    // division (raw); singleton categories NULL
+    "q190_target_encode" ->
+      """WITH e AS (SELECT event_id, event_type AS cat,
+        |             CASE WHEN value > 100.0 THEN 1 ELSE 0 END AS y
+        |           FROM events),
+        |s AS (SELECT cat, sum(y) AS sy, count(*) AS n FROM e GROUP BY 1)
+        |SELECT e.cat, e.event_id, CAST(e.y AS BIGINT) AS y,
+        |       CASE WHEN n > 1 THEN CAST(sy - y AS DOUBLE)
+        |              / CAST(n - 1 AS DOUBLE) END AS te
+        |FROM e JOIN s USING (cat)""".stripMargin,
+
+    // q191: identical ½-smoothed shares and log dag; woe/iv round-6
+    "q191_woe_iv" ->
+      """WITH e AS (SELECT CAST(floor(value / 50) AS BIGINT) AS bin,
+        |        CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |      FROM events),
+        |c AS (SELECT bin, sum(y) AS n_pos, sum(1 - y) AS n_neg
+        |      FROM e GROUP BY 1),
+        |t AS (SELECT sum(n_pos) AS tp, sum(n_neg) AS tn FROM c),
+        |s AS (SELECT bin, n_pos, n_neg,
+        |        (CAST(n_pos AS DOUBLE) + 0.5) / (CAST(tp AS DOUBLE) + 0.5)
+        |          AS pp,
+        |        (CAST(n_neg AS DOUBLE) + 0.5) / (CAST(tn AS DOUBLE) + 0.5)
+        |          AS pn
+        |      FROM c CROSS JOIN t)
+        |SELECT bin, CAST(n_pos AS BIGINT) AS n_pos,
+        |       CAST(n_neg AS BIGINT) AS n_neg,
+        |       round(ln(pp / pn), 6) AS woe,
+        |       round((pp - pn) * ln(pp / pn), 6) AS iv_term
+        |FROM s""".stripMargin,
+
+    // q192: the same per-time cells, prior-rows risk-set window and
+    // ordered log-sum running product; whole-risk-set steps pinned to 0
+    // identically (ln(0) is engine-divergent, so it never evaluates)
+    "q192_kaplan_meier" ->
+      """WITH u AS (SELECT user_id,
+        |        CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END
+        |          AS cohort,
+        |        min(CAST(floor(epoch(ts) / 86400) AS BIGINT)) AS d0,
+        |        max(CAST(floor(epoch(ts) / 86400) AS BIGINT)) AS d1,
+        |        min(CASE WHEN event_type = 'purchase'
+        |              THEN CAST(floor(epoch(ts) / 86400) AS BIGINT) END)
+        |          AS dp
+        |      FROM events GROUP BY 1, 2),
+        |s AS (SELECT cohort, coalesce(dp, d1) - d0 AS t,
+        |        CASE WHEN dp IS NOT NULL THEN 1 ELSE 0 END AS e FROM u),
+        |c AS (SELECT cohort, t, sum(e) AS d, count(*) AS cnt
+        |      FROM s GROUP BY 1, 2),
+        |r AS (SELECT cohort, t, d, cnt,
+        |        sum(cnt) OVER (PARTITION BY cohort)
+        |          - coalesce(sum(cnt) OVER (PARTITION BY cohort ORDER BY t
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS n_risk
+        |      FROM c),
+        |f AS (SELECT cohort, t, d, n_risk,
+        |        CASE WHEN d < n_risk
+        |             THEN 1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)
+        |        END AS fct,
+        |        CASE WHEN d = n_risk THEN 1 ELSE 0 END AS z
+        |      FROM r),
+        |k AS (SELECT cohort, t, d, n_risk,
+        |        round(CASE WHEN max(z) OVER w = 1 THEN 0.0
+        |          ELSE exp(coalesce(sum(ln(fct)) OVER w, 0.0)) END, 6)
+        |          AS survival
+        |      FROM f WINDOW w AS (PARTITION BY cohort ORDER BY t
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT cohort, CAST(t AS BIGINT) AS t, CAST(d AS BIGINT) AS d,
+        |       CAST(n_risk AS BIGINT) AS n_risk, survival
+        |FROM k WHERE d > 0""".stripMargin,
 
     // q161: the same daily series through DuckDB's regr_*/corr family;
     // both engines accumulate moments, round(6) absorbs order drift

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Supervised feature engineering for the training-data tier: the two
+ * standard categorical-to-numeric encoders a label-bearing corpus
+ * pipeline owns before model training — leave-one-out target encoding
+ * (the high-cardinality workhorse) and weight-of-evidence binning with
+ * information value (the interpretable/regulated-scoring one). Both are
+ * pure aggregation shapes: category-sized statistics broadcast back
+ * over the facts, never a fact-sized join or window.
+ */
+object Features {
+
+  /**
+   * Leave-one-out target encoding: each row's category is replaced by
+   * the mean label of the OTHER rows in that category,
+   * `(Σy(cat) − y) / (n(cat) − 1)` — excluding the row's own label is
+   * what blocks the single-row leakage that makes naive target encoding
+   * overfit (the Micci-Barreca 2001 family, LOO variant). Singleton
+   * categories have no "others" and encode NULL (callers impute the
+   * global prior downstream if wanted — explicit, not hidden).
+   *
+   * Exactness: labels are integers, so the category sums are exact
+   * Longs and each row's encoding is ONE correctly-rounded division —
+   * hash-raw deterministic (q163 discipline). Plan: one grouped pass
+   * over (cat) broadcast back; the fact table is scanned once and
+   * never shuffled.
+   *
+   * Emits the input columns given in `keep` plus (cat, y, te).
+   */
+  def targetEncodeLoo(df: DataFrame, keep: Seq[String], cat: Column,
+                      y: Column): DataFrame = {
+    val base = df.select(keep.map(col) :+ cat.as("cat") :+
+      y.cast("long").as("y"): _*)
+    val stats = base.groupBy(col("cat"))
+      .agg(sum(col("y")).as("__sy"), count(lit(1)).as("__n"))
+    base.join(broadcast(stats), Seq("cat"))
+      .select(keep.map(col) :+ col("cat") :+ col("y") :+
+        when(col("__n") > 1L,
+          (col("__sy") - col("y")).cast("double") /
+            (col("__n") - lit(1L)).cast("double")).as("te"): _*)
+  }
+
+  /**
+   * Weight of evidence + information value per bin — the scorecard
+   * binning diagnostic: `woe = ln(p_pos / p_neg)` with each bin's share
+   * of its class, and `iv_term = (p_pos − p_neg) · woe`; Σ iv_term is
+   * the variable's predictive-power screen (the classic <0.02 useless /
+   * >0.5 suspicious ladder). Cells carry the ½ continuity correction so
+   * an empty class in a bin yields a large-but-finite WOE instead of
+   * ±∞ — the standard smoothing, applied identically in the oracle.
+   *
+   * Counts are exact integers; the shares/log ride the round-6 lane
+   * (one ln each — same expression dag in both engines, rounded where
+   * the class totals entered as smoothed sums). One grouped pass plus
+   * one single-row total fold broadcast back (the q121 idiom).
+   *
+   * Emits one row per bin: (bin, n_pos, n_neg, woe, iv_term).
+   */
+  def woeIv(df: DataFrame, bin: Column, y: Column): DataFrame = {
+    val cells = df.select(bin.as("bin"), y.cast("long").as("__y"))
+      .groupBy(col("bin"))
+      .agg(sum(col("__y")).as("n_pos"),
+        sum(lit(1L) - col("__y")).as("n_neg"))
+    val totals = cells.agg(sum(col("n_pos")).as("__tp"),
+      sum(col("n_neg")).as("__tn"))
+    val pp = (col("n_pos").cast("double") + lit(0.5)) /
+      (col("__tp").cast("double") + lit(0.5))
+    val pn = (col("n_neg").cast("double") + lit(0.5)) /
+      (col("__tn").cast("double") + lit(0.5))
+    cells.crossJoin(broadcast(totals))
+      .select(col("bin"), col("n_pos"), col("n_neg"),
+        round(log(pp / pn), 6).as("woe"),
+        round((pp - pn) * log(pp / pn), 6).as("iv_term"))
+  }
+}

@@ -344,6 +344,56 @@ object Trend {
    * Emits (keys…, n_points, n_pairs, slope_micro) — slope in units of
    * 10⁻⁶ value per time tick, floor-rounded.
    */
+  /**
+   * M4 time-series downsampling — the error-free visualization reducer
+   * (Jugel et al., VLDB 2014): per key, the time range splits into
+   * `buckets` equal bins and each bin keeps exactly the four points a
+   * pixel column can show — first, last, min, max — so a line chart
+   * over the reduced series renders IDENTICALLY to one over the raw
+   * series. The standard way to ship a 10⁹-point series to a dashboard
+   * as ~4·width rows.
+   *
+   * Determinism under duplicate timestamps: a pre-aggregate collapses
+   * (key, bin, t) to that tick's min/max value first, so the
+   * first/last selection (`min/max(struct(t, v))` — lexicographic on
+   * exact integers) is over UNIQUE timestamps and has no tie to break;
+   * the oracle's arg_min/arg_max over the same collapsed grid is then
+   * unambiguous too. All columns integer-exact; no rounding lane.
+   *
+   * Plan shape: one per-key bounds aggregate broadcast back (the q121
+   * bounds idiom), then two grouped passes — nothing wider than the
+   * series, no window, no join beyond the scalar fold.
+   *
+   * Emits (keys…, bin, n, t_first, v_first, t_last, v_last, v_min,
+   * v_max).
+   */
+  def m4Downsample(df: DataFrame, keys: Seq[String], t: Column, v: Column,
+                   buckets: Int): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val base = df.select(keys.map(col) :+ t.cast("long").as("__t") :+
+      v.cast("long").as("__v"): _*)
+    val bounds = base.groupBy(keys.map(col): _*)
+      .agg(min(col("__t")).as("__t0"), max(col("__t")).as("__t1"))
+    // integer floor division (operands non-negative, so Spark's
+    // truncating div IS floor and matches the oracle's //)
+    val binned = base.join(broadcast(bounds), keys)
+      .withColumn("bin",
+        expr(s"((__t - __t0) * ${buckets}L) div (__t1 - __t0 + 1L)"))
+    val perTick = binned.groupBy(keys.map(col) :+ col("bin") :+
+        col("__t"): _*)
+      .agg(count(lit(1)).as("__c"), min(col("__v")).as("__lo"),
+        max(col("__v")).as("__hi"))
+    perTick.groupBy(keys.map(col) :+ col("bin"): _*)
+      .agg(sum(col("__c")).as("n"),
+        min(struct(col("__t"), col("__lo"))).as("__f"),
+        max(struct(col("__t"), col("__hi"))).as("__l"),
+        min(col("__lo")).as("v_min"), max(col("__hi")).as("v_max"))
+      .select(keys.map(col) :+ col("bin") :+ col("n") :+
+        col("__f.__t").as("t_first") :+ col("__f.__lo").as("v_first") :+
+        col("__l.__t").as("t_last") :+ col("__l.__hi").as("v_last") :+
+        col("v_min") :+ col("v_max"): _*)
+  }
+
   def theilSen(series: DataFrame, keys: Seq[String], t: Column,
                v: Column): DataFrame = {
     val base = series.select(keys.map(col) :+ t.cast("long").as("__t") :+

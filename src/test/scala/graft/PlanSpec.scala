@@ -814,6 +814,23 @@ class PlanSpec extends SparkSpec {
       "the vocabulary-sized antecedent totals must broadcast")
   }
 
+  test("q188-q192 tier: stats broadcast back; facts never self-join") {
+    // rank surface: one window, no join at all
+    val p188 = plan("q188_rank_surface")
+    assert(countOf(p188, "Window") === 1 && !p188.toLowerCase.contains("join"))
+    // target encoding: category stats broadcast, fact table scanned once
+    val p190 = plan("q190_target_encode")
+    assert(p190.contains("BroadcastHashJoin") &&
+      !p190.contains("SortMergeJoin"), "category stats must broadcast")
+    // KM: subject collapse then windows over the DAY GRID — no join
+    val p192 = plan("q192_kaplan_meier")
+    assert(!p192.toLowerCase.contains("join"),
+      "risk sets come from windows, not a subjects self-join")
+    Seq("q189_m4_downsample", "q191_woe_iv").foreach { q =>
+      assert(!plan(q).contains("CartesianProduct"), s"$q cartesian")
+    }
+  }
+
   test("q187 phrase search: postings term filter is scan-side, probes equi") {
     val p = plan("q187_phrase_search")
     // the tok IN (phrase terms) prune must sit under the generate, not

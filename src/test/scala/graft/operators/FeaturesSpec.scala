@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Supervised encoders: leakage exclusion, singleton NULLs, WOE smoothing. */
+class FeaturesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("targetEncodeLoo: excludes the row's own label; singletons NULL") {
+    val rows = Seq((1L, "a", 1L), (2L, "a", 0L), (3L, "a", 1L),
+      (4L, "b", 1L)).toDF("id", "cat", "y")
+    val got = Features.targetEncodeLoo(rows, Seq("id"), col("cat"), col("y"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    // cat a: sum=2, n=3 → row1: (2-1)/2 = 0.5; row2: (2-0)/2 = 1.0
+    assert(got(1L) === Some(0.5))
+    assert(got(2L) === Some(1.0))
+    assert(got(3L) === Some(0.5))
+    assert(got(4L) === None, "a singleton category has no other rows")
+  }
+
+  test("targetEncodeLoo: constant-label category encodes that constant") {
+    val rows = Seq((1L, "c", 1L), (2L, "c", 1L), (3L, "c", 1L))
+      .toDF("id", "cat", "y")
+    val te = Features.targetEncodeLoo(rows, Seq("id"), col("cat"), col("y"))
+      .collect().map(_.getDouble(3)).toSet
+    assert(te === Set(1.0))
+  }
+
+  test("woeIv: hand-checked smoothed cells; direction and additivity") {
+    // bin hi: 8 pos 2 neg; bin lo: 2 pos 8 neg → tp = tn = 10
+    val rows = (1 to 8).map(_ => ("hi", 1L)) ++ (1 to 2).map(_ => ("hi", 0L)) ++
+      (1 to 2).map(_ => ("lo", 1L)) ++ (1 to 8).map(_ => ("lo", 0L))
+    val got = Features.woeIv(rows.toDF("bin", "y"), col("bin"), col("y"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    val pp = 8.5 / 10.5; val pn = 2.5 / 10.5
+    val woe = BigDecimal(math.log(pp / pn))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got("hi")._1 === 8L && got("hi")._2 === 2L)
+    assert(got("hi")._3 === woe)
+    assert(got("lo")._3 === -woe, "symmetric design ⇒ antisymmetric WOE")
+    assert(got("hi")._4 > 0 && got("lo")._4 > 0,
+      "IV terms are non-negative by construction (x·ln ratios co-signed)")
+  }
+
+  test("woeIv: an empty class stays finite through the ½ correction") {
+    val rows = Seq(("only_pos", 1L), ("only_pos", 1L), ("mixed", 1L),
+      ("mixed", 0L)).toDF("bin", "y")
+    val got = Features.woeIv(rows, col("bin"), col("y"))
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(!got("only_pos").isNaN && !got("only_pos").isInfinite)
+    assert(got("only_pos") > got("mixed"))
+  }
+}

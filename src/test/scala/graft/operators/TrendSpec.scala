@@ -285,4 +285,35 @@ class TrendSpec extends SparkSpec {
     assert(got("m") === ((4L, 6L, 3000000L)))
     assert(!got.contains("solo"))
   }
+
+  private def m4(rows: Seq[(String, Long, Long)], buckets: Int) =
+    Trend.m4Downsample(rows.toDF("g", "t", "v"), Seq("g"), col("t"),
+        col("v"), buckets)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7), r.getLong(8))).toMap
+
+  test("m4Downsample: first/last/min/max per bin, exact bin edges") {
+    // 8 ticks, 2 buckets: t 0..3 → bin 0, t 4..7 → bin 1
+    val rows = (0L to 7L).map(t => ("k", t, (t * t % 11)))
+    val got = m4(rows, buckets = 2)
+    // bin 0: v = 0,1,4,9 → first (0,0) last (3,9) min 0 max 9
+    assert(got(("k", 0L)) === ((4L, 0L, 0L, 3L, 9L, 0L, 9L)))
+    // bin 1: t=4..7 → v = 5,3,3,5 → first (4,5) last (7,5) min 3 max 5
+    assert(got(("k", 1L)) === ((4L, 4L, 5L, 7L, 5L, 3L, 5L)))
+  }
+
+  test("m4Downsample: duplicate timestamps collapse tie-free") {
+    // two rows at t=0 (v 7 and 3): first = min-of-tick (3); two at t=9
+    // (v 2 and 8): last = max-of-tick (8)
+    val rows = Seq(("k", 0L, 7L), ("k", 0L, 3L), ("k", 5L, 5L),
+      ("k", 9L, 2L), ("k", 9L, 8L))
+    val got = m4(rows, buckets = 1)
+    assert(got(("k", 0L)) === ((5L, 0L, 3L, 9L, 8L, 2L, 8L)))
+  }
+
+  test("m4Downsample: single-point series lands in bin 0 of any bucket count") {
+    val got = m4(Seq(("solo", 42L, 17L)), buckets = 16)
+    assert(got === Map(("solo", 0L) -> ((1L, 42L, 17L, 42L, 17L, 17L, 17L))))
+  }
 }
