@@ -2902,6 +2902,22 @@ object SparkEntry {
     Survival.kaplanMeier(subjects, Seq("cohort"), col("dur"), col("ev"))
   }
 
+  /** q193: categorical distribution profile over the q180 dim/bin
+    * explode ([[graft.operators.Profile.categoricalProfile]]) — mode
+    * with the lexical tie-break PINNED (an unpinned mode is a flaky
+    * gate), Shannon entropy + [0,1] normalization for the degenerate-
+    * column screen; everything after the cell aggregate runs on the
+    * vocabulary-sized frame. */
+  private def catProfileQ(s: SparkSession, d: String): DataFrame = {
+    val cells = events(s, d).select(explode(array(
+        struct(lit("event_type").as("dim"), col("event_type").as("v")),
+        struct(lit("value_band").as("dim"),
+          floor(col("value") / lit(50.0)).cast("long").cast("string")
+            .as("v")))).as("db"))
+      .select(col("db.dim").as("dim"), col("db.v").as("v"))
+    Profile.categoricalProfile(cells, col("dim"), col("v"))
+  }
+
   /** q134: batch small-file compaction ([[graft.sinks.Publish.compact]] —
     * the lakehouse OPTIMIZE maintenance operator, the batch sibling of
     * the streaming `batch_id=` compactor): a deliberately fragmented
@@ -3595,6 +3611,7 @@ object SparkEntry {
     "q190_target_encode"       -> (targetEncodeQ _),
     "q191_woe_iv"              -> (woeIvQ _),
     "q192_kaplan_meier"        -> (kaplanMeierQ _),
+    "q193_cat_profile"         -> (catProfileQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -6556,6 +6573,35 @@ object SparkEntry {
         |       round(ln(pp / pn), 6) AS woe,
         |       round((pp - pn) * ln(pp / pn), 6) AS iv_term
         |FROM s""".stripMargin,
+
+    // q193: the same dim/value cells, deterministic (count desc, value
+    // asc) mode rank, cell-level -p ln p terms; entropy round-6 and the
+    // normalization divides the ROUNDED entropy in both engines
+    "q193_cat_profile" ->
+      """WITH u AS (SELECT 'event_type' AS dim, event_type AS v FROM events
+        |      UNION ALL
+        |      SELECT 'value_band',
+        |             CAST(CAST(floor(value / 50) AS BIGINT) AS VARCHAR)
+        |      FROM events),
+        |g AS (SELECT dim, v, count(*) AS c FROM u GROUP BY 1, 2),
+        |w AS (SELECT dim, v, c,
+        |        row_number() OVER (PARTITION BY dim
+        |          ORDER BY c DESC, v ASC) AS rk,
+        |        sum(c) OVER (PARTITION BY dim) AS n FROM g),
+        |a AS (SELECT dim, max(n) AS n, count(*) AS n_distinct,
+        |        max(CASE WHEN rk = 1 THEN v END) AS mode_value,
+        |        max(CASE WHEN rk = 1 THEN c END) AS mode_n,
+        |        round(sum(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        |          * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))), 6)
+        |          AS entropy
+        |      FROM w GROUP BY 1)
+        |SELECT dim, CAST(n AS BIGINT) AS n,
+        |       CAST(n_distinct AS BIGINT) AS n_distinct,
+        |       mode_value, CAST(mode_n AS BIGINT) AS mode_n, entropy,
+        |       CASE WHEN n_distinct > 1
+        |            THEN round(entropy / ln(CAST(n_distinct AS DOUBLE)), 6)
+        |       END AS norm_entropy
+        |FROM a""".stripMargin,
 
     // q192: the same per-time cells, prior-rows risk-set window and
     // ordered log-sum running product; whole-risk-set steps pinned to 0

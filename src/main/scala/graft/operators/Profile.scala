@@ -160,4 +160,46 @@ object Profile {
       round(col("__sq") / (col("total_mass").cast("double") *
         col("total_mass").cast("double")), 6).as("hhi"): _*)
   }
+
+  /**
+   * Categorical distribution profile per dimension — the qualitative
+   * companion to [[profile]]'s min/max/null counts: MODE (most frequent
+   * value, ties broken to the LEXICALLY SMALLEST — ties are real in
+   * production data and an unpinned mode is a flaky gate) and Shannon
+   * entropy with its [0,1] normalization (entropy / ln(k): 0 = constant
+   * column, 1 = uniform — the screen for "is this column informative or
+   * degenerate").
+   *
+   * Shape: one grouped pass to the (dim, value) cells, then everything
+   * else happens on that vocabulary-sized frame — a deterministic rank
+   * window picks the mode, cell-level `−p·ln p` terms sum per dim.
+   * Counts exact Longs; entropy accumulates logs → round-6 lane.
+   *
+   * Emits one row per dim: (dim, n, n_distinct, mode_value, mode_n,
+   * entropy, norm_entropy — NULL for a single-valued dim).
+   */
+  def categoricalProfile(cells: DataFrame, dim: Column,
+                         value: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = cells.select(dim.as("dim"), value.cast("string").as("__v"))
+      .groupBy(col("dim"), col("__v")).agg(count(lit(1)).as("__c"))
+    val byFreq = Window.partitionBy(col("dim"))
+      .orderBy(col("__c").desc, col("__v").asc)
+    val wDim = Window.partitionBy(col("dim"))
+    val withN = g
+      .withColumn("__rk", row_number().over(byFreq))
+      .withColumn("__n", sum(col("__c")).over(wDim))
+    val p = col("__c").cast("double") / col("__n").cast("double")
+    withN
+      .withColumn("__h", -p * log(p))
+      .groupBy(col("dim"))
+      .agg(max(col("__n")).as("n"),
+        count(lit(1)).as("n_distinct"),
+        max(when(col("__rk") === 1, col("__v"))).as("mode_value"),
+        max(when(col("__rk") === 1, col("__c"))).as("mode_n"),
+        round(sum(col("__h")), 6).as("entropy"))
+      .withColumn("norm_entropy",
+        when(col("n_distinct") > 1L,
+          round(col("entropy") / log(col("n_distinct").cast("double")), 6)))
+  }
 }

@@ -116,4 +116,31 @@ class ProfileSpec extends SparkSpec {
     assert(r.getDouble(3) === 0.0, "gini of one member is 0 by the formula")
     assert(r.getDouble(4) === 1.0)
   }
+
+  private def catProf(rows: Seq[(String, String)]) =
+    Profile.categoricalProfile(rows.toDF("dim", "v"), col("dim"), col("v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4),
+          r.getDouble(5),
+          if (r.isNullAt(6)) None else Some(r.getDouble(6)))).toMap
+
+  test("categoricalProfile: mode ties break to the lexically smallest") {
+    // b and a both appear twice: mode must be 'a', not shuffle-dependent
+    val got = catProf(Seq("b", "a", "b", "a", "c").map("d" -> _))
+    val (n, k, mode, mn, _, _) = got("d")
+    assert((n, k, mode, mn) === ((5L, 3L, "a", 2L)))
+  }
+
+  test("categoricalProfile: entropy 0 for constant, 1 normalized for uniform") {
+    val got = catProf(Seq("const" -> "x", "const" -> "x", "const" -> "x") ++
+      Seq("unif" -> "p", "unif" -> "q", "unif" -> "r", "unif" -> "s"))
+    val c = got("const")
+    assert(c._5 === 0.0 && c._6 === None,
+      "single-valued: zero entropy, undefined normalization")
+    val u = got("unif")
+    assert(u._6 === Some(1.0), "uniform over k values normalizes to exactly 1")
+    val ln4r6 = BigDecimal(math.log(4.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(u._5 === ln4r6)
+  }
 }
