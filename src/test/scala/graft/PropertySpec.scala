@@ -311,6 +311,52 @@ class PropertySpec extends SparkSpec {
     assert(out.toMap === again)
   }
 
+  test("kCore at a convergence-safe round count == brute-force fixpoint peel") {
+    import graft.operators.Graph
+    val edges = sample(Gen.zip(Gen.choose(1L, 20L), Gen.choose(1L, 20L)), 80)
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    for (k <- Seq(2, 3, 4)) {
+      // reference: peel to fixpoint on the driver
+      var es = edges.toSet
+      var changed = true
+      while (changed) {
+        val deg = es.toSeq.flatMap(e => Seq(e._1, e._2))
+          .groupBy(identity).map { case (n, v) => n -> v.size }
+        val keep = deg.filter(_._2 >= k).keySet
+        val next = es.filter(e => keep(e._1) && keep(e._2))
+        changed = next != es
+        es = next
+      }
+      val want = es.toSeq.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+        .map { case (n, v) => n -> v.size.toLong }
+      // n nodes bounds the peel depth, so `rounds = 21` is a fixpoint
+      val got = Graph.kCore(edges.toDF("s", "d"), k, rounds = 21)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want, s"k=$k")
+    }
+  }
+
+  test("theilSen == a BigInt-rational reference median on random series") {
+    import graft.operators.Trend
+    val pts = sample(Gen.zip(Gen.choose(0L, 40L), Gen.choose(-500L, 500L)), 60)
+      .distinct.groupBy(_._1).map(_._2.head).toSeq // unique t per point
+    val got = Trend.theilSen(pts.map(p => ("g", p._1, p._2)).toDF("g", "t", "v"),
+        Seq("g"), col("t"), col("v"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).head
+    // reference: exact rational slopes floor-scaled via BigInt
+    val slopes = (for {
+      (t1, v1) <- pts; (t2, v2) <- pts if t1 < t2
+    } yield {
+      val a = BigInt(1000000) * BigInt(v2 - v1)
+      val dx = BigInt(t2 - t1)
+      val q = a - (((a % dx) + dx) % dx)
+      (q / dx).toLong
+    }).sorted
+    val want = slopes((slopes.size + 1) / 2 - 1)
+    assert(got === ((pts.size.toLong, slopes.size.toLong, want)))
+  }
+
   test("vectorSum ≡ explode-sum for any grouping, order, and integer-valued data") {
     // the Lloyd-update aggregate's parity property: on integer-valued
     // doubles (order-exact addition) the fixed-width aggregate must match
