@@ -2918,6 +2918,39 @@ object SparkEntry {
     Profile.categoricalProfile(cells, col("dim"), col("v"))
   }
 
+  /** q194: the WOE/IV feature screen under freshness replay — three
+    * event micro-batches (event_id mod 3) maintain the (bin, n_pos,
+    * n_neg) cell mart through on-disk parquet state round-trips (q106's
+    * [[graft.operators.Incremental]] lifecycle: cells are LINEAR sums,
+    * so maintained == recomputed bit-exactly), then q191's derivation
+    * runs over the MAINTAINED cells
+    * ([[graft.operators.Features.woeIvFromCells]]). The oracle is
+    * q191's batch SQL verbatim — the q180 posture extended to the
+    * feature tier. */
+  private def woeIvReplayQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Incremental
+    val dir = replayStateDir(s, "q194", d)
+    val facts = events(s, d).select(col("event_id"),
+      floor(col("value") / lit(50.0)).cast("long").as("bin"),
+      (col("event_type") === "purchase").cast("long").as("pos"))
+      .withColumn("neg", lit(1L) - col("pos"))
+    val keys = Seq("bin")
+    (0 until 3).foreach { i =>
+      val part = Incremental.aggregate(
+        facts.filter(pmod(col("event_id"), lit(3)) === i), keys,
+        Seq("pos", "neg"))
+      val merged =
+        if (i == 0) part
+        else Incremental.mergeAggregates(
+          Seq(s.read.parquet(s"$dir/state_${i - 1}"), part), keys,
+          Seq("pos", "neg"))
+      merged.write.mode("overwrite").parquet(s"$dir/state_$i")
+    }
+    Features.woeIvFromCells(s.read.parquet(s"$dir/state_2")
+      .select(col("bin"), col("sum_pos").as("n_pos"),
+        col("sum_neg").as("n_neg")))
+  }
+
   /** q134: batch small-file compaction ([[graft.sinks.Publish.compact]] —
     * the lakehouse OPTIMIZE maintenance operator, the batch sibling of
     * the streaming `batch_id=` compactor): a deliberately fragmented
@@ -3612,6 +3645,7 @@ object SparkEntry {
     "q191_woe_iv"              -> (woeIvQ _),
     "q192_kaplan_meier"        -> (kaplanMeierQ _),
     "q193_cat_profile"         -> (catProfileQ _),
+    "q194_woe_iv_replay"       -> (woeIvReplayQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -4389,6 +4423,27 @@ object SparkEntry {
        |       CAST(deg AS BIGINT) AS degree
        |FROM fin""".stripMargin
   }
+
+  /** Shared by q191 (batch) and q194 (replay-maintained): the cells are
+    * linear sums, so both sides reduce to the same derivation. */
+  private def woeIvOracle: String =
+    """WITH e AS (SELECT CAST(floor(value / 50) AS BIGINT) AS bin,
+      |        CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      |      FROM events),
+      |c AS (SELECT bin, sum(y) AS n_pos, sum(1 - y) AS n_neg
+      |      FROM e GROUP BY 1),
+      |t AS (SELECT sum(n_pos) AS tp, sum(n_neg) AS tn FROM c),
+      |s AS (SELECT bin, n_pos, n_neg,
+      |        (CAST(n_pos AS DOUBLE) + 0.5) / (CAST(tp AS DOUBLE) + 0.5)
+      |          AS pp,
+      |        (CAST(n_neg AS DOUBLE) + 0.5) / (CAST(tn AS DOUBLE) + 0.5)
+      |          AS pn
+      |      FROM c CROSS JOIN t)
+      |SELECT bin, CAST(n_pos AS BIGINT) AS n_pos,
+      |       CAST(n_neg AS BIGINT) AS n_neg,
+      |       round(ln(pp / pn), 6) AS woe,
+      |       round((pp - pn) * ln(pp / pn), 6) AS iv_term
+      |FROM s""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q41_stratified_sample" ->
@@ -6554,25 +6609,12 @@ object SparkEntry {
         |              / CAST(n - 1 AS DOUBLE) END AS te
         |FROM e JOIN s USING (cat)""".stripMargin,
 
-    // q191: identical ½-smoothed shares and log dag; woe/iv round-6
-    "q191_woe_iv" ->
-      """WITH e AS (SELECT CAST(floor(value / 50) AS BIGINT) AS bin,
-        |        CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
-        |      FROM events),
-        |c AS (SELECT bin, sum(y) AS n_pos, sum(1 - y) AS n_neg
-        |      FROM e GROUP BY 1),
-        |t AS (SELECT sum(n_pos) AS tp, sum(n_neg) AS tn FROM c),
-        |s AS (SELECT bin, n_pos, n_neg,
-        |        (CAST(n_pos AS DOUBLE) + 0.5) / (CAST(tp AS DOUBLE) + 0.5)
-        |          AS pp,
-        |        (CAST(n_neg AS DOUBLE) + 0.5) / (CAST(tn AS DOUBLE) + 0.5)
-        |          AS pn
-        |      FROM c CROSS JOIN t)
-        |SELECT bin, CAST(n_pos AS BIGINT) AS n_pos,
-        |       CAST(n_neg AS BIGINT) AS n_neg,
-        |       round(ln(pp / pn), 6) AS woe,
-        |       round((pp - pn) * ln(pp / pn), 6) AS iv_term
-        |FROM s""".stripMargin,
+    // q191: identical ½-smoothed shares and log dag; woe/iv round-6.
+    // q194: identical oracle — the cell counts are LINEAR, so the
+    // replay-maintained mart's sums are bit-equal to the one-shot
+    // aggregate and the derivation dag is shared code.
+    "q191_woe_iv" -> woeIvOracle,
+    "q194_woe_iv_replay" -> woeIvOracle,
 
     // q193: the same dim/value cells, deterministic (count desc, value
     // asc) mode rank, cell-level -p ln p terms; entropy round-6 and the

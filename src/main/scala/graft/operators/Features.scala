@@ -60,11 +60,18 @@ object Features {
    *
    * Emits one row per bin: (bin, n_pos, n_neg, woe, iv_term).
    */
-  def woeIv(df: DataFrame, bin: Column, y: Column): DataFrame = {
-    val cells = df.select(bin.as("bin"), y.cast("long").as("__y"))
+  def woeIv(df: DataFrame, bin: Column, y: Column): DataFrame =
+    woeIvFromCells(df.select(bin.as("bin"), y.cast("long").as("__y"))
       .groupBy(col("bin"))
       .agg(sum(col("__y")).as("n_pos"),
-        sum(lit(1L) - col("__y")).as("n_neg"))
+        sum(lit(1L) - col("__y")).as("n_neg")))
+
+  /** The derivation half of [[woeIv]], over an already-aggregated
+    * (bin, n_pos, n_neg) cell table — the cells are LINEAR in the
+    * facts (plain sums), which is what lets q194 maintain them
+    * incrementally under replay and run this same derivation over the
+    * maintained state (the q180 posture for the feature tier). */
+  def woeIvFromCells(cells: DataFrame): DataFrame = {
     val totals = cells.agg(sum(col("n_pos")).as("__tp"),
       sum(col("n_neg")).as("__tn"))
     val pp = (col("n_pos").cast("double") + lit(0.5)) /
