@@ -2951,6 +2951,16 @@ object SparkEntry {
         col("sum_neg").as("n_neg")))
   }
 
+  /** q195: mutual information between event type and weekday
+    * ([[graft.operators.Drift.mutualInfo]]) — the information-theoretic
+    * dependence measure over q179's exact contingency pair, plus the
+    * min-entropy normalization; only OBSERVED cells contribute (the
+    * x·ln x → 0 limit), logs ride the round-6 lane, nmi derives from
+    * the rounded values (q179 discipline). */
+  private def mutualInfoQ(s: SparkSession, d: String): DataFrame =
+    Drift.mutualInfo(events(s, d), col("event_type"),
+      expr("(CAST(ts AS LONG) DIV 86400) % 7"))
+
   /** q134: batch small-file compaction ([[graft.sinks.Publish.compact]] —
     * the lakehouse OPTIMIZE maintenance operator, the batch sibling of
     * the streaming `batch_id=` compactor): a deliberately fragmented
@@ -3646,6 +3656,7 @@ object SparkEntry {
     "q192_kaplan_meier"        -> (kaplanMeierQ _),
     "q193_cat_profile"         -> (catProfileQ _),
     "q194_woe_iv_replay"       -> (woeIvReplayQ _),
+    "q195_mutual_info"         -> (mutualInfoQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -6615,6 +6626,37 @@ object SparkEntry {
     // aggregate and the derivation dag is shared code.
     "q191_woe_iv" -> woeIvOracle,
     "q194_woe_iv_replay" -> woeIvOracle,
+
+    // q195: same observed-cell MI sum and marginal entropies, same
+    // round-6 lane, nmi from the ROUNDED values
+    "q195_mutual_info" ->
+      """WITH cells AS (SELECT event_type AS x,
+        |        (CAST(floor(epoch(ts) / 86400) AS BIGINT) % 7) AS y,
+        |        count(*) AS n
+        |      FROM events GROUP BY 1, 2),
+        |xt AS (SELECT x, sum(n) AS xt FROM cells GROUP BY 1),
+        |yt AS (SELECT y, sum(n) AS yt FROM cells GROUP BY 1),
+        |t AS (SELECT sum(n) AS t, count(DISTINCT x) AS xl,
+        |             count(DISTINCT y) AS yl FROM cells),
+        |mi AS (SELECT t, xl, yl,
+        |        round(sum((CAST(n AS DOUBLE) / CAST(t AS DOUBLE))
+        |          * ln(CAST(n AS DOUBLE) / CAST(t AS DOUBLE)
+        |              * CAST(t AS DOUBLE) * CAST(t AS DOUBLE)
+        |              / (CAST(xt AS DOUBLE) * CAST(yt AS DOUBLE)))), 6)
+        |          AS mi
+        |       FROM cells JOIN xt USING (x) JOIN yt USING (y)
+        |       CROSS JOIN t GROUP BY 1, 2, 3),
+        |hx AS (SELECT round(sum(-(CAST(xt AS DOUBLE) / CAST(t AS DOUBLE))
+        |          * ln(CAST(xt AS DOUBLE) / CAST(t AS DOUBLE))), 6) AS h_x
+        |       FROM xt CROSS JOIN t),
+        |hy AS (SELECT round(sum(-(CAST(yt AS DOUBLE) / CAST(t AS DOUBLE))
+        |          * ln(CAST(yt AS DOUBLE) / CAST(t AS DOUBLE))), 6) AS h_y
+        |       FROM yt CROSS JOIN t)
+        |SELECT CAST(t AS BIGINT) AS n, CAST(xl AS BIGINT) AS x_levels,
+        |       CAST(yl AS BIGINT) AS y_levels, mi, h_x, h_y,
+        |       CASE WHEN least(h_x, h_y) > 0.0
+        |            THEN round(mi / least(h_x, h_y), 6) END AS nmi
+        |FROM mi CROSS JOIN hx CROSS JOIN hy""".stripMargin,
 
     // q193: the same dim/value cells, deterministic (count desc, value
     // asc) mode rank, cell-level -p ln p terms; entropy round-6 and the

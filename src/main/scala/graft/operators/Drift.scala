@@ -172,4 +172,60 @@ object Drift {
           least(col("__rl") - lit(1), col("__cl") - lit(1))).cast("double"))
           .as("cramers_v"))
   }
+
+  /**
+   * Mutual information between two categorical columns — the
+   * information-theoretic member of the dependence toolkit next to
+   * [[cramersV]] (χ²-normalized effect size) and the q193 entropy
+   * profile (per-column dispersion):
+   *
+   *   MI = Σ_{x,y} p(x,y) · ln( p(x,y) / (p(x)·p(y)) )
+   *
+   * in nats, plus the normalized variant MI / min(H(X), H(Y)) ∈ [0,1]
+   * (the "uncertainty-coefficient-style" scale that makes tables of
+   * different cardinalities comparable). Only OBSERVED cells contribute
+   * — a zero cell's term is 0 by the x·ln x → 0 limit, so unlike χ²
+   * nothing is owed on the unobserved grid and the plan never widens
+   * beyond observed cells.
+   *
+   * Counts are exact Longs; every p is counts/total on the cell frame;
+   * MI and the entropies accumulate logs → round-6 lane, and the
+   * normalization divides the ROUNDED values (the q179 discipline:
+   * derived-from-rounded keeps one lane). Emits one row:
+   * (n, x_levels, y_levels, mi, h_x, h_y, nmi — NULL if either margin
+   * is constant).
+   */
+  def mutualInfo(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    val cells = df.filter(xCol.isNotNull && yCol.isNotNull)
+      .groupBy(xCol.as("__x"), yCol.as("__y"))
+      .agg(count(lit(1)).as("__n"))
+    val xTot = cells.groupBy(col("__x")).agg(sum(col("__n")).as("__xt"))
+    val yTot = cells.groupBy(col("__y")).agg(sum(col("__n")).as("__yt"))
+    val tot = cells.agg(sum(col("__n")).as("__t"),
+      count_distinct(col("__x")).as("__xl"),
+      count_distinct(col("__y")).as("__yl"))
+    def h(cnt: Column, t: Column): Column = {
+      val p = cnt.cast("double") / t.cast("double")
+      -p * log(p)
+    }
+    val joined = cells
+      .join(broadcast(xTot), Seq("__x"))
+      .join(broadcast(yTot), Seq("__y"))
+      .crossJoin(broadcast(tot))
+    val pxy = col("__n").cast("double") / col("__t").cast("double")
+    val miTerm = pxy * log(pxy * col("__t").cast("double") *
+      col("__t").cast("double") /
+      (col("__xt").cast("double") * col("__yt").cast("double")))
+    val hx = broadcast(xTot.crossJoin(broadcast(tot))
+      .agg(round(sum(h(col("__xt"), col("__t"))), 6).as("h_x")))
+    val hy = broadcast(yTot.crossJoin(broadcast(tot))
+      .agg(round(sum(h(col("__yt"), col("__t"))), 6).as("h_y")))
+    joined.groupBy(col("__t"), col("__xl"), col("__yl"))
+      .agg(round(sum(miTerm), 6).as("mi"))
+      .crossJoin(hx).crossJoin(hy)
+      .select(col("__t").as("n"), col("__xl").as("x_levels"),
+        col("__yl").as("y_levels"), col("mi"), col("h_x"), col("h_y"),
+        when(least(col("h_x"), col("h_y")) > 0.0,
+          round(col("mi") / least(col("h_x"), col("h_y")), 6)).as("nmi"))
+  }
 }

@@ -123,4 +123,34 @@ class DriftSpec extends SparkSpec {
     val r = Drift.cramersV(df, col("r"), col("c")).collect().head
     assert(r.getLong(0) === 4L, "only fully-categorized rows count")
   }
+
+  private def mi(rows: Seq[(String, String)]) = {
+    val r = Drift.mutualInfo(rows.toDF("x", "y"), col("x"), col("y"))
+      .collect().head
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+      r.getDouble(4), r.getDouble(5),
+      if (r.isNullAt(6)) None else Some(r.getDouble(6)))
+  }
+
+  test("mutualInfo: independence gives 0; a bijection gives MI = H, nmi = 1") {
+    val indep = for { x <- Seq("a", "b"); y <- Seq("p", "q"); _ <- 1 to 5 }
+      yield (x, y)
+    val (n, xl, yl, m, _, _, nmi) = mi(indep)
+    assert((n, xl, yl) === ((20L, 2L, 2L)))
+    assert(m === 0.0 && nmi === Some(0.0))
+    // y is a function of x with uniform x over 4 values: MI = H = ln 4
+    val bij = for { x <- Seq("a", "b", "c", "d"); _ <- 1 to 3 }
+      yield (x, x.toUpperCase)
+    val (_, _, _, m2, hx, hy, nmi2) = mi(bij)
+    val ln4 = BigDecimal(math.log(4.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(m2 === ln4 && hx === ln4 && hy === ln4)
+    assert(nmi2 === Some(1.0))
+  }
+
+  test("mutualInfo: constant margin makes normalization undefined, not 0/0") {
+    val (_, xl, _, m, _, _, nmi) = mi(Seq.fill(6)(("only", "y1")) ++
+      Seq.fill(6)(("only", "y2")))
+    assert(xl === 1L && m === 0.0 && nmi === None)
+  }
 }
