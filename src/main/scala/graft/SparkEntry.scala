@@ -2961,6 +2961,18 @@ object SparkEntry {
     Drift.mutualInfo(events(s, d), col("event_type"),
       expr("(CAST(ts AS LONG) DIV 86400) % 7"))
 
+  /** q196: two-feature OLS per return flag
+    * ([[graft.operators.Trend.ols2]]) — price ~ quantity + discount by
+    * Cramer's rule over nine exact-Long sufficient statistics: the
+    * one-pass distributed regression (facts reduce to one grouped
+    * aggregate; the solve is scan-side on group rows). Betas round-6;
+    * the oracle writes the identical determinant dag. */
+  private def ols2Q(s: SparkSession, d: String): DataFrame =
+    Trend.ols2(lineitem(s, d), Seq("l_returnflag"),
+      col("l_quantity"),
+      expr("CAST(round(l_discount * 100) AS BIGINT)"),
+      expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+
   /** q134: batch small-file compaction ([[graft.sinks.Publish.compact]] —
     * the lakehouse OPTIMIZE maintenance operator, the batch sibling of
     * the streaming `batch_id=` compactor): a deliberately fragmented
@@ -3657,6 +3669,7 @@ object SparkEntry {
     "q193_cat_profile"         -> (catProfileQ _),
     "q194_woe_iv_replay"       -> (woeIvReplayQ _),
     "q195_mutual_info"         -> (mutualInfoQ _),
+    "q196_ols2"                -> (ols2Q _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -6657,6 +6670,47 @@ object SparkEntry {
         |       CASE WHEN least(h_x, h_y) > 0.0
         |            THEN round(mi / least(h_x, h_y), 6) END AS nmi
         |FROM mi CROSS JOIN hx CROSS JOIN hy""".stripMargin,
+
+    // q196: the same nine exact-Long moments and the same Cramer
+    // determinant dag (identical parenthesization); betas round-6
+    "q196_ols2" ->
+      """WITH b AS (SELECT l_returnflag AS rf,
+        |        CAST(l_quantity AS BIGINT) AS x1,
+        |        CAST(round(l_discount * 100) AS BIGINT) AS x2,
+        |        CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        |      FROM lineitem),
+        |m AS (SELECT rf, count(*) AS n,
+        |        CAST(sum(x1) AS BIGINT) AS s1,
+        |        CAST(sum(x2) AS BIGINT) AS s2,
+        |        CAST(sum(y) AS BIGINT) AS sy,
+        |        CAST(sum(x1 * x1) AS BIGINT) AS s11,
+        |        CAST(sum(x2 * x2) AS BIGINT) AS s22,
+        |        CAST(sum(x1 * x2) AS BIGINT) AS s12,
+        |        CAST(sum(x1 * y) AS BIGINT) AS s1y,
+        |        CAST(sum(x2 * y) AS BIGINT) AS s2y
+        |      FROM b GROUP BY 1),
+        |c AS (SELECT rf, n,
+        |        CAST(n AS DOUBLE) AS dn, CAST(s1 AS DOUBLE) AS d1,
+        |        CAST(s2 AS DOUBLE) AS d2, CAST(sy AS DOUBLE) AS dy,
+        |        CAST(s11 AS DOUBLE) AS d11, CAST(s22 AS DOUBLE) AS d22,
+        |        CAST(s12 AS DOUBLE) AS d12, CAST(s1y AS DOUBLE) AS d1y,
+        |        CAST(s2y AS DOUBLE) AS d2y
+        |      FROM m),
+        |e AS (SELECT rf, n,
+        |        dn * (d11 * d22 - d12 * d12) - d1 * (d1 * d22 - d12 * d2)
+        |          + d2 * (d1 * d12 - d11 * d2) AS det,
+        |        dy * (d11 * d22 - d12 * d12) - d1 * (d1y * d22 - d12 * d2y)
+        |          + d2 * (d1y * d12 - d11 * d2y) AS det0,
+        |        dn * (d1y * d22 - d12 * d2y) - dy * (d1 * d22 - d12 * d2)
+        |          + d2 * (d1 * d2y - d1y * d2) AS det1,
+        |        dn * (d11 * d2y - d1y * d12) - d1 * (d1 * d2y - d1y * d2)
+        |          + dy * (d1 * d12 - d11 * d2) AS det2
+        |      FROM c)
+        |SELECT rf AS l_returnflag, CAST(n AS BIGINT) AS n,
+        |       CASE WHEN det <> 0.0 THEN round(det0 / det, 6) END AS b0,
+        |       CASE WHEN det <> 0.0 THEN round(det1 / det, 6) END AS b1,
+        |       CASE WHEN det <> 0.0 THEN round(det2 / det, 6) END AS b2
+        |FROM e""".stripMargin,
 
     // q193: the same dim/value cells, deterministic (count desc, value
     // asc) mode rank, cell-level -p ln p terms; entropy round-6 and the

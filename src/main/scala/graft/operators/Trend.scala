@@ -345,6 +345,63 @@ object Trend {
    * 10⁻⁶ value per time tick, floor-rounded.
    */
   /**
+   * Two-feature ordinary least squares per group — the multivariate
+   * step past q161's built-in `regr_slope` family (which is strictly
+   * bivariate): fit `y = b0 + b1·x1 + b2·x2` by solving the 3×3 normal
+   * equations with Cramer's rule over the SUFFICIENT-STATISTIC moments
+   *
+   *   n, Σx1, Σx2, Σy, Σx1², Σx2², Σx1x2, Σx1y, Σx2y
+   *
+   * — the classic one-pass distributed regression: the facts reduce to
+   * nine numbers per group in a single grouped aggregate (map-side
+   * partials), and the solve is scan-side arithmetic on the group rows.
+   * No matrix library, no second pass, no driver math.
+   *
+   * Exactness: with integer-valued inputs every moment is an exact Long
+   * (ANSI overflow-checked, never silently wrapped); the determinants
+   * are a fixed dag of correctly-rounded double ops on identical
+   * operands — bit-identical cross-engine — and the betas ride the
+   * round-6 lane. A collinear/degenerate group (determinant 0) yields
+   * NULL betas rather than an ANSI divide error.
+   *
+   * Emits (keys…, n, b0, b1, b2).
+   */
+  def ols2(df: DataFrame, keys: Seq[String], x1: Column, x2: Column,
+           y: Column): DataFrame = {
+    val base = df.select(keys.map(col) :+ x1.cast("long").as("__x1") :+
+      x2.cast("long").as("__x2") :+ y.cast("long").as("__y"): _*)
+    val m = base.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x1")).as("s1"), sum(col("__x2")).as("s2"),
+        sum(col("__y")).as("sy"),
+        sum(col("__x1") * col("__x1")).as("s11"),
+        sum(col("__x2") * col("__x2")).as("s22"),
+        sum(col("__x1") * col("__x2")).as("s12"),
+        sum(col("__x1") * col("__y")).as("s1y"),
+        sum(col("__x2") * col("__y")).as("s2y"))
+    def d(c: String): Column = col(c).cast("double")
+    // det of [[n s1 s2][s1 s11 s12][s2 s12 s22]] and the three
+    // right-hand-side column replacements (Cramer)
+    def det3(a1: Column, a2: Column, a3: Column,
+             b1: Column, b2: Column, b3: Column,
+             c1: Column, c2: Column, c3: Column): Column =
+      a1 * (b2 * c3 - b3 * c2) - a2 * (b1 * c3 - b3 * c1) +
+        a3 * (b1 * c2 - b2 * c1)
+    val det = det3(d("n"), d("s1"), d("s2"),
+      d("s1"), d("s11"), d("s12"), d("s2"), d("s12"), d("s22"))
+    val det0 = det3(d("sy"), d("s1"), d("s2"),
+      d("s1y"), d("s11"), d("s12"), d("s2y"), d("s12"), d("s22"))
+    val det1 = det3(d("n"), d("sy"), d("s2"),
+      d("s1"), d("s1y"), d("s12"), d("s2"), d("s2y"), d("s22"))
+    val det2 = det3(d("n"), d("s1"), d("sy"),
+      d("s1"), d("s11"), d("s1y"), d("s2"), d("s12"), d("s2y"))
+    m.select(keys.map(col) :+ col("n") :+
+      when(det =!= 0.0, round(det0 / det, 6)).as("b0") :+
+      when(det =!= 0.0, round(det1 / det, 6)).as("b1") :+
+      when(det =!= 0.0, round(det2 / det, 6)).as("b2"): _*)
+  }
+
+  /**
    * M4 time-series downsampling — the error-free visualization reducer
    * (Jugel et al., VLDB 2014): per key, the time range splits into
    * `buckets` equal bins and each bin keeps exactly the four points a

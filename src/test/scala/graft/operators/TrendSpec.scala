@@ -316,4 +316,21 @@ class TrendSpec extends SparkSpec {
     val got = m4(Seq(("solo", 42L, 17L)), buckets = 16)
     assert(got === Map(("solo", 0L) -> ((1L, 42L, 17L, 42L, 17L, 17L, 17L))))
   }
+
+  test("ols2: recovers an exact plane; collinear features give NULL betas") {
+    // y = 10 + 3·x1 − 2·x2 on a non-degenerate grid: exact recovery
+    val grid = for { x1 <- 0L to 4L; x2 <- 0L to 3L }
+      yield ("g", x1, x2, 10 + 3 * x1 - 2 * x2)
+    val got = Trend.ols2(grid.toDF("k", "x1", "x2", "y"), Seq("k"),
+        col("x1"), col("x2"), col("y"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(got("g") === ((20L, 10.0, 3.0, -2.0)))
+    // x2 = 2·x1 exactly: the normal matrix is singular → NULLs, no throw
+    val coll = (0L to 5L).map(x => ("c", x, 2 * x, x + 1))
+    val r = Trend.ols2(coll.toDF("k", "x1", "x2", "y"), Seq("k"),
+        col("x1"), col("x2"), col("y")).collect().head
+    assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4))
+  }
 }
