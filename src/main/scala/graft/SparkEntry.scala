@@ -2973,6 +2973,20 @@ object SparkEntry {
       expr("CAST(round(l_discount * 100) AS BIGINT)"),
       expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
 
+  /** q197: consistent-hash rebalance audit
+    * ([[graft.operators.Shard.rebalanceMatrix]]) — the (owner-before,
+    * owner-after) movement matrix for growing the ring 8 → 9 nodes
+    * (16 vnodes each): ring points and key hashes are SHA lanes, so
+    * the oracle REBUILDS both rings from sha256 in SQL (the q25
+    * hyperplane pattern); ownership is a scan-side sorted-array HOF,
+    * zero joins, one grouped pass. Off-diagonal mass ≈ 1/9 — the
+    * consistent-hashing claim, exact-counted. */
+  private def consistentHashQ(s: SparkSession, d: String): DataFrame =
+    Shard.rebalanceMatrix(documents(s, d),
+      concat(lit("doc|"), col("doc_id").cast("string")),
+      nodes = (0 until 8).map(i => s"n$i"), addedNodes = Seq("n8"),
+      vnodesPerNode = 16)
+
   /** q134: batch small-file compaction ([[graft.sinks.Publish.compact]] —
     * the lakehouse OPTIMIZE maintenance operator, the batch sibling of
     * the streaming `batch_id=` compactor): a deliberately fragmented
@@ -3670,6 +3684,7 @@ object SparkEntry {
     "q194_woe_iv_replay"       -> (woeIvReplayQ _),
     "q195_mutual_info"         -> (mutualInfoQ _),
     "q196_ols2"                -> (ols2Q _),
+    "q197_consistent_hash"     -> (consistentHashQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -6711,6 +6726,35 @@ object SparkEntry {
         |       CASE WHEN det <> 0.0 THEN round(det1 / det, 6) END AS b1,
         |       CASE WHEN det <> 0.0 THEN round(det2 / det, 6) END AS b2
         |FROM e""".stripMargin,
+
+    // q197: both rings rebuilt from sha256 over range() CTEs (the q25
+    // hyperplane pattern); successor = arg_min over pt >= h (ring
+    // points are 60-bit lanes — collision-free at 144 points), wrap
+    // rows take the global ring head
+    "q197_consistent_hash" -> {
+      def ring(name: String, n: Int): String =
+        s"""$name AS (SELECT ${duckLane("'ring|n' || n || '|' || v")} AS pt,
+           |        'n' || n AS node
+           |      FROM range(0, $n) r(n), range(0, 16) s(v))""".stripMargin
+      def owns(name: String, ringName: String): String =
+        s"""$name AS (
+           |  SELECT d.doc_id, arg_min(r.node, r.pt) AS owner
+           |  FROM docs d JOIN $ringName r ON r.pt >= d.h GROUP BY 1
+           |  UNION ALL
+           |  SELECT d.doc_id, (SELECT arg_min(node, pt) FROM $ringName)
+           |  FROM docs d
+           |  WHERE d.h > (SELECT max(pt) FROM $ringName))""".stripMargin
+      s"""WITH ${ring("ring8", 8)},
+         |${ring("ring9", 9)},
+         |docs AS (SELECT doc_id,
+         |           ${duckLane("'doc|' || doc_id::VARCHAR")} AS h
+         |         FROM documents),
+         |${owns("o8", "ring8")},
+         |${owns("o9", "ring9")}
+         |SELECT o8.owner AS owner_old, o9.owner AS owner_new,
+         |       CAST(count(*) AS BIGINT) AS n_keys
+         |FROM o8 JOIN o9 USING (doc_id) GROUP BY 1, 2""".stripMargin
+    },
 
     // q193: the same dim/value cells, deterministic (count desc, value
     // asc) mode rank, cell-level -p ln p terms; entropy round-6 and the
