@@ -2987,6 +2987,37 @@ object SparkEntry {
       nodes = (0 until 8).map(i => s"n$i"), addedNodes = Seq("n8"),
       vnodesPerNode = 16)
 
+  /** q198: equi-depth order-value histogram
+    * ([[graft.operators.Profile.equiDepthHistogram]], 8 buckets) — the
+    * optimizer-statistics form: quantile boundaries from ONE exact-
+    * percentile aggregate broadcast back (dyadic fractions, exact
+    * doubles), scan-side bucket comparisons, no global sort/NTILE. */
+  private def equiDepthQ(s: SparkSession, d: String): DataFrame =
+    Profile.equiDepthHistogram(orders(s, d),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)"), buckets = 8)
+
+  /** q199: conversion-latency quantiles per user-parity cohort — the
+    * time-to-convert distribution (first view → first purchase, users
+    * with purchase-before-view or no purchase excluded): one per-user
+    * grouped pass, then a cohort-sized exact-percentile aggregate
+    * (q37's round-4 quantile lane). */
+  private def convLatencyQ(s: SparkSession, d: String): DataFrame = {
+    val t = expr("CAST(ts AS LONG)")
+    val perUser = events(s, d)
+      .groupBy(col("user_id"),
+        when(pmod(col("user_id"), lit(2)) === 0, lit("even"))
+          .otherwise(lit("odd")).as("cohort"))
+      .agg(min(when(col("event_type") === "view", t)).as("fv"),
+        min(when(col("event_type") === "purchase", t)).as("fp"))
+      .filter(col("fv").isNotNull && col("fp").isNotNull &&
+        col("fp") >= col("fv"))
+      .select(col("cohort"), (col("fp") - col("fv")).as("gap"))
+    perUser.groupBy(col("cohort"))
+      .agg(count(lit(1)).as("n_converted"),
+        round(percentile(col("gap"), lit(0.5)), 4).as("p50_s"),
+        round(percentile(col("gap"), lit(0.9)), 4).as("p90_s"))
+  }
+
   /** q134: batch small-file compaction ([[graft.sinks.Publish.compact]] —
     * the lakehouse OPTIMIZE maintenance operator, the batch sibling of
     * the streaming `batch_id=` compactor): a deliberately fragmented
@@ -3685,6 +3716,8 @@ object SparkEntry {
     "q195_mutual_info"         -> (mutualInfoQ _),
     "q196_ols2"                -> (ols2Q _),
     "q197_consistent_hash"     -> (consistentHashQ _),
+    "q198_equidepth_hist"      -> (equiDepthQ _),
+    "q199_conversion_latency"  -> (convLatencyQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -6755,6 +6788,46 @@ object SparkEntry {
          |       CAST(count(*) AS BIGINT) AS n_keys
          |FROM o8 JOIN o9 USING (doc_id) GROUP BY 1, 2""".stripMargin
     },
+
+    // q198: same dyadic quantile boundaries (quantile_cont == Spark
+    // percentile, q176-proven) and the same scan-side comparisons;
+    // per-bucket stats exact Longs
+    "q198_equidepth_hist" ->
+      """WITH v AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c
+        |           FROM orders),
+        |b AS (SELECT quantile_cont(c, [0.125, 0.25, 0.375, 0.5,
+        |                              0.625, 0.75, 0.875]) AS q FROM v),
+        |x AS (SELECT
+        |        CAST(CAST(c AS DOUBLE) > q[1] AS BIGINT)
+        |      + CAST(CAST(c AS DOUBLE) > q[2] AS BIGINT)
+        |      + CAST(CAST(c AS DOUBLE) > q[3] AS BIGINT)
+        |      + CAST(CAST(c AS DOUBLE) > q[4] AS BIGINT)
+        |      + CAST(CAST(c AS DOUBLE) > q[5] AS BIGINT)
+        |      + CAST(CAST(c AS DOUBLE) > q[6] AS BIGINT)
+        |      + CAST(CAST(c AS DOUBLE) > q[7] AS BIGINT) AS bucket, c
+        |      FROM v CROSS JOIN b)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(min(c) AS BIGINT) AS v_min,
+        |       CAST(max(c) AS BIGINT) AS v_max
+        |FROM x GROUP BY 1""".stripMargin,
+
+    // q199: identical per-user firsts and gap filter; quantiles ride
+    // the q37 round-4 lane
+    "q199_conversion_latency" ->
+      """WITH u AS (SELECT user_id,
+        |        CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END
+        |          AS cohort,
+        |        min(CASE WHEN event_type = 'view'
+        |              THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS fv,
+        |        min(CASE WHEN event_type = 'purchase'
+        |              THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS fp
+        |      FROM events GROUP BY 1, 2),
+        |g AS (SELECT cohort, fp - fv AS gap FROM u
+        |      WHERE fv IS NOT NULL AND fp IS NOT NULL AND fp >= fv)
+        |SELECT cohort, CAST(count(*) AS BIGINT) AS n_converted,
+        |       round(quantile_cont(CAST(gap AS DOUBLE), 0.5), 4) AS p50_s,
+        |       round(quantile_cont(CAST(gap AS DOUBLE), 0.9), 4) AS p90_s
+        |FROM g GROUP BY 1""".stripMargin,
 
     // q193: the same dim/value cells, deterministic (count desc, value
     // asc) mode rank, cell-level -p ln p terms; entropy round-6 and the

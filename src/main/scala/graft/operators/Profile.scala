@@ -162,6 +162,40 @@ object Profile {
   }
 
   /**
+   * Equi-DEPTH histogram — the optimizer-statistics sibling of
+   * [[histogram]]'s equi-width buckets: boundaries are the value's own
+   * quantiles, so every bucket holds ~n/B rows regardless of skew (the
+   * form planners keep, because selectivity per bucket is constant by
+   * construction; an equi-width histogram wastes its resolution on
+   * empty ranges under skew).
+   *
+   * Shape is the q176 bounds idiom: ONE exact-percentile aggregate
+   * (B−1 interpolated boundaries) broadcast back, bucket assignment as
+   * scan-side boundary comparisons on identical doubles, one grouped
+   * pass for the per-bucket stats — no global ranking window anywhere
+   * (the NTILE formulation is a single-partition sort at scale; this
+   * is two aggregates). Exact Long min/max/count per bucket.
+   *
+   * Emits one row per non-empty bucket: (bucket, n, v_min, v_max).
+   */
+  def equiDepthHistogram(df: DataFrame, value: Column,
+                         buckets: Int): DataFrame = {
+    require(buckets >= 2 && buckets <= 1024, "buckets in [2, 1024]")
+    val base = df.select(value.cast("long").as("__v"))
+    val qs = array((1 until buckets).map(i =>
+      lit(i.toDouble / buckets)): _*)
+    val bounds = base.agg(percentile(col("__v"), qs).as("__b"))
+    val bucket = (1 until buckets).map(i =>
+      (col("__v").cast("double") > element_at(col("__b"), i)).cast("long"))
+      .foldLeft(lit(0L))(_ + _)
+    base.crossJoin(broadcast(bounds))
+      .select(bucket.as("bucket"), col("__v"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("__v")).as("v_min"),
+        max(col("__v")).as("v_max"))
+  }
+
+  /**
    * Categorical distribution profile per dimension — the qualitative
    * companion to [[profile]]'s min/max/null counts: MODE (most frequent
    * value, ties broken to the LEXICALLY SMALLEST — ties are real in

@@ -117,6 +117,24 @@ class ProfileSpec extends SparkSpec {
     assert(r.getDouble(4) === 1.0)
   }
 
+  test("equiDepthHistogram: uniform data splits evenly; skew stays balanced") {
+    val uniform = (1L to 80L).map(v => Tuple1(v)).toDF("v")
+    val got = Profile.equiDepthHistogram(uniform, col("v"), buckets = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.keySet === Set(0L, 1L, 2L, 3L))
+    assert(got.values.map(_._1).toSeq.sorted === Seq(20L, 20L, 20L, 20L))
+    assert(got(0L) === ((20L, 1L, 20L)) && got(3L) === ((20L, 61L, 80L)))
+    // heavy skew: 90 copies of 1 plus 10 outliers — equi-WIDTH would
+    // put ~all rows in one bucket; equi-depth collapses the duplicate
+    // mass into the low buckets and still isolates the tail
+    val skew = (Seq.fill(90)(1L) ++ (1000L to 1009L)).map(Tuple1(_)).toDF("v")
+    val s = Profile.equiDepthHistogram(skew, col("v"), buckets = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s.values.sum === 100L)
+    assert(s(3L) === 10L, "the tail bucket isolates exactly the outliers")
+  }
+
   private def catProf(rows: Seq[(String, String)]) =
     Profile.categoricalProfile(rows.toDF("dim", "v"), col("dim"), col("v"))
       .collect().map(r => r.getString(0) ->
