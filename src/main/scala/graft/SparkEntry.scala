@@ -3018,6 +3018,44 @@ object SparkEntry {
         round(percentile(col("gap"), lit(0.9)), 4).as("p90_s"))
   }
 
+  /** q200: the M4 dashboard mart under freshness replay — a FIXED
+    * January-2024 viewport (dashboard contract: bins can't move when
+    * data arrives) maintained through three event micro-batches: the
+    * per-tick cell grid is MERGEABLE state (counts sum, tick min/max
+    * re-min/max — [[graft.operators.Incremental]]'s mins/maxs path),
+    * so maintained == recomputed bit-exactly and q189's derivation
+    * ([[graft.operators.Trend.m4FromTicks]]) runs over the maintained
+    * mart. The q180/q194 posture extended to min/max-shaped state. */
+  private def m4ReplayQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Incremental
+    val dir = replayStateDir(s, "q200", d)
+    val T0 = 1704067200L // epoch '2024-01-01'
+    val T1 = 1706745599L // epoch '2024-02-01' - 1
+    val facts = events(s, d)
+      .select(col("event_id"), col("event_type"),
+        expr("CAST(ts AS LONG)").as("__t"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+      .filter(col("__t").between(T0, T1))
+      .withColumn("bin", expr(s"((__t - ${T0}L) * 16L) div ${T1 - T0 + 1}L"))
+    val keys = Seq("event_type", "bin", "__t")
+    (0 until 3).foreach { i =>
+      val part = Incremental.aggregate(
+        facts.filter(pmod(col("event_id"), lit(3)) === i), keys,
+        sums = Nil, mins = Seq("v"), maxs = Seq("v"))
+      val merged =
+        if (i == 0) part
+        else Incremental.mergeAggregates(
+          Seq(s.read.parquet(s"$dir/state_${i - 1}"), part), keys,
+          sums = Nil, mins = Seq("v"), maxs = Seq("v"))
+      merged.write.mode("overwrite").parquet(s"$dir/state_$i")
+    }
+    Trend.m4FromTicks(
+      s.read.parquet(s"$dir/state_2").select(col("event_type"), col("bin"),
+        col("__t"), col("n").as("__c"), col("min_v").as("__lo"),
+        col("max_v").as("__hi")),
+      Seq("event_type"))
+  }
+
   /** q134: batch small-file compaction ([[graft.sinks.Publish.compact]] —
     * the lakehouse OPTIMIZE maintenance operator, the batch sibling of
     * the streaming `batch_id=` compactor): a deliberately fragmented
@@ -3718,6 +3756,7 @@ object SparkEntry {
     "q197_consistent_hash"     -> (consistentHashQ _),
     "q198_equidepth_hist"      -> (equiDepthQ _),
     "q199_conversion_latency"  -> (convLatencyQ _),
+    "q200_m4_replay"           -> (m4ReplayQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -6810,6 +6849,30 @@ object SparkEntry {
         |       CAST(min(c) AS BIGINT) AS v_min,
         |       CAST(max(c) AS BIGINT) AS v_max
         |FROM x GROUP BY 1""".stripMargin,
+
+    // q200: one-shot SQL over the same FIXED viewport — the per-tick
+    // grid is mergeable (counts sum, min/max re-min/max), so the
+    // replay-maintained mart reduces to this exactly
+    "q200_m4_replay" ->
+      """WITH e AS (SELECT event_type,
+        |        CAST(floor(epoch(ts)) AS BIGINT) AS t,
+        |        CAST(round(value * 100) AS BIGINT) AS v FROM events
+        |      WHERE CAST(floor(epoch(ts)) AS BIGINT)
+        |        BETWEEN 1704067200 AND 1706745599),
+        |x AS (SELECT event_type,
+        |        ((t - 1704067200) * 16) // 2678400 AS bin, t, v FROM e),
+        |g1 AS (SELECT event_type, bin, t, count(*) AS c,
+        |         min(v) AS lo, max(v) AS hi
+        |       FROM x GROUP BY 1, 2, 3)
+        |SELECT event_type, CAST(bin AS BIGINT) AS bin,
+        |       CAST(sum(c) AS BIGINT) AS n,
+        |       CAST(arg_min(t, t) AS BIGINT) AS t_first,
+        |       CAST(arg_min(lo, t) AS BIGINT) AS v_first,
+        |       CAST(arg_max(t, t) AS BIGINT) AS t_last,
+        |       CAST(arg_max(hi, t) AS BIGINT) AS v_last,
+        |       CAST(min(lo) AS BIGINT) AS v_min,
+        |       CAST(max(hi) AS BIGINT) AS v_max
+        |FROM g1 GROUP BY 1, 2""".stripMargin,
 
     // q199: identical per-user firsts and gap filter; quantiles ride
     // the q37 round-4 lane

@@ -440,6 +440,15 @@ object Trend {
         col("__t"): _*)
       .agg(count(lit(1)).as("__c"), min(col("__v")).as("__lo"),
         max(col("__v")).as("__hi"))
+    m4FromTicks(perTick, keys)
+  }
+
+  /** The derivation half of [[m4Downsample]], over the per-tick cell
+    * grid `(keys…, bin, __t, __c, __lo, __hi)` — the grid is MERGEABLE
+    * state (counts sum; tick min/max re-min/max), which is what lets
+    * q200 maintain it incrementally under replay over a fixed viewport
+    * and run this same derivation over the maintained mart. */
+  def m4FromTicks(perTick: DataFrame, keys: Seq[String]): DataFrame =
     perTick.groupBy(keys.map(col) :+ col("bin"): _*)
       .agg(sum(col("__c")).as("n"),
         min(struct(col("__t"), col("__lo"))).as("__f"),
@@ -449,7 +458,6 @@ object Trend {
         col("__f.__t").as("t_first") :+ col("__f.__lo").as("v_first") :+
         col("__l.__t").as("t_last") :+ col("__l.__hi").as("v_last") :+
         col("v_min") :+ col("v_max"): _*)
-  }
 
   def theilSen(series: DataFrame, keys: Seq[String], t: Column,
                v: Column): DataFrame = {
