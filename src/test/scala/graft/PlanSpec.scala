@@ -831,6 +831,29 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q193-q199 tier: scalar folds broadcast; q196/q197 join-free shapes") {
+    // two-feature OLS: facts reduce to ONE aggregate exchange; the
+    // Cramer solve is scan-side on group rows — no join, no window
+    val p196 = plan("q196_ols2")
+    assert(!p196.toLowerCase.contains("join") && !p196.contains("Window"))
+    assert(countOf(p196, "Exchange hashpartitioning") <= 1,
+      p196.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    // consistent hashing: ownership is a scan-side array HOF — the only
+    // exchange is the final movement-matrix aggregate
+    val p197 = plan("q197_consistent_hash")
+    assert(!p197.toLowerCase.contains("join"),
+      "ring lookup must be the baked sorted-array literal, not a join")
+    // equi-depth histogram: quantile bounds ride a broadcast scalar
+    // fold; no window (the NTILE global sort is the banned shape)
+    val p198 = plan("q198_equidepth_hist")
+    assert(!p198.contains("Window") && (p198.contains("BroadcastExchange")
+      || p198.contains("BroadcastNestedLoopJoin")))
+    Seq("q193_cat_profile", "q194_woe_iv_replay", "q195_mutual_info",
+      "q199_conversion_latency").foreach { q =>
+      assert(!plan(q).contains("CartesianProduct"), s"$q cartesian")
+    }
+  }
+
   test("q187 phrase search: postings term filter is scan-side, probes equi") {
     val p = plan("q187_phrase_search")
     // the tok IN (phrase terms) prune must sit under the generate, not
