@@ -3056,6 +3056,16 @@ object SparkEntry {
       Seq("event_type"))
   }
 
+  /** q201: calibration/reliability report with ECE terms
+    * ([[graft.operators.Features.calibration]]) — is the (clamped)
+    * value-derived score an honest probability of conversion: 10
+    * scan-side bins, one grouped pass, one scalar fold; score sums
+    * accumulate → round-6 lane. Σ ece_term is the model's ECE. */
+  private def calibrationQ(s: SparkSession, d: String): DataFrame =
+    Features.calibration(events(s, d),
+      least(col("value"), lit(500.0)) / lit(500.0),
+      (col("event_type") === "purchase").cast("long"), buckets = 10)
+
   /** q134: batch small-file compaction ([[graft.sinks.Publish.compact]] —
     * the lakehouse OPTIMIZE maintenance operator, the batch sibling of
     * the streaming `batch_id=` compactor): a deliberately fragmented
@@ -3757,6 +3767,7 @@ object SparkEntry {
     "q198_equidepth_hist"      -> (equiDepthQ _),
     "q199_conversion_latency"  -> (convLatencyQ _),
     "q200_m4_replay"           -> (m4ReplayQ _),
+    "q201_calibration"         -> (calibrationQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -6873,6 +6884,24 @@ object SparkEntry {
         |       CAST(min(lo) AS BIGINT) AS v_min,
         |       CAST(max(hi) AS BIGINT) AS v_max
         |FROM g1 GROUP BY 1, 2""".stripMargin,
+
+    // q201: same clamp, bins, and gap dag; score sums ride round-6
+    "q201_calibration" ->
+      """WITH b AS (SELECT least(value, 500.0) / 500.0 AS s,
+        |        CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |      FROM events),
+        |c AS (SELECT least(CAST(floor(s * 10.0) AS BIGINT), 9) AS bin,
+        |        count(*) AS n, sum(s) AS ss, sum(y) AS sy
+        |      FROM b GROUP BY 1),
+        |t AS (SELECT sum(n) AS nt FROM c)
+        |SELECT bin, CAST(n AS BIGINT) AS n,
+        |       round(ss / CAST(n AS DOUBLE), 6) AS avg_score,
+        |       round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rate,
+        |       round(CAST(n AS DOUBLE) / CAST(nt AS DOUBLE)
+        |         * abs(ss / CAST(n AS DOUBLE)
+        |             - CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+        |         AS ece_term
+        |FROM c CROSS JOIN t""".stripMargin,
 
     // q199: identical per-user firsts and gap filter; quantiles ride
     // the q37 round-4 lane

@@ -71,6 +71,46 @@ object Features {
     * facts (plain sums), which is what lets q194 maintain them
     * incrementally under replay and run this same derivation over the
     * maintained state (the q180 posture for the feature tier). */
+  /**
+   * Calibration (reliability) report for a probabilistic score — the
+   * supervised-eval companion to the retrieval tier's ranking metrics:
+   * bin predictions by score, compare each bin's MEAN SCORE to its
+   * OBSERVED RATE, and weight the gaps into the expected calibration
+   * error `ECE = Σ (n_b/N)·|conf_b − acc_b|` (Naeini et al. 2015) —
+   * the standard "can you trust this model's probabilities" screen.
+   *
+   * Binning is `floor(score·B)` clamped to B−1 (so score = 1.0 joins
+   * the top bin instead of opening a phantom one) — one scan-side
+   * expression; the report is ONE grouped pass plus a single-row total
+   * broadcast back (the q121 idiom). Counts exact Longs; mean score,
+   * rate, and the ECE term are fixed dags over exact sums → round-6
+   * lane.
+   *
+   * Emits one row per non-empty bin: (bin, n, avg_score, rate,
+   * ece_term) — Σ ece_term is the model's ECE.
+   */
+  def calibration(df: DataFrame, score: Column, label: Column,
+                  buckets: Int = 10): DataFrame = {
+    require(buckets >= 2 && buckets <= 1000, "buckets in [2, 1000]")
+    val base = df.select(score.cast("double").as("__s"),
+      label.cast("long").as("__y"))
+    val bin = least(floor(col("__s") * lit(buckets.toDouble)).cast("long"),
+      lit(buckets - 1L))
+    val cells = base.select(bin.as("bin"), col("__s"), col("__y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__s")).as("__ss"),
+        sum(col("__y")).as("__sy"))
+    val total = cells.agg(sum(col("n")).as("__N"))
+    val conf = col("__ss") / col("n").cast("double")
+    val acc = col("__sy").cast("double") / col("n").cast("double")
+    cells.crossJoin(broadcast(total))
+      .select(col("bin"), col("n"),
+        round(conf, 6).as("avg_score"),
+        round(acc, 6).as("rate"),
+        round(col("n").cast("double") / col("__N").cast("double") *
+          abs(conf - acc), 6).as("ece_term"))
+  }
+
   def woeIvFromCells(cells: DataFrame): DataFrame = {
     val totals = cells.agg(sum(col("n_pos")).as("__tp"),
       sum(col("n_neg")).as("__tn"))

@@ -45,6 +45,32 @@ class FeaturesSpec extends SparkSpec {
       "IV terms are non-negative by construction (x·ln ratios co-signed)")
   }
 
+  test("calibration: perfectly calibrated scores give zero ECE terms") {
+    // in each bin the mean score equals the empirical rate exactly
+    val rows = Seq.fill(4)((0.25, 1L)) ++ Seq.fill(12)((0.25, 0L)) ++
+      Seq.fill(9)((0.75, 1L)) ++ Seq.fill(3)((0.75, 0L))
+    val got = Features.calibration(rows.toDF("s", "y"), col("s"), col("y"),
+        buckets = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(got(1L) === ((16L, 0.25, 0.25, 0.0)))
+    assert(got(3L) === ((12L, 0.75, 0.75, 0.0)))
+  }
+
+  test("calibration: score 1.0 joins the top bin; ECE weights by bin mass") {
+    val rows = Seq((1.0, 1L), (1.0, 0L), (0.0, 0L), (0.0, 0L), (0.0, 0L),
+      (0.0, 0L), (0.0, 0L), (0.0, 0L))
+    val got = Features.calibration(rows.toDF("s", "y"), col("s"), col("y"),
+        buckets = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(4))).toMap
+    assert(got.keySet === Set(0L, 9L), "no phantom bin 10")
+    // top bin: conf 1.0, acc 0.5, mass 2/8 → term 0.125; bottom exact
+    assert(got(9L) === ((2L, 0.125)))
+    assert(got(0L) === ((6L, 0.0)))
+  }
+
   test("woeIv: an empty class stays finite through the ½ correction") {
     val rows = Seq(("only_pos", 1L), ("only_pos", 1L), ("mixed", 1L),
       ("mixed", 0L)).toDF("bin", "y")
