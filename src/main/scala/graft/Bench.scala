@@ -120,6 +120,48 @@ object Bench {
     math.max(once(), once())
   }
 
+  /**
+   * Quiet-record gate for the durable `BENCH_full.json` write. The
+   * committed full record is the engine's definitive per-query map;
+   * rounds 9 and 10 both had a contended driver-host run CLOBBER it
+   * with out-of-class numbers that isolation re-runs then had to
+   * re-adjudicate. The calibration brackets already prove host class —
+   * this function makes the WRITER consume them: a run whose end
+   * bracket is out of band (relative to its own start, or outside the
+   * absolute host band) keeps its record, but under the `_contended`
+   * name, leaving the last quiet record untouched.
+   *
+   *  - relative: a mid-run load arrival shows as end-vs-start drift
+   *    (the r10 judged artifact: cpu 9.02 s end vs 1.81 s start, 5×).
+   *    Band: end cpu ≤ 2× start, end write ≥ ½ start.
+   *  - absolute: a run contended from the START passes the relative
+   *    check trivially, so both brackets must also sit inside the
+   *    host band (SURVEY §8: quiet runs read cpu 1.7–2.0 s, write
+   *    300–640 MB/s; defaults 2× outside that envelope, overridable
+   *    via SPARK_GRAFT_CALIB_CPU_BAND / SPARK_GRAFT_CALIB_WRITE_BAND
+   *    for a different host class).
+   *
+   * A false positive is cheap (the record lands in `_contended`, the
+   * committed quiet map survives); a false negative is the exact
+   * incident this prevents — so ties break toward contended.
+   */
+  def quietRecord(cpuStart: Double, cpuEnd: Double,
+                  writeStart: Double, writeEnd: Double,
+                  cpuBandSec: Double = 4.0,
+                  writeBandMbps: Double = 150.0): Boolean = {
+    val relative = cpuEnd <= cpuStart * 2.0 && writeEnd * 2.0 >= writeStart
+    val absolute = cpuStart <= cpuBandSec && cpuEnd <= cpuBandSec &&
+      writeStart >= writeBandMbps && writeEnd >= writeBandMbps
+    relative && absolute
+  }
+
+  /** `BENCH_full.json` → `BENCH_full_contended.json` (suffix before the
+    * extension so globs on the base name still find both records). */
+  def contendedName(path: String): String =
+    if (path.endsWith(".json"))
+      path.stripSuffix(".json") + "_contended.json"
+    else path + "_contended"
+
   /** Deterministic query generator shared by the SLO timing loop and the
     * recall eval: a three-term lexical query + a 64-dim query vector, both pure
     * functions of `q`. */
@@ -599,12 +641,25 @@ object Bench {
     val fullNames = results.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }
       .mkString("{", ",", "}")
     val isPartialRun = sloOnly || pipelineOnly || onlyPrefixes.isDefined
-    if (!isPartialRun || sys.env.contains("SPARK_GRAFT_FULL_OUT"))
+    if (!isPartialRun || sys.env.contains("SPARK_GRAFT_FULL_OUT")) {
+      // quiet-record gate (see quietRecord's scaladoc): a contended run
+      // must not clobber the committed quiet map — its record goes to
+      // the `_contended` twin instead, self-labeled by its own brackets
+      val quiet = quietRecord(cpuSec, cpuSecEnd, writeMbps, writeMbpsEnd,
+        sys.env.getOrElse("SPARK_GRAFT_CALIB_CPU_BAND", "4.0").toDouble,
+        sys.env.getOrElse("SPARK_GRAFT_CALIB_WRITE_BAND", "150").toDouble)
+      val dest = if (quiet) fullOut else contendedName(fullOut)
+      if (!quiet) System.err.println(
+        s"[bench] calibration brackets out of band (cpu ${f"$cpuSec%.2f"}" +
+          s"->${f"$cpuSecEnd%.2f"} s, write ${math.round(writeMbps)}" +
+          s"->${math.round(writeMbpsEnd)} MB/s): writing $dest, " +
+          s"leaving $fullOut untouched")
       try java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(fullOut),
+        java.nio.file.Paths.get(dest),
         assemble(callsJson, s""""queries":$fullNames""") + "\n")
       catch { case e: Throwable =>
-        System.err.println(s"[bench] $fullOut write failed: $e") }
+        System.err.println(s"[bench] $dest write failed: $e") }
+    }
     // Stop the session BEFORE printing: any stderr the shutdown emits must
     // land ahead of the metric line, because the round driver merges
     // stderr into the capture and parses the LAST line as JSON. A failing

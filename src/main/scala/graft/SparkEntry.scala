@@ -3000,7 +3000,12 @@ object SparkEntry {
     * time-to-convert distribution (first view → first purchase, users
     * with purchase-before-view or no purchase excluded): one per-user
     * grouped pass, then a cohort-sized exact-percentile aggregate
-    * (q37's round-4 quantile lane). */
+    * (q37's round-4 quantile lane). EXACT `percentile` here buffers
+    * every per-user gap in one buffer per cohort — the oracle-matchable
+    * choice; at 100 TB (billions of converting users) swap the final
+    * aggregate for [[graft.operators.Sketch.quantilesApprox]] over the
+    * same perUser frame (mergeable summary, rank error ≤ n/accuracy —
+    * the documented scale lane, PropertySpec-bounded). */
   private def convLatencyQ(s: SparkSession, d: String): DataFrame = {
     val t = expr("CAST(ts AS LONG)")
     val perUser = events(s, d)

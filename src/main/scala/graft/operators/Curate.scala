@@ -240,13 +240,20 @@ object Curate {
    *
    * The stratum key is compared AS ITS STRING FORM (`cast string`) so
    * the driver-side sort, the broadcast join and the oracle's ORDER BY
-   * agree on one collation. Emits the input columns plus `rk` (1-based
-   * lane rank within the stratum, ≤ the stratum's allocation).
+   * agree on one collation; rows with a NULL stratum are EXCLUDED from
+   * both population and sample (no defined allocation share). Emits
+   * the input columns plus `rk` (1-based lane rank within the stratum,
+   * ≤ the stratum's allocation).
    */
   def stratifiedExact(df: DataFrame, strataCol: String, idCol: Column,
                       total: Long): DataFrame = {
     require(total >= 0, s"budget must be non-negative, got $total")
-    val sdf = df.withColumn("__stratum", col(strataCol).cast("string"))
+    // a NULL stratum has no defined allocation share — exclude those
+    // rows from both the population and the sample (the standard
+    // stratified-sampling contract) instead of letting the driver-side
+    // key sort NPE on a null string mid-apportionment
+    val sdf = df.filter(col(strataCol).isNotNull)
+      .withColumn("__stratum", col(strataCol).cast("string"))
     val counts = sdf.groupBy(col("__stratum"))
       .agg(count(lit(1)).as("n")).collect()
       .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)

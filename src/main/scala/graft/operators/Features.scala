@@ -32,12 +32,26 @@ object Features {
    * Emits the input columns given in `keep` plus (cat, y, te).
    */
   def targetEncodeLoo(df: DataFrame, keep: Seq[String], cat: Column,
-                      y: Column): DataFrame = {
+                      y: Column,
+                      maxBroadcastCategories: Long = 4000000L): DataFrame = {
     val base = df.select(keep.map(col) :+ cat.as("cat") :+
       y.cast("long").as("y"): _*)
+    // The stats frame is category-sized, not fact-sized, but "the
+    // high-cardinality workhorse" must stay true when the category IS
+    // high-cardinality (user ids, URLs): materialize the grouped stats
+    // once (localCheckpoint — the q110/q166 shared-subtree idiom; the
+    // count below must not re-run the fact scan) and pick the join
+    // strategy from the MEASURED cardinality. Below the threshold the
+    // stats broadcast (fact table never shuffles); above it the join
+    // falls back to a shuffled hash/sort-merge join on `cat` — at
+    // ~16 bytes of state per category, 4M categories ≈ the 10 MB-ish
+    // broadcast budget class; override per deployment.
     val stats = base.groupBy(col("cat"))
       .agg(sum(col("y")).as("__sy"), count(lit(1)).as("__n"))
-    base.join(broadcast(stats), Seq("cat"))
+      .localCheckpoint()
+    val statsSide =
+      if (stats.count() <= maxBroadcastCategories) broadcast(stats) else stats
+    base.join(statsSide, Seq("cat"))
       .select(keep.map(col) :+ col("cat") :+ col("y") :+
         when(col("__n") > 1L,
           (col("__sy") - col("y")).cast("double") /
@@ -66,11 +80,6 @@ object Features {
       .agg(sum(col("__y")).as("n_pos"),
         sum(lit(1L) - col("__y")).as("n_neg")))
 
-  /** The derivation half of [[woeIv]], over an already-aggregated
-    * (bin, n_pos, n_neg) cell table — the cells are LINEAR in the
-    * facts (plain sums), which is what lets q194 maintain them
-    * incrementally under replay and run this same derivation over the
-    * maintained state (the q180 posture for the feature tier). */
   /**
    * Calibration (reliability) report for a probabilistic score — the
    * supervised-eval companion to the retrieval tier's ranking metrics:
@@ -94,8 +103,14 @@ object Features {
     require(buckets >= 2 && buckets <= 1000, "buckets in [2, 1000]")
     val base = df.select(score.cast("double").as("__s"),
       label.cast("long").as("__y"))
-    val bin = least(floor(col("__s") * lit(buckets.toDouble)).cast("long"),
-      lit(buckets - 1L))
+    // clamp BOTH ends: score = 1.0 joins the top bin instead of opening
+    // a phantom one, and an out-of-contract score < 0 lands in bin 0
+    // visibly (its avg_score goes negative there) rather than opening a
+    // silent negative bin the report's Σ ece_term would quietly absorb
+    val bin = greatest(
+      least(floor(col("__s") * lit(buckets.toDouble)).cast("long"),
+        lit(buckets - 1L)),
+      lit(0L))
     val cells = base.select(bin.as("bin"), col("__s"), col("__y"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"), sum(col("__s")).as("__ss"),
@@ -111,6 +126,14 @@ object Features {
           abs(conf - acc), 6).as("ece_term"))
   }
 
+  /** The derivation half of [[woeIv]], over an already-aggregated
+    * (bin, n_pos, n_neg) cell table — the cells are LINEAR in the
+    * facts (plain sums), which is what lets q194 maintain them
+    * incrementally under replay and run this same derivation over the
+    * maintained state (the q180 posture for the feature tier). The
+    * broadcast here needs no cardinality guard: `totals` is ONE row by
+    * construction (a global aggregate), unlike [[targetEncodeLoo]]'s
+    * category-sized stats. */
   def woeIvFromCells(cells: DataFrame): DataFrame = {
     val totals = cells.agg(sum(col("n_pos")).as("__tp"),
       sum(col("n_neg")).as("__tn"))

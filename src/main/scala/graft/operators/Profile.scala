@@ -176,15 +176,44 @@ object Profile {
    * (the NTILE formulation is a single-partition sort at scale; this
    * is two aggregates). Exact Long min/max/count per bucket.
    *
+   * EXACT `percentile` buffers every value in one aggregation buffer —
+   * the same single-task-merge ceiling as
+   * [[graft.operators.Sketch.quantilesExact]], and a deliberate choice
+   * here: it is the oracle-matchable form (DuckDB's `quantile_cont`
+   * interpolates identically on the dyadic fractions). At 100 TB use
+   * [[equiDepthHistogramApprox]] — same plan, mergeable bounded
+   * summary for the boundary aggregate.
+   *
    * Emits one row per non-empty bucket: (bucket, n, v_min, v_max).
    */
   def equiDepthHistogram(df: DataFrame, value: Column,
-                         buckets: Int): DataFrame = {
+                         buckets: Int): DataFrame =
+    equiDepthFrom(df, value, buckets, exact = true, accuracy = 0)
+
+  /** The scale twin of [[equiDepthHistogram]]: boundaries from
+    * `percentile_approx` (Greenwald–Khanna style mergeable summary,
+    * rank error ≤ n/accuracy per boundary — at the default 10000 each
+    * bucket's population is n/B ± n/10000, i.e. ±1% of the bucket at
+    * B = 100), so map-side partial aggregation ships O(accuracy) state
+    * regardless of row count — the [[graft.operators.Sketch.quantilesApprox]]
+    * argument applied to histogram construction. Not oracled directly
+    * (approximate summaries are not bit-stable across engines);
+    * PropertySpec asserts the per-bucket depth bound against the exact
+    * twin. */
+  def equiDepthHistogramApprox(df: DataFrame, value: Column, buckets: Int,
+                               accuracy: Int = 10000): DataFrame =
+    equiDepthFrom(df, value, buckets, exact = false, accuracy = accuracy)
+
+  private def equiDepthFrom(df: DataFrame, value: Column, buckets: Int,
+                            exact: Boolean, accuracy: Int): DataFrame = {
     require(buckets >= 2 && buckets <= 1024, "buckets in [2, 1024]")
     val base = df.select(value.cast("long").as("__v"))
     val qs = array((1 until buckets).map(i =>
       lit(i.toDouble / buckets)): _*)
-    val bounds = base.agg(percentile(col("__v"), qs).as("__b"))
+    val bAgg =
+      if (exact) percentile(col("__v"), qs)
+      else percentile_approx(col("__v"), qs, lit(accuracy)).cast("array<double>")
+    val bounds = base.agg(bAgg.as("__b"))
     val bucket = (1 until buckets).map(i =>
       (col("__v").cast("double") > element_at(col("__b"), i)).cast("long"))
       .foldLeft(lit(0L))(_ + _)

@@ -162,10 +162,15 @@ object Tokenize {
                      pctTimes100: Long = 95L): DataFrame = {
     require(pctTimes100 >= 1 && pctTimes100 <= 100,
       s"pct in [1, 100], got $pctTimes100")
+    // localCheckpoint: the token-count aggregate feeds BOTH the
+    // driver-side bucket-stats collect and the final bucketed-window
+    // plan — without materializing it the fact-sized explode+groupBy
+    // executes twice (the q110/q166 shared-subtree idiom)
     val counts = docs.select(explode(tokensCol).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
       // bit_length: bucket 63 = largest counts; conv() is codegen'd
       .withColumn("__bk", length(conv(col("cnt"), 10, 2)).cast("int"))
+      .localCheckpoint()
     val stats = counts.groupBy(col("__bk"))
       .agg(count(lit(1)).as("n"), sum(col("cnt")).as("w"))
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))

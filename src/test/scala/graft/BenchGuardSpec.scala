@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The quiet-record gate: a contended bench run must route its durable
+  * record to the `_contended` twin instead of clobbering the committed
+  * quiet `BENCH_full.json` (the r9/r10 recurring incident, closed
+  * structurally here). Pure-function spec — no Spark session. */
+class BenchGuardSpec extends AnyFunSuite {
+
+  // the r10 committed quiet run's actual brackets
+  private val quietCpu = (1.95, 1.85)
+  private val quietW = (523.0, 540.0)
+
+  test("quietRecord: the r10 committed quiet brackets pass") {
+    assert(Bench.quietRecord(quietCpu._1, quietCpu._2, quietW._1, quietW._2))
+  }
+
+  test("quietRecord: the r10 judged incident (end cpu 5x start) is contended") {
+    // end calibration cpu 9.02 s vs 1.81 s start — the artifact that
+    // convicted the r10 judged run
+    assert(!Bench.quietRecord(1.81, 9.02, 500.0, 480.0))
+  }
+
+  test("quietRecord: the r9 storage-axis incident (write 636->474) still passes relative band") {
+    // a 25% write drop is within the 2x relative band AND the absolute
+    // floor — r9's judged total was adjudicated by isolation runs, not
+    // by refusing the record; the gate targets the 2x+ class
+    assert(Bench.quietRecord(1.9, 2.0, 636.0, 474.0))
+    // but a halving does not
+    assert(!Bench.quietRecord(1.9, 2.0, 636.0, 300.0))
+  }
+
+  test("quietRecord: a run contended from the START fails the absolute band") {
+    // relative drift is zero (start == end) yet both brackets sit far
+    // outside the host band — without the absolute check this would
+    // clobber the quiet record with uniformly-slow numbers
+    assert(!Bench.quietRecord(9.0, 9.0, 500.0, 500.0))
+    assert(!Bench.quietRecord(1.9, 1.9, 80.0, 80.0))
+  }
+
+  test("quietRecord: band overrides widen the envelope for other host classes") {
+    assert(Bench.quietRecord(9.0, 9.0, 80.0, 80.0,
+      cpuBandSec = 12.0, writeBandMbps = 50.0))
+  }
+
+  test("contendedName: suffix lands before the extension") {
+    assert(Bench.contendedName("BENCH_full.json") === "BENCH_full_contended.json")
+    assert(Bench.contendedName("/tmp/out/BENCH_full.json") ===
+      "/tmp/out/BENCH_full_contended.json")
+    assert(Bench.contendedName("record") === "record_contended")
+  }
+}

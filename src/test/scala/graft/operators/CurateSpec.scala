@@ -282,6 +282,20 @@ class CurateSpec extends SparkSpec {
       assert(xs.map(_._2).sorted.toSeq === (1 to xs.size).map(_.toLong)) }
   }
 
+  test("stratifiedExact: NULL strata are excluded, not an NPE") {
+    val df = Seq((1L, Option("a")), (2L, Option("a")), (3L, Option.empty[String]),
+      (4L, Option("b"))).toDF("id", "g")
+    // budget equals the NON-NULL population: NULL-stratum rows have no
+    // allocation share, so they are outside both population and sample
+    val got = Curate.stratifiedExact(df, "g", col("id"), 3L)
+    assert(got.count() === 3)
+    assert(!got.select("g").collect().exists(_.isNullAt(0)))
+    // and the overdraw check is against the non-null population
+    intercept[IllegalArgumentException] {
+      Curate.stratifiedExact(df, "g", col("id"), 4L)
+    }
+  }
+
   test("stratifiedExact: edge budgets — full population, zero, overdraw") {
     val df = (0 until 60).map(i => (i.toLong, s"g${i % 3}")).toDF("id", "g")
     assert(Curate.stratifiedExact(df, "g", col("id"), 60L).count() === 60)

@@ -116,6 +116,16 @@ class DriftSpec extends SparkSpec {
     assert(i.getDouble(3) === 0.0 && i.getDouble(4) === 0.0)
   }
 
+  test("cramersV: a single-level dimension yields NULL V, not NaN") {
+    // min(R−1, C−1) = 0 ⇒ V undefined; the file's convention (nmi,
+    // assortativity) is NULL, never NaN/Infinity
+    val df = Seq(("a", "x"), ("a", "y"), ("a", "x")).toDF("r", "c")
+    val r = Drift.cramersV(df, col("r"), col("c")).collect().head
+    assert(r.getLong(1) === 1L, "one row level")
+    assert(r.getDouble(3) === 0.0, "chi2 of a constant margin is 0")
+    assert(r.isNullAt(4), "V must be NULL for a degenerate table")
+  }
+
   test("cramersV: NULL categories are excluded from the table") {
     val df = Seq((Some("a"), Some("x")), (Some("a"), Some("x")),
       (None, Some("x")), (Some("b"), None), (Some("b"), Some("y")),

@@ -28,6 +28,52 @@ class FeaturesSpec extends SparkSpec {
     assert(te === Set(1.0))
   }
 
+  test("targetEncodeLoo: broadcast below the category threshold, shuffled above") {
+    val rows = (0 until 200).map(i => (i.toLong, s"c${i % 20}", (i % 2).toLong))
+      .toDF("id", "cat", "y")
+    def run(threshold: Long) =
+      Features.targetEncodeLoo(rows, Seq("id"), col("cat"), col("y"),
+        maxBroadcastCategories = threshold)
+    // pin with size-based auto-broadcast OFF so the plan shape reflects
+    // the operator's own guard, not Catalyst's small-table estimate
+    val conf = spark.conf
+    val saved = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val below = run(1000000L).queryExecution.executedPlan.toString
+      assert(below.contains("BroadcastHashJoin"),
+        s"below threshold must broadcast the stats side:\n$below")
+      val above = run(5L).queryExecution.executedPlan.toString
+      assert(!above.contains("BroadcastHashJoin"),
+        s"above threshold must fall back to a shuffled join:\n$above")
+      assert(above.contains("SortMergeJoin") || above.contains("ShuffledHashJoin"),
+        s"expected a shuffled join above the threshold:\n$above")
+      // the guard is a plan choice, never a value change
+      def vals(t: Long) = run(t).collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(3)) Double.NaN else r.getDouble(3))).toMap
+      val (a, b) = (vals(1000000L), vals(5L))
+      assert(a.keySet === b.keySet)
+      a.foreach { case (k, v) =>
+        assert(v.isNaN && b(k).isNaN || v === b(k), s"row $k differs") }
+    } finally conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("calibration: out-of-range scores clamp into the edge bins") {
+    // contract is scores in [0,1]; 1.0 joins the top bin (no phantom
+    // bucket) and a below-zero score lands VISIBLY in bin 0 (its
+    // avg_score goes negative there) instead of a silent negative bin
+    val rows = Seq((-0.2, 0L), (0.05, 0L), (1.0, 1L), (1.3, 1L))
+      .toDF("s", "y")
+    val got = Features.calibration(rows, col("s"), col("y"), buckets = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(got.keySet === Set(0L, 3L))
+    assert(got(0L)._1 === 2L && got(0L)._2 < 0,
+      "clamped negative score surfaces through bin 0's avg_score")
+    assert(got(3L)._1 === 2L)
+  }
+
   test("woeIv: hand-checked smoothed cells; direction and additivity") {
     // bin hi: 8 pos 2 neg; bin lo: 2 pos 8 neg → tp = tn = 10
     val rows = (1 to 8).map(_ => ("hi", 1L)) ++ (1 to 2).map(_ => ("hi", 0L)) ++

@@ -135,6 +135,29 @@ class ProfileSpec extends SparkSpec {
     assert(s(3L) === 10L, "the tail bucket isolates exactly the outliers")
   }
 
+  test("equiDepthHistogramApprox: depth within the rank-error bound of the exact twin") {
+    import org.apache.spark.sql.functions.col
+    val n = 40000
+    val rows = (0 until n).map(i => Tuple1((i * 2654435761L) % 100000L)).toDF("v")
+    val accuracy = 1000
+    val buckets = 8
+    val got = Profile.equiDepthHistogramApprox(rows, col("v"), buckets, accuracy)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.sum === n.toLong, "every row lands in exactly one bucket")
+    // each boundary carries rank error ≤ n/accuracy; a bucket is bounded
+    // by two boundaries, so its depth is n/B ± 2n/accuracy (+B slack for
+    // the exact twin's own remainder spread)
+    val target = n / buckets
+    val tol = 2 * n / accuracy + buckets
+    got.values.foreach(c =>
+      assert(math.abs(c - target) <= tol, s"bucket depth $c vs target $target ± $tol"))
+    // scale posture: the boundary aggregate is a mergeable approx summary
+    val plan = Profile.equiDepthHistogramApprox(rows, col("v"), buckets, accuracy)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("percentile_approx"),
+      s"expected approx-percentile boundaries, got:\n$plan")
+  }
+
   private def catProf(rows: Seq[(String, String)]) =
     Profile.categoricalProfile(rows.toDF("dim", "v"), col("dim"), col("v"))
       .collect().map(r => r.getString(0) ->
