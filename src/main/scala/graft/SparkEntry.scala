@@ -3071,6 +3071,68 @@ object SparkEntry {
       least(col("value"), lit(500.0)) / lit(500.0),
       (col("event_type") === "purchase").cast("long"), buckets = 10)
 
+  /** The q202 value-band "auto-labeler": a deterministic rule rater
+    * sharing the event-type vocabulary, so the kappa diagonal is
+    * meaningful. Double comparisons on identical parquet bits. */
+  private def valueBandRater: Column =
+    when(col("value") < 25.0, lit("view"))
+      .when(col("value") < 50.0, lit("click"))
+      .when(col("value") < 75.0, lit("signup"))
+      .when(col("value") < 100.0, lit("error"))
+      .otherwise(lit("purchase"))
+
+  /** q202: Cohen's kappa between the declared event label and the
+    * value-band auto-labeler ([[graft.operators.Experiment.cohensKappa]])
+    * — chance-corrected label agreement, the label-quality screen run
+    * before trusting machine labels. The synthetic fixture's value is
+    * independent of event_type, so κ reads ≈ 0 while raw agreement p_o
+    * reads ≈ 0.2 — exactly the inflation the chance correction exists
+    * to remove; FeaturesSpec-style hand fixtures in ExperimentSpec
+    * cover the high-agreement path. */
+  private def kappaQ(s: SparkSession, d: String): DataFrame =
+    Experiment.cohensKappa(events(s, d), col("event_type"), valueBandRater)
+
+  /** q203: leakage-safe group k-fold assignment
+    * ([[graft.operators.Curate.groupKFold]]) — every event of a user
+    * lands in the same CV fold because the fold is a pure SHA-lane
+    * function of the user id (scan-side, zero shuffles for the
+    * assignment itself); the declared result is the fold census
+    * (n_groups, n_rows per fold), the split report a training pipeline
+    * logs. The oracle rebuilds every lane from sha256. */
+  private def groupKFoldQ(s: SparkSession, d: String): DataFrame =
+    Curate.groupKFold(events(s, d), col("user_id"), k = 5)
+      .groupBy(col("fold"))
+      .agg(count_distinct(col("user_id")).as("n_groups"),
+        count(lit(1)).as("n_rows"))
+
+  /** q204: Jensen–Shannon divergence between the even- and odd-user
+    * event-type distributions ([[graft.operators.Drift.jensenShannon]])
+    * — the bounded symmetric drift score (≤ ln 2, defined on partial
+    * support where PSI blows up); one 2×K cell aggregate, single-row
+    * totals broadcast back, log accumulation → round-6 lane. */
+  private def jsdQ(s: SparkSession, d: String): DataFrame =
+    Drift.jensenShannon(events(s, d),
+      pmod(col("user_id"), lit(2)) === 0, col("event_type"))
+
+  /** q205: Chao1 vocabulary-richness estimate over the documents corpus
+    * ([[graft.operators.Tokenize.chao1Richness]]) — observed types plus
+    * the singleton/doubleton unseen-mass estimate (bias-corrected form);
+    * one token-count aggregate, one single-row fold, one exact-integer
+    * division (raw). */
+  private def chao1Q(s: SparkSession, d: String): DataFrame =
+    Tokenize.chao1Richness(documents(s, d), Text.tokens(col("text")))
+
+  /** q206: two-sample Kolmogorov–Smirnov D between urgent
+    * (1-URGENT/2-HIGH) and other orders' price distributions in exact
+    * cents ([[graft.operators.Drift.ksStatistic]]) — the bin-free
+    * distribution compare; the ECDF prefix is the q170 bucketed
+    * two-phase distributed prefix (no partition-less window), the
+    * argmax decided in cross-multiplied Longs, D one exact division. */
+  private def ksQ(s: SparkSession, d: String): DataFrame =
+    Drift.ksStatistic(orders(s, d),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)"),
+      col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+
   /** q134: batch small-file compaction ([[graft.sinks.Publish.compact]] —
     * the lakehouse OPTIMIZE maintenance operator, the batch sibling of
     * the streaming `batch_id=` compactor): a deliberately fragmented
@@ -3773,6 +3835,11 @@ object SparkEntry {
     "q199_conversion_latency"  -> (convLatencyQ _),
     "q200_m4_replay"           -> (m4ReplayQ _),
     "q201_calibration"         -> (calibrationQ _),
+    "q202_cohens_kappa"        -> (kappaQ _),
+    "q203_group_kfold"         -> (groupKFoldQ _),
+    "q204_jensen_shannon"      -> (jsdQ _),
+    "q205_chao1_richness"      -> (chao1Q _),
+    "q206_ks_statistic"        -> (ksQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -6907,6 +6974,124 @@ object SparkEntry {
         |             - CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)), 6)
         |         AS ece_term
         |FROM c CROSS JOIN t""".stripMargin,
+
+    // q202: identical cell/marginal derivation; p_e product sum rides
+    // doubles with round-6; kappa derived FROM the rounded po/pe
+    "q202_cohens_kappa" ->
+      """WITH r AS (SELECT event_type AS a,
+        |        CASE WHEN value < 25.0 THEN 'view'
+        |             WHEN value < 50.0 THEN 'click'
+        |             WHEN value < 75.0 THEN 'signup'
+        |             WHEN value < 100.0 THEN 'error'
+        |             ELSE 'purchase' END AS b
+        |      FROM events),
+        |cells AS (SELECT a, b, count(*) AS n FROM r GROUP BY 1, 2),
+        |ma AS (SELECT a, sum(n) AS s_a FROM cells GROUP BY 1),
+        |mb AS (SELECT b, sum(n) AS s_b FROM cells GROUP BY 1),
+        |t AS (SELECT sum(n) AS n,
+        |        coalesce(sum(CASE WHEN a = b THEN n END), 0) AS n_agree
+        |      FROM cells),
+        |pe AS (SELECT coalesce(sum(CAST(s_a AS DOUBLE)
+        |                           * CAST(s_b AS DOUBLE)), 0.0) AS pe_num
+        |       FROM ma JOIN mb ON ma.a = mb.b),
+        |x AS (SELECT CAST(t.n AS BIGINT) AS n,
+        |        CAST(t.n_agree AS BIGINT) AS n_agree,
+        |        round(CAST(t.n_agree AS DOUBLE) / CAST(t.n AS DOUBLE), 6)
+        |          AS po,
+        |        round(pe.pe_num
+        |          / (CAST(t.n AS DOUBLE) * CAST(t.n AS DOUBLE)), 6) AS pe
+        |      FROM t CROSS JOIN pe)
+        |SELECT n, n_agree, po, pe,
+        |       CASE WHEN pe < 1.0
+        |            THEN round((po - pe) / (1.0 - pe), 6) END AS kappa
+        |FROM x""".stripMargin,
+
+    // q203: the identical SHA fold lane rebuilt in SQL (lane is
+    // non-negative, so % == pmod)
+    "q203_group_kfold" ->
+      s"""WITH f AS (SELECT user_id,
+        |        ${graft.functions.ShaLanes.duckLane(
+               "'fold|' || CAST(user_id AS VARCHAR)")} % 5 AS fold
+        |      FROM events)
+        |SELECT fold, CAST(count(DISTINCT user_id) AS BIGINT) AS n_groups,
+        |       CAST(count(*) AS BIGINT) AS n_rows
+        |FROM f GROUP BY 1""".stripMargin,
+
+    // q204: the same 2xK cells and per-side x*ln(x/m) terms; jsd_norm
+    // divides the ROUNDED jsd by ln(2) (same correctly-rounded double
+    // in both engines)
+    "q204_jensen_shannon" ->
+      """WITH cells AS (SELECT event_type AS c,
+        |        sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS p,
+        |        sum(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END) AS q
+        |      FROM events GROUP BY 1),
+        |t AS (SELECT sum(p) AS n_p, sum(q) AS n_q, count(*) AS k_cats
+        |      FROM cells),
+        |j AS (SELECT CAST(t.n_p AS BIGINT) AS n_p,
+        |        CAST(t.n_q AS BIGINT) AS n_q,
+        |        CAST(t.k_cats AS BIGINT) AS k_cats,
+        |        CASE WHEN min(t.n_p) > 0 AND min(t.n_q) > 0 THEN
+        |          round(sum(
+        |            CASE WHEN cells.p > 0 THEN
+        |              (CAST(cells.p AS DOUBLE) / CAST(t.n_p AS DOUBLE))
+        |              * ln((CAST(cells.p AS DOUBLE) / CAST(t.n_p AS DOUBLE))
+        |                / ((CAST(cells.p AS DOUBLE) / CAST(t.n_p AS DOUBLE)
+        |                    + CAST(cells.q AS DOUBLE)
+        |                      / CAST(t.n_q AS DOUBLE)) / 2.0))
+        |            ELSE 0.0 END
+        |          + CASE WHEN cells.q > 0 THEN
+        |              (CAST(cells.q AS DOUBLE) / CAST(t.n_q AS DOUBLE))
+        |              * ln((CAST(cells.q AS DOUBLE) / CAST(t.n_q AS DOUBLE))
+        |                / ((CAST(cells.p AS DOUBLE) / CAST(t.n_p AS DOUBLE)
+        |                    + CAST(cells.q AS DOUBLE)
+        |                      / CAST(t.n_q AS DOUBLE)) / 2.0))
+        |            ELSE 0.0 END) / 2.0, 6) END AS jsd
+        |      FROM cells CROSS JOIN t
+        |      GROUP BY t.n_p, t.n_q, t.k_cats)
+        |SELECT n_p, n_q, k_cats, jsd, round(jsd / ln(2.0), 6) AS jsd_norm
+        |FROM j""".stripMargin,
+
+    // q205: same type-count fold; chao1 is one exact-integer-operand
+    // division (raw)
+    "q205_chao1_richness" ->
+      """WITH c AS (SELECT term, count(*) AS n FROM
+        |        (SELECT unnest(str_split(text, ' ')) AS term
+        |         FROM documents) GROUP BY 1),
+        |a AS (SELECT CAST(sum(n) AS BIGINT) AS n_tokens,
+        |        CAST(count(*) AS BIGINT) AS n_types,
+        |        CAST(coalesce(sum(CASE WHEN n = 1 THEN 1 END), 0) AS BIGINT)
+        |          AS f1,
+        |        CAST(coalesce(sum(CASE WHEN n = 2 THEN 1 END), 0) AS BIGINT)
+        |          AS f2
+        |      FROM c)
+        |SELECT n_tokens, n_types, f1, f2,
+        |       CAST(n_types AS DOUBLE)
+        |         + CAST(f1 * (f1 - 1) AS DOUBLE)
+        |           / CAST(2 * (f2 + 1) AS DOUBLE) AS chao1
+        |FROM a""".stripMargin,
+
+    // q206: the oracle takes the plain full-sort window (oracle-side
+    // only); the argmax is the same exact Long cross-multiplication
+    "q206_ks_statistic" ->
+      """WITH g AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+        |        sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                 THEN 1 ELSE 0 END) AS ca,
+        |        sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                 THEN 0 ELSE 1 END) AS cb
+        |      FROM orders GROUP BY 1),
+        |t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM g),
+        |w AS (SELECT sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |          PRECEDING AND CURRENT ROW) AS cuma,
+        |        sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |          PRECEDING AND CURRENT ROW) AS cumb
+        |      FROM g)
+        |SELECT CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
+        |       CAST(count(*) AS BIGINT) AS n_values,
+        |       CASE WHEN t.na > 0 AND t.nb > 0 THEN
+        |         CAST(max(abs(cuma * t.nb - cumb * t.na)) AS DOUBLE)
+        |           / (CAST(t.na AS DOUBLE) * CAST(t.nb AS DOUBLE))
+        |       END AS d_stat
+        |FROM w CROSS JOIN t GROUP BY t.na, t.nb""".stripMargin,
 
     // q199: identical per-user firsts and gap filter; quantiles ride
     // the q37 round-4 lane

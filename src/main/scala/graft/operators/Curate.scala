@@ -356,4 +356,34 @@ object Curate {
           (acc, b) => acc + element_at(m, b)) / size(col("bs")), 4)
           .as("dsir_logweight"))
   }
+
+  /**
+   * Group-aware k-fold assignment — the leakage-safe cross-validation
+   * split: EVERY row of a group (a user's events, a source's documents,
+   * a near-dup cluster) lands in the SAME fold, because the fold is a
+   * pure function of the GROUP key, `pmod(shaLane("fold|" + group), k)`
+   * — scikit-learn's GroupKFold contract, derived instead of assigned.
+   * Splitting rows independently leaks group-correlated signal from
+   * train into validation (the classic inflated-eval bug); deriving the
+   * fold from the group key makes leakage structurally impossible, and
+   * keeps the assignment stable across runs, engines, cluster sizes and
+   * corpus growth (a group's fold never changes when OTHER groups
+   * arrive — the [[hashSample]] admission property applied to splits).
+   *
+   * SHA lane ([[graft.functions.ShaLanes]]) so the oracle rebuilds every
+   * assignment bit-identically. Scan-side projection, zero shuffles,
+   * zero joins — the fold column costs one digest per row.
+   *
+   * Fold sizes are multinomial around n/k (hash uniformity), NOT exactly
+   * balanced — by design: exact balance requires global coordination
+   * that breaks the stability property above; budget-exact selection is
+   * [[stratifiedExact]]'s job.
+   */
+  def groupKFold(df: DataFrame, group: Column, k: Int,
+                 foldName: String = "fold"): DataFrame = {
+    require(k >= 2 && k <= 1000, s"k in [2, 1000], got $k")
+    df.withColumn(foldName,
+      pmod(ShaLanes.lane(concat(lit("fold|"), group.cast("string"))),
+        lit(k.toLong)))
+  }
 }

@@ -233,4 +233,109 @@ object Drift {
         when(least(col("h_x"), col("h_y")) > 0.0,
           round(col("mi") / least(col("h_x"), col("h_y")), 6)).as("nmi"))
   }
+
+  /**
+   * Jensen–Shannon divergence between two cohorts' categorical
+   * distributions — the BOUNDED, symmetric member of the drift toolkit
+   * next to [[stability]]'s PSI (which blows up on bins one cohort
+   * lacks) and χ² (which scales with n):
+   *
+   *   JSD = ½·KL(P‖M) + ½·KL(Q‖M),  M = (P+Q)/2
+   *
+   * in nats, with the [0,1] normalization JSD/ln 2 (JSD ≤ ln 2 always,
+   * so the normalized score is corpus-size- and cardinality-free — the
+   * "how different are these two corpus versions" dial). A category
+   * absent from one cohort contributes its x·ln x → 0 limit from that
+   * side only, so unlike PSI nothing is undefined on partial support.
+   *
+   * One grouped pass builds the 2×K table (cohort membership as
+   * conditional sums inside the category shuffle), totals broadcast
+   * back as a single row; the JSD sum accumulates logs → round-6 lane,
+   * normalized FROM the rounded value (q179 discipline). Both cohorts
+   * empty of rows → NULL.
+   *
+   * Emits one row: (n_p, n_q, k_cats, jsd, jsd_norm).
+   */
+  def jensenShannon(df: DataFrame, inP: Column, cat: Column): DataFrame = {
+    val cells = df.filter(cat.isNotNull)
+      .groupBy(cat.cast("string").as("__c"))
+      .agg(sum(when(inP, 1L).otherwise(0L)).as("__p"),
+        sum(when(inP, 0L).otherwise(1L)).as("__q"))
+    val tot = cells.agg(sum(col("__p")).as("n_p"), sum(col("__q")).as("n_q"),
+      count(lit(1)).as("k_cats"))
+    // guard the share divisions: with an EMPTY cohort the output is
+    // NULL via the aggregate-level when below, but ANSI mode would
+    // throw on the per-cell x/0 before that guard ever applies
+    val p = when(col("n_p") > 0L,
+      col("__p").cast("double") / col("n_p").cast("double")).otherwise(0.0)
+    val q = when(col("n_q") > 0L,
+      col("__q").cast("double") / col("n_q").cast("double")).otherwise(0.0)
+    val m = (p + q) / lit(2.0)
+    val term = when(col("__p") > 0L, p * log(p / m)).otherwise(lit(0.0)) +
+      when(col("__q") > 0L, q * log(q / m)).otherwise(lit(0.0))
+    cells.crossJoin(broadcast(tot))
+      .groupBy(col("n_p"), col("n_q"), col("k_cats"))
+      .agg(when(min(col("n_p")) > 0L && min(col("n_q")) > 0L,
+        round(sum(term) / lit(2.0), 6)).as("jsd"))
+      .select(col("n_p"), col("n_q"), col("k_cats"), col("jsd"),
+        round(col("jsd") / lit(math.log(2.0)), 6).as("jsd_norm"))
+  }
+
+  /**
+   * Two-sample Kolmogorov–Smirnov statistic over a NON-NEGATIVE integer
+   * value (cents, micro-units — the q163/q185 integer-lane convention):
+   * `D = max_v |F_A(v) − F_B(v)|`, the distribution-free "are these two
+   * score/price/latency distributions the same" screen — the
+   * training-eval companion to [[jensenShannon]] for CONTINUOUS values,
+   * where binning choices would move a PSI but D is bin-free.
+   *
+   * The empirical-CDF prefix is the [[graft.operators.Tokenize]]
+   * coverageCutoff two-phase distributed prefix applied to a value
+   * order (the declared surface bans partition-less windows): values
+   * bucket by `bit_length(v)` — monotone in v, so buckets hold
+   * contiguous value ranges; per-bucket class totals (≤ 64 rows,
+   * bounded driver metadata) fold into prefix offsets, broadcast back,
+   * and each bucket's cumulative window ranks only its own rows.
+   *
+   * Exactness: D's argmax is decided in cross-multiplied Longs
+   * (`|cum_a·n_b − cum_b·n_a|` — exact while n_a·n_b < 2^63, i.e. both
+   * classes under ~3e9 rows; beyond that, pre-aggregate values into
+   * micro-unit bins first) and the returned D is ONE exact-integer
+   * division (raw, q163 discipline).
+   *
+   * Emits one row: (n_a, n_b, n_values, d_stat).
+   */
+  def ksStatistic(df: DataFrame, value: Column, inA: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = df.filter(value.isNotNull)
+      .select(value.cast("long").as("__v"), inA.as("__a"))
+      .groupBy(col("__v"))
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("__ca"),
+        sum(when(col("__a"), 0L).otherwise(1L)).as("__cb"))
+      .withColumn("__bk", length(conv(col("__v") + lit(1L), 10, 2)).cast("int"))
+      .localCheckpoint() // feeds the offset collect AND the window plan
+    val stats = g.groupBy(col("__bk"))
+      .agg(sum(col("__ca")).as("a"), sum(col("__cb")).as("b"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val (na, nb) = (stats.map(_._2).sum, stats.map(_._3).sum)
+    var (accA, accB) = (0L, 0L)
+    val offsets = stats.map { case (bk, a, b) =>
+      val row = (bk, accA, accB); accA += a; accB += b; row
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("__bk", "__offa", "__offb")
+    val w = Window.partitionBy(col("__bk")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g.join(broadcast(offDf), Seq("__bk"))
+      .select((col("__offa") + sum(col("__ca")).over(w)).as("__cuma"),
+        (col("__offb") + sum(col("__cb")).over(w)).as("__cumb"))
+      .agg(max(abs(col("__cuma") * lit(nb) - col("__cumb") * lit(na)))
+        .as("__dnum"), count(lit(1)).as("n_values"))
+      .select(lit(na).as("n_a"), lit(nb).as("n_b"), col("n_values"),
+        when(lit(na) > 0L && lit(nb) > 0L,
+          col("__dnum").cast("double") /
+            (lit(na).cast("double") * lit(nb).cast("double"))).as("d_stat"))
+  }
 }

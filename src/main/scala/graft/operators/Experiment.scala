@@ -56,4 +56,46 @@ object Experiment {
       round((center - margin) / denom, 6).as("wilson_lo"),
       round((center + margin) / denom, 6).as("wilson_hi"))
   }
+
+  /**
+   * Cohen's kappa — chance-corrected agreement between two categorical
+   * raters (Cohen 1960): the label-quality primitive of a training-data
+   * pipeline ("do the auto-labeler and the declared label actually
+   * agree beyond chance?"):
+   *
+   *   κ = (p_o − p_e) / (1 − p_e),  p_o = Σ diag / n,
+   *   p_e = Σ_k (rowTot_k · colTot_k) / n²
+   *
+   * One (a, b) cell aggregate; both marginals are LABEL-sized, so their
+   * label-matched join (the p_e product sum) broadcasts; nothing
+   * fact-sized survives the first pass. Counts exact Longs; the p_e
+   * product sum rides doubles (a Long product overflows once a label
+   * holds ~3e9 rows on both margins) → round-6 lane, and κ is computed
+   * FROM the rounded p_o/p_e (the q179 derived-from-rounded
+   * discipline). Two constant raters make p_e = 1 and κ undefined →
+   * NULL, the file-family convention.
+   *
+   * Emits one row: (n, n_agree, po, pe, kappa).
+   */
+  def cohensKappa(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val cells = df.filter(a.isNotNull && b.isNotNull)
+      .groupBy(a.cast("string").as("__a"), b.cast("string").as("__b"))
+      .agg(count(lit(1)).as("__n"))
+    val at = cells.groupBy(col("__a")).agg(sum(col("__n")).as("__at"))
+    val bt = cells.groupBy(col("__b")).agg(sum(col("__n")).as("__bt"))
+    val tot = cells.agg(sum(col("__n")).as("n"),
+      coalesce(sum(when(col("__a") === col("__b"), col("__n"))), lit(0L))
+        .as("n_agree"))
+    val peNum = at.join(broadcast(bt), col("__a") === col("__b"))
+      .agg(coalesce(sum(col("__at").cast("double") *
+        col("__bt").cast("double")), lit(0.0)).as("__pe_num"))
+    val nD = col("n").cast("double")
+    val po = round(col("n_agree").cast("double") / nD, 6)
+    val pe = round(col("__pe_num") / (nD * nD), 6)
+    tot.crossJoin(broadcast(peNum))
+      .select(col("n"), col("n_agree"), po.as("po"), pe.as("pe"))
+      .withColumn("kappa",
+        when(col("pe") < 1.0,
+          round((col("po") - col("pe")) / (lit(1.0) - col("pe")), 6)))
+  }
 }

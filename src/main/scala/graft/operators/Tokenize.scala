@@ -197,4 +197,37 @@ object Tokenize {
         lit(pctTimes100) * col("total_cnt"))
       .drop("__bk", "__offn", "__offw")
   }
+
+  /**
+   * Chao1 vocabulary-richness estimate — "how many token TYPES exist,
+   * including the ones this corpus hasn't surfaced yet" (Chao 1984, the
+   * ecology species-richness estimator applied to vocabulary): the
+   * corpus-growth planning question next to [[coverageCutoff]]'s
+   * coverage question. Uses the bias-corrected form, defined even with
+   * no doubletons:
+   *
+   *   chao1 = S_obs + f₁·(f₁ − 1) / (2·(f₂ + 1))
+   *
+   * where f₁/f₂ are the singleton/doubleton type counts — the rarest
+   * types carry all the information about the unseen mass (the same
+   * insight as Good–Turing).
+   *
+   * Plan: ONE token-count aggregate (the only fact-sized shuffle), then
+   * one single-row fold over the vocabulary-sized counts. All counts
+   * exact Longs; the estimate is one exact-integer-operand division
+   * (raw, q163 discipline) — `f₁² ` stays in Long for any vocabulary
+   * under ~3e9 types.
+   *
+   * Emits one row: (n_tokens, n_types, f1, f2, chao1).
+   */
+  def chao1Richness(docs: DataFrame, tokensCol: Column): DataFrame =
+    docs.select(explode(tokensCol).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("__c"))
+      .agg(sum(col("__c")).as("n_tokens"), count(lit(1)).as("n_types"),
+        coalesce(sum(when(col("__c") === 1L, 1L)), lit(0L)).as("f1"),
+        coalesce(sum(when(col("__c") === 2L, 1L)), lit(0L)).as("f2"))
+      .select(col("n_tokens"), col("n_types"), col("f1"), col("f2"),
+        (col("n_types").cast("double") +
+          (col("f1") * (col("f1") - lit(1L))).cast("double") /
+            (lit(2L) * (col("f2") + lit(1L))).cast("double")).as("chao1"))
 }

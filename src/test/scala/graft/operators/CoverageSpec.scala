@@ -50,4 +50,29 @@ class CoverageSpec extends SparkSpec {
     // and the prefix reaches the target (or exhausts the vocab)
     assert(100L * rows.last._3 >= 95L * 10L || rows.size == 4)
   }
+
+  private def chao1(ds: Seq[Seq[String]]) = {
+    val r = Tokenize.chao1Richness(ds.toDF("toks"), col("toks"))
+      .collect().head
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+  }
+
+  test("chao1Richness: hand-checked singleton/doubleton estimate") {
+    // a×2, b×1, c×1: S=3, f1=2, f2=1 -> 3 + 2*1/(2*(1+1)) = 3.5
+    val (nTok, nTyp, f1, f2, est) = chao1(Seq(Seq("a", "a", "b"), Seq("c")))
+    assert((nTok, nTyp, f1, f2) === ((4L, 3L, 2L, 1L)))
+    assert(est === 3.5)
+  }
+
+  test("chao1Richness: no singletons -> estimate equals observed types") {
+    val (_, nTyp, f1, _, est) =
+      chao1(Seq(Seq("a", "a", "b", "b"), Seq("c", "c", "c")))
+    assert(f1 === 0L && est === nTyp.toDouble)
+  }
+
+  test("chao1Richness: all-singleton corpus gives the maximal correction") {
+    // S=4, f1=4, f2=0 -> 4 + 4*3/2 = 10.0 (the classic undersampled read)
+    val (_, _, _, _, est) = chao1(Seq(Seq("a", "b"), Seq("c", "d")))
+    assert(est === 10.0)
+  }
 }

@@ -282,6 +282,31 @@ class CurateSpec extends SparkSpec {
       assert(xs.map(_._2).sorted.toSeq === (1 to xs.size).map(_.toLong)) }
   }
 
+  test("groupKFold: every row of a group lands in the same fold; folds cover [0,k)") {
+    val df = (0 until 2000).map(i => (i.toLong, (i % 97).toLong)).toDF("id", "g")
+    val got = Curate.groupKFold(df, col("g"), k = 5)
+    val perGroup = got.groupBy("g")
+      .agg(countDistinct(col("fold")).as("nf")).collect()
+    perGroup.foreach(r => assert(r.getLong(1) === 1L,
+      s"group ${r.getLong(0)} split across folds — leakage"))
+    val folds = got.select("fold").distinct().collect().map(_.getLong(0)).toSet
+    assert(folds.subsetOf((0L until 5L).toSet) && folds.size >= 4,
+      s"97 groups should populate (almost) every fold: $folds")
+  }
+
+  test("groupKFold: a group's fold is stable when other groups arrive") {
+    def foldOf(nGroups: Int): Map[Long, Long] =
+      Curate.groupKFold(
+        (0 until nGroups).map(g => (g.toLong, g.toLong)).toDF("id", "g"),
+        col("g"), k = 7)
+        .select("g", "fold").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val small = foldOf(10)
+    val big = foldOf(200)
+    small.foreach { case (g, f) => assert(big(g) === f,
+      s"group $g moved fold when the corpus grew") }
+  }
+
   test("stratifiedExact: NULL strata are excluded, not an NPE") {
     val df = Seq((1L, Option("a")), (2L, Option("a")), (3L, Option.empty[String]),
       (4L, Option("b"))).toDF("id", "g")

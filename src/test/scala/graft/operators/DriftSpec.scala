@@ -163,4 +163,90 @@ class DriftSpec extends SparkSpec {
       Seq.fill(6)(("only", "y2")))
     assert(xl === 1L && m === 0.0 && nmi === None)
   }
+
+  private def jsd(rows: Seq[(Boolean, String)]) = {
+    val r = Drift.jensenShannon(rows.toDF("inp", "c"), col("inp"), col("c"))
+      .collect().head
+    (r.getLong(0), r.getLong(1),
+      if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+      if (r.isNullAt(4)) None else Some(r.getDouble(4)))
+  }
+
+  test("jensenShannon: identical distributions score exactly 0") {
+    val rows = for { p <- Seq(true, false); c <- Seq("a", "b", "c");
+                     _ <- 1 to 4 } yield (p, c)
+    val (np, nq, j, jn) = jsd(rows)
+    assert(np === 12L && nq === 12L)
+    assert(j === Some(0.0) && jn === Some(0.0))
+  }
+
+  test("jensenShannon: disjoint supports score ln 2 (normalized 1.0)") {
+    val rows = Seq.fill(8)((true, "onlyP")) ++ Seq.fill(8)((false, "onlyQ"))
+    val (_, _, j, jn) = jsd(rows)
+    assert(j === Some(BigDecimal(math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    assert(jn === Some(1.0))
+  }
+
+  test("jensenShannon: partial support is defined and bounded; empty cohort NULL") {
+    // category 'b' absent from Q: PSI would be infinite; JSD is finite
+    val rows = Seq.fill(4)((true, "a")) ++ Seq.fill(4)((true, "b")) ++
+      Seq.fill(8)((false, "a"))
+    val (_, _, j, jn) = jsd(rows)
+    assert(j.exists(v => v > 0.0 && v < math.log(2.0) + 1e-9))
+    assert(jn.exists(v => v > 0.0 && v <= 1.0))
+    assert(jsd(Seq.fill(5)((true, "a")))._3 === None,
+      "an empty cohort has no distribution — NULL, not NaN")
+  }
+
+  private def ks(rows: Seq[(Long, Boolean)]) = {
+    val r = Drift.ksStatistic(rows.toDF("v", "ina"), col("v"), col("ina"))
+      .collect().head
+    (r.getLong(0), r.getLong(1), r.getLong(2),
+      if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+  }
+
+  test("ksStatistic: hand-checked D; identical 0; disjoint 1") {
+    // A = {1,2}, B = {2,3}: F_A(1)=.5,F_A(2)=1; F_B(1)=0,F_B(2)=.5 -> D=.5
+    val (na, nb, nv, d) = ks(Seq((1L, true), (2L, true), (2L, false), (3L, false)))
+    assert((na, nb, nv) === ((2L, 2L, 3L)))
+    assert(d === Some(0.5))
+    val same = (0L until 40L).flatMap(v => Seq((v, true), (v, false)))
+    assert(ks(same)._4 === Some(0.0))
+    val disjoint = (0L until 20L).map(v => (v, true)) ++
+      (100L until 120L).map(v => (v, false))
+    assert(ks(disjoint)._4 === Some(1.0))
+  }
+
+  test("ksStatistic: value 0 buckets correctly; empty class yields NULL") {
+    // v=0 exercises the bit_length(v+1) bucket floor
+    val withZero = Seq((0L, true), (0L, false), (5L, true), (5L, false))
+    assert(ks(withZero)._4 === Some(0.0))
+    val oneSided = Seq((1L, true), (2L, true))
+    val (na, nb, _, d) = ks(oneSided)
+    assert(na === 2L && nb === 0L && d === None)
+  }
+
+  test("ksStatistic: matches a single-window reference on skewed data, any partitioning") {
+    val rows = (0 until 5000).map { i =>
+      val v = ((i * 2654435761L) % 1000) + (if (i % 3 == 0) 500L else 0L)
+      (v, i % 3 == 0)
+    }
+    val got = ks(rows)._4.get
+    // reference: driver-side exact ECDF compare
+    val a = rows.filter(_._2).map(_._1).sorted
+    val b = rows.filterNot(_._2).map(_._1).sorted
+    val vals = (a ++ b).distinct.sorted
+    val dRef = vals.map { v =>
+      math.abs(a.count(_ <= v).toDouble / a.size -
+        b.count(_ <= v).toDouble / b.size)
+    }.max
+    assert(math.abs(got - dRef) < 1e-12, s"got $got vs reference $dRef")
+    // repartitioned input agrees bit-for-bit (the two-phase prefix is
+    // partitioning-invariant)
+    val shuffled = Drift.ksStatistic(
+      rows.toDF("v", "ina").repartition(13), col("v"), col("ina"))
+      .collect().head.getDouble(3)
+    assert(shuffled === got)
+  }
 }

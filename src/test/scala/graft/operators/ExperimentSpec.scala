@@ -54,4 +54,36 @@ class ExperimentSpec extends SparkSpec {
     assert(math.abs(lo - 0.2366) < 5e-4, s"lo $lo")
     assert(math.abs(hi - 0.7634) < 5e-4, s"hi $hi")
   }
+
+  private def kappa(rows: Seq[(String, String)]) = {
+    val r = Experiment.cohensKappa(rows.toDF("a", "b"), col("a"), col("b"))
+      .collect().head
+    (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+      if (r.isNullAt(4)) None else Some(r.getDouble(4)))
+  }
+
+  test("cohensKappa: the textbook 2x2 (20/15 agree, 10/5 disagree) = 0.4") {
+    // po = 35/50 = 0.7; pe = (30*25 + 20*25)/2500 = 0.5; kappa = 0.4
+    val rows = Seq.fill(20)(("yes", "yes")) ++ Seq.fill(15)(("no", "no")) ++
+      Seq.fill(10)(("yes", "no")) ++ Seq.fill(5)(("no", "yes"))
+    assert(kappa(rows) === ((50L, 35L, 0.7, 0.5, Some(0.4))))
+  }
+
+  test("cohensKappa: perfect agreement = 1; exact independence = 0") {
+    val perfect = Seq.fill(7)(("x", "x")) ++ Seq.fill(3)(("y", "y"))
+    assert(kappa(perfect)._5 === Some(1.0))
+    // balanced independent raters: po = pe = 0.5 -> kappa exactly 0
+    val indep = (for { a <- Seq("x", "y"); b <- Seq("x", "y"); _ <- 1 to 5 }
+      yield (a, b))
+    val (_, _, po, pe, k) = kappa(indep)
+    assert(po === 0.5 && pe === 0.5 && k === Some(0.0))
+  }
+
+  test("cohensKappa: two constant raters make pe = 1 -> NULL, not NaN") {
+    assert(kappa(Seq.fill(5)(("x", "x")))._5 === None)
+    // constant but DISAGREEING raters: po = 0, pe = 0 on the diagonal
+    // (no matching label), kappa = 0 well-defined
+    val (_, agree, po, pe, k) = kappa(Seq.fill(5)(("x", "y")))
+    assert(agree === 0L && po === 0.0 && pe === 0.0 && k === Some(0.0))
+  }
 }
