@@ -3133,6 +3133,33 @@ object SparkEntry {
       expr("CAST(round(o_totalprice * 100) AS BIGINT)"),
       col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
 
+  /** q207: per-document n-gram repetition profile
+    * ([[graft.operators.Tokenize.repetitionStats]], trigrams) — the
+    * Gopher/C4 repetitious-text quality filter as ONE scan-side
+    * projection: n-gram HOF, array_sort, run-length fold; zero
+    * shuffles/joins, O(L log L) per doc in its own length. */
+  private def repetitionQ(s: SparkSession, d: String): DataFrame =
+    Tokenize.repetitionStats(documents(s, d), "doc_id", "text", n = 3)
+
+  /** q208: Zipf slope of the corpus frequency head
+    * ([[graft.operators.Tokenize.zipfSlope]], top 100 types) — the
+    * naturalness screen: OLS of ln cnt on ln rank via five sufficient
+    * statistics over the bucketed two-phase ranking (q170's prefix, no
+    * partition-less window); sums round-6, slope/intercept derived from
+    * the rounded operands (q179 discipline). */
+  private def zipfQ(s: SparkSession, d: String): DataFrame =
+    Tokenize.zipfSlope(documents(s, d), Text.tokens(col("text")), topK = 100)
+
+  /** q209: asymmetric shingle containment pairs
+    * ([[graft.operators.Dedup.containmentPairs]], bigrams, ≥ 0.6 in
+    * either direction) — the subset-duplication screen Jaccard misses
+    * (a short doc quoted inside a long one): q15's inverted-index shape
+    * with directional |A∩B|/|A| scoring, counts broadcast back. */
+  private def containmentQ(s: SparkSession, d: String): DataFrame =
+    Dedup.containmentPairs(
+      documents(s, d).filter(col("doc_id") < 1000), "doc_id", "text",
+      n = 2, threshold = 0.6)
+
   /** q134: batch small-file compaction ([[graft.sinks.Publish.compact]] —
     * the lakehouse OPTIMIZE maintenance operator, the batch sibling of
     * the streaming `batch_id=` compactor): a deliberately fragmented
@@ -3840,6 +3867,9 @@ object SparkEntry {
     "q204_jensen_shannon"      -> (jsdQ _),
     "q205_chao1_richness"      -> (chao1Q _),
     "q206_ks_statistic"        -> (ksQ _),
+    "q207_repetition"          -> (repetitionQ _),
+    "q208_zipf_slope"          -> (zipfQ _),
+    "q209_containment"         -> (containmentQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -7093,6 +7123,55 @@ object SparkEntry {
         |       END AS d_stat
         |FROM w CROSS JOIN t GROUP BY t.na, t.nb""".stripMargin,
 
+    // q207: the oracle takes the explode+groupBy shape (oracle-side
+    // only; the engine folds per doc scan-side) — max count == max
+    // run length over any sorted order, so the two agree exactly
+    "q207_repetition" ->
+      """WITH t AS (SELECT doc_id, str_split(text, ' ') AS w
+        |           FROM documents),
+        |g AS (SELECT doc_id, unnest([array_to_string(w[i:i+2], ' ')
+        |        for i in generate_series(1, len(w) - 2)]) AS ng
+        |      FROM t WHERE len(w) >= 3),
+        |c AS (SELECT doc_id, ng, count(*) AS cnt FROM g GROUP BY 1, 2),
+        |a AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_ngrams,
+        |        CAST(count(*) AS BIGINT) AS n_distinct,
+        |        CAST(max(cnt) AS BIGINT) AS top_cnt
+        |      FROM c GROUP BY 1)
+        |SELECT doc_id, n_ngrams, n_distinct, top_cnt,
+        |       CAST(n_ngrams - n_distinct AS DOUBLE)
+        |         / CAST(n_ngrams AS DOUBLE) AS dup_frac,
+        |       CAST(top_cnt AS DOUBLE) / CAST(n_ngrams AS DOUBLE)
+        |         AS top_share
+        |FROM a""".stripMargin,
+
+    // q208: oracle ranks with a plain window (oracle-side only), same
+    // (cnt DESC, term ASC) order; RAW sums, only the final
+    // slope/intercept round-6 (accumulation-order noise ~1e-13 dies in
+    // the final round; rounding inputs would bias the fit)
+    "q208_zipf_slope" ->
+      """WITH c AS (SELECT term, count(*) AS cnt FROM
+        |        (SELECT unnest(str_split(text, ' ')) AS term
+        |         FROM documents) GROUP BY 1),
+        |w AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, term)
+        |        AS rk FROM c),
+        |h AS (SELECT ln(CAST(rk AS DOUBLE)) AS x,
+        |        ln(CAST(cnt AS DOUBLE)) AS y FROM w WHERE rk <= 100),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS k_terms,
+        |        sum(x) AS sx, sum(y) AS sy,
+        |        sum(x * x) AS sxx, sum(x * y) AS sxy
+        |      FROM h)
+        |SELECT k_terms,
+        |       CASE WHEN k_terms > 1 THEN
+        |         round((CAST(k_terms AS DOUBLE) * sxy - sx * sy)
+        |           / (CAST(k_terms AS DOUBLE) * sxx - sx * sx), 6)
+        |       END AS zipf_slope,
+        |       CASE WHEN k_terms > 1 THEN
+        |         round((sy - (CAST(k_terms AS DOUBLE) * sxy - sx * sy)
+        |             / (CAST(k_terms AS DOUBLE) * sxx - sx * sx) * sx)
+        |           / CAST(k_terms AS DOUBLE), 6)
+        |       END AS zipf_intercept
+        |FROM s""".stripMargin,
+
     // q199: identical per-user firsts and gap filter; quantiles ride
     // the q37 round-4 lane
     "q199_conversion_latency" ->
@@ -7669,6 +7748,29 @@ object SparkEntry {
         |JOIN cnt ca ON doc_a = ca.doc_id
         |JOIN cnt cb ON doc_b = cb.doc_id
         |WHERE n_inter / (ca.n_sh + cb.n_sh - n_inter) >= 0.2""".stripMargin,
+
+    // q209: q15's oracle shape with directional containment scores;
+    // greatest() decides membership on the same raw divisions
+    "q209_containment" ->
+      """WITH t AS (
+        |  SELECT doc_id, str_split(text, ' ') AS toks
+        |  FROM documents WHERE doc_id < 1000),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))])) AS sh
+        |  FROM t WHERE len(toks) >= 2),
+        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, CAST(n_inter AS BIGINT) AS n_inter,
+        |  round(n_inter / ca.n_sh, 6) AS contain_a_in_b,
+        |  round(n_inter / cb.n_sh, 6) AS contain_b_in_a
+        |FROM pairs
+        |JOIN cnt ca ON doc_a = ca.doc_id
+        |JOIN cnt cb ON doc_b = cb.doc_id
+        |WHERE greatest(n_inter / ca.n_sh, n_inter / cb.n_sh) >= 0.6""".stripMargin,
 
     "q16_knn_brute" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

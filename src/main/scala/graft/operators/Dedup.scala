@@ -74,6 +74,48 @@ object Dedup {
   }
 
   /**
+   * ASYMMETRIC containment pairs — the subset-duplication detector
+   * Jaccard structurally misses: a short document quoted wholesale
+   * inside a long one has `|A∩B|/|A| ≈ 1` but Jaccard
+   * `|A∩B|/|A∪B| ≈ |A|/|B|`, arbitrarily small — so a quote-dedup
+   * pass keyed on Jaccard lets every wrapped copy through (the C4
+   * "exact substring" class, stated set-wise over shingles).
+   * Containment is directional; both directions are emitted and a pair
+   * qualifies when EITHER reaches `threshold`.
+   *
+   * Same inverted-index shape as [[ngramJaccardPairs]] (one shingle
+   * self-equi-join, per-doc shingle counts broadcast back — |docs|
+   * rows), so the same scale caveat: at 100 TB this is the VERIFIER
+   * behind a candidate generator ([[minhashLshPairs]] banding, or
+   * prefix filtering under the containment bound |A| − ⌈t·|A|⌉ + 1),
+   * never the scanner. Counts exact Longs; each containment is one
+   * exact-integer-operand division (raw inside the filter, round-6 on
+   * the emitted columns — q163 discipline).
+   *
+   * Emits (doc_a, doc_b, n_inter, contain_a_in_b, contain_b_in_a).
+   */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int, threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
+    val sh = shingleIndex(df, idCol, textCol, n)
+    val counts = sh.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a").hint("shuffle_hash")
+      .join(sh.as("b").hint("shuffle_hash"),
+        col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val cab = col("n_inter") / col("ca.n_sh")
+    val cba = col("n_inter") / col("cb.n_sh")
+    inter
+      .join(broadcast(counts.as("ca")), col("doc_a") === col("ca.doc"))
+      .join(broadcast(counts.as("cb")), col("doc_b") === col("cb.doc"))
+      .filter(greatest(cab, cba) >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"),
+        round(cab, 6).as("contain_a_in_b"),
+        round(cba, 6).as("contain_b_in_a"))
+  }
+
+  /**
    * Prefix-filtered exact Jaccard self-join — the SSJoin/PPJoin candidate
    * generation (Chaudhuri et al. ICDE'06, Xiao et al. WWW'08) applied to
    * [[ngramJaccardPairs]]'s problem: same output, asymptotically fewer

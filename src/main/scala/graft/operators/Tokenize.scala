@@ -162,6 +162,18 @@ object Tokenize {
                      pctTimes100: Long = 95L): DataFrame = {
     require(pctTimes100 >= 1 && pctTimes100 <= 100,
       s"pct in [1, 100], got $pctTimes100")
+    rankedTermCounts(docs, tokensCol)
+      .filter(lit(100L) * (col("cum_cnt") - col("cnt")) <
+        lit(pctTimes100) * col("total_cnt"))
+      .drop("__bk", "__offn", "__offw")
+  }
+
+  /** The two-phase distributed frequency ranking shared by
+    * [[coverageCutoff]] and [[zipfSlope]]: (term, cnt, rk, cum_cnt,
+    * total_cnt) under (cnt DESC, term ASC) order, with `__bk`-bucketed
+    * windows only — see [[coverageCutoff]]'s scaladoc for the shape
+    * argument. */
+  private def rankedTermCounts(docs: DataFrame, tokensCol: Column): DataFrame = {
     // localCheckpoint: the token-count aggregate feeds BOTH the
     // driver-side bucket-stats collect and the final bucketed-window
     // plan — without materializing it the fact-sized explode+groupBy
@@ -193,9 +205,49 @@ object Tokenize {
         (col("__offn") + row_number().over(order)).cast("long"))
       .withColumn("cum_cnt", col("__offw") + sum(col("cnt")).over(run))
       .withColumn("total_cnt", lit(total))
-      .filter(lit(100L) * (col("cum_cnt") - col("cnt")) <
-        lit(pctTimes100) * col("total_cnt"))
-      .drop("__bk", "__offn", "__offw")
+  }
+
+  /**
+   * Zipf slope of the frequency spectrum's head — the OLS fit of
+   * `ln cnt = intercept + slope·ln rk` over the `topK`
+   * frequency-ranked types: natural text sits near slope −1
+   * (Zipf 1949); a much flatter head reads as templated/synthetic
+   * text and a much steeper one as a degenerate vocabulary — the
+   * corpus-level naturalness screen next to [[repetitionStats]]'s
+   * per-document one.
+   *
+   * Ranking is [[rankedTermCounts]]'s two-phase bucketed prefix (no
+   * partition-less window); the fit aggregates the five OLS sufficient
+   * statistics (n, Σx, Σy, Σx², Σxy) in ONE pass over the topK-sized
+   * head — the q196 sufficient-statistics shape with logs in place of
+   * integer moments. The sums stay RAW and only the final
+   * slope/intercept round to 6dp (the chi2 lane: rounding the inputs
+   * would bias the fit by the rounding scale itself — measured 1e-6 on
+   * an exact cnt = K/r spectrum — while accumulation-order noise on the
+   * raw sums is ~1e-13 relative and dies in the final round). topK < 2
+   * (ranks are distinct integers, so k ≥ 2 guarantees positive
+   * variance) yields NULL, never NaN.
+   *
+   * Emits one row: (k_terms, zipf_slope, zipf_intercept).
+   */
+  def zipfSlope(docs: DataFrame, tokensCol: Column, topK: Int = 100): DataFrame = {
+    require(topK >= 2 && topK <= 100000, s"topK in [2, 100000], got $topK")
+    val head = rankedTermCounts(docs, tokensCol)
+      .filter(col("rk") <= topK)
+      .select(log(col("rk").cast("double")).as("__x"),
+        log(col("cnt").cast("double")).as("__y"))
+    val s = head.agg(count(lit(1)).as("k_terms"),
+      sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+      sum(col("__x") * col("__x")).as("__sxx"),
+      sum(col("__x") * col("__y")).as("__sxy"))
+    val n = col("k_terms").cast("double")
+    val det = n * col("__sxx") - col("__sx") * col("__sx")
+    val slope = (n * col("__sxy") - col("__sx") * col("__sy")) / det
+    s.select(col("k_terms"),
+      when(col("k_terms") > 1L, round(slope, 6)).as("zipf_slope"),
+      when(col("k_terms") > 1L,
+        round((col("__sy") - slope * col("__sx")) / n, 6))
+        .as("zipf_intercept"))
   }
 
   /**
@@ -220,6 +272,59 @@ object Tokenize {
    *
    * Emits one row: (n_tokens, n_types, f1, f2, chao1).
    */
+  /**
+   * Within-document n-gram repetition profile — the Gopher/C4-family
+   * "repetitious text" quality filter (Rae et al. 2021 §A1.1: drop docs
+   * whose duplicate n-gram fraction or top-n-gram share exceeds a
+   * band): boilerplate, keyboard mashing and template spam all surface
+   * as a document REUSING its own n-grams.
+   *
+   * Entirely scan-side — the interesting part. The naive shape
+   * (explode n-grams → groupBy (doc, gram) → re-group by doc) shuffles
+   * an n-gram-sized table; here each document's stats fold inside ONE
+   * projection: build the n-gram array (slice HOF), `array_sort` it so
+   * equal grams are adjacent (ANY total order works — collation
+   * differences between engines cannot change a run-length maximum),
+   * and take the longest run with one `aggregate` fold. Zero shuffles,
+   * zero joins; cost O(L log L) per document in its own length.
+   *
+   * Exactness: counts are Longs; `dup_frac = (total − distinct)/total`
+   * and `top_share = top/total` are single divisions of exact integer
+   * operands (raw, q163 discipline). Documents shorter than n tokens
+   * are excluded (no n-grams to profile — same WHERE in the oracle).
+   *
+   * Emits one row per doc: (doc_id, n_ngrams, n_distinct, top_cnt,
+   * dup_frac, top_share).
+   */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3): DataFrame = {
+    require(n >= 1 && n <= 10, s"n in [1, 10], got $n")
+    val base = docs
+      .select(col(idCol).as("doc_id"), Text.tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= n)
+    val grams = transform(sequence(lit(0), size(col("__t")) - n),
+      i => array_join(slice(col("__t"), i + lit(1), lit(n)), " "))
+    val z = struct(lit("").as("p"), lit(0L).as("r"), lit(0L).as("m"))
+    val topRun = aggregate(array_sort(col("__g")), z,
+      (acc, x) => {
+        val run = when(x === acc.getField("p"), acc.getField("r") + lit(1L))
+          .otherwise(lit(1L))
+        struct(x.as("p"), run.as("r"),
+          greatest(acc.getField("m"), run).as("m"))
+      },
+      acc => acc.getField("m"))
+    base.withColumn("__g", grams)
+      .select(col("doc_id"),
+        size(col("__g")).cast("long").as("n_ngrams"),
+        size(array_distinct(col("__g"))).cast("long").as("n_distinct"),
+        topRun.as("top_cnt"))
+      .withColumn("dup_frac",
+        (col("n_ngrams") - col("n_distinct")).cast("double") /
+          col("n_ngrams").cast("double"))
+      .withColumn("top_share",
+        col("top_cnt").cast("double") / col("n_ngrams").cast("double"))
+  }
+
   def chao1Richness(docs: DataFrame, tokensCol: Column): DataFrame =
     docs.select(explode(tokensCol).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("__c"))

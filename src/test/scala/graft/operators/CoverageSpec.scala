@@ -75,4 +75,67 @@ class CoverageSpec extends SparkSpec {
     val (_, _, _, _, est) = chao1(Seq(Seq("a", "b"), Seq("c", "d")))
     assert(est === 10.0)
   }
+
+  private def rep(texts: Seq[(Long, String)], n: Int = 3) =
+    Tokenize.repetitionStats(texts.toDF("doc_id", "text"), "doc_id", "text", n)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getDouble(5))).toMap
+
+  test("repetitionStats: hand-checked trigram repetition") {
+    // "a b a b a b": grams = [a b a, b a b, a b a, b a b]
+    //   total 4, distinct 2, top 2 -> dup 0.5, top_share 0.5
+    // "w x y z": grams all distinct -> dup 0, top_share 1/2
+    val got = rep(Seq((1L, "a b a b a b"), (2L, "w x y z")))
+    assert(got(1L) === ((4L, 2L, 2L, 0.5, 0.5)))
+    assert(got(2L) === ((2L, 2L, 1L, 0.0, 0.5)))
+  }
+
+  test("repetitionStats: pure template spam reads ~1; short docs excluded") {
+    val spam = ("buy now " * 30).trim // 60 tokens of a 2-token loop
+    val got = rep(Seq((1L, spam), (2L, "too short")))
+    assert(!got.contains(2L), "a doc under n tokens has no n-grams")
+    val (total, distinct, top, dup, share) = got(1L)
+    assert(total === 58L && distinct === 2L)
+    assert(top === 29L, "the dominant trigram repeats ~L/2 times")
+    assert(dup > 0.96 && share === 0.5)
+  }
+
+  private def zipf(ds: Seq[Seq[String]], k: Int = 100) = {
+    val r = Tokenize.zipfSlope(ds.toDF("toks"), col("toks"), k).collect().head
+    (r.getLong(0),
+      if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+      if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+  }
+
+  test("zipfSlope: an exact cnt = K/r spectrum fits slope -1, intercept ln K") {
+    // a×12, b×6, c×4, d×3: ln cnt = ln 12 - 1·ln rk exactly at every rank
+    val corpus = Seq(Seq.fill(12)("a"), Seq.fill(6)("b"),
+      Seq.fill(4)("c"), Seq.fill(3)("d")).map(identity)
+    val (k, slope, icept) = zipf(corpus)
+    assert(k === 4L)
+    assert(slope === Some(-1.0))
+    assert(icept === Some(BigDecimal(math.log(12.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+  }
+
+  test("zipfSlope: topK caps the head; flat spectrum reads slope 0") {
+    // six equal-count terms: cnt constant -> y constant -> slope 0
+    val flat = Seq(Seq("a", "b", "c", "d", "e", "f"))
+    val (k3, slope, _) = zipf(flat, k = 3)
+    assert(k3 === 3L && slope === Some(0.0))
+  }
+
+  test("zipfSlope: a single ranked term has no fit - NULL, not NaN") {
+    val (k, slope, icept) = zipf(Seq(Seq.fill(5)("only")), k = 100)
+    assert(k === 1L && slope === None && icept === None)
+  }
+
+  test("repetitionStats: plan is one scan-side projection - no shuffle, no join") {
+    val df = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val p = Tokenize.repetitionStats(df, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && !p.contains("Join") &&
+      !p.contains("Window"), s"expected a pure projection:\n$p")
+  }
 }

@@ -32,6 +32,34 @@ class DedupSpec extends SparkSpec {
     assert(pairs === Set((10L, 11L), (20L, 21L)))
   }
 
+  test("containmentPairs: a wholesale quote scores ~1 where Jaccard misses it") {
+    val quote = "alpha beta gamma delta"
+    val wrapper = quote + " " + (1 to 20).map(i => s"pad$i").mkString(" ")
+    val corpus = Seq((1L, quote), (2L, wrapper), (3L, "totally different words here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(corpus, "doc_id", "text",
+        n = 2, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    // doc 1's 3 bigrams all appear in doc 2 (24 words -> 23 bigrams):
+    // c(1→2) = 1.0, c(2→1) = 3/23 — and Jaccard = 3/23 won't pass 0.9
+    assert(got.keySet === Set((1L, 2L)))
+    assert(got((1L, 2L)) === ((3L, 1.0, 0.130435)))
+    val jac = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+        n = 2, threshold = 0.9).count()
+    assert(jac === 0L, "Jaccard at the same threshold misses the quote")
+  }
+
+  test("containmentPairs: direction is reported, not collapsed; threshold filters") {
+    // two half-overlapping docs: symmetric containment 0.5 — below 0.6
+    val corpus = Seq((1L, "a b c d"), (2L, "c d e f")).toDF("doc_id", "text")
+    assert(Dedup.containmentPairs(corpus, "doc_id", "text", 2, 0.6).count() === 0L)
+    val loose = Dedup.containmentPairs(corpus, "doc_id", "text", 2, 0.3)
+      .collect().map(r => (r.getDouble(3), r.getDouble(4))).head
+    // shared bigram: only "c d" — 1/3 each direction
+    assert(loose === ((0.333333, 0.333333)))
+  }
+
   test("prefix-filtered jaccard equals the brute inverted-index form") {
     for (t <- Seq(0.2, 0.5, 0.8); n <- Seq(2, 3)) {
       val brute = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n, t)
