@@ -854,6 +854,40 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q202/q204: stats-tier joins are broadcast-only, never sort-merge") {
+    // marginals/totals are label-sized or single-row — every join must
+    // be a broadcast (hash over matched labels, NLJ only for the
+    // single-row total folds); a SortMergeJoin here would shuffle the
+    // cell table for no reason
+    Seq("q202_cohens_kappa", "q204_jensen_shannon").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+        s"$q: expected broadcast-only stats joins:\n$p")
+    }
+  }
+
+  test("q206/q208: the two-phase prefix joins its bucket offsets broadcast") {
+    // offsets are ≤64 driver rows broadcast back; the value/term table
+    // must never shuffle for the offset join, and the window must be
+    // __bk-partitioned (the partition-less ban is pinned globally)
+    Seq("q206_ks_statistic", "q208_zipf_slope").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q: offsets not broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+        s"$q: unexpected heavy join:\n$p")
+    }
+  }
+
+  test("q209 containment: shingle self-join shuffled-hash, counts broadcast") {
+    val p = plan("q209_containment")
+    // the shingle self-equi-join is hinted shuffle-hash (sort would pay
+    // an O(n log n) pass per side for a hashable key); per-doc counts
+    // are |docs| rows — broadcast back
+    assert(p.contains("ShuffledHashJoin"), s"self-join not shuffle-hash:\n$p")
+    assert(countOf(p, "BroadcastHashJoin") >= 2, s"counts not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q187 phrase search: postings term filter is scan-side, probes equi") {
     val p = plan("q187_phrase_search")
     // the tok IN (phrase terms) prune must sit under the generate, not
