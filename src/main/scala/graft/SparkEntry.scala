@@ -3160,6 +3160,35 @@ object SparkEntry {
       documents(s, d).filter(col("doc_id") < 1000), "doc_id", "text",
       n = 2, threshold = 0.6)
 
+  /** q210: replay-maintained KMV distinct-count state — the freshness
+    * posture (q180 sums, q194 WOE cells, q200 min/max) extended to a
+    * FOURTH state shape: bounded ORDER STATISTICS. Three document
+    * micro-batches fold per-lang token-lane sets through
+    * [[graft.operators.Sketch.kmvTruncate]] (≤ k rows per lang
+    * persisted per version); k-minima are exact under merge-truncate,
+    * so the maintained state's readout
+    * ([[graft.operators.Sketch.kmvEstimateFromState]]) equals the
+    * whole-corpus batch sketch BIT-EXACTLY — the oracle is q40's batch
+    * KMV SQL verbatim. Per batch: the delta's lanes plus a ≤ k-row
+    * state read; history never rescanned. */
+  private def kmvReplayQ(s: SparkSession, d: String): DataFrame = {
+    val dir = replayStateDir(s, "q210", d)
+    (0 until 3).foreach { i =>
+      val batch = documents(s, d)
+        .filter(pmod(col("doc_id"), lit(3)) === i)
+        .select(col("lang"), explode(Text.tokens(col("text"))).as("token"))
+        .select(col("lang"), Sketch.shaLane(col("token")).as("lane"))
+      val merged =
+        if (i == 0) batch
+        else s.read.parquet(s"$dir/state_${i - 1}").unionByName(batch)
+      Sketch.kmvTruncate(merged, Seq("lang"), k = 256)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/state_$i")
+    }
+    Sketch.kmvEstimateFromState(s.read.parquet(s"$dir/state_2"),
+      Seq("lang"), k = 256)
+  }
+
   /** q134: batch small-file compaction ([[graft.sinks.Publish.compact]] —
     * the lakehouse OPTIMIZE maintenance operator, the batch sibling of
     * the streaming `batch_id=` compactor): a deliberately fragmented
@@ -3870,6 +3899,7 @@ object SparkEntry {
     "q207_repetition"          -> (repetitionQ _),
     "q208_zipf_slope"          -> (zipfQ _),
     "q209_containment"         -> (containmentQ _),
+    "q210_kmv_replay"          -> (kmvReplayQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -7604,6 +7634,10 @@ object SparkEntry {
          |  FROM asg s JOIN c2 c ON s.cid = c.cid)""".stripMargin,
     "q28_multimodal_features" -> multimodalOracle,
     "q40_kmv_distinct" -> kmvOracle,
+
+    // q210: maintained == rebuilt — the oracle is the BATCH sketch SQL
+    // verbatim (k-minima exact under merge-truncate)
+    "q210_kmv_replay" -> kmvOracle,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity),2) AS sum_qty,

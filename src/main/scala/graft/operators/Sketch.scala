@@ -58,6 +58,37 @@ object Sketch {
         round(estimate(col("n_kept"), col("lane_k"), k), 4).as("est_distinct")): _*)
   }
 
+  /** Truncate a (keys…, lane) set to each group's k SMALLEST distinct
+    * lanes — the persistable KMV state, and the step that makes the
+    * sketch INCREMENTALLY MAINTAINABLE as a mart: k-minima are exact
+    * under merge-truncate (`kmin(kmin(A) ∪ B) = kmin(A ∪ B)` — every
+    * lane the left side drops is larger than k survivors, so it can
+    * never re-enter the union's k-minima), which is what lets q210
+    * fold per-batch lane sets into a ≤ k-rows-per-group state table
+    * and still read back the EXACT whole-history estimate. The window
+    * is keys-partitioned (≤ state rows per group), never global. */
+  def kmvTruncate(df: DataFrame, keys: Seq[String], k: Int): DataFrame = {
+    require(k >= 3, "KMV needs k >= 3")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("lane").asc)
+    df.select((keys.map(col) :+ col("lane")): _*)
+      .filter(col("lane").isNotNull).distinct()
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** The readout half of the maintained-state path: estimate distinct
+    * counts from a [[kmvTruncate]] state table — same estimator dag as
+    * [[kmvDistinct]], so a maintained state reads back bit-identically
+    * to the batch form over the same lanes. */
+  def kmvEstimateFromState(state: DataFrame, keys: Seq[String],
+                           k: Int): DataFrame =
+    state.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_kept"), max(col("lane")).as("lane_k"))
+      .select((keys.map(col) :+
+        round(estimate(col("n_kept"), col("lane_k"), k), 4)
+          .as("est_distinct")): _*)
+
   /** Mergeable-sketch KMV (scale path): per-group state is k longs,
     * partial aggregation map-side — the plan shows ObjectHashAggregate
     * with a partial merge, and the shuffle never carries more than k

@@ -289,4 +289,31 @@ class SketchSpec extends SparkSpec {
         }
     }
   }
+
+  test("kmvTruncate: merge-truncate folding equals the one-shot k-minima exactly") {
+    // the q210 maintained == rebuilt identity, as a property: fold three
+    // arbitrary batches through truncate(state ∪ batch) and compare the
+    // final state AND its estimate against the whole-set computation
+    val k = 16
+    val rows = (0 until 900).map(i => (s"g${i % 3}", s"tok_${i % 417}"))
+      .toDF("g", "t").select(col("g"), Sketch.shaLane(col("t")).as("lane"))
+    val oneShot = Sketch.kmvTruncate(rows, Seq("g"), k)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    var state: org.apache.spark.sql.DataFrame = null
+    (0 until 3).foreach { i =>
+      val batch = (0 until 900).filter(_ % 3 == i)
+        .map(j => (s"g${j % 3}", s"tok_${j % 417}"))
+        .toDF("g", "t").select(col("g"), Sketch.shaLane(col("t")).as("lane"))
+      val merged = if (state == null) batch else state.unionByName(batch)
+      state = Sketch.kmvTruncate(merged, Seq("g"), k).localCheckpoint()
+    }
+    val folded = state.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(folded === oneShot, "k-minima must be exact under merge-truncate")
+    // and the readout equals the window-rank batch estimator bit-for-bit
+    val est = Sketch.kmvEstimateFromState(state, Seq("g"), k)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val batchEst = Sketch.kmvDistinct(rows, Seq("g"), col("lane"), k)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(est === batchEst)
+  }
 }
