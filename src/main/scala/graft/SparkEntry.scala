@@ -3189,6 +3189,16 @@ object SparkEntry {
       Seq("lang"), k = 256)
   }
 
+  /** q211: MAD-based robust outliers per event type
+    * ([[graft.operators.Trend.robustOutliers]], modified z > 3.5) — the
+    * Iglewicz–Hoaglin screen with a 50% breakdown point, vs the mean/
+    * stddev signal's masking under heavy contamination; two grouped
+    * exact-percentile passes, group-sized stats broadcast back, fact
+    * table never shuffled. */
+  private def robustOutliersQ(s: SparkSession, d: String): DataFrame =
+    Trend.robustOutliers(events(s, d), Seq("event_type"), col("event_id"),
+      expr("CAST(round(value * 100) AS BIGINT)"), threshold = 3.5)
+
   /** q134: batch small-file compaction ([[graft.sinks.Publish.compact]] —
     * the lakehouse OPTIMIZE maintenance operator, the batch sibling of
     * the streaming `batch_id=` compactor): a deliberately fragmented
@@ -3900,6 +3910,7 @@ object SparkEntry {
     "q208_zipf_slope"          -> (zipfQ _),
     "q209_containment"         -> (containmentQ _),
     "q210_kmv_replay"          -> (kmvReplayQ _),
+    "q211_robust_outliers"     -> (robustOutliersQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -7638,6 +7649,26 @@ object SparkEntry {
     // q210: maintained == rebuilt — the oracle is the BATCH sketch SQL
     // verbatim (k-minima exact under merge-truncate)
     "q210_kmv_replay" -> kmvOracle,
+
+    // q211: same two-median derivation; medians interpolate on exact
+    // integer cents (quantile_cont == Spark percentile on dyadic
+    // midpoints); membership decided on the raw modified z
+    "q211_robust_outliers" ->
+      """WITH v AS (SELECT event_type, event_id AS id,
+        |        CAST(round(value * 100) AS BIGINT) AS v FROM events),
+        |m AS (SELECT event_type, quantile_cont(CAST(v AS DOUBLE), 0.5)
+        |        AS med FROM v GROUP BY 1),
+        |d AS (SELECT v.event_type, v.id, v.v, m.med,
+        |        abs(CAST(v.v AS DOUBLE) - m.med) AS ad
+        |      FROM v JOIN m USING (event_type)),
+        |md AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad
+        |       FROM d GROUP BY 1)
+        |SELECT d.event_type, d.id, d.v, d.med, md.mad,
+        |       round(0.6745 * (CAST(d.v AS DOUBLE) - d.med) / md.mad, 6)
+        |         AS modified_z
+        |FROM d JOIN md USING (event_type)
+        |WHERE md.mad > 0.0
+        |  AND abs(0.6745 * (CAST(d.v AS DOUBLE) - d.med) / md.mad) > 3.5""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity),2) AS sum_qty,

@@ -484,4 +484,48 @@ object Trend {
       .select(keys.map(col) :+ col("n_points") :+
         col("__np").as("n_pairs") :+ col("__slope").as("slope_micro"): _*)
   }
+
+  /**
+   * MAD-based robust outliers — the modified z-score screen
+   * (Iglewicz & Hoaglin 1993): flag rows where
+   * `|0.6745 · (x − median) / MAD| > threshold`, with
+   * `MAD = median(|x − median|)`. The robust sibling of the reference's
+   * rolling mean/stddev signal (v_ae_early_signals.sql): mean/stddev
+   * are themselves dragged by the outliers they are supposed to expose
+   * (masking), while median/MAD have a 50% breakdown point — the
+   * outlier screen that still works when the contamination is heavy.
+   *
+   * Shape: TWO grouped exact-percentile passes (median, then MAD over
+   * the deviations) with the group-sized stats broadcast back between
+   * them — the fact table is scanned twice and never shuffled. The
+   * medians interpolate on exact integer cents (dyadic midpoints →
+   * exact doubles, the q198 argument), so the modified z is a fixed
+   * dag over identically-derived operands in both engines (round-6 on
+   * the emitted score; membership decided on the raw value). Exact
+   * `percentile` buffers per group — at 100 TB swap the two medians
+   * for [[graft.operators.Sketch.quantilesApprox]]'s mergeable summary
+   * (the documented scale lane; the screen is a heuristic, so the
+   * ±n/accuracy rank error does not change its contract). Zero-MAD
+   * groups (>50% of mass on one value) are excluded — no outlier is
+   * decidable there, and ANSI mode would throw on the division.
+   *
+   * Emits the flagged rows: (keys…, id, v, med, mad, modified_z).
+   */
+  def robustOutliers(df: DataFrame, keys: Seq[String], id: Column,
+                     value: Column, threshold: Double = 3.5): DataFrame = {
+    require(threshold > 0.0, s"threshold must be > 0, got $threshold")
+    val base = df.select(keys.map(col) :+ id.as("id") :+
+      value.cast("long").as("v"): _*)
+    val med = base.groupBy(keys.map(col): _*)
+      .agg(percentile(col("v"), lit(0.5)).as("med"))
+    val dev = base.join(broadcast(med), keys)
+      .withColumn("__ad", abs(col("v").cast("double") - col("med")))
+    val mad = dev.groupBy(keys.map(col): _*)
+      .agg(percentile(col("__ad"), lit(0.5)).as("mad"))
+    val mz = lit(0.6745) * (col("v").cast("double") - col("med")) / col("mad")
+    dev.join(broadcast(mad), keys)
+      .filter(col("mad") > 0.0 && abs(mz) > threshold)
+      .select(keys.map(col) :+ col("id") :+ col("v") :+ col("med") :+
+        col("mad") :+ round(mz, 6).as("modified_z"): _*)
+  }
 }

@@ -333,4 +333,34 @@ class TrendSpec extends SparkSpec {
         col("x1"), col("x2"), col("y")).collect().head
     assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4))
   }
+
+  private def outliers(rows: Seq[(String, Long, Long)], t: Double) =
+    Trend.robustOutliers(rows.toDF("g", "id", "v"), Seq("g"), col("id"),
+        col("v"), t)
+      .collect().map(r => r.getLong(1) ->
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+
+  test("robustOutliers: hand-checked modified z; only the spike flags") {
+    // g: 10,12,14,16,100 -> med 14, deviations {4,2,0,2,86} -> mad 2;
+    // mz(100) = 0.6745*86/2 = 29.0035; mz(10) = -1.349 (not flagged)
+    val rows = Seq(("g", 1L, 10L), ("g", 2L, 12L), ("g", 3L, 14L),
+      ("g", 4L, 16L), ("g", 5L, 100L))
+    val got = outliers(rows, 3.5)
+    assert(got.keySet === Set(5L))
+    assert(got(5L) === ((14.0, 2.0, 29.0035)))
+  }
+
+  test("robustOutliers: even counts interpolate the median exactly") {
+    // {1,3}: med 2.0 interpolated, mad 1.0; both rows at |mz| 0.6745
+    val got = outliers(Seq(("g", 1L, 1L), ("g", 2L, 3L)), 0.5)
+    assert(got.size === 2)
+    assert(got(1L) === ((2.0, 1.0, -0.6745)) && got(2L) === ((2.0, 1.0, 0.6745)))
+  }
+
+  test("robustOutliers: zero-MAD groups are excluded, never a divide-by-zero") {
+    // >50% of mass on one value -> mad 0: no outlier is decidable
+    val rows = Seq.fill(4)(("z", 1L, 7L)).zipWithIndex
+      .map { case ((g, _, v), i) => (g, i.toLong, v) } :+ (("z", 9L, 1000L))
+    assert(outliers(rows, 3.5).isEmpty)
+  }
 }
