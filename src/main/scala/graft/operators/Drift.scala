@@ -251,8 +251,12 @@ object Drift {
    * One grouped pass builds the 2×K table (cohort membership as
    * conditional sums inside the category shuffle), totals broadcast
    * back as a single row; the JSD sum accumulates logs → round-6 lane,
-   * normalized FROM the rounded value (q179 discipline). Both cohorts
-   * empty of rows → NULL.
+   * normalized FROM the rounded value (q179 discipline). A fully empty
+   * input yields an EMPTY result (no categories → no cells → the
+   * groupBy emits nothing); an input where only ONE cohort has rows
+   * yields the single summary row with jsd/jsd_norm NULL (the
+   * statistic is undefined against an empty distribution — the NULL-
+   * not-NaN convention).
    *
    * Emits one row: (n_p, n_q, k_cats, jsd, jsd_norm).
    */
@@ -285,7 +289,10 @@ object Drift {
    * Two-sample Kolmogorov–Smirnov statistic over a NON-NEGATIVE integer
    * value (cents, micro-units — the q163/q185 integer-lane convention):
    * `D = max_v |F_A(v) − F_B(v)|`, the distribution-free "are these two
-   * score/price/latency distributions the same" screen — the
+   * score/price/latency distributions the same" screen. The contract is
+   * ENFORCED: NULL and negative values are filtered out before
+   * bucketing (a signed measure must be shifted into non-negative units
+   * at the call site) — the
    * training-eval companion to [[jensenShannon]] for CONTINUOUS values,
    * where binning choices would move a PSI but D is bin-free.
    *
@@ -307,7 +314,12 @@ object Drift {
    */
   def ksStatistic(df: DataFrame, value: Column, inA: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val g = df.filter(value.isNotNull)
+    // enforce the non-negative contract stated above: conv() on a
+    // negative long yields the 64-char two's-complement string, which
+    // would land negatives in the TOP bit-length bucket and break the
+    // monotone bucketing silently — negative rows are excluded here
+    // (shift a signed measure into non-negative units at the call site)
+    val g = df.filter(value.isNotNull && value.cast("long") >= 0L)
       .select(value.cast("long").as("__v"), inA.as("__a"))
       .groupBy(col("__v"))
       .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("__ca"),

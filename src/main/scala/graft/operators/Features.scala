@@ -33,7 +33,7 @@ object Features {
    */
   def targetEncodeLoo(df: DataFrame, keep: Seq[String], cat: Column,
                       y: Column,
-                      maxBroadcastCategories: Long = 4000000L): DataFrame = {
+                      maxBroadcastCategories: Long = 640000L): DataFrame = {
     val base = df.select(keep.map(col) :+ cat.as("cat") :+
       y.cast("long").as("y"): _*)
     // The stats frame is category-sized, not fact-sized, but "the
@@ -44,8 +44,10 @@ object Features {
     // strategy from the MEASURED cardinality. Below the threshold the
     // stats broadcast (fact table never shuffles); above it the join
     // falls back to a shuffled hash/sort-merge join on `cat` — at
-    // ~16 bytes of state per category, 4M categories ≈ the 10 MB-ish
-    // broadcast budget class; override per deployment.
+    // ~16 bytes of state per category (more with UnsafeRow + key string
+    // overhead), the 640k default keeps the explicit broadcast — which
+    // BYPASSES autoBroadcastJoinThreshold — in the ~10 MB budget class;
+    // override per deployment.
     val stats = base.groupBy(col("cat"))
       .agg(sum(col("y")).as("__sy"), count(lit(1)).as("__n"))
       .localCheckpoint()

@@ -270,21 +270,88 @@ object Graph {
    * q181 oracle be the identical rounds unrolled as plain SQL layers.
    * (Run with `rounds` ≥ graph diameter to guarantee the true k-core.)
    *
-   * Scale shape: per-round work is one groupBy + two semi-joins over
-   * the CURRENT edge set, which only ever shrinks; state between rounds
-   * is the edge list alone. Each round reads that state FOUR times (the
-   * two degree-union legs and both probes), so the surviving edge set
-   * is localCheckpoint-ed EVERY round — uncheckpointed, each consumer
-   * re-runs the previous round's whole plan and the work multiplies
-   * ~4× per round (measured at sf0.1: 51 s unrolled → 1.4 s
-   * materialized; the q110/q166 class, at its most extreme).
+   * Scale shape — FRONTIER-INCREMENTAL (round 12; the previous peel
+   * recomputed every vertex's degree from the full surviving edge set
+   * each round, the steepest sf1 member at 7.52× wall for 10× data).
+   * Degrees are computed from the edge set ONCE (the unavoidable O(E)
+   * groupBy), then maintained by difference: each round's kill set is a
+   * filter of the NODE-sized degree table, and only the neighbors of
+   * just-killed vertices have their degrees patched (one frontier-sized
+   * groupBy). The edge set still shrinks by two anti-joins, but the
+   * kill set rides a measured-cardinality broadcast (the
+   * targetEncodeLoo guard pattern: ≤ `maxBroadcastKill` rows → explicit
+   * broadcast, else shuffle fallback), so the O(E) side never
+   * exchanges — per-round cost is two broadcast-filtered SCANS of the
+   * shrinking edge set plus node-sized bookkeeping, vs the old
+   * 2E-row degree shuffle + two shuffle semi-joins. When a round kills
+   * nothing the peel has reached its fixpoint and remaining rounds are
+   * identical no-ops, so the loop exits early — same bounded-round
+   * result, bit for bit. Surviving edges and the degree table are
+   * localCheckpoint-ed every round (each is consumed twice by the next
+   * round — the q110/q166 class; uncheckpointed the work multiplies
+   * ~4× per round, measured 51 s → 1.4 s at sf0.1).
    *
    * Output: `(node, degree)` over the subgraph remaining after
    * `rounds` peels (nodes that lost every edge are absent).
    */
-  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+  def kCore(edges: DataFrame, k: Int, rounds: Int,
+            maxBroadcastKill: Long = 1000000L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    var e = edges.toDF("__s", "__d")
+      .select(least(col("__s"), col("__d")).as("a"),
+        greatest(col("__s"), col("__d")).as("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+    // round 0: the only full-edge-set degree computation
+    var deg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("degree")).localCheckpoint()
+    var r = 0
+    var fixpoint = false
+    while (r < rounds && !fixpoint) {
+      r += 1
+      val kill = deg.filter(col("degree") < k).select(col("n"))
+        .localCheckpoint()
+      val nKill = kill.count()
+      if (nKill == 0) {
+        // no vertex below k ⇒ every remaining round is a no-op; the
+        // bounded-round contract is preserved exactly
+        fixpoint = true
+      } else {
+        // kill is frontier-sized (≤ killed-so-far ≤ |V|); 8 B/row of
+        // Long at the 1M default is the ~10 MB broadcast budget class —
+        // above it the joins fall back to shuffles and stay correct
+        val ks = if (nKill <= maxBroadcastKill) broadcast(kill) else kill
+        // one scan: edges with exactly one killed endpoint debit the
+        // SURVIVING endpoint; both-killed edges debit nobody
+        val delta = e
+          .join(ks.select(col("n").as("a"), lit(1).as("__ka")), Seq("a"), "left")
+          .join(ks.select(col("n").as("b"), lit(1).as("__kb")), Seq("b"), "left")
+          .filter(col("__ka").isNotNull =!= col("__kb").isNotNull)
+          .select(when(col("__ka").isNotNull, col("b")).otherwise(col("a"))
+            .as("n"))
+          .groupBy(col("n")).agg(count(lit(1)).as("__lost"))
+        e = e.join(ks.select(col("n").as("a")), Seq("a"), "left_anti")
+          .join(ks.select(col("n").as("b")), Seq("b"), "left_anti")
+          .localCheckpoint()
+        deg = deg.join(ks, Seq("n"), "left_anti")
+          .join(delta, Seq("n"), "left")
+          .select(col("n"),
+            (col("degree") - coalesce(col("__lost"), lit(0L))).as("degree"))
+          .localCheckpoint()
+      }
+    }
+    // a survivor whose neighbors all died carries degree 0 here; the
+    // full-recompute peel derives degrees from the edge set, where such
+    // a node is simply absent — filter for the identical contract
+    deg.filter(col("degree") > 0).select(col("n").as("node"), col("degree"))
+  }
+
+  /** The pre-round-12 full-recompute peel, kept as the oracle twin for
+    * the GraphSpec equivalence property (incremental [[kCore]] ==
+    * recompute-from-scratch, any graph / k / rounds). Not a declared
+    * query; [[kCore]] is the production path. */
+  private[graft] def kCoreRecompute(edges: DataFrame, k: Int,
+                                    rounds: Int): DataFrame = {
     def degrees(e: DataFrame): DataFrame =
       e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
         .groupBy(col("n")).agg(count(lit(1)).as("degree"))

@@ -251,28 +251,6 @@ object Tokenize {
   }
 
   /**
-   * Chao1 vocabulary-richness estimate — "how many token TYPES exist,
-   * including the ones this corpus hasn't surfaced yet" (Chao 1984, the
-   * ecology species-richness estimator applied to vocabulary): the
-   * corpus-growth planning question next to [[coverageCutoff]]'s
-   * coverage question. Uses the bias-corrected form, defined even with
-   * no doubletons:
-   *
-   *   chao1 = S_obs + f₁·(f₁ − 1) / (2·(f₂ + 1))
-   *
-   * where f₁/f₂ are the singleton/doubleton type counts — the rarest
-   * types carry all the information about the unseen mass (the same
-   * insight as Good–Turing).
-   *
-   * Plan: ONE token-count aggregate (the only fact-sized shuffle), then
-   * one single-row fold over the vocabulary-sized counts. All counts
-   * exact Longs; the estimate is one exact-integer-operand division
-   * (raw, q163 discipline) — `f₁² ` stays in Long for any vocabulary
-   * under ~3e9 types.
-   *
-   * Emits one row: (n_tokens, n_types, f1, f2, chao1).
-   */
-  /**
    * Within-document n-gram repetition profile — the Gopher/C4-family
    * "repetitious text" quality filter (Rae et al. 2021 §A1.1: drop docs
    * whose duplicate n-gram fraction or top-n-gram share exceeds a
@@ -325,6 +303,28 @@ object Tokenize {
         col("top_cnt").cast("double") / col("n_ngrams").cast("double"))
   }
 
+  /**
+   * Chao1 vocabulary-richness estimate — "how many token TYPES exist,
+   * including the ones this corpus hasn't surfaced yet" (Chao 1984, the
+   * ecology species-richness estimator applied to vocabulary): the
+   * corpus-growth planning question next to [[coverageCutoff]]'s
+   * coverage question. Uses the bias-corrected form, defined even with
+   * no doubletons:
+   *
+   *   chao1 = S_obs + f₁·(f₁ − 1) / (2·(f₂ + 1))
+   *
+   * where f₁/f₂ are the singleton/doubleton type counts — the rarest
+   * types carry all the information about the unseen mass (the same
+   * insight as Good–Turing).
+   *
+   * Plan: ONE token-count aggregate (the only fact-sized shuffle), then
+   * one single-row fold over the vocabulary-sized counts. All counts
+   * exact Longs; the estimate is one exact-integer-operand division
+   * (raw, q163 discipline) — `f₁² ` stays in Long for any vocabulary
+   * under ~3e9 types.
+   *
+   * Emits one row: (n_tokens, n_types, f1, f2, chao1).
+   */
   def chao1Richness(docs: DataFrame, tokensCol: Column): DataFrame =
     docs.select(explode(tokensCol).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("__c"))

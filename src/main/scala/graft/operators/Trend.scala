@@ -498,6 +498,12 @@ object Trend {
    * Shape: TWO grouped exact-percentile passes (median, then MAD over
    * the deviations) with the group-sized stats broadcast back between
    * them — the fact table is scanned twice and never shuffled. The
+   * broadcasts are guarded by MEASURED cardinality (the targetEncodeLoo
+   * pattern): the median frame is materialized once, counted, and only
+   * broadcast-hinted under `maxBroadcastGroups` (~10 MB class at the
+   * 640k default); above it both joins fall back to shuffled joins on
+   * the keys — high-cardinality key sets never push an unbounded
+   * driver broadcast. The
    * medians interpolate on exact integer cents (dyadic midpoints →
    * exact doubles, the q198 argument), so the modified z is a fixed
    * dag over identically-derived operands in both engines (round-6 on
@@ -512,18 +518,25 @@ object Trend {
    * Emits the flagged rows: (keys…, id, v, med, mad, modified_z).
    */
   def robustOutliers(df: DataFrame, keys: Seq[String], id: Column,
-                     value: Column, threshold: Double = 3.5): DataFrame = {
+                     value: Column, threshold: Double = 3.5,
+                     maxBroadcastGroups: Long = 640000L): DataFrame = {
     require(threshold > 0.0, s"threshold must be > 0, got $threshold")
     val base = df.select(keys.map(col) :+ id.as("id") :+
       value.cast("long").as("v"): _*)
+    // materialized so the guard count does not re-run the fact scan,
+    // and counted ONCE — mad groups over the same keys, so one measured
+    // cardinality decides both joins
     val med = base.groupBy(keys.map(col): _*)
       .agg(percentile(col("v"), lit(0.5)).as("med"))
-    val dev = base.join(broadcast(med), keys)
+      .localCheckpoint()
+    val small = med.count() <= maxBroadcastGroups
+    def side(f: DataFrame): DataFrame = if (small) broadcast(f) else f
+    val dev = base.join(side(med), keys)
       .withColumn("__ad", abs(col("v").cast("double") - col("med")))
     val mad = dev.groupBy(keys.map(col): _*)
       .agg(percentile(col("__ad"), lit(0.5)).as("mad"))
     val mz = lit(0.6745) * (col("v").cast("double") - col("med")) / col("mad")
-    dev.join(broadcast(mad), keys)
+    dev.join(side(mad), keys)
       .filter(col("mad") > 0.0 && abs(mz) > threshold)
       .select(keys.map(col) :+ col("id") :+ col("v") :+ col("med") :+
         col("mad") :+ round(mz, 6).as("modified_z"): _*)

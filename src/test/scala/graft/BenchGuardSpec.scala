@@ -44,6 +44,25 @@ class BenchGuardSpec extends AnyFunSuite {
       cpuBandSec = 12.0, writeBandMbps = 50.0))
   }
 
+  test("quietRecord: a mid-run contention window routes to _contended with endpoints in band") {
+    // the r11 blind spot: both endpoint brackets in band (the actual
+    // BENCH_r11 values), yet a load window inside the query loop — seen
+    // only by the interleaved micro-probes — inflated eight queries 3-6x.
+    // Worst probe 1.1 s vs the 0.6 s default band (4.0 * 0.15) → contended.
+    val probesWithBurst = Seq(0.21, 0.19, 1.10, 0.95, 0.22)
+    assert(!Bench.quietRecord(1.96, 1.78, 589.0, 599.0,
+      midProbesSec = probesWithBurst))
+    // the same endpoints with an all-quiet probe series stay quiet
+    assert(Bench.quietRecord(1.96, 1.78, 589.0, 599.0,
+      midProbesSec = Seq(0.21, 0.19, 0.24, 0.20, 0.22)))
+    // no probes (escape-hatch partial runs) degrades to the endpoint-only
+    // semantics rather than refusing every record
+    assert(Bench.quietRecord(1.96, 1.78, 589.0, 599.0))
+    // micro-band override rescales for a slower host class
+    assert(Bench.quietRecord(1.96, 1.78, 589.0, 599.0,
+      midProbesSec = probesWithBurst, midProbeBandSec = 1.5))
+  }
+
   test("contendedName: suffix lands before the extension") {
     assert(Bench.contendedName("BENCH_full.json") === "BENCH_full_contended.json")
     assert(Bench.contendedName("/tmp/out/BENCH_full.json") ===

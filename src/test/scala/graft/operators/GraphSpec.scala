@@ -229,6 +229,34 @@ class GraphSpec extends SparkSpec {
       Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
   }
 
+  test("kCore: incremental frontier peel == full-recompute peel (random graphs)") {
+    // the round-12 rewrite maintains degrees by difference and exits at
+    // fixpoint; this property pins it bit-identical to the original
+    // recompute-from-scratch peel across graphs, k, and round bounds —
+    // including mid-cascade rounds where the contract is NOT the fixpoint
+    val rng = new scala.util.Random(181)
+    for (trial <- 1 to 4) {
+      val n = 12 + trial * 4
+      val edges = Seq.fill(n * 3)((rng.nextLong(n) + 1, rng.nextLong(n) + 1))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      for (k <- Seq(2, 3); rounds <- Seq(1, 2, 5)) {
+        val inc = Graph.kCore(edges.toDF("s", "d"), k, rounds)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val full = Graph.kCoreRecompute(edges.toDF("s", "d"), k, rounds)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(inc === full, s"trial=$trial k=$k rounds=$rounds")
+      }
+    }
+    // and with the broadcast guard forced into its shuffle fallback
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val bc = Graph.kCore(edges.toDF("s", "d"), 2, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sh = Graph.kCore(edges.toDF("s", "d"), 2, 3, maxBroadcastKill = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bc === sh, "shuffle fallback must match the broadcast path")
+  }
+
   test("kCore: deep cascade respects the bounded-round contract") {
     // path 1-2-...-8 hanging off K3 {10,11,12} at 1: with k=2 each round
     // peels exactly one path node from the far end
