@@ -3199,6 +3199,62 @@ object SparkEntry {
     Trend.robustOutliers(events(s, d), Seq("event_type"), col("event_id"),
       expr("CAST(round(value * 100) AS BIGINT)"), threshold = 3.5)
 
+  /** q212's fixed publication location — a constant because the oracle's
+    * `read_parquet()` path must be a literal in the static SQL. */
+  private val InteropPublishDir = "/tmp/graft_publish_interop"
+
+  /** q212: dual-engine publication interop — the EXECUTABLE stand-in for
+    * the env-blocked Iceberg/REST-catalog leg (reference README.md:121-124
+    * Iceberg publication, README.md:141 "same table readable in ≥2
+    * engines"; SURVEY §2.1 S6 status in [[graft.sinks.Publish]]). A
+    * deterministic AI-enriched mart ([[graft.operators.HeuristicEnricher]]
+    * over a synthesized 20k-row incident corpus — sf-INDEPENDENT by
+    * design, so bench/verify runs at different scales rewrite identical
+    * bytes and the gate can never race itself) is PUBLISHED as a
+    * topic-partitioned parquet table ([[graft.sinks.Publish.files]], the
+    * same writer `Publish.table` wraps with a catalog registration), then
+    * read BACK through a fresh scan, and the query emits a value-level
+    * content digest: exact row count, exact severity total, and a
+    * `bit_xor` fold of the 60-bit SHA lane over every row's full column
+    * tuple (order-independent, so file/partition layout cannot matter).
+    * The oracle computes THE SAME digest in DuckDB — not from the source
+    * tables but from `read_parquet(..., hive_partitioning)` over the
+    * published files themselves — so hash_match asserts both engines
+    * decode identical content (including the hive-encoded partition
+    * column) from one physical table: the interop SLO's substance,
+    * minus only the catalog protocol. */
+  private def publishInteropQ(s: SparkSession, d: String): DataFrame = {
+    val id = col("id")
+    def cyc(xs: Seq[String]) =
+      element_at(typedlit(xs), (pmod(id, lit(xs.size)) + 1).cast("int"))
+    val kw = Seq(
+      "battery power drain observed during routine check",
+      "software error code displayed on console",
+      "lead wire fracture noted at connector",
+      "pump occlusion alarm triggered repeatedly",
+      "routine maintenance completed without incident")
+    val outcome = Seq("patient death reported", "injury with hospital admission",
+      "device replaced, no harm", "no adverse outcome noted")
+    // lengths span ~90..330 chars so the >200 summary-truncation branch
+    // (with its multi-byte ellipsis) is part of the published content
+    val text = concat(format_string("Case %d: ", id), cyc(kw), lit("; "),
+      cyc(outcome), lit(". "),
+      repeat(lit("extra detail segment "), pmod(id, lit(12)).cast("int")))
+    val enriched = graft.operators.HeuristicEnricher(
+        s.range(20000).select(id.as("doc_id"), text.as("text")), "text")
+      .select(col("doc_id"), col("topic"),
+        col("severity").cast("long").as("severity"), col("summary"))
+    graft.sinks.Publish.files(enriched, InteropPublishDir,
+      partitionCols = Seq("topic"))
+    val back = s.read.parquet(InteropPublishDir)
+    back.select(graft.functions.ShaLanes.lane(concat_ws("|",
+          col("doc_id").cast("string"), col("topic"),
+          col("severity").cast("string"), col("summary"))).as("__lane"),
+        col("severity"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("severity")).as("sum_severity"),
+        expr("bit_xor(__lane)").as("content_xor"))
+  }
+
   /** q134: batch small-file compaction ([[graft.sinks.Publish.compact]] —
     * the lakehouse OPTIMIZE maintenance operator, the batch sibling of
     * the streaming `batch_id=` compactor): a deliberately fragmented
@@ -3911,6 +3967,7 @@ object SparkEntry {
     "q209_containment"         -> (containmentQ _),
     "q210_kmv_replay"          -> (kmvReplayQ _),
     "q211_robust_outliers"     -> (robustOutliersQ _),
+    "q212_publish_interop"     -> (publishInteropQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -7669,6 +7726,20 @@ object SparkEntry {
         |FROM d JOIN md USING (event_type)
         |WHERE md.mad > 0.0
         |  AND abs(0.6745 * (CAST(d.v AS DOUBLE) - d.med) / md.mad) > 3.5""".stripMargin,
+    // q212: the SQL reads the PUBLISHED files themselves (not the source
+    // tables) — the digest matching the Spark read-back IS the ≥2-engine
+    // interop assertion; content is sf-independent so any run ordering
+    // rewrites identical bytes
+    "q212_publish_interop" ->
+      s"""SELECT count(*)::BIGINT AS n_rows,
+         |       sum(severity)::BIGINT AS sum_severity,
+         |       bit_xor(${duckLane(
+                  "doc_id::VARCHAR || '|' || topic || '|' || " +
+                  "severity::VARCHAR || '|' || summary")})::BIGINT
+         |         AS content_xor
+         |FROM read_parquet('$InteropPublishDir/*/*.parquet',
+         |                  hive_partitioning = true)""".stripMargin,
+
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity),2) AS sum_qty,
