@@ -284,6 +284,31 @@ object GraftExpressions {
     (children: Seq[Expression]) => NearestCentroid(children.head,
       matrixFromExpr(children(1), "graft_nearest_centroid")))
 
+  val ringOwner: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_ring_owner"),
+    new ExpressionInfo(classOf[RingOwner].getName, "graft_ring_owner"),
+    (children: Seq[Expression]) => {
+      def arr(e: Expression, what: String): ArrayData = {
+        require(e.foldable, s"graft_ring_owner: $what must be a literal (foldable)")
+        e.eval().asInstanceOf[ArrayData]
+      }
+      val pts = children(1).dataType match {
+        case ArrayType(LongType, _) =>
+          val ad = arr(children(1), "ring points")
+          (0 until ad.numElements()).map(ad.getLong)
+        case other => throw new IllegalArgumentException(
+          s"graft_ring_owner: ring points must be array<bigint>, got ${other.catalogString}")
+      }
+      val owners = children(2).dataType match {
+        case ArrayType(StringType, _) =>
+          val ad = arr(children(2), "ring owners")
+          (0 until ad.numElements()).map(i => ad.getUTF8String(i).toString)
+        case other => throw new IllegalArgumentException(
+          s"graft_ring_owner: ring owners must be array<string>, got ${other.catalogString}")
+      }
+      RingOwner(children.head, pts, owners)
+    })
+
   val nearestCentroids: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_nearest_centroids"),
     new ExpressionInfo(classOf[NearestCentroids].getName, "graft_nearest_centroids"),
@@ -360,7 +385,7 @@ object GraftExpressions {
     Seq(cosineSim, shingles, simhash64, minhash, lshSig, lshSigSha, kmv,
         kmvLanes, hll, cms, cmsSha, minhashSha, simhashSha, vectorSum,
         nearestCentroid, nearestCentroids, pqEncode, bloomMightContain,
-        nfc, misraGries, jaroWinkler)
+        nfc, misraGries, jaroWinkler, ringOwner)
 
   /** Idempotently register on a session's function registry. */
   def register(spark: SparkSession): Unit =

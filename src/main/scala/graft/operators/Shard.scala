@@ -21,12 +21,14 @@ import org.apache.spark.sql.functions._
  * receiving it as constants.
  *
  * Scale shape: the ring is nodes×vnodes driver-side Longs (hundreds of
- * bytes) baked into the plan as a SORTED array literal; the successor
- * lookup is a scan-side HOF (`filter` + first element, wrap to the
- * ring head) — zero joins, zero shuffles beyond whatever the caller
- * aggregates afterwards. Binary search would beat the linear HOF only
- * past thousands of vnodes; at the conventional 100–300 points the
- * filter is branch-predictable scan work.
+ * bytes) carried into the plan as reference objects; the successor
+ * lookup is the native codegen'd binary search
+ * ([[graft.functions.expressions.RingOwner]]) — zero joins, zero
+ * shuffles beyond whatever the caller aggregates afterwards. (Round 12:
+ * the original `filter` HOF formulation ran its lambda INTERPRETED —
+ * ~272 struct compares per row across q197's two rings — and was the
+ * query's entire hot cost; the kernel is ≤8 long compares in
+ * whole-stage codegen, and the key is SHA-hashed ONCE for both rings.)
  */
 object Shard {
 
@@ -39,26 +41,36 @@ object Shard {
   def rebalanceMatrix(df: DataFrame, key: Column, nodes: Seq[String],
                       addedNodes: Seq[String],
                       vnodesPerNode: Int): DataFrame = {
-    df.select(
-        owner(key, nodes, vnodesPerNode).as("owner_old"),
-        owner(key, nodes ++ addedNodes, vnodesPerNode).as("owner_new"))
+    // hash once: both rings look up the SAME 60-bit lane (by definition —
+    // that is what makes consistent hashing consistent), so the SHA-256
+    // runs once per key, not once per ring
+    df.select(ShaLanes.lane(key).as("__h"))
+      .select(
+        ownerOfLane(col("__h"), nodes, vnodesPerNode).as("owner_old"),
+        ownerOfLane(col("__h"), nodes ++ addedNodes, vnodesPerNode)
+          .as("owner_new"))
       .groupBy(col("owner_old"), col("owner_new"))
       .agg(count(lit(1)).as("n_keys"))
   }
 
-  /** Owner column for `key` on the ring of `nodes` × `vnodesPerNode` —
-    * the scan-side successor lookup (sorted ring literal, filter HOF,
-    * wrap to the ring head on empty). */
-  def owner(key: Column, nodes: Seq[String], vnodesPerNode: Int): Column = {
+  /** Owner column for `key` on the ring of `nodes` × `vnodesPerNode`. */
+  def owner(key: Column, nodes: Seq[String], vnodesPerNode: Int): Column =
+    ownerOfLane(ShaLanes.lane(key), nodes, vnodesPerNode)
+
+  /** Owner of an ALREADY-HASHED 60-bit lane — the native binary-search
+    * successor lookup ([[graft.functions.expressions.RingOwner]]); use
+    * this form when several rings route the same key so the SHA runs
+    * once. */
+  def ownerOfLane(lane: Column, nodes: Seq[String],
+                  vnodesPerNode: Int): Column = {
     require(nodes.nonEmpty, "need at least one node")
     require(vnodesPerNode >= 1, "vnodesPerNode must be >= 1")
     val ring = nodes.flatMap { n =>
       (0 until vnodesPerNode).map(v => ShaLanes.jvmLane(s"ring|$n|$v") -> n)
     }.sortBy(_._1)
-    val arr = array(ring.map { case (pt, n) =>
-      struct(lit(pt).as("pt"), lit(n).as("node")) }: _*)
-    val h = ShaLanes.lane(key)
-    val succ = filter(arr, e => e.getField("pt") >= h)
-    coalesce(get(succ, lit(0)).getField("node"), lit(ring.head._2))
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.expressions.GraftExpressions.register)
+    call_function("graft_ring_owner", lane,
+      typedlit(ring.map(_._1)), typedlit(ring.map(_._2)))
   }
 }

@@ -39,6 +39,24 @@ class ShardSpec extends SparkSpec {
     assert(one.values.toSet === Set("a", "b", "c"))
   }
 
+  test("owner: native binary-search kernel == driver-side linear reference") {
+    // the round-12 RingOwner expression replaced the interpreted filter
+    // HOF; this pins it to an independent linear successor scan over the
+    // same jvmLane ring (including the wrap), key by key
+    import graft.functions.ShaLanes
+    val nodes = (0 until 5).map(i => s"m$i")
+    val ring = nodes.flatMap { n =>
+      (0 until 16).map(v => ShaLanes.jvmLane(s"ring|$n|$v") -> n)
+    }.sortBy(_._1)
+    def refOwner(k: String): String = {
+      val h = ShaLanes.jvmLane(k)
+      ring.find(_._1 >= h).getOrElse(ring.head)._2
+    }
+    val got = keys.select(col("k"), Shard.owner(col("k"), nodes, 16).as("o"))
+      .collect().map(r => r.getString(0) -> r.getString(1))
+    got.foreach { case (k, o) => assert(o === refOwner(k), s"key $k") }
+  }
+
   test("owner: keys past the last ring point wrap to the ring head") {
     // with a single 1-vnode node everything trivially lands there,
     // including keys hashing above the single point (the wrap branch)
