@@ -4730,21 +4730,27 @@ object SparkEntry {
         |FROM s""".stripMargin
 
   /** q181: the same 4 peel rounds unrolled as chained SQL layers —
-    * bounded-round semantics make "unrolled" exact, not approximate. */
+    * bounded-round semantics make "unrolled" exact, not approximate.
+    * Every CTE is MATERIALIZED: each round references the previous edge
+    * set THREE times (two degree-union legs + the probe), so left to
+    * its inlining heuristic DuckDB re-expands the chain 3^4-fold — at
+    * sf0.1 that filled >70 GB of spill before failing; materialization
+    * is the same fix the Spark side's per-round localCheckpoint is. */
   private def kcoreOracle: String = {
     val rounds = (1 to 4).map { i =>
-      s"""d$i AS (SELECT n, count(*) AS deg FROM (
+      s"""d$i AS MATERIALIZED (SELECT n, count(*) AS deg FROM (
          |        SELECT a AS n FROM e${i - 1}
          |        UNION ALL SELECT b FROM e${i - 1}) GROUP BY 1),
-         |k$i AS (SELECT n FROM d$i WHERE deg >= 20),
-         |e$i AS (SELECT e.a, e.b FROM e${i - 1} e
+         |k$i AS MATERIALIZED (SELECT n FROM d$i WHERE deg >= 20),
+         |e$i AS MATERIALIZED (SELECT e.a, e.b FROM e${i - 1} e
          |        JOIN k$i x ON e.a = x.n JOIN k$i y ON e.b = y.n),"""
         .stripMargin
     }.mkString("\n")
-    s"""WITH pairs AS (SELECT DISTINCT o_custkey * 2 AS c,
+    s"""WITH pairs AS MATERIALIZED (SELECT DISTINCT o_custkey * 2 AS c,
        |                 l_suppkey * 2 + 1 AS s
        |               FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-       |e0 AS (SELECT least(c, s) AS a, greatest(c, s) AS b FROM pairs),
+       |e0 AS MATERIALIZED (SELECT least(c, s) AS a, greatest(c, s) AS b
+       |               FROM pairs),
        |$rounds
        |fin AS (SELECT n, count(*) AS deg FROM (
        |          SELECT a AS n FROM e4 UNION ALL SELECT b FROM e4) GROUP BY 1)

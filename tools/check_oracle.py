@@ -30,6 +30,13 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 def main(sf_dir: str, out_dir: str, json_out: str = None) -> int:
     con = duckdb.connect()
+    # cap spill: at sf0.1 one unbounded oracle can fill the disk with
+    # duckdb_temp_storage before failing; bound it so a heavy oracle
+    # FAILS VISIBLY (recorded per-query) instead of taking the host down
+    try:
+        con.execute("SET max_temp_directory_size='20GB'")
+    except Exception:
+        pass
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
