@@ -14,7 +14,11 @@ import org.apache.spark.sql.DataFrame
  * default format is parquet — which already exercises the reference's
  * cross-engine interop target (README.md:141, one table read by ≥2
  * engines): every declared query's parquet output is independently read
- * and re-derived by DuckDB each round. When an Iceberg runtime IS on the
+ * and re-derived by DuckDB each round, and q212_publish_interop gates
+ * the publish leg DIRECTLY — a mart published through [[files]] is read
+ * back by BOTH Spark and DuckDB (`read_parquet` over the same physical
+ * files, hive partition column included) and the two value-level
+ * digests hash-compare every round. When an Iceberg runtime IS on the
  * classpath (any normal deployment), pass `format = "iceberg"` and
  * configure the catalog:
  *
