@@ -888,6 +888,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q197 ring ownership is a scan-side native kernel: one shuffle, no HOF, no join") {
+    val p = plan("q197_consistent_hash")
+    // round 12: the interpreted filter() HOF (ArrayFilter + LambdaFunction,
+    // ~272 struct compares per row) was replaced by the codegen'd
+    // RingOwner binary search; this pins the kernel in the plan and the
+    // HOF out of it, and the whole query at scan → project → one grouped
+    // exchange (ownership itself never joins or shuffles)
+    assert(p.contains("graft_ring_owner"), s"native kernel missing:\n$p")
+    assert(!p.contains("ArrayFilter") && !p.contains("lambdafunction"),
+      s"interpreted HOF crept back into the ring lookup:\n$p")
+    assert(!p.contains("Join"), s"ring lookup must not join:\n$p")
+    assert(countOf(p, "Exchange hashpartitioning") === 1, p.linesIterator
+      .filter(_.contains("Exchange")).mkString("\n"))
+  }
+
   test("q187 phrase search: postings term filter is scan-side, probes equi") {
     val p = plan("q187_phrase_search")
     // the tok IN (phrase terms) prune must sit under the generate, not
