@@ -3209,6 +3209,45 @@ object SparkEntry {
     Trend.robustOutliers(events(s, d), Seq("event_type"), col("event_id"),
       expr("CAST(round(value * 100) AS BIGINT)"), threshold = 3.5)
 
+  /** q213: one-step SCD-1 CHANGE FEED over the MAUDE ingest state
+    * ([[graft.streaming.Streams.scd1ChangeFeed]] — the Snowflake STREAM /
+    * Delta CDF analog, the change-tracking primitive of the reference's
+    * own platform): q140's 3-drop replay runs the production
+    * parse→stage→merge chain, then the feed reports exactly what the
+    * LAST batch changed — op + before/after images per key — derived
+    * from the bucket-versioned state's own retention (the base version
+    * a merge read survives until superseded, so the one-step diff needs
+    * no extra bookkeeping). Keys repeat across drops by construction,
+    * so updates are the bulk; a key whose carried-forward row is
+    * untouched emits nothing. The oracle derives the same feed straight
+    * from the base columns: winner among drops {0,1} vs winner among
+    * {0,1,2} per key — different (or newly appearing) winner IS the
+    * change row. Scale: the feed reads only the buckets the batch
+    * wrote, one key-partitioned full-outer diff — O(touched), never
+    * the full state. */
+  private def changeFeedQ(s: SparkSession, d: String): DataFrame = {
+    import graft.models.StgMaude
+    import graft.sources.MaudeIngest
+    import graft.streaming.Streams
+    val root = replayStateDir(s, "q213", d)
+    val stateDir = s"$root/state"
+    writeMaudeLanding(s, d, root)
+    (0 until 3).foreach { i =>
+      val stg = StgMaude(MaudeIngest.batch(s, s"$root/landing/b=$i"))
+        .select(col("mdr_report_key"), col("event_type"),
+          date_format(col("date_received"), "yyyy-MM-dd").as("date_received"),
+          expr("try_cast(substring(report_number, 4) AS BIGINT)").as("seq"))
+      Streams.scd1MergeBatch(stg, i.toLong, Seq("mdr_report_key"),
+        Seq("seq"), stateDir, nBuckets = 16)
+    }
+    Streams.scd1ChangeFeed(s, stateDir, batchId = 2L, Seq("mdr_report_key"))
+      .select(col("mdr_report_key"), col("op"),
+        col("before.event_type").as("before_event_type"),
+        col("before.seq").as("before_seq"),
+        col("after.event_type").as("after_event_type"),
+        col("after.seq").as("after_seq"))
+  }
+
   /** q212's fixed publication location — a constant because the oracle's
     * `read_parquet()` path must be a literal in the static SQL. */
   private val InteropPublishDir = "/tmp/graft_publish_interop"
@@ -3978,6 +4017,7 @@ object SparkEntry {
     "q210_kmv_replay"          -> (kmvReplayQ _),
     "q211_robust_outliers"     -> (robustOutliersQ _),
     "q212_publish_interop"     -> (publishInteropQ _),
+    "q213_change_feed"         -> (changeFeedQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -7742,6 +7782,31 @@ object SparkEntry {
         |FROM d JOIN md USING (event_type)
         |WHERE md.mad > 0.0
         |  AND abs(0.6745 * (CAST(d.v AS DOUBLE) - d.med) / md.mad) > 3.5""".stripMargin,
+    // q213: the feed recomputed flat from the base columns — per key,
+    // the keep-latest winner among drops {0,1} vs among {0,1,2}; a
+    // different (or newly appearing) winner IS the change row, with the
+    // staging event_type derivation applied to both images (NULL-guarded:
+    // a simple CASE on a NULL selector would fall through to 'Other')
+    "q213_change_feed" -> {
+      def ev(x: String) =
+        s"""CASE WHEN $x IS NULL THEN NULL ELSE
+           |  CASE $x % 5 WHEN 0 THEN 'Injury' WHEN 1 THEN 'Malfunction'
+           |    WHEN 2 THEN 'Death' WHEN 3 THEN 'No Answer Provided'
+           |    ELSE 'Other' END END""".stripMargin
+      s"""WITH o AS (SELECT o_orderkey AS seq, o_orderkey % 1000 AS rk,
+         |    o_orderkey % 3 AS b FROM orders),
+         |w1 AS (SELECT rk, max(seq) AS seq FROM o WHERE b < 2 GROUP BY 1),
+         |w2 AS (SELECT rk, max(seq) AS seq FROM o GROUP BY 1),
+         |ch AS (SELECT w2.rk, w1.seq AS bseq, w2.seq AS aseq
+         |       FROM w2 LEFT JOIN w1 ON w2.rk = w1.rk
+         |       WHERE w1.seq IS NULL OR w1.seq <> w2.seq)
+         |SELECT printf('MDR%07d', rk) AS mdr_report_key,
+         |  CASE WHEN bseq IS NULL THEN 'insert' ELSE 'update' END AS op,
+         |  ${ev("bseq")} AS before_event_type, bseq::BIGINT AS before_seq,
+         |  ${ev("aseq")} AS after_event_type, aseq::BIGINT AS after_seq
+         |FROM ch""".stripMargin
+    },
+
     // q212: the SQL reads the PUBLISHED files themselves (not the source
     // tables) — the digest matching the Spark read-back IS the ≥2-engine
     // interop assertion; content is sf-independent so any run ordering

@@ -900,4 +900,75 @@ object Streams {
       .filter(p => buckets.contains(p._1)).map(_._2)
     if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
   }
+
+  /**
+   * One-step CHANGE FEED over [[scd1MergeBatch]]'s bucket-versioned
+   * state — the Snowflake STREAM / Delta Change-Data-Feed analog
+   * (Snowflake streams are the change-tracking primitive of the
+   * reference's own platform; reference README.md:117's `target_lag`
+   * freshness posture is what downstream consumers poll them for): the
+   * (op, before, after) rows describing exactly what `batchId`'s merge
+   * changed, derived from the state layout itself. The merge's
+   * retention contract (a touched bucket's immediate BASE version
+   * survives until a LATER batch supersedes it) is precisely what makes
+   * the one-step diff always readable right after the merge.
+   *
+   * op ∈ `insert` (key absent before), `update` (key present on both
+   * sides and ANY non-key column differs, null-safely), `delete` (key
+   * absent after — cannot occur under keep-latest merges, handled for
+   * totality). A co-bucketed key the batch carried forward UNCHANGED
+   * emits no row, exactly like a stream on the table. `before`/`after`
+   * are STRUCTs of the state's non-key columns, NULL on the absent side.
+   *
+   * Scale shape: reads ONLY the buckets `batchId` wrote (post =
+   * `v=batchId`, pre = each such bucket's newest version strictly
+   * below) and diffs them with one full-outer equi-join on the key —
+   * O(touched buckets) of IO and one key-partitioned exchange, never
+   * the full state: the same pruning the merge itself does.
+   */
+  def scd1ChangeFeed(spark: org.apache.spark.sql.SparkSession,
+                     stateDir: String, batchId: Long,
+                     keys: Seq[String]): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(stateDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(root), s"no SCD-1 state at $stateDir")
+    // (bucket -> resident versions), one bounded listing (the merge's own
+    // discovery shape)
+    val vers: Map[Long, Seq[Long]] = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .flatMap { vd =>
+        val v = vd.getPath.getName.stripPrefix("v=").toLong
+        fs.listStatus(vd.getPath)
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+          .map(bd => (bd.getPath.getName.stripPrefix("bucket=").toLong, v))
+      }.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val touched = vers.collect { case (b, vs) if vs.contains(batchId) => b }.toSeq
+    require(touched.nonEmpty, s"batch $batchId wrote no buckets under $stateDir")
+    val postPaths = touched.map(b => s"$stateDir/v=$batchId/bucket=$b")
+    val prePaths = touched.flatMap(b =>
+      vers(b).filter(_ < batchId).maxOption
+        .map(v => s"$stateDir/v=$v/bucket=$b"))
+    val post = spark.read.parquet(postPaths: _*)
+    val pre =
+      if (prePaths.isEmpty) post.limit(0)
+      else spark.read.parquet(prePaths: _*)
+    val dataCols = post.columns.filterNot(keys.contains).toSeq
+    val preR = pre.select(keys.map(col) ++ Seq(lit(true).as("__in_b")) ++
+      dataCols.map(c => col(c).as(s"__b_$c")): _*)
+    val postR = post.select(keys.map(col) ++ Seq(lit(true).as("__in_a")) ++
+      dataCols.map(c => col(c).as(s"__a_$c")): _*)
+    val changed = dataCols.map(c => !(col(s"__b_$c") <=> col(s"__a_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    preR.join(postR, keys, "full_outer")
+      .filter(col("__in_b").isNull || col("__in_a").isNull || changed)
+      .select(keys.map(col) ++ Seq(
+        when(col("__in_b").isNull, lit("insert"))
+          .when(col("__in_a").isNull, lit("delete"))
+          .otherwise(lit("update")).as("op"),
+        when(col("__in_b").isNotNull,
+          struct(dataCols.map(c => col(s"__b_$c").as(c)): _*)).as("before"),
+        when(col("__in_a").isNotNull,
+          struct(dataCols.map(c => col(s"__a_$c").as(c)): _*)).as("after")): _*)
+  }
 }

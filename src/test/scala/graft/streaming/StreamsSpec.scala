@@ -570,6 +570,33 @@ class StreamsSpec extends SparkSpec {
     assert(got === full)
   }
 
+  test("change feed: insert/update taxonomy, unchanged co-bucketed keys silent") {
+    val dir = s"${Files.createTempDirectory("scd1_feed")}/state"
+    // one bucket so every key co-resides: the no-change case is REAL
+    // (carried forward in the same rewritten file, must emit nothing)
+    Streams.scd1MergeBatch(
+      Seq((1L, "a", 1L), (2L, "b", 2L), (3L, "c", 3L)).toDF("k", "v", "seq"),
+      0L, Seq("k"), Seq("seq"), dir, nBuckets = 1)
+    Streams.scd1MergeBatch(
+      Seq((2L, "B", 5L),            // update: newer seq, new value
+          (4L, "d", 6L),            // insert: key unseen before
+          (3L, "zzz", 1L)).toDF("k", "v", "seq"), // stale: loses keep-latest
+      1L, Seq("k"), Seq("seq"), dir, nBuckets = 1)
+    val feed = Streams.scd1ChangeFeed(spark, dir, 1L, Seq("k"))
+      .select(col("k"), col("op"), col("before.v").as("bv"),
+        col("after.v").as("av"), col("after.seq").as("aseq"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getString(3))).toMap
+    assert(feed === Map(
+      2L -> (("update", "b", "B")),
+      4L -> (("insert", null, "d"))),
+      s"keys 1 (untouched) and 3 (stale delta lost) must be silent: $feed")
+    // feed of the FIRST batch against empty state: all inserts
+    val first = Streams.scd1ChangeFeed(spark, dir, 0L, Seq("k"))
+      .select(col("op")).collect().map(_.getString(0)).toSet
+    assert(first === Set("insert"))
+  }
+
   test("stateful sessionize: in-batch close, timeout close, exact durations") {
     import StatefulSessionize.{Event, Session}
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
