@@ -3248,6 +3248,52 @@ object SparkEntry {
         col("after.seq").as("after_seq"))
   }
 
+  /** q214: SCD-2 snapshot history over the MAUDE ingest — dbt's own
+    * `snapshot` capability ([[graft.streaming.Streams.scd2Fold]];
+    * the reference IS a dbt project, and snapshots are dbt's mechanism
+    * for keeping history over a mutable source, `strategy='check'`):
+    * each replayed drop's [[graft.streaming.Streams.scd1ChangeFeed]]
+    * folds into a validity-interval table — changed keys close their
+    * current row at the batch id (half-open [from, to)) and open the
+    * after-image as the new current row; silent keys carry forward.
+    * The history is carried across batches as a localCheckpoint (the
+    * q146 idiom). The oracle derives the same intervals flat: per key,
+    * the keep-latest winner as of each drop, consecutive equal winners
+    * collapsed into segments, `lead(valid_from)` as each segment's
+    * close. Scale: per batch one delta-sized key join against the
+    * history + a feed-sized union; history grows by changed keys only. */
+  private def scd2SnapshotQ(s: SparkSession, d: String): DataFrame = {
+    import graft.models.StgMaude
+    import graft.sources.MaudeIngest
+    import graft.streaming.Streams
+    val root = replayStateDir(s, "q214", d)
+    val stateDir = s"$root/state"
+    writeMaudeLanding(s, d, root)
+    var hist: Option[DataFrame] = None
+    (0 until 3).foreach { i =>
+      val stg = StgMaude(MaudeIngest.batch(s, s"$root/landing/b=$i"))
+        .select(col("mdr_report_key"), col("event_type"),
+          date_format(col("date_received"), "yyyy-MM-dd").as("date_received"),
+          expr("try_cast(substring(report_number, 4) AS BIGINT)").as("seq"))
+      Streams.scd1MergeBatch(stg, i.toLong, Seq("mdr_report_key"),
+        Seq("seq"), stateDir, nBuckets = 16)
+      val feed = Streams.scd1ChangeFeed(s, stateDir, i.toLong,
+        Seq("mdr_report_key"))
+      val prev = hist.getOrElse {
+        val dataCols = feed.select(col("after.*")).columns.toSeq
+        feed.limit(0).select(Seq(col("mdr_report_key")) ++
+          dataCols.map(c => col(s"after.$c").as(c)) ++
+          Seq(lit(0L).as("valid_from"),
+            lit(null).cast("long").as("valid_to")): _*)
+      }
+      hist = Some(Streams.scd2Fold(prev, feed, i.toLong,
+        Seq("mdr_report_key")).localCheckpoint())
+    }
+    hist.get.select(col("mdr_report_key"), col("seq"), col("event_type"),
+      col("valid_from"), col("valid_to"),
+      col("valid_to").isNull.as("is_current"))
+  }
+
   /** q212's fixed publication location — a constant because the oracle's
     * `read_parquet()` path must be a literal in the static SQL. */
   private val InteropPublishDir = "/tmp/graft_publish_interop"
@@ -4018,6 +4064,7 @@ object SparkEntry {
     "q211_robust_outliers"     -> (robustOutliersQ _),
     "q212_publish_interop"     -> (publishInteropQ _),
     "q213_change_feed"         -> (changeFeedQ _),
+    "q214_scd2_snapshot"       -> (scd2SnapshotQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -7806,6 +7853,32 @@ object SparkEntry {
          |  ${ev("aseq")} AS after_event_type, aseq::BIGINT AS after_seq
          |FROM ch""".stripMargin
     },
+
+    // q214: the history recomputed flat — per key the keep-latest winner
+    // AS OF each drop (o.b <= t.bb), consecutive equal winners collapsed
+    // into segments, each segment closed by the next segment's open batch
+    "q214_scd2_snapshot" ->
+      """WITH o AS (SELECT o_orderkey AS seq, o_orderkey % 1000 AS rk,
+        |    o_orderkey % 3 AS b FROM orders),
+        |w AS (SELECT rk, bb AS batch, max(seq) AS seq
+        |      FROM o JOIN (VALUES (0), (1), (2)) AS t(bb) ON o.b <= t.bb
+        |      GROUP BY rk, bb),
+        |seg AS (SELECT rk, batch, seq,
+        |        lag(seq) OVER (PARTITION BY rk ORDER BY batch) AS prev_seq
+        |        FROM w),
+        |starts AS (SELECT rk, batch AS valid_from, seq FROM seg
+        |           WHERE prev_seq IS NULL OR prev_seq <> seq),
+        |fin AS (SELECT rk, seq, valid_from,
+        |        lead(valid_from) OVER (PARTITION BY rk ORDER BY valid_from)
+        |          AS valid_to
+        |        FROM starts)
+        |SELECT printf('MDR%07d', rk) AS mdr_report_key, seq::BIGINT AS seq,
+        |  CASE seq % 5 WHEN 0 THEN 'Injury' WHEN 1 THEN 'Malfunction'
+        |    WHEN 2 THEN 'Death' WHEN 3 THEN 'No Answer Provided'
+        |    ELSE 'Other' END AS event_type,
+        |  valid_from::BIGINT AS valid_from, valid_to::BIGINT AS valid_to,
+        |  (valid_to IS NULL) AS is_current
+        |FROM fin""".stripMargin,
 
     // q212: the SQL reads the PUBLISHED files themselves (not the source
     // tables) — the digest matching the Spark read-back IS the ≥2-engine

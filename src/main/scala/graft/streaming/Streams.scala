@@ -971,4 +971,42 @@ object Streams {
         when(col("__in_a").isNotNull,
           struct(dataCols.map(c => col(s"__a_$c").as(c)): _*)).as("after")): _*)
   }
+
+  /**
+   * SCD-2 fold — dbt's own `snapshot` semantic (the reference is a dbt
+   * project; snapshots are how dbt keeps HISTORY over a mutable source,
+   * `strategy='check'`): apply one batch's [[scd1ChangeFeed]] to a
+   * validity-interval table. Rows carry `(data cols…, valid_from,
+   * valid_to)` in batch units; a changed or deleted key's CURRENT row
+   * closes (`valid_to = batchId`, the half-open [from, to) convention)
+   * and, unless deleted, the after-image opens a new current row
+   * (`valid_from = batchId, valid_to = NULL`). Keys the feed is silent
+   * on carry every row forward untouched — exactly a dbt snapshot run.
+   *
+   * Scale shape: one broadcast-or-shuffled left join of the history
+   * against the feed's key set (delta-sized) plus a union of the feed's
+   * after-images; the history is never windowed or re-sorted. History
+   * grows by changed keys only; at 100 TB partition the snapshot table
+   * by a key hash and the join co-locates.
+   *
+   * `prev` may be empty (a first batch's feed is all inserts). Returns
+   * the updated history with the same column set.
+   */
+  def scd2Fold(prev: DataFrame, feed: DataFrame, batchId: Long,
+               keys: Seq[String]): DataFrame = {
+    val dataCols = feed.select(col("after.*")).columns.toSeq
+    val chKeys = feed.select(keys.map(col): _*).distinct()
+      .withColumn("__ch", lit(true))
+    val carried = prev.join(chKeys, keys, "left")
+      .withColumn("valid_to",
+        when(col("__ch").isNotNull && col("valid_to").isNull, lit(batchId))
+          .otherwise(col("valid_to")))
+      .drop("__ch")
+    val opened = feed.filter(col("op") =!= "delete")
+      .select(keys.map(col) ++
+        dataCols.map(c => col(s"after.$c").as(c)) ++
+        Seq(lit(batchId).as("valid_from"),
+          lit(null).cast("long").as("valid_to")): _*)
+    carried.unionByName(opened)
+  }
 }

@@ -597,6 +597,33 @@ class StreamsSpec extends SparkSpec {
     assert(first === Set("insert"))
   }
 
+  test("scd2 fold: intervals close half-open on change, silent keys carry forward") {
+    val dir = s"${Files.createTempDirectory("scd2")}/state"
+    def mergeAndFeed(rows: Seq[(Long, String, Long)], b: Long) = {
+      Streams.scd1MergeBatch(rows.toDF("k", "v", "seq"), b, Seq("k"),
+        Seq("seq"), dir, nBuckets = 1)
+      Streams.scd1ChangeFeed(spark, dir, b, Seq("k"))
+    }
+    val f0 = mergeAndFeed(Seq((1L, "a", 1L), (2L, "b", 2L)), 0L)
+    val empty = f0.limit(0).select(col("k"), col("after.v").as("v"),
+      col("after.seq").as("seq"), lit(0L).as("valid_from"),
+      lit(null).cast("long").as("valid_to"))
+    val h0 = Streams.scd2Fold(empty, f0, 0L, Seq("k")).localCheckpoint()
+    // batch 1 updates key 2, inserts key 3; key 1 silent
+    val h1 = Streams.scd2Fold(h0,
+      mergeAndFeed(Seq((2L, "B", 5L), (3L, "c", 6L)), 1L), 1L, Seq("k"))
+    val got = h1.select(col("k"), col("v"), col("valid_from"),
+        col("valid_to")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(got === Set(
+      (1L, "a", 0L, -1L),   // silent: still current from batch 0
+      (2L, "b", 0L, 1L),    // closed half-open at the changing batch
+      (2L, "B", 1L, -1L),   // the new current version
+      (3L, "c", 1L, -1L)),  // insert opens at its batch
+      s"history: $got")
+  }
+
   test("stateful sessionize: in-batch close, timeout close, exact durations") {
     import StatefulSessionize.{Event, Session}
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
