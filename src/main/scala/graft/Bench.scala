@@ -128,6 +128,62 @@ object Bench {
     math.min(once(), once())
   }
 
+  /**
+   * PARALLEL mid-run probe — blind spot #2 (the r12 adjudication): the
+   * single-threaded [[microProbeSec]] is insensitive to external load
+   * that steals CORES without degrading single-thread latency. In
+   * BENCH_r12 all eight mid-run probes read 0.20–0.21 s (deep in band)
+   * while q190–q195/q202/q203 ran 3–10× over their isolation-re-run
+   * class in the same run: the competing load ate parallel throughput —
+   * the resource the 32-thread query loop actually uses — and a one-core
+   * probe cannot see that. This probe runs the SAME sort+hash kernel on
+   * `min(32, cores)` threads simultaneously (each thread its own 2M-long
+   * array; fills outside the timed window, latch-synchronized start) and
+   * judges the WALL time of the slowest: quiet on this host it reads
+   * ~0.30 s (memory-bandwidth-bound fan-out of the 0.21 s kernel), and
+   * an external load holding half the cores doubles it to ~0.55–0.73 s
+   * while the single-thread twin still reads 0.21 s — measured while
+   * building it, with a 16-spinner load generator. min-of-2 like every
+   * probe. Cost: ~0.6 s per probe point, ~5 s over a 214-query run.
+   */
+  private def microProbeParSec(): Double = {
+    val p = math.min(32, Runtime.getRuntime.availableProcessors())
+    def once(): Double = {
+      val arrays = Array.tabulate(p) { t =>
+        val a = new Array[Long](1 << 21)
+        var x = 0x9E3779B97F4A7C15L + t
+        var i = 0
+        while (i < a.length) {
+          x = x * 6364136223846793005L + 1442695040888963407L
+          a(i) = x; i += 1
+        }
+        a
+      }
+      val start = new java.util.concurrent.CountDownLatch(1)
+      val done = new java.util.concurrent.CountDownLatch(p)
+      val fold = new java.util.concurrent.atomic.AtomicLong()
+      (0 until p).foreach { t =>
+        val th = new Thread(() => {
+          start.await()
+          val a = arrays(t)
+          java.util.Arrays.sort(a)
+          var h = 0L; var i = 0
+          while (i < a.length) { h = (h ^ a(i)) * 0x100000001B3L; i += 1 }
+          fold.addAndGet(h)
+          done.countDown()
+        })
+        th.setDaemon(true)
+        th.start()
+      }
+      val t0 = System.nanoTime()
+      start.countDown()
+      done.await()
+      calibSink = fold.get()
+      (System.nanoTime() - t0) / 1e9
+    }
+    math.min(once(), once())
+  }
+
   private def calibWriteMbps(): Double = {
     import java.nio.ByteBuffer
     import java.nio.file.{Files, StandardOpenOption}
@@ -182,10 +238,23 @@ object Bench {
    *    cpu 1.96→1.78 s, write 589→599 MB/s, yet eight queries ran 3-6×
    *    over their isolation-re-run times). The [[microProbeSec]] series
    *    sampled every ~25 queries closes it: the WORST probe must sit
-   *    inside `midProbeBandSec` (default: `cpuBandSec` scaled by the
-   *    probes' 1/8 element ratio ≈ sort-dominated ~0.15× time ratio —
-   *    0.6 s at the 4.0 s default; override via
-   *    SPARK_GRAFT_CALIB_MICRO_BAND for a different host class).
+   *    inside `midProbeBandSec` (default: `cpuBandSec` × 0.10 — 0.4 s at
+   *    the 4.0 s default, ~2× the measured 0.20–0.21 s quiet class; r12
+   *    ran at 0.15 (0.6 s) and the looseness never mattered because the
+   *    single-thread probe missed the incident entirely, see next item;
+   *    override via SPARK_GRAFT_CALIB_MICRO_BAND for another host class).
+   *
+   *  - mid-run PARALLEL: blind spot #2 — the round-12 incident. External
+   *    load that steals CORES (parallel throughput) without touching
+   *    single-thread latency passed every probe above: BENCH_r12 carried
+   *    3–10× inflation on q190–q195/q202/q203 while all eight mid-run
+   *    probes read 0.20–0.21 s. The [[microProbeParSec]] series (all-core
+   *    fan-out of the same kernel, wall-of-slowest) is sampled at the
+   *    same points; its WORST member must sit inside `midProbeParBandSec`
+   *    (default 0.45 s: quiet class measured 0.30–0.32 s on this host,
+   *    half-the-cores-stolen measured 0.55–0.73 s — the band separates
+   *    them with ~1.45× quiet headroom; override via
+   *    SPARK_GRAFT_CALIB_MICRO_PAR_BAND for another host class).
    *
    * A false positive is cheap (the record lands in `_contended`, the
    * committed quiet map survives); a false negative is the exact
@@ -196,14 +265,18 @@ object Bench {
                   cpuBandSec: Double = 4.0,
                   writeBandMbps: Double = 150.0,
                   midProbesSec: Seq[Double] = Nil,
-                  midProbeBandSec: Double = -1.0): Boolean = {
+                  midProbeBandSec: Double = -1.0,
+                  midProbesParSec: Seq[Double] = Nil,
+                  midProbeParBandSec: Double = -1.0): Boolean = {
     val midBand = if (midProbeBandSec > 0) midProbeBandSec
-                  else cpuBandSec * 0.15
+                  else cpuBandSec * 0.10
+    val parBand = if (midProbeParBandSec > 0) midProbeParBandSec else 0.45
     val relative = cpuEnd <= cpuStart * 2.0 && writeEnd * 2.0 >= writeStart
     val absolute = cpuStart <= cpuBandSec && cpuEnd <= cpuBandSec &&
       writeStart >= writeBandMbps && writeEnd >= writeBandMbps
     val midQuiet = midProbesSec.forall(_ <= midBand)
-    relative && absolute && midQuiet
+    val parQuiet = midProbesParSec.forall(_ <= parBand)
+    relative && absolute && midQuiet && parQuiet
   }
 
   /** `BENCH_full.json` → `BENCH_full_contended.json` (suffix before the
@@ -503,13 +576,17 @@ object Bench {
     // interval observable to the quiet gate, not just its endpoints
     val probeEvery = sys.env.getOrElse("SPARK_GRAFT_PROBE_EVERY", "25").toInt
     val midProbes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val midProbesPar = scala.collection.mutable.ArrayBuffer.empty[Double]
     val results =
       if (sloOnly || pipelineOnly) Seq.empty
       else SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (n, _) => onlyPrefixes.forall(_.exists(n.startsWith)) }
         .zipWithIndex
         .map { case ((name, fn), i) =>
-        if (i > 0 && i % probeEvery == 0) midProbes += microProbeSec()
+        if (i > 0 && i % probeEvery == 0) {
+          midProbes += microProbeSec()
+          midProbesPar += microProbeParSec()
+        }
         val first = timed(fn(spark, sfDir).count())
         val v =
           if (!first._2) -1.0
@@ -636,6 +713,7 @@ object Bench {
     // judged statistic, ~25 chars); the full per-probe series rides in
     // the durable record via `extra`
     val midMax = if (midProbes.isEmpty) -1.0 else midProbes.max
+    val midParMax = if (midProbesPar.isEmpty) -1.0 else midProbesPar.max
     def assemble(calls: String, qsPart: String = qs,
                  extra: String = ""): String =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",$qsPart,""" +
@@ -646,6 +724,7 @@ object Bench {
       s""""calib_cpu_sec":${f"$cpuSec%.2f"},""" +
       s""""calib_cpu_end_sec":${f"$cpuSecEnd%.2f"},""" +
       s""""calib_mid_max_sec":${f"$midMax%.2f"},""" +
+      s""""calib_midpar_max_sec":${f"$midParMax%.2f"},""" +
       s""""calib_write_mbps":${math.round(writeMbps)},""" +
       s""""calib_write_end_mbps":${math.round(writeMbpsEnd)},""" +
       extra +
@@ -714,19 +793,23 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_CALIB_CPU_BAND", "4.0").toDouble,
         sys.env.getOrElse("SPARK_GRAFT_CALIB_WRITE_BAND", "150").toDouble,
         midProbes.toSeq,
-        sys.env.getOrElse("SPARK_GRAFT_CALIB_MICRO_BAND", "-1").toDouble)
+        sys.env.getOrElse("SPARK_GRAFT_CALIB_MICRO_BAND", "-1").toDouble,
+        midProbesPar.toSeq,
+        sys.env.getOrElse("SPARK_GRAFT_CALIB_MICRO_PAR_BAND", "-1").toDouble)
       val dest = if (quiet) fullOut else contendedName(fullOut)
       if (!quiet) System.err.println(
         s"[bench] calibration brackets out of band (cpu ${f"$cpuSec%.2f"}" +
-          s"->${f"$cpuSecEnd%.2f"} s, mid-run worst ${f"$midMax%.2f"} s, " +
+          s"->${f"$cpuSecEnd%.2f"} s, mid-run worst ${f"$midMax%.2f"} s " +
+          s"single / ${f"$midParMax%.2f"} s parallel, " +
           s"write ${math.round(writeMbps)}" +
           s"->${math.round(writeMbpsEnd)} MB/s): writing $dest, " +
           s"leaving $fullOut untouched")
       val midJson = midProbes.map(t => f"$t%.3f").mkString("[", ",", "]")
+      val midParJson = midProbesPar.map(t => f"$t%.3f").mkString("[", ",", "]")
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get(dest),
         assemble(callsJson, s""""queries":$fullNames""",
-          s""""calib_mid_sec":$midJson,""") + "\n")
+          s""""calib_mid_sec":$midJson,"calib_midpar_sec":$midParJson,""") + "\n")
       catch { case e: Throwable =>
         System.err.println(s"[bench] $dest write failed: $e") }
     }

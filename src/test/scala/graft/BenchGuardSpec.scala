@@ -63,6 +63,40 @@ class BenchGuardSpec extends AnyFunSuite {
       midProbesSec = probesWithBurst, midProbeBandSec = 1.5))
   }
 
+  test("quietRecord: the r12 core-theft incident (single-thread probes in band) is contended") {
+    // blind spot #2, built from the actual BENCH_r12 driver-run numbers:
+    // endpoint brackets cpu 1.80->2.00 s, write 574->647 MB/s — all in
+    // band — AND all eight single-threaded mid-run probes read
+    // 0.20–0.21 s, yet q190–q195/q202/q203 ran 3–10x over their
+    // isolation-re-run class: the external load stole CORES (parallel
+    // throughput), which a one-core probe cannot see. The parallel probe
+    // measured under a half-the-cores load generator reads 0.55–0.73 s
+    // vs its 0.30 s quiet class → out of the 0.45 s band → contended.
+    val r12SingleProbes = Seq(0.21, 0.20, 0.20, 0.21, 0.20, 0.21, 0.20, 0.21)
+    val parProbesTheft = Seq(0.31, 0.30, 0.61, 0.73, 0.55, 0.32, 0.30, 0.31)
+    assert(!Bench.quietRecord(1.80, 2.00, 574.0, 647.0,
+      midProbesSec = r12SingleProbes, midProbesParSec = parProbesTheft))
+    // the committed quiet run at the same HEAD: same endpoints, same
+    // single-thread series, parallel series in its quiet class → quiet
+    assert(Bench.quietRecord(1.80, 2.00, 574.0, 647.0,
+      midProbesSec = r12SingleProbes,
+      midProbesParSec = Seq(0.31, 0.30, 0.32, 0.30, 0.31, 0.30, 0.31, 0.32)))
+    // par-band override rescales for a slower host class
+    assert(Bench.quietRecord(1.80, 2.00, 574.0, 647.0,
+      midProbesSec = r12SingleProbes, midProbesParSec = parProbesTheft,
+      midProbeParBandSec = 1.0))
+  }
+
+  test("quietRecord: tightened single-thread band (0.4 s) catches the shallow r11-class burst") {
+    // r12 ran the single-thread band at 0.15x (0.6 s); a 0.5 s probe —
+    // 2.5x the 0.2 s quiet class — passed. The 0.10x default (0.4 s)
+    // convicts it while the 0.20–0.21 s quiet class keeps 2x headroom.
+    assert(!Bench.quietRecord(1.9, 1.9, 500.0, 500.0,
+      midProbesSec = Seq(0.21, 0.50, 0.20)))
+    assert(Bench.quietRecord(1.9, 1.9, 500.0, 500.0,
+      midProbesSec = Seq(0.21, 0.22, 0.20)))
+  }
+
   test("contendedName: suffix lands before the extension") {
     assert(Bench.contendedName("BENCH_full.json") === "BENCH_full_contended.json")
     assert(Bench.contendedName("/tmp/out/BENCH_full.json") ===
