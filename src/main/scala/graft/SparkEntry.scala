@@ -3233,6 +3233,83 @@ object SparkEntry {
       col("valid_to").isNull.as("is_current"))
   }
 
+  /** q215: SCD HARD-DELETE — dbt snapshot's `invalidate_hard_deletes`,
+    * completing the reference-toolchain semantic the q213/q214 pair
+    * left unexercised (keep-latest merges retain tombstones, so their
+    * feeds never emit `op = delete`). The user changelog merges in one
+    * batch (tombstones retained, the late-data ordering contract); a
+    * [[graft.streaming.Streams.scd1PurgeBatch]] retention batch then
+    * PHYSICALLY removes the tombstoned keys, whose one-step
+    * [[graft.streaming.Streams.scd1ChangeFeed]] reports them as genuine
+    * deletes (key absent after, before = the tombstone image); folding
+    * both feeds through [[graft.streaming.Streams.scd2Fold]] closes
+    * those keys' intervals at the purge batch WITHOUT reopening — the
+    * closed-forever history rows. Oracle: keep-latest winner per user
+    * flat, interval [0, 1) where the winner is a tombstone, [0, ∞)
+    * otherwise. Scale: the purge rewrites only tombstone-bearing
+    * buckets (column-pruned discovery), the feed reads only what the
+    * purge wrote, the fold joins history against the delta's keys. */
+  private def scdHardDeleteQ(s: SparkSession, d: String): DataFrame = {
+    import graft.streaming.Streams
+    val dir = replayStateDir(s, "q215", d)
+    val keys = Seq("user_id")
+    Streams.scd1MergeBatch(userChangelog(s, d), 0L, keys,
+      Seq("us", "event_id"), dir, nBuckets = 16)
+    val feed0 = Streams.scd1ChangeFeed(s, dir, 0L, keys)
+    Streams.scd1PurgeBatch(s, dir, 1L, keys, "op", "D", nBuckets = 16)
+    val feed1 = Streams.scd1ChangeFeed(s, dir, 1L, keys)
+    val dataCols = feed0.select(col("after.*")).columns.toSeq
+    val genesis = feed0.limit(0).select(Seq(col("user_id")) ++
+      dataCols.map(c => col(s"after.$c").as(c)) ++
+      Seq(lit(0L).as("valid_from"),
+        lit(null).cast("long").as("valid_to")): _*)
+    val hist = Streams.scd2Fold(
+      Streams.scd2Fold(genesis, feed0, 0L, keys), feed1, 1L, keys)
+    hist.select(col("user_id"), col("state").as("last_type"),
+      col("us").as("last_us"), col("event_id").as("last_event_id"),
+      col("op"), col("valid_from"), col("valid_to"),
+      col("valid_to").isNull.as("is_current"))
+  }
+
+  /** q216: partition-scoped incremental publish
+    * ([[graft.sinks.Publish.filesPartitionOverwrite]] — the Delta
+    * `replaceWhere` analog, SURVEY §4's identical-rebuild avoidance):
+    * the quarterly revenue mart, partitioned by order year, publishes
+    * in full as of a 1997-01-01 cutoff, then a late batch (the
+    * remaining orders) refreshes ONLY the years it touches — touched
+    * years come from the DELTA (a bounded distinct over its year
+    * column, ≤ the calendar, collected like every metadata scalar
+    * here), the source re-read is year-pruned at the scan, and the
+    * dynamic-partition overwrite replaces just those partition dirs.
+    * The declared result reads the published mart back through a fresh
+    * scan; the oracle computes the same mart flat from all orders —
+    * incremental partition refresh == full rebuild is the operator's
+    * correctness identity, and PublishSpec pins the physical claim
+    * (untouched years' files byte-identical, touched years rewritten). */
+  private def partitionPublishQ(s: SparkSession, d: String): DataFrame = {
+    import graft.sinks.Publish
+    val dir = s"${replayStateDir(s, "q216", d)}/mart"
+    val cut = lit("1997-01-01").cast("timestamp")
+    def counts(src: DataFrame): DataFrame = src
+      .select(year(col("o_orderdate")).as("o_year"),
+        quarter(col("o_orderdate")).as("o_q"), col("o_totalprice"))
+      .groupBy(col("o_year"), col("o_q"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"))
+    Publish.files(counts(orders(s, d).filter(col("o_orderdate") < cut)),
+      dir, partitionCols = Seq("o_year"))
+    val delta = orders(s, d).filter(col("o_orderdate") >= cut)
+    val touchedYears = delta.select(year(col("o_orderdate")).as("y"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    val refreshed = counts(orders(s, d)
+      .filter(year(col("o_orderdate")).isin(touchedYears: _*)))
+    Publish.filesPartitionOverwrite(refreshed, dir, Seq("o_year"))
+    // partition values read back as the inferred partition type — cast
+    // to the mart's declared BIGINT grain for the cross-engine compare
+    s.read.parquet(dir).select(col("o_year").cast("long").as("o_year"),
+      col("o_q").cast("long").as("o_q"), col("n_orders"), col("revenue"))
+  }
+
   /** q212's fixed publication location — a constant because the oracle's
     * `read_parquet()` path must be a literal in the static SQL. */
   private val InteropPublishDir = "/tmp/graft_publish_interop"
@@ -3278,8 +3355,24 @@ object SparkEntry {
         s.range(20000).select(id.as("doc_id"), text.as("text")), "text")
       .select(col("doc_id"), col("topic"),
         col("severity").cast("long").as("severity"), col("summary"))
-    graft.sinks.Publish.files(enriched, InteropPublishDir,
-      partitionCols = Seq("topic"))
+    // ATOMIC-SWAP publish (ADVICE r12): Spark's overwrite is
+    // delete-then-write, so writing the fixed dir directly would leave a
+    // seconds-wide window where a concurrent reader (another bench/
+    // verify process, or the DuckDB oracle) sees a partial table. Stage
+    // into a pid-unique sibling, then swap: the unreadable window
+    // shrinks to one delete + one local-FS rename (and since the content
+    // is deterministic and sf-independent, any loser of a concurrent
+    // swap re-installs byte-identical files anyway).
+    val tmp = s"$InteropPublishDir.tmp_${ProcessHandle.current().pid()}"
+    graft.sinks.Publish.files(enriched, tmp, partitionCols = Seq("topic"))
+    val hp = new org.apache.hadoop.fs.Path(InteropPublishDir)
+    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(hp)) { fs.delete(hp, true); () }
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), hp)) {
+      // lost a concurrent swap race: the winner's content is identical
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      ()
+    }
     val back = s.read.parquet(InteropPublishDir)
     back.select(graft.functions.ShaLanes.lane(concat_ws("|",
           col("doc_id").cast("string"), col("topic"),
@@ -4004,6 +4097,8 @@ object SparkEntry {
     "q212_publish_interop"     -> (publishInteropQ _),
     "q213_change_feed"         -> (changeFeedQ _),
     "q214_scd2_snapshot"       -> (scd2SnapshotQ _),
+    "q215_scd_hard_delete"     -> (scdHardDeleteQ _),
+    "q216_partition_publish"   -> (partitionPublishQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -7818,6 +7913,34 @@ object SparkEntry {
         |  valid_from::BIGINT AS valid_from, valid_to::BIGINT AS valid_to,
         |  (valid_to IS NULL) AS is_current
         |FROM fin""".stripMargin,
+
+    // q215: the hard-delete history flat — keep-latest winner per user
+    // (q116's derivation); winners that are tombstones were inserted at
+    // batch 0 (the feed's after-image IS the tombstone row) and closed
+    // forever at the purge batch 1; everything else stays current
+    "q215_scd_hard_delete" ->
+      """WITH log AS (SELECT user_id, event_type AS state,
+        |    epoch_ns(ts) // 1000 AS us, event_id,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+        |  FROM events),
+        |r AS (SELECT *, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rk
+        |  FROM log)
+        |SELECT user_id, state AS last_type, us AS last_us,
+        |  event_id AS last_event_id, op,
+        |  0::BIGINT AS valid_from,
+        |  (CASE WHEN op = 'D' THEN 1 ELSE NULL END)::BIGINT AS valid_to,
+        |  (op <> 'D') AS is_current
+        |FROM r WHERE rk = 1""".stripMargin,
+
+    // q216: the published mart flat from all orders — incremental
+    // partition refresh == full rebuild is the replaceWhere identity
+    "q216_partition_publish" ->
+      """SELECT year(o_orderdate)::BIGINT AS o_year,
+        |  quarter(o_orderdate)::BIGINT AS o_q,
+        |  count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders GROUP BY 1, 2""".stripMargin,
 
     // q212: the SQL reads the PUBLISHED files themselves (not the source
     // tables) — the digest matching the Spark read-back IS the ≥2-engine

@@ -19,8 +19,13 @@ import org.apache.spark.unsafe.types.UTF8String
  * 128/144 points that was ~272 interpreted struct comparisons per row,
  * the whole query's hot cost), while this expression is a reference-
  * object binary search (≤8 long compares) inside whole-stage codegen.
- * Semantics are bit-identical to the HOF form: first `pt >= h` wins,
- * empty suffix wraps to index 0. The ring (points + owners, hundreds of
+ * Semantics for NON-NULL input are bit-identical to the HOF form: first
+ * `pt >= h` wins, empty suffix wraps to index 0. NULL input differs: as
+ * a null-intolerant UnaryExpression this returns NULL, where the HOF's
+ * coalesce fallback returned the ring head — callers wanting the
+ * historical NULL→head contract wrap the call in `coalesce(..., head)`,
+ * as [[graft.operators.Shard.ownerOfLane]] does.
+ * The ring (points + owners, hundreds of
  * bytes) rides into generated code as reference objects, so the source
  * text is byte-identical across rings and the Janino cache serves every
  * plan (the [[NearestCentroid]] pattern).

@@ -314,11 +314,17 @@ object Drift {
    */
   def ksStatistic(df: DataFrame, value: Column, inA: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // enforce the non-negative contract stated above: conv() on a
-    // negative long yields the 64-char two's-complement string, which
-    // would land negatives in the TOP bit-length bucket and break the
-    // monotone bucketing silently — negative rows are excluded here
-    // (shift a signed measure into non-negative units at the call site)
+    // enforce the non-negative contract stated above LOUDLY (ADVICE r12:
+    // silently dropping negatives would return a D computed over a
+    // truncated distribution — the same class of silent wrongness as
+    // conv()'s two's-complement bucketing, just a different value). One
+    // cheap min-aggregate pass; a violating caller gets an error naming
+    // the fix, never a plausible-looking statistic.
+    val mn = df.agg(min(value.cast("long"))).first()
+    if (!mn.isNullAt(0))
+      require(mn.getLong(0) >= 0L,
+        s"ksStatistic: value column holds negatives (min ${mn.getLong(0)}); " +
+          "shift the signed measure into non-negative units at the call site")
     val g = df.filter(value.isNotNull && value.cast("long") >= 0L)
       .select(value.cast("long").as("__v"), inA.as("__a"))
       .groupBy(col("__v"))

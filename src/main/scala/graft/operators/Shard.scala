@@ -70,7 +70,14 @@ object Shard {
     }.sortBy(_._1)
     org.apache.spark.sql.SparkSession.getActiveSession
       .foreach(graft.functions.expressions.GraftExpressions.register)
-    call_function("graft_ring_owner", lane,
-      typedlit(ring.map(_._1)), typedlit(ring.map(_._2)))
+    // NULL lane → ring head, matching the pre-RingOwner filter-HOF
+    // formulation (its filter dropped every element on a NULL hash and
+    // the coalesce fallback fired); RingOwner itself is a null-intolerant
+    // UnaryExpression (NULL in → NULL out), so the historical contract
+    // lives here, at the ring-construction site that knows the head
+    coalesce(
+      call_function("graft_ring_owner", lane,
+        typedlit(ring.map(_._1)), typedlit(ring.map(_._2))),
+      lit(ring.head._2))
   }
 }

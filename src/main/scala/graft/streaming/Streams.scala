@@ -818,8 +818,11 @@ object Streams {
           vers.getOrElse(b, Seq.empty).filter(_ < batchId).maxOption
         val basePaths = changed.flatMap(b =>
           baseV(b).map(v => s"$stateDir/v=$v/bucket=$b"))
+        // a purge-emptied bucket's newest version is a valid file-less
+        // dir — an all-file-less base set must fall back like no-base
         val base =
-          if (basePaths.isEmpty) delta.limit(0)
+          if (basePaths.isEmpty || !anyDataFile(spark, basePaths))
+            delta.limit(0)
           else spark.read.parquet(basePaths: _*)
             .withColumn("bucket", bucketOf) // dir-addressed read: re-derive
         // keep-latest WITHOUT the tombstone filter — see scaladoc: a
@@ -898,7 +901,116 @@ object Streams {
                          buckets: Set[Long]): Option[DataFrame] = {
     val paths = latestBucketPaths(spark, stateDir)
       .filter(p => buckets.contains(p._1)).map(_._2)
-    if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
+    if (paths.isEmpty || !anyDataFile(spark, paths)) None
+    else Some(spark.read.parquet(paths: _*))
+  }
+
+  /** Whether any of `paths` holds at least one data file. A bucket dir
+    * emptied by [[scd1PurgeBatch]] (all rows were tombstones) is a VALID
+    * newest version with zero files — it contributes no rows to a
+    * multi-path read, but a read whose every path is file-less cannot
+    * infer a schema, so such reads fall back to an empty frame instead.
+    * One bounded listing (≤ touched buckets), metadata only. */
+  private def anyDataFile(spark: org.apache.spark.sql.SparkSession,
+                          paths: Seq[String]): Boolean = {
+    import org.apache.hadoop.fs.Path
+    paths.exists { p =>
+      val hp = new Path(p)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.exists(hp) && fs.listStatus(hp).exists(s =>
+        s.isFile && s.getLen > 0 && !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith("."))
+    }
+  }
+
+  /**
+   * Retention PURGE — the hard-delete leg of the SCD-1 state (dbt
+   * snapshot's `invalidate_hard_deletes`, Delta `VACUUM`-after-`DELETE`
+   * semantics): physically removes rows whose latest change is the
+   * `deleteOp` tombstone from their buckets, writing each affected
+   * bucket as a new `v=batchId` version. The merge RETAINS tombstones
+   * (they order against late-arriving older updates — see
+   * [[incrementalScd1]]); the purge is the explicit retention batch
+   * that ends that grace period, after which [[scd1ChangeFeed]] at
+   * `batchId` reports the purged keys as genuine `op = delete` rows
+   * (key absent after) and a downstream [[scd2Fold]] closes their
+   * history intervals WITHOUT reopening — the close-forever path.
+   *
+   * An all-tombstone bucket yields an EMPTY new version: the dir is
+   * created explicitly (a partitioned writer emits nothing for an empty
+   * partition — leaving the tombstoned version newest would resurrect
+   * on read) and every state reader treats a file-less newest version
+   * as zero rows ([[anyDataFile]]).
+   *
+   * Scale shape: tombstone discovery is one column-pruned scan of the
+   * live state (`opCol` + key columns only — parquet footer min/max on
+   * `opCol` prunes tombstone-free files at scale), and only buckets
+   * actually holding tombstones are rewritten — the same bucket-partial
+   * contract as the merge. Version retirement mirrors the merge's:
+   * versions strictly below the base just read are removed, the base
+   * itself survives until a later batch supersedes it (what keeps the
+   * purge's own one-step feed readable).
+   */
+  def scd1PurgeBatch(spark: org.apache.spark.sql.SparkSession,
+                     stateDir: String, batchId: Long, keys: Seq[String],
+                     opCol: String, deleteOp: String,
+                     nBuckets: Int = 64): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(stateDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    // (bucket -> resident versions), one bounded listing — the merge's
+    // own discovery shape
+    val vers: Map[Long, Seq[Long]] = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .flatMap { vd =>
+        val v = vd.getPath.getName.stripPrefix("v=").toLong
+        fs.listStatus(vd.getPath)
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+          .map(bd => (bd.getPath.getName.stripPrefix("bucket=").toLong, v))
+      }.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    // base = each bucket's newest version STRICTLY BELOW batchId: a
+    // replay of a crashed purge then sees the same pre-state and emits
+    // the same output (reading the overall newest would let a partial
+    // v=batchId write shrink the rediscovered tombstone set, and the
+    // whole-dir overwrite below would drop already-purged buckets)
+    val base: Seq[(Long, String)] = vers.toSeq.flatMap { case (b, vs) =>
+      vs.filter(_ < batchId).maxOption.map(v => (b, s"$stateDir/v=$v/bucket=$b"))
+    }
+    if (base.isEmpty || !anyDataFile(spark, base.map(_._2))) return
+    val bucketOf = pmod(xxhash64(keys.map(col): _*), lit(nBuckets.toLong))
+    // tombstone discovery: key + op columns only (column-pruned)
+    val touched = spark.read.parquet(base.map(_._2): _*)
+      .filter(col(opCol) === lit(deleteOp))
+      .select(bucketOf.as("bucket")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    if (touched.isEmpty) return
+    val touchedBase = base.filter(p => touched.contains(p._1))
+    val keep = spark.read.parquet(touchedBase.map(_._2): _*)
+      .filter(col(opCol) =!= lit(deleteOp))
+      .withColumn("bucket", bucketOf)
+    keep.write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$stateDir/v=$batchId")
+    // all-tombstone buckets wrote no partition dir — create them empty so
+    // the purged version, not the tombstoned one, is each bucket's newest
+    touched.foreach { b =>
+      val bd = new Path(s"$stateDir/v=$batchId/bucket=$b")
+      if (!fs.exists(bd)) { fs.mkdirs(bd); () }
+    }
+    // retire versions strictly below the base just read (merge's contract)
+    touched.foreach { b =>
+      val below = vers.getOrElse(b, Seq.empty).filter(_ < batchId)
+      for (bv <- below.maxOption; v <- below if v < bv)
+        fs.delete(new Path(s"$stateDir/v=$v/bucket=$b"), true)
+    }
+    fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .foreach { vd =>
+        if (!fs.listStatus(vd.getPath)
+              .exists(_.getPath.getName.startsWith("bucket=")))
+          fs.delete(vd.getPath, true)
+      }
+    ()
   }
 
   /**
@@ -915,8 +1027,9 @@ object Streams {
    *
    * op ∈ `insert` (key absent before), `update` (key present on both
    * sides and ANY non-key column differs, null-safely), `delete` (key
-   * absent after — cannot occur under keep-latest merges, handled for
-   * totality). A co-bucketed key the batch carried forward UNCHANGED
+   * absent after — keep-latest merges retain tombstones so never emit
+   * it, but a [[scd1PurgeBatch]] hard-delete batch does).
+   * A co-bucketed key the batch carried forward UNCHANGED
    * emits no row, exactly like a stream on the table. `before`/`after`
    * are STRUCTs of the state's non-key columns, NULL on the absent side.
    *
@@ -949,10 +1062,20 @@ object Streams {
     val prePaths = touched.flatMap(b =>
       vers(b).filter(_ < batchId).maxOption
         .map(v => s"$stateDir/v=$v/bucket=$b"))
-    val post = spark.read.parquet(postPaths: _*)
+    // either side may be entirely file-less: the post of a purge whose
+    // every touched bucket emptied, or (defensively) a file-less pre —
+    // schema then comes from the other side (both file-less would mean
+    // the batch touched nothing, excluded by the require above)
+    val postHas = anyDataFile(spark, postPaths)
+    val preHas = prePaths.nonEmpty && anyDataFile(spark, prePaths)
+    require(postHas || preHas,
+      s"batch $batchId has neither pre- nor post-image files under $stateDir")
+    val post =
+      if (postHas) spark.read.parquet(postPaths: _*)
+      else spark.read.parquet(prePaths: _*).limit(0)
     val pre =
-      if (prePaths.isEmpty) post.limit(0)
-      else spark.read.parquet(prePaths: _*)
+      if (preHas) spark.read.parquet(prePaths: _*)
+      else post.limit(0)
     val dataCols = post.columns.filterNot(keys.contains).toSeq
     val preR = pre.select(keys.map(col) ++ Seq(lit(true).as("__in_b")) ++
       dataCols.map(c => col(c).as(s"__b_$c")): _*)

@@ -25,6 +25,41 @@ class PublishSpec extends SparkSpec {
     assert(scan.contains("PartitionFilters") && scan.contains("yyyy"))
   }
 
+  test("partition-scoped overwrite: touched partitions replaced, untouched files byte-identical") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("publish_pso").toString + "/mart"
+    def filesOf(part: String): Map[String, (Long, Long)] = {
+      val d = new java.io.File(s"$dir/$part")
+      d.listFiles().filter(f => f.isFile && !f.getName.startsWith("_")
+        && !f.getName.startsWith("."))
+        .map(f => f.getName -> ((f.length(), f.lastModified()))).toMap
+    }
+    Publish.files(
+      Seq((2023, "a", 1L), (2023, "b", 2L), (2024, "c", 3L))
+        .toDF("yyyy", "k", "n"),
+      dir, partitionCols = Seq("yyyy"))
+    val before2023 = filesOf("yyyy=2023")
+    assert(before2023.nonEmpty)
+    // refresh scoped to 2024 only: 2023's physical files must survive
+    // untouched (same names, lengths, mtimes — never rewritten)
+    Publish.filesPartitionOverwrite(
+      Seq((2024, "c", 30L), (2024, "d", 40L)).toDF("yyyy", "k", "n"),
+      dir, Seq("yyyy"))
+    assert(filesOf("yyyy=2023") === before2023,
+      "untouched partition's files were rewritten")
+    val back = spark.read.parquet(dir)
+      .select(col("yyyy"), col("k"), col("n")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    assert(back === Set((2023, "a", 1L), (2023, "b", 2L),
+      (2024, "c", 30L), (2024, "d", 40L)),
+      s"2024 replaced wholesale, 2023 intact: $back")
+    // a refresh adding a NEW partition only creates it
+    Publish.filesPartitionOverwrite(
+      Seq((2025, "e", 5L)).toDF("yyyy", "k", "n"), dir, Seq("yyyy"))
+    assert(filesOf("yyyy=2023") === before2023)
+    assert(spark.read.parquet(dir).count() === 5)
+  }
+
   test("orc format round-trips through the same sink surface") {
     val dir = java.nio.file.Files.createTempDirectory("publish_orc").toString + "/mart"
     Publish.files(mart, dir, format = "orc", partitionCols = Seq("yyyy"))

@@ -624,6 +624,66 @@ class StreamsSpec extends SparkSpec {
       s"history: $got")
   }
 
+  test("hard delete: purge emits feed deletes, scd2 closes forever, empty buckets don't resurrect") {
+    val dir = s"${Files.createTempDirectory("scd_purge")}/state"
+    // one bucket: keys co-reside, so the purge rewrites survivors and
+    // removes tombstoned keys from the SAME file
+    Streams.scd1MergeBatch(
+      Seq((1L, "a", "U", 1L), (2L, "b", "D", 2L), (3L, "c", "U", 3L))
+        .toDF("k", "v", "op", "seq"),
+      0L, Seq("k"), Seq("seq"), dir, nBuckets = 1)
+    Streams.scd1PurgeBatch(spark, dir, 1L, Seq("k"), "op", "D", nBuckets = 1)
+    val feed = Streams.scd1ChangeFeed(spark, dir, 1L, Seq("k"))
+      .select(col("k"), col("op"), col("before.v").as("bv"),
+        col("after.v").as("av")).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2),
+        r.getString(3)))).toMap
+    assert(feed === Map(2L -> (("delete", "b", null))),
+      s"only the tombstoned key is a delete; survivors are silent: $feed")
+    // purged state serves only the survivors
+    assert(Streams.readScd1Raw(spark, dir).select("k").collect()
+      .map(_.getLong(0)).toSet === Set(1L, 3L))
+    // scd2: the delete closes the interval WITHOUT reopening
+    val f0 = Streams.scd1ChangeFeed(spark, dir, 0L, Seq("k"))
+    val genesis = f0.limit(0).select(col("k"), col("after.v").as("v"),
+      col("after.op").as("op"), col("after.seq").as("seq"),
+      lit(0L).as("valid_from"), lit(null).cast("long").as("valid_to"))
+    val hist = Streams.scd2Fold(
+      Streams.scd2Fold(genesis, f0, 0L, Seq("k")),
+      Streams.scd1ChangeFeed(spark, dir, 1L, Seq("k")), 1L, Seq("k"))
+    val got = hist.select(col("k"), col("valid_from"), col("valid_to"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(got === Set((1L, 0L, -1L), (2L, 0L, 1L), (3L, 0L, -1L)),
+      s"key 2 closed forever, no reopened row: $got")
+  }
+
+  test("hard delete: all-tombstone bucket empties without resurrecting; purge replay idempotent") {
+    val dir = s"${Files.createTempDirectory("scd_purge_all")}/state"
+    Streams.scd1MergeBatch(
+      Seq((1L, "a", "D", 1L), (2L, "b", "D", 2L)).toDF("k", "v", "op", "seq"),
+      0L, Seq("k"), Seq("seq"), dir, nBuckets = 1)
+    Streams.scd1PurgeBatch(spark, dir, 1L, Seq("k"), "op", "D", nBuckets = 1)
+    // the emptied v=1 bucket is the newest version: zero rows, NOT the
+    // resurrected v=0 tombstones
+    assert(Streams.readScd1RawBuckets(spark, dir, Set(0L)).isEmpty,
+      "file-less newest version must read as no rows")
+    val feed = Streams.scd1ChangeFeed(spark, dir, 1L, Seq("k"))
+      .select(col("op")).collect().map(_.getString(0))
+    assert(feed.toSet === Set("delete") && feed.length === 2)
+    // replay of the same purge batch (at-least-once): discovery reads
+    // versions strictly below the batch id, so the rerun regenerates the
+    // same (empty) output instead of resurrecting anything
+    Streams.scd1PurgeBatch(spark, dir, 1L, Seq("k"), "op", "D", nBuckets = 1)
+    assert(Streams.readScd1RawBuckets(spark, dir, Set(0L)).isEmpty)
+    // a later merge over the emptied base treats it as genesis
+    Streams.scd1MergeBatch(
+      Seq((1L, "z", "U", 9L)).toDF("k", "v", "op", "seq"),
+      2L, Seq("k"), Seq("seq"), dir, nBuckets = 1)
+    assert(Streams.readScd1Raw(spark, dir).select("k", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet === Set((1L, "z")))
+  }
+
   test("stateful sessionize: in-batch close, timeout close, exact durations") {
     import StatefulSessionize.{Event, Session}
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
