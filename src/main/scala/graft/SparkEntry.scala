@@ -3831,15 +3831,19 @@ object SparkEntry {
     * SPARSE (mass only ever reaches nodes within k hops of the seeds),
     * and the oracle unrolls the same four rounds as plain SQL layers. */
   private def pprQ(s: SparkSession, d: String): DataFrame = {
+    // PAIR checkpoint (upgraded from the old edges-only checkpoint, r13):
+    // seeds used to derive from the raw orders⨝lineitem distinct, so the
+    // seed-count action plus every iteration's teleport rows re-ran the
+    // join — at sf1 that was most of the query. Checkpointing the pair
+    // set once makes edges AND seeds cheap projections of materialized
+    // rows (the 4-round propagation itself was already the cheap part).
     val pairs = orders(s, d)
       .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
       .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
       .distinct()
-    // edge checkpoint: measured win for the 4-round sparse propagation
-    // (sf0.1 medians 4.3 s → 2.8-3.4 s) — see the q110 comment
+      .localCheckpoint()
     val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
       .unionByName(pairs.select(col("s").as("src"), col("c").as("dst")))
-      .localCheckpoint()
     val seeds = pairs.filter(col("c") <= 40).select(col("c").as("node"))
     Graph.personalizedPageRank(edges, seeds, iterations = 4)
       .select(
