@@ -75,24 +75,30 @@ object Graph {
     // iteration counts (lineage depth) or when the caller iterates across
     // SEPARATE actions, `cacheEdges` materializes it once and truncates
     // lineage (the classic edge-cache of iterative graph processing).
-    val joined = e.join(deg, "src")
+    // shuffle_hash hints, node-sized build side: sort-merge planned the
+    // unrolled loop with per-iteration SORTS of edge-scale data (the
+    // q112 finding, same loop shape); the hash build is the per-
+    // partition slice of a node-sized vector and integer-sum
+    // determinism makes the strategy swap bit-invisible to results
+    val joined = e.join(deg.hint("shuffle_hash"), "src")
     val withDeg = if (cacheEdges) joined.localCheckpoint() else joined
     val nodes = deg.select(col("src").as("node"), col("deg"))
     var ranks = nodes.select(col("node"), lit(Scale / n).as("rank"))
     for (_ <- 1 to iterations) {
       val inMass = withDeg
-        .join(ranks, withDeg("src") === ranks("node"))
+        .join(ranks.hint("shuffle_hash"), withDeg("src") === ranks("node"))
         .select(col("dst"), expr("(85 * rank) div (100 * deg)").as("contrib"))
         .groupBy(col("dst"))
         .agg(sum(col("contrib")).as("in_mass"))
       // left join against the node set so a node nothing points at (possible
       // in directed inputs) keeps its teleport share instead of vanishing
       ranks = nodes
-        .join(inMass, nodes("node") === inMass("dst"), "left")
+        .join(inMass.hint("shuffle_hash"), nodes("node") === inMass("dst"),
+          "left")
         .select(col("node"),
           (lit(teleport) + coalesce(col("in_mass"), lit(0L))).as("rank"))
     }
-    nodes.join(ranks, "node")
+    nodes.join(ranks.hint("shuffle_hash"), "node")
   }
 
   /**
@@ -192,6 +198,11 @@ object Graph {
       .select(col("node"), lit(0L).as("dist"))
     var frontier = dist
     for (i <- 1 to maxHops) {
+      // NOTE: q112's shuffle_hash lever was TRIED here and on
+      // [[ssspWeighted]] and measured NEGATIVE-or-wash at sf1
+      // (q182 7-repeat medians 8.5 s SMJ vs 10.8 s SHJ; q110 flat) —
+      // the growing visited/cost tables make poor hash builds, unlike
+      // PPR's sparse rank vector. Do not retry; keep sort-merge.
       val next = e.join(frontier, e("src") === frontier("node"))
         .select(col("dst").as("node")).distinct()
         .join(dist, Seq("node"), "left_anti")
@@ -416,6 +427,10 @@ object Graph {
     var dist = seeds.select(col("node").cast("long").as("node")).distinct()
       .select(col("node"), lit(0L).as("cost"))
     for (i <- 1 to maxHops) {
+      // sort-merge on purpose — see the bfsDistances loop note: the
+      // q112 shuffle_hash lever measured NEGATIVE here (7-repeat sf1
+      // medians 8.5 s SMJ vs 10.8 s SHJ); the cost table grows to
+      // |reached| and makes a poor hash build. Do not retry.
       val relaxed = e.join(dist, e("src") === dist("node"))
         .select(col("dst").as("node"), (col("cost") + col("w")).as("cost"))
       dist = dist.unionByName(relaxed)
