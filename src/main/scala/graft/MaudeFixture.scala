@@ -172,4 +172,40 @@ object MaudeFixture {
     cdcState(s, d)
     s.read.parquet(s"${root(d)}/cdc_feed/b=$i")
   }
+
+  /** The fixture's manufacturer seed slice: both ACME case variants
+    * canonicalize via UPPER(TRIM(..)); 'NoSuch Inc' is absent so
+    * canonical_mfr falls back to the raw name
+    * (fact_adverse_events.sql:58). */
+  def mfrDim(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(("ACME CORP", "ACME", 1L),
+      ("MedTech GmbH", "MEDTECH", 2L),
+      ("ZETA DEVICES", "ZETA", 3L))
+      .toDF("raw_name", "canonical_name", "manufacturer_id")
+  }
+
+  /** q146's fact-grain staging of the three drops, persisted once per
+    * session: the landing parse (`from_json` + flatten) and the
+    * [[graft.models.FactAdverseEvents]] derivation (canonicalization
+    * join, ILIKE failure-mode cascade over narratives) are deterministic
+    * per drop and identical on every replay — the IVM identity q146
+    * gates is about the MAINTENANCE (merge + image reads + mart folds),
+    * which still runs per invocation over these rows. */
+  def factStage(s: SparkSession, d: String, batch: Int): DataFrame = {
+    import graft.models.{FactAdverseEvents, StgMaude}
+    import graft.sources.MaudeIngest
+    val dir = ensure(s, d, "fact_stage") { out =>
+      (0 until 3).foreach { i =>
+        FactAdverseEvents(
+            StgMaude(MaudeIngest.batch(s, s"${landing(s, d)}/b=$i")),
+            mfrDim(s))
+          .select(col("mdr_report_key"), col("canonical_mfr"),
+            col("failure_mode"), col("date_received"),
+            expr("try_cast(substring(report_number, 4) AS BIGINT)").as("seq"))
+          .write.mode("overwrite").parquet(s"$out/b=$i")
+      }
+    }
+    s.read.parquet(s"$dir/b=$batch")
+  }
 }

@@ -1858,23 +1858,11 @@ object SparkEntry {
     * O(delta + touched buckets + touched partitions); the 100 TB fact
     * history is never read again. */
   private def signalsIvmQ(s: SparkSession, d: String): DataFrame = {
-    import graft.models.{FactAdverseEvents, StgMaude, VAeEarlySignals}
-    import graft.sources.MaudeIngest
+    import graft.models.VAeEarlySignals
     import graft.streaming.Streams
-    import s.implicits._
     val root = replayStateDir(s, "q146", d)
     val stateDir = s"$root/state"
-    val landingDir = MaudeFixture.landing(s, d)
     val nBuckets = 16
-    // the q140 fixture's manufacturer seed slice: both ACME case
-    // variants canonicalize via UPPER(TRIM(..)); 'NoSuch Inc' is absent
-    // so canonical_mfr falls back to the raw name
-    // (fact_adverse_events.sql:58)
-    val mfrDim = Seq(
-      ("ACME CORP", "ACME", 1L),
-      ("MedTech GmbH", "MEDTECH", 2L),
-      ("ZETA DEVICES", "ZETA", 3L))
-      .toDF("raw_name", "canonical_name", "manufacturer_id")
     val groupCols = Seq("canonical_mfr", "failure_mode", "yyyy", "q",
       "quarter_index", "year_quarter")
     val pairCols = Seq("canonical_mfr", "failure_mode")
@@ -1900,13 +1888,12 @@ object SparkEntry {
     var prevCountsOpt: Option[DataFrame] = None
     var prevSignalsOpt: Option[DataFrame] = None
     (0 until 3).foreach { i =>
-      val landing = s"$landingDir/b=$i"
-      val fact = FactAdverseEvents(StgMaude(MaudeIngest.batch(s, landing)),
-          mfrDim)
-        .select(col("mdr_report_key"), col("canonical_mfr"),
-          col("failure_mode"), col("date_received"),
-          expr("try_cast(substring(report_number, 4) AS BIGINT)").as("seq"))
-        .cache()
+      // fact-grain staging from the session-shared fixture (parse +
+      // canonicalization + ILIKE cascade deterministic per drop, built
+      // once — [[MaudeFixture.factStage]]); everything the IVM identity
+      // gates (merge, image reads, mart folds, window patches) runs
+      // per invocation from here down
+      val fact = MaudeFixture.factStage(s, d, i).cache()
       val deltaKeys = fact.select(col("mdr_report_key")).distinct()
       val touchedBuckets = deltaKeys
         .select(pmod(xxhash64(col("mdr_report_key")), lit(nBuckets.toLong))
