@@ -148,24 +148,29 @@ object Bench {
    */
   private def microProbeParSec(): Double = {
     val p = math.min(32, Runtime.getRuntime.availableProcessors())
-    def once(): Double = {
-      val arrays = Array.tabulate(p) { t =>
-        val a = new Array[Long](1 << 21)
-        var x = 0x9E3779B97F4A7C15L + t
-        var i = 0
+    // ONE allocation for both repetitions (r13 review: allocating the
+    // ~512 MiB of arrays per once() doubled the GC spike the probe
+    // injects between timed queries); the refill re-randomizes in place
+    // with a per-repetition seed so the second sort does real work
+    val arrays = Array.ofDim[Long](p, 1 << 21)
+    def once(rep: Int): Double = {
+      var t = 0
+      while (t < p) {
+        var x = 0x9E3779B97F4A7C15L + t + rep.toLong * 7919L
+        val a = arrays(t); var i = 0
         while (i < a.length) {
           x = x * 6364136223846793005L + 1442695040888963407L
           a(i) = x; i += 1
         }
-        a
+        t += 1
       }
       val start = new java.util.concurrent.CountDownLatch(1)
       val done = new java.util.concurrent.CountDownLatch(p)
       val fold = new java.util.concurrent.atomic.AtomicLong()
-      (0 until p).foreach { t =>
+      (0 until p).foreach { ti =>
         val th = new Thread(() => {
           start.await()
-          val a = arrays(t)
+          val a = arrays(ti)
           java.util.Arrays.sort(a)
           var h = 0L; var i = 0
           while (i < a.length) { h = (h ^ a(i)) * 0x100000001B3L; i += 1 }
@@ -177,11 +182,13 @@ object Bench {
       }
       val t0 = System.nanoTime()
       start.countDown()
-      done.await()
+      // bounded wait: a died worker (e.g. OOM killed its thread) must
+      // read as a loud out-of-band probe, never hang the whole bench
+      val finished = done.await(60, java.util.concurrent.TimeUnit.SECONDS)
       calibSink = fold.get()
-      (System.nanoTime() - t0) / 1e9
+      if (!finished) 999.0 else (System.nanoTime() - t0) / 1e9
     }
-    math.min(once(), once())
+    math.min(once(0), once(1))
   }
 
   private def calibWriteMbps(): Double = {

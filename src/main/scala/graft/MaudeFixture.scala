@@ -46,20 +46,24 @@ object MaudeFixture {
       s"graft_maude_fix_${ProcessHandle.current().pid()}_" +
         s"${math.abs(d.hashCode.toLong)}").getAbsolutePath
 
-  @volatile private var hookInstalled = false
-  private def installHook(s: SparkSession, dir: String): Unit = {
-    if (!hookInstalled) {
-      hookInstalled = true
-      val conf = s.sparkContext.hadoopConfiguration
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        try {
-          val p = new org.apache.hadoop.fs.Path(dir)
-          val fs = p.getFileSystem(conf)
-          if (fs.exists(p)) { fs.delete(p, true); () }
-        } catch { case _: Throwable => () }
-      }))
+  // one hook PER ROOT (r13 review: a single boolean only ever cleaned
+  // the first dataset's root — a session touching two testdata dirs
+  // leaked the second pid-keyed scratch tree forever, since no later
+  // process reuses a dead pid's dir)
+  private val hookedRoots = scala.collection.mutable.Set.empty[String]
+  private def installHook(s: SparkSession, dir: String): Unit =
+    hookedRoots.synchronized {
+      if (hookedRoots.add(dir)) {
+        val conf = s.sparkContext.hadoopConfiguration
+        Runtime.getRuntime.addShutdownHook(new Thread(() => {
+          try {
+            val p = new org.apache.hadoop.fs.Path(dir)
+            val fs = p.getFileSystem(conf)
+            if (fs.exists(p)) { fs.delete(p, true); () }
+          } catch { case _: Throwable => () }
+        }))
+      }
     }
-  }
 
   /** Build-once-per-session: returns `<root>/<tag>` after ensuring
     * `build` has populated it exactly once in this JVM (wiping any

@@ -3352,13 +3352,23 @@ object SparkEntry {
     // swap re-installs byte-identical files anyway).
     val tmp = s"$InteropPublishDir.tmp_${ProcessHandle.current().pid()}"
     graft.sinks.Publish.files(enriched, tmp, partitionCols = Seq("topic"))
+    // java.nio ATOMIC_MOVE, not Hadoop rename: RawLocalFileSystem's
+    // rename into an EXISTING directory falls back to copying the
+    // source INSIDE it (and returns true), which would nest the tmp
+    // dir under the published table on a lost race instead of failing.
+    // ATOMIC_MOVE throws when the destination exists — the loser
+    // deletes its staging dir (the winner's content is byte-identical
+    // by construction, so losing is harmless). Local-FS paths only
+    // (InteropPublishDir is a /tmp literal the oracle SQL reads).
     val hp = new org.apache.hadoop.fs.Path(InteropPublishDir)
     val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(hp)) { fs.delete(hp, true); () }
-    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), hp)) {
-      // lost a concurrent swap race: the winner's content is identical
+    try
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(InteropPublishDir),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch { case _: java.nio.file.FileSystemException =>
       fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-      ()
     }
     val back = s.read.parquet(InteropPublishDir)
     back.select(graft.functions.ShaLanes.lane(concat_ws("|",

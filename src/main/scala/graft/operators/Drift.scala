@@ -314,28 +314,29 @@ object Drift {
    */
   def ksStatistic(df: DataFrame, value: Column, inA: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // enforce the non-negative contract stated above LOUDLY (ADVICE r12:
-    // silently dropping negatives would return a D computed over a
-    // truncated distribution — the same class of silent wrongness as
-    // conv()'s two's-complement bucketing, just a different value). One
-    // cheap min-aggregate pass; a violating caller gets an error naming
-    // the fix, never a plausible-looking statistic.
-    val mn = df.agg(min(value.cast("long"))).first()
-    if (!mn.isNullAt(0))
-      require(mn.getLong(0) >= 0L,
-        s"ksStatistic: value column holds negatives (min ${mn.getLong(0)}); " +
-          "shift the signed measure into non-negative units at the call site")
-    val g = df.filter(value.isNotNull && value.cast("long") >= 0L)
+    // the non-negative contract stated above is enforced LOUDLY but for
+    // FREE (r13 review: the first cut paid a second full input scan for
+    // a min-aggregate): negatives route to a sentinel bucket -1 inside
+    // the one grouped pass (conv() is never evaluated for them — its
+    // two's-complement string would break the monotone bucketing, the
+    // original silent-wrongness bug), and the bounded per-bucket stats
+    // collect below throws if the sentinel ever appears — a violating
+    // caller gets an error naming the fix, never a plausible statistic.
+    val g = df.filter(value.isNotNull)
       .select(value.cast("long").as("__v"), inA.as("__a"))
       .groupBy(col("__v"))
       .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("__ca"),
         sum(when(col("__a"), 0L).otherwise(1L)).as("__cb"))
-      .withColumn("__bk", length(conv(col("__v") + lit(1L), 10, 2)).cast("int"))
+      .withColumn("__bk", when(col("__v") < 0L, lit(-1))
+        .otherwise(length(conv(col("__v") + lit(1L), 10, 2)).cast("int")))
       .localCheckpoint() // feeds the offset collect AND the window plan
     val stats = g.groupBy(col("__bk"))
       .agg(sum(col("__ca")).as("a"), sum(col("__cb")).as("b"))
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
       .sortBy(_._1)
+    require(stats.forall(_._1 >= 0),
+      "ksStatistic: value column holds negatives; shift the signed " +
+        "measure into non-negative units at the call site")
     val (na, nb) = (stats.map(_._2).sum, stats.map(_._3).sum)
     var (accA, accB) = (0L, 0L)
     val offsets = stats.map { case (bk, a, b) =>

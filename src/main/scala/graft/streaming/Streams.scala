@@ -801,19 +801,7 @@ object Streams {
       val changed = delta.select("bucket").distinct()
         .collect().map(_.getLong(0)).toSeq
       if (changed.nonEmpty) {
-        // (bucket -> resident versions) from one bounded listing
-        val vers: Map[Long, Seq[Long]] =
-          if (!fs.exists(root)) Map.empty
-          else fs.listStatus(root)
-            .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
-            .flatMap { vd =>
-              val v = vd.getPath.getName.stripPrefix("v=").toLong
-              fs.listStatus(vd.getPath)
-                .filter(s => s.isDirectory &&
-                  s.getPath.getName.startsWith("bucket="))
-                .map(bd =>
-                  (bd.getPath.getName.stripPrefix("bucket=").toLong, v))
-            }.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+        val vers = residentVersions(fs, stateDir)
         def baseV(b: Long): Option[Long] =
           vers.getOrElse(b, Seq.empty).filter(_ < batchId).maxOption
         val basePaths = changed.flatMap(b =>
@@ -861,7 +849,28 @@ object Streams {
   def readScd1State(spark: org.apache.spark.sql.SparkSession,
                     stateDir: String, opCol: String,
                     deleteOp: String): DataFrame =
-    readScd1Raw(spark, stateDir).filter(col(opCol) =!= lit(deleteOp))
+    // null-safe: a NULL op is not the tombstone — `=!=` would drop it
+    readScd1Raw(spark, stateDir).filter(!(col(opCol) <=> lit(deleteOp)))
+
+  /** (bucket -> resident `v=` versions) of an SCD-1 state dir, from one
+    * bounded listing — THE discovery shape shared by the merge, the
+    * change feed, and the purge (extracted after the third verbatim
+    * copy; a layout change now lands in exactly one place). Missing
+    * root → empty map. */
+  private def residentVersions(fs: org.apache.hadoop.fs.FileSystem,
+                               stateDir: String): Map[Long, Seq[Long]] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(stateDir)
+    if (!fs.exists(root)) Map.empty
+    else fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .flatMap { vd =>
+        val v = vd.getPath.getName.stripPrefix("v=").toLong
+        fs.listStatus(vd.getPath)
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+          .map(bd => (bd.getPath.getName.stripPrefix("bucket=").toLong, v))
+      }.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+  }
 
   /** (bucket, newest resident path) pairs of the state's live version —
     * the one bounded listing every state read shares. */
@@ -884,10 +893,27 @@ object Streams {
   }
 
   /** [[readScd1State]] without the tombstone filter — the raw retained
-    * state, tombstones included (what a backfill merge re-enters). */
+    * state, tombstones included (what a backfill merge re-enters).
+    * When EVERY live bucket's newest version is file-less (a purge
+    * emptied the whole state), the schema comes from any retained older
+    * version (the purge keeps each bucket's base) and the read returns
+    * zero rows — the file-less-is-empty contract every reader honors. */
   def readScd1Raw(spark: org.apache.spark.sql.SparkSession,
-                  stateDir: String): DataFrame =
-    spark.read.parquet(latestBucketPaths(spark, stateDir).map(_._2): _*)
+                  stateDir: String): DataFrame = {
+    val live = latestBucketPaths(spark, stateDir).map(_._2)
+    if (anyDataFile(spark, live)) spark.read.parquet(live: _*)
+    else {
+      import org.apache.hadoop.fs.Path
+      val root = new Path(stateDir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val anyOld = residentVersions(fs, stateDir).toSeq.flatMap {
+        case (b, vs) => vs.map(v => s"$stateDir/v=$v/bucket=$b")
+      }.filter(p => anyDataFile(spark, Seq(p)))
+      require(anyOld.nonEmpty,
+        s"no data files anywhere under SCD-1 state $stateDir")
+      spark.read.parquet(anyOld.head).limit(0)
+    }
+  }
 
   /** [[readScd1Raw]] restricted to a bucket subset — the pre-/post-image
     * read an incremental DOWNSTREAM maintenance step pays around a
@@ -959,16 +985,7 @@ object Streams {
     val root = new Path(stateDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return
-    // (bucket -> resident versions), one bounded listing — the merge's
-    // own discovery shape
-    val vers: Map[Long, Seq[Long]] = fs.listStatus(root)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
-      .flatMap { vd =>
-        val v = vd.getPath.getName.stripPrefix("v=").toLong
-        fs.listStatus(vd.getPath)
-          .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
-          .map(bd => (bd.getPath.getName.stripPrefix("bucket=").toLong, v))
-      }.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val vers = residentVersions(fs, stateDir)
     // base = each bucket's newest version STRICTLY BELOW batchId: a
     // replay of a crashed purge then sees the same pre-state and emits
     // the same output (reading the overall newest would let a partial
@@ -986,8 +1003,11 @@ object Streams {
       .collect().map(_.getLong(0)).toSet
     if (touched.isEmpty) return
     val touchedBase = base.filter(p => touched.contains(p._1))
+    // null-safe survivor filter: `=!=` would yield NULL for a NULL op
+    // and silently drop (physically delete!) non-tombstone rows whose
+    // op is NULL — only rows whose op EQUALS the tombstone go
     val keep = spark.read.parquet(touchedBase.map(_._2): _*)
-      .filter(col(opCol) =!= lit(deleteOp))
+      .filter(!(col(opCol) <=> lit(deleteOp)))
       .withColumn("bucket", bucketOf)
     keep.write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$stateDir/v=$batchId")
@@ -1046,16 +1066,7 @@ object Streams {
     val root = new Path(stateDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(root), s"no SCD-1 state at $stateDir")
-    // (bucket -> resident versions), one bounded listing (the merge's own
-    // discovery shape)
-    val vers: Map[Long, Seq[Long]] = fs.listStatus(root)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
-      .flatMap { vd =>
-        val v = vd.getPath.getName.stripPrefix("v=").toLong
-        fs.listStatus(vd.getPath)
-          .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
-          .map(bd => (bd.getPath.getName.stripPrefix("bucket=").toLong, v))
-      }.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val vers = residentVersions(fs, stateDir)
     val touched = vers.collect { case (b, vs) if vs.contains(batchId) => b }.toSeq
     require(touched.nonEmpty, s"batch $batchId wrote no buckets under $stateDir")
     val postPaths = touched.map(b => s"$stateDir/v=$batchId/bucket=$b")

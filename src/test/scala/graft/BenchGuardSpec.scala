@@ -48,7 +48,8 @@ class BenchGuardSpec extends AnyFunSuite {
     // the r11 blind spot: both endpoint brackets in band (the actual
     // BENCH_r11 values), yet a load window inside the query loop — seen
     // only by the interleaved micro-probes — inflated eight queries 3-6x.
-    // Worst probe 1.1 s vs the 0.6 s default band (4.0 * 0.15) → contended.
+    // Worst probe 1.1 s vs the 0.4 s default band (4.0 * 0.10; r12 ran
+    // at 0.15x = 0.6 s, tightened since) → contended.
     val probesWithBurst = Seq(0.21, 0.19, 1.10, 0.95, 0.22)
     assert(!Bench.quietRecord(1.96, 1.78, 589.0, 599.0,
       midProbesSec = probesWithBurst))

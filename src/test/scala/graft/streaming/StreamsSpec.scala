@@ -684,6 +684,39 @@ class StreamsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1))).toSet === Set((1L, "z")))
   }
 
+  test("hard delete: NULL-op rows survive the purge; fully-purged state reads empty") {
+    val dir = s"${Files.createTempDirectory("scd_purge_null")}/state"
+    // k=1 carries a NULL op (an upsert from a source without op
+    // tracking) — the purge's survivor filter must be null-safe or the
+    // row is PHYSICALLY lost and fed downstream as a spurious delete
+    Streams.scd1MergeBatch(
+      Seq((1L, "a", null, 1L), (2L, "b", "D", 2L))
+        .toDF("k", "v", "op", "seq"),
+      0L, Seq("k"), Seq("seq"), dir, nBuckets = 1)
+    Streams.scd1PurgeBatch(spark, dir, 1L, Seq("k"), "op", "D", nBuckets = 1)
+    assert(Streams.readScd1Raw(spark, dir).select("k").collect()
+      .map(_.getLong(0)).toSet === Set(1L),
+      "the NULL-op row must survive the purge")
+    val feed = Streams.scd1ChangeFeed(spark, dir, 1L, Seq("k"))
+      .select(col("k"), col("op")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(feed === Set((2L, "delete")), s"k=1 must not appear: $feed")
+    // readScd1State's tombstone filter is null-safe too
+    assert(Streams.readScd1State(spark, dir, "op", "D").select("k")
+      .collect().map(_.getLong(0)).toSet === Set(1L))
+    // purge EVERYTHING (treat NULL as the tombstone marker is not
+    // possible, so tombstone k=1 via a new merge) and read the fully
+    // file-less state: schema from a retained older version, zero rows
+    Streams.scd1MergeBatch(
+      Seq((1L, "a2", "D", 9L)).toDF("k", "v", "op", "seq"),
+      2L, Seq("k"), Seq("seq"), dir, nBuckets = 1)
+    Streams.scd1PurgeBatch(spark, dir, 3L, Seq("k"), "op", "D", nBuckets = 1)
+    val raw = Streams.readScd1Raw(spark, dir)
+    assert(raw.count() === 0L)
+    assert(raw.columns.contains("v"), "schema must survive a full purge")
+    assert(Streams.readScd1State(spark, dir, "op", "D").count() === 0L)
+  }
+
   test("stateful sessionize: in-batch close, timeout close, exact durations") {
     import StatefulSessionize.{Event, Session}
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
