@@ -3220,6 +3220,37 @@ object SparkEntry {
       col("valid_to").isNull.as("is_current"))
   }
 
+  /** q217: AS-OF read over the SCD-2 snapshot — time travel
+    * ([[graft.streaming.Streams.scd2AsOf]]; Snowflake `AT(...)`, Delta
+    * `VERSION AS OF` — the CONSUMER side of the snapshot tier, what
+    * every dbt-snapshot downstream mart joins against): the q214
+    * history, folded through the first two drops, read back as of the
+    * END of drop 1 — one partition-prunable interval filter, no join,
+    * no window. The oracle derives the same rows flat: the keep-latest
+    * winner per key among drops {0,1} (a PAST state no current-state
+    * read can produce — exactly what the history exists to answer).
+    * Scale: the filter prunes to intervals covering t; partition the
+    * snapshot by `valid_to IS NULL` and current-reads never touch
+    * closed history. */
+  private def scd2AsOfQ(s: SparkSession, d: String): DataFrame = {
+    import graft.streaming.Streams
+    var hist: Option[DataFrame] = None
+    (0 until 2).foreach { i =>
+      val feed = MaudeFixture.cdcFeed(s, d, i)
+      val prev = hist.getOrElse {
+        val dataCols = feed.select(col("after.*")).columns.toSeq
+        feed.limit(0).select(Seq(col("mdr_report_key")) ++
+          dataCols.map(c => col(s"after.$c").as(c)) ++
+          Seq(lit(0L).as("valid_from"),
+            lit(null).cast("long").as("valid_to")): _*)
+      }
+      hist = Some(Streams.scd2Fold(prev, feed, i.toLong,
+        Seq("mdr_report_key")).localCheckpoint())
+    }
+    Streams.scd2AsOf(hist.get, asOfBatch = 1L)
+      .select(col("mdr_report_key"), col("seq"), col("event_type"))
+  }
+
   /** q215: SCD HARD-DELETE — dbt snapshot's `invalidate_hard_deletes`,
     * completing the reference-toolchain semantic the q213/q214 pair
     * left unexercised (keep-latest merges retain tombstones, so their
@@ -4100,6 +4131,7 @@ object SparkEntry {
     "q214_scd2_snapshot"       -> (scd2SnapshotQ _),
     "q215_scd_hard_delete"     -> (scdHardDeleteQ _),
     "q216_partition_publish"   -> (partitionPublishQ _),
+    "q217_scd2_asof"           -> (scd2AsOfQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -7933,6 +7965,18 @@ object SparkEntry {
         |  (CASE WHEN op = 'D' THEN 1 ELSE NULL END)::BIGINT AS valid_to,
         |  (op <> 'D') AS is_current
         |FROM r WHERE rk = 1""".stripMargin,
+
+    // q217: the as-of state flat — keep-latest winner per key among
+    // drops {0,1}: a PAST state only the history can answer
+    "q217_scd2_asof" ->
+      """WITH o AS (SELECT o_orderkey AS seq, o_orderkey % 1000 AS rk,
+        |    o_orderkey % 3 AS b FROM orders),
+        |w AS (SELECT rk, max(seq) AS seq FROM o WHERE b <= 1 GROUP BY 1)
+        |SELECT printf('MDR%07d', rk) AS mdr_report_key, seq::BIGINT AS seq,
+        |  CASE seq % 5 WHEN 0 THEN 'Injury' WHEN 1 THEN 'Malfunction'
+        |    WHEN 2 THEN 'Death' WHEN 3 THEN 'No Answer Provided'
+        |    ELSE 'Other' END AS event_type
+        |FROM w""".stripMargin,
 
     // q216: the published mart flat from all orders — incremental
     // partition refresh == full rebuild is the replaceWhere identity

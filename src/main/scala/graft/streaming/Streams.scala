@@ -1143,4 +1143,27 @@ object Streams {
           lit(null).cast("long").as("valid_to")): _*)
     carried.unionByName(opened)
   }
+
+  /**
+   * AS-OF read over a [[scd2Fold]] history — time travel, the CONSUMER
+   * side of the snapshot tier (Snowflake `AT(...)`, Delta
+   * `VERSION AS OF`, the join every dbt-snapshot downstream mart
+   * performs): the rows current as of the END of batch `asOfBatch`,
+   * i.e. the half-open interval containing it —
+   * `valid_from <= t AND (valid_to IS NULL OR valid_to > t)`. A key
+   * hard-deleted at or before `t` ([[scd1PurgeBatch]] → close without
+   * reopen) has no covering interval and is correctly absent.
+   *
+   * Scale shape: ONE partition-pruned filter over the history — no
+   * join, no window; on a 100 TB snapshot table partitioned by
+   * `valid_to IS NULL` (current vs closed) plus a key hash, the
+   * current-rows partition serves `asOfBatch = latest` reads without
+   * touching closed history at all.
+   *
+   * Returns the history's columns minus the interval bookkeeping.
+   */
+  def scd2AsOf(history: DataFrame, asOfBatch: Long): DataFrame =
+    history.filter(col("valid_from") <= lit(asOfBatch) &&
+        (col("valid_to").isNull || col("valid_to") > lit(asOfBatch)))
+      .drop("valid_from", "valid_to")
 }

@@ -717,6 +717,35 @@ class StreamsSpec extends SparkSpec {
     assert(Streams.readScd1State(spark, dir, "op", "D").count() === 0L)
   }
 
+  test("scd2 as-of: past states reconstructed, deleted keys absent, current = latest") {
+    val dir = s"${Files.createTempDirectory("scd2_asof")}/state"
+    def mergeAndFeed(rows: Seq[(Long, String, String, Long)], b: Long) = {
+      Streams.scd1MergeBatch(rows.toDF("k", "v", "op", "seq"), b, Seq("k"),
+        Seq("seq"), dir, nBuckets = 1)
+      Streams.scd1ChangeFeed(spark, dir, b, Seq("k"))
+    }
+    val f0 = mergeAndFeed(Seq((1L, "a", "U", 1L), (2L, "b", "D", 2L)), 0L)
+    val genesis = f0.limit(0).select(col("k"), col("after.v").as("v"),
+      col("after.op").as("op"), col("after.seq").as("seq"),
+      lit(0L).as("valid_from"), lit(null).cast("long").as("valid_to"))
+    var hist = Streams.scd2Fold(genesis, f0, 0L, Seq("k")).localCheckpoint()
+    // batch 1: update key 1; batch 2: purge tombstoned key 2
+    hist = Streams.scd2Fold(hist,
+      mergeAndFeed(Seq((1L, "A", "U", 5L)), 1L), 1L, Seq("k"))
+      .localCheckpoint()
+    Streams.scd1PurgeBatch(spark, dir, 2L, Seq("k"), "op", "D", nBuckets = 1)
+    hist = Streams.scd2Fold(hist,
+      Streams.scd1ChangeFeed(spark, dir, 2L, Seq("k")), 2L, Seq("k"))
+    def asOf(t: Long) = Streams.scd2AsOf(hist, t)
+      .select(col("k"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(asOf(0L) === Set((1L, "a"), (2L, "b")), "state as of batch 0")
+    assert(asOf(1L) === Set((1L, "A"), (2L, "b")), "update visible at 1")
+    assert(asOf(2L) === Set((1L, "A")), "hard-deleted key absent at 2")
+    // the interval bookkeeping columns are dropped from the read
+    assert(!Streams.scd2AsOf(hist, 0L).columns.contains("valid_from"))
+  }
+
   test("stateful sessionize: in-batch close, timeout close, exact durations") {
     import StatefulSessionize.{Event, Session}
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
