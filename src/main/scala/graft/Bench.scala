@@ -147,7 +147,18 @@ object Bench {
    * probe. Cost: ~0.6 s per probe point, ~5 s over a 214-query run.
    */
   private def microProbeParSec(): Double = {
-    val p = math.min(32, Runtime.getRuntime.availableProcessors())
+    // thread count is heap-aware (ADVICE r13): each worker owns a 16 MiB
+    // long array, and 32 of them is 512 MiB — fine on this host's heap
+    // but an OOM on a small-heap runner. Cap the fan-out so the probe's
+    // arrays never exceed 1/8 of max heap; the kernel is per-thread
+    // equal work (memory-bandwidth-bound), so fewer threads still read
+    // the same wall class on a proportionally smaller machine. The 0.45 s
+    // default band was calibrated on THIS host at 32 threads — another
+    // host class must set SPARK_GRAFT_CALIB_MICRO_PAR_BAND (runbook'd in
+    // SURVEY §8) rather than trust the default.
+    val heapCap = math.max(1L, Runtime.getRuntime.maxMemory() / 8 / (16L << 20))
+    val p = math.min(math.min(32, Runtime.getRuntime.availableProcessors()),
+      heapCap.toInt)
     // ONE allocation for both repetitions (r13 review: allocating the
     // ~512 MiB of arrays per once() doubled the GC spike the probe
     // injects between timed queries); the refill re-randomizes in place
@@ -220,6 +231,118 @@ object Bench {
   }
 
   /**
+   * Mid-run WRITE probe — quiet-guard blind spot #3, storage axis (the
+   * r13 adjudication): q180_drift_replay — a storage-bound replay — ran
+   * 8.5× over class while every CPU probe (endpoint + both mid-run
+   * series) read in band, because IO contention is invisible to CPU
+   * kernels BY CONSTRUCTION and the 256 MiB write probe only brackets
+   * the endpoints. This is [[calibWriteMbps]] at 1/8 the bytes (32 MiB,
+   * fsync'd, max-of-2 — one scheduling hiccup must not convict a quiet
+   * run), dropped between every ~50 queries so the storage axis is
+   * observable ACROSS the run, not just at its ends. Cost: ~0.15 s per
+   * probe point quiet, ~0.7 s over a 217-query run. The series rides in
+   * the durable record (`calib_midwrite_mbps`); [[quietRecord]] judges
+   * its WORST member against half the endpoint write band (a small
+   * fsync'd write reads noisier than the 256 MiB bracket; measured
+   * quiet class on this host 300–600 MB/s, so 75 MB/s at the default
+   * 150 MB/s endpoint band separates cleanly; override via
+   * SPARK_GRAFT_CALIB_MIDWRITE_BAND for another host class).
+   */
+  private def midWriteProbeMbps(): Double = {
+    import java.nio.ByteBuffer
+    import java.nio.file.{Files, StandardOpenOption}
+    def once(): Double = {
+      val tmp = Files.createTempFile("graft_calib_mw_", ".bin")
+      try {
+        val mib = 32
+        val buf = ByteBuffer.allocateDirect(4 << 20)
+        var b = 0
+        while (buf.hasRemaining) { buf.put((b * 131 + 7).toByte); b += 1 }
+        val ch = java.nio.channels.FileChannel.open(tmp,
+          StandardOpenOption.WRITE, StandardOpenOption.TRUNCATE_EXISTING)
+        val t0 = System.nanoTime()
+        try {
+          var written = 0
+          while (written < mib / 4) {
+            buf.rewind()
+            while (buf.hasRemaining) ch.write(buf)
+            written += 1
+          }
+          ch.force(true)
+        } finally ch.close()
+        mib / ((System.nanoTime() - t0) / 1e9)
+      } finally Files.deleteIfExists(tmp)
+    }
+    math.max(once(), once())
+  }
+
+  /**
+   * Continuous host telemetry — quiet-guard blind spot #3, cadence axis
+   * (the r13 adjudication): the mid-run micro-probes fire every ~25
+   * queries, so a contention burst SHORTER than the probe cadence fits
+   * entirely inside an unobserved gap — the r13 driver run's inflated
+   * cluster (q136…q139, q179/q180, adjacent in run order) straddled the
+   * probe points and every probe read in band. The micro-kernels are
+   * too heavy to run continuously; this daemon instead samples a cheap
+   * host signal every ~1 s for the WHOLE query loop: external CPU =
+   * `max(0, systemCpuLoad − processCpuLoad)` from
+   * `com.sun.management.OperatingSystemMXBean` — the fraction of the
+   * machine's CPU consumed by processes that are not this bench. Quiet,
+   * that difference is near zero no matter how hard the bench itself
+   * runs (our own load is in BOTH terms); a competing JVM holding 8 of
+   * 32 cores reads ~0.25 (validated with a spinner load generator while
+   * building this — see BenchGuardSpec). Each query's record gets the
+   * MAX external load sampled during its own wall window (+1.5 s of
+   * lead, since a sample at t covers roughly [t−1s, t]), so
+   * [[quietRecord]] judges the actual interval every query ran in —
+   * zero unobserved gaps at any burst length ≥ the 1 s sample period.
+   * Cost: one MXBean read per second on a daemon thread — unmeasurable.
+   *
+   * The signal is CPU-only: an IO-contending neighbor shows here only
+   * if it also burns CPU, which is why the [[midWriteProbeMbps]] series
+   * exists alongside. A non-HotSpot JVM without the com.sun.management
+   * bean yields no samples and the gate treats the axis as unprobed
+   * (endpoint semantics), never as quiet evidence.
+   */
+  private final class HostTelemetry(periodMs: Long = 1000) {
+    // (sampleNanos, externalCpuFraction); ~1 entry/s, bounded by run length
+    private val samples = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Double)]()
+    @volatile private var running = true
+    private val osBean =
+      try java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case b: com.sun.management.OperatingSystemMXBean => Some(b)
+        case _ => None
+      } catch { case _: Throwable => None }
+    private val th = new Thread(() => {
+      osBean.foreach { os =>
+        // prime: the first getCpuLoad/getProcessCpuLoad call has no
+        // interval to average over and may return a negative sentinel
+        os.getCpuLoad(); os.getProcessCpuLoad()
+        while (running) {
+          Thread.sleep(periodMs)
+          val sys = os.getCpuLoad()
+          val proc = os.getProcessCpuLoad()
+          if (sys >= 0 && proc >= 0)
+            samples.add((System.nanoTime(), math.max(0.0, sys - proc)))
+        }
+      }
+    }, "graft-bench-host-telemetry")
+    th.setDaemon(true)
+    th.start()
+    def stop(): Unit = running = false
+    /** Max external CPU sampled in [t0 − 1.5 s, t1]; −1 when the window
+      * holds no samples (sub-second query between ticks, or no bean). */
+    def windowMax(t0: Long, t1: Long): Double = {
+      import scala.jdk.CollectionConverters._
+      val lead = 1500L * 1000 * 1000
+      val in = samples.iterator().asScala
+        .filter { case (t, _) => t >= t0 - lead && t <= t1 }
+        .map(_._2).toSeq
+      if (in.isEmpty) -1.0 else in.max
+    }
+  }
+
+  /**
    * Quiet-record gate for the durable `BENCH_full.json` write. The
    * committed full record is the engine's definitive per-query map;
    * rounds 9 and 10 both had a contended driver-host run CLOBBER it
@@ -263,6 +386,29 @@ object Bench {
    *    them with ~1.45× quiet headroom; override via
    *    SPARK_GRAFT_CALIB_MICRO_PAR_BAND for another host class).
    *
+   *  - mid-run WRITE: blind spot #3, storage axis — the round-13
+   *    incident. q180 (a storage-bound replay) carried 8.5× inflation
+   *    while every CPU probe read in band: IO contention is invisible
+   *    to CPU kernels by construction, and the write probe only ran at
+   *    the endpoints. The [[midWriteProbeMbps]] series (32 MiB fsync'd,
+   *    every ~50 queries) closes it; its WORST member must sit above
+   *    `midWriteBandMbps` (default `writeBandMbps` × 0.5 — the small
+   *    probe is noisier than the 256 MiB bracket; override via
+   *    SPARK_GRAFT_CALIB_MIDWRITE_BAND).
+   *
+   *  - HOST TELEMETRY: blind spot #3, cadence axis — same incident. A
+   *    burst shorter than the ~25-query probe cadence dodges every
+   *    sampled probe; the [[HostTelemetry]] daemon samples external CPU
+   *    (system − process load) every ~1 s for the whole loop and each
+   *    query's record carries its window max, so `hostExtMax` (the
+   *    worst window over ALL queries) judges the actual interval every
+   *    query ran in. Band default 0.20 of the machine (quiet class
+   *    measured ≤0.06 on this host under full bench load; an 8-of-32-
+   *    core thief reads ~0.25; override via SPARK_GRAFT_CALIB_HOSTEXT_BAND).
+   *    `hostExtMax < 0` means the axis was unprobed (no com.sun bean,
+   *    or a sub-second run between ticks) — endpoint semantics apply,
+   *    the axis neither convicts nor acquits.
+   *
    * A false positive is cheap (the record lands in `_contended`, the
    * committed quiet map survives); a false negative is the exact
    * incident this prevents — so ties break toward contended.
@@ -274,16 +420,25 @@ object Bench {
                   midProbesSec: Seq[Double] = Nil,
                   midProbeBandSec: Double = -1.0,
                   midProbesParSec: Seq[Double] = Nil,
-                  midProbeParBandSec: Double = -1.0): Boolean = {
+                  midProbeParBandSec: Double = -1.0,
+                  midWritesMbps: Seq[Double] = Nil,
+                  midWriteBandMbps: Double = -1.0,
+                  hostExtMax: Double = -1.0,
+                  hostExtBand: Double = -1.0): Boolean = {
     val midBand = if (midProbeBandSec > 0) midProbeBandSec
                   else cpuBandSec * 0.10
     val parBand = if (midProbeParBandSec > 0) midProbeParBandSec else 0.45
+    val mwBand = if (midWriteBandMbps > 0) midWriteBandMbps
+                 else writeBandMbps * 0.5
+    val extBand = if (hostExtBand > 0) hostExtBand else 0.20
     val relative = cpuEnd <= cpuStart * 2.0 && writeEnd * 2.0 >= writeStart
     val absolute = cpuStart <= cpuBandSec && cpuEnd <= cpuBandSec &&
       writeStart >= writeBandMbps && writeEnd >= writeBandMbps
     val midQuiet = midProbesSec.forall(_ <= midBand)
     val parQuiet = midProbesParSec.forall(_ <= parBand)
-    relative && absolute && midQuiet && parQuiet
+    val writeQuiet = midWritesMbps.forall(_ >= mwBand)
+    val extQuiet = hostExtMax < 0 || hostExtMax <= extBand
+    relative && absolute && midQuiet && parQuiet && writeQuiet && extQuiet
   }
 
   /** `BENCH_full.json` → `BENCH_full_contended.json` (suffix before the
@@ -582,8 +737,15 @@ object Bench {
     // sample between every `probeEvery` queries makes the loop's whole
     // interval observable to the quiet gate, not just its endpoints
     val probeEvery = sys.env.getOrElse("SPARK_GRAFT_PROBE_EVERY", "25").toInt
+    val writeProbeEvery = sys.env.getOrElse("SPARK_GRAFT_WRITE_PROBE_EVERY",
+      (probeEvery * 2).toString).toInt
     val midProbes = scala.collection.mutable.ArrayBuffer.empty[Double]
     val midProbesPar = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val midWrites = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // per-query (name, loopStartNanos, loopEndNanos) for the telemetry
+    // window attribution — the window spans ALL repeats of the query
+    val queryWindows = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    val telemetry = new HostTelemetry()
     val results =
       if (sloOnly || pipelineOnly) Seq.empty
       else SparkEntry.queries.toSeq.sortBy(_._1)
@@ -594,6 +756,8 @@ object Bench {
           midProbes += microProbeSec()
           midProbesPar += microProbeParSec()
         }
+        if (i > 0 && i % writeProbeEvery == 0) midWrites += midWriteProbeMbps()
+        val w0 = System.nanoTime()
         val first = timed(fn(spark, sfDir).count())
         val v =
           if (!first._2) -1.0
@@ -602,8 +766,16 @@ object Bench {
             if (rest.exists(!_._2)) -1.0
             else median(first._1 +: rest.map(_._1))
           }
+        queryWindows += ((name, w0, System.nanoTime()))
         name -> v
       }
+    telemetry.stop()
+    // each query's window-max external CPU (−1 = no sample in window);
+    // the gate judges the worst over all queries
+    val hostExtByQuery = queryWindows.toSeq.map { case (n, t0, t1) =>
+      n -> telemetry.windowMax(t0, t1) }
+    val hostExtMax =
+      if (hostExtByQuery.forall(_._2 < 0)) -1.0 else hostExtByQuery.map(_._2).max
     // SLO measurement is failure-isolated like the per-query timings: a
     // broken index build must not abort the run before the JSON prints.
     // 5 windows (was 3): the headline is the MEDIAN window, which with 5
@@ -721,6 +893,7 @@ object Bench {
     // the durable record via `extra`
     val midMax = if (midProbes.isEmpty) -1.0 else midProbes.max
     val midParMax = if (midProbesPar.isEmpty) -1.0 else midProbesPar.max
+    val midWriteMin = if (midWrites.isEmpty) -1.0 else midWrites.min
     def assemble(calls: String, qsPart: String = qs,
                  extra: String = ""): String =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",$qsPart,""" +
@@ -732,6 +905,8 @@ object Bench {
       s""""calib_cpu_end_sec":${f"$cpuSecEnd%.2f"},""" +
       s""""calib_mid_max_sec":${f"$midMax%.2f"},""" +
       s""""calib_midpar_max_sec":${f"$midParMax%.2f"},""" +
+      s""""calib_midwrite_min_mbps":${math.round(midWriteMin)},""" +
+      s""""calib_hostext_max":${f"$hostExtMax%.2f"},""" +
       s""""calib_write_mbps":${math.round(writeMbps)},""" +
       s""""calib_write_end_mbps":${math.round(writeMbpsEnd)},""" +
       extra +
@@ -802,21 +977,37 @@ object Bench {
         midProbes.toSeq,
         sys.env.getOrElse("SPARK_GRAFT_CALIB_MICRO_BAND", "-1").toDouble,
         midProbesPar.toSeq,
-        sys.env.getOrElse("SPARK_GRAFT_CALIB_MICRO_PAR_BAND", "-1").toDouble)
+        sys.env.getOrElse("SPARK_GRAFT_CALIB_MICRO_PAR_BAND", "-1").toDouble,
+        midWrites.toSeq,
+        sys.env.getOrElse("SPARK_GRAFT_CALIB_MIDWRITE_BAND", "-1").toDouble,
+        hostExtMax,
+        sys.env.getOrElse("SPARK_GRAFT_CALIB_HOSTEXT_BAND", "-1").toDouble)
       val dest = if (quiet) fullOut else contendedName(fullOut)
       if (!quiet) System.err.println(
         s"[bench] calibration brackets out of band (cpu ${f"$cpuSec%.2f"}" +
           s"->${f"$cpuSecEnd%.2f"} s, mid-run worst ${f"$midMax%.2f"} s " +
           s"single / ${f"$midParMax%.2f"} s parallel, " +
+          s"mid-write worst ${math.round(midWriteMin)} MB/s, " +
+          s"host-ext worst ${f"$hostExtMax%.2f"}, " +
           s"write ${math.round(writeMbps)}" +
           s"->${math.round(writeMbpsEnd)} MB/s): writing $dest, " +
           s"leaving $fullOut untouched")
       val midJson = midProbes.map(t => f"$t%.3f").mkString("[", ",", "]")
       val midParJson = midProbesPar.map(t => f"$t%.3f").mkString("[", ",", "]")
+      val midWriteJson = midWrites.map(t => math.round(t).toString)
+        .mkString("[", ",", "]")
+      // per-query telemetry attribution: which interval a reader should
+      // distrust when host_ext spikes — the forensic record the r13
+      // adjudication had to reconstruct with isolation re-runs
+      val hostExtJson = hostExtByQuery.map { case (n, v) =>
+        s""""${n.takeWhile(_ != '_')}":${f"$v%.2f"}""" }
+        .mkString("{", ",", "}")
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get(dest),
         assemble(callsJson, s""""queries":$fullNames""",
-          s""""calib_mid_sec":$midJson,"calib_midpar_sec":$midParJson,""") + "\n")
+          s""""calib_mid_sec":$midJson,"calib_midpar_sec":$midParJson,""" +
+            s""""calib_midwrite_mbps":$midWriteJson,""" +
+            s""""host_ext":$hostExtJson,""") + "\n")
       catch { case e: Throwable =>
         System.err.println(s"[bench] $dest write failed: $e") }
     }

@@ -98,6 +98,55 @@ class BenchGuardSpec extends AnyFunSuite {
       midProbesSec = Seq(0.21, 0.22, 0.20)))
   }
 
+  test("quietRecord: the r13 short-burst incident (every sampled probe in band) is contended") {
+    // blind spot #3, built from the ACTUAL BENCH_r13 driver-run numbers:
+    // endpoints cpu 2.13->1.91 s, write 541->551 MB/s, worst mid-run
+    // probe 0.27 s single / 0.33 s parallel — every existing probe in
+    // band — yet q180_drift_replay ran 8.5x over class (9.80 vs 1.16 s
+    // committed / 1.44 s isolation re-run) with 2-6x on the adjacent
+    // q136/q139/q179/q83 cluster. The burst was SHORTER than the
+    // ~25-query probe cadence, so the sampled probes never saw it. The
+    // continuous host-telemetry daemon samples every ~1 s: a thief
+    // holding 8+ of 32 cores over the q179/q180 window reads an
+    // external-CPU window-max far above the 0.20 band → contended.
+    val r13Mid = Seq(0.27, 0.22, 0.21, 0.24, 0.25, 0.25, 0.21, 0.21)
+    val r13Par = Seq(0.30, 0.33, 0.29, 0.33, 0.29, 0.31, 0.29, 0.31)
+    assert(!Bench.quietRecord(2.13, 1.91, 541.0, 551.0,
+      midProbesSec = r13Mid, midProbesParSec = r13Par,
+      hostExtMax = 0.55))
+    // the committed quiet run at the same HEAD: telemetry near zero
+    // (quiet class measured <=0.06 under full bench load) → quiet
+    assert(Bench.quietRecord(2.13, 1.91, 541.0, 551.0,
+      midProbesSec = r13Mid, midProbesParSec = r13Par,
+      hostExtMax = 0.05))
+    // an unprobed axis (no com.sun bean / sub-second partial run) keeps
+    // endpoint semantics — never acquits, never convicts
+    assert(Bench.quietRecord(2.13, 1.91, 541.0, 551.0,
+      midProbesSec = r13Mid, midProbesParSec = r13Par,
+      hostExtMax = -1.0))
+    // band override rescales for a noisier host class
+    assert(Bench.quietRecord(2.13, 1.91, 541.0, 551.0,
+      hostExtMax = 0.55, hostExtBand = 0.7))
+  }
+
+  test("quietRecord: the r13 storage-axis blind spot (IO contention invisible to CPU probes) is contended") {
+    // q180 is a storage-bound replay: an IO-contending neighbor degrades
+    // it without moving ANY cpu probe, and the 256 MiB write probe only
+    // ran at the endpoints. The mid-run 32 MiB fsync'd series closes the
+    // axis: a member at 40 MB/s vs the 75 MB/s default band (half the
+    // 150 MB/s endpoint band; quiet class 300-600 on this host) routes
+    // the record to _contended even with every CPU number pristine.
+    assert(!Bench.quietRecord(2.13, 1.91, 541.0, 551.0,
+      midWritesMbps = Seq(480.0, 40.0, 510.0)))
+    assert(Bench.quietRecord(2.13, 1.91, 541.0, 551.0,
+      midWritesMbps = Seq(480.0, 390.0, 510.0)))
+    // no write probes (escape-hatch runs) → endpoint semantics
+    assert(Bench.quietRecord(2.13, 1.91, 541.0, 551.0))
+    // band override for a slower disk class
+    assert(Bench.quietRecord(2.13, 1.91, 541.0, 551.0,
+      midWritesMbps = Seq(480.0, 40.0, 510.0), midWriteBandMbps = 30.0))
+  }
+
   test("contendedName: suffix lands before the extension") {
     assert(Bench.contendedName("BENCH_full.json") === "BENCH_full_contended.json")
     assert(Bench.contendedName("/tmp/out/BENCH_full.json") ===
