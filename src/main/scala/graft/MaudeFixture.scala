@@ -41,10 +41,18 @@ object MaudeFixture {
 
   private val built = scala.collection.mutable.Set.empty[String]
 
-  private def root(d: String): String =
+  // the dataset component is a SHA-256 of the path (ADVICE r13): the
+  // previous 32-bit hashCode could collide two testdata dirs touched in
+  // one JVM and silently serve the wrong dataset's memoized state —
+  // worse here than in replayStateDir because the fixture PERSISTS
+  // across queries
+  private def root(d: String): String = {
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
     new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_maude_fix_${ProcessHandle.current().pid()}_" +
-        s"${math.abs(d.hashCode.toLong)}").getAbsolutePath
+      s"graft_maude_fix_${ProcessHandle.current().pid()}_$digest").getAbsolutePath
+  }
 
   // one hook PER ROOT (r13 review: a single boolean only ever cleaned
   // the first dataset's root — a session touching two testdata dirs
@@ -176,6 +184,40 @@ object MaudeFixture {
     cdcState(s, d)
     s.read.parquet(s"${root(d)}/cdc_feed/b=$i")
   }
+
+  /** q215's user-changelog SCD-1 state (one merge batch, tombstones
+    * retained per the late-data ordering contract), built once per
+    * session with its change feed persisted alongside
+    * (`../user_feed/b=0`). The PURGE is deliberately NOT shared: the
+    * hard delete is the semantic q215 gates, and its replay against
+    * this state is idempotent by the strictly-below-base contract
+    * (purge-replay idempotence is pinned in StreamsSpec) — every
+    * invocation re-runs purge → purge-feed → fold in place, paying
+    * exactly the operator under measurement and nothing upstream. */
+  def userScdState(s: SparkSession, d: String)
+                  (changelog: => DataFrame): String =
+    ensure(s, d, "user_state") { dir =>
+      // 4 buckets, not the 16 the wide MAUDE states use: the user state
+      // is key-bounded (distinct users), and at test scale 16 buckets
+      // means 16 tiny files whose listings + footer reads dominate every
+      // downstream read — bucket count sizes to state volume, and the
+      // purge/feed callers must pass the SAME nBuckets (the bucket
+      // function pmod(xxhash64(keys), n) is part of the state layout)
+      graft.streaming.Streams.scd1MergeBatch(changelog, 0L, Seq("user_id"),
+        Seq("us", "event_id"), dir, nBuckets = UserStateBuckets)
+      graft.streaming.Streams.scd1ChangeFeed(s, dir, 0L, Seq("user_id"))
+        .write.mode("overwrite").parquet(s"${root(d)}/user_feed/b=0")
+    }
+
+  /** [[userScdState]]'s bucket count — every reader/mutator of that
+    * state must use this value (the bucket hash is part of the layout). */
+  val UserStateBuckets = 4
+
+  /** Batch 0's persisted change feed over [[userScdState]] (the state
+    * must have been built first — q215 calls [[userScdState]] before
+    * reading this). */
+  def userFeed0(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"${root(d)}/user_feed/b=0")
 
   /** The fixture's manufacturer seed slice: both ACME case variants
     * canonicalize via UPPER(TRIM(..)); 'NoSuch Inc' is absent so

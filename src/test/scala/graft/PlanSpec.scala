@@ -913,4 +913,76 @@ class PlanSpec extends SparkSpec {
       "phrase probes are (doc, pos)-keyed equi joins")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q215 purge discovery: the tombstone scan reads op + key columns only") {
+    // the purge's 100 TB contract: discovery is a column-pruned pass —
+    // a full-width state read here would make retention O(table bytes).
+    // Build a real (wide) state, then pin the ACTUAL discovery frame
+    // scd1PurgeBatch collects from (factored out as purgeDiscovery).
+    import graft.streaming.Streams
+    val dir = java.nio.file.Files.createTempDirectory("plan_purge_").toString
+    val log = Tables.events(spark, d).select(col("user_id"),
+      col("event_type").as("state"), unix_micros(col("ts")).as("us"),
+      col("event_id"),
+      when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"))
+    Streams.scd1MergeBatch(log, 0L, Seq("user_id"), Seq("us", "event_id"),
+      dir, nBuckets = 8)
+    val base = (0 until 8).map(b => s"$dir/v=0/bucket=$b")
+      .filter(p => new java.io.File(p).exists())
+    val disc = Streams.purgeDiscovery(spark, base, Seq("user_id"),
+      "op", "D", nBuckets = 8)
+    val p = disc.queryExecution.executedPlan.toString
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema"))
+      .getOrElse(fail(s"no ReadSchema in:\n$p"))
+    assert(readSchema.contains("user_id") && readSchema.contains("op"),
+      readSchema)
+    assert(!readSchema.contains("state") && !readSchema.contains("event_id"),
+      s"discovery must not read data columns: $readSchema")
+    assert(p.contains("PushedFilters: [IsNotNull(op), EqualTo(op,D)]") ||
+      p.contains("EqualTo(op,D)"),
+      s"tombstone predicate must reach the parquet reader:\n$p")
+  }
+
+  test("q216 refresh re-read: the touched-year date range reaches the parquet scan") {
+    // mirrors partitionPublishQ's refresh construction (SparkEntry):
+    // `year(col)` alone is opaque to the reader, so the query carries a
+    // raw-column timestamp range alongside — at 100 TB that range is
+    // what prunes row groups on footer stats. Pin that it pushes.
+    val touchedYears = Seq(1997, 1998)
+    val refresh = Tables.orders(spark, d)
+      .filter(col("o_orderdate") >=
+          lit(s"${touchedYears.min}-01-01").cast("timestamp") &&
+        col("o_orderdate") <
+          lit(s"${touchedYears.max + 1}-01-01").cast("timestamp") &&
+        year(col("o_orderdate")).isin(touchedYears: _*))
+      .groupBy(year(col("o_orderdate")).as("o_year"),
+        quarter(col("o_orderdate")).as("o_q"))
+      .agg(count(lit(1)).as("n_orders"))
+    val p = refresh.queryExecution.executedPlan.toString
+    assert(p.contains("GreaterThanOrEqual(o_orderdate") &&
+      p.contains("LessThan(o_orderdate"),
+      s"date range must appear in PushedFilters:\n$p")
+    assert(!p.contains("Join"), "the refresh read is scan+agg only")
+  }
+
+  test("q217 as-of read: one pushed interval filter — no join, no window") {
+    // the consumer-side time-travel contract: over a PUBLISHED history
+    // table the as-of read is a single scan whose interval predicate
+    // reaches the parquet reader (valid_from is a plain comparison;
+    // the valid_to disjunction stays a scan-level filter) — never a
+    // join or a window over history.
+    import graft.streaming.Streams
+    val dir = java.nio.file.Files.createTempDirectory("plan_asof_").toString
+    spark.range(100).select(col("id").as("k"),
+        (col("id") % 7).as("v"), lit(0L).as("valid_from"),
+        when(col("id") % 2 === 0, lit(1L)).cast("long").as("valid_to"))
+      .write.mode("overwrite").parquet(dir)
+    val asOf = Streams.scd2AsOf(spark.read.parquet(dir), asOfBatch = 1L)
+    val p = asOf.queryExecution.executedPlan.toString
+    assert(!p.contains("Join") && !p.contains("Window") &&
+      !p.contains("Exchange"),
+      s"as-of must be a pure scan-side filter:\n$p")
+    assert(p.contains("LessThanOrEqual(valid_from,1)"),
+      s"interval lower bound must reach PushedFilters:\n$p")
+  }
 }

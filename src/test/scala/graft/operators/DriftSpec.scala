@@ -227,6 +227,30 @@ class DriftSpec extends SparkSpec {
     assert(na === 2L && nb === 0L && d === None)
   }
 
+  test("ksStatistic: negative values fail loudly with the documented message") {
+    // the r13 contract change (ADVICE r13): negatives used to be
+    // silently excluded by the two's-complement conv() bucketing; they
+    // now route to a sentinel bucket and the bounded stats collect
+    // throws — a regression back to evaluating conv() for negatives
+    // would either throw differently or silently truncate, both caught
+    val e = intercept[IllegalArgumentException] {
+      Drift.ksStatistic(Seq((-1L, true), (2L, false), (3L, true))
+        .toDF("v", "ina"), col("v"), col("ina"))
+    }
+    assert(e.getMessage.contains("non-negative"),
+      s"expected the shift-to-non-negative-units message, got: ${e.getMessage}")
+  }
+
+  test("ksStatistic: the sentinel branch leaves non-negative results unchanged") {
+    // same inputs as the hand-checked case plus boundary value 0 — the
+    // sentinel's when(v < 0) guard must be a no-op for legal inputs
+    val (na, nb, nv, d) = ks(Seq((0L, true), (1L, true), (2L, true),
+      (2L, false), (3L, false), (0L, false)))
+    assert((na, nb, nv) === ((3L, 3L, 4L)))
+    // F_A: 0->1/3, 1->2/3, 2->1, 3->1; F_B: 0->1/3, 1->1/3, 2->2/3, 3->1
+    assert(d === Some(1.0 / 3.0))
+  }
+
   test("ksStatistic: matches a single-window reference on skewed data, any partitioning") {
     val rows = (0 until 5000).map { i =>
       val v = ((i * 2654435761L) % 1000) + (if (i % 3 == 0) 500L else 0L)

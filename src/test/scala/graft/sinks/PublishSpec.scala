@@ -60,6 +60,54 @@ class PublishSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() === 5)
   }
 
+  test("maintained mart: partition-scoped refresh keeps untouched partitions byte-identical and equals the maintained frame") {
+    // the q146-shaped composition (r13 verdict #4): an IVM-maintained
+    // counts mart published through filesPartitionOverwrite, fed by a
+    // TIME-SLICED batch that touches a subset of years — the shape where
+    // partition scoping actually pays (q146's own key-sliced fixture
+    // touches every partition per batch, where the dynamic-overwrite
+    // commit cost measured a strict loss; see signalsIvmQ's recorded
+    // negative). Pins both halves of the contract: untouched years'
+    // files physically survive, and the on-disk mart equals the
+    // maintained in-memory frame after every refresh.
+    import graft.operators.Incremental
+    val dir = java.nio.file.Files.createTempDirectory("publish_ivm").toString + "/counts"
+    def filesOf(part: String): Map[String, (Long, Long)] = {
+      val d = new java.io.File(s"$dir/$part")
+      d.listFiles().filter(f => f.isFile && !f.getName.startsWith("_")
+        && !f.getName.startsWith("."))
+        .map(f => f.getName -> ((f.length(), f.lastModified()))).toMap
+    }
+    def grouped(rows: Seq[(Int, String)]) =
+      rows.toDF("yyyy", "mfr")
+    val keys = Seq("yyyy", "mfr")
+    // batch 0: full history 2023+2024
+    val b0 = grouped(Seq((2023, "a"), (2023, "a"), (2023, "b"), (2024, "a")))
+    val counts0 = Incremental.maintainCounts(
+      b0.limit(0).withColumn("n_events", lit(0L)), b0.limit(0), b0, keys)
+      .localCheckpoint()
+    Publish.filesPartitionOverwrite(counts0, dir, Seq("yyyy"))
+    val files2023 = filesOf("yyyy=2023")
+    assert(files2023.nonEmpty)
+    // batch 1: a late TIME-SLICED delta touching 2024 only
+    val b1 = grouped(Seq((2024, "a"), (2024, "b")))
+    val counts1 = Incremental.maintainCounts(counts0, b1.limit(0), b1, keys)
+      .localCheckpoint()
+    val touchedYears = b1.select(col("yyyy")).distinct()
+      .collect().map(_.getInt(0))
+    Publish.filesPartitionOverwrite(
+      counts1.filter(col("yyyy").isin(touchedYears.toSeq: _*)),
+      dir, Seq("yyyy"))
+    // untouched 2023 partition: same names, lengths, mtimes
+    assert(filesOf("yyyy=2023") === files2023,
+      "untouched year was rewritten by a scoped refresh")
+    // on-disk mart == maintained frame (the IVM publication identity)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("yyyy").cast("int"), col("mfr"), col("n_events"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    assert(canon(spark.read.parquet(dir)) === canon(counts1))
+  }
+
   test("orc format round-trips through the same sink surface") {
     val dir = java.nio.file.Files.createTempDirectory("publish_orc").toString + "/mart"
     Publish.files(mart, dir, format = "orc", partitionCols = Seq("yyyy"))

@@ -38,7 +38,16 @@ def main(sf_dir: str, out_dir: str, json_out: str = None) -> int:
     except Exception:
         pass
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver testdata ships single-file tables; ScaleUp-derived
+        # benchdata (sf1) ships Spark directory-style tables under the
+        # same <name>.parquet path — glob the parts in that case
+        path = f"{sf_dir}/{t}.parquet"
+        import os
+        if os.path.isdir(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * "
+                        f"FROM read_parquet('{path}/*.parquet')")
+        else:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_bad = 0
     records = {}
