@@ -602,11 +602,13 @@ object Bench {
     val nDocs = docs.count()
     val nEmb = emb.count()
     val factor = math.max(1L, (200000L + nDocs - 1) / nDocs)
-    // replicate to >= 200k rows with unique ids; embeddings cycle
-    val corpus = docs.select(col("doc_id"), col("text"))
-      .crossJoin(spark.range(factor).toDF("r"))
-      .select((col("doc_id") * factor + col("r")).as("doc_id"), col("text"))
-      .join(broadcast(emb), pmod(col("doc_id"), lit(nEmb)) === col("vec_id"))
+    // replicate to >= 200k rows with unique ids; embeddings cycle via
+    // the dense-index attach (Tables.cycleEmbeddings — id-topology-proof)
+    val corpus = Tables.cycleEmbeddings(
+        docs.select(col("doc_id"), col("text"))
+          .crossJoin(spark.range(factor).toDF("r"))
+          .select((col("doc_id") * factor + col("r")).as("doc_id"), col("text")),
+        emb, nEmb)
       .select(col("doc_id"), col("text"), col("embedding"))
     // IVF centroids from deterministic k-means over the distinct embedding
     // set (the documented training posture — a corpus sample, not the

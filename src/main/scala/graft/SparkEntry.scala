@@ -1443,8 +1443,11 @@ object SparkEntry {
     val nEmb = emb.count()
     val cents = emb.filter(col("vec_id") < 16)
       .select(col("vec_id").as("doc_id"), col("embedding"))
-    val corpus = documents(s, d).select(col("doc_id"), col("text"))
-      .join(broadcast(emb), pmod(col("doc_id"), lit(nEmb)) === col("vec_id"))
+    // dense-index cycle, not a raw pmod==vec_id join (see
+    // [[Tables.cycleEmbeddings]]: raw ids are holed on tiled corpora
+    // and the equi-join silently dropped 60% of sf1's documents)
+    val corpus = Tables.cycleEmbeddings(
+        documents(s, d).select(col("doc_id"), col("text")), emb, nEmb)
       .select(col("doc_id"), col("text"), col("embedding"))
     (0 until 3).foreach { i =>
       Streams.searchIndexBatch(
@@ -7064,10 +7067,10 @@ object SparkEntry {
         |wd AS (SELECT da.deg AS x, db.deg AS y
         |       FROM e JOIN deg da ON e.a = da.n JOIN deg db ON e.b = db.n),
         |b AS (SELECT x, y FROM wd UNION ALL SELECT y, x FROM wd),
-        |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
-        |        CAST(sum(x) AS BIGINT) AS sx,
-        |        CAST(sum(x * y) AS BIGINT) AS sxy,
-        |        CAST(sum(x * x) AS BIGINT) AS sxx FROM b)
+        |s AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |        CAST(sum(x) AS HUGEINT) AS sx,
+        |        CAST(sum(x * y) AS HUGEINT) AS sxy,
+        |        CAST(sum(x * x) AS HUGEINT) AS sxx FROM b)
         |SELECT (n // 2)::BIGINT AS n_edges,
         |       (SELECT count(*)::BIGINT FROM deg) AS n_nodes,
         |       CASE WHEN n * sxx - sx * sx <> 0

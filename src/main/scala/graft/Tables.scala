@@ -33,6 +33,31 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
+  /** Attach one embedding per document by CYCLING the embedding table:
+    * doc `i` gets the `(i mod nEmb)`-th vector in `vec_id` order — the
+    * fixture convention q128 and the bench SLO corpus use to give every
+    * document a vector leg. The mapping goes through a DENSE index of
+    * the vector table, never its raw id: vec ids are contiguous on the
+    * driver testdata but HOLED on tiled scale-up corpora
+    * ([[graft.ScaleUp]] offsets each tile by a power of 10), and the
+    * previous `pmod(doc_id, nEmb) === vec_id` equi-join silently
+    * dropped every document whose residue fell in a hole — found as a
+    * 19,270-vs-48,170-row q128 mismatch in the first sf1 correctness
+    * gate (CORRECTNESS_sf1, round 14); the driver-sf hashes are
+    * unchanged because there `__vidx == vec_id`. The single-partition
+    * index pass is sound because the embedding table is this join's
+    * BROADCAST side by construction (serving-cache-sized); the ids are
+    * contiguous 0..n-1 because `monotonically_increasing_id` numbers
+    * rows consecutively within one partition. */
+  def cycleEmbeddings(docs: DataFrame, emb: DataFrame, nEmb: Long): DataFrame = {
+    val embIdx = emb.select(col("vec_id"), col("embedding"))
+      .coalesce(1).sortWithinPartitions(col("vec_id"))
+      .select(col("embedding"), monotonically_increasing_id().as("__vidx"))
+    docs.join(broadcast(embIdx),
+        pmod(col("doc_id"), lit(nEmb)) === col("__vidx"))
+      .drop("__vidx")
+  }
+
   /** `events` with `ts` as a microsecond TimestampType column (see scaladoc). */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -455,14 +455,18 @@ object Graph {
    *
    *   r = (n·Σxy − (Σx)²) / (n·Σx² − (Σx)²) ,  n = 2·|E|
    *
-   * with every Σ an associative BIGINT sum of exact degree products —
+   * with every Σ an associative EXACT-INTEGER sum of degree products —
    * order-independent in any engine — and r ONE correctly-rounded
-   * division of two exactly-representable operands (numerator and
-   * denominator stay well under 2⁶³ for any graph whose n·Σxy fits a
-   * Long: with max degree d and m edges that is 2m·(2m·d²) — checked by
-   * ANSI overflow rather than silently wrapped). Output is one row:
-   * `(n_edges, n_nodes, r)`; r is NULL on a degree-regular graph
-   * (zero variance — the statistic is undefined).
+   * division of two exactly-representable operands. The moment sums are
+   * CROSS-MULTIPLIED (n·Σxy, (Σx)²) they leave Long range on real
+   * graphs — measured at the sf1 bench tile (12M endpoint rows):
+   * n·Σxy ≈ 10¹⁹ > 2⁶³, which ANSI mode correctly refused — so the
+   * sums and every product of them ride DECIMAL(38,0) (Spark's exact
+   * 128-bit lane; the DuckDB oracle mirrors with HUGEINT), good to
+   * 10³⁸: a graph would need ~10¹⁹ edges to exhaust it, which is not a
+   * graph this century. Output is one row: `(n_edges, n_nodes, r)`;
+   * r is NULL on a degree-regular graph (zero variance — the statistic
+   * is undefined).
    */
   def degreeAssortativity(edges: DataFrame): DataFrame = {
     val e = edges.toDF("__s", "__d")
@@ -475,14 +479,19 @@ object Graph {
     val withDeg = e
       .join(deg.select(col("n").as("a"), col("deg").as("__da")), Seq("a"))
       .join(deg.select(col("n").as("b"), col("deg").as("__db")), Seq("b"))
-    val both = withDeg.select(col("__da").as("x"), col("__db").as("y"))
-      .unionAll(withDeg.select(col("__db").as("x"), col("__da").as("y")))
+    val dec = "decimal(38,0)"
+    val both = withDeg
+      .select(col("__da").cast(dec).as("x"), col("__db").cast(dec).as("y"))
+      .unionAll(withDeg
+        .select(col("__db").cast(dec).as("x"), col("__da").cast(dec).as("y")))
     both.agg(count(lit(1)).as("__n"), sum(col("x")).as("__sx"),
         sum(col("x") * col("y")).as("__sxy"),
         sum(col("x") * col("x")).as("__sxx"))
       .select((col("__n") / lit(2L)).cast("long").as("n_edges"),
-        (col("__n") * col("__sxy") - col("__sx") * col("__sx")).as("__num"),
-        (col("__n") * col("__sxx") - col("__sx") * col("__sx")).as("__den"))
+        (col("__n").cast(dec) * col("__sxy") -
+          col("__sx") * col("__sx")).as("__num"),
+        (col("__n").cast(dec) * col("__sxx") -
+          col("__sx") * col("__sx")).as("__den"))
       .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nodes"))))
       .select(col("n_edges"), col("n_nodes"),
         when(col("__den") =!= 0L,
