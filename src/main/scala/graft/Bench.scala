@@ -292,8 +292,9 @@ object Bench {
    * runs (our own load is in BOTH terms); a competing JVM holding 8 of
    * 32 cores reads ~0.25 (validated with a spinner load generator while
    * building this — see BenchGuardSpec). Each query's record gets the
-   * MAX external load sampled during its own wall window (+1.5 s of
-   * lead, since a sample at t covers roughly [t−1s, t]), so
+   * MAX external load sampled during its own wall window (+1.5× the
+   * sample period of lead, since a sample at t covers roughly
+   * [t−period, t]), so
    * [[quietRecord]] judges the actual interval every query ran in —
    * zero unobserved gaps at any burst length ≥ the 1 s sample period.
    * Cost: one MXBean read per second on a daemon thread — unmeasurable.
@@ -330,11 +331,16 @@ object Bench {
     th.setDaemon(true)
     th.start()
     def stop(): Unit = running = false
-    /** Max external CPU sampled in [t0 − 1.5 s, t1]; −1 when the window
-      * holds no samples (sub-second query between ticks, or no bean). */
+    /** Max external CPU sampled in [t0 − 1.5·period, t1]; −1 when the
+      * window holds no samples (sub-period query between ticks, or no
+      * bean). The lead is DERIVED from the sample period — a sample at
+      * t averages roughly [t−period, t], so 1.5× covers the preceding
+      * interval plus scheduling slop; a hard-coded 1.5 s would reopen
+      * unobserved sub-period gaps if periodMs were ever raised
+      * (ADVICE r14). */
     def windowMax(t0: Long, t1: Long): Double = {
       import scala.jdk.CollectionConverters._
-      val lead = 1500L * 1000 * 1000
+      val lead = periodMs * 3 / 2 * 1000000L
       val in = samples.iterator().asScala
         .filter { case (t, _) => t >= t0 - lead && t <= t1 }
         .map(_._2).toSeq
@@ -439,6 +445,61 @@ object Bench {
     val writeQuiet = midWritesMbps.forall(_ >= mwBand)
     val extQuiet = hostExtMax < 0 || hostExtMax <= extBand
     relative && absolute && midQuiet && parQuiet && writeQuiet && extQuiet
+  }
+
+  /**
+   * Per-query contention attribution — the RECOVERY half of the quiet
+   * gate (VERDICT r14 #1: the guard detects, nothing recovers; the
+   * judged bench routed wholesale to `_contended` three rounds
+   * running). Given the run's per-query telemetry windows and the
+   * mid-run probe series, return the set of queries whose OWN windows
+   * were out of band — the bounded re-run set:
+   *
+   *  - a query whose host-telemetry window max exceeds `extBand` is
+   *    convicted directly (per-query attribution, the precise axis);
+   *  - a mid-run probe (single, parallel, or write) out of band
+   *    convicts the SPAN of queries between the previous and the next
+   *    probe point — the probe observed contention at one instant, so
+   *    every query in the unobserved interval around it is suspect
+   *    (conservative both sides).
+   *
+   * Queries that FAILED (median < 0) are never convicted — failure is
+   * code, not host noise, and a re-run would mask it.
+   *
+   * Pure and public so BenchGuardSpec pins the attribution against the
+   * incident shapes the gate was built from.
+   */
+  def convictedWindows(namesInOrder: Seq[String],
+                       medians: Seq[Double],
+                       hostExt: Seq[Double], extBand: Double,
+                       midProbes: Seq[Double], midBand: Double,
+                       midProbesPar: Seq[Double], parBand: Double,
+                       probeEvery: Int,
+                       midWrites: Seq[Double], mwBand: Double,
+                       writeProbeEvery: Int): Set[String] = {
+    val n = namesInOrder.size
+    val bad = scala.collection.mutable.Set.empty[Int]
+    // direct per-query window conviction
+    hostExt.zipWithIndex.foreach { case (v, i) =>
+      if (v > extBand) bad += i
+    }
+    // probe-span conviction: the k-th probe fired before query index
+    // probeEvery*(k+1); its unobserved neighborhood is
+    // [probeEvery*k, probeEvery*(k+2))
+    def convictSpan(k: Int, every: Int): Unit = {
+      var i = math.max(0, every * k)
+      val end = math.min(n, every * (k + 2))
+      while (i < end) { bad += i; i += 1 }
+    }
+    midProbes.zipWithIndex.foreach { case (v, k) =>
+      if (v > midBand) convictSpan(k, probeEvery) }
+    midProbesPar.zipWithIndex.foreach { case (v, k) =>
+      if (v > parBand) convictSpan(k, probeEvery) }
+    midWrites.zipWithIndex.foreach { case (v, k) =>
+      if (v < mwBand) convictSpan(k, writeProbeEvery) }
+    bad.toSet
+      .filter(i => i < n && medians(i) >= 0)
+      .map(namesInOrder)
   }
 
   /** `BENCH_full.json` → `BENCH_full_contended.json` (suffix before the
@@ -849,6 +910,129 @@ object Bench {
     val cpuSecEnd = calibCpuSec()
     val writeMbpsEnd = calibWriteMbps()
 
+    // ---- band resolution, shared by the gate and the recovery pass ----
+    val cpuBand = sys.env.getOrElse("SPARK_GRAFT_CALIB_CPU_BAND", "4.0").toDouble
+    val writeBand = sys.env.getOrElse("SPARK_GRAFT_CALIB_WRITE_BAND", "150").toDouble
+    val midBandEnv = sys.env.getOrElse("SPARK_GRAFT_CALIB_MICRO_BAND", "-1").toDouble
+    val parBandEnv = sys.env.getOrElse("SPARK_GRAFT_CALIB_MICRO_PAR_BAND", "-1").toDouble
+    val mwBandEnv = sys.env.getOrElse("SPARK_GRAFT_CALIB_MIDWRITE_BAND", "-1").toDouble
+    val extBandEnv = sys.env.getOrElse("SPARK_GRAFT_CALIB_HOSTEXT_BAND", "-1").toDouble
+    val quiet0 = quietRecord(cpuSec, cpuSecEnd, writeMbps, writeMbpsEnd,
+      cpuBand, writeBand, midProbes.toSeq, midBandEnv,
+      midProbesPar.toSeq, parBandEnv, midWrites.toSeq, mwBandEnv,
+      hostExtMax, extBandEnv)
+
+    // ---- convicted-window recovery (VERDICT r14 #1: the gate detects,
+    // this recovers) ----
+    // A contended full pass no longer forfeits the whole record: when
+    // the endpoint brackets are in band (endpoint failures are not
+    // per-query-attributable) and the out-of-band axes map to a BOUNDED
+    // convicted set ([[convictedWindows]]), only those queries re-run —
+    // same 3-warm-repeat protocol, in the SAME warm JVM (a cold solo
+    // re-run reads ~2x its in-chunk class; in-process stays in class) —
+    // bracketed by their own calibration probes and telemetry. A quiet
+    // re-run splices its medians into the durable record with full
+    // provenance; the original pass is always preserved as the
+    // `_contended` twin. Wall-to-wall contention (convicted fraction
+    // over the cap) stays unspliceable by design — a burst can be
+    // re-measured, a contended hour cannot.
+    val spliceEnabled =
+      sys.env.getOrElse("SPARK_GRAFT_RESPLICE", "true") == "true"
+    val maxAttempts =
+      sys.env.getOrElse("SPARK_GRAFT_RESPLICE_ATTEMPTS", "2").toInt
+    val maxFrac =
+      sys.env.getOrElse("SPARK_GRAFT_RESPLICE_MAXFRAC", "0.4").toDouble
+    val endpointQuiet = quietRecord(cpuSec, cpuSecEnd, writeMbps,
+      writeMbpsEnd, cpuBand, writeBand)
+    val convicted: Seq[String] = {
+      if (quiet0 || !spliceEnabled || !endpointQuiet || results.isEmpty) Nil
+      else {
+        val midBand = if (midBandEnv > 0) midBandEnv else cpuBand * 0.10
+        val parBand = if (parBandEnv > 0) parBandEnv else 0.45
+        val mwBand = if (mwBandEnv > 0) mwBandEnv else writeBand * 0.5
+        val extBand = if (extBandEnv > 0) extBandEnv else 0.20
+        val set = convictedWindows(results.map(_._1), results.map(_._2),
+          hostExtByQuery.map(_._2), extBand,
+          midProbes.toSeq, midBand, midProbesPar.toSeq, parBand, probeEvery,
+          midWrites.toSeq, mwBand, writeProbeEvery)
+        results.map(_._1).filter(set)
+      }
+    }
+    var respliced = Map.empty[String, Double]
+    var resplicedExt = Map.empty[String, Double]
+    var spliceAttempt = 0
+    var spliceCalib = ""
+    if (convicted.nonEmpty &&
+        convicted.size <= math.max(1, (results.size * maxFrac).toInt)) {
+      while (respliced.isEmpty && spliceAttempt < maxAttempts) {
+        spliceAttempt += 1
+        System.err.println(s"[bench] ${convicted.size} convicted windows " +
+          s"(${convicted.mkString(",")}): bounded re-run, " +
+          s"attempt $spliceAttempt/$maxAttempts")
+        val tel2 = new HostTelemetry()
+        val rCpuS = calibCpuSec(); val rWS = calibWriteMbps()
+        val rMid = scala.collection.mutable.ArrayBuffer.empty[Double]
+        val rPar = scala.collection.mutable.ArrayBuffer.empty[Double]
+        val rWrt = scala.collection.mutable.ArrayBuffer.empty[Double]
+        val rWin = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+        val re = convicted.zipWithIndex.map { case (name, i) =>
+          if (i > 0 && i % probeEvery == 0) {
+            rMid += microProbeSec(); rPar += microProbeParSec()
+          }
+          if (i > 0 && i % writeProbeEvery == 0) rWrt += midWriteProbeMbps()
+          val fn = SparkEntry.queries(name)
+          val w0 = System.nanoTime()
+          val first = timed(fn(spark, sfDir).count())
+          val v =
+            if (!first._2) -1.0
+            else {
+              val rest = (1 until repeats).map(_ =>
+                timed(fn(spark, sfDir).count()))
+              if (rest.exists(!_._2)) -1.0
+              else median(first._1 +: rest.map(_._1))
+            }
+          rWin += ((name, w0, System.nanoTime()))
+          name -> v
+        }
+        try { new ProcessBuilder("sync").start().waitFor() }
+        catch { case _: Throwable => () }
+        Thread.sleep(2000)
+        val rCpuE = calibCpuSec(); val rWE = calibWriteMbps()
+        tel2.stop()
+        val rExtBy = rWin.toSeq.map { case (nm, t0, t1) =>
+          nm -> tel2.windowMax(t0, t1) }
+        val rExtMax =
+          if (rExtBy.forall(_._2 < 0)) -1.0 else rExtBy.map(_._2).max
+        val rQuiet = quietRecord(rCpuS, rCpuE, rWS, rWE, cpuBand, writeBand,
+          rMid.toSeq, midBandEnv, rPar.toSeq, parBandEnv,
+          rWrt.toSeq, mwBandEnv, rExtMax, extBandEnv)
+        if (rQuiet && re.forall(_._2 >= 0)) {
+          respliced = re.toMap
+          resplicedExt = rExtBy.toMap
+          spliceCalib =
+            s"""{"cpu_sec":[${f"$rCpuS%.2f"},${f"$rCpuE%.2f"}],""" +
+            s""""write_mbps":[${math.round(rWS)},${math.round(rWE)}],""" +
+            s""""hostext_max":${f"$rExtMax%.2f"},""" +
+            s""""mid_max_sec":${f"${if (rMid.isEmpty) -1.0 else rMid.max}%.2f"},""" +
+            s""""midpar_max_sec":${f"${if (rPar.isEmpty) -1.0 else rPar.max}%.2f"},""" +
+            s""""attempt":$spliceAttempt}"""
+          System.err.println(s"[bench] re-run quiet (cpu ${f"$rCpuS%.2f"}" +
+            s"->${f"$rCpuE%.2f"} s, host-ext ${f"$rExtMax%.2f"}): splicing " +
+            s"${convicted.size} medians into the durable record")
+        } else System.err.println(s"[bench] re-run attempt $spliceAttempt " +
+          s"not quiet (cpu ${f"$rCpuS%.2f"}->${f"$rCpuE%.2f"} s, " +
+          s"host-ext ${f"$rExtMax%.2f"}); " +
+          (if (spliceAttempt < maxAttempts) "retrying" else "giving up"))
+      }
+    } else if (convicted.nonEmpty) System.err.println(
+      s"[bench] ${convicted.size} convicted windows exceed the splice cap " +
+        s"(${(maxFrac * 100).toInt}% of ${results.size}) — wall-to-wall " +
+        "contention is not spliceable; routing to _contended")
+    val resultsFinal = results.map { case (n, v) =>
+      n -> respliced.getOrElse(n, v) }
+    val hostExtFinal = hostExtByQuery.map { case (n, v) =>
+      n -> resplicedExt.getOrElse(n, v) }
+
     // Env-provided strings (paths) are the one uncontrolled input on the
     // hand-assembled metric line: a double quote or backslash in
     // SPARK_GRAFT_FULL_OUT / SF_DIR would otherwise yield an unparseable
@@ -879,10 +1063,14 @@ object Bench {
       s""""queries":$m""" +
         (if (omitted == 0) "" else s""","queries_omitted":$omitted""")
     }
-    val qs = qsJson(results, 0)
-    val failures = results.collect { case (k, v) if v < 0 => s"\"$k\"" }
+    // the line and the durable fullOut record carry the SPLICED medians
+    // (the per-query class numbers); the pre-splice pass is preserved
+    // verbatim in the _contended twin whenever a splice happened
+    val qs = qsJson(resultsFinal, 0)
+    val failures = resultsFinal.collect { case (k, v) if v < 0 => s"\"$k\"" }
       .mkString("[", ",", "]")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = resultsFinal.map(_._2).filter(_ >= 0).sum
+    val totalOrig = results.map(_._2).filter(_ >= 0).sum
     val callsJson = callTimes.map(t => math.round(t * 1000).toString)
       .mkString("[", ",", "]")
     // p50 is deliberately NOT a field: it is exactly derivable from the
@@ -897,8 +1085,9 @@ object Bench {
     val midParMax = if (midProbesPar.isEmpty) -1.0 else midProbesPar.max
     val midWriteMin = if (midWrites.isEmpty) -1.0 else midWrites.min
     def assemble(calls: String, qsPart: String = qs,
-                 extra: String = ""): String =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",$qsPart,""" +
+                 extra: String = "",
+                 totalValue: Double = total): String =
+      s"""{"metric":"total","value":${f"$totalValue%.3f"},"unit":"sec",$qsPart,""" +
       s""""failures":$failures,"repeats":$repeats,""" +
       s""""p95_similar_cases_sec":${f"$p95%.3f"},"slo_window_p95_ms":$winJson,""" +
       s""""slo_corpus_rows":$corpusRows,"slo_call_ms":$calls,""" +
@@ -909,6 +1098,8 @@ object Bench {
       s""""calib_midpar_max_sec":${f"$midParMax%.2f"},""" +
       s""""calib_midwrite_min_mbps":${math.round(midWriteMin)},""" +
       s""""calib_hostext_max":${f"$hostExtMax%.2f"},""" +
+      (if (respliced.isEmpty) ""
+       else s""""respliced_n":${respliced.size},""") +
       s""""calib_write_mbps":${math.round(writeMbps)},""" +
       s""""calib_write_end_mbps":${math.round(writeMbpsEnd)},""" +
       extra +
@@ -966,52 +1157,73 @@ object Bench {
     // iteration run (SLO_ONLY / ONLY / PIPELINE_ONLY) must NOT clobber
     // the committed record of the last full run with a degraded
     // artifact — it only writes when SPARK_GRAFT_FULL_OUT is explicit.
-    val fullNames = results.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }
-      .mkString("{", ",", "}")
+    def namesJson(entries: Seq[(String, Double)]): String =
+      entries.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }
+        .mkString("{", ",", "}")
+    def extJson(entries: Seq[(String, Double)]): String =
+      entries.map { case (n, v) =>
+        s""""${n.takeWhile(_ != '_')}":${f"$v%.2f"}""" }
+        .mkString("{", ",", "}")
     val isPartialRun = sloOnly || pipelineOnly || onlyPrefixes.isDefined
     if (!isPartialRun || sys.env.contains("SPARK_GRAFT_FULL_OUT")) {
       // quiet-record gate (see quietRecord's scaladoc): a contended run
       // must not clobber the committed quiet map — its record goes to
-      // the `_contended` twin instead, self-labeled by its own brackets
-      val quiet = quietRecord(cpuSec, cpuSecEnd, writeMbps, writeMbpsEnd,
-        sys.env.getOrElse("SPARK_GRAFT_CALIB_CPU_BAND", "4.0").toDouble,
-        sys.env.getOrElse("SPARK_GRAFT_CALIB_WRITE_BAND", "150").toDouble,
-        midProbes.toSeq,
-        sys.env.getOrElse("SPARK_GRAFT_CALIB_MICRO_BAND", "-1").toDouble,
-        midProbesPar.toSeq,
-        sys.env.getOrElse("SPARK_GRAFT_CALIB_MICRO_PAR_BAND", "-1").toDouble,
-        midWrites.toSeq,
-        sys.env.getOrElse("SPARK_GRAFT_CALIB_MIDWRITE_BAND", "-1").toDouble,
-        hostExtMax,
-        sys.env.getOrElse("SPARK_GRAFT_CALIB_HOSTEXT_BAND", "-1").toDouble)
-      val dest = if (quiet) fullOut else contendedName(fullOut)
-      if (!quiet) System.err.println(
+      // the `_contended` twin instead, self-labeled by its own brackets.
+      // A successful convicted-window splice (above) writes BOTH: the
+      // pre-splice pass to the twin (forensics) and the spliced record —
+      // original probe series kept verbatim, convicted medians and
+      // host-ext windows replaced, provenance in `respliced`/
+      // `resplice_calib` — to the committed name.
+      val spliceOk = respliced.nonEmpty
+      if (!quiet0) System.err.println(
         s"[bench] calibration brackets out of band (cpu ${f"$cpuSec%.2f"}" +
           s"->${f"$cpuSecEnd%.2f"} s, mid-run worst ${f"$midMax%.2f"} s " +
           s"single / ${f"$midParMax%.2f"} s parallel, " +
           s"mid-write worst ${math.round(midWriteMin)} MB/s, " +
           s"host-ext worst ${f"$hostExtMax%.2f"}, " +
           s"write ${math.round(writeMbps)}" +
-          s"->${math.round(writeMbpsEnd)} MB/s): writing $dest, " +
-          s"leaving $fullOut untouched")
+          s"->${math.round(writeMbpsEnd)} MB/s): " +
+          (if (spliceOk) s"pre-splice pass preserved as " +
+            s"${contendedName(fullOut)}; spliced record (respliced " +
+            s"${respliced.size}) committed to $fullOut"
+           else s"writing ${contendedName(fullOut)}, " +
+            s"leaving $fullOut untouched"))
       val midJson = midProbes.map(t => f"$t%.3f").mkString("[", ",", "]")
       val midParJson = midProbesPar.map(t => f"$t%.3f").mkString("[", ",", "]")
       val midWriteJson = midWrites.map(t => math.round(t).toString)
         .mkString("[", ",", "]")
-      // per-query telemetry attribution: which interval a reader should
-      // distrust when host_ext spikes — the forensic record the r13
-      // adjudication had to reconstruct with isolation re-runs
-      val hostExtJson = hostExtByQuery.map { case (n, v) =>
-        s""""${n.takeWhile(_ != '_')}":${f"$v%.2f"}""" }
-        .mkString("{", ",", "}")
-      try java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(dest),
-        assemble(callsJson, s""""queries":$fullNames""",
-          s""""calib_mid_sec":$midJson,"calib_midpar_sec":$midParJson,""" +
-            s""""calib_midwrite_mbps":$midWriteJson,""" +
-            s""""host_ext":$hostExtJson,""") + "\n")
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $dest write failed: $e") }
+      val probeSeries =
+        s""""calib_mid_sec":$midJson,"calib_midpar_sec":$midParJson,""" +
+          s""""calib_midwrite_mbps":$midWriteJson,"""
+      def writeRecord(path: String, body: String): Unit =
+        try java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(path), body + "\n")
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $path write failed: $e") }
+      if (quiet0) {
+        // per-query telemetry attribution: which interval a reader should
+        // distrust when host_ext spikes — the forensic record the r13
+        // adjudication had to reconstruct with isolation re-runs
+        writeRecord(fullOut,
+          assemble(callsJson, s""""queries":${namesJson(results)}""",
+            probeSeries + s""""host_ext":${extJson(hostExtByQuery)},"""))
+      } else if (spliceOk) {
+        writeRecord(contendedName(fullOut),
+          assemble(callsJson, s""""queries":${namesJson(results)}""",
+            probeSeries + s""""host_ext":${extJson(hostExtByQuery)},""",
+            totalValue = totalOrig))
+        val resplicedList = convicted.map(n => s""""$n"""")
+          .mkString("[", ",", "]")
+        writeRecord(fullOut,
+          assemble(callsJson, s""""queries":${namesJson(resultsFinal)}""",
+            probeSeries + s""""host_ext":${extJson(hostExtFinal)},""" +
+              s""""respliced":$resplicedList,""" +
+              s""""resplice_calib":$spliceCalib,"""))
+      } else {
+        writeRecord(contendedName(fullOut),
+          assemble(callsJson, s""""queries":${namesJson(results)}""",
+            probeSeries + s""""host_ext":${extJson(hostExtByQuery)},"""))
+      }
     }
     // Stop the session BEFORE printing: any stderr the shutdown emits must
     // land ahead of the metric line, because the round driver merges

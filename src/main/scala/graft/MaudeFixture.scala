@@ -127,18 +127,26 @@ object MaudeFixture {
         .write.partitionBy("b").mode("overwrite").text(dir)
     }
 
-  /** q140's staged slice of a landing drop — the full 9-column ingest
-    * grain (shared with the [[ingestState]] builder so the chain and any
-    * ad-hoc consumer stage identically). */
-  def stagedFull(s: SparkSession, d: String, batch: Int): DataFrame = {
+  /** The q140/q218 staging projection over a RAW landing frame — the
+    * full 9-column ingest grain. Factored off [[stagedFull]] so the
+    * genuine streaming ingest (q218's foreachBatch stage) and the batch
+    * replay stage through the SAME code, never a lookalike. */
+  def stageFull(raw: DataFrame): DataFrame = {
     import graft.models.StgMaude
-    import graft.sources.MaudeIngest
-    StgMaude(MaudeIngest.batch(s, s"${landing(s, d)}/b=$batch"))
+    StgMaude(raw)
       .select(col("mdr_report_key"), col("report_number"),
         col("date_received"), col("event_type"),
         col("product_code"), col("manufacturer_name"), col("brand_name"),
         col("narrative_len").cast("long").as("narrative_len"),
         expr("try_cast(substring(report_number, 4) AS BIGINT)").as("seq"))
+  }
+
+  /** q140's staged slice of a landing drop — [[stageFull]] over one
+    * batch-read drop (shared with the [[ingestState]] builder so the
+    * chain and any ad-hoc consumer stage identically). */
+  def stagedFull(s: SparkSession, d: String, batch: Int): DataFrame = {
+    import graft.sources.MaudeIngest
+    stageFull(MaudeIngest.batch(s, s"${landing(s, d)}/b=$batch"))
   }
 
   /** The q140 merged state: [[stagedFull]] drops 0..2 folded through the

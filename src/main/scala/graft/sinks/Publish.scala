@@ -1,6 +1,7 @@
 package graft.sinks
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.{lit, year}
 
 /**
  * Mart publication sinks (reference README.md:74-75, 121-124: materialize
@@ -34,6 +35,24 @@ import org.apache.spark.sql.DataFrame
  * as ours to make.
  */
 object Publish {
+
+  /** Refresh-read predicate for a touched-year partition refresh
+    * (q216 / [[filesPartitionOverwrite]]): carries BOTH a raw-column
+    * timestamp range — parquet-pushable, so row groups outside
+    * [min-01-01, (max+1)-01-01) prune on footer stats; `year(col)`
+    * alone is opaque to the reader — and the exact year membership
+    * (post-scan, for sparse touched-year sets). At 100 TB the range is
+    * what keeps the refresh read delta-decade-sized. Factored here so
+    * the production expression and the plan pin (PlanSpec's q216 test)
+    * are the SAME code — the pin tests what runs, not a lookalike
+    * (ADVICE r14). Callers guard `years.nonEmpty`: an empty delta means
+    * nothing to refresh, never an exception. */
+  def touchedYearFilter(dateCol: Column, years: Seq[Int]): Column = {
+    require(years.nonEmpty, "touchedYearFilter needs >=1 touched year")
+    dateCol >= lit(s"${years.min}-01-01").cast("timestamp") &&
+      dateCol < lit(s"${years.max + 1}-01-01").cast("timestamp") &&
+      year(dateCol).isin(years: _*)
+  }
 
   /** Publish a DataFrame as a (partitioned) table in the session catalog. */
   def table(df: DataFrame, name: String, format: String = "parquet",

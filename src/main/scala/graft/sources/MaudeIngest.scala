@@ -32,9 +32,18 @@ object MaudeIngest {
    * `target_lag` freshness concern, README.md:83,117): new files are
    * discovered incrementally; combine with `Trigger.AvailableNow` for
    * catch-up batches or `ProcessingTime` for continuous tailing.
+   * `maxFilesPerTrigger` caps each micro-batch's file count — how an
+   * AvailableNow catch-up over a large backlog becomes a SEQUENCE of
+   * bounded merges instead of one full-backlog batch (the q218 shape;
+   * at 100 TB the cap is what keeps a catch-up batch's shuffle
+   * executor-memory-sized).
    */
-  def stream(spark: SparkSession, path: String): DataFrame =
-    withLandingShape(spark.readStream.schema(MaudeSchema.raw).json(path))
+  def stream(spark: SparkSession, path: String,
+             maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream.schema(MaudeSchema.raw)
+    val rr = maxFilesPerTrigger.fold(r)(n => r.option("maxFilesPerTrigger", n))
+    withLandingShape(rr.json(path))
+  }
 
   /** Manufacturer seed CSV (RFC-4180 quoting, `RAW_NAME,CANONICAL_NAME,
     * MANUFACTURER_ID` header normalized to lower-case — dbt_project.yml:17-20). */

@@ -776,13 +776,20 @@ object Streams {
    * tombstone keeps ordering against LATE-arriving older updates, which
    * must not resurrect a deleted key. [[readScd1State]] filters
    * tombstones out of the served state.
+   *
+   * `stage` runs INSIDE each foreachBatch on the raw micro-batch before
+   * the merge — the parse/staging step of an ingest chain (q218 stages
+   * raw MAUDE NDJSON through the q08 pipeline's StgMaude). It must be a
+   * per-batch transform (aggregations over the batch are fine; nothing
+   * cross-batch — cross-batch state is exactly what the merge owns).
    */
   def incrementalScd1(changeStream: DataFrame, keys: Seq[String],
                       orderDesc: Seq[String],
-                      stateDir: String, nBuckets: Int = 64): DataStreamWriter[Row] =
+                      stateDir: String, nBuckets: Int = 64,
+                      stage: DataFrame => DataFrame = identity): DataStreamWriter[Row] =
     changeStream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        scd1MergeBatch(batch, batchId, keys, orderDesc, stateDir, nBuckets)
+        scd1MergeBatch(stage(batch), batchId, keys, orderDesc, stateDir, nBuckets)
       }
 
   /** The batch-side body of [[incrementalScd1]]'s foreachBatch — public

@@ -129,6 +129,69 @@ class BenchGuardSpec extends AnyFunSuite {
       hostExtMax = 0.55, hostExtBand = 0.7))
   }
 
+  test("convictedWindows: per-query attribution + probe-span mapping") {
+    val names = (0 until 100).map(i => f"q$i%03d_x")
+    val medians = Seq.fill(100)(1.0)
+    // a host-ext spike on one query convicts exactly that query
+    val ext = Seq.tabulate(100)(i => if (i == 42) 0.55 else 0.03)
+    assert(Bench.convictedWindows(names, medians, ext, 0.20,
+      Nil, 0.4, Nil, 0.45, 25, Nil, 75.0, 50) === Set("q042_x"))
+    // a parallel-probe spike at probe k=1 (fired before query 50)
+    // convicts the unobserved span [25, 75)
+    val quietExt = Seq.fill(100)(0.03)
+    val par = Seq(0.30, 0.73, 0.31) // probes before queries 25, 50, 75
+    val span = Bench.convictedWindows(names, medians, quietExt, 0.20,
+      Nil, 0.4, par, 0.45, 25, Nil, 75.0, 50)
+    assert(span === (25 until 75).map(i => f"q$i%03d_x").toSet)
+    // a depressed mid-write probe maps through ITS OWN cadence (50)
+    val wr = Seq(40.0) // probe before query 50 → span [0, 100)
+    assert(Bench.convictedWindows(names, medians, quietExt, 0.20,
+      Nil, 0.4, Nil, 0.45, 25, wr, 75.0, 50).size === 100)
+    // a FAILED query (median < 0) is never convicted — failure is code
+    val medFail = medians.updated(42, -1.0)
+    assert(Bench.convictedWindows(names, medFail, ext, 0.20,
+      Nil, 0.4, Nil, 0.45, 25, Nil, 75.0, 50) === Set.empty[String])
+  }
+
+  test("splice: a convicted-window record re-measured quiet passes the gate") {
+    // the r15 recovery statement end-to-end on synthetic numbers shaped
+    // like the r13 incident: endpoints and every sampled probe in band,
+    // one query's host-ext window at 0.55 → the RECORD is contended and
+    // the conviction maps to exactly that window; replacing the window
+    // with a quiet re-run measurement (0.03) makes the spliced record's
+    // judged statistic quiet — splice-to-quiet, never splice-to-hide
+    // (an endpoint failure leaves convictedWindows empty-handed: the
+    // recovery path requires endpointQuiet before it runs).
+    val names = (0 until 100).map(i => f"q$i%03d_x")
+    val ext = Seq.tabulate(100)(i => if (i == 42) 0.55 else 0.03)
+    val mid = Seq(0.21, 0.22, 0.20)
+    val par = Seq(0.30, 0.31, 0.29)
+    assert(!Bench.quietRecord(1.9, 1.9, 500.0, 500.0,
+      midProbesSec = mid, midProbesParSec = par, hostExtMax = ext.max))
+    val convicted = Bench.convictedWindows(names, Seq.fill(100)(1.0),
+      ext, 0.20, mid, 0.4, par, 0.45, 25, Nil, 75.0, 50)
+    assert(convicted === Set("q042_x"))
+    // re-run of the convicted window under quiet brackets: splice
+    val splicedExt = ext.updated(42, 0.03)
+    assert(Bench.quietRecord(1.9, 1.9, 500.0, 500.0,
+      midProbesSec = mid, midProbesParSec = par,
+      hostExtMax = splicedExt.max))
+  }
+
+  test("quietRecord: the external-CPU band boundary is exactly 0.20") {
+    // provenance of the 0.20 default (SURVEY §8): quiet full runs on
+    // this host read 0.00-0.11 window-max under full bench load; the
+    // 8-of-32-core spinner validation read ~0.25; r14's contended twin
+    // convicted at 0.11 via OTHER axes while the driver-run conviction
+    // class reads 0.5+. 0.20 splits the measured populations with
+    // margin both ways. This case pins the boundary so a future retune
+    // is a deliberate edit here, not drift: 0.19 passes, 0.21 convicts.
+    assert(Bench.quietRecord(1.9, 1.9, 500.0, 500.0, hostExtMax = 0.19))
+    assert(!Bench.quietRecord(1.9, 1.9, 500.0, 500.0, hostExtMax = 0.21))
+    // the band is inclusive at its own value
+    assert(Bench.quietRecord(1.9, 1.9, 500.0, 500.0, hostExtMax = 0.20))
+  }
+
   test("quietRecord: the r13 storage-axis blind spot (IO contention invisible to CPU probes) is contended") {
     // q180 is a storage-bound replay: an IO-contending neighbor degrades
     // it without moving ANY cpu probe, and the 256 MiB write probe only

@@ -944,17 +944,17 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q216 refresh re-read: the touched-year date range reaches the parquet scan") {
-    // mirrors partitionPublishQ's refresh construction (SparkEntry):
-    // `year(col)` alone is opaque to the reader, so the query carries a
-    // raw-column timestamp range alongside — at 100 TB that range is
-    // what prunes row groups on footer stats. Pin that it pushes.
+    // exercises partitionPublishQ's ACTUAL refresh predicate —
+    // Publish.touchedYearFilter, the shared helper the production query
+    // calls (ADVICE r14: a rebuilt-by-copy expression could drift from
+    // the pinned one without failing this test). `year(col)` alone is
+    // opaque to the reader, so the helper carries a raw-column
+    // timestamp range alongside — at 100 TB that range is what prunes
+    // row groups on footer stats. Pin that it pushes.
     val touchedYears = Seq(1997, 1998)
     val refresh = Tables.orders(spark, d)
-      .filter(col("o_orderdate") >=
-          lit(s"${touchedYears.min}-01-01").cast("timestamp") &&
-        col("o_orderdate") <
-          lit(s"${touchedYears.max + 1}-01-01").cast("timestamp") &&
-        year(col("o_orderdate")).isin(touchedYears: _*))
+      .filter(graft.sinks.Publish.touchedYearFilter(
+        col("o_orderdate"), touchedYears))
       .groupBy(year(col("o_orderdate")).as("o_year"),
         quarter(col("o_orderdate")).as("o_q"))
       .agg(count(lit(1)).as("n_orders"))

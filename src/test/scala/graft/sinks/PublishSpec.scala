@@ -6,6 +6,23 @@ import org.apache.spark.sql.functions._
 class PublishSpec extends SparkSpec {
   import spark.implicits._
 
+  /** Per-file identity for the untouched-partition contracts: name →
+    * (length, SHA-256 of content). Content hash, not mtime — on
+    * filesystems with 1 s mtime granularity a same-second rewrite with
+    * identical metadata would pass a (length, lastModified) compare
+    * falsely (ADVICE r14); the hash pins the bytes themselves. */
+  private def fileIdentities(dir: String, part: String): Map[String, (Long, String)] = {
+    val d = new java.io.File(s"$dir/$part")
+    d.listFiles().filter(f => f.isFile && !f.getName.startsWith("_")
+      && !f.getName.startsWith("."))
+      .map { f =>
+        val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+        val h = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(bytes).map("%02x".format(_)).mkString
+        f.getName -> ((f.length(), h))
+      }.toMap
+  }
+
   private lazy val mart = Seq(
     ("e1", "2023-02-01", 2023), ("e2", "2023-07-15", 2023),
     ("e3", "2024-01-05", 2024))
@@ -28,12 +45,7 @@ class PublishSpec extends SparkSpec {
   test("partition-scoped overwrite: touched partitions replaced, untouched files byte-identical") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("publish_pso").toString + "/mart"
-    def filesOf(part: String): Map[String, (Long, Long)] = {
-      val d = new java.io.File(s"$dir/$part")
-      d.listFiles().filter(f => f.isFile && !f.getName.startsWith("_")
-        && !f.getName.startsWith("."))
-        .map(f => f.getName -> ((f.length(), f.lastModified()))).toMap
-    }
+    def filesOf(part: String): Map[String, (Long, String)] = fileIdentities(dir, part)
     Publish.files(
       Seq((2023, "a", 1L), (2023, "b", 2L), (2024, "c", 3L))
         .toDF("yyyy", "k", "n"),
@@ -41,7 +53,7 @@ class PublishSpec extends SparkSpec {
     val before2023 = filesOf("yyyy=2023")
     assert(before2023.nonEmpty)
     // refresh scoped to 2024 only: 2023's physical files must survive
-    // untouched (same names, lengths, mtimes — never rewritten)
+    // untouched (same names, lengths, content hashes — never rewritten)
     Publish.filesPartitionOverwrite(
       Seq((2024, "c", 30L), (2024, "d", 40L)).toDF("yyyy", "k", "n"),
       dir, Seq("yyyy"))
@@ -60,6 +72,24 @@ class PublishSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() === 5)
   }
 
+  test("touchedYearFilter: selects exactly the named years; empty set is the caller's guard") {
+    import spark.implicits._
+    val df = Seq("1996-06-01", "1997-03-04", "1998-12-31", "1999-01-01")
+      .toDF("d").select(col("d").cast("timestamp").as("d"))
+    val got = df.filter(Publish.touchedYearFilter(col("d"), Seq(1997, 1998)))
+      .collect().map(_.getTimestamp(0).toString.take(4)).toSet
+    assert(got === Set("1997", "1998"))
+    // sparse sets: membership filters out the in-range untouched year
+    val sparse = df.filter(Publish.touchedYearFilter(col("d"), Seq(1996, 1998)))
+      .collect().map(_.getTimestamp(0).toString.take(4)).toSet
+    assert(sparse === Set("1996", "1998"))
+    // empty delta ⇒ the caller skips the refresh; the helper refuses
+    // to build a vacuous predicate (q216 guards with nonEmpty)
+    intercept[IllegalArgumentException] {
+      Publish.touchedYearFilter(col("d"), Nil)
+    }
+  }
+
   test("maintained mart: partition-scoped refresh keeps untouched partitions byte-identical and equals the maintained frame") {
     // the q146-shaped composition (r13 verdict #4): an IVM-maintained
     // counts mart published through filesPartitionOverwrite, fed by a
@@ -72,12 +102,7 @@ class PublishSpec extends SparkSpec {
     // maintained in-memory frame after every refresh.
     import graft.operators.Incremental
     val dir = java.nio.file.Files.createTempDirectory("publish_ivm").toString + "/counts"
-    def filesOf(part: String): Map[String, (Long, Long)] = {
-      val d = new java.io.File(s"$dir/$part")
-      d.listFiles().filter(f => f.isFile && !f.getName.startsWith("_")
-        && !f.getName.startsWith("."))
-        .map(f => f.getName -> ((f.length(), f.lastModified()))).toMap
-    }
+    def filesOf(part: String): Map[String, (Long, String)] = fileIdentities(dir, part)
     def grouped(rows: Seq[(Int, String)]) =
       rows.toDF("yyyy", "mfr")
     val keys = Seq("yyyy", "mfr")
@@ -98,7 +123,7 @@ class PublishSpec extends SparkSpec {
     Publish.filesPartitionOverwrite(
       counts1.filter(col("yyyy").isin(touchedYears.toSeq: _*)),
       dir, Seq("yyyy"))
-    // untouched 2023 partition: same names, lengths, mtimes
+    // untouched 2023 partition: same names, lengths, content hashes
     assert(filesOf("yyyy=2023") === files2023,
       "untouched year was rewritten by a scoped refresh")
     // on-disk mart == maintained frame (the IVM publication identity)

@@ -935,4 +935,39 @@ class StreamsSpec extends SparkSpec {
       assert(!unmatched.contains(10L), "matched impression must not re-emit")
     } finally q.stop()
   }
+
+  test("q218: genuine streaming SCD-1 ingest state equals the batch-replayed fold") {
+    // the batch≡stream identity behind sharing q140's oracle: the SAME
+    // landing files, once folded by the real streaming engine
+    // (readStream → AvailableNow → incrementalScd1 with staging inside
+    // foreachBatch) and once by the batch replay (MaudeFixture
+    // .ingestState's 3 time-sliced scd1MergeBatch calls), must produce
+    // identical state — the merge is micro-batch-split-invariant.
+    val d = "/root/testdata/sf0.001"
+    val base = Files.createTempDirectory("maude_stream_scd1")
+    val landing = graft.MaudeFixture.landing(spark, d)
+    val stateDir = base.resolve("state").toString
+    val q = Streams.incrementalScd1(
+        MaudeIngest.stream(spark, landing, maxFilesPerTrigger = Some(2)),
+        Seq("mdr_report_key"), Seq("seq"), stateDir, nBuckets = 16,
+        stage = graft.MaudeFixture.stageFull)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .start()
+    q.awaitTermination()
+    // the catch-up genuinely ran as MULTIPLE checkpointed micro-batches
+    // (different boundaries than the batch replay's drops — the point)
+    val offsets = new java.io.File(base.resolve("ckpt").toString, "offsets")
+      .listFiles().count(f => f.getName.forall(_.isDigit))
+    assert(offsets >= 2, s"expected >=2 micro-batches, got $offsets")
+    val cols = Seq("mdr_report_key", "report_number", "date_received",
+      "event_type", "product_code", "manufacturer_name", "brand_name",
+      "narrative_len", "seq").map(col)
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select(cols: _*).collect().map(_.toString).sorted.toSeq
+    val streamed = canon(Streams.readScd1Raw(spark, stateDir))
+    val batched = canon(Streams.readScd1Raw(spark,
+      graft.MaudeFixture.ingestState(spark, d)))
+    assert(streamed.nonEmpty && streamed === batched)
+  }
 }
