@@ -2761,7 +2761,11 @@ object SparkEntry {
     * `greatest(1, 10 − n_shared_orders)` (strong relationships are
     * cheap), Bellman-Ford rounds keeping exact BIGINT minima; 4 rounds
     * == the oracle's bounded recursive-CTE walk minimum by the
-    * non-negative-weights argument in the scaladoc. */
+    * non-negative-weights argument in the scaladoc. `checkpointEvery=1`
+    * (eager round-state materialization) is the r15 MEASURED choice on
+    * this dense 4-hop graph — see ssspWeighted's scaladoc for the sf1
+    * numbers; the frontier-delta messaging rides along exact and pays
+    * for itself on high-diameter graphs. */
   private def ssspQ(s: SparkSession, d: String): DataFrame = {
     val weighted = orders(s, d)
       .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
@@ -2774,7 +2778,7 @@ object SparkEntry {
         col("w")))
       .localCheckpoint()
     val seeds = weighted.filter(col("c") <= 40).select(col("c").as("node"))
-    Graph.ssspWeighted(edges, seeds, maxHops = 4)
+    Graph.ssspWeighted(edges, seeds, maxHops = 4, checkpointEvery = 1)
       .select(decodeNode(col("node")) :+ col("cost"): _*)
   }
 

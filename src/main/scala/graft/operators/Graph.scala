@@ -409,11 +409,42 @@ object Graph {
    * by construction, not by convergence luck. All-integer costs: exact
    * BIGINTs, no float accumulation anywhere.
    *
-   * Scale shape: per-round work is edges ⨝ reached-nodes (the Pregel
-   * message round of [[pageRank]]) followed by one min-groupBy; state
-   * between rounds is (reached node, best cost) only. The cost table
-   * references itself twice per round (union + group), so lineage is
-   * flattened every `checkpointEvery` rounds like [[bfsDistances]].
+   * Scale shape — FRONTIER-DELTA messaging (the q181 k-core treatment
+   * applied to relaxation, VERDICT r14 #3): each round relaxes only the
+   * edges out of nodes whose best cost IMPROVED in the previous round,
+   * never the whole reached set. That is exact, not approximate: an
+   * unimproved node's offers are byte-identical to the offers it
+   * already made the round after it last improved, and the per-node
+   * running MIN has absorbed them — re-sending changes nothing (the
+   * non-negative-weights argument above is untouched, so the ≤ h-hop
+   * walk-minimum equality with the oracle's recursive CTE holds
+   * verbatim; GraphSpec's driver Bellman-Ford oracle pins it). The
+   * improvement test rides the SAME union+groupBy the merge already
+   * pays — dist rows carry their cost in an `old` lane, so one
+   * aggregate yields both the new minimum and the previous one, and
+   * the frontier is a filter over the aggregate output: zero extra
+   * shuffles versus the full-relaxation loop, with the message join's
+   * probe side shrunk from |reached| to |changed|. The win is graph-
+   * shape-dependent: on high-diameter graphs the frontier collapses
+   * after the first rounds; on q182's dense 4-hop bipartite trade
+   * graph |changed| ≈ |reached| every round, and the MEASURED r15
+   * numbers (sf1 solo protocol, adjacent warm runs, calib clean) are a
+   * wash on that fixture — old 7.70 s, delta+eager 6.74/7.63 s,
+   * old+eager 7.51 s. What is NOT a wash: delta WITHOUT the eager
+   * round-state materialization read 11.93 s (the merge output feeds
+   * two next-round branches, and an unmaterialized round recomputes
+   * its predecessor per branch) — if you lower `checkpointEvery`
+   * expecting pure-plan reuse, measure first. The residual q182 cost
+   * is the 4 edge-scale message shuffles themselves, irreducible under
+   * the exact ≤ h-hop oracle contract (pre-partitioning the edge table
+   * across rounds is the r13 PPR recorded negative — AQE hides cached
+   * output partitioning and the exchange returns; do not retry).
+   *
+   * State between rounds is (reached node, best cost) plus the changed
+   * frontier; both derive from the round's merge output, which is
+   * localCheckpoint-ed once per `checkpointEvery` rounds serving both
+   * branches (the declared q182 runs `checkpointEvery = 1` — measured
+   * at sf1 as above).
    *
    * Output: `(node, cost)` for every node reachable within `maxHops`
    * (seeds at 0); unreachable nodes are absent.
@@ -426,17 +457,29 @@ object Graph {
       col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
     var dist = seeds.select(col("node").cast("long").as("node")).distinct()
       .select(col("node"), lit(0L).as("cost"))
+    var frontier = dist
     for (i <- 1 to maxHops) {
       // sort-merge on purpose — see the bfsDistances loop note: the
       // q112 shuffle_hash lever measured NEGATIVE here (7-repeat sf1
       // medians 8.5 s SMJ vs 10.8 s SHJ); the cost table grows to
       // |reached| and makes a poor hash build. Do not retry.
-      val relaxed = e.join(dist, e("src") === dist("node"))
-        .select(col("dst").as("node"), (col("cost") + col("w")).as("cost"))
-      dist = dist.unionByName(relaxed)
-        .groupBy(col("node")).agg(min(col("cost")).as("cost"))
+      val offers = e.join(frontier, e("src") === frontier("node"))
+        .select(col("dst").as("node"), (col("cost") + col("w")).as("cost"),
+          lit(null).cast("long").as("old"))
+      var merged = dist
+        .select(col("node"), col("cost"), col("cost").as("old"))
+        .unionByName(offers)
+        .groupBy(col("node"))
+        .agg(min(col("cost")).as("cost"), min(col("old")).as("old"))
+      // the round state feeds BOTH next-round branches (dist via the
+      // union, frontier via the message join); materializing it once
+      // per cadence point serves the pair and keeps lineage flat
       if (i % checkpointEvery == 0 && i < maxHops)
-        dist = dist.localCheckpoint()
+        merged = merged.localCheckpoint()
+      dist = merged.select(col("node"), col("cost"))
+      frontier = merged
+        .filter(col("old").isNull || col("cost") < col("old"))
+        .select(col("node"), col("cost"))
     }
     dist
   }
