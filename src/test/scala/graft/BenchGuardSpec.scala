@@ -178,6 +178,31 @@ class BenchGuardSpec extends AnyFunSuite {
       hostExtMax = splicedExt.max))
   }
 
+  test("splice: the r15 live firings, from the actual run numbers") {
+    // both of r15's full runs: endpoints in band (cpu 1.96/2.00 then
+    // 1.99/1.96 s, writes 510->312 / 571->524 MB/s), one parallel probe
+    // marginally over band (0.51 then 0.48 s vs 0.45), host-ext 0.11 /
+    // 0.10 — the hypervisor-neighbor signature. Gate refuses the pass;
+    // attribution convicts exactly the 50-query span around the bad
+    // probe; the in-JVM re-run came back quiet (host-ext 0.03 / 0.02,
+    // midpar 0.29) and spliced. Run 2's committed record: 131.3 s/218.
+    val names = (0 until 218).map(i => f"q$i%03d_x")
+    // run 2's bad probe was the FIRST (k=0, fired before query 25):
+    // the real convicted set was the first 50 queries in run order
+    val run2Par = Seq(0.48, 0.31, 0.30, 0.29, 0.31, 0.30, 0.29, 0.30)
+    assert(!Bench.quietRecord(1.99, 1.96, 571.0, 524.0,
+      midProbesParSec = run2Par, hostExtMax = 0.10))
+    // endpoints alone are quiet → the recovery path is eligible
+    assert(Bench.quietRecord(1.99, 1.96, 571.0, 524.0))
+    val convicted = Bench.convictedWindows(names, Seq.fill(218)(1.0),
+      Seq.fill(218)(0.10), 0.20, Nil, 0.4, run2Par, 0.45, 25, Nil, 75.0, 50)
+    assert(convicted === (0 until 50).map(i => f"q$i%03d_x").toSet,
+      s"probe k=0 must convict run-order span [0,50): ${convicted.size}")
+    // the re-run's own brackets (as measured) pass the gate → splice
+    assert(Bench.quietRecord(1.98, 2.08, 521.0, 533.0,
+      midProbesParSec = Seq(0.29), hostExtMax = 0.02))
+  }
+
   test("quietRecord: the external-CPU band boundary is exactly 0.20") {
     // provenance of the 0.20 default (SURVEY §8): quiet full runs on
     // this host read 0.00-0.11 window-max under full bench load; the
