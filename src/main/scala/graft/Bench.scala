@@ -936,7 +936,13 @@ object Bench {
     // `_contended` twin. Wall-to-wall contention (convicted fraction
     // over the cap) stays unspliceable by design — a burst can be
     // re-measured, a contended hour cannot.
-    val spliceEnabled =
+    // recovery only runs when this run will WRITE a durable record
+    // (same eligibility as the writer below): a contended escape-hatch
+    // iteration run without SPARK_GRAFT_FULL_OUT has no record to
+    // splice, and silently doubling its wall time would be a trap
+    val writesRecord = !(sloOnly || pipelineOnly || onlyPrefixes.isDefined) ||
+      sys.env.contains("SPARK_GRAFT_FULL_OUT")
+    val spliceEnabled = writesRecord &&
       sys.env.getOrElse("SPARK_GRAFT_RESPLICE", "true") == "true"
     val maxAttempts =
       sys.env.getOrElse("SPARK_GRAFT_RESPLICE_ATTEMPTS", "2").toInt
