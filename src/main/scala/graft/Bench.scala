@@ -1090,9 +1090,13 @@ object Bench {
     val midMax = if (midProbes.isEmpty) -1.0 else midProbes.max
     val midParMax = if (midProbesPar.isEmpty) -1.0 else midProbesPar.max
     val midWriteMin = if (midWrites.isEmpty) -1.0 else midWrites.min
+    // the spliced record's host-ext scalar must agree with its PATCHED
+    // per-query map (one axis, two fields — they may not disagree inside
+    // one artifact); the contended twin keeps the original pair
     def assemble(calls: String, qsPart: String = qs,
                  extra: String = "",
-                 totalValue: Double = total): String =
+                 totalValue: Double = total,
+                 hostExtValue: Double = hostExtMax): String =
       s"""{"metric":"total","value":${f"$totalValue%.3f"},"unit":"sec",$qsPart,""" +
       s""""failures":$failures,"repeats":$repeats,""" +
       s""""p95_similar_cases_sec":${f"$p95%.3f"},"slo_window_p95_ms":$winJson,""" +
@@ -1103,7 +1107,7 @@ object Bench {
       s""""calib_mid_max_sec":${f"$midMax%.2f"},""" +
       s""""calib_midpar_max_sec":${f"$midParMax%.2f"},""" +
       s""""calib_midwrite_min_mbps":${math.round(midWriteMin)},""" +
-      s""""calib_hostext_max":${f"$hostExtMax%.2f"},""" +
+      s""""calib_hostext_max":${f"$hostExtValue%.2f"},""" +
       (if (respliced.isEmpty) ""
        else s""""respliced_n":${respliced.size},""") +
       s""""calib_write_mbps":${math.round(writeMbps)},""" +
@@ -1220,11 +1224,15 @@ object Bench {
             totalValue = totalOrig))
         val resplicedList = convicted.map(n => s""""$n"""")
           .mkString("[", ",", "]")
+        val hostExtSpliced =
+          if (hostExtFinal.forall(_._2 < 0)) -1.0
+          else hostExtFinal.map(_._2).max
         writeRecord(fullOut,
           assemble(callsJson, s""""queries":${namesJson(resultsFinal)}""",
             probeSeries + s""""host_ext":${extJson(hostExtFinal)},""" +
               s""""respliced":$resplicedList,""" +
-              s""""resplice_calib":$spliceCalib,"""))
+              s""""resplice_calib":$spliceCalib,""",
+            hostExtValue = hostExtSpliced))
       } else {
         writeRecord(contendedName(fullOut),
           assemble(callsJson, s""""queries":${namesJson(results)}""",
