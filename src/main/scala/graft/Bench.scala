@@ -502,6 +502,51 @@ object Bench {
       .map(namesInOrder)
   }
 
+  /** One probed, telemetry-attributed timed pass over `qs`: per query
+    * `repeats` timed executions → median (−1 on any failure), mid-run
+    * micro/parallel/write probes at the given cadences, and a per-query
+    * host-telemetry window max. SHARED by the main query loop and the
+    * convicted-window recovery pass — one body, so the splice's "same
+    * 3-warm-repeat protocol" claim is structural, not a convention two
+    * loops could drift apart on. Returns (results, hostExtByQuery,
+    * midProbes, midProbesPar, midWrites), all in run order. */
+  private def timedPass(spark: SparkSession, sfDir: String,
+      qs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
+      repeats: Int, probeEvery: Int, writeProbeEvery: Int):
+      (Seq[(String, Double)], Seq[(String, Double)],
+       Seq[Double], Seq[Double], Seq[Double]) = {
+    val mids = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val pars = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val writes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // per-query (name, loopStartNanos, loopEndNanos) for the telemetry
+    // window attribution — the window spans ALL repeats of the query
+    val windows = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    val telemetry = new HostTelemetry()
+    val results = qs.zipWithIndex.map { case ((name, fn), i) =>
+      if (i > 0 && i % probeEvery == 0) {
+        mids += microProbeSec()
+        pars += microProbeParSec()
+      }
+      if (i > 0 && i % writeProbeEvery == 0) writes += midWriteProbeMbps()
+      val w0 = System.nanoTime()
+      val first = timed(fn(spark, sfDir).count())
+      val v =
+        if (!first._2) -1.0
+        else {
+          val rest = (1 until repeats).map(_ => timed(fn(spark, sfDir).count()))
+          if (rest.exists(!_._2)) -1.0
+          else median(first._1 +: rest.map(_._1))
+        }
+      windows += ((name, w0, System.nanoTime()))
+      name -> v
+    }
+    telemetry.stop()
+    // each query's window-max external CPU (−1 = no sample in window)
+    val ext = windows.toSeq.map { case (n, t0, t1) =>
+      n -> telemetry.windowMax(t0, t1) }
+    (results, ext, mids.toSeq, pars.toSeq, writes.toSeq)
+  }
+
   /** `BENCH_full.json` → `BENCH_full_contended.json` (suffix before the
     * extension so globs on the base name still find both records). */
   def contendedName(path: String): String =
@@ -802,41 +847,13 @@ object Bench {
     val probeEvery = sys.env.getOrElse("SPARK_GRAFT_PROBE_EVERY", "25").toInt
     val writeProbeEvery = sys.env.getOrElse("SPARK_GRAFT_WRITE_PROBE_EVERY",
       (probeEvery * 2).toString).toInt
-    val midProbes = scala.collection.mutable.ArrayBuffer.empty[Double]
-    val midProbesPar = scala.collection.mutable.ArrayBuffer.empty[Double]
-    val midWrites = scala.collection.mutable.ArrayBuffer.empty[Double]
-    // per-query (name, loopStartNanos, loopEndNanos) for the telemetry
-    // window attribution — the window spans ALL repeats of the query
-    val queryWindows = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
-    val telemetry = new HostTelemetry()
-    val results =
+    val queryList =
       if (sloOnly || pipelineOnly) Seq.empty
       else SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (n, _) => onlyPrefixes.forall(_.exists(n.startsWith)) }
-        .zipWithIndex
-        .map { case ((name, fn), i) =>
-        if (i > 0 && i % probeEvery == 0) {
-          midProbes += microProbeSec()
-          midProbesPar += microProbeParSec()
-        }
-        if (i > 0 && i % writeProbeEvery == 0) midWrites += midWriteProbeMbps()
-        val w0 = System.nanoTime()
-        val first = timed(fn(spark, sfDir).count())
-        val v =
-          if (!first._2) -1.0
-          else {
-            val rest = (1 until repeats).map(_ => timed(fn(spark, sfDir).count()))
-            if (rest.exists(!_._2)) -1.0
-            else median(first._1 +: rest.map(_._1))
-          }
-        queryWindows += ((name, w0, System.nanoTime()))
-        name -> v
-      }
-    telemetry.stop()
-    // each query's window-max external CPU (−1 = no sample in window);
-    // the gate judges the worst over all queries
-    val hostExtByQuery = queryWindows.toSeq.map { case (n, t0, t1) =>
-      n -> telemetry.windowMax(t0, t1) }
+    val (results, hostExtByQuery, midProbes, midProbesPar, midWrites) =
+      timedPass(spark, sfDir, queryList, repeats, probeEvery, writeProbeEvery)
+    // the gate judges the worst window over all queries
     val hostExtMax =
       if (hostExtByQuery.forall(_._2 < 0)) -1.0 else hostExtByQuery.map(_._2).max
     // SLO measurement is failure-isolated like the per-query timings: a
@@ -975,43 +992,21 @@ object Bench {
         System.err.println(s"[bench] ${convicted.size} convicted windows " +
           s"(${convicted.mkString(",")}): bounded re-run, " +
           s"attempt $spliceAttempt/$maxAttempts")
-        val tel2 = new HostTelemetry()
         val rCpuS = calibCpuSec(); val rWS = calibWriteMbps()
-        val rMid = scala.collection.mutable.ArrayBuffer.empty[Double]
-        val rPar = scala.collection.mutable.ArrayBuffer.empty[Double]
-        val rWrt = scala.collection.mutable.ArrayBuffer.empty[Double]
-        val rWin = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
-        val re = convicted.zipWithIndex.map { case (name, i) =>
-          if (i > 0 && i % probeEvery == 0) {
-            rMid += microProbeSec(); rPar += microProbeParSec()
-          }
-          if (i > 0 && i % writeProbeEvery == 0) rWrt += midWriteProbeMbps()
-          val fn = SparkEntry.queries(name)
-          val w0 = System.nanoTime()
-          val first = timed(fn(spark, sfDir).count())
-          val v =
-            if (!first._2) -1.0
-            else {
-              val rest = (1 until repeats).map(_ =>
-                timed(fn(spark, sfDir).count()))
-              if (rest.exists(!_._2)) -1.0
-              else median(first._1 +: rest.map(_._1))
-            }
-          rWin += ((name, w0, System.nanoTime()))
-          name -> v
-        }
+        // the SAME timed-pass body as the main loop — the "same
+        // protocol" claim is the shared function, not a convention
+        val (re, rExtBy, rMid, rPar, rWrt) = timedPass(spark, sfDir,
+          convicted.map(n => n -> SparkEntry.queries(n)),
+          repeats, probeEvery, writeProbeEvery)
         try { new ProcessBuilder("sync").start().waitFor() }
         catch { case _: Throwable => () }
         Thread.sleep(2000)
         val rCpuE = calibCpuSec(); val rWE = calibWriteMbps()
-        tel2.stop()
-        val rExtBy = rWin.toSeq.map { case (nm, t0, t1) =>
-          nm -> tel2.windowMax(t0, t1) }
         val rExtMax =
           if (rExtBy.forall(_._2 < 0)) -1.0 else rExtBy.map(_._2).max
         val rQuiet = quietRecord(rCpuS, rCpuE, rWS, rWE, cpuBand, writeBand,
-          rMid.toSeq, midBandEnv, rPar.toSeq, parBandEnv,
-          rWrt.toSeq, mwBandEnv, rExtMax, extBandEnv)
+          rMid, midBandEnv, rPar, parBandEnv,
+          rWrt, mwBandEnv, rExtMax, extBandEnv)
         if (rQuiet && re.forall(_._2 >= 0)) {
           respliced = re.toMap
           resplicedExt = rExtBy.toMap
