@@ -502,6 +502,87 @@ object Bench {
       .map(namesInOrder)
   }
 
+  /**
+   * Class-relative conviction — quiet-gate blind spot #4 (VERDICT r15).
+   * The r15 driver run passed EVERY probe axis inside its band (midpar
+   * 0.44 vs 0.45, host-ext 0.09, cpu 1.91/2.36) while a contiguous
+   * run-order span q148-q159 read 8-19x its committed class (q154 9.44 s
+   * vs 0.494 s) — a hypervisor-neighbor burst that fell between probe
+   * points and under the external-CPU floor. The probes sample the HOST;
+   * this axis judges the QUERIES against the only per-query ground truth
+   * available — the durable committed record's own medians (the `full`
+   * field's map, same sf, same 3-warm-repeat protocol).
+   *
+   * A query is convicted when its median exceeds `ratioBand` × its
+   * committed class AND the absolute excess clears `absFloorSec` — the
+   * floor keeps sub-second queries from being convicted by scheduler
+   * jitter (3× of 60 ms is noise; 3× of 3 s is not). Queries absent
+   * from the class map (new this round) and FAILED queries (median < 0;
+   * failure is code, not host noise) are never convicted. Faster-than-
+   * class is never convicted — improvement needs no excuse.
+   *
+   * A conviction here is attribution, not refusal: the convicted set
+   * feeds the same bounded in-JVM re-run as the probe axes. A genuine
+   * code regression re-measures at the same slow value and splices the
+   * new truth in (with `class_reconvicted` provenance); a burst
+   * re-measures in class. Either way the committed record is never
+   * silently overwritten by out-of-class numbers — the exact r15 hole.
+   *
+   * Pure and public so BenchGuardSpec pins it against the r15 incident
+   * numbers.
+   */
+  def classConvictions(namesInOrder: Seq[String], medians: Seq[Double],
+                       classMap: Map[String, Double],
+                       ratioBand: Double = 3.0,
+                       absFloorSec: Double = 0.3): Seq[String] =
+    namesInOrder.zip(medians).collect {
+      case (n, m) if m >= 0 && classMap.get(n).exists(c =>
+        c > 0 && m > ratioBand * c && m - c > absFloorSec) => n
+    }
+
+  /** Read the durable record at `path` back as (sf, per-query medians)
+    * — the class map [[classConvictions]] judges against. Tolerant by
+    * design: a missing / unparseable / map-less record yields None (the
+    * axis is simply unprobed — endpoint semantics, never a crash in the
+    * measurement harness). Jackson ships with Spark. */
+  def loadRecord(path: String): Option[(String, Map[String, Double])] =
+    try {
+      val f = new java.io.File(path)
+      if (!f.isFile) None
+      else {
+        val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+        val sf = Option(root.get("sf")).map(_.asText()).getOrElse("")
+        val b = Map.newBuilder[String, Double]
+        Option(root.get("queries")).foreach { qn =>
+          val it = qn.fields()
+          while (it.hasNext) {
+            val e = it.next()
+            if (e.getValue.isNumber) b += e.getKey -> e.getValue.asDouble()
+          }
+        }
+        val qs = b.result()
+        if (sf.isEmpty || qs.isEmpty) None else Some((sf, qs))
+      }
+    } catch { case _: Throwable => None }
+
+  /** Cross-scale-factor overwrite refusal (VERDICT r15 "What's wrong",
+    * judge-side incident: an sf0.001 smoke clobbered the committed
+    * sf0.1 record because Bench writes `BENCH_full.json` by default).
+    * A run whose sf differs from the existing record's sf writes to a
+    * sibling `<base>_<sf>.json` instead — the committed record of the
+    * OTHER scale is never silently replaced. `force`
+    * (SPARK_GRAFT_FORCE_RECORD=true) is the explicit flag for a
+    * deliberate scale change. Pure for BenchGuardSpec. */
+  def recordWritePath(path: String, existingSf: Option[String],
+                      runSf: String, force: Boolean): String =
+    existingSf match {
+      case Some(sf) if sf != runSf && !force =>
+        if (path.endsWith(".json"))
+          path.stripSuffix(".json") + s"_$runSf.json"
+        else path + s"_$runSf"
+      case _ => path
+    }
+
   /** One probed, telemetry-attributed timed pass over `qs`: per query
     * `repeats` timed executions → median (−1 on any failure), mid-run
     * micro/parallel/write probes at the given cadences, and a per-query
@@ -802,6 +883,14 @@ object Bench {
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt
     val sloQueries = sys.env.getOrElse("SPARK_GRAFT_SLO_QUERIES", "50").toInt
     val fullOut = sys.env.getOrElse("SPARK_GRAFT_FULL_OUT", "BENCH_full.json")
+    val runSf = new java.io.File(sfDir).getName
+    // prior committed record, read BEFORE anything writes: (a) its sf
+    // gates cross-scale overwrites ([[recordWritePath]]); (b) its
+    // per-query map is the class axis ([[classConvictions]]) — only
+    // when the sfs match, a class at another scale judges nothing
+    val priorRecord = loadRecord(fullOut)
+    val classMap: Map[String, Double] =
+      priorRecord.filter(_._1 == runSf).map(_._2).getOrElse(Map.empty)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -938,6 +1027,19 @@ object Bench {
       cpuBand, writeBand, midProbes.toSeq, midBandEnv,
       midProbesPar.toSeq, parBandEnv, midWrites.toSeq, mwBandEnv,
       hostExtMax, extBandEnv)
+    // class-relative axis (blind spot #4): the probe axes sample the
+    // host; this judges every query against the committed record's own
+    // medians — the only axis that could see r15's q148-q159 burst
+    // (8-19x class with every probe in band)
+    val classBand =
+      sys.env.getOrElse("SPARK_GRAFT_CLASS_BAND", "3.0").toDouble
+    val classFloor =
+      sys.env.getOrElse("SPARK_GRAFT_CLASS_ABS_FLOOR", "0.3").toDouble
+    val classConvicted: Seq[String] =
+      if (results.isEmpty || classMap.isEmpty) Nil
+      else classConvictions(results.map(_._1), results.map(_._2),
+        classMap, classBand, classFloor)
+    val inClass = classConvicted.isEmpty
 
     // ---- convicted-window recovery (VERDICT r14 #1: the gate detects,
     // this recovers) ----
@@ -968,23 +1070,36 @@ object Bench {
     val endpointQuiet = quietRecord(cpuSec, cpuSecEnd, writeMbps,
       writeMbpsEnd, cpuBand, writeBand)
     val convicted: Seq[String] = {
-      if (quiet0 || !spliceEnabled || !endpointQuiet || results.isEmpty) Nil
+      if (!spliceEnabled || !endpointQuiet || results.isEmpty) Nil
       else {
-        val midBand = if (midBandEnv > 0) midBandEnv else cpuBand * 0.10
-        val parBand = if (parBandEnv > 0) parBandEnv else 0.45
-        val mwBand = if (mwBandEnv > 0) mwBandEnv else writeBand * 0.5
-        val extBand = if (extBandEnv > 0) extBandEnv else 0.20
-        val set = convictedWindows(results.map(_._1), results.map(_._2),
-          hostExtByQuery.map(_._2), extBand,
-          midProbes.toSeq, midBand, midProbesPar.toSeq, parBand, probeEvery,
-          midWrites.toSeq, mwBand, writeProbeEvery)
-        results.map(_._1).filter(set)
+        // probe-axis attribution only applies when a probe axis actually
+        // failed; the class axis attributes per-query regardless (its
+        // whole reason to exist is the probes all reading in band)
+        val probeSet: Set[String] =
+          if (quiet0) Set.empty
+          else {
+            val midBand = if (midBandEnv > 0) midBandEnv else cpuBand * 0.10
+            val parBand = if (parBandEnv > 0) parBandEnv else 0.45
+            val mwBand = if (mwBandEnv > 0) mwBandEnv else writeBand * 0.5
+            val extBand = if (extBandEnv > 0) extBandEnv else 0.20
+            convictedWindows(results.map(_._1), results.map(_._2),
+              hostExtByQuery.map(_._2), extBand,
+              midProbes.toSeq, midBand, midProbesPar.toSeq, parBand,
+              probeEvery, midWrites.toSeq, mwBand, writeProbeEvery)
+          }
+        val classSet = classConvicted.toSet
+        results.map(_._1).filter(n => probeSet(n) || classSet(n))
       }
     }
     var respliced = Map.empty[String, Double]
     var resplicedExt = Map.empty[String, Double]
     var spliceAttempt = 0
     var spliceCalib = ""
+    // convicted queries whose RE-RUN is still over class band: two
+    // consistent slow measurements under quiet probes = likely a real
+    // code regression, accepted as the new truth (final attempt only)
+    // and labeled in the record for adjudication
+    var classReconvicted: Seq[String] = Nil
     if (convicted.nonEmpty &&
         convicted.size <= math.max(1, (results.size * maxFrac).toInt)) {
       while (respliced.isEmpty && spliceAttempt < maxAttempts) {
@@ -1007,7 +1122,17 @@ object Bench {
         val rQuiet = quietRecord(rCpuS, rCpuE, rWS, rWE, cpuBand, writeBand,
           rMid, midBandEnv, rPar, parBandEnv,
           rWrt, mwBandEnv, rExtMax, extBandEnv)
-        if (rQuiet && re.forall(_._2 >= 0)) {
+        // a re-run that is probe-quiet but STILL out of class is
+        // ambiguous (regression vs repeat burst): retry while attempts
+        // remain to disambiguate; on the final attempt accept the twice-
+        // measured value as the new truth, labeled class_reconvicted
+        val rClass =
+          if (classMap.isEmpty) Nil
+          else classConvictions(re.map(_._1), re.map(_._2),
+            classMap, classBand, classFloor)
+        if (rQuiet && re.forall(_._2 >= 0) &&
+            (rClass.isEmpty || spliceAttempt == maxAttempts)) {
+          classReconvicted = rClass
           respliced = re.toMap
           resplicedExt = rExtBy.toMap
           spliceCalib =
@@ -1021,8 +1146,11 @@ object Bench {
             s"->${f"$rCpuE%.2f"} s, host-ext ${f"$rExtMax%.2f"}): splicing " +
             s"${convicted.size} medians into the durable record")
         } else System.err.println(s"[bench] re-run attempt $spliceAttempt " +
-          s"not quiet (cpu ${f"$rCpuS%.2f"}->${f"$rCpuE%.2f"} s, " +
-          s"host-ext ${f"$rExtMax%.2f"}); " +
+          (if (rQuiet && rClass.nonEmpty)
+             s"probe-quiet but ${rClass.size} still out of class " +
+               s"(${rClass.mkString(",")}); "
+           else s"not quiet (cpu ${f"$rCpuS%.2f"}->${f"$rCpuE%.2f"} s, " +
+             s"host-ext ${f"$rExtMax%.2f"}); ") +
           (if (spliceAttempt < maxAttempts) "retrying" else "giving up"))
       }
     } else if (convicted.nonEmpty) System.err.println(
@@ -1085,13 +1213,33 @@ object Bench {
     val midMax = if (midProbes.isEmpty) -1.0 else midProbes.max
     val midParMax = if (midProbesPar.isEmpty) -1.0 else midProbesPar.max
     val midWriteMin = if (midWrites.isEmpty) -1.0 else midWrites.min
+    // cross-scale-factor refusal: a run at a different sf than the
+    // committed record writes to a `<base>_<sf>.json` sibling instead
+    // (the judge-side r15 incident — an sf0.001 smoke clobbered the
+    // sf0.1 record); SPARK_GRAFT_FORCE_RECORD=true is the explicit flag
+    val forceRecord = sys.env.get("SPARK_GRAFT_FORCE_RECORD").contains("true")
+    val outPath = recordWritePath(fullOut, priorRecord.map(_._1), runSf,
+      forceRecord)
     // the spliced record's host-ext scalar must agree with its PATCHED
     // per-query map (one axis, two fields — they may not disagree inside
-    // one artifact); the contended twin keeps the original pair
+    // one artifact) — and so must the DRIVER LINE (r15 ADVICE: a line
+    // mixing spliced medians with the pre-splice host-ext scalar reads
+    // as contended-quiet disagreement), so the spliced max is the
+    // default everywhere; only the `_contended` twin keeps the original
+    // pair, passed explicitly. The mid-probe scalars intentionally keep
+    // describing the ORIGINAL pass on both line and record: the probe
+    // SERIES is preserved verbatim (it is run-interval evidence, not
+    // per-query data, and cannot be spliced), the re-run's own probe
+    // stats ride in `resplice_calib`, and `respliced_n` marks the line
+    // so a reader knows which pass each family describes.
+    val hostExtFinalMax =
+      if (hostExtFinal.forall(_._2 < 0)) -1.0
+      else hostExtFinal.map(_._2).max
     def assemble(calls: String, qsPart: String = qs,
                  extra: String = "",
                  totalValue: Double = total,
-                 hostExtValue: Double = hostExtMax): String =
+                 hostExtValue: Double = hostExtFinalMax,
+                 markSpliced: Boolean = respliced.nonEmpty): String =
       s"""{"metric":"total","value":${f"$totalValue%.3f"},"unit":"sec",$qsPart,""" +
       s""""failures":$failures,"repeats":$repeats,""" +
       s""""p95_similar_cases_sec":${f"$p95%.3f"},"slo_window_p95_ms":$winJson,""" +
@@ -1103,13 +1251,13 @@ object Bench {
       s""""calib_midpar_max_sec":${f"$midParMax%.2f"},""" +
       s""""calib_midwrite_min_mbps":${math.round(midWriteMin)},""" +
       s""""calib_hostext_max":${f"$hostExtValue%.2f"},""" +
-      (if (respliced.isEmpty) ""
+      (if (!markSpliced) ""
        else s""""respliced_n":${respliced.size},""") +
       s""""calib_write_mbps":${math.round(writeMbps)},""" +
       s""""calib_write_end_mbps":${math.round(writeMbpsEnd)},""" +
       extra +
       s""""pipeline":$pipelineJson,"pipeline10m":$pipeline10mJson,""" +
-      s""""full":"${jsonEsc(fullOut)}",""" +
+      s""""full":"${jsonEsc(outPath)}",""" +
       s""""sf":"${jsonEsc(new java.io.File(sfDir).getName)}"}"""
     // Line budget: the driver keeps only the LAST 2000 output chars and
     // parses the last line. As queries accumulate (~12 chars each), the
@@ -1140,17 +1288,24 @@ object Bench {
           // the ones plan audits read — and say how many fast ones were
           // dropped. Totals/failures/SLO/pipelines always stay complete,
           // and BENCH_full.json (the "full" pointer) holds the whole map.
-          val slowestFirst = results.sortBy(-_._2)
-          // math.max guards the omitted count when results.size < k
+          // SPLICED medians (resultsFinal, same source as total/failures
+          // above — r15 ADVICE: the pre-splice map here put contended
+          // medians for exactly the slowest-K queries next to the
+          // spliced total, internally inconsistent on the one line a
+          // 218-query run actually emits)
+          val slowestFirst = resultsFinal.sortBy(-_._2)
+          // math.max guards the omitted count when resultsFinal.size < k
           // (take() caps silently and a negative count would corrupt the
           // JSON semantics even though the branch needs ~138+ queries)
           val ks = Seq(110, 90, 70, 50, 30)
           (ks.iterator.map(k => assemble(decilesJson,
-              qsJson(slowestFirst.take(k), math.max(0, results.size - k)))) ++
+              qsJson(slowestFirst.take(k),
+                math.max(0, resultsFinal.size - k)))) ++
            ks.iterator.map(k => assemble("[]",
-              qsJson(slowestFirst.take(k), math.max(0, results.size - k)))))
+              qsJson(slowestFirst.take(k),
+                math.max(0, resultsFinal.size - k)))))
             .find(_.length <= 1980)
-            .getOrElse(assemble("[]", qsJson(Nil, results.size)))
+            .getOrElse(assemble("[]", qsJson(Nil, resultsFinal.size)))
         }
       }
     // Durable full record (the r7 "queries_omitted:28" lesson: the
@@ -1180,6 +1335,11 @@ object Bench {
       // host-ext windows replaced, provenance in `respliced`/
       // `resplice_calib` — to the committed name.
       val spliceOk = respliced.nonEmpty
+      if (outPath != fullOut) System.err.println(
+        s"[bench] sf mismatch: $fullOut holds an " +
+          s"${priorRecord.map(_._1).getOrElse("?")} record, this run is " +
+          s"$runSf — writing $outPath instead (SPARK_GRAFT_FORCE_RECORD" +
+          "=true overrides)")
       if (!quiet0) System.err.println(
         s"[bench] calibration brackets out of band (cpu ${f"$cpuSec%.2f"}" +
           s"->${f"$cpuSecEnd%.2f"} s, mid-run worst ${f"$midMax%.2f"} s " +
@@ -1189,10 +1349,18 @@ object Bench {
           s"write ${math.round(writeMbps)}" +
           s"->${math.round(writeMbpsEnd)} MB/s): " +
           (if (spliceOk) s"pre-splice pass preserved as " +
-            s"${contendedName(fullOut)}; spliced record (respliced " +
-            s"${respliced.size}) committed to $fullOut"
-           else s"writing ${contendedName(fullOut)}, " +
-            s"leaving $fullOut untouched"))
+            s"${contendedName(outPath)}; spliced record (respliced " +
+            s"${respliced.size}) committed to $outPath"
+           else s"writing ${contendedName(outPath)}, " +
+            s"leaving $outPath untouched"))
+      else if (!inClass) System.err.println(
+        s"[bench] every probe axis in band but ${classConvicted.size} " +
+          s"queries out of committed class (>${classBand}x + " +
+          s"${classFloor}s: ${classConvicted.mkString(",")}): " +
+          (if (spliceOk) s"pre-splice pass preserved as " +
+            s"${contendedName(outPath)}; spliced record committed to $outPath"
+           else s"writing ${contendedName(outPath)}, " +
+            s"leaving $outPath untouched"))
       val midJson = midProbes.map(t => f"$t%.3f").mkString("[", ",", "]")
       val midParJson = midProbesPar.map(t => f"$t%.3f").mkString("[", ",", "]")
       val midWriteJson = midWrites.map(t => math.round(t).toString)
@@ -1205,33 +1373,49 @@ object Bench {
           java.nio.file.Paths.get(path), body + "\n")
         catch { case e: Throwable =>
           System.err.println(s"[bench] $path write failed: $e") }
-      if (quiet0) {
+      if (quiet0 && inClass) {
         // per-query telemetry attribution: which interval a reader should
         // distrust when host_ext spikes — the forensic record the r13
         // adjudication had to reconstruct with isolation re-runs
-        writeRecord(fullOut,
+        writeRecord(outPath,
           assemble(callsJson, s""""queries":${namesJson(results)}""",
             probeSeries + s""""host_ext":${extJson(hostExtByQuery)},"""))
       } else if (spliceOk) {
-        writeRecord(contendedName(fullOut),
+        // the `_contended` twin is the pre-splice pass preserved
+        // VERBATIM for forensics: original medians/total/host-ext and
+        // NO splice fields (r15 ADVICE: a respliced_n on the unspliced
+        // map mislabels the forensic artifact)
+        writeRecord(contendedName(outPath),
           assemble(callsJson, s""""queries":${namesJson(results)}""",
             probeSeries + s""""host_ext":${extJson(hostExtByQuery)},""",
-            totalValue = totalOrig))
+            totalValue = totalOrig, hostExtValue = hostExtMax,
+            markSpliced = false))
         val resplicedList = convicted.map(n => s""""$n"""")
           .mkString("[", ",", "]")
-        val hostExtSpliced =
-          if (hostExtFinal.forall(_._2 < 0)) -1.0
-          else hostExtFinal.map(_._2).max
-        writeRecord(fullOut,
+        // class-axis provenance: which convictions came from the class
+        // map rather than a probe, and which re-measured out of class
+        // (accepted as the new truth — adjudication reads this first)
+        val classProv =
+          (if (classConvicted.isEmpty) ""
+           else s""""class_convicted":${classConvicted
+             .map(n => s""""$n"""").mkString("[", ",", "]")},""") +
+          (if (classReconvicted.isEmpty) ""
+           else s""""class_reconvicted":${classReconvicted
+             .map(n => s""""$n"""").mkString("[", ",", "]")},""")
+        writeRecord(outPath,
           assemble(callsJson, s""""queries":${namesJson(resultsFinal)}""",
             probeSeries + s""""host_ext":${extJson(hostExtFinal)},""" +
-              s""""respliced":$resplicedList,""" +
-              s""""resplice_calib":$spliceCalib,""",
-            hostExtValue = hostExtSpliced))
+              s""""respliced":$resplicedList,""" + classProv +
+              s""""resplice_calib":$spliceCalib,"""))
       } else {
-        writeRecord(contendedName(fullOut),
+        writeRecord(contendedName(outPath),
           assemble(callsJson, s""""queries":${namesJson(results)}""",
-            probeSeries + s""""host_ext":${extJson(hostExtByQuery)},"""))
+            probeSeries +
+              (if (classConvicted.isEmpty) ""
+               else s""""class_convicted":${classConvicted
+                 .map(n => s""""$n"""").mkString("[", ",", "]")},""") +
+              s""""host_ext":${extJson(hostExtByQuery)},""",
+            hostExtValue = hostExtMax, markSpliced = false))
       }
     }
     // Stop the session BEFORE printing: any stderr the shutdown emits must

@@ -235,6 +235,80 @@ class BenchGuardSpec extends AnyFunSuite {
       midWritesMbps = Seq(480.0, 40.0, 510.0), midWriteBandMbps = 30.0))
   }
 
+  test("classConvictions: the r15 blind-spot-#4 incident (every probe in band) convicts the burst") {
+    // built from the ACTUAL BENCH_r15 driver-run numbers the judge
+    // adjudicated: probe axes all in band (cpu 1.91/2.36 vs 4.0, midpar
+    // 0.44 vs 0.45, host-ext 0.09 vs 0.20, midwrite 390) — quietRecord
+    // PASSES — yet the contiguous run-order span q148-q159 read 8-19x
+    // its committed class. The class axis is the only one that can see
+    // it: each burst member's own median against the committed record.
+    assert(Bench.quietRecord(1.91, 2.36, 510.0, 520.0,
+      midProbesParSec = Seq(0.44, 0.31, 0.30), hostExtMax = 0.09,
+      midWritesMbps = Seq(390.0)))
+    // committed class map (r15 values) and the driver run's medians
+    val burst = Seq(
+      ("q148_x", 0.70, 7.70), ("q149_x", 0.671, 8.66),
+      ("q150_x", 0.60, 6.00), ("q151_x", 0.55, 4.40),
+      ("q152_x", 0.50, 5.00), ("q153_x", 0.45, 4.95),
+      ("q154_x", 0.494, 9.44), ("q155_x", 0.40, 4.40),
+      ("q156_x", 0.42, 4.45), ("q157_x", 0.55, 3.03),
+      ("q158_x", 0.50, 4.30), ("q159_x", 0.60, 4.20))
+    val inClassRows = Seq(
+      ("q001_x", 1.00, 1.08), ("q110_x", 1.81, 1.90),
+      ("q146_x", 8.77, 9.20), ("q182_x", 2.86, 2.60))
+    val rows = inClassRows ++ burst
+    val classMap = rows.map { case (n, c, _) => n -> c }.toMap
+    val convicted = Bench.classConvictions(
+      rows.map(_._1), rows.map(_._3), classMap)
+    assert(convicted.toSet === burst.map(_._1).toSet,
+      s"the 12-query burst and ONLY the burst: $convicted")
+    // faster-than-class is never convicted; a new query (absent from
+    // the map) is never convicted; a FAILED query is never convicted
+    assert(Bench.classConvictions(Seq("q182_x"), Seq(2.60), classMap).isEmpty)
+    assert(Bench.classConvictions(Seq("q218_new"), Seq(9.0), classMap).isEmpty)
+    assert(Bench.classConvictions(Seq("q154_x"), Seq(-1.0), classMap).isEmpty)
+  }
+
+  test("classConvictions: the absolute floor keeps sub-second jitter unconvicted") {
+    // 3x of a 60 ms class is scheduler noise, not contention: ratio
+    // alone would convict (0.20 > 3 * 0.06) but the 0.3 s excess floor
+    // does not clear (0.14 s) — no conviction. A 3 s class at 3.2x
+    // clears both → convicted.
+    val m = Map("q_tiny" -> 0.06, "q_big" -> 3.0)
+    assert(Bench.classConvictions(Seq("q_tiny"), Seq(0.20), m).isEmpty)
+    assert(Bench.classConvictions(Seq("q_big"), Seq(9.6), m) === Seq("q_big"))
+    // the band boundary is exclusive: exactly 3x does not convict
+    assert(Bench.classConvictions(Seq("q_big"), Seq(9.0), m).isEmpty)
+  }
+
+  test("loadRecord + recordWritePath: cross-scale-factor overwrite refusal") {
+    // the judge-side r15 incident: an sf0.001 bench smoke clobbered the
+    // committed sf0.1 record because Bench writes BENCH_full.json by
+    // default. The writer must route a mismatched-sf run to a sibling.
+    val dir = java.nio.file.Files.createTempDirectory("benchguard")
+    val rec = dir.resolve("BENCH_full.json")
+    java.nio.file.Files.writeString(rec,
+      """{"metric":"total","value":131.3,"queries":{"q154_x":0.494,"q110_x":1.81},"sf":"sf0.1"}""")
+    val loaded = Bench.loadRecord(rec.toString)
+    assert(loaded === Some(("sf0.1",
+      Map("q154_x" -> 0.494, "q110_x" -> 1.81))))
+    // same sf → in place; different sf → sibling; force flag → in place
+    val p = rec.toString
+    assert(Bench.recordWritePath(p, Some("sf0.1"), "sf0.1", force = false) === p)
+    assert(Bench.recordWritePath(p, Some("sf0.1"), "sf0.001", force = false)
+      === dir.resolve("BENCH_full_sf0.001.json").toString)
+    assert(Bench.recordWritePath(p, Some("sf0.1"), "sf0.001", force = true) === p)
+    // no existing record → in place (nothing to protect)
+    assert(Bench.recordWritePath(p, None, "sf0.001", force = false) === p)
+    // unreadable / absent / map-less records degrade to None, never throw
+    assert(Bench.loadRecord(dir.resolve("absent.json").toString).isEmpty)
+    java.nio.file.Files.writeString(dir.resolve("bad.json"), "not json {")
+    assert(Bench.loadRecord(dir.resolve("bad.json").toString).isEmpty)
+    java.nio.file.Files.writeString(dir.resolve("nomap.json"),
+      """{"metric":"total","sf":"sf0.1"}""")
+    assert(Bench.loadRecord(dir.resolve("nomap.json").toString).isEmpty)
+  }
+
   test("contendedName: suffix lands before the extension") {
     assert(Bench.contendedName("BENCH_full.json") === "BENCH_full_contended.json")
     assert(Bench.contendedName("/tmp/out/BENCH_full.json") ===

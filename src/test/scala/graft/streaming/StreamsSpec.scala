@@ -936,6 +936,68 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("live tail: ProcessingTime trigger folds mid-stream drops; stopped state equals the batch fold") {
+    // the continuous-tailing half of the reference's `target_lag`
+    // statement (q218 proves AvailableNow catch-up; this exercises the
+    // async-trigger lifecycle nothing else does): the query starts
+    // under Trigger.ProcessingTime with only drop 0 landed, drops 1 and
+    // 2 arrive MID-STREAM, and `processAllAvailable()` is the barrier
+    // after each landing — deterministic, no sleeps. stop() then ends
+    // the async lifecycle (any in-flight trigger completes or is
+    // checkpoint-consistent), and the stopped state must equal the
+    // batch-replayed fold — a THIRD micro-batch split (live arrival
+    // order) against the same split-invariance oracle.
+    val d = "/root/testdata/sf0.001"
+    val base = Files.createTempDirectory("maude_live_tail")
+    val landing = graft.MaudeFixture.landing(spark, d)
+    val tailDir = base.resolve("landing")
+    Files.createDirectories(tailDir)
+    def drop(i: Int): Unit = {
+      val src = new java.io.File(landing, s"b=$i")
+      src.listFiles()
+        .filter(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith("."))
+        .foreach { f =>
+          java.nio.file.Files.copy(f.toPath,
+            tailDir.resolve(s"b${i}_${f.getName}"))
+          ()
+        }
+    }
+    drop(0)
+    val stateDir = base.resolve("state").toString
+    val q = Streams.incrementalScd1(
+        MaudeIngest.stream(spark, tailDir.toString),
+        Seq("mdr_report_key"), Seq("seq"), stateDir, nBuckets = 16,
+        stage = graft.MaudeFixture.stageFull)
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("100 milliseconds"))
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable() // drop 0 folded by the live trigger
+      drop(1)
+      q.processAllAvailable() // mid-stream landing picked up
+      drop(2)
+      q.processAllAvailable()
+      assert(q.isActive, "ProcessingTime query must still be live at the barrier")
+    } finally q.stop()
+    q.awaitTermination() // stop() semantics: returns only after quiesce
+    assert(!q.isActive)
+    // one checkpointed batch per landing barrier at minimum
+    val offsets = new java.io.File(base.resolve("ckpt").toString, "offsets")
+      .listFiles().count(f => f.getName.forall(_.isDigit))
+    assert(offsets >= 3, s"expected >=3 live micro-batches, got $offsets")
+    val cols0 = Seq("mdr_report_key", "report_number", "date_received",
+      "event_type", "product_code", "manufacturer_name", "brand_name",
+      "narrative_len", "seq").map(col)
+    def canon0(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select(cols0: _*).collect().map(_.toString).sorted.toSeq
+    val live = canon0(Streams.readScd1Raw(spark, stateDir))
+    val batched = canon0(Streams.readScd1Raw(spark,
+      graft.MaudeFixture.ingestState(spark, d)))
+    assert(live.nonEmpty && live === batched)
+  }
+
   test("q218: genuine streaming SCD-1 ingest state equals the batch-replayed fold") {
     // the batch≡stream identity behind sharing q140's oracle: the SAME
     // landing files, once folded by the real streaming engine
@@ -947,8 +1009,19 @@ class StreamsSpec extends SparkSpec {
     val base = Files.createTempDirectory("maude_stream_scd1")
     val landing = graft.MaudeFixture.landing(spark, d)
     val stateDir = base.resolve("state").toString
+    // q218's own cap formula: max(1, ⌊files/3⌋) guarantees ≥3 micro-
+    // batches whenever ≥3 files landed (ceil(n/⌊n/3⌋) ≥ 3 for n ≥ 3 —
+    // the r15 ADVICE counterexample was ⌈n/3⌉ giving 2 batches at n=4)
+    val nFiles = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.startsWith("_") || f.getName.startsWith(".")) 0
+        else 1
+      walk(new java.io.File(landing))
+    }
     val q = Streams.incrementalScd1(
-        MaudeIngest.stream(spark, landing, maxFilesPerTrigger = Some(2)),
+        MaudeIngest.stream(spark, landing,
+          maxFilesPerTrigger = Some(math.max(1, nFiles / 3))),
         Seq("mdr_report_key"), Seq("seq"), stateDir, nBuckets = 16,
         stage = graft.MaudeFixture.stageFull)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -956,10 +1029,14 @@ class StreamsSpec extends SparkSpec {
       .start()
     q.awaitTermination()
     // the catch-up genuinely ran as MULTIPLE checkpointed micro-batches
-    // (different boundaries than the batch replay's drops — the point)
+    // (different boundaries than the batch replay's drops — the point);
+    // ≥3 is the q218 contract's own claim whenever the landing has ≥3
+    // files, so this pins the floor formula, not just "more than one"
     val offsets = new java.io.File(base.resolve("ckpt").toString, "offsets")
       .listFiles().count(f => f.getName.forall(_.isDigit))
-    assert(offsets >= 2, s"expected >=2 micro-batches, got $offsets")
+    val wantBatches = if (nFiles >= 3) 3 else 2
+    assert(offsets >= wantBatches,
+      s"expected >=$wantBatches micro-batches for $nFiles files, got $offsets")
     val cols = Seq("mdr_report_key", "report_number", "date_received",
       "event_type", "product_code", "manufacturer_name", "brand_name",
       "narrative_len", "seq").map(col)
