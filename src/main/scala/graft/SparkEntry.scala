@@ -1936,19 +1936,22 @@ object SparkEntry {
       val fact = MaudeFixture.factStage(s, d, i).cache()
       // the delta's distinct key set feeds the two image semi-joins —
       // cached so the key-dedup exchange runs once, broadcast because it
-      // is delta-key-count-sized, far under the state side. The bucket
-      // collect deliberately does NOT go through it: distinct on the
-      // bucket column alone partial-aggregates to ≤nBuckets values per
-      // task before the exchange (routing deltaKeys' materialization
-      // through this phase measured +0.6 s — two cache writes in one
-      // action's critical path). r16 attribution (SPARK_GRAFT_Q146_PHASES,
-      // warm solo at sf0.1): merge ~33%, signals_patch ~19%, counts_fold
-      // ~15%, image reads ~14%, mart writes only ~8% — so folding the two
-      // mart writes into one job can recover at most ~0.3 s, under the
-      // ±15% host band observed across adjacent runs (merge read 1.92 →
-      // 2.67 s at IDENTICAL code on one evening); zstd is already the
-      // engine default. Do not retry write-folding without first
-      // re-measuring the band.
+      // is delta-key-count-sized, far under the state side: committed
+      // in-run class 8.77 → 6.53 s at sf0.1 (r16; the solo protocol
+      // could not see the win through the evening's ±15-40% host drift —
+      // merge read 1.92 → 2.67 s at IDENTICAL code across adjacent solo
+      // runs — but the full-run in-chunk measurement shows it cleanly).
+      // The bucket collect deliberately does NOT go through the cache:
+      // distinct on the bucket column alone partial-aggregates to
+      // ≤nBuckets values per task before the exchange (routing
+      // deltaKeys' materialization through that phase measured +0.6 s —
+      // two cache writes in one action's critical path).
+      // r16 attribution (SPARK_GRAFT_Q146_PHASES, warm solo at sf0.1):
+      // merge ~33%, signals_patch ~19%, counts_fold ~15%, image reads
+      // ~14%, mart writes only ~8% — folding the two mart writes into
+      // one job can recover at most ~0.3 s, under the host band; zstd
+      // is already the engine default. Do not retry write-folding
+      // without first re-measuring the band.
       val deltaKeys = fact.select(col("mdr_report_key")).distinct().cache()
       val touchedBuckets = ph("buckets") { fact
         .select(pmod(xxhash64(col("mdr_report_key")), lit(nBuckets.toLong))
