@@ -565,6 +565,22 @@ object Bench {
       }
     } catch { case _: Throwable => None }
 
+  /** The accept/retry decision for one bounded splice re-run attempt —
+    * the piece of the recovery loop whose semantics the record's
+    * `class_reconvicted` label depends on, factored pure so
+    * BenchGuardSpec pins it. A re-run is accepted only when its OWN
+    * probe brackets are quiet and every query succeeded; if it is
+    * probe-quiet but STILL out of the committed class, the evidence is
+    * ambiguous (true regression vs repeat burst), so attempts that
+    * remain retry to disambiguate — and only the FINAL attempt accepts
+    * the twice-measured value as the new truth (the caller labels it
+    * `class_reconvicted` in the record). A probe-contended or failed
+    * re-run never splices, on any attempt. */
+  def spliceAccept(reRunQuiet: Boolean, allSucceeded: Boolean,
+                   stillOutOfClass: Boolean,
+                   attempt: Int, maxAttempts: Int): Boolean =
+    reRunQuiet && allSucceeded && (!stillOutOfClass || attempt >= maxAttempts)
+
   /** Cross-scale-factor overwrite refusal (VERDICT r15 "What's wrong",
     * judge-side incident: an sf0.001 smoke clobbered the committed
     * sf0.1 record because Bench writes `BENCH_full.json` by default).
@@ -1122,16 +1138,12 @@ object Bench {
         val rQuiet = quietRecord(rCpuS, rCpuE, rWS, rWE, cpuBand, writeBand,
           rMid, midBandEnv, rPar, parBandEnv,
           rWrt, mwBandEnv, rExtMax, extBandEnv)
-        // a re-run that is probe-quiet but STILL out of class is
-        // ambiguous (regression vs repeat burst): retry while attempts
-        // remain to disambiguate; on the final attempt accept the twice-
-        // measured value as the new truth, labeled class_reconvicted
         val rClass =
           if (classMap.isEmpty) Nil
           else classConvictions(re.map(_._1), re.map(_._2),
             classMap, classBand, classFloor)
-        if (rQuiet && re.forall(_._2 >= 0) &&
-            (rClass.isEmpty || spliceAttempt == maxAttempts)) {
+        if (spliceAccept(rQuiet, re.forall(_._2 >= 0), rClass.nonEmpty,
+            spliceAttempt, maxAttempts)) {
           classReconvicted = rClass
           respliced = re.toMap
           resplicedExt = rExtBy.toMap

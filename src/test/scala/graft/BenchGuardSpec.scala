@@ -281,6 +281,27 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(Bench.classConvictions(Seq("q_big"), Seq(9.0), m).isEmpty)
   }
 
+  test("spliceAccept: out-of-class re-runs retry, only the final attempt books a regression") {
+    // quiet + all-succeeded + back in class: accept on any attempt —
+    // the burst re-measured in class, the normal splice
+    assert(Bench.spliceAccept(reRunQuiet = true, allSucceeded = true,
+      stillOutOfClass = false, attempt = 1, maxAttempts = 2))
+    // probe-quiet but STILL out of class on attempt 1 of 2: ambiguous
+    // (regression vs repeat burst) — retry, don't book yet
+    assert(!Bench.spliceAccept(reRunQuiet = true, allSucceeded = true,
+      stillOutOfClass = true, attempt = 1, maxAttempts = 2))
+    // the same on the FINAL attempt: two consistent slow measurements
+    // under quiet probes = the new truth, accepted (the caller labels
+    // it class_reconvicted in the record)
+    assert(Bench.spliceAccept(reRunQuiet = true, allSucceeded = true,
+      stillOutOfClass = true, attempt = 2, maxAttempts = 2))
+    // a probe-contended or failed re-run never splices, on any attempt
+    assert(!Bench.spliceAccept(reRunQuiet = false, allSucceeded = true,
+      stillOutOfClass = false, attempt = 2, maxAttempts = 2))
+    assert(!Bench.spliceAccept(reRunQuiet = true, allSucceeded = false,
+      stillOutOfClass = false, attempt = 2, maxAttempts = 2))
+  }
+
   test("loadRecord + recordWritePath: cross-scale-factor overwrite refusal") {
     // the judge-side r15 incident: an sf0.001 bench smoke clobbered the
     // committed sf0.1 record because Bench writes BENCH_full.json by
