@@ -15,8 +15,8 @@ object Profile {
       println(f"PROF $name rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2f")
     }
     spark.range(1 << 20).selectExpr("sum(id)").collect()
-    for (i <- 1 to 3)
-      time(s"q53_$i")(SparkEntry.queries("q53_corpus_build")(spark, d).count())
+    for (q <- Seq("q78_dsir_resample", "q67_dsir_weights", "q93_canonical_docs", "q34_dedup_components", "q210_kmv_replay", "q200_m4_replay"); i <- 1 to 3)
+      time(s"${q}_$i")(SparkEntry.queries(q)(spark, d).count())
     spark.stop()
   }
 }

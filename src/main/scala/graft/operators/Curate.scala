@@ -328,11 +328,18 @@ object Curate {
                   isTarget: Column, n: Int = 2, buckets: Int = 1024,
                   alpha: Double = 0.5): DataFrame = {
     import graft.functions.Text
+    // featurize ONCE: the SHA-lane digest per n-gram is the pipeline's
+    // priciest per-row math and BOTH the counts pass and the scoring
+    // scan read `bs` — materialize the (id, is_target, bucket-array)
+    // frame (longs, far smaller than the text it came from; the q62
+    // stage-boundary-a-100TB-run-would-persist argument) instead of
+    // re-tokenizing and re-hashing the whole corpus for the second pass
     val base = docs.filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"), isTarget.as("is_target"),
         array_distinct(transform(
           Text.shingles(Text.tokens(col(textCol)), n),
           f => pmod(ShaLanes.lane(f), lit(buckets.toLong)))).as("bs"))
+      .localCheckpoint()
     // one corpus pass → ≤ `buckets` rows → driver
     val counts = base.select(col("is_target"), explode(col("bs")).as("b"))
       .groupBy(col("b")).agg(

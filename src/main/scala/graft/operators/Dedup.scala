@@ -158,9 +158,14 @@ object Dedup {
     * frequency, rarest first, ties by shingle): `(doc, toks, n_sh)`. */
   private[operators] def canonicalShingleDocs(df: DataFrame, idCol: String,
                                               textCol: String, n: Int): DataFrame = {
-    val sh = shingleIndex(df, idCol, textCol, n)
-    val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    sh.join(dfreq, "sh")
+    // document frequency as a COUNT window over the shingle key (the
+    // [[rareNgramStats]] one-scan discipline): the index is scanned and
+    // tokenized ONCE and shuffled once by shingle, where the old
+    // groupBy-then-rejoin form recomputed the whole index for the join's
+    // probe side
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))
+    shingleIndex(df, idCol, textCol, n)
+      .withColumn("df", count(lit(1)).over(w))
       .groupBy(col("doc"))
       .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("ranked"))
       .select(
@@ -179,7 +184,12 @@ object Dedup {
 
   def prefixFilteredJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                                  n: Int, threshold: Double): DataFrame = {
-    val docs = canonicalShingleDocs(df, idCol, textCol, n)
+    // the doc→ranked-array table is consumed FOUR times (both self-join
+    // prefix sides + both verify joins) with different prunings, so
+    // ReuseExchange never fires across them — cache it once (the
+    // [[connectedComponents]] edge-cache precedent; O(corpus shingles)
+    // rows, distributed, spills to disk — never a driver structure)
+    val docs = canonicalShingleDocs(df, idCol, textCol, n).cache()
     val prefix = jaccardPrefixIndex(docs, threshold)
     val cands = prefix.as("a")
       .join(prefix.as("b"),
@@ -756,14 +766,19 @@ object Dedup {
    * where `n_unique` counts the doc's distinct n-grams whose corpus-wide
    * doc-frequency is exactly 1.
    *
-   * Plan shape — the inverted-index discipline of [[ngramJaccardPairs]]:
-   * distinct shingles materialize scan-side (native kernel), corpus
-   * doc-frequency is one digest-keyed shuffle with map-side partials, and
-   * the (doc, shingle) pairs re-join that count table by shingle hash —
-   * shuffles carry O(doc-shingles) 8-byte digests, never text, and
-   * nothing is ever all-pairs. The count table is O(distinct shingles) —
-   * NOT broadcastable by construction (unlike [[Curate.dsirWeights]]'s
-   * bucketed table), which is why this stays a shuffle join.
+   * Plan shape — ONE scan, ONE digest-keyed shuffle: the corpus-wide
+   * instance count attaches to each (doc, shingle) pair as a COUNT
+   * window over the shingle digest, so tokenize+shingle+hash runs once
+   * and the shuffle carries O(doc-shingles) 16-byte (doc, digest) rows,
+   * never text, and nothing is ever all-pairs. The earlier
+   * groupBy-then-rejoin form paid a second full scan (the probe side
+   * recomputed every shingle hash) and either re-shuffled the pairs a
+   * second time or — worse at 100 TB — AQE broadcast the O(distinct
+   * shingles) count table, which is NOT broadcastable by construction
+   * (unlike [[Curate.dsirWeights]]'s bucketed table). Hot-shingle skew
+   * is identical in both forms (every instance of one digest meets in
+   * one partition either way); the window adds only a per-partition
+   * sort of 8-byte keys.
    */
   def rareNgramStats(df: DataFrame, idCol: String, textCol: String,
                      shingleN: Int = 5, riskFrac: Double = 0.5): DataFrame =
@@ -783,12 +798,11 @@ object Dedup {
   private def rareNgramsWith(df: DataFrame, idCol: String, textCol: String,
                              shingleN: Int, riskFrac: Double,
                              hashOf: Column => Column): DataFrame = {
-    val pairs = df
-      .select(col(idCol).as("doc"),
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    df.select(col(idCol).as("doc"),
         explode(Text.shingles(Text.tokens(col(textCol)), shingleN)).as("sh"))
       .select(col("doc"), hashOf(col("sh")).as("h"))
-    val dfreq = pairs.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    pairs.join(dfreq, Seq("h"))
+      .withColumn("df", count(lit(1)).over(w))
       .groupBy(col("doc"))
       .agg(count(lit(1)).as("n_ngrams"),
         sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))

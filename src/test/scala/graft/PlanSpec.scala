@@ -327,8 +327,12 @@ class PlanSpec extends SparkSpec {
     val p = plan("q68_rare_ngrams")
     assert(!p.contains("CartesianProduct") &&
       countOf(p, "BroadcastNestedLoopJoin") === 0)
-    // the df-count join keys on the 8-byte lane, hash-partitioned
+    // the df-count window keys on the 8-byte lane, hash-partitioned;
+    // one scan feeds it (the groupBy-then-rejoin form paid two)
     assert(countOf(p, "Exchange hashpartitioning") >= 1)
+    assert(p.contains("Window"), "df must attach as a count window, not a rejoin")
+    assert(!p.contains("Join"), p.linesIterator
+      .filter(_.contains("Join")).mkString("\n"))
   }
 
   test("q69 centroid outliers: scan-side assignment + k-row broadcast, no corpus shuffle") {
