@@ -22,6 +22,33 @@ import org.apache.spark.sql.functions._
 object SparkEntry {
   import Tables._
 
+  /** Order-independent money sum — closes the r16 q04-at-sf1 incident
+    * class. `round(sum(double), 2)` over a 2-decimal-grained money
+    * column is a half-ulp coin flip: the double sum's last-ulp error is
+    * partition-order-dependent, so the SAME query at the SAME data can
+    * round a cent differently between two engines — or two runs — when
+    * the true sum sits within the accumulated error of a .xx5 boundary
+    * (observed: q04 ASIA revenue, 71626750.05 vs .04, flipped by the
+    * executor-thread count alone). Every factor here is verified
+    * 2-decimal-grained and non-negative at all scales (testdata +
+    * benchdata audit, r16), so each cast to DECIMAL(12,2) is exact,
+    * products widen to at most DECIMAL(38,6) with no precision-loss
+    * adjustment (12,2 ×3 → 38,6 exactly at Spark's cap), the decimal
+    * sum is exact and order-independent, and the single round-then-cast
+    * is identical arithmetic in Spark and DuckDB. The oracle mirrors
+    * the same casts, so both engines compute the same rational number.
+    * (Small-group raw sums — q106's per-customer state, q151's policy
+    * aggregate — keep plain double sums: ≤ tens of addends, exposure
+    * ~1e-8 per group, and their operators are money-agnostic.) */
+  private val MoneyDec = org.apache.spark.sql.types.DecimalType(12, 2)
+  private def moneySum(factors: Column*): Column =
+    round(sum(factors.map(_.cast(MoneyDec)).reduce(_ * _)), 2).cast("double")
+  /** The exact decimal sum itself (no rounding shell) — for derived
+    * shells like `sum/count` that must divide BEFORE rounding; cast to
+    * double at the use site so the division runs on identical IEEE
+    * operands in both engines. */
+  private def moneySumRaw(c: Column): Column = sum(c.cast(MoneyDec))
+
   /** Flagship: rolling z-score "early signals" over quarterly order counts
     * per priority class (the reference's v_ae_early_signals semantics). */
   def entry(spark: SparkSession): DataFrame =
@@ -35,9 +62,10 @@ object SparkEntry {
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+        moneySum(col("l_extendedprice")).as("sum_base_price"),
+        moneySum(col("l_extendedprice"), lit(1.0) - col("l_discount")).as("sum_disc_price"),
+        moneySum(col("l_extendedprice"), lit(1.0) - col("l_discount"),
+          lit(1.0) + col("l_tax")).as("sum_charge"),
         round(avg(col("l_quantity")), 4).as("avg_qty"),
         round(avg(col("l_discount")), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
@@ -49,7 +77,7 @@ object SparkEntry {
         col("l_shipdate") <  lit("1997-01-01").cast("timestamp") &&
         col("l_discount").between(0.03, 0.07) &&
         col("l_quantity") < 24)
-      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+      .agg(moneySum(col("l_extendedprice"), col("l_discount")).as("revenue"))
 
   private def segmentRevenue(s: SparkSession, d: String): DataFrame =
     orders(s, d)
@@ -57,7 +85,7 @@ object SparkEntry {
       .groupBy(col("c_mktsegment"))
       .agg(
         count(lit(1)).as("n_orders"),
-        round(sum(col("o_totalprice")), 2).as("revenue"),
+        moneySum(col("o_totalprice")).as("revenue"),
         round(avg(col("c_acctbal")), 4).as("avg_acctbal"))
 
   /** TPC-H Q5 shape: revenue by nation where customer and supplier share the
@@ -77,7 +105,8 @@ object SparkEntry {
           col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(dims), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .agg(moneySum(col("l_extendedprice"), lit(1.0) - col("l_discount"))
+        .as("revenue"))
   }
 
   /** Multi-branch CASE normalization (reference P6 event_type semantics). */
@@ -615,14 +644,19 @@ object SparkEntry {
   /** TPC-H Q14 shape: promo revenue share over a month (conditional
     * aggregation over a broadcast part join). */
   private def promoRevenue(s: SparkSession, d: String): DataFrame = {
-    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    // both sums exact decimal (moneySum discipline), cast to double
+    // BEFORE the ratio so the one product/division runs on identical
+    // IEEE operands in both engines
+    val rev = col("l_extendedprice").cast(MoneyDec) *
+      (lit(1.0) - col("l_discount")).cast(MoneyDec)
     lineitem(s, d)
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
               col("l_shipdate") <  lit("1996-03-01").cast("timestamp"))
       .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
       .agg(round(
-        lit(100.0) * sum(when(col("p_type").like("PROMO%"), rev).otherwise(0.0)) /
-          sum(rev), 4).as("promo_pct"))
+        lit(100.0) *
+          sum(when(col("p_type").like("PROMO%"), rev)).cast("double") /
+          sum(rev).cast("double"), 4).as("promo_pct"))
   }
 
   /** Near-dup canonicalization: connected components over the n-gram
@@ -815,7 +849,7 @@ object SparkEntry {
         customer(s, d).withColumnRenamed("c_custkey", "custkey"),
         Seq("custkey"), saltBy = col("o_orderkey"), buckets = 8)
       .groupBy(col("c_mktsegment"))
-      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("revenue"))
+      .agg(count(lit(1)).as("n_orders"), moneySum(col("o_totalprice")).as("revenue"))
 
   /** Deterministic stratified corpus sample: 50% of English docs, 20% of
     * the rest, by SHA-lane of the doc id — reproducible, shuffle-free. */
@@ -1095,7 +1129,7 @@ object SparkEntry {
       .agg(grouping(col("r_name")).cast("long").as("g_region"),
         grouping(col("n_name")).cast("long").as("g_nation"),
         count(lit(1)).as("n_orders"),
-        round(sum(col("o_totalprice")), 2).as("revenue"))
+        moneySum(col("o_totalprice")).as("revenue"))
 
   /** Pivot (q87): daily event counts pivoted to one column per event
     * type — Spark's `pivot` with an explicit value list compiles to a
@@ -2096,7 +2130,7 @@ object SparkEntry {
     def rollup() = orders(s, d)
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"),
-        round(sum(col("o_totalprice")), 2).as("revenue"))
+        moneySum(col("o_totalprice")).as("revenue"))
     try {
       MvCatalog.materialize(s, "mv_priority_rollup", rollup(),
         s"$root/mv_priority_rollup.parquet")
@@ -2125,19 +2159,23 @@ object SparkEntry {
     * of counts, min/max→min/max of mins/maxes — with the scalar shells
     * (round, a hand-written mean ratio) riding over substituted
     * aggregate leaves. REQUIRED to scan the mart; oracle recomputes
-    * flat from orders. round(…,2) on the float outputs absorbs the
-    * sum-of-group-sums vs flat-sum accumulation difference per house
-    * determinism rules; counts are exact. Scale: the cube property is
+    * flat from orders. The mart total is the exact decimal sum
+    * ([[moneySum]] discipline), so sum-of-group-sums EQUALS the flat
+    * sum as a rational number — the rewrite is exact, not
+    * round-2-absorbed; counts are exact. Scale: the cube property is
     * THE mart-economics feature — one maintained fine-grain mart
     * answers the whole rollup lattice without touching the fact. */
   private def mvRollupQ(s: SparkSession, d: String): DataFrame = {
     import graft.plans.MvCatalog
     Graft.configure(s)
     val root = replayStateDir(s, "q150", d)
+    // the mart's total is the EXACT decimal sum (moneySum discipline):
+    // sum-of-group-sums then equals the flat sum as a rational number,
+    // so the rollup rewrite is exact rather than round-2-absorbed
     def fine() = orders(s, d)
       .groupBy(col("o_orderpriority"), col("o_orderstatus"))
       .agg(count(lit(1)).as("n_orders"),
-        sum(col("o_totalprice")).as("total"),
+        moneySumRaw(col("o_totalprice")).as("total"),
         min(col("o_totalprice")).as("min_total"),
         max(col("o_totalprice")).as("max_total"))
     try {
@@ -2147,8 +2185,9 @@ object SparkEntry {
         .groupBy(col("o_orderstatus"))
         .agg(
           count(lit(1)).as("n_orders"),
-          round(sum(col("o_totalprice")), 2).as("revenue"),
-          round(sum(col("o_totalprice")) / count(lit(1)), 2)
+          moneySum(col("o_totalprice")).as("revenue"),
+          round(moneySumRaw(col("o_totalprice")).cast("double") /
+            count(lit(1)), 2)
             .as("avg_order_value"),
           round(min(col("o_totalprice")), 2).as("min_total"),
           round(max(col("o_totalprice")), 2).as("max_total"))
@@ -2347,7 +2386,7 @@ object SparkEntry {
   private def hoppingWindowQ(s: SparkSession, d: String): DataFrame =
     events(s, d)
       .groupBy(window(col("ts"), "2 days", "1 day"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v_sum"))
+      .agg(count(lit(1)).as("n"), moneySum(col("value")).as("v_sum"))
       .select(date_format(col("window.start"), "yyyy-MM-dd").as("w_start"),
         date_format(col("window.end"), "yyyy-MM-dd").as("w_end"),
         col("event_type"), col("n"), col("v_sum"))
@@ -3474,7 +3513,7 @@ object SparkEntry {
         quarter(col("o_orderdate")).as("o_q"), col("o_totalprice"))
       .groupBy(col("o_year"), col("o_q"))
       .agg(count(lit(1)).as("n_orders"),
-        round(sum(col("o_totalprice")), 2).as("revenue"))
+        moneySum(col("o_totalprice")).as("revenue"))
     Publish.files(counts(orders(s, d).filter(col("o_orderdate") < cut)),
       dir, partitionCols = Seq("o_year"))
     val delta = orders(s, d).filter(col("o_orderdate") >= cut)
@@ -3961,7 +4000,7 @@ object SparkEntry {
       .agg(grouping(col("c_mktsegment")).cast("long").as("g_seg"),
         grouping(col("o_orderpriority")).cast("long").as("g_pri"),
         count(lit(1)).as("n_orders"),
-        round(sum(col("o_totalprice")), 2).as("revenue"))
+        moneySum(col("o_totalprice")).as("revenue"))
 
   /** Window navigation (q103): per-segment quarterly revenue with lag
     * (QoQ delta), first_value (vs first quarter) and last_value over the
@@ -5525,7 +5564,7 @@ object SparkEntry {
         |  grouping(r_name)::BIGINT AS g_region,
         |  grouping(n_name)::BIGINT AS g_nation,
         |  count(*)::BIGINT AS n_orders,
-        |  round(sum(o_totalprice), 2) AS revenue
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
@@ -5786,7 +5825,7 @@ object SparkEntry {
         |  grouping(c_mktsegment)::BIGINT AS g_seg,
         |  grouping(o_orderpriority)::BIGINT AS g_pri,
         |  count(*)::BIGINT AS n_orders,
-        |  round(sum(o_totalprice), 2) AS revenue
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
         |GROUP BY CUBE (c_mktsegment, o_orderpriority)""".stripMargin,
@@ -6522,8 +6561,8 @@ object SparkEntry {
     "q149_mv_rewrite" ->
       """SELECT o_orderpriority,
         |       count(*) AS n_orders,
-        |       round(sum(o_totalprice), 2) AS revenue,
-        |       round(round(sum(o_totalprice), 2) / count(*), 2) AS avg_order_value
+        |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue,
+        |       round(CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) / count(*), 2) AS avg_order_value
         |FROM orders
         |GROUP BY o_orderpriority
         |HAVING count(*) > 0""".stripMargin,
@@ -6536,8 +6575,8 @@ object SparkEntry {
     "q150_mv_rollup" ->
       """SELECT o_orderstatus,
         |       count(*) AS n_orders,
-        |       round(sum(o_totalprice), 2) AS revenue,
-        |       round(sum(o_totalprice) / count(*), 2) AS avg_order_value,
+        |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue,
+        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 2) AS avg_order_value,
         |       round(min(o_totalprice), 2) AS min_total,
         |       round(max(o_totalprice), 2) AS max_total
         |FROM orders
@@ -6733,7 +6772,7 @@ object SparkEntry {
         |         '%Y-%m-%d') AS w_start,
         |       strftime(DATE '1970-01-01' + CAST(w + 2 AS INTEGER),
         |         '%Y-%m-%d') AS w_end,
-        |       event_type, count(*) AS n, round(sum(value), 2) AS v_sum
+        |       event_type, count(*) AS n, CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS v_sum
         |FROM x GROUP BY 1, 2, 3""".stripMargin,
 
     // q159: the decomposition restated with the SAME exact arithmetic —
@@ -8260,7 +8299,7 @@ object SparkEntry {
       """SELECT year(o_orderdate)::BIGINT AS o_year,
         |  quarter(o_orderdate)::BIGINT AS o_q,
         |  count(*) AS n_orders,
-        |  round(sum(o_totalprice), 2) AS revenue
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue
         |FROM orders GROUP BY 1, 2""".stripMargin,
 
     // q212: the SQL reads the PUBLISHED files themselves (not the source
@@ -8298,9 +8337,9 @@ object SparkEntry {
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity),2) AS sum_qty,
-        |  round(sum(l_extendedprice),2) AS sum_base_price,
-        |  round(sum(l_extendedprice*(1.0-l_discount)),2) AS sum_disc_price,
-        |  round(sum(l_extendedprice*(1.0-l_discount)*(1.0+l_tax)),2) AS sum_charge,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))),2) AS DOUBLE) AS sum_base_price,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))*CAST(1.0-l_discount AS DECIMAL(12,2))),2) AS DOUBLE) AS sum_disc_price,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))*CAST(1.0-l_discount AS DECIMAL(12,2))*CAST(1.0+l_tax AS DECIMAL(12,2))),2) AS DOUBLE) AS sum_charge,
         |  round(avg(l_quantity),4) AS avg_qty,
         |  round(avg(l_discount),4) AS avg_disc,
         |  count(*) AS count_order
@@ -8308,21 +8347,21 @@ object SparkEntry {
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
 
     "q02_revenue_filter" ->
-      """SELECT round(sum(l_extendedprice*l_discount),2) AS revenue
+      """SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))*CAST(l_discount AS DECIMAL(12,2))),2) AS DOUBLE) AS revenue
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin,
 
     "q03_segment_revenue" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
-        |  round(sum(o_totalprice),2) AS revenue,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))),2) AS DOUBLE) AS revenue,
         |  round(avg(c_acctbal),4) AS avg_acctbal
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
 
     "q04_region_nation_revenue" ->
       """SELECT n_name,
-        |  round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))*CAST(1.0-l_discount AS DECIMAL(12,2))),2) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -8732,14 +8771,14 @@ object SparkEntry {
 
     "q32_salted_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
-        |  round(sum(o_totalprice), 2) AS revenue
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
 
     "q33_promo_revenue" ->
       """SELECT round(100.0 *
-        |  sum(CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice*(1.0-l_discount) ELSE 0.0 END) /
-        |  sum(l_extendedprice*(1.0-l_discount)), 4) AS promo_pct
+        |  CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0-l_discount AS DECIMAL(12,2)) END) AS DOUBLE) /
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0-l_discount AS DECIMAL(12,2))) AS DOUBLE), 4) AS promo_pct
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |  AND l_shipdate <  TIMESTAMP '1996-03-01'""".stripMargin,

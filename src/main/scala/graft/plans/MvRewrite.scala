@@ -5,7 +5,8 @@ import java.util.concurrent.ConcurrentHashMap
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, ExprId, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, ExprId, Literal, NamedExpression}
+import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -109,6 +110,13 @@ object MvCatalog {
           (ae.aggregateFunction match {
             case s: Sum => s.child match {
               case a: AttributeReference => Some(("sum", Some(a.exprId)))
+              // the moneySum discipline: an exact decimal sum over a
+              // cast money column re-aggregates exactly (sum of group
+              // sums == flat sum as a rational number), so expose it —
+              // keyed WITH the cast's target type, which a matching
+              // query must reproduce verbatim
+              case Cast(a: AttributeReference, dt: DecimalType, _, _) =>
+                Some((s"sum:${dt.sql}", Some(a.exprId)))
               case _ => None
             }
             case m: Min => m.child match {
@@ -301,7 +309,17 @@ object MvRewrite extends Rule[LogicalPlan] {
       case _ => None
     }
     ae.aggregateFunction match {
-      case s: Sum => martCol("sum", s.child).map(m =>
+      case s: Sum => (s.child match {
+        // decimal-cast money sum (the moneySum discipline): the mart
+        // column already carries the exact decimal partial sums, so the
+        // re-aggregation drops the cast and sums the partials directly.
+        // The widened decimal flows through the scalar shell (round,
+        // ratio, cast-to-double) unchanged in VALUE; buildRollup's
+        // output-type filter still guarantees the visible schema.
+        case Cast(a: AttributeReference, dt: DecimalType, _, _) =>
+          martCol(s"sum:${dt.sql}", a)
+        case c => martCol("sum", c)
+      }).map(m =>
         s.withNewChildren(Seq(m))
           .asInstanceOf[org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction])
       case m: Min => martCol("min", m.child).map(x =>

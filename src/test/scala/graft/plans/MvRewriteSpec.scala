@@ -133,6 +133,44 @@ class MvRewriteSpec extends SparkSpec {
     } finally MvCatalog.clear()
   }
 
+  test("rollup subsumption: decimal-cast money sums re-aggregate exactly") {
+    // the moneySum discipline (r16): both the mart and the query sum
+    // CAST(x AS DECIMAL(12,2)); the rewrite must map the query's
+    // Sum(Cast(attr)) onto the mart's exact decimal partial sums —
+    // keyed by the cast's target type — and the widened sum-of-sums
+    // must flow through the round/cast-to-double shell to the SAME
+    // double the base plan produces (exact, not round-absorbed)
+    val base = Files.createTempDirectory("mv_dec").toString
+    (0 until 3000).map(i => (i % 4L, i % 3L, (i % 700) + 0.17))
+      .toDF("k1", "k2", "x").write.parquet(s"$base/fact.parquet")
+    def fact() = spark.read.parquet(s"$base/fact.parquet")
+    val dec = org.apache.spark.sql.types.DecimalType(12, 2)
+    def fine() = fact().groupBy("k1", "k2")
+      .agg(count(lit(1)).as("n"), sum($"x".cast(dec)).as("total"))
+    def q() = fact().groupBy("k1")
+      .agg(round(sum($"x".cast(dec)), 2).cast("double").as("revenue"),
+        round(sum($"x".cast(dec)).cast("double") / count(lit(1)), 2)
+          .as("avg_v"))
+    val want = q().collect().map(r =>
+      (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    try {
+      MvCatalog.materialize(spark, "mv_dec", fine(), s"$base/mv_dec_mart.parquet")
+      val rq = q()
+      assert(scans(rq).contains("mv_dec_mart.parquet"),
+        s"decimal money sum must rollup-rewrite:\n${scans(rq)}")
+      assert(!scans(rq).contains("fact.parquet"))
+      assert(rq.collect().map(r =>
+        (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet === want)
+      // a query whose cast TYPE differs from the mart's must NOT match
+      // (the key carries the type: a dec(14,2) sum is a different agg)
+      val other = fact().groupBy("k1")
+        .agg(round(sum($"x".cast(org.apache.spark.sql.types.DecimalType(14, 2))), 2)
+          .cast("double").as("revenue"))
+      assert(!scans(other).contains("mv_dec_mart.parquet"),
+        s"type-mismatched cast must keep the base plan:\n${scans(other)}")
+    } finally MvCatalog.clear()
+  }
+
   test("rollup subsumption: non-derivable shapes keep the base plan") {
     val base = Files.createTempDirectory("mv_cube_no").toString
     (0 until 300).map(i => (i % 4L, i % 3L, i.toDouble))
