@@ -519,23 +519,32 @@ object Graph {
     val deg = e.select(col("a").as("n"))
       .unionAll(e.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("deg"))
-    val withDeg = e
+    val dec = "decimal(38,0)"
+    // r16 shape: the x-marginal over both orientations is the DEGREE
+    // SEQUENCE weighted by itself — each vertex v is a directed-edge
+    // source exactly deg(v) times — so n = Σdeg, Σx = Σdeg², Σx² = Σdeg³
+    // come from ONE node-sized aggregate and the edge table is joined
+    // only for the one moment that genuinely needs per-edge products:
+    // Σxy = 2·Σ_e deg(a)·deg(b). Identical exact-integer values in
+    // DECIMAL(38,0) (the old both-orientations union computed the same
+    // sums row-doubled), so r's operands — and r — are bit-identical.
+    val moments = deg.agg(
+      coalesce(sum(col("deg").cast(dec)), lit(0).cast(dec)).as("__n"),
+      sum(col("deg").cast(dec) * col("deg").cast(dec)).as("__sx"),
+      sum(col("deg").cast(dec) * col("deg").cast(dec) * col("deg").cast(dec))
+        .as("__sxx"),
+      count(lit(1)).as("n_nodes"))
+    val sxy = e
       .join(deg.select(col("n").as("a"), col("deg").as("__da")), Seq("a"))
       .join(deg.select(col("n").as("b"), col("deg").as("__db")), Seq("b"))
-    val dec = "decimal(38,0)"
-    val both = withDeg
-      .select(col("__da").cast(dec).as("x"), col("__db").cast(dec).as("y"))
-      .unionAll(withDeg
-        .select(col("__db").cast(dec).as("x"), col("__da").cast(dec).as("y")))
-    both.agg(count(lit(1)).as("__n"), sum(col("x")).as("__sx"),
-        sum(col("x") * col("y")).as("__sxy"),
-        sum(col("x") * col("x")).as("__sxx"))
+      .agg(coalesce(
+        sum(col("__da").cast(dec) * col("__db").cast(dec)) * lit(2).cast(dec),
+        lit(0).cast(dec)).as("__sxy"))
+    moments.crossJoin(broadcast(sxy))
       .select((col("__n") / lit(2L)).cast("long").as("n_edges"),
-        (col("__n").cast(dec) * col("__sxy") -
-          col("__sx") * col("__sx")).as("__num"),
-        (col("__n").cast(dec) * col("__sxx") -
-          col("__sx") * col("__sx")).as("__den"))
-      .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nodes"))))
+        col("n_nodes"),
+        (col("__n") * col("__sxy") - col("__sx") * col("__sx")).as("__num"),
+        (col("__n") * col("__sxx") - col("__sx") * col("__sx")).as("__den"))
       .select(col("n_edges"), col("n_nodes"),
         when(col("__den") =!= 0L,
           col("__num").cast("double") / col("__den").cast("double"))

@@ -60,10 +60,25 @@ object Mining {
     // table is vocabulary-sized by construction)
     val pruned = bi.join(broadcast(freq1.select(col("__i"))), Seq("__i"),
       "left_semi")
-    val a = pruned.select(col("__b"), col("__i").as("__ia"))
-    val b = pruned.select(col("__b"), col("__i").as("__ib"))
-    val pairs = a.join(b, Seq("__b"))
-      .filter(col("__ia") < col("__ib"))
+    // r16 pair generation: one groupBy(basket) into a SORTED distinct-item
+    // array, pairs emitted scan-side by an index comprehension over it —
+    // the basket-co-partitioned self-join spelled without the join: the
+    // old shape shuffled the pruned table into the join and SORTED both
+    // legs; this shape shuffles it once into a hash aggregate and never
+    // sorts row-scale data (sort_array orders each basket's ≤vocabulary
+    // items in-place). Same pair set bit-for-bit: items are distinct per
+    // basket (bi is distinct) and i < j over the ascending array is
+    // exactly `__ia < __ib`. Fan-out is unchanged — quadratic in the
+    // basket's distinct FREQUENT items, bounded by the frequent-1 prune.
+    val pairs = pruned
+      .groupBy(col("__b"))
+      .agg(sort_array(collect_list(col("__i"))).as("__items"))
+      .select(explode(expr(
+        """flatten(transform(__items, (x, i) ->
+          |  transform(slice(__items, i + 2, size(__items)),
+          |            y -> named_struct('__ia', x, '__ib', y))))""".stripMargin))
+        .as("__p"))
+      .select(col("__p.__ia").as("__ia"), col("__p.__ib").as("__ib"))
       .groupBy(col("__ia"), col("__ib")).agg(count(lit(1)).as("__nab"))
       .filter(col("__nab") >= minSup)
     val withCounts = pairs
