@@ -3718,7 +3718,13 @@ object SparkEntry {
     val dir = replayStateDir(s, "q134", d)
     lineitem(s, d).select(col("l_returnflag"), col("l_orderkey"),
         expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
-      .repartition(16)
+      // hash repartition, not round-robin: keyless repartition(16) pays
+      // a local SORT of its input (sortBeforeRepartition, guide §2.5) —
+      // inside the single-row-group scan task that sort is serial; the
+      // hash spread on the high-cardinality orderkey fragments every
+      // l_returnflag dir 16 ways just the same (the fixture's only
+      // contract — the compactor's input must be small-filed)
+      .repartition(16, col("l_orderkey"))
       .write.partitionBy("l_returnflag").mode("overwrite").parquet(dir)
     val rep = graft.sinks.Publish.compact(s, dir, targetBytes = 1L << 30)
       .select(regexp_extract(col("partition"), "^l_returnflag=(.+)$", 1)

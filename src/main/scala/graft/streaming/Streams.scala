@@ -822,7 +822,14 @@ object Streams {
             .withColumn("bucket", bucketOf) // dir-addressed read: re-derive
         // keep-latest WITHOUT the tombstone filter — see scaladoc: a
         // changed bucket always writes >= 1 row, and deletes stay
-        // orderable against late-arriving older updates
+        // orderable against late-arriving older updates.
+        // r16 MEASURED NEGATIVE (do not retry): latest-wins as a max_by
+        // aggregate over a struct of the full row (no sorts, same
+        // map-side one-row-per-key-per-partition pruning) read q116
+        // 2.82 -> 3.60 s and q218 4.43 -> 4.63 s at quiet calib — the
+        // per-key wide-struct copy in the aggregation buffer costs more
+        // than the window's columnar sorts, whose map-side
+        // WindowGroupLimit already prunes the exchange to the same rows.
         graft.operators.Curate.keepLatest(base.unionByName(delta), keys,
             orderDesc.map(col(_).desc))
           .write.mode("overwrite").partitionBy("bucket")
