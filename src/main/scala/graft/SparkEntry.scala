@@ -1500,10 +1500,15 @@ object SparkEntry {
       .select(col("vec_id").as("doc_id"), col("embedding"))
     // dense-index cycle, not a raw pmod==vec_id join (see
     // [[Tables.cycleEmbeddings]]: raw ids are holed on tiled corpora
-    // and the equi-join silently dropped 60% of sf1's documents)
+    // and the equi-join silently dropped 60% of sf1's documents).
+    // localCheckpoint: the three micro-batch writes below are SEPARATE
+    // actions, so ReuseExchange cannot span them — uncheckpointed, each
+    // batch re-scans documents and re-runs the embedding attach join
+    // (the q112 pair-checkpoint class, cross-action reuse)
     val corpus = Tables.cycleEmbeddings(
         documents(s, d).select(col("doc_id"), col("text")), emb, nEmb)
       .select(col("doc_id"), col("text"), col("embedding"))
+      .localCheckpoint()
     (0 until 3).foreach { i =>
       Streams.searchIndexBatch(
         corpus.filter(pmod(col("doc_id"), lit(3)) === i),

@@ -65,16 +65,25 @@ object Sketch {
     * lane the left side drops is larger than k survivors, so it can
     * never re-enter the union's k-minima), which is what lets q210
     * fold per-batch lane sets into a ≤ k-rows-per-group state table
-    * and still read back the EXACT whole-history estimate. The window
-    * is keys-partitioned (≤ state rows per group), never global. */
+    * and still read back the EXACT whole-history estimate.
+    *
+    * r16 shape: ONE [[graft.functions.expressions.KmvLanes]] aggregate
+    * (k-bounded TreeSet state, map-side partial) exploded back to rows,
+    * replacing the old distinct+window form — that shape shuffled EVERY
+    * distinct (key, lane) pair and then ranked them all inside one task
+    * per group; the mergeable aggregate's shuffle carries ≤ k lanes per
+    * group per partition and dedupes en route (the TreeSet is a set).
+    * Same rows out (each group's k smallest distinct lanes) — the
+    * SketchSpec merge-truncate property pins the equality. */
   def kmvTruncate(df: DataFrame, keys: Seq[String], k: Int): DataFrame = {
     require(k >= 3, "KMV needs k >= 3")
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("lane").asc)
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.expressions.GraftExpressions.register)
     df.select((keys.map(col) :+ col("lane")): _*)
-      .filter(col("lane").isNotNull).distinct()
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= k)
-      .drop("__rn")
+      .filter(col("lane").isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(call_function("graft_kmv_lanes", col("lane"), lit(k)).as("__lanes"))
+      .select((keys.map(col) :+ explode(col("__lanes")).as("lane")): _*)
   }
 
   /** The readout half of the maintained-state path: estimate distinct

@@ -621,6 +621,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("kmvTruncate plan: partial lanes aggregate, no window, no distinct pre-shuffle") {
+    // r16: the q210 state-truncate step is ONE mergeable KmvLanes
+    // aggregate (k-bounded map-side partial) — the old distinct+window
+    // form shuffled every distinct (key, lane) pair and ranked them in
+    // one task per group
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = (0 until 1000).map(i => (s"g${i % 3}", s"v$i")).toDF("g", "v")
+      .select(col("g"), graft.operators.Sketch.shaLane(col("v")).as("lane"))
+      .repartition(4)
+    val p = graft.operators.Sketch.kmvTruncate(df, Seq("g"), 16)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_graft_kmv_lanes"), s"expected partial lanes agg:\n$p")
+    assert(!p.contains("Window"), s"no window expected:\n$p")
+    assert(countOf(p, "Exchange hashpartitioning") === 1,
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
   test("q106 incremental merge: map-side partials on every leg, no join anywhere") {
     val p = plan("q106_incremental_agg")
     assert(p.contains("partial_sum"), s"expected map-side partial sums:\n$p")

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 class SketchSpec extends SparkSpec {
@@ -315,5 +316,26 @@ class SketchSpec extends SparkSpec {
     val batchEst = Sketch.kmvDistinct(rows, Seq("g"), col("lane"), k)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(est === batchEst)
+  }
+
+  test("kmvTruncate: aggregate form emits exactly the window-rank bottom-k rows") {
+    // r16 rewired kmvTruncate from distinct+window to the KmvLanes
+    // mergeable aggregate; this pins the row-set equality against the
+    // window-rank spec (the old formulation, inlined) on a fixture with
+    // heavy duplication, a group under k, and NULL lanes to ignore
+    val k = 8
+    val rows = ((0 until 600).map(i => (s"g${i % 2}", s"tok_${i % 97}")) ++
+        (0 until 3).map(i => ("tiny", s"only_$i")))
+      .toDF("g", "t")
+      .select(col("g"),
+        when(col("t") === "tok_13", lit(null).cast("long"))
+          .otherwise(Sketch.shaLane(col("t"))).as("lane"))
+    val got = Sketch.kmvTruncate(rows, Seq("g"), k)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val w = Window.partitionBy(col("g")).orderBy(col("lane").asc)
+    val spec = rows.filter(col("lane").isNotNull).distinct()
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got === spec)
   }
 }
