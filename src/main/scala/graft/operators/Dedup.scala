@@ -635,11 +635,18 @@ object Dedup {
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
+      // shuffle_hash on the label probe: the label table is NODE-sized
+      // and constant across rounds (the q112 PPR lever — its rank
+      // vector is the same shape), so the hash build is a per-partition
+      // slice of a node-sized vector and the per-round SORTS of the
+      // edge-scale join go away; BFS/SSSP measured the opposite because
+      // their visited/cost tables GROW (see bfsDistances loop note)
       val neighborMin = edges
-        .join(labels, edges("dst") === labels("doc"))
+        .join(labels.hint("shuffle_hash"), edges("dst") === labels("doc"))
         .groupBy(col("src")).agg(min(col("component")).as("nmin"))
       val next = labels
-        .join(neighborMin, labels("doc") === neighborMin("src"), "left")
+        .join(neighborMin.hint("shuffle_hash"),
+          labels("doc") === neighborMin("src"), "left")
         .select(col("doc"), col("component").as("old"),
           least(col("component"), coalesce(col("nmin"), col("component")))
             .as("component"))
