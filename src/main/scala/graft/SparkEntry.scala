@@ -2479,14 +2479,22 @@ object SparkEntry {
     val keys = Seq("event_type", "day")
     val ev = events(s, d).select(col("event_type"),
       expr("CAST(ts AS LONG) DIV 86400").as("day"), col("event_id"))
+    // q146's round-12 fold idiom (r16): the maintained state is carried
+    // across batches as a localCheckpoint-ed frame instead of re-reading
+    // each just-written parquet version; every version is still
+    // PUBLISHED, and the declared readout still consumes the published
+    // state_2 — only the intermediate read-backs (+ listings) go away
+    var state: Option[DataFrame] = None
     (0 until 3).foreach { i =>
       val part = Incremental.aggregate(
         ev.filter(pmod(col("event_id"), lit(3)) === i), keys, Nil)
-      val merged =
-        if (i == 0) part
-        else Incremental.mergeAggregates(
-          Seq(s.read.parquet(s"$dir/state_${i - 1}"), part), keys, Nil)
+      val merged = (state match {
+        case None => part
+        case Some(prev) =>
+          Incremental.mergeAggregates(Seq(prev, part), keys, Nil)
+      }).localCheckpoint()
       merged.write.mode("overwrite").parquet(s"$dir/state_$i")
+      state = Some(merged)
     }
     val daily = s.read.parquet(s"$dir/state_2")
       .select(col("event_type"), col("day"), col("n"))
@@ -2803,16 +2811,20 @@ object SparkEntry {
       .select(col("event_id"), col("db.dim").as("dim"),
         col("db.bin").as("bin"), col("a"), (lit(1L) - col("a")).as("b"))
     val keys = Seq("dim", "bin")
+    // carried-state fold (the q146/q162 idiom): versions still published,
+    // intermediate parquet read-backs removed
+    var carried: Option[DataFrame] = None
     (0 until 3).foreach { i =>
       val part = Incremental.aggregate(
         facts.filter(pmod(col("event_id"), lit(3)) === i), keys,
         Seq("a", "b"))
-      val merged =
-        if (i == 0) part
-        else Incremental.mergeAggregates(
-          Seq(s.read.parquet(s"$dir/state_${i - 1}"), part), keys,
-          Seq("a", "b"))
+      val merged = (carried match {
+        case None => part
+        case Some(prev) =>
+          Incremental.mergeAggregates(Seq(prev, part), keys, Seq("a", "b"))
+      }).localCheckpoint()
       merged.write.mode("overwrite").parquet(s"$dir/state_$i")
+      carried = Some(merged)
     }
     val state = s.read.parquet(s"$dir/state_2")
     val cols = Seq("dim", "bin", "n_a", "n_b", "p_a", "p_b",
@@ -3027,16 +3039,20 @@ object SparkEntry {
       (col("event_type") === "purchase").cast("long").as("pos"))
       .withColumn("neg", lit(1L) - col("pos"))
     val keys = Seq("bin")
+    // carried-state fold (the q146/q162 idiom): versions still published,
+    // intermediate parquet read-backs removed
+    var state: Option[DataFrame] = None
     (0 until 3).foreach { i =>
       val part = Incremental.aggregate(
         facts.filter(pmod(col("event_id"), lit(3)) === i), keys,
         Seq("pos", "neg"))
-      val merged =
-        if (i == 0) part
-        else Incremental.mergeAggregates(
-          Seq(s.read.parquet(s"$dir/state_${i - 1}"), part), keys,
-          Seq("pos", "neg"))
+      val merged = (state match {
+        case None => part
+        case Some(prev) => Incremental.mergeAggregates(
+          Seq(prev, part), keys, Seq("pos", "neg"))
+      }).localCheckpoint()
       merged.write.mode("overwrite").parquet(s"$dir/state_$i")
+      state = Some(merged)
     }
     Features.woeIvFromCells(s.read.parquet(s"$dir/state_2")
       .select(col("bin"), col("sum_pos").as("n_pos"),
@@ -3135,16 +3151,20 @@ object SparkEntry {
       .filter(col("__t").between(T0, T1))
       .withColumn("bin", expr(s"((__t - ${T0}L) * 16L) div ${T1 - T0 + 1}L"))
     val keys = Seq("event_type", "bin", "__t")
+    // carried-state fold (the q146/q162 idiom): versions still published,
+    // intermediate parquet read-backs removed
+    var state: Option[DataFrame] = None
     (0 until 3).foreach { i =>
       val part = Incremental.aggregate(
         facts.filter(pmod(col("event_id"), lit(3)) === i), keys,
         sums = Nil, mins = Seq("v"), maxs = Seq("v"))
-      val merged =
-        if (i == 0) part
-        else Incremental.mergeAggregates(
-          Seq(s.read.parquet(s"$dir/state_${i - 1}"), part), keys,
-          sums = Nil, mins = Seq("v"), maxs = Seq("v"))
+      val merged = (state match {
+        case None => part
+        case Some(prev) => Incremental.mergeAggregates(
+          Seq(prev, part), keys, sums = Nil, mins = Seq("v"), maxs = Seq("v"))
+      }).localCheckpoint()
       merged.write.mode("overwrite").parquet(s"$dir/state_$i")
+      state = Some(merged)
     }
     Trend.m4FromTicks(
       s.read.parquet(s"$dir/state_2").select(col("event_type"), col("bin"),
@@ -3265,17 +3285,22 @@ object SparkEntry {
     * state read; history never rescanned. */
   private def kmvReplayQ(s: SparkSession, d: String): DataFrame = {
     val dir = replayStateDir(s, "q210", d)
+    // carried-state fold (the q146/q162 idiom): versions still published,
+    // intermediate parquet read-backs removed
+    var state: Option[DataFrame] = None
     (0 until 3).foreach { i =>
       val batch = documents(s, d)
         .filter(pmod(col("doc_id"), lit(3)) === i)
         .select(col("lang"), explode(Text.tokens(col("text"))).as("token"))
         .select(col("lang"), Sketch.shaLane(col("token")).as("lane"))
-      val merged =
-        if (i == 0) batch
-        else s.read.parquet(s"$dir/state_${i - 1}").unionByName(batch)
-      Sketch.kmvTruncate(merged, Seq("lang"), k = 256)
-        .coalesce(1)
-        .write.mode("overwrite").parquet(s"$dir/state_$i")
+      val merged = state match {
+        case None => batch
+        case Some(prev) => prev.unionByName(batch)
+      }
+      val truncated = Sketch.kmvTruncate(merged, Seq("lang"), k = 256)
+        .coalesce(1).localCheckpoint()
+      truncated.write.mode("overwrite").parquet(s"$dir/state_$i")
+      state = Some(truncated)
     }
     Sketch.kmvEstimateFromState(s.read.parquet(s"$dir/state_2"),
       Seq("lang"), k = 256)
