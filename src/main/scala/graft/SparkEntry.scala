@@ -1336,9 +1336,22 @@ object SparkEntry {
     val cands = Streams.readHeavyHitters(s, dir, k = 60)
       .select(col("item").as("tok"))
     val all = toks.select(col("tok"))
-    all.join(broadcast(cands), "tok")
-      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-      .crossJoin(broadcast(all.agg(count(lit(1)).as("n_total"))))
+    // ONE corpus pass for recount AND n_total (r16): the old shape ran
+    // `all` twice in the final action — an inner join for the candidate
+    // recount plus a separate global count for the threshold's N — i.e.
+    // two full tokenize passes. A LEFT join keeps every token row, the
+    // aggregate groups non-candidates under one NULL lane, and N is the
+    // sum over the (≤ candidates+1)-row result; localCheckpoint makes
+    // the tiny table feed both the output filter and the N fold without
+    // re-running the pass. Candidates are distinct by construction
+    // (readHeavyHitters groups by item), so the join multiplies nothing.
+    val counted = all
+      .join(broadcast(cands.withColumn("__c", lit(1))), Seq("tok"), "left")
+      .groupBy(when(col("__c") === 1, col("tok")).as("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    counted.filter(col("tok").isNotNull)
+      .crossJoin(broadcast(counted.agg(sum(col("cnt")).as("n_total"))))
       .filter(col("cnt") * lit(61L) > col("n_total"))
       .select(col("tok"), col("cnt"))
   }
