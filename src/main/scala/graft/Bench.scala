@@ -599,6 +599,25 @@ object Bench {
       case _ => path
     }
 
+  /** Slower-record refusal (r16 optimization round, found live: a
+    * spliced run on a uniformly slow evening — calib 2.07, midwrite
+    * 255 MB/s, median ratio-to-class 1.145 — replaced the 124.2 s
+    * committed record with a 160.1 s one). The durable record exists to
+    * hold the best-known QUIET per-query class map; a run whose total is
+    * materially SLOWER than the incumbent same-sf record's adds no code
+    * signal — a uniform host drag passes every burst axis (the probes
+    * sample the host against ABSOLUTE bands, and class conviction needs
+    * a 3× span; a whole-run 1.25× drag trips neither) — and committing
+    * it degrades the class axis for every later run. Refuse the
+    * replacement unless forced (`SPARK_GRAFT_FORCE_RECORD=true`, the
+    * flag for accepting a genuine code regression as the new truth);
+    * the refused run is preserved in the `_contended` twin and on the
+    * printed line. `margin` is fractional (0.10 = allow up to +10%).
+    * Pure for BenchGuardSpec. */
+  def recordReplaceAllowed(newTotal: Double, incumbentTotal: Option[Double],
+                           margin: Double, force: Boolean): Boolean =
+    force || incumbentTotal.forall(t => newTotal <= t * (1.0 + margin))
+
   /** One probed, telemetry-attributed timed pass over `qs`: per query
     * `repeats` timed executions → median (−1 on any failure), mid-run
     * micro/parallel/write probes at the given cadences, and a per-query
@@ -1232,6 +1251,17 @@ object Bench {
     val forceRecord = sys.env.get("SPARK_GRAFT_FORCE_RECORD").contains("true")
     val outPath = recordWritePath(fullOut, priorRecord.map(_._1), runSf,
       forceRecord)
+    // slower-record refusal (see recordReplaceAllowed): the incumbent
+    // total only gates a SAME-file, same-sf replacement — a sibling path
+    // from the sf-mismatch rule has no incumbent to protect. Partial
+    // (SPARK_GRAFT_ONLY) runs never reach here with a full map, and the
+    // class map is same-sf by loadRecord's own gate.
+    val slowerMargin = sys.env
+      .getOrElse("SPARK_GRAFT_RECORD_SLOWER_MARGIN", "0.10").toDouble
+    val incumbentTotal: Option[Double] =
+      if (outPath == fullOut) priorRecord.collect {
+        case (sf, m) if sf == runSf => m.values.sum }
+      else None
     // the spliced record's host-ext scalar must agree with its PATCHED
     // per-query map (one axis, two fields — they may not disagree inside
     // one artifact) — and so must the DRIVER LINE (r15 ADVICE: a line
@@ -1385,13 +1415,38 @@ object Bench {
           java.nio.file.Paths.get(path), body + "\n")
         catch { case e: Throwable =>
           System.err.println(s"[bench] $path write failed: $e") }
-      if (quiet0 && inClass) {
+      val replaceOk = recordReplaceAllowed(total, incumbentTotal,
+        slowerMargin, forceRecord)
+      if (!replaceOk) System.err.println(
+        s"[bench] slower-record refusal: this run's total " +
+          s"${f"$total%.1f"} s exceeds the committed same-sf record's " +
+          s"${f"${incumbentTotal.getOrElse(-1.0)}%.1f"} s by more than " +
+          s"${(slowerMargin * 100).toInt}% — a uniform host drag, not " +
+          "code signal; preserving the incumbent class map and routing " +
+          s"this run to ${contendedName(outPath)} " +
+          "(SPARK_GRAFT_FORCE_RECORD=true accepts a genuine regression)")
+      if (quiet0 && inClass && replaceOk) {
         // per-query telemetry attribution: which interval a reader should
         // distrust when host_ext spikes — the forensic record the r13
         // adjudication had to reconstruct with isolation re-runs
         writeRecord(outPath,
           assemble(callsJson, s""""queries":${namesJson(results)}""",
             probeSeries + s""""host_ext":${extJson(hostExtByQuery)},"""))
+      } else if (quiet0 && inClass) {
+        // quiet-but-slower: self-labeled twin only, incumbent untouched
+        writeRecord(contendedName(outPath),
+          assemble(callsJson, s""""queries":${namesJson(results)}""",
+            probeSeries + s""""host_ext":${extJson(hostExtByQuery)},""",
+            markSpliced = false))
+      } else if (spliceOk && !replaceOk) {
+        // contended pass whose splice still totals materially over the
+        // incumbent: forensics twin only (the spliced numbers are on the
+        // printed line; the incumbent class map stays authoritative)
+        writeRecord(contendedName(outPath),
+          assemble(callsJson, s""""queries":${namesJson(results)}""",
+            probeSeries + s""""host_ext":${extJson(hostExtByQuery)},""",
+            totalValue = totalOrig, hostExtValue = hostExtMax,
+            markSpliced = false))
       } else if (spliceOk) {
         // the `_contended` twin is the pre-splice pass preserved
         // VERBATIM for forensics: original medians/total/host-ext and

@@ -330,6 +330,26 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(Bench.loadRecord(dir.resolve("nomap.json").toString).isEmpty)
   }
 
+  test("recordReplaceAllowed: slower-record refusal, from the r16 live numbers") {
+    // found live in the r16 optimization round: a spliced run on a
+    // uniformly slow evening (calib 2.07, midwrite 255 MB/s, median
+    // ratio-to-class 1.145 — no probe axis and no 3x class span trips
+    // on a whole-run drag) replaced the 124.219 s committed record with
+    // a 160.087 s one. The refusal keeps the incumbent class map.
+    val incumbent = Some(124.219)
+    assert(!Bench.recordReplaceAllowed(160.087, incumbent, 0.10, force = false))
+    // force is the explicit accept-a-regression flag
+    assert(Bench.recordReplaceAllowed(160.087, incumbent, 0.10, force = true))
+    // inside the margin (a normal quiet-evening wobble) still replaces
+    assert(Bench.recordReplaceAllowed(130.0, incumbent, 0.10, force = false))
+    // faster always replaces
+    assert(Bench.recordReplaceAllowed(118.4, incumbent, 0.10, force = false))
+    // no incumbent (first run, or sf-mismatch sibling path) → nothing to protect
+    assert(Bench.recordReplaceAllowed(160.087, None, 0.10, force = false))
+    // margin is fractional and exact at the boundary
+    assert(Bench.recordReplaceAllowed(124.219 * 1.10, incumbent, 0.10, force = false))
+  }
+
   test("contendedName: suffix lands before the extension") {
     assert(Bench.contendedName("BENCH_full.json") === "BENCH_full_contended.json")
     assert(Bench.contendedName("/tmp/out/BENCH_full.json") ===
